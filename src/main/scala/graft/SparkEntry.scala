@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * One dispatch table multiplexing every declared operator, mirroring the
+  * reference's mono-backend routing (swagger:30,114,198 + the per-entity
+  * router at lambda_function.py:132-162): query key → DataFrame builder.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY §7.2 M0): TPC-H Q1-style pricing summary.
+    * Driver smoke-checks rows>0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Aggregates.aggGroup(spark, "/root/testdata/sf0.001")
+
+  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (Meta.queries, Meta.oracle),
+      (Scans.queries, Scans.oracle),
+      (Relational.queries, Relational.oracle),
+      (Aggregates.queries, Aggregates.oracle),
+    )
+
+  /** One entry per implemented operator from SURVEY.md §2.2. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.iterator.map(_._1).reduce(_ ++ _)
+
+  /** DuckDB-dialect oracle SQL per declared key (SURVEY §7.3 determinism
+    * rules). Keys absent here get the driver's weaker rows-only check.
+    */
+  val oracleSql: Map[String, String] =
+    modules.iterator.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access for the driver-generated parquet lake
+  * (/root/repo/TESTDATA.md). One parquet file-tree per table under the
+  * scale-factor dir; columnar scan with Catalyst pushdown is the engine's
+  * analog of the reference's per-source S3 landing buckets
+  * (reference: cft/sourceSystem.yaml:20-27).
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to map
+    * to TimestampType. Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; the raw INT64 nanos are
+    * converted here to a microsecond TimestampType (floor division —
+    * matches DuckDB's CAST(ts_ns AS TIMESTAMP) truncation).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY §2.2-A — control-plane semantics lifted from the reference's
+  * only real data operations (audit insert/upsert, point lookup, keyed
+  * delete, router dispatch, envelope build, validation, status mapping).
+  *
+  * Reference grounding (cited per key):
+  * lambda/aws-dl-fmwrk-source-system-api/lambda_function.py and
+  * swagger/aws-dl-fmwrk-swagger-apigateway.yaml under /root/reference.
+  *
+  * Scale note: all of these are either O(1)-output aggregates or
+  * key-ordered projections whose joins are broadcastable (the key-sets
+  * are small filtered subsets). At 100 TB the `orders`-sized sides stay
+  * fully distributed; only the filtered key-sets move.
+  */
+object Meta {
+
+  /** R1 audit append (lambda_function.py:19-32): table ∪ one literal row,
+    * summarized. A relational UNION ALL — at scale this is a metadata-only
+    * append (no shuffle).
+    */
+  private def insertAppend(s: SparkSession, d: String): DataFrame = {
+    val ev  = events(s, d).select(col("event_id"))
+    val one = s.range(1).select(lit(-1L).as("event_id"))
+    ev.union(one).agg(
+      count(lit(1)).as("n_rows"),
+      min("event_id").as("min_id"),
+      max("event_id").as("max_id"))
+  }
+
+  /** R2 guarded upsert (lambda_function.py:33-44,
+    * ConditionExpression="attribute_exists" at :39): MERGE-style
+    * conditional update expressed as left join + CASE projection. The
+    * key-set is a filtered subset → broadcast side at scale.
+    */
+  private def conditionalUpdate(s: SparkSession, d: String): DataFrame = {
+    val o    = orders(s, d)
+    val keys = o.filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("k"))
+    o.join(broadcast(keys), o("o_orderkey") === keys("k"), "left")
+      .select(
+        o("o_orderkey"),
+        when(col("k").isNotNull, lit("X"))
+          .otherwise(o("o_orderstatus")).as("status"))
+      .orderBy("o_orderkey")
+  }
+
+  /** R3 point lookup by key (lambda_function.py:35-38): predicate reaches
+    * the parquet scan (row-group skip via min/max stats at scale).
+    */
+  private def pointLookup(s: SparkSession, d: String): DataFrame =
+    orders(s, d).filter(col("o_orderkey") === 42L)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+
+  /** R4 keyed delete (lambda_function.py:113-130): anti-join rewrite of
+    * DELETE WHERE key IN (…). Delete-set broadcast.
+    */
+  private def keyedDelete(s: SparkSession, d: String): DataFrame = {
+    val c   = customer(s, d)
+    val del = orders(s, d).filter(col("o_totalprice") > 450000)
+      .select(col("o_custkey"))
+    c.join(broadcast(del), c("c_custkey") === del("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** R7 router/dispatch (lambda_function.py:132-162): split resource path
+    * on '/', take the method segment, CASE-dispatch with 404 default.
+    */
+  private def routerDispatch(s: SparkSession, d: String): DataFrame = {
+    val methods = array(lit("health"), lit("create"), lit("read"),
+      lit("update"), lit("delete"), lit("bogus"))
+    events(s, d)
+      .withColumn("path",
+        concat(lit("/sourcesystem/"),
+          element_at(methods, (col("event_id") % 6 + 1).cast("int"))))
+      .withColumn("method", element_at(split(col("path"), "/"), 3))
+      .withColumn("action",
+        when(col("method") === "health", "200-health")
+          .when(col("method") === "create", "create_source")
+          .when(col("method") === "read", "read_source")
+          .when(col("method") === "update", "update_source")
+          .when(col("method") === "delete", "delete_source")
+          .otherwise("404"))
+      .groupBy("method", "action")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("method")
+  }
+
+  /** R8 health probe (lambda_function.py:142-143): constant select. */
+  private def health(s: SparkSession, d: String): DataFrame =
+    s.range(1).select(lit("ok").as("status"), lit(200).as("code"))
+
+  /** R11 request-envelope construction (swagger:37-61): nested
+    * {body, params, context} document serialized to JSON.
+    */
+  private def envelopeJson(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      to_json(struct(
+        col("event_type").as("body"),
+        struct(col("user_id").cast("string").as("user")).as("params"),
+        struct(
+          lit("POST").as("http-method"),
+          concat(lit("req-"), col("event_id")).as("request-id")
+        ).as("context"))).as("envelope"))
+      .orderBy("event_id")
+
+  /** R12 required-param validation (swagger:13-18,268-271): rows failing
+    * an IS NULL required-field check, counted by reason.
+    */
+  private def validateRequired(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("tasktype",
+        when(col("event_id") % 5 === 0, lit(null: String))
+          .otherwise(col("event_type")))
+      .filter(col("tasktype").isNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_invalid"))
+      .orderBy("event_type")
+
+  /** R9 status→message response projection (lambda_function.py:46-54). */
+  private def auditStatus(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("code", (lit(200) + (col("event_id") % 3) * 100).cast("int"))
+      .withColumn("message",
+        when(col("code") === 200, "success")
+          .when(col("code") === 300, "redirect")
+          .otherwise("error"))
+      .groupBy("code", "message")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("code")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "meta_insert_append"     -> insertAppend _,
+    "meta_conditional_update" -> conditionalUpdate _,
+    "meta_point_lookup"      -> pointLookup _,
+    "meta_keyed_delete"      -> keyedDelete _,
+    "meta_router_dispatch"   -> routerDispatch _,
+    "meta_health"            -> health _,
+    "meta_envelope_json"     -> envelopeJson _,
+    "meta_validate_required" -> validateRequired _,
+    "meta_audit_status"      -> auditStatus _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "meta_insert_append" ->
+      """SELECT count(*) AS n_rows, min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM (SELECT event_id FROM events UNION ALL SELECT CAST(-1 AS BIGINT))""".stripMargin,
+    "meta_conditional_update" ->
+      """SELECT o.o_orderkey, CASE WHEN k.k IS NOT NULL THEN 'X' ELSE o.o_orderstatus END AS status
+        |FROM orders o LEFT JOIN (SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 400000) k
+        |ON o.o_orderkey = k.k ORDER BY o.o_orderkey""".stripMargin,
+    "meta_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey = 42""".stripMargin,
+    "meta_keyed_delete" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+    "meta_router_dispatch" ->
+      """WITH p AS (
+        |  SELECT (['health','create','read','update','delete','bogus'])[CAST(event_id % 6 AS INT) + 1] AS m
+        |  FROM events),
+        |x AS (SELECT str_split('/sourcesystem/' || m, '/')[3] AS method FROM p)
+        |SELECT method,
+        |  CASE WHEN method='health' THEN '200-health'
+        |       WHEN method='create' THEN 'create_source'
+        |       WHEN method='read' THEN 'read_source'
+        |       WHEN method='update' THEN 'update_source'
+        |       WHEN method='delete' THEN 'delete_source'
+        |       ELSE '404' END AS action,
+        |  count(*) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY method""".stripMargin,
+    "meta_health" -> "SELECT 'ok' AS status, 200 AS code",
+    "meta_envelope_json" ->
+      """SELECT event_id,
+        |  CAST(json_object('body', event_type,
+        |    'params', json_object('user', CAST(user_id AS VARCHAR)),
+        |    'context', json_object('http-method', 'POST',
+        |      'request-id', 'req-' || CAST(event_id AS VARCHAR))) AS VARCHAR) AS envelope
+        |FROM events ORDER BY event_id""".stripMargin,
+    "meta_validate_required" ->
+      """SELECT event_type, count(*) AS n_invalid
+        |FROM (SELECT CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS tasktype, event_type
+        |      FROM events)
+        |WHERE tasktype IS NULL GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "meta_audit_status" ->
+      """SELECT code,
+        |  CASE WHEN code = 200 THEN 'success' WHEN code = 300 THEN 'redirect' ELSE 'error' END AS message,
+        |  count(*) AS n
+        |FROM (SELECT CAST(200 + (event_id % 3) * 100 AS INT) AS code FROM events)
+        |GROUP BY 1, 2 ORDER BY code""".stripMargin,
+  )
+}
