@@ -22,7 +22,10 @@ object SparkEntry {
       (Meta.queries, Meta.oracle),
       (Scans.queries, Scans.oracle),
       (Relational.queries, Relational.oracle),
+      (Joins.queries, Joins.oracle),
       (Aggregates.queries, Aggregates.oracle),
+      (Windows.queries, Windows.oracle),
+      (SortSetOps.queries, SortSetOps.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.2. */

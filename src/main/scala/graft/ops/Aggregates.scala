@@ -55,9 +55,81 @@ object Aggregates {
       max(col("l_quantity")).as("max_qty"),
       count(lit(1)).as("n"))
 
+  /** HAVING: post-aggregation group filter. */
+  private def aggHaving(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("revenue"))
+      .filter(col("n_orders") >= 12)
+      .orderBy("o_custkey")
+
+  /** COUNT(DISTINCT) — Catalyst expands to two-phase distinct agg. */
+  private def aggDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy((col("l_orderkey") % 10).as("bucket"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("bucket")
+
+  /** HLL sketch distinct — engine-specific, no oracle (unit test asserts
+    * ±5% of exact; SURVEY §2.2-E).
+    */
+  private def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d).agg(
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      approx_count_distinct(col("event_id")).as("approx_events"))
+
+  /** ROLLUP over nation × market segment. */
+  private def aggRollup(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d); val n = nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("n_name").asc_nulls_first,
+        col("c_mktsegment").asc_nulls_first)
+  }
+
+  /** CUBE over order priority × status. */
+  private def aggCube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("o_totalprice")).cast("double").as("revenue"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** Explicit GROUPING SETS via the SQL surface. */
+  private def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d); val n = nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .createOrReplaceTempView("v_cust_nation")
+    s.sql(
+      """SELECT n_name, c_mktsegment, count(*) AS n, grouping_id() AS gid
+        |FROM v_cust_nation
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Pivot event_type → summed value columns per user bucket. */
+  private def aggPivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum(col("value").cast(DecimalType(12, 2))).cast("double"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_group"  -> aggGroup _,
-    "q_agg_global" -> aggGlobal _,
+    "q_agg_group"           -> aggGroup _,
+    "q_agg_global"          -> aggGlobal _,
+    "q_agg_having"          -> aggHaving _,
+    "q_agg_distinct"        -> aggDistinct _,
+    "q_agg_approx_distinct" -> aggApproxDistinct _,
+    "q_agg_rollup"          -> aggRollup _,
+    "q_agg_cube"            -> aggCube _,
+    "q_agg_grouping_sets"   -> aggGroupingSets _,
+    "q_agg_pivot"           -> aggPivot _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -83,5 +155,37 @@ object Aggregates {
         |  max(l_quantity) AS max_qty,
         |  count(*) AS n
         |FROM lineitem""".stripMargin,
+    "q_agg_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+        |ORDER BY o_custkey""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_orderkey % 10 AS bucket, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n, GROUPING_ID(n_name, c_mktsegment) AS gid
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  GROUPING_ID(o_orderpriority, o_orderstatus) AS gid
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n, GROUPING_ID(n_name, c_mktsegment) AS gid
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+    "q_agg_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |  CAST(sum(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+        |  CAST(sum(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS error,
+        |  CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(sum(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS signup,
+        |  CAST(sum(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

@@ -1,0 +1,250 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** SURVEY §2.2-D — every join shape.
+  *
+  * Scale posture: dimension tables (region 5 / nation 25 / supplier 100
+  * rows at any sf) are always broadcast — no shuffle of the fact side.
+  * Fact⋈fact joins (orders⋈customer, lineitem⋈orders) shuffle on the
+  * join key and rely on AQE for skew; the as-of join is the union+window
+  * formulation (single shuffle, O(n log n)) instead of the naive
+  * per-row range join (O(n·m)).
+  */
+object Joins {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Inner join: revenue per customer. */
+  private def inner(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d); val c = customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(sum(dec(o("o_totalprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left outer: every customer, order count (0 when none). */
+  private def left(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d); val o = orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(count(o("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec(o("o_totalprice"))).cast("double"), lit(0.0)).as("revenue"))
+      .orderBy("c_custkey")
+  }
+
+  /** Right outer: mirror of left (orders on the left side). */
+  private def right(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d); val c = customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(count(o("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec(o("o_totalprice"))).cast("double"), lit(0.0)).as("revenue"))
+      .orderBy("c_custkey")
+  }
+
+  /** Full outer on deliberately part-disjoint key sets. */
+  private def full(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_custkey") < 800)
+      .select(col("c_custkey"), col("c_name"))
+    val o = orders(s, d).filter(col("o_custkey") >= 400)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full")
+      .select(
+        coalesce(c("c_custkey"), o("o_custkey")).as("key"),
+        c("c_name").as("name"),
+        o("n_orders").as("n_orders"))
+      .orderBy("key")
+  }
+
+  /** Left semi = EXISTS. */
+  private def semi(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d); val o = orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** Left anti = NOT EXISTS (vs high-value orders, so the result is
+    * non-empty — every customer has *some* order in this data).
+    */
+  private def anti(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d).filter(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** Cartesian product of the two smallest dims. */
+  private def cross(s: SparkSession, d: String): DataFrame =
+    region(s, d).crossJoin(nation(s, d))
+      .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+      .orderBy("r_regionkey", "n_nationkey")
+
+  /** Explicit broadcast hint on the dim side; rows identical to the
+    * unhinted plan — the hint only pins the physical strategy.
+    */
+  private def bcast(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d); val n = nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "inner")
+      .groupBy(n("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec(c("c_acctbal"))).cast("double").as("sum_bal"))
+      .orderBy("n_name")
+  }
+
+  /** Equi key + inequality residual. */
+  private def theta(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d); val p = part(s, d)
+    l.join(broadcast(p),
+        l("l_partkey") === p("p_partkey") && l("l_extendedprice") > p("p_retailprice"),
+        "inner")
+      .groupBy(p("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(l("l_extendedprice"))).cast("double").as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  /** Interval self-join: same user, follower event within (ts, ts+5min].
+    * Equi on user_id (hash-partitionable) + range residual; timestamps
+    * second-truncated on both engines (ns vs µs parquet precision).
+    */
+  private def range(s: SparkSession, d: String): DataFrame = {
+    val e1 = events(s, d).select(col("user_id").as("u1"),
+      date_trunc("second", col("ts")).as("t1"))
+    val e2 = events(s, d).select(col("user_id").as("u2"),
+      date_trunc("second", col("ts")).as("t2"))
+    e1.join(e2,
+        col("u1") === col("u2") && col("t2") > col("t1") &&
+        col("t2") <= col("t1") + expr("INTERVAL 5 MINUTES"), "inner")
+      .groupBy(col("u1").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  /** As-of join: for each purchase event, the latest same-user click at or
+    * before it. Spark has no native as-of; the scalable formulation is the
+    * union + last-ignoring-nulls window (one shuffle on user_id), not the
+    * O(n·m) range join + re-aggregate.
+    */
+  private def asof(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts"), col("event_type"))
+    // (user_id, second-truncated ts) is unique in the data → no ordering ties
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("asof_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "asof_click_ts")
+      .orderBy("event_id")
+  }
+
+  /** 4-way chain: lineitem ⋈ orders ⋈ customer ⋈ nation (Q5-ish). */
+  private def multiway(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d); val o = orders(s, d)
+    val c = customer(s, d); val n = nation(s, d)
+    val rev = (l("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) - l("l_discount").cast(DecimalType(4, 2))))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner"     -> inner _,
+    "q_join_left"      -> left _,
+    "q_join_right"     -> right _,
+    "q_join_full"      -> full _,
+    "q_join_semi"      -> semi _,
+    "q_join_anti"      -> anti _,
+    "q_join_cross"     -> cross _,
+    "q_join_broadcast" -> bcast _,
+    "q_join_theta"     -> theta _,
+    "q_join_range"     -> range _,
+    "q_join_asof"      -> asof _,
+    "q_join_multiway"  -> multiway _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
+        |  COALESCE(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS revenue
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
+    "q_join_right" ->
+      """SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
+        |  COALESCE(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS revenue
+        |FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
+    "q_join_full" ->
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS key, c.c_name AS name, o.n_orders AS n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 800) c
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |                 WHERE o_custkey >= 400 GROUP BY o_custkey) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY key""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n.n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q_join_theta" ->
+      """SELECT p.p_brand, count(*) AS n,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l JOIN part p
+        |  ON l.l_partkey = p.p_partkey AND l.l_extendedprice > p.p_retailprice
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+    "q_join_range" ->
+      """SELECT e1.u AS user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id AS u, date_trunc('second', ts) AS t FROM events) e1
+        |JOIN (SELECT user_id AS u, date_trunc('second', ts) AS t FROM events) e2
+        |  ON e1.u = e2.u AND e2.t > e1.t AND e2.t <= e1.t + INTERVAL 5 MINUTE
+        |GROUP BY e1.u ORDER BY user_id""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, date_trunc('second', p.ts) AS ts,
+        |  (SELECT max(date_trunc('second', c.ts)) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND date_trunc('second', c.ts) <= date_trunc('second', p.ts)) AS asof_click_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+    "q_join_multiway" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+  )
+}

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** SURVEY §2.2-F — window functions.
+  *
+  * Determinism: every window ORDER BY carries a unique tie-breaker
+  * (o_orderkey / event_id); running money sums accumulate in decimal
+  * (exact) and surface as double. Partition keys (customer, user) keep
+  * state bounded per key at 100 TB; only `q_win_ntile` uses a global
+  * (unpartitioned) window, which is inherently single-reducer — flagged
+  * as such, acceptable for a quartile-assignment utility.
+  */
+object Windows {
+
+  /** row_number / rank / dense_rank per customer by totalprice. */
+  private def rank_(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** lag/lead value deltas per user over event time. */
+  private def lagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(date_trunc("second", col("ts")), col("event_id"))
+    events(s, d).select(
+        col("event_id"), col("user_id"), col("value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+        (lead(col("value"), 1).over(w) - col("value")).as("delta_next"))
+      .orderBy("event_id")
+  }
+
+  /** Running revenue per customer (exact decimal accumulation). */
+  private def running(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_rev"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** 3-row moving average of event value per user. */
+  private def moving(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(date_trunc("second", col("ts")), col("event_id"))
+      .rowsBetween(-2, 0)
+    events(s, d).select(
+        col("event_id"), col("user_id"),
+        (sum(col("value").cast(DecimalType(12, 2))).over(w).cast("double") /
+          count(col("value")).over(w)).as("moving_avg"))
+      .orderBy("event_id")
+  }
+
+  /** Value-range frame: orders within $100 below the current price. */
+  private def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-100L, 0L)
+    orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(w).as("n_in_range"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("sum_in_range"))
+      .orderBy("o_orderkey")
+  }
+
+  /** ntile / percent_rank / cume_dist over customers by balance.
+    * Unpartitioned window: single-reducer by construction.
+    */
+  private def ntile_(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    customer(s, d).select(
+        col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("c_custkey")
+  }
+
+  /** first_value / last_value with an explicit full-partition frame. */
+  private def firstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank"        -> rank_ _,
+    "q_win_lag_lead"    -> lagLead _,
+    "q_win_running"     -> running _,
+    "q_win_moving"      -> moving _,
+    "q_win_range_frame" -> rangeFrame _,
+    "q_win_ntile"       -> ntile_ _,
+    "q_win_first_last"  -> firstLast _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_orderkey, o_custkey,
+        |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_win_lag_lead" ->
+      """SELECT event_id, user_id, value,
+        |  value - LAG(value, 1) OVER w AS delta_prev,
+        |  LEAD(value, 1) OVER w - value AS delta_next
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_win_running" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_win_moving" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) / COUNT(value) OVER w AS moving_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_win_range_frame" ->
+      """SELECT o_orderkey, o_custkey, COUNT(*) OVER w AS n_in_range,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_in_range
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_win_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+        |  NTILE(4) OVER w AS quartile, PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_win_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}
