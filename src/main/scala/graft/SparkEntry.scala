@@ -26,6 +26,8 @@ object SparkEntry {
       (Aggregates.queries, Aggregates.oracle),
       (Windows.queries, Windows.oracle),
       (SortSetOps.queries, SortSetOps.oracle),
+      (Scalars.queries, Scalars.oracle),
+      (Extensibility.queries, Extensibility.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.2. */

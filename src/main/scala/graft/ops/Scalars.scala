@@ -1,0 +1,243 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** SURVEY §2.2-H — scalar function families. All built-in
+  * `org.apache.spark.sql.functions` (codegen'd, whole-stage) — no UDFs in
+  * the hot path (those live in Extensibility.scala to prove the surface).
+  *
+  * Cross-engine determinism notes:
+  * - round() on a double differs between Spark (shortest-repr HALF_UP)
+  *   and DuckDB (binary value) exactly at .5 boundaries, so round() is
+  *   only applied to irrational-ish values (sqrt/ln/exp results) where a
+  *   boundary hit has ~0 probability — never to 2dp money values.
+  * - dayofweek: Spark is 1=Sunday, DuckDB 0=Sunday — normalized to 0-base.
+  * - float columns are widened float→double (exact in both engines)
+  *   before any arithmetic.
+  */
+object Scalars {
+
+  /** String family over part (reference splits paths the same way:
+    * lambda_function.py:133-135).
+    */
+  private def strFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey"),
+      concat(col("p_brand"), lit(":"), col("p_name")).as("branded"),
+      upper(col("p_name")).as("uname"),
+      lower(col("p_type")).as("ltype"),
+      substring(col("p_name"), 1, 3).as("pre3"),
+      length(col("p_name")).as("len"),
+      trim(lit("  pad  ")).as("trimmed"),
+      regexp_replace(col("p_name"), " ", "_").as("snake"),
+      lpad(col("p_brand"), 10, "*").as("padded"),
+      element_at(split(col("p_name"), " "), 2).as("word2"),
+      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+      col("p_name").like("%wid%").as("has_wid"))
+      .orderBy("p_partkey")
+
+  /** Date/time family over orders (reference timestamps:
+    * lambda_function.py:7,30).
+    */
+  private def dateFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date"))
+        .as("days_to_y2k"),
+      (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_ts"),
+      last_day(col("o_orderdate")).as("eom"),
+      (dayofweek(col("o_orderdate")) - 1).as("dow"))
+      .orderBy("o_orderkey")
+
+  /** Math family over lineitem. */
+  private def mathFuncs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        abs(col("l_discount") - 0.05).as("abs_d"),
+        ceil(col("l_extendedprice")).as("ceil_p"),
+        floor(col("l_extendedprice")).as("floor_p"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
+        pow(col("l_quantity"), 2).as("sq_q"),
+        (col("l_orderkey") % 7).as("mod7"),
+        signum(col("l_discount") - 0.05).as("sign_d"),
+        round(log(col("l_extendedprice")), 6).as("ln_p"),
+        round(exp(col("l_discount")), 6).as("exp_d"))
+      // (l_orderkey, l_linenumber) is not unique — extend the sort until
+      // remaining ties are full-row-identical in the projection
+      .orderBy("l_orderkey", "l_quantity", "l_extendedprice", "abs_d", "exp_d")
+
+  /** Conditional family: CASE/coalesce/nullif/least/greatest (reference
+    * response projection: lambda_function.py:46-54).
+    */
+  private def condFuncs(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey"),
+      when(col("c_acctbal") < 0, "overdrawn")
+        .when(col("c_acctbal") < 5000, "standard")
+        .otherwise("premium").as("tier"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(masked)"))
+        .as("segment_masked"),
+      least(col("c_acctbal"), lit(0.0)).as("neg_part"),
+      greatest(col("c_acctbal"), lit(0.0)).as("pos_part"))
+      .orderBy("c_custkey")
+
+  /** Cast family: money→decimal, string↔int, overflow-safe try_cast
+    * (Spark 4 runs ANSI mode — plain CAST overflow would throw).
+    */
+  private def castDecimal(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast(DecimalType(12, 2)).as("price_dec"),
+      (col("o_totalprice").cast(DecimalType(12, 2)) * lit(2).cast(DecimalType(3, 0)))
+        .as("price_x2"),
+      col("o_orderkey").cast("string").cast("int").as("key_roundtrip"),
+      expr("try_cast('99999999999999999999' AS INT)").as("overflow_null"),
+      expr("try_cast(CAST(o_custkey AS STRING) AS INT)").as("cust_int"))
+      .orderBy("o_orderkey")
+
+  /** Array family over embeddings (float[64] vectors). */
+  private def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).as("first_elem"),
+      slice(col("embedding"), 1, 4).as("head4"),
+      array_contains(array(lit(1), lit(2), lit(3)), col("label")).as("label_in_123"),
+      sort_array(array(col("label"), lit(0), lit(9))).as("sorted_triple"))
+      .orderBy("vec_id")
+
+  /** Generator: posexplode of the leading embedding slice, re-aggregated
+    * by position (float widened to double, then exact decimal sum).
+    */
+  private def explode_(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 8)))
+      .groupBy((col("pos") + 1).as("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("col").cast("double").cast(DecimalType(20, 10)))
+          .cast("double").as("sum_val"))
+      .orderBy("pos")
+
+  /** Map family (unit-test only — DuckDB map semantics differ; SURVEY
+    * §7.4.7). Still a declared query so the driver's rows-only check runs.
+    */
+  private def mapFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      map(col("event_type"), col("value")).as("m"))
+      .select(
+        col("event_id"),
+        map_keys(col("m")).as("ks"),
+        element_at(col("m"), "click").as("click_val"))
+      .orderBy("event_id")
+
+  /** JSON extraction from the props document column (reference payload
+    * passthrough: lambda_function.py:14, swagger:40-41).
+    */
+  private def jsonFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k") > 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_str_funcs"    -> strFuncs _,
+    "q_date_funcs"   -> dateFuncs _,
+    "q_math_funcs"   -> mathFuncs _,
+    "q_cond_funcs"   -> condFuncs _,
+    "q_cast_decimal" -> castDecimal _,
+    "q_array_funcs"  -> arrayFuncs _,
+    "q_explode"      -> explode_ _,
+    "q_map_funcs"    -> mapFuncs _,
+    "q_json_funcs"   -> jsonFuncs _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT p_partkey,
+        |  p_brand || ':' || p_name AS branded,
+        |  upper(p_name) AS uname,
+        |  lower(p_type) AS ltype,
+        |  substring(p_name, 1, 3) AS pre3,
+        |  CAST(length(p_name) AS INT) AS len,
+        |  trim('  pad  ') AS trimmed,
+        |  replace(p_name, ' ', '_') AS snake,
+        |  lpad(p_brand, 10, '*') AS padded,
+        |  str_split(p_name, ' ')[2] AS word2,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  p_name LIKE '%wid%' AS has_wid
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k,
+        |  o_orderdate + INTERVAL 30 DAY AS due_ts,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  CAST(dayofweek(o_orderdate) AS INT) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  abs(l_discount - 0.05) AS abs_d,
+        |  ceil(l_extendedprice) AS ceil_p,
+        |  floor(l_extendedprice) AS floor_p,
+        |  round(sqrt(l_quantity), 6) AS sqrt_q,
+        |  pow(l_quantity, 2) AS sq_q,
+        |  l_orderkey % 7 AS mod7,
+        |  CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS sign_d,
+        |  round(ln(l_extendedprice), 6) AS ln_p,
+        |  round(exp(l_discount), 6) AS exp_d
+        |FROM lineitem WHERE l_linenumber = 1
+        |ORDER BY l_orderkey, l_quantity, l_extendedprice, abs_d, exp_d""".stripMargin,
+    "q_cond_funcs" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |       WHEN c_acctbal < 5000 THEN 'standard'
+        |       ELSE 'premium' END AS tier,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(masked)') AS segment_masked,
+        |  least(c_acctbal, 0.0) AS neg_part,
+        |  greatest(c_acctbal, 0.0) AS pos_part
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_cast_decimal" ->
+      """SELECT o_orderkey,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) * CAST(2 AS DECIMAL(3,0)) AS price_x2,
+        |  CAST(CAST(o_orderkey AS VARCHAR) AS INT) AS key_roundtrip,
+        |  TRY_CAST('99999999999999999999' AS INT) AS overflow_null,
+        |  TRY_CAST(CAST(o_custkey AS VARCHAR) AS INT) AS cust_int
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  embedding[1] AS first_elem,
+        |  list_slice(embedding, 1, 4) AS head4,
+        |  list_contains([1, 2, 3], label) AS label_in_123,
+        |  list_sort([label, 0, 9]) AS sorted_triple
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_explode" ->
+      """SELECT CAST(ord AS INT) AS pos, count(*) AS n,
+        |  CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) AS sum_val
+        |FROM (SELECT unnest(list_slice(embedding, 1, 8)) AS v,
+        |             unnest(range(1, 9)) AS ord
+        |      FROM embeddings)
+        |GROUP BY ord ORDER BY pos""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_type, count(*) AS n, sum(k) AS sum_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |WHERE k > 50 GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}
