@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops._
+import graft.stream.{Ingest, Stateful}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +29,9 @@ object SparkEntry {
       (SortSetOps.queries, SortSetOps.oracle),
       (Scalars.queries, Scalars.oracle),
       (Extensibility.queries, Extensibility.oracle),
+      (StreamingBatch.queries, StreamingBatch.oracle),
+      (Ingest.queries, Ingest.oracle),
+      (Stateful.queries, Stateful.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.2. */

@@ -1,0 +1,71 @@
+package graft.stream
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** File-arrival ingestion (SURVEY §2.2-B `stream_file_ingest`).
+  *
+  * Reference topology: S3 createObject → SNS topic → processing lambda
+  * (cft/sourceSystem.yaml:29-63). Spark-native analog: Structured
+  * Streaming file source discovers new files in the landing path and each
+  * micro-batch plays the "lambda body" via the sink.
+  *
+  * At scale: the file source tracks seen files in the checkpoint; with
+  * `maxFilesPerTrigger` the backlog drains in bounded batches; the sink
+  * append is partition-parallel.
+  */
+object Ingest {
+
+  /** Stream every parquet file under `srcPath` into `sinkPath` with
+    * Trigger.AvailableNow (process-all-then-stop), returning the sink
+    * re-read as a batch DataFrame.
+    */
+  def ingestOnce(s: SparkSession, srcPath: String, sinkPath: String,
+      checkpoint: String): DataFrame = {
+    val schema = s.read.parquet(srcPath).schema
+    val q = s.readStream
+      .schema(schema)
+      .parquet(srcPath)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sinkPath)
+  }
+
+  /** Declared query: ingest the events landing files via the streaming
+    * file source, then checksum what arrived (count / key range / exact
+    * value sum) — the oracle checks it equals the batch table.
+    */
+  def fileIngest(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_ingest").toString
+    // file sources need a directory — stage the single-file table into one
+    val src = Stateful.landingDir(d, 1)
+    val ingested = ingestOnce(s, src, s"$tmp/data", s"$tmp/chk")
+    ingested.agg(
+      count(lit(1)).as("n_rows"),
+      min(col("event_id")).as("min_id"),
+      max(col("event_id")).as("max_id"),
+      sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_val"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_file_ingest" -> (fileIngest _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_file_ingest" ->
+      """SELECT count(*) AS n_rows, min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+        |FROM events""".stripMargin,
+  )
+}

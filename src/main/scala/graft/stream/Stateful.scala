@@ -1,0 +1,184 @@
+package graft.stream
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY §2.2-I stateful streaming behaviors: watermarked window aggs,
+  * state-store dedup, stream-static joins, arbitrary per-key state via
+  * flatMapGroupsWithState.
+  *
+  * Each behavior is (a) a reusable transform on an unbounded DataFrame —
+  * unit-tested with MemoryStream — and (b) a declared query that drives
+  * the real streaming engine (file source, 2-file landing dir,
+  * maxFilesPerTrigger=1 → multiple micro-batches → cross-batch state)
+  * and lands on a DuckDB-checkable batch result.
+  *
+  * Reference grounding: R16 event-driven ingest (cft/sourceSystem.yaml:
+  * 29-63); R2 idempotent upsert → streaming dedup; R18 audit counters →
+  * running stateful counts.
+  */
+object Stateful {
+
+  // ---- transforms (streaming-agnostic: work on bounded or unbounded) ----
+
+  /** Watermarked tumbling-window count/sum per event type. */
+  def tumblingWithWatermark(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_val"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_val"))
+
+  /** State-store dedup on event_id, state bounded by the watermark. */
+  def dedupWithinWatermark(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream ⋈ static dimension (broadcast at scale). */
+  def joinStatic(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "inner")
+
+  case class UserEvent(user_id: Long, event_id: Long)
+  case class UserCount(user_id: Long, n: Long)
+
+  /** Arbitrary stateful op: running event count per user. State is one
+    * Long per key — constant per-key memory at any scale.
+    */
+  def runningCountPerUser(ds: Dataset[UserEvent]): Dataset[UserCount] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator(UserCount(user, n))
+      }
+  }
+
+  // ---- declared queries (real streaming runs, oracle-checkable) ----
+
+  /** Streaming file sources need a DIRECTORY; the test tables are single
+    * files. Builds a temp landing dir holding `copies` copies of the
+    * events file (2 copies + maxFilesPerTrigger=1 → two micro-batches →
+    * cross-batch state).
+    */
+  def landingDir(d: String, copies: Int): String = {
+    val tmp = Files.createTempDirectory("graft_landing")
+    (1 to copies).foreach { i =>
+      Files.copy(Paths.get(s"$d/events.parquet"), tmp.resolve(s"copy$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    tmp.toString
+  }
+
+  /** Streaming source over parquet events with ts normalized to a
+    * microsecond timestamp (the raw column is INT64 nanos).
+    */
+  private def eventStream(s: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val schema = s.read.parquet(path).schema
+    val reader = s.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DF to completion into a memory sink, return it. */
+  private def runToMemory(s: SparkSession, df: DataFrame, mode: OutputMode)
+      : DataFrame = {
+    val name = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Watermarked tumbling agg over the stream; update-mode memory sink —
+    * for bounded input the final updates equal the batch aggregation.
+    */
+  private def watermarkLate(s: SparkSession, d: String): DataFrame = {
+    val out = runToMemory(s,
+      tumblingWithWatermark(eventStream(s, landingDir(d, 1), None)),
+      OutputMode.Update)
+    // update mode may emit a window several times (once per batch that
+    // touched it); the last emission per key is the final value — with a
+    // single source file there is exactly one batch, hence one emission
+    out.groupBy("ws", "event_type")
+      .agg(max(col("n")).as("n"), max(col("sum_val")).as("sum_val"))
+      .orderBy("ws", "event_type")
+  }
+
+  /** Cross-batch streaming dedup: the landing dir holds the events file
+    * TWICE; batch 2's duplicates are eliminated by state (or dropped as
+    * late) so exactly one copy survives.
+    */
+  private def dedupState(s: SparkSession, d: String): DataFrame = {
+    val deduped = dedupWithinWatermark(
+      eventStream(s, landingDir(d, 2), Some(1)))
+    runToMemory(s, deduped, OutputMode.Append)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_val"))
+  }
+
+  /** Stream ⋈ static customer dimension, aggregated per segment. */
+  private def staticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = s.read.parquet(s"$d/customer.parquet")
+      .filter(col("c_custkey") < 150)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = joinStatic(eventStream(s, landingDir(d, 1), None),
+      dim, "user_id", "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_val"))
+    runToMemory(s, joined, OutputMode.Complete)
+      .orderBy("c_mktsegment")
+  }
+
+  /** Running per-user count across TWO micro-batches (the 2-copy landing
+    * dir): final state per user = 2 × its batch count.
+    */
+  private def statefulCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = eventStream(s, landingDir(d, 2), Some(1))
+      .select(col("user_id"), col("event_id")).as[UserEvent]
+    val out = runToMemory(s, runningCountPerUser(src).toDF(), OutputMode.Update)
+    // update mode emits one row per (user, batch); the running count is
+    // monotone, so max = final
+    out.groupBy("user_id").agg(max(col("n")).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_watermark_late" -> watermarkLate _,
+    "stream_dedup_state"    -> dedupState _,
+    "stream_static_join"    -> staticJoin _,
+    "stream_stateful_count" -> statefulCount _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_watermark_late" ->
+      """SELECT date_trunc('hour', date_trunc('second', ts)) AS ws, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "stream_dedup_state" ->
+      """SELECT count(*) AS n_rows, min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+        |FROM events""".stripMargin,
+    "stream_static_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE c.c_custkey < 150
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    "stream_stateful_count" ->
+      """SELECT user_id, 2 * count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}
