@@ -32,6 +32,9 @@ object SparkEntry {
       (StreamingBatch.queries, StreamingBatch.oracle),
       (Ingest.queries, Ingest.oracle),
       (Stateful.queries, Stateful.oracle),
+      (Text.queries, Text.oracle),
+      (Dedup.queries, Dedup.oracle),
+      (Similarity.queries, Similarity.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.2. */

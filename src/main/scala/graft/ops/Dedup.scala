@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY §2.2-K / north-star — scalable near-duplicate detection over
+  * `documents`: MinHash+LSH, SimHash, and word-n-gram Jaccard. Grounding:
+  * the reference's asset registry fronts exactly this curation plane
+  * (lambda/aws-dl-fmwrk-data-asset-api/lambda_function.py:56-130).
+  *
+  * Scale design (100 TB): the declared queries bound doc_id so the DuckDB
+  * oracle stays tractable, but the *shapes* are the production ones —
+  *  - MinHash: per-doc signatures are fixed-size (8 hashes), so the
+  *    all-pairs O(n²) comparison collapses to an equi-join on
+  *    (band, signature) buckets: shuffle keyed on band signatures,
+  *    candidates ≪ n², exact Jaccard verified only for candidates.
+  *  - SimHash: per-doc 64-bit fingerprint; at scale pairs come from
+  *    banding the fingerprint (split into 4×16-bit keys) — here, with a
+  *    bounded doc set, the all-pairs compare is the declared semantics.
+  *  - All hashing is md5-based and engine-portable: signatures are
+  *    *strings* (min over md5 hex) or integers derived from hex nibbles,
+  *    so Spark and DuckDB agree bit-for-bit with no custom UDF.
+  */
+object Dedup {
+
+  private val toksE = "regexp_extract_all(text, '[^ ]+', 0)"
+
+  private val shinglesE =
+    "CASE WHEN length(text) >= 5 THEN " +
+      "array_distinct(transform(sequence(1, length(text)-4), i -> substring(text, i, 5)))" +
+      " ELSE array() END"
+
+  /** MinHash + LSH: 8 signature slots (min of seeded md5 over shingles),
+    * 4 bands × 2 rows; candidate pairs share ≥1 band signature; survivors
+    * verified by exact Jaccard ≥ 0.2.
+    */
+  private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(expr(shinglesE)).as("sh"))
+    val mh = sh
+      .withColumn("i", explode(expr("sequence(0, 7)")))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("mh"))
+    val bands = mh
+      .withColumn("band", expr("i div 2"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(i, mh))), x -> x.mh)"), ",")
+        .as("sig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sz.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na.n") + col("nb.n") - col("i")))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 3).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash: 64-bit fingerprint (two 32-bit halves, one per md5 stream;
+    * bit j = majority of the j-th hex nibble's high bit across the doc's
+    * distinct tokens). Near-dups = pairs with Hamming distance ≤ 2.
+    */
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val hexHigh = "('8','9','a','b','c','d','e','f')"
+    val tk = documents(s, d)
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id"), explode(array_distinct(expr(toksE))).as("tok"))
+      .withColumn("h1", md5(col("tok")))
+      .withColumn("h2", md5(concat(lit("x"), col("tok"))))
+    val fp = tk
+      .withColumn("j", explode(expr("sequence(1, 32)")))
+      .withColumn("i1", expr(s"CASE WHEN substring(h1, j, 1) IN $hexHigh THEN 1 ELSE -1 END"))
+      .withColumn("i2", expr(s"CASE WHEN substring(h2, j, 1) IN $hexHigh THEN 1 ELSE -1 END"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("i1")).as("s1"), sum(col("i2")).as("s2"))
+      .withColumn("b1", expr("CASE WHEN s1 > 0 THEN CAST(pow(2, j-1) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("b2", expr("CASE WHEN s2 > 0 THEN CAST(pow(2, j-1) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("b1")).as("f1"), sum(col("b2")).as("f2"))
+      .select(col("doc_id"), col("f1").cast("long").as("f1"), col("f2").cast("long").as("f2"))
+    fp.as("a")
+      .join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        expr("bit_count(a.f1 ^ b.f1) + bit_count(a.f2 ^ b.f2)"))
+      .filter(col("hamming") <= 2)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Word-bigram Jaccard near-dup: pairs with bigram-set Jaccard ≥ 0.1. */
+  private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val bigramsE =
+      s"""CASE WHEN size($toksE) >= 2 THEN
+         |  array_distinct(transform(sequence(1, size($toksE)-1),
+         |    i -> concat(element_at($toksE, i), ' ', element_at($toksE, i+1))))
+         |ELSE array() END""".stripMargin
+    val g = documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(expr(bigramsE)).as("g"))
+    val sz = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = g.as("a")
+      .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sz.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na.n") + col("nb.n") - col("i")))
+      .filter(col("jaccard") >= 0.1)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 3).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash"       -> dedupMinhash _,
+    "q_dedup_simhash"       -> dedupSimhash _,
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
+  )
+
+  private val shinglesSql =
+    "[substring(text, i, 5) FOR i IN range(1, greatest(len(text)-3, 1))]"
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_minhash" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, sh
+         |  FROM documents, UNNEST($shinglesSql) AS u(sh) WHERE doc_id < 200),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || ':' || sh)) AS mh
+         |  FROM sh, UNNEST(range(0, 8)) AS u(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 2 AS band, string_agg(mh, ',' ORDER BY i) AS sig
+         |  FROM mh GROUP BY doc_id, i // 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT doc_a, doc_b, count(*) AS i
+         |  FROM cand JOIN sh sa ON doc_a = sa.doc_id
+         |            JOIN sh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+         |  GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(i AS DOUBLE)/(na.n + nb.n - i), 3) AS jaccard
+         |FROM inter JOIN sz na ON doc_a = na.doc_id JOIN sz nb ON doc_b = nb.doc_id
+         |WHERE CAST(i AS DOUBLE)/(na.n + nb.n - i) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH tk AS (
+        |  SELECT DISTINCT doc_id, tok
+        |  FROM documents, UNNEST(regexp_extract_all(text, '[^ ]+')) AS u(tok)
+        |  WHERE doc_id < 150),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN sum(CASE WHEN substring(md5(tok), j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0
+        |         THEN (2::BIGINT ** (j-1))::BIGINT ELSE 0 END AS b1,
+        |    CASE WHEN sum(CASE WHEN substring(md5('x' || tok), j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0
+        |         THEN (2::BIGINT ** (j-1))::BIGINT ELSE 0 END AS b2
+        |  FROM tk, UNNEST(range(1, 33)) AS u(j) GROUP BY doc_id, j),
+        |fp AS (SELECT doc_id, sum(b1)::BIGINT AS f1, sum(b2)::BIGINT AS f2 FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.f1, b.f1)) + bit_count(xor(a.f2, b.f2)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f1, b.f1)) + bit_count(xor(a.f2, b.f2)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS t
+        |  FROM documents WHERE doc_id < 100),
+        |g AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g
+        |  FROM tk, UNNEST(range(1, len(t))) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE)/(na.n + nb.n - i), 3) AS jaccard
+        |FROM inter JOIN sz na ON doc_a = na.doc_id JOIN sz nb ON doc_b = nb.doc_id
+        |WHERE CAST(i AS DOUBLE)/(na.n + nb.n - i) >= 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** SURVEY §2.2-K / north-star — vector similarity over `embeddings`
+  * (`Array[Float]`, dim 64). All math uses built-in higher-order
+  * functions (`zip_with` + `aggregate`) — codegen-friendly, no UDF, no
+  * driver-side collect.
+  *
+  * Scale design (100 TB): brute-force top-k (`q_sim_topk`) broadcasts the
+  * anchor and is a single narrow map + TakeOrderedAndProject — linear,
+  * shuffle-free, the right baseline. The IVF variant (`q_ann_ivf`) is the
+  * scale path: a tiny broadcast centroid table partitions the corpus into
+  * clusters (one narrow map + rank), and the search probes only the
+  * anchor's cluster — at 1000 executors that's a pruned scan of ~1/k of
+  * the data instead of all of it. The pairwise query
+  * (`q_dedup_embed_cosine`) is bounded (vec_id<100) — its production
+  * shape is LSH/IVF bucketing first, exact cosine only within buckets.
+  */
+object Similarity {
+
+  /** dot(e, f) with explicit DOUBLE accumulation in index order —
+    * identical summation order on the DuckDB side keeps round(x,4) stable.
+    */
+  private def dotE(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** Per-vector dot+cosine vs the anchor (vec_id=0), anchor broadcast. */
+  private def simBase(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val anchor = e.filter(col("vec_id") === 0).select(col("embedding").as("a_emb"))
+    e.crossJoin(broadcast(anchor))
+      .withColumn("dot", expr(dotE("embedding", "a_emb")))
+      .withColumn("ne", expr(dotE("embedding", "embedding")))
+      .withColumn("na", expr(dotE("a_emb", "a_emb")))
+      .withColumn("cos_raw", col("dot") / (sqrt(col("ne")) * sqrt(col("na"))))
+  }
+
+  /** Dot product + cosine of every vector vs anchor vec_id=0. */
+  private def simDot(s: SparkSession, d: String): DataFrame =
+    simBase(s, d)
+      .select(col("vec_id"), round(col("dot"), 4).as("dot"),
+        round(col("cos_raw"), 4).as("cosine"))
+      .orderBy(col("vec_id"))
+
+  /** Brute-force cosine top-10 vs anchor (rounded sim, vec_id tie-break) —
+    * plans as a broadcast + TakeOrderedAndProject: no shuffle.
+    */
+  private def simTopk(s: SparkSession, d: String): DataFrame =
+    simBase(s, d)
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cosine", round(col("cos_raw"), 4))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("cosine"))
+
+  /** Embedding-cosine near-dup: all pairs among vec_id<100 with
+    * cosine ≥ 0.30 (bounded pairwise; production shape = bucket first).
+    */
+  private def embedCosinePairs(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"),
+        expr(dotE("embedding", "embedding")).as("nsq"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_raw",
+        expr(dotE("a.embedding", "b.embedding")) / (sqrt(col("a.nsq")) * sqrt(col("b.nsq"))))
+      .filter(col("cos_raw") >= 0.30)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos_raw"), 4).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** IVF-style ANN: centroids = vectors 0..7 (broadcast); every vector is
+    * assigned to its max-cosine centroid (tie → min centroid id); the
+    * anchor's cluster is then searched exhaustively for the top-10.
+    */
+  private def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("cos_vc",
+        expr(dotE("embedding", "c_emb")) /
+          (sqrt(expr(dotE("embedding", "embedding"))) * sqrt(expr(dotE("c_emb", "c_emb")))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_vc").desc, col("c_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"))
+    val anchorCluster = assign.filter(col("vec_id") === 0)
+      .select(col("c_id").as("anchor_c"))
+    val anchor = e.filter(col("vec_id") === 0).select(col("embedding").as("a_emb"))
+    assign
+      .join(broadcast(anchorCluster), col("c_id") === col("anchor_c"))
+      .filter(col("vec_id") =!= 0)
+      .join(e, Seq("vec_id"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("cosine", round(
+        expr(dotE("embedding", "a_emb")) /
+          (sqrt(expr(dotE("embedding", "embedding"))) * sqrt(expr(dotE("a_emb", "a_emb")))), 4))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("cosine"))
+  }
+
+  /** kNN label vote: majority label among the top-20 most-similar vectors
+    * for each anchor vec_id ∈ {0..4} (tie → min label). Unit-test only
+    * (float-rank fragility at the k boundary — SURVEY §2.2-K), so no
+    * oracle entry; determinism within Spark is still guaranteed by the
+    * (cos desc, vec_id) ordering.
+    */
+  private def labelKnn(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val anchors = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"))
+    val scored = e.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("cos",
+        expr(dotE("embedding", "a_emb")) /
+          (sqrt(expr(dotE("embedding", "embedding"))) * sqrt(expr(dotE("a_emb", "a_emb")))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("anchor_id")).orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rn") <= 20)
+    scored.groupBy(col("anchor_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("anchor_id")).orderBy(col("votes").desc, col("label").asc)))
+      .filter(col("rk") === 1)
+      .select(col("anchor_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy(col("anchor_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_dot"           -> simDot _,
+    "q_sim_topk"          -> simTopk _,
+    "q_dedup_embed_cosine" -> embedCosinePairs _,
+    "q_ann_ivf"           -> annIvf _,
+    "q_label_knn"         -> labelKnn _,
+  )
+
+  /** Positional-sum oracle fragments: i runs 1..64 in order, products and
+    * accumulation all in DOUBLE — mirrors the Spark fold exactly.
+    */
+  val oracle: Map[String, String] = Map(
+    "q_sim_dot" ->
+      """WITH a AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT v.vec_id,
+        |    sum(CAST(v.embedding[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS ne,
+        |    sum(CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE)) AS na
+        |  FROM embeddings v, a, UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY v.vec_id)
+        |SELECT vec_id, round(dot, 4) AS dot,
+        |  round(dot/(sqrt(ne)*sqrt(na)), 4) AS cosine
+        |FROM s ORDER BY vec_id""".stripMargin,
+    "q_sim_topk" ->
+      """WITH a AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT v.vec_id,
+        |    sum(CAST(v.embedding[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS ne,
+        |    sum(CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE)) AS na
+        |  FROM embeddings v, a, UNNEST(range(1, 65)) AS u(i)
+        |  WHERE v.vec_id <> 0 GROUP BY v.vec_id)
+        |SELECT vec_id, round(dot/(sqrt(ne)*sqrt(na)), 4) AS cosine
+        |FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS nsa,
+        |    sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nsb
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id, UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, round(dot/(sqrt(nsa)*sqrt(nsb)), 4) AS cosine
+        |FROM p WHERE dot/(sqrt(nsa)*sqrt(nsb)) >= 0.30
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+        |vc AS (
+        |  SELECT v.vec_id, c.c_id,
+        |    sum(CAST(v.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE))
+        |      / (sqrt(sum(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+        |         * sqrt(sum(CAST(c.c_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))) AS cos_vc
+        |  FROM embeddings v, c, UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY v.vec_id, c.c_id),
+        |assign AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos_vc DESC, c_id ASC) AS rn
+        |    FROM vc) WHERE rn = 1),
+        |a AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        |cl AS (SELECT c_id FROM assign WHERE vec_id = 0),
+        |s AS (
+        |  SELECT v.vec_id,
+        |    sum(CAST(v.embedding[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS ne,
+        |    sum(CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE)) AS na
+        |  FROM embeddings v
+        |    JOIN assign ON v.vec_id = assign.vec_id
+        |    JOIN cl ON assign.c_id = cl.c_id, a, UNNEST(range(1, 65)) AS u(i)
+        |  WHERE v.vec_id <> 0 GROUP BY v.vec_id)
+        |SELECT vec_id, round(dot/(sqrt(ne)*sqrt(na)), 4) AS cosine
+        |FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+  )
+}

@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** SURVEY §2.2-K — text analysis over `documents` (north-star
+  * LLM-training-data pipeline ops; grounding: the reference's data-asset
+  * plane, lambda/aws-dl-fmwrk-data-asset-api/lambda_function.py:56-130,
+  * whose registered assets are exactly the documents a pipeline curates).
+  *
+  * Scale notes (100 TB): every query here is a narrow projection of
+  * `documents` followed by either a per-row map (stats, lang-id, quality,
+  * token counts — embarrassingly parallel, whole-stage codegen'd built-in
+  * functions only, no UDFs) or a hash aggregation keyed on doc_id/hash
+  * (dedup, fingerprint — one shuffle on a high-cardinality key, no skew).
+  * The only quadratic op, `q_doc_near_dup`, is deliberately bounded
+  * (doc_id<100) — its unbounded scale path is `q_dedup_minhash` (LSH) in
+  * Dedup.scala, which replaces the O(n²) shingle self-join with banded
+  * bucket joins.
+  */
+object Text {
+
+  /** Whitespace tokens — identical regex on the Spark and DuckDB side. */
+  private val toksE = "regexp_extract_all(text, '[^ ]+', 0)"
+
+  /** Distinct 5-gram character shingles (guarded for short docs). */
+  private val shinglesE =
+    "CASE WHEN length(text) >= 5 THEN " +
+      "array_distinct(transform(sequence(1, length(text)-4), i -> substring(text, i, 5)))" +
+      " ELSE array() END"
+
+  private val stopEn = "('the','a','and','of')"
+  private val stopDe = "('der','die','das','und')"
+  private val stopEs = "('el','la','de','y')"
+  private val stopFr = "('le','les','et','en')"
+
+  /** Per-language corpus stats: doc count, avg chars, avg whitespace
+    * tokens.
+    */
+  private def textStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(size(expr(toksE))), 4).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  /** Stopword-frequency language ID heuristic: score each candidate
+    * language by its marker-word hits, argmax with fixed priority
+    * (en>de>es>fr) for determinism; report confusion counts vs the
+    * labeled `lang`.
+    */
+  private def langId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", expr(toksE))
+      .withColumn("s_en", size(expr(s"filter(toks, t -> t IN $stopEn)")))
+      .withColumn("s_de", size(expr(s"filter(toks, t -> t IN $stopDe)")))
+      .withColumn("s_es", size(expr(s"filter(toks, t -> t IN $stopEs)")))
+      .withColumn("s_fr", size(expr(s"filter(toks, t -> t IN $stopFr)")))
+      .withColumn("predicted",
+        expr("""CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+               |     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+               |     WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END""".stripMargin))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+
+  /** Quality scoring: length, punctuation-density, and stopword-ratio
+    * signals combined into a [0,1] score, histogrammed by decile bucket.
+    * Decimal-cast before the avg keeps the cross-engine hash stable
+    * (SURVEY §7.3.3).
+    */
+  private def qualityScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", expr(toksE))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("punct", size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)")))
+      .withColumn("stop", size(expr(s"filter(toks, t -> t IN $stopEn)")))
+      .withColumn("quality", round(
+        expr("""0.4 * least(CAST(n_tok AS DOUBLE)/200.0, 1.0)
+               | + 0.3 * (1.0 - least(CAST(punct AS DOUBLE)/length(text)*5.0, 1.0))
+               | + 0.3 * least(CAST(stop AS DOUBLE)/n_tok*4.0, 1.0)""".stripMargin), 4))
+      .groupBy(floor(col("quality") * 10).cast("int").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("quality").cast(DecimalType(8, 4))).cast("double") / count(lit(1)), 4)
+          .as("avg_quality"))
+      .orderBy(col("bucket"))
+
+  /** Token counting per source: whitespace tokens and a BPE-ish regex
+    * tokenization (letter runs / digit runs / single punctuation).
+    */
+  private def tokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("ws_tok", size(expr(toksE)))
+      .withColumn("bpe_tok",
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tok")).as("sum_ws_tokens"),
+        sum(col("bpe_tok")).as("sum_bpe_tokens"))
+      .orderBy(col("source"))
+
+  /** Document fingerprinting: bottom-4 sketch of md5(5-gram shingle) —
+    * a deterministic, mergeable content signature (the bottom-k sketch is
+    * the set-similarity primitive behind winnowing/minhash; at 100 TB the
+    * per-doc sketch is 4 fixed strings, so fingerprint comparison is a
+    * cheap equi-join instead of a text scan).
+    */
+  private def docFingerprint(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("doc_id"), explode(expr(shinglesE)).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+    val rn = Window.partitionBy(col("doc_id")).orderBy(col("h"))
+    sh.withColumn("rn", row_number().over(rn))
+      .filter(col("rn") <= 4)
+      .groupBy(col("doc_id"))
+      .agg(array_join(sort_array(collect_list(col("h"))), "|").as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact dedup: md5(text) groups, survivor = min doc_id (deterministic
+    * rule, NOT dropDuplicates — SURVEY §7.3.5). One hash-shuffle on the
+    * digest; at 100 TB the digest groupBy is the canonical exact-dedup.
+    */
+  private def docDedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("h"))
+      .orderBy(col("doc_id"))
+
+  /** Near-dup pairs by 5-gram shingle Jaccard ≥ 0.25 among same-lang docs,
+    * bounded to doc_id < 100 (the declared query is the correctness spec;
+    * the LSH path in Dedup.scala is the scale path — SURVEY §7.4.4).
+    */
+  private def docNearDup(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("lang"), explode(expr(shinglesE)).as("sh"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")))
+      .filter(col("jaccard") >= 0.25)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 3).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"      -> textStats _,
+    "q_lang_id"         -> langId _,
+    "q_quality_score"   -> qualityScore _,
+    "q_token_count"     -> tokenCount _,
+    "q_doc_fingerprint" -> docFingerprint _,
+    "q_doc_dedup_exact" -> docDedupExact _,
+    "q_doc_near_dup"    -> docNearDup _,
+  )
+
+  private val shinglesSql =
+    "[substring(text, i, 5) FOR i IN range(1, greatest(len(text)-3, 1))]"
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+        |  round(avg(len(regexp_extract_all(text, '[^ ]+'))), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH sc AS (
+         |  SELECT lang,
+         |    len(list_filter(regexp_extract_all(text, '[^ ]+'), t -> t IN $stopEn)) AS s_en,
+         |    len(list_filter(regexp_extract_all(text, '[^ ]+'), t -> t IN $stopDe)) AS s_de,
+         |    len(list_filter(regexp_extract_all(text, '[^ ]+'), t -> t IN $stopEs)) AS s_es,
+         |    len(list_filter(regexp_extract_all(text, '[^ ]+'), t -> t IN $stopFr)) AS s_fr
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted,
+         |  count(*) AS n_docs
+         |FROM sc GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "q_quality_score" ->
+      s"""WITH q AS (
+         |  SELECT round(
+         |    0.4 * least(CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE)/200.0, 1.0)
+         |    + 0.3 * (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)/len(text)*5.0, 1.0))
+         |    + 0.3 * least(CAST(len(list_filter(regexp_extract_all(text, '[^ ]+'), t -> t IN $stopEn)) AS DOUBLE)
+         |                  / len(regexp_extract_all(text, '[^ ]+')) * 4.0, 1.0), 4) AS quality
+         |  FROM documents)
+         |SELECT CAST(floor(quality*10) AS INT) AS bucket, count(*) AS n_docs,
+         |  round(CAST(sum(CAST(quality AS DECIMAL(8,4))) AS DOUBLE)/count(*), 4) AS avg_quality
+         |FROM q GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(len(regexp_extract_all(text, '[^ ]+'))) AS sum_ws_tokens,
+        |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS sum_bpe_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_doc_fingerprint" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, md5(sh) AS h
+         |  FROM documents, UNNEST($shinglesSql) AS u(sh)),
+         |r AS (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM sh)
+         |SELECT doc_id, string_agg(h, '|' ORDER BY h) AS fingerprint
+         |FROM r WHERE rn <= 4 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_doc_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS h
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "q_doc_near_dup" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, lang, sh
+         |  FROM documents, UNNEST($shinglesSql) AS u(sh) WHERE doc_id < 100),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 3) AS jaccard
+         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.25
+         |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}
