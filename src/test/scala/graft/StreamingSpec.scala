@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stream.Stateful
+
+/** MemoryStream-driven tests of the stateful streaming behaviors
+  * (SURVEY §5.2.4): watermark late-drop, state-store dedup, stream-static
+  * join, and arbitrary per-key state — batch-by-batch assertions that the
+  * file-source declared queries can't express.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def runBatches[T](q: org.apache.spark.sql.streaming.StreamingQuery,
+      stream: MemoryStream[T], batches: Seq[Seq[T]]): Unit = {
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+  }
+
+  test("watermark drops rows later than 30 min behind max ts") {
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val out = Stateful.tumblingWithWatermark(df)
+    val q = out.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+    runBatches(q, in, Seq(
+      Seq((ts("2026-01-01 10:05:00"), "click", 1.0),
+          (ts("2026-01-01 12:00:00"), "click", 1.0)),  // advances watermark to 11:30
+      Seq((ts("2026-01-01 10:10:00"), "click", 9.0)),  // late: window [10,11) < WM → dropped
+      Seq((ts("2026-01-01 13:30:00"), "click", 1.0)))) // advances WM to 13:00, closes 12:00 window
+    val rows = spark.table("wm_test")
+      .select(col("ws"), col("n")).as[(Timestamp, Long)].collect().toMap
+    // the 10:00 window closed with only the on-time row; the late row never appeared
+    assert(rows(ts("2026-01-01 10:00:00")) == 1L)
+    assert(rows(ts("2026-01-01 12:00:00")) == 1L)
+  }
+
+  test("dropDuplicatesWithinWatermark removes cross-batch duplicates") {
+    val in = MemoryStream[(Long, Timestamp, Double)](spark)
+    val df = in.toDF().toDF("event_id", "ts", "value")
+    val q = Stateful.dedupWithinWatermark(df)
+      .writeStream.format("memory").queryName("dd_test")
+      .outputMode(OutputMode.Append()).start()
+    runBatches(q, in, Seq(
+      Seq((1L, ts("2026-01-01 10:00:00"), 1.0), (2L, ts("2026-01-01 10:01:00"), 2.0)),
+      Seq((1L, ts("2026-01-01 10:02:00"), 1.0),   // dup of event 1 → dropped by state
+          (3L, ts("2026-01-01 10:03:00"), 3.0))))
+    val ids = spark.table("dd_test").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("stream-static join enriches stream rows from the dimension") {
+    val dim = Seq((1L, "BUILDING"), (2L, "AUTO")).toDF("k", "segment")
+    val in = MemoryStream[(Long, Double)](spark)
+    val joined = Stateful.joinStatic(in.toDF().toDF("user_id", "value"), dim, "user_id", "k")
+    val q = joined.writeStream.format("memory").queryName("sj_test")
+      .outputMode(OutputMode.Append()).start()
+    runBatches(q, in, Seq(Seq((1L, 5.0), (9L, 7.0))))  // 9 has no dim row → inner-join drop
+    val rows = spark.table("sj_test").select("user_id", "segment")
+      .as[(Long, String)].collect()
+    assert(rows.toSeq == Seq((1L, "BUILDING")))
+  }
+
+  test("flatMapGroupsWithState keeps a running per-key count across batches") {
+    val in = MemoryStream[Stateful.UserEvent](spark)
+    val q = Stateful.runningCountPerUser(in.toDS())
+      .toDF().writeStream.format("memory").queryName("st_test")
+      .outputMode(OutputMode.Update()).start()
+    runBatches(q, in, Seq(
+      Seq(Stateful.UserEvent(7L, 1L), Stateful.UserEvent(7L, 2L)),
+      Seq(Stateful.UserEvent(7L, 3L))))
+    val counts = spark.table("st_test").select("user_id", "n")
+      .as[(Long, Long)].collect()
+    assert(counts.contains((7L, 2L)) && counts.contains((7L, 3L)))
+  }
+}
