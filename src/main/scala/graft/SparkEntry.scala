@@ -36,6 +36,7 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracle),
       (Similarity.queries, Similarity.oracle),
       (Multimodal.queries, Multimodal.oracle),
+      (SkewJoin.queries, SkewJoin.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.2. */

@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for the vector-similarity hot path
+  * (SURVEY §4.3's "optional, perf-only" tier — custom `Expression` with
+  * `doGenCode`, preferred over UDFs per the extension ladder).
+  *
+  * Why: the portable formulation (`aggregate(zip_with(a, b, …))`) builds
+  * an intermediate array and evaluates a lambda per element through the
+  * interpreted higher-order-function path. These kernels compile to a
+  * tight scalar loop inside whole-stage codegen: no intermediate array,
+  * no lambda dispatch, no boxing. At 100 TB × dim-768 embeddings the
+  * difference is the scan being compute-bound vs codegen-bound.
+  *
+  * Semantics are BIT-IDENTICAL to the portable fold: left-to-right
+  * accumulation over index order in DOUBLE, so results (and the DuckDB
+  * oracle hash-match) are unchanged.
+  */
+object VectorKernels {
+
+  private def dotLoop(a: String, b: String, acc: String): String =
+    s"""int n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $acc = 0.0;
+       |for (int i = 0; i < n; i++) {
+       |  $acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |}""".stripMargin
+
+  private def checkVecInputs(name: String, left: Expression,
+      right: Expression): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires two array<float> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  /** dot(a, b) over array<float> in sequential index order, DOUBLE acc. */
+  case class FloatVecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecInputs(prettyName, left, right)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_vec_dot"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val acc = ctx.freshName("acc")
+        s"""${dotLoop(a, b, acc)}
+           |${ev.value} = $acc;""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Fused cosine(a, b) = dot/(sqrt(||a||²)·sqrt(||b||²)) in ONE pass over
+    * both arrays (three sequential accumulators — same arithmetic as the
+    * three-fold portable form, fused into a single loop).
+    */
+  case class FloatVecCosine(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecInputs(prettyName, left, right)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_vec_cosine"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble
+        val yv = y.getFloat(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (dot, na, nb) = (ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"))
+        s"""int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  double xv = (double) $a.getFloat(i);
+           |  double yv = (double) $b.getFloat(i);
+           |  $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_vec_dot" -> (c => FloatVecDot(c(0), c(1))),
+    "graft_vec_cosine" -> (c => FloatVecCosine(c(0), c(1))))
+
+  /** Idempotent per-session registration — lets any session (including the
+    * driver-constructed Verify/Bench sessions) call the kernels by name.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+    fns.foreach { case (name, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!reg.functionExists(id)) {
+        reg.registerFunction(id,
+          new ExpressionInfo(classOf[VectorKernels.type].getName, name), builder)
+      }
+    }
+  }
+
+  /** Column-API surface (registers on the column's first use in a query
+    * built through these helpers).
+    */
+  def vecDot(spark: SparkSession, a: String, b: String): Column = {
+    ensureRegistered(spark)
+    expr(s"graft_vec_dot($a, $b)")
+  }
+
+  def vecCosine(spark: SparkSession, a: String, b: String): Column = {
+    ensureRegistered(spark)
+    expr(s"graft_vec_cosine($a, $b)")
+  }
+}
+
+/** `SparkSessionExtensions` injector — the library-level wiring so user
+  * sessions get the kernels at build time:
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[VectorKernels.type].getName, "graft_vec_dot"),
+      (c: Seq[Expression]) => VectorKernels.FloatVecDot(c(0), c(1))))
+    ext.injectFunction((FunctionIdentifier("graft_vec_cosine"),
+      new ExpressionInfo(classOf[VectorKernels.type].getName, "graft_vec_cosine"),
+      (c: Seq[Expression]) => VectorKernels.FloatVecCosine(c(0), c(1))))
+  }
+}

@@ -6,9 +6,9 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 
 /** SURVEY §2.2-K / north-star — vector similarity over `embeddings`
-  * (`Array[Float]`, dim 64). All math uses built-in higher-order
-  * functions (`zip_with` + `aggregate`) — codegen-friendly, no UDF, no
-  * driver-side collect.
+  * (`Array[Float]`, dim 64). All math runs through the native codegen
+  * kernels in graft.functions.VectorKernels (custom Catalyst
+  * `Expression`s with `doGenCode`) — no UDF, no driver-side collect.
   *
   * Scale design (100 TB): brute-force top-k (`q_sim_topk`) broadcasts the
   * anchor and is a single narrow map + TakeOrderedAndProject — linear,
@@ -22,21 +22,25 @@ import graft.Tables._
   */
 object Similarity {
 
-  /** dot(e, f) with explicit DOUBLE accumulation in index order —
-    * identical summation order on the DuckDB side keeps round(x,4) stable.
+  /** dot/cosine via the native codegen kernels (graft.functions.
+    * VectorKernels) — bit-identical to the portable
+    * `aggregate(zip_with(…))` fold (sequential DOUBLE accumulation in
+    * index order, so the DuckDB positional-sum oracle still hash-matches)
+    * but compiled to a tight loop inside whole-stage codegen.
     */
-  private def dotE(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  private def dotE(a: String, b: String): String = s"graft_vec_dot($a, $b)"
+  private def cosE(a: String, b: String): String = s"graft_vec_cosine($a, $b)"
 
   /** Per-vector dot+cosine vs the anchor (vec_id=0), anchor broadcast. */
   private def simBase(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
     val e = embeddings(s, d)
     val anchor = e.filter(col("vec_id") === 0).select(col("embedding").as("a_emb"))
     e.crossJoin(broadcast(anchor))
       .withColumn("dot", expr(dotE("embedding", "a_emb")))
       .withColumn("ne", expr(dotE("embedding", "embedding")))
       .withColumn("na", expr(dotE("a_emb", "a_emb")))
-      .withColumn("cos_raw", col("dot") / (sqrt(col("ne")) * sqrt(col("na"))))
+      .withColumn("cos_raw", expr(cosE("embedding", "a_emb")))
   }
 
   /** Dot product + cosine of every vector vs anchor vec_id=0. */
@@ -61,12 +65,12 @@ object Similarity {
     * cosine ≥ 0.30 (bounded pairwise; production shape = bucket first).
     */
   private def embedCosinePairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
     val e = embeddings(s, d).filter(col("vec_id") < 100)
       .select(col("vec_id"), col("embedding"),
         expr(dotE("embedding", "embedding")).as("nsq"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos_raw",
-        expr(dotE("a.embedding", "b.embedding")) / (sqrt(col("a.nsq")) * sqrt(col("b.nsq"))))
+      .withColumn("cos_raw", expr(cosE("a.embedding", "b.embedding")))
       .filter(col("cos_raw") >= 0.30)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cos_raw"), 4).as("cosine"))
@@ -78,13 +82,12 @@ object Similarity {
     * anchor's cluster is then searched exhaustively for the top-10.
     */
   private def annIvf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
     val e = embeddings(s, d)
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val assign = e.crossJoin(broadcast(cents))
-      .withColumn("cos_vc",
-        expr(dotE("embedding", "c_emb")) /
-          (sqrt(expr(dotE("embedding", "embedding"))) * sqrt(expr(dotE("c_emb", "c_emb")))))
+      .withColumn("cos_vc", expr(cosE("embedding", "c_emb")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos_vc").desc, col("c_id").asc)))
       .filter(col("rn") === 1)
@@ -97,9 +100,7 @@ object Similarity {
       .filter(col("vec_id") =!= 0)
       .join(e, Seq("vec_id"))
       .crossJoin(broadcast(anchor))
-      .withColumn("cosine", round(
-        expr(dotE("embedding", "a_emb")) /
-          (sqrt(expr(dotE("embedding", "embedding"))) * sqrt(expr(dotE("a_emb", "a_emb")))), 4))
+      .withColumn("cosine", round(expr(cosE("embedding", "a_emb")), 4))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(10)
       .select(col("vec_id"), col("cosine"))
@@ -112,14 +113,13 @@ object Similarity {
     * (cos desc, vec_id) ordering.
     */
   private def labelKnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
     val e = embeddings(s, d)
     val anchors = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"))
     val scored = e.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("anchor_id"))
-      .withColumn("cos",
-        expr(dotE("embedding", "a_emb")) /
-          (sqrt(expr(dotE("embedding", "embedding"))) * sqrt(expr(dotE("a_emb", "a_emb")))))
+      .withColumn("cos", expr(cosE("embedding", "a_emb")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("anchor_id")).orderBy(col("cos").desc, col("vec_id").asc)))
       .filter(col("rn") <= 20)
