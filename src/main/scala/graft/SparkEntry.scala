@@ -37,6 +37,7 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (SkewJoin.queries, SkewJoin.oracle),
+      (Stats.queries, Stats.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.2. */

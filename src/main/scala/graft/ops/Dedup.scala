@@ -36,9 +36,11 @@ object Dedup {
     * verified by exact Jaccard ≥ 0.2.
     */
   private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    // shingles feed 4 consumers (minhash slots, sizes, both verify sides)
     val sh = documents(s, d)
       .filter(col("doc_id") < 200)
       .select(col("doc_id"), explode(expr(shinglesE)).as("sh"))
+      .persist()
     val mh = sh
       .withColumn("i", explode(expr("sequence(0, 7)")))
       .groupBy(col("doc_id"), col("i"))
@@ -49,6 +51,7 @@ object Dedup {
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(i, mh))), x -> x.mh)"), ",")
         .as("sig"))
+      .persist()   // both sides of the candidate self-join
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -93,6 +96,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sum(col("b1")).as("f1"), sum(col("b2")).as("f2"))
       .select(col("doc_id"), col("f1").cast("long").as("f1"), col("f2").cast("long").as("f2"))
+      .persist()   // fingerprint pipeline is 32× explode — never run it twice
     fp.as("a")
       .join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
       .withColumn("hamming",
@@ -113,6 +117,7 @@ object Dedup {
     val g = documents(s, d)
       .filter(col("doc_id") < 100)
       .select(col("doc_id"), explode(expr(bigramsE)).as("g"))
+      .persist()
     val sz = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = g.as("a")
       .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

@@ -92,6 +92,7 @@ object Similarity {
         Window.partitionBy(col("vec_id")).orderBy(col("cos_vc").desc, col("c_id").asc)))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("c_id"))
+      .persist()   // consumed by both the anchor-cluster probe and the join
     val anchorCluster = assign.filter(col("vec_id") === 0)
       .select(col("c_id").as("anchor_c"))
     val anchor = e.filter(col("vec_id") === 0).select(col("embedding").as("a_emb"))

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Statistical aggregates (SURVEY §2.2-E extension): moments, correlation,
+  * and exact interpolated percentiles. Grounding: NS analytics surface —
+  * the quality/curation pipeline (cap outliers, score distributions)
+  * needs distributional stats as first-class aggregates.
+  *
+  * Determinism note (SURVEY §7.3.3): stddev/var/corr/covar are
+  * intrinsically floating-point; both engines use numerically stable
+  * single-pass moment updates, so cross-engine drift is ≤ ulp-scale —
+  * neutralized by rounding (2dp on magnitude-10⁴ outputs, 6dp on
+  * unit-scale corr) and by grouping on a low-cardinality key so each
+  * group's aggregation is over a large, well-conditioned set.
+  *
+  * Scale: both queries are single-shuffle partial+final aggregations on a
+  * 3-value key; percentile is the only memory-heavy one (exact percentile
+  * buffers per group — at 100 TB switch to approx_percentile with an
+  * accuracy knob, same API shape).
+  */
+object Stats {
+
+  private def aggStats(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"))
+      .orderBy(col("l_returnflag"))
+
+  private def aggPercentile(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)), x -> round(x, 2))")
+          .as("price_quartiles"),
+        round(expr("percentile(l_quantity, 0.5D)"), 2).as("median_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_stats"      -> aggStats _,
+    "q_agg_percentile" -> aggPercentile _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  round(var_samp(l_extendedprice), 2) AS var_price,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  list_transform(quantile_cont(CAST(l_extendedprice AS DOUBLE), [0.25, 0.5, 0.75]),
+        |    x -> round(x, 2)) AS price_quartiles,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 2) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

@@ -140,9 +140,13 @@ object Text {
     * the LSH path in Dedup.scala is the scale path — SURVEY §7.4.4).
     */
   private def docNearDup(s: SparkSession, d: String): DataFrame = {
+    // the shingle set feeds three consumers (sizes + both self-join sides);
+    // without persist each consumer re-runs the explode over the corpus —
+    // the dominant cost at scale
     val sh = documents(s, d)
       .filter(col("doc_id") < 100)
       .select(col("doc_id"), col("lang"), explode(expr(shinglesE)).as("sh"))
+      .persist()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),

@@ -60,6 +60,48 @@ object Stateful {
       }
   }
 
+  // ---- transformWithState (Spark 4 arbitrary-state API) ----
+
+  case class UserValue(user_id: Long, value: Double)
+  case class UserMinMax(user_id: Long, lo: Double, hi: Double)
+
+  /** Running per-key min/max via the v2 stateful API: typed `ValueState`
+    * in the RocksDB state store (queries using this need
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * `…state.RocksDBStateStoreProvider`). Compared to
+    * flatMapGroupsWithState: composable named state variables, TTL
+    * support, and timers — the shape long-running 100 TB pipelines want
+    * for per-key session/counter state.
+    */
+  class MinMaxProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserValue, UserMinMax] {
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    @transient private var state: ss.ValueState[(Double, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: ss.TimeMode): Unit =
+      state = getHandle.getValueState[(Double, Double)]("minmax",
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble),
+        ss.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserValue],
+        tv: ss.TimerValues): Iterator[UserMinMax] = {
+      val vals = rows.map(_.value).toSeq
+      val (lo0, hi0) =
+        if (state.exists()) state.get() else (Double.MaxValue, Double.MinValue)
+      val lo = math.min(lo0, vals.min)
+      val hi = math.max(hi0, vals.max)
+      state.update((lo, hi))
+      Iterator(UserMinMax(key, lo, hi))
+    }
+  }
+
+  def runningMinMaxPerUser(ds: Dataset[UserValue]): Dataset[UserMinMax] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new MinMaxProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   // ---- declared queries (real streaming runs, oracle-checkable) ----
 
   /** Streaming file sources need a DIRECTORY; the test tables are single

@@ -70,6 +70,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, "BUILDING")))
   }
 
+  test("transformWithState keeps running min/max per key across batches") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Stateful.UserValue](spark)
+      val q = Stateful.runningMinMaxPerUser(in.toDS())
+        .toDF().writeStream.format("memory").queryName("tws_test")
+        .outputMode(OutputMode.Update()).start()
+      runBatches(q, in, Seq(
+        Seq(Stateful.UserValue(5L, 3.0), Stateful.UserValue(5L, 9.0)),
+        Seq(Stateful.UserValue(5L, 1.0))))
+      val rows = spark.table("tws_test").select("user_id", "lo", "hi")
+        .as[(Long, Double, Double)].collect()
+      assert(rows.contains((5L, 3.0, 9.0)))   // after batch 1
+      assert(rows.contains((5L, 1.0, 9.0)))   // state carried into batch 2
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("flatMapGroupsWithState keeps a running per-key count across batches") {
     val in = MemoryStream[Stateful.UserEvent](spark)
     val q = Stateful.runningCountPerUser(in.toDS())
