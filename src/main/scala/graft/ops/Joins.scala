@@ -147,6 +147,24 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** The same as-of semantics through the NATIVE operator
+    * (graft.plans.AsOfJoinExec: custom LogicalPlan + Strategy + one-pass
+    * partition merge) instead of the composed window formulation —
+    * two real tables, planner-inserted exchanges/sorts, O(1) merge state.
+    */
+  private def asofNative(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("user_id"),
+      date_trunc("second", col("ts")).as("ts"), col("event_type"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    graft.plans.AsOf.join(s, purchases, clicks, "user_id", "ts", "click_ts")
+      .toDF("event_id", "user_id", "ts", "r_user_id", "click_ts")
+      .select("event_id", "user_id", "ts", "click_ts")
+      .orderBy("event_id")
+  }
+
   /** 4-way chain: lineitem ⋈ orders ⋈ customer ⋈ nation (Q5-ish). */
   private def multiway(s: SparkSession, d: String): DataFrame = {
     val l = lineitem(s, d); val o = orders(s, d)
@@ -173,6 +191,7 @@ object Joins {
     "q_join_theta"     -> theta _,
     "q_join_range"     -> range _,
     "q_join_asof"      -> asof _,
+    "q_join_asof_native" -> asofNative _,
     "q_join_multiway"  -> multiway _,
   )
 
@@ -229,6 +248,15 @@ object Joins {
         |JOIN (SELECT user_id AS u, date_trunc('second', ts) AS t FROM events) e2
         |  ON e1.u = e2.u AND e2.t > e1.t AND e2.t <= e1.t + INTERVAL 5 MINUTE
         |GROUP BY e1.u ORDER BY user_id""".stripMargin,
+    "q_join_asof_native" ->
+      """WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, date_trunc('second', ts) AS click_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id, date_trunc('second', p.ts) AS ts,
         |  (SELECT max(date_trunc('second', c.ts)) FROM events c

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into the `private[sql]` Dataset constructor so graft can wrap a
+  * custom LogicalPlan (graft.plans.AsOfJoinPlan) as a public DataFrame —
+  * the standard packaging trick for out-of-tree Catalyst operators.
+  */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
