@@ -38,6 +38,8 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracle),
       (SkewJoin.queries, SkewJoin.oracle),
       (Stats.queries, Stats.oracle),
+      (SqlSurface.queries, SqlSurface.oracle),
+      (BinaryFuncs.queries, BinaryFuncs.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.2. */
