@@ -35,4 +35,14 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** name → loader, so call sites that need "the table by name" (e.g. SQL
+    * view registration) inherit any special-case loader (events' nanos
+    * conversion) instead of re-encoding the dispatch.
+    */
+  val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "region" -> region _, "nation" -> nation _, "customer" -> customer _,
+    "supplier" -> supplier _, "part" -> part _, "orders" -> orders _,
+    "lineitem" -> lineitem _, "events" -> events _,
+    "documents" -> documents _, "embeddings" -> embeddings _)
 }

@@ -14,19 +14,18 @@ import graft.Tables
   */
 object SqlSurface {
 
-  private val tables = Seq("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "events", "documents", "embeddings")
-
-  /** Idempotently register every test table as `<name>` temp view. */
-  def registerViews(s: SparkSession, d: String): Unit =
-    tables.foreach { t =>
-      val df = if (t == "events") Tables.events(s, d) else Tables.t(s, d, t)
-      df.createOrReplaceTempView(t)
-    }
+  /** Idempotently register the given tables as `<name>` temp views,
+    * through Tables.loaders so special-case loaders (events' nanos
+    * conversion) apply automatically. Registering only what a query
+    * references keeps the SQL path independent of unrelated files.
+    */
+  def registerViews(s: SparkSession, d: String,
+      names: Seq[String] = Tables.loaders.keys.toSeq): Unit =
+    names.foreach(t => Tables.loaders(t)(s, d).createOrReplaceTempView(t))
 
   /** TPC-H Q3-style shipping priority, straight SQL. */
   private def sqlShipPriority(s: SparkSession, d: String): DataFrame = {
-    registerViews(s, d)
+    registerViews(s, d, Seq("customer", "orders", "lineitem"))
     s.sql(
       """SELECT o_orderkey,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -46,11 +45,12 @@ object SqlSurface {
     * RewritePredicateSubquery).
     */
   private def sqlSubqueries(s: SparkSession, d: String): DataFrame = {
-    registerViews(s, d)
+    registerViews(s, d, Seq("customer", "nation", "orders"))
     s.sql(
       """SELECT n_name, count(*) AS n_above
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2)
+        |WHERE c_acctbal > (SELECT CAST(avg(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                   FROM customer c2)
         |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY n_name ORDER BY n_name""".stripMargin)
   }
@@ -76,7 +76,8 @@ object SqlSurface {
     "q_sql_subqueries" ->
       """SELECT n_name, count(*) AS n_above
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2)
+        |WHERE c_acctbal > (SELECT CAST(avg(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                   FROM customer c2)
         |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
   )
