@@ -133,18 +133,50 @@ object Similarity {
       .orderBy(col("anchor_id"))
   }
 
+  /** Int8 scalar quantization of embeddings (per-vector max-abs scale):
+    * the vector-compression step a 100 TB embedding store runs before
+    * ANN — 4× smaller than float32, dot products stay integer until the
+    * final rescale. All computed with array higher-order functions (no
+    * explode, no shuffle): one narrow codegen'd map per vector.
+    */
+  private def embedQuantize(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("mx",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("q",
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / mx * 127) AS BIGINT))"))
+      .select(
+        col("vec_id"),
+        round(col("mx"), 6).as("scale"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + v)").as("q_sum"),
+        expr("array_min(q)").cast("long").as("q_min"),
+        expr("array_max(q)").cast("long").as("q_max"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_dot"           -> simDot _,
     "q_sim_topk"          -> simTopk _,
     "q_dedup_embed_cosine" -> embedCosinePairs _,
     "q_ann_ivf"           -> annIvf _,
     "q_label_knn"         -> labelKnn _,
+    "q_embed_quantize"    -> embedQuantize _,
   )
 
   /** Positional-sum oracle fragments: i runs 1..64 in order, products and
     * accumulation all in DOUBLE — mirrors the Spark fold exactly.
     */
   val oracle: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id AS mid, max(abs(CAST(embedding[i] AS DOUBLE))) AS mx
+        |  FROM embeddings, UNNEST(range(1, 65)) AS u(i) GROUP BY vec_id),
+        |q AS (
+        |  SELECT e.vec_id, m.mx,
+        |    CAST(round(CAST(e.embedding[i] AS DOUBLE) / m.mx * 127) AS BIGINT) AS qi
+        |  FROM embeddings e JOIN m ON e.vec_id = m.mid, UNNEST(range(1, 65)) AS u(i))
+        |SELECT vec_id, round(mx, 6) AS scale, sum(qi) AS q_sum,
+        |  min(qi) AS q_min, max(qi) AS q_max
+        |FROM q GROUP BY vec_id, mx ORDER BY vec_id""".stripMargin,
     "q_sim_dot" ->
       """WITH a AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
         |s AS (
