@@ -12,9 +12,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup so per-query seconds measure the engine, not
+    // first-query class loading (one tiny scan+agg+join exercise)
+    try {
+      Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().count()
+      Tables.orders(spark, sfDir).join(
+        Tables.customer(spark, sfDir), Tables.orders(spark, sfDir)("o_custkey") ===
+          Tables.customer(spark, sfDir)("c_custkey")).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      finally spark.catalog.clearCache()   // drop per-query persist()s
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -43,27 +43,14 @@ class AssetCatalog(spark: SparkSession, root: String) {
   import spark.implicits._
 
   private def path(table: String) = s"$root/$table"
-  private def tmpPath(table: String) = s"$root/.staging_$table"
 
   def readTable(table: String): DataFrame = spark.read.parquet(path(table))
 
   private def exists(table: String): Boolean =
     new java.io.File(path(table)).exists()
 
-  /** Atomic-ish rewrite: write to staging, then swap directories (the
-    * plain-parquet stand-in for a table-format transactional commit).
-    */
-  private def rewrite(table: String, df: DataFrame): Unit = {
-    df.write.mode(SaveMode.Overwrite).parquet(tmpPath(table))
-    val dst = new java.io.File(path(table))
-    delete(dst)
-    new java.io.File(tmpPath(table)).renameTo(dst)
-  }
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete(): Unit
-  }
+  private def rewrite(table: String, df: DataFrame): Unit =
+    ParquetRewrite.rewrite(df, path(table))
 
   /** R1/R5: validated append. Fails fast on duplicate key — the
     * analysis-time validation posture of the reference's gateway
@@ -71,6 +58,9 @@ class AssetCatalog(spark: SparkSession, root: String) {
     */
   def create[T: org.apache.spark.sql.Encoder](table: String, keyCol: String,
       rows: Dataset[T]): Unit = {
+    val batch = rows.toDF()
+    require(batch.select(keyCol).distinct().count() == batch.count(),
+      s"create: duplicate keys within the batch for $table")
     if (exists(table)) {
       val dup = readTable(table).select(keyCol)
         .join(rows.toDF().select(keyCol), Seq(keyCol), "inner").limit(1).count()
@@ -88,6 +78,8 @@ class AssetCatalog(spark: SparkSession, root: String) {
     * the MERGE-WHEN-MATCHED plan).
     */
   def update(table: String, keyCol: String, updates: DataFrame): Unit = {
+    require(updates.select(keyCol).distinct().count() == updates.count(),
+      s"update: duplicate keys in the updates batch for $table")
     val cur = readTable(table)
     val upd = updates.columns.filterNot(_ == keyCol)
     val joined = cur.as("c").join(

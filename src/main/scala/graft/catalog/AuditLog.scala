@@ -48,15 +48,7 @@ class AuditLog(spark: SparkSession, root: String) {
       when(col("aws_request_id") === requestId &&
         col("method_name") === methodName, lit(status))
         .otherwise(col("status")))
-    val tmp = s"$root.staging"
-    updated.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dst = new java.io.File(root)
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(del)
-      f.delete(): Unit
-    }
-    del(dst)
-    new java.io.File(tmp).renameTo(dst): Unit
+    ParquetRewrite.rewrite(updated, root)
   }
 
   /** R3: point lookup by the composite key. */

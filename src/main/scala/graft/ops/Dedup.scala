@@ -24,12 +24,7 @@ import graft.Tables._
   */
 object Dedup {
 
-  private val toksE = "regexp_extract_all(text, '[^ ]+', 0)"
-
-  private val shinglesE =
-    "CASE WHEN length(text) >= 5 THEN " +
-      "array_distinct(transform(sequence(1, length(text)-4), i -> substring(text, i, 5)))" +
-      " ELSE array() END"
+  import TextExprs.{toksE, shinglesE, shinglesSql}
 
   /** MinHash + LSH: 8 signature slots (min of seeded md5 over shingles),
     * 4 bands × 2 rows; candidate pairs share ≥1 band signature; survivors
@@ -138,9 +133,6 @@ object Dedup {
     "q_dedup_simhash"       -> dedupSimhash _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
   )
-
-  private val shinglesSql =
-    "[substring(text, i, 5) FOR i IN range(1, greatest(len(text)-3, 1))]"
 
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash" ->

@@ -38,8 +38,6 @@ object Similarity {
     val anchor = e.filter(col("vec_id") === 0).select(col("embedding").as("a_emb"))
     e.crossJoin(broadcast(anchor))
       .withColumn("dot", expr(dotE("embedding", "a_emb")))
-      .withColumn("ne", expr(dotE("embedding", "embedding")))
-      .withColumn("na", expr(dotE("a_emb", "a_emb")))
       .withColumn("cos_raw", expr(cosE("embedding", "a_emb")))
   }
 
@@ -67,8 +65,7 @@ object Similarity {
   private def embedCosinePairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorKernels.ensureRegistered(s)
     val e = embeddings(s, d).filter(col("vec_id") < 100)
-      .select(col("vec_id"), col("embedding"),
-        expr(dotE("embedding", "embedding")).as("nsq"))
+      .select(col("vec_id"), col("embedding"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos_raw", expr(cosE("a.embedding", "b.embedding")))
       .filter(col("cos_raw") >= 0.30)

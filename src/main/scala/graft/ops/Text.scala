@@ -23,14 +23,7 @@ import graft.Tables._
   */
 object Text {
 
-  /** Whitespace tokens — identical regex on the Spark and DuckDB side. */
-  private val toksE = "regexp_extract_all(text, '[^ ]+', 0)"
-
-  /** Distinct 5-gram character shingles (guarded for short docs). */
-  private val shinglesE =
-    "CASE WHEN length(text) >= 5 THEN " +
-      "array_distinct(transform(sequence(1, length(text)-4), i -> substring(text, i, 5)))" +
-      " ELSE array() END"
+  import TextExprs.{toksE, shinglesE, shinglesSql}
 
   private val stopEn = "('the','a','and','of')"
   private val stopDe = "('der','die','das','und')"
@@ -82,8 +75,8 @@ object Text {
       .withColumn("stop", size(expr(s"filter(toks, t -> t IN $stopEn)")))
       .withColumn("quality", round(
         expr("""0.4 * least(CAST(n_tok AS DOUBLE)/200.0, 1.0)
-               | + 0.3 * (1.0 - least(CAST(punct AS DOUBLE)/length(text)*5.0, 1.0))
-               | + 0.3 * least(CAST(stop AS DOUBLE)/n_tok*4.0, 1.0)""".stripMargin), 4))
+               | + 0.3 * (1.0 - least(CAST(punct AS DOUBLE)/greatest(length(text), 1)*5.0, 1.0))
+               | + 0.3 * least(CAST(stop AS DOUBLE)/greatest(n_tok, 1)*4.0, 1.0)""".stripMargin), 4))
       .groupBy(floor(col("quality") * 10).cast("int").as("bucket"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -174,9 +167,6 @@ object Text {
     "q_doc_near_dup"    -> docNearDup _,
   )
 
-  private val shinglesSql =
-    "[substring(text, i, 5) FOR i IN range(1, greatest(len(text)-3, 1))]"
-
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
@@ -200,9 +190,9 @@ object Text {
       s"""WITH q AS (
          |  SELECT round(
          |    0.4 * least(CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE)/200.0, 1.0)
-         |    + 0.3 * (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)/len(text)*5.0, 1.0))
+         |    + 0.3 * (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)/greatest(len(text), 1)*5.0, 1.0))
          |    + 0.3 * least(CAST(len(list_filter(regexp_extract_all(text, '[^ ]+'), t -> t IN $stopEn)) AS DOUBLE)
-         |                  / len(regexp_extract_all(text, '[^ ]+')) * 4.0, 1.0), 4) AS quality
+         |                  / greatest(len(regexp_extract_all(text, '[^ ]+')), 1) * 4.0, 1.0), 4) AS quality
          |  FROM documents)
          |SELECT CAST(floor(quality*10) AS INT) AS bucket, count(*) AS n_docs,
          |  round(CAST(sum(CAST(quality AS DECIMAL(8,4))) AS DOUBLE)/count(*), 4) AS avg_quality

@@ -1,0 +1,20 @@
+package graft.ops
+
+/** Tokenization/shingling expressions shared by Text (near-dup spec) and
+  * Dedup (its LSH scale path) — one definition so the two formulations
+  * provably tokenize identically, plus the matching DuckDB comprehension.
+  */
+private[ops] object TextExprs {
+  /** Whitespace tokens — identical regex on the Spark and DuckDB side. */
+  val toksE = "regexp_extract_all(text, '[^ ]+', 0)"
+
+  /** Distinct 5-gram character shingles (guarded for short docs). */
+  val shinglesE =
+    "CASE WHEN length(text) >= 5 THEN " +
+      "array_distinct(transform(sequence(1, length(text)-4), i -> substring(text, i, 5)))" +
+      " ELSE array() END"
+
+  /** The DuckDB-side shingle comprehension (oracle dialect). */
+  val shinglesSql =
+    "[substring(text, i, 5) FOR i IN range(1, greatest(len(text)-3, 1))]"
+}

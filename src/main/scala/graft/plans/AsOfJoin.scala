@@ -88,20 +88,36 @@ case class AsOfJoinExec(leftKey: Expression, leftTs: Expression,
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
         val lt = lTsB.eval(lRow)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val r = rBuf.head
-          val rk = rKeyB.eval(r)
-          val rt = rTsB.eval(r)
-          val c = keyOrd.compare(rk, lk)
-          if (c < 0) { matchRow = null; matchKey = null; rBuf.next() }
-          else if (c == 0 && tsOrd.lteq(rt, lt)) {
-            matchRow = r.copy(); matchKey = rk; rBuf.next()
-          } else advancing = false
+        if (lk == null || lt == null) {
+          // null key/ts matches nothing (same as equi-join null semantics)
+          resultProj(joined(lRow, nullRight))
+        } else {
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val r = rBuf.head
+            val rk = rKeyB.eval(r)
+            val rt = rTsB.eval(r)
+            if (rk == null || rt == null) {
+              // null-keyed right rows can never match; nulls sort first so
+              // they are consumed before any comparable key arrives
+              rBuf.next()
+            } else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) { matchRow = null; matchKey = null; rBuf.next() }
+              else if (c == 0 && tsOrd.lteq(rt, lt)) {
+                // copy BOTH the row and the key: eval on the sorter's reused
+                // UnsafeRow returns views (UTF8String/arrays) into a buffer
+                // that the next rBuf.next() overwrites
+                matchRow = r.copy()
+                matchKey = InternalRow.copyValue(rk)
+                rBuf.next()
+              } else advancing = false
+            }
+          }
+          val hit = matchRow != null && matchKey != null &&
+            keyOrd.compare(matchKey, lk) == 0
+          resultProj(joined(lRow, if (hit) matchRow else nullRight))
         }
-        val hit = matchRow != null && matchKey != null &&
-          keyOrd.compare(matchKey, lk) == 0
-        resultProj(joined(lRow, if (hit) matchRow else nullRight))
       }
     }
   }

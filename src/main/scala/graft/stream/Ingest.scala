@@ -47,7 +47,9 @@ object Ingest {
     * value sum) — the oracle checks it equals the batch table.
     */
   def fileIngest(s: SparkSession, d: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_ingest").toString
+    val tmpDir = Files.createTempDirectory("graft_ingest")
+    Stateful.deleteOnExit(tmpDir.toFile)
+    val tmp = tmpDir.toString
     // file sources need a directory — stage the single-file table into one
     val src = Stateful.landingDir(d, 1)
     val ingested = ingestOnce(s, src, s"$tmp/data", s"$tmp/chk")

@@ -111,12 +111,25 @@ object Stateful {
     */
   def landingDir(d: String, copies: Int): String = {
     val tmp = Files.createTempDirectory("graft_landing")
+    deleteOnExit(tmp.toFile)
     (1 to copies).foreach { i =>
       Files.copy(Paths.get(s"$d/events.parquet"), tmp.resolve(s"copy$i.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
     }
     tmp.toString
   }
+
+  /** Temp landing/checkpoint/sink dirs are per-invocation; register their
+    * removal so repeated runs can't fill the disk.
+    */
+  def deleteOnExit(dir: java.io.File): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(dir)
+    }))
 
   /** Streaming source over parquet events with ts normalized to a
     * microsecond timestamp (the raw column is INT64 nanos).

@@ -51,6 +51,38 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(hasExec)
   }
 
+  test("string keys survive the sorter's buffer reuse (matchKey is copied)") {
+    // many string keys force multiple right rows through the reused
+    // UnsafeRow buffer; each left row must still get ITS key's quote
+    val n = 50
+    val lts = ts("2026-01-01 10:00:30")
+    val rts = ts("2026-01-01 10:00:00")
+    val l = (1 to n).map(i => (i.toLong, f"sym$i%03d", lts)).toDF("trade_id", "sym", "t_ts")
+    val r = (1 to n).map(i => (f"sym$i%03d", rts, i.toDouble)).toDF("sym", "q_ts", "px")
+    val out = AsOf.join(spark, l, r, "sym", "t_ts", "q_ts")
+      .toDF("trade_id", "sym", "t_ts", "r_sym", "q_ts", "px")
+      .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+    assert(out.size == n)
+    (1 to n).foreach(i => assert(out(i.toLong) == Some(i.toDouble), s"trade $i"))
+  }
+
+  test("null keys and null timestamps match nothing and do not crash") {
+    val l = Seq(
+      (1L, Option(10L), Option(ts("2026-01-01 10:00:30"))),
+      (2L, None: Option[Long], Option(ts("2026-01-01 10:00:30"))),  // null key
+      (3L, Option(10L), None: Option[Timestamp])                    // null ts
+    ).toDF("trade_id", "sym", "t_ts")
+    val r = Seq(
+      (Option(10L), Option(ts("2026-01-01 10:00:00")), 1.0),
+      (None: Option[Long], Option(ts("2026-01-01 09:00:00")), 9.0), // null key row
+      (Option(10L), None: Option[Timestamp], 8.0)                   // null ts row
+    ).toDF("sym", "q_ts", "px")
+    val out = AsOf.join(spark, l, r, "sym", "t_ts", "q_ts")
+      .toDF("trade_id", "sym", "t_ts", "r_sym", "q_ts", "px")
+      .select("trade_id", "px").as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> None, 3L -> None))
+  }
+
   test("as-of over empty right side null-extends every left row") {
     val out = AsOf.join(spark, trades, quotes.filter($"sym" === -1),
       "sym", "t_ts", "q_ts")
