@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * failure (the plain-parquet stand-in for a table-format transactional
   * commit).
   */
-private[catalog] object ParquetRewrite {
+private[graft] object ParquetRewrite {
 
   def rewrite(df: DataFrame, destPath: String): Unit = {
     val dst = new File(destPath)

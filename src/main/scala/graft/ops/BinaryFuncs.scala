@@ -39,9 +39,27 @@ object BinaryFuncs {
         upper(hex(col("p_partkey"))).as("key_hex"))
       .orderBy(col("p_partkey"))
 
+  /** Higher-order array-function family over the embedding arrays:
+    * transform / filter / exists / forall / reduce-style aggregate /
+    * sort / slice — the lambda surface the LLM-pipeline ops build on.
+    */
+  private def hofFuncs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .filter(col("vec_id") < 100)
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(
+        col("vec_id"),
+        expr("size(filter(e, x -> x > 0))").as("n_pos"),
+        expr("CASE WHEN exists(e, x -> x > 0.25) THEN 1 ELSE 0 END").as("has_big"),
+        expr("CASE WHEN forall(e, x -> abs(x) < 1.0) THEN 1 ELSE 0 END").as("all_small"),
+        round(expr("aggregate(slice(array_sort(e), 1, 4), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"), 4)
+          .as("sum_bottom4"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bit_funcs"    -> bitFuncs _,
     "q_encode_funcs" -> encodeFuncs _,
+    "q_hof_funcs"    -> hofFuncs _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -50,6 +68,16 @@ object BinaryFuncs {
         |  sum(xor(l_orderkey, n)) AS sum_xor, sum(l_orderkey << 1) AS sum_shl,
         |  sum(l_orderkey >> 2) AS sum_shr, sum(bit_count(l_orderkey)) AS sum_pop
         |FROM (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS n FROM lineitem)""".stripMargin,
+    "q_hof_funcs" ->
+      """WITH b AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id < 100)
+        |SELECT vec_id,
+        |  length(list_filter(e, x -> x > 0)) AS n_pos,
+        |  CASE WHEN length(list_filter(e, x -> x > 0.25)) > 0 THEN 1 ELSE 0 END AS has_big,
+        |  CASE WHEN length(list_filter(e, x -> NOT abs(x) < 1.0)) = 0 THEN 1 ELSE 0 END AS all_small,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(e)[1:4]), (a, x) -> a + x), 4) AS sum_bottom4
+        |FROM b ORDER BY vec_id""".stripMargin,
     "q_encode_funcs" ->
       """SELECT p_partkey,
         |  to_base64(encode(p_name)) AS name_b64,

@@ -90,6 +90,19 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch upsert sink: re-delivered batches stay idempotent per key") {
+    val d = sfDir
+    val landing = Stateful.landingDir(d, 2)   // same events file twice → 2 batches
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert")
+    Stateful.deleteOnExit(tmp.toFile)
+    val out = graft.stream.Ingest.ingestUpsert(spark, landing,
+      s"$tmp/table", s"$tmp/chk", "event_id")
+    val expected = spark.read.parquet(s"$d/events.parquet").count()
+    assert(out.count() == expected)   // batch 2 replaced, not duplicated
+    assert(out.groupBy("event_id").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0)
+  }
+
   test("flatMapGroupsWithState keeps a running per-key count across batches") {
     val in = MemoryStream[Stateful.UserEvent](spark)
     val q = Stateful.runningCountPerUser(in.toDS())
