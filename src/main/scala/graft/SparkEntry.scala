@@ -40,6 +40,7 @@ object SparkEntry {
       (Stats.queries, Stats.oracle),
       (SqlSurface.queries, SqlSurface.oracle),
       (BinaryFuncs.queries, BinaryFuncs.oracle),
+      (Sampling.queries, Sampling.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.2. */

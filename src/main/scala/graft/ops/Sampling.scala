@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Deterministic content-hash sampling — the training-data mixing
+  * primitive. `TABLESAMPLE`/`df.sample` are nondeterministic (seed ×
+  * partitioning), useless for reproducible corpus construction; hashing
+  * the content into [0,1) and thresholding gives a sample that is (a)
+  * stable across runs, engines, and partition counts, (b) consistent —
+  * raising the rate strictly grows the sample, (c) join-free. Grounding:
+  * NS training-data pipeline (corpus mixing); SURVEY §7.3.5's ban on
+  * nondeterministic operators in declared queries.
+  *
+  * Scale: a narrow per-row filter on a hash prefix — no shuffle, no
+  * state, applies identically to 500 docs or 10¹⁰.
+  */
+object Sampling {
+
+  /** First 4 md5 hex chars → uniform value in [0, 65536). */
+  private val bucketE = "CAST(conv(substring(md5(text), 1, 4), 16, 10) AS INT)"
+
+  /** ~25% deterministic sample of documents (hash bucket < 16384/65536),
+    * summarized per lang for a compact oracle check.
+    */
+  private def sampleHash(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(expr(bucketE) < 16384)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("lang"))
+
+  /** Per-language mixing quota: en down-sampled to ~25%, everything else
+    * kept at ~75% — the "re-balance the dominant language" shape of
+    * corpus mixing, still fully deterministic.
+    */
+  private def sampleMix(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(expr(
+        s"CASE WHEN lang = 'en' THEN $bucketE < 16384 ELSE $bucketE < 49152 END"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("lang"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_hash" -> sampleHash _,
+    "q_sample_mix"  -> sampleMix _,
+  )
+
+  private val bucketSql =
+    "CAST(('0x' || substring(md5(text), 1, 4))::INT AS INT)"
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_hash" ->
+      s"""SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_ids
+         |FROM documents WHERE $bucketSql < 16384
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sample_mix" ->
+      s"""SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_ids
+         |FROM documents
+         |WHERE CASE WHEN lang = 'en' THEN $bucketSql < 16384
+         |           ELSE $bucketSql < 49152 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}
