@@ -137,11 +137,14 @@ object Joins {
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"),
         date_trunc("second", col("ts")).as("ts"), col("event_type"))
-    // (user_id, second-truncated ts) is unique in the data → no ordering ties
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // RANGE frame (not ROWS): at larger scale factors a click and a
+    // purchase can share the same truncated second; the range frame
+    // includes all ts-peers regardless of event_id order, and max() makes
+    // the pick order-independent — exactly the oracle's correlated max
+    val w = Window.partitionBy("user_id").orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("asof_click_ts",
-        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+        max(when(col("event_type") === "click", col("ts"))).over(w))
       .filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts", "asof_click_ts")
       .orderBy("event_id")

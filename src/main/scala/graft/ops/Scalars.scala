@@ -124,8 +124,12 @@ object Scalars {
       .groupBy((col("pos") + 1).as("pos"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("col").cast("double").cast(DecimalType(20, 10)))
-          .cast("double").as("sum_val"))
+        // floor of the scaled double is tie-free (unlike decimal-cast
+        // rounding, where a float landing exactly on a half-ulp rounds
+        // differently per engine — observed at sf0.1), so the integer sum
+        // is exact and portable
+        sum(expr("CAST(floor(CAST(col AS DOUBLE) * 1000000) AS BIGINT)"))
+          .as("sum_micros"))
       .orderBy("pos")
 
   /** Map family (unit-test only — DuckDB map semantics differ; SURVEY
@@ -230,7 +234,7 @@ object Scalars {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_explode" ->
       """SELECT CAST(ord AS INT) AS pos, count(*) AS n,
-        |  CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) AS sum_val
+        |  sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sum_micros
         |FROM (SELECT unnest(list_slice(embedding, 1, 8)) AS v,
         |             unnest(range(1, 9)) AS ord
         |      FROM embeddings)

@@ -34,13 +34,21 @@ object Stats {
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Interpolated percentiles over DOUBLE money values drift by an ulp
+    * between engines (different interpolation arithmetic), which flips
+    * cent-rounding on boundary medians. Interpolating over integer CENTS
+    * makes every step exact in binary double on both engines — identical
+    * results regardless of each engine's formula — then rescales.
+    */
   private def aggPercentile(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
+      .withColumn("price_c", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .withColumn("qty_c", expr("CAST(round(l_quantity * 100) AS BIGINT)"))
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)), x -> round(x, 2))")
+        expr("transform(percentile(price_c, array(0.25D, 0.5D, 0.75D)), x -> round(x / 100, 2))")
           .as("price_quartiles"),
-        round(expr("percentile(l_quantity, 0.5D)"), 2).as("median_qty"))
+        round(expr("percentile(qty_c, 0.5D)") / 100, 2).as("median_qty"))
       .orderBy(col("l_returnflag"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -58,9 +66,9 @@ object Stats {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_percentile" ->
       """SELECT l_returnflag,
-        |  list_transform(quantile_cont(CAST(l_extendedprice AS DOUBLE), [0.25, 0.5, 0.75]),
-        |    x -> round(x, 2)) AS price_quartiles,
-        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 2) AS median_qty
+        |  list_transform(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), [0.25, 0.5, 0.75]),
+        |    x -> round(x / 100, 2)) AS price_quartiles,
+        |  round(quantile_cont(CAST(round(l_quantity * 100) AS BIGINT), 0.5) / 100, 2) AS median_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
