@@ -21,17 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * difference is the scan being compute-bound vs codegen-bound.
   *
   * Semantics are BIT-IDENTICAL to the portable fold: left-to-right
-  * accumulation over index order in DOUBLE, so results (and the DuckDB
-  * oracle hash-match) are unchanged.
+  * accumulation over index order in DOUBLE, NULL when the arrays differ
+  * in length or contain a null element (zip_with pads with null and the
+  * fold propagates it) — so results (and the DuckDB oracle hash-match)
+  * are unchanged.
   */
 object VectorKernels {
 
-  private def dotLoop(a: String, b: String, acc: String): String =
-    s"""int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double $acc = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  $acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
-       |}""".stripMargin
 
   private def checkVecInputs(name: String, left: Expression,
       right: Expression): TypeCheckResult = {
@@ -53,13 +49,17 @@ object VectorKernels {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_vec_dot"
 
+    override def nullable: Boolean = true
+
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -68,9 +68,19 @@ object VectorKernels {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
-        s"""${dotLoop(a, b, acc)}
-           |${ev.value} = $acc;""".stripMargin
+        s"""int $n = $a.numElements();
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+           |else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |  }
+           |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+           |}""".stripMargin
       })
 
     override protected def withNewChildrenInternal(
@@ -89,13 +99,17 @@ object VectorKernels {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_vec_cosine"
 
+    override def nullable: Boolean = true
+
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xv = x.getFloat(i).toDouble
         val yv = y.getFloat(i).toDouble
         dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -106,15 +120,25 @@ object VectorKernels {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
         val (dot, na, nb) = (ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"))
-        s"""int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double xv = (double) $a.getFloat(i);
-           |  double yv = (double) $b.getFloat(i);
-           |  $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
-           |}
-           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));""".stripMargin
+        s"""int $n = $a.numElements();
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+           |else {
+           |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    double $xv = (double) $a.getFloat($i);
+           |    double $yv = (double) $b.getFloat($i);
+           |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+           |  }
+           |  if (!${ev.isNull}) {
+           |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |  }
+           |}""".stripMargin
       })
 
     override protected def withNewChildrenInternal(
@@ -122,9 +146,19 @@ object VectorKernels {
       copy(left = newLeft, right = newRight)
   }
 
+  private def arity2(name: String)(build: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { c =>
+    if (c.length != 2) throw new IllegalArgumentException(
+      s"$name requires exactly 2 arguments, got ${c.length}")
+    build(c(0), c(1))
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_vec_dot" -> (c => FloatVecDot(c(0), c(1))),
-    "graft_vec_cosine" -> (c => FloatVecCosine(c(0), c(1))))
+    "graft_vec_dot" -> arity2("graft_vec_dot")(FloatVecDot(_, _)),
+    "graft_vec_cosine" -> arity2("graft_vec_cosine")(FloatVecCosine(_, _)))
+
+  private[functions] def builderFor(name: String): Seq[Expression] => Expression =
+    fns.find(_._1 == name).get._2
 
   /** Idempotent per-session registration — lets any session (including the
     * driver-constructed Verify/Bench sessions) call the kernels by name.
@@ -140,18 +174,18 @@ object VectorKernels {
     }
   }
 
-  /** Column-API surface (registers on the column's first use in a query
-    * built through these helpers).
+  /** Column-API surface: real Column in, real Column out — no string
+    * round-trip, so quoted/nested names work unchanged.
     */
-  def vecDot(spark: SparkSession, a: String, b: String): Column = {
-    ensureRegistered(spark)
-    expr(s"graft_vec_dot($a, $b)")
-  }
+  def vecDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      FloatVecDot(org.apache.spark.sql.GraftSqlShim.expression(a),
+        org.apache.spark.sql.GraftSqlShim.expression(b)))
 
-  def vecCosine(spark: SparkSession, a: String, b: String): Column = {
-    ensureRegistered(spark)
-    expr(s"graft_vec_cosine($a, $b)")
-  }
+  def vecCosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      FloatVecCosine(org.apache.spark.sql.GraftSqlShim.expression(a),
+        org.apache.spark.sql.GraftSqlShim.expression(b)))
 }
 
 /** `SparkSessionExtensions` injector — the library-level wiring so user
@@ -162,9 +196,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[VectorKernels.type].getName, "graft_vec_dot"),
-      (c: Seq[Expression]) => VectorKernels.FloatVecDot(c(0), c(1))))
+      VectorKernels.builderFor("graft_vec_dot")))
     ext.injectFunction((FunctionIdentifier("graft_vec_cosine"),
       new ExpressionInfo(classOf[VectorKernels.type].getName, "graft_vec_cosine"),
-      (c: Seq[Expression]) => VectorKernels.FloatVecCosine(c(0), c(1))))
+      VectorKernels.builderFor("graft_vec_cosine")))
   }
 }

@@ -103,13 +103,17 @@ object Aggregates {
   /** Explicit GROUPING SETS via the SQL surface. */
   private def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d); val n = nation(s, d)
+    // per-call unique view name, dropped once the plan is resolved (sql()
+    // analyzes eagerly) — no shared mutable state on the session
+    val view = s"v_cust_nation_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .createOrReplaceTempView("v_cust_nation")
-    s.sql(
-      """SELECT n_name, c_mktsegment, count(*) AS n, grouping_id() AS gid
-        |FROM v_cust_nation
-        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
-        |ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)
+      .createOrReplaceTempView(view)
+    try s.sql(
+      s"""SELECT n_name, c_mktsegment, count(*) AS n, grouping_id() AS gid
+         |FROM $view
+         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+         |ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)
+    finally s.catalog.dropTempView(view): Unit
   }
 
   /** Pivot event_type → summed value columns per user bucket. */

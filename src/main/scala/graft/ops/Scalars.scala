@@ -34,7 +34,7 @@ object Scalars {
       trim(lit("  pad  ")).as("trimmed"),
       regexp_replace(col("p_name"), " ", "_").as("snake"),
       lpad(col("p_brand"), 10, "*").as("padded"),
-      element_at(split(col("p_name"), " "), 2).as("word2"),
+      expr("try_element_at(split(p_name, ' '), 2)").as("word2"),
       regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
       col("p_name").like("%wid%").as("has_wid"))
       .orderBy("p_partkey")
@@ -99,7 +99,7 @@ object Scalars {
       col("o_totalprice").cast(DecimalType(12, 2)).as("price_dec"),
       (col("o_totalprice").cast(DecimalType(12, 2)) * lit(2).cast(DecimalType(3, 0)))
         .as("price_x2"),
-      col("o_orderkey").cast("string").cast("int").as("key_roundtrip"),
+      expr("try_cast(CAST(o_orderkey AS STRING) AS INT)").as("key_roundtrip"),
       expr("try_cast('99999999999999999999' AS INT)").as("overflow_null"),
       expr("try_cast(CAST(o_custkey AS STRING) AS INT)").as("cust_int"))
       .orderBy("o_orderkey")

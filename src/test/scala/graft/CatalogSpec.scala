@@ -63,6 +63,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.initZonePath("b", "asset1", "batch9") == "b/asset1/batch9/init")
   }
 
+  test("data-asset and target-system registries share the CRUD surface") {
+    import graft.catalog.{DataAsset, TargetSystem}
+    val cat = new AssetCatalog(spark, freshRoot())
+    cat.create("data_asset", "asset_id", Seq(
+      DataAsset(7L, 101L, "clickstream", "init", ts("2026-02-01 00:00:00"), "active")).toDS())
+    cat.create("target_system", "tgt_sys_id", Seq(
+      TargetSystem(9L, "warehouse", "us-east-1", ts("2026-02-01 00:00:00"), "active")).toDS())
+    assert(cat.read("data_asset", "asset_id", 7L).count() == 1)
+    assert(cat.read("target_system", "tgt_sys_id", 9L).count() == 1)
+    cat.update("data_asset", "asset_id", Seq((7L, "archived")).toDF("asset_id", "status"))
+    assert(cat.readTable("data_asset").select("status").as[String].collect().toSeq
+      == Seq("archived"))
+  }
+
+  test("update rejects duplicate keys in the updates batch") {
+    val cat = new AssetCatalog(spark, freshRoot())
+    seed(cat)
+    intercept[IllegalArgumentException] {
+      cat.update("source_system", "src_sys_id",
+        Seq((101L, "a"), (101L, "b")).toDF("src_sys_id", "status"))
+    }
+  }
+
   test("audit log: append, lookup, guarded status update") {
     val log = new AuditLog(spark, freshRoot() + "/audit")
     log.append("req-1", "create", "fn", Map("tasktype" -> "create"), """{"k":1}""")

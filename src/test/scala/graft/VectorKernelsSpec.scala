@@ -45,6 +45,42 @@ class VectorKernelsSpec extends AnyFunSuite {
     eq.foreach { case (n, c) => assert(n == c) }
   }
 
+  test("null elements and length mismatches yield NULL, matching the fold") {
+    VectorKernels.ensureRegistered(spark)
+    val df = Seq(
+      (Seq(Option(1f), None), Seq(Option(3f), Option(4f))),     // null element
+      (Seq(Option(1f), Option(2f)), Seq(Option(3f), Option(4f))) // clean
+    ).toDF("a", "b")
+    val out = df.select(
+      expr("graft_vec_dot(a, b)").as("native"), expr(foldDot).as("fold"))
+      .as[(Option[Double], Option[Double])].collect()
+    assert(out(0) == ((None, None)))
+    assert(out(1)._1 == out(1)._2 && out(1)._1.contains(11.0))
+    val mism = Seq((Seq(1f, 2f, 5f), Seq(3f, 4f))).toDF("a", "b")
+      .select(expr("graft_vec_dot(a, b)")).as[Option[Double]].collect()
+    assert(mism.head.isEmpty)
+  }
+
+  test("two kernel calls in one projection survive whole-stage codegen") {
+    VectorKernels.ensureRegistered(spark)
+    // non-nullable arrays exercise the shared-codegen-scope path that a
+    // fixed local variable name would break (Janino redefinition error)
+    val df = spark.range(100).selectExpr(
+      "array(CAST(id AS FLOAT), CAST(id+1 AS FLOAT)) AS a",
+      "array(CAST(id+2 AS FLOAT), CAST(id+3 AS FLOAT)) AS b")
+    val out = df.selectExpr(
+      "graft_vec_dot(a, b)", "graft_vec_dot(b, a)", "graft_vec_cosine(a, b)")
+      .as[(Double, Double, Double)].collect()
+    assert(out.length == 100)
+    out.foreach { case (d1, d2, c) => assert(d1 == d2 && c <= 1.0 && c > 0.8) }
+  }
+
+  test("Column-based kernel API works without SQL registration") {
+    val df = Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b")
+    val out = df.select(VectorKernels.vecDot($"a", $"b")).as[Double].collect()
+    assert(out.head == 11.0)
+  }
+
   test("kernels reject non-float-array inputs at analysis time") {
     VectorKernels.ensureRegistered(spark)
     val bad = Seq((1, 2)).toDF("a", "b")
