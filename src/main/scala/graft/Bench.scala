@@ -22,9 +22,16 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally spark.catalog.clearCache()   // drop per-query persist()s
-      name -> (System.nanoTime() - t0) / 1e9
+      // noop sink materializes EVERY column (count() would let Catalyst
+      // prune the very projections being benchmarked); failures are
+      // reported as -1, not a fake fast timing
+      val elapsed =
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+        finally spark.catalog.clearCache()   // teardown not billed to the query
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

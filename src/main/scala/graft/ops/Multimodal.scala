@@ -37,8 +37,12 @@ object Multimodal {
     */
   def withDecodedMeta(df: DataFrame): DataFrame =
     df.withColumn("media_meta", struct(
-      (expr("ascii(substring(text, 1, 1))") % 64 + 16).as("width"),
-      (expr("ascii(substring(text, 2, 1))") % 64 + 16).as("height"),
+      // pmod: Spark's ascii() is byte-based and can go negative on
+      // non-ASCII text; pmod keeps the stub dimensions positive (the
+      // byte-vs-codepoint gap vs the oracle only exists off-ASCII —
+      // this is a stub decoder, the seam is what matters)
+      (expr("pmod(ascii(substring(text, 1, 1)), 64)") + 16).as("width"),
+      (expr("pmod(ascii(substring(text, 2, 1)), 64)") + 16).as("height"),
       (col("n_chars") % 3 + 1).cast("int").as("channels"),
       length(col("payload")).as("n_bytes")))
 
@@ -47,7 +51,7 @@ object Multimodal {
     */
   def withFeatures(df: DataFrame): DataFrame =
     df.withColumn("features",
-      expr("transform(sequence(1, 8), i -> CAST(ascii(substring(text, i, 1)) AS FLOAT) / 128.0)"))
+      expr("transform(sequence(1, 8), i -> CAST(pmod(ascii(substring(text, i, 1)), 256) AS FLOAT) / 128.0)"))
 
   /** STUB frame sampling: split the payload into n equal byte-range
     * "frames" (the video analog of maxRecordsPerBatch slicing).

@@ -25,9 +25,14 @@ object SkewJoin {
 
   val SaltBuckets = 8
 
-  /** Salt the probe side: deterministic sub-key in [0, S). */
+  /** Salt the probe side: deterministic sub-key in [0, S). The seq column
+    * is null-coalesced so a null sequence value doesn't null the salt and
+    * silently drop a row the plain join would keep (null KEYS are fine —
+    * they match nothing in either formulation).
+    */
   def saltProbe(df: DataFrame, key: String, seqCol: String): DataFrame =
-    df.withColumn("_salt", pmod(col(key) + col(seqCol), lit(SaltBuckets)).cast("int"))
+    df.withColumn("_salt",
+      pmod(col(key) + coalesce(col(seqCol), lit(0)), lit(SaltBuckets)).cast("int"))
 
   /** Replicate the build side once per salt value. */
   def replicateBuild(df: DataFrame): DataFrame =

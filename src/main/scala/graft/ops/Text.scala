@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 
@@ -105,17 +104,15 @@ object Text {
     * per-doc sketch is 4 fixed strings, so fingerprint comparison is a
     * cheap equi-join instead of a text scan).
     */
-  private def docFingerprint(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d)
-      .select(col("doc_id"), explode(expr(shinglesE)).as("sh"))
-      .select(col("doc_id"), md5(col("sh")).as("h"))
-    val rn = Window.partitionBy(col("doc_id")).orderBy(col("h"))
-    sh.withColumn("rn", row_number().over(rn))
-      .filter(col("rn") <= 4)
-      .groupBy(col("doc_id"))
-      .agg(array_join(sort_array(collect_list(col("h"))), "|").as("fingerprint"))
+  private def docFingerprint(s: SparkSession, d: String): DataFrame =
+    // entirely per-row array HOFs: no explode, no shuffle, no window —
+    // the sketch of a 100 TB corpus is one narrow codegen'd map
+    documents(s, d)
+      .select(col("doc_id"),
+        array_join(
+          slice(array_sort(expr(s"transform($shinglesE, x -> md5(x))")), 1, 4), "|")
+          .as("fingerprint"))
       .orderBy(col("doc_id"))
-  }
 
   /** Exact dedup: md5(text) groups, survivor = min doc_id (deterministic
     * rule, NOT dropDuplicates — SURVEY §7.3.5). One hash-shuffle on the

@@ -60,16 +60,25 @@ object Ingest {
       .parquet(srcPath)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val newRows = batch.dropDuplicates(keyCol)
-        if (!new java.io.File(tablePath).exists())
-          newRows.write.parquet(tablePath)
-        else {
-          val cur = s.read.parquet(tablePath)
-          val merged = cur
+        import org.apache.spark.sql.functions.{col, min, struct}
+        // deterministic intra-batch survivor (min over the non-key struct;
+        // dropDuplicates picks a partition-order-dependent row) and no
+        // null keys (they can never be upserted, only accumulate)
+        val others = batch.columns.filterNot(_ == keyCol)
+        val newRows = batch
+          .filter(col(keyCol).isNotNull)
+          .groupBy(col(keyCol))
+          .agg(min(struct(others.map(col): _*)).as("_s"))
+          .select(col(keyCol) +: others.map(c => col(s"_s.$c").as(c)): _*)
+        val merged =
+          if (!new java.io.File(tablePath).exists()) newRows
+          else s.read.parquet(tablePath)
             .join(newRows.select(keyCol), Seq(keyCol), "left_anti")
             .unionByName(newRows)
-          graft.catalog.ParquetRewrite.rewrite(merged, tablePath)
-        }
+        // staged rewrite on EVERY batch including the first — a crash
+        // mid-write must not leave a partial dir that replay mistakes
+        // for a live table
+        graft.catalog.ParquetRewrite.rewrite(merged, tablePath)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
