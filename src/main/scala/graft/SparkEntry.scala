@@ -47,6 +47,11 @@ object SparkEntry {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.iterator.map(_._1).reduce(_ ++ _)
 
+  // Map ++ silently drops colliding keys — a duplicate across modules
+  // would shadow an operator without any failure signal
+  require(modules.map(_._1.size).sum == queries.size,
+    "duplicate query keys across operator modules")
+
   /** DuckDB-dialect oracle SQL per declared key (SURVEY §7.3 determinism
     * rules). Keys absent here get the driver's weaker rows-only check.
     */
