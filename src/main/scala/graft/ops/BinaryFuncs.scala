@@ -64,9 +64,12 @@ object BinaryFuncs {
 
   val oracle: Map[String, String] = Map(
     "q_bit_funcs" ->
-      """SELECT sum(l_orderkey & n) AS sum_and, sum(l_orderkey | n) AS sum_or,
-        |  sum(xor(l_orderkey, n)) AS sum_xor, sum(l_orderkey << 1) AS sum_shl,
-        |  sum(l_orderkey >> 2) AS sum_shr, sum(bit_count(l_orderkey)) AS sum_pop
+      """SELECT CAST(sum(l_orderkey & n) AS BIGINT) AS sum_and,
+        |  CAST(sum(l_orderkey | n) AS BIGINT) AS sum_or,
+        |  CAST(sum(xor(l_orderkey, n)) AS BIGINT) AS sum_xor,
+        |  CAST(sum(l_orderkey << 1) AS BIGINT) AS sum_shl,
+        |  CAST(sum(l_orderkey >> 2) AS BIGINT) AS sum_shr,
+        |  CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS sum_pop
         |FROM (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS n FROM lineitem)""".stripMargin,
     "q_hof_funcs" ->
       """WITH b AS (

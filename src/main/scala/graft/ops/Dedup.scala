@@ -15,9 +15,10 @@ import graft.Tables._
   *    all-pairs O(n²) comparison collapses to an equi-join on
   *    (band, signature) buckets: shuffle keyed on band signatures,
   *    candidates ≪ n², exact Jaccard verified only for candidates.
-  *  - SimHash: per-doc 64-bit fingerprint; at scale pairs come from
-  *    banding the fingerprint (split into 4×16-bit keys) — here, with a
-  *    bounded doc set, the all-pairs compare is the declared semantics.
+  *  - SimHash: per-doc 64-bit fingerprint; candidate pairs come from
+  *    banding the fingerprint (4×16-bit keys, equi-join per band) —
+  *    exhaustive for Hamming ≤ 3 by pigeonhole, so exactly equal to the
+  *    all-pairs compare at the declared threshold (≤ 2) with no cartesian.
   *  - All hashing is md5-based and engine-portable: signatures are
   *    *strings* (min over md5 hex) or integers derived from hex nibbles,
   *    so Spark and DuckDB agree bit-for-bit with no custom UDF.
@@ -92,13 +93,33 @@ object Dedup {
       .agg(sum(col("b1")).as("f1"), sum(col("b2")).as("f2"))
       .select(col("doc_id"), col("f1").cast("long").as("f1"), col("f2").cast("long").as("f2"))
       .persist()   // fingerprint pipeline is 32× explode — never run it twice
-    fp.as("a")
-      .join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+    // banded candidate generation, NOT all-pairs: the 64-bit fingerprint
+    // (two 32-bit halves) splits into 4 bands of 16 bits; Hamming ≤ 2 over
+    // 4 bands ⇒ by pigeonhole at least one band is bit-identical, so the
+    // equi-join on (band, bkey) finds every qualifying pair. Candidate set
+    // ≈ docs sharing a 16-bit band value — linear-ish shuffle keyed on
+    // (band, bkey) instead of the O(n²) cartesian; exact Hamming verified
+    // on candidates only. Same output as all-pairs (the DuckDB oracle IS
+    // the all-pairs form).
+    val banded = fp
+      .withColumn("band", explode(expr("sequence(0, 3)")))
+      .withColumn("bkey", expr(
+        "CASE WHEN band < 2 THEN (f1 >> (band * 16)) & 65535 " +
+          "ELSE (f2 >> ((band - 2) * 16)) & 65535 END"))
+      .select(col("doc_id"), col("band"), col("bkey"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(fp.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(fp.as("fb"), col("doc_b") === col("fb.doc_id"))
       .withColumn("hamming",
-        expr("bit_count(a.f1 ^ b.f1) + bit_count(a.f2 ^ b.f2)"))
+        expr("bit_count(fa.f1 ^ fb.f1) + bit_count(fa.f2 ^ fb.f2)"))
       .filter(col("hamming") <= 2)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("hamming").cast("int").as("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

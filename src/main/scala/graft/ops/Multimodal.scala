@@ -32,26 +32,29 @@ object Multimodal {
   def withPayload(df: DataFrame): DataFrame =
     df.withColumn("payload", encode(col("text"), "UTF-8"))
 
-  /** STUB decode: typed metadata derived deterministically from the first
-    * payload bytes — the seam where a real image decoder would plug in.
+  /** STUB decode: typed metadata derived deterministically from an md5
+    * digest of the content — the seam where a real image decoder would
+    * plug in. md5 hex bytes are identical in every engine regardless of
+    * the text's encoding (unlike ascii(), which is byte-based in Spark
+    * and codepoint-based in DuckDB — divergent off-ASCII).
     */
   def withDecodedMeta(df: DataFrame): DataFrame =
     df.withColumn("media_meta", struct(
-      // pmod: Spark's ascii() is byte-based and can go negative on
-      // non-ASCII text; pmod keeps the stub dimensions positive (the
-      // byte-vs-codepoint gap vs the oracle only exists off-ASCII —
-      // this is a stub decoder, the seam is what matters)
-      (expr("pmod(ascii(substring(text, 1, 1)), 64)") + 16).as("width"),
-      (expr("pmod(ascii(substring(text, 2, 1)), 64)") + 16).as("height"),
+      (expr("CAST(conv(substring(md5(text), 1, 2), 16, 10) AS INT)") % 64 + 16)
+        .as("width"),
+      (expr("CAST(conv(substring(md5(text), 3, 2), 16, 10) AS INT)") % 64 + 16)
+        .as("height"),
       (col("n_chars") % 3 + 1).cast("int").as("channels"),
       length(col("payload")).as("n_bytes")))
 
-  /** STUB feature extraction: fixed-shape (8-dim) fake feature vector from
-    * payload bytes — deterministic, codegen-friendly, batch-parallel.
+  /** STUB feature extraction: fixed-shape (8-dim) fake feature vector —
+    * byte i of the content digest, scaled by 1/128 (exact in float32, so
+    * the value round-trips through round(x*128) losslessly).
     */
   def withFeatures(df: DataFrame): DataFrame =
     df.withColumn("features",
-      expr("transform(sequence(1, 8), i -> CAST(pmod(ascii(substring(text, i, 1)), 256) AS FLOAT) / 128.0)"))
+      expr("transform(sequence(1, 8), " +
+        "i -> CAST(CAST(conv(substring(md5(text), i*2-1, 2), 16, 10) AS INT) / 128.0 AS FLOAT))"))
 
   /** STUB frame sampling: split the payload into n equal byte-range
     * "frames" (the video analog of maxRecordsPerBatch slicing).
@@ -78,12 +81,19 @@ object Multimodal {
         sum(col("channels")).as("sum_channels"))
       .orderBy(col("source"))
 
-  /** Rows-only key (no SQL-expressible oracle for array<float> output):
-    * per-doc feature vector + frame count, bounded for output size.
+  /** Per-doc feature vector + frame count, bounded for output size. The
+    * float vector is serialized back to its exact byte values
+    * (round(x*128) is lossless — see withFeatures) so the output has no
+    * array column (driver-unhashable) and IS oracle-checkable.
     */
   private def mmFeatures(s: SparkSession, d: String): DataFrame =
     withFrames(withFeatures(withPayload(documents(s, d).filter(col("doc_id") < 50))), 4)
-      .select(col("doc_id"), col("features"), size(col("frames")).as("n_frames"))
+      .select(
+        col("doc_id"),
+        expr("array_join(transform(features, " +
+          "x -> CAST(CAST(round(CAST(x AS DOUBLE) * 128.0) AS INT) AS STRING)), ',')")
+          .as("feature_bytes"),
+        size(col("frames")).as("n_frames"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -94,10 +104,16 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     "q_mm_decode_meta" ->
       """SELECT source, count(*) AS n_media,
-        |  sum(octet_length(encode(text))) AS sum_bytes,
-        |  sum(ascii(substring(text, 1, 1)) % 64 + 16) AS sum_width,
-        |  sum(ascii(substring(text, 2, 1)) % 64 + 16) AS sum_height,
-        |  sum(n_chars % 3 + 1) AS sum_channels
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(('0x' || substring(md5(text), 1, 2))::INT % 64 + 16) AS BIGINT) AS sum_width,
+        |  CAST(sum(('0x' || substring(md5(text), 3, 2))::INT % 64 + 16) AS BIGINT) AS sum_height,
+        |  CAST(sum(n_chars % 3 + 1) AS BIGINT) AS sum_channels
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_mm_features" ->
+      """SELECT doc_id,
+        |  array_to_string([(('0x' || substring(md5(text), 2*i - 1, 2))::INT)::VARCHAR
+        |                   FOR i IN range(1, 9)], ',') AS feature_bytes,
+        |  CAST(4 AS INT) AS n_frames
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
   )
 }

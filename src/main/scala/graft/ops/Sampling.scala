@@ -53,11 +53,11 @@ object Sampling {
 
   val oracle: Map[String, String] = Map(
     "q_sample_hash" ->
-      s"""SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_ids
+      s"""SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM documents WHERE $bucketSql < 16384
          |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sample_mix" ->
-      s"""SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_ids
+      s"""SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM documents
          |WHERE CASE WHEN lang = 'en' THEN $bucketSql < 16384
          |           ELSE $bucketSql < 49152 END

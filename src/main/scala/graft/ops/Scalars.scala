@@ -92,12 +92,18 @@ object Scalars {
 
   /** Cast family: money→decimal, string↔int, overflow-safe try_cast
     * (Spark 4 runs ANSI mode — plain CAST overflow would throw).
+    * Decimal values are computed exactly in decimal, then SURFACED as
+    * double: raw decimal output columns are driver-unhashable (DuckDB's
+    * pandas bridge renders every DECIMAL as float64 while Spark parquet
+    * loads as Decimal objects — round-1 CORRECTNESS red). Decimal→double
+    * is round-to-nearest, identical in both engines.
     */
   private def castDecimal(s: SparkSession, d: String): DataFrame =
     orders(s, d).select(
       col("o_orderkey"),
-      col("o_totalprice").cast(DecimalType(12, 2)).as("price_dec"),
+      col("o_totalprice").cast(DecimalType(12, 2)).cast("double").as("price_dec"),
       (col("o_totalprice").cast(DecimalType(12, 2)) * lit(2).cast(DecimalType(3, 0)))
+        .cast(DecimalType(14, 2)).cast("double")
         .as("price_x2"),
       expr("try_cast(CAST(o_orderkey AS STRING) AS INT)").as("key_roundtrip"),
       expr("try_cast('99999999999999999999' AS INT)").as("overflow_null"),
@@ -110,9 +116,15 @@ object Scalars {
       col("vec_id"),
       size(col("embedding")).as("dim"),
       element_at(col("embedding"), 1).as("first_elem"),
-      slice(col("embedding"), 1, 4).as("head4"),
+      // array-typed OUTPUT columns crash the driver's pandas row-sort, so
+      // list results are serialized: floats via the proven floor-micros
+      // trick (integer → string is engine-identical), ints directly
+      expr("array_join(transform(slice(embedding, 1, 4), " +
+        "x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS STRING)), ',')")
+        .as("head4_micros"),
       array_contains(array(lit(1), lit(2), lit(3)), col("label")).as("label_in_123"),
-      sort_array(array(col("label"), lit(0), lit(9))).as("sorted_triple"))
+      expr("array_join(transform(sort_array(array(label, 0, 9)), x -> CAST(x AS STRING)), ',')")
+        .as("sorted_triple"))
       .orderBy("vec_id")
 
   /** Generator: posexplode of the leading embedding slice, re-aggregated
@@ -132,8 +144,11 @@ object Scalars {
           .as("sum_micros"))
       .orderBy("pos")
 
-  /** Map family (unit-test only — DuckDB map semantics differ; SURVEY
-    * §7.4.7). Still a declared query so the driver's rows-only check runs.
+  /** Map family: construct, keys, point lookup. The map itself stays
+    * internal (map output columns are driver-unhashable); the projection
+    * serializes keys via array_join and surfaces the looked-up value, so
+    * the key is fully oracle-checkable (the DuckDB mirror reproduces the
+    * single-entry map's semantics relationally).
     */
   private def mapFuncs(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
@@ -141,7 +156,7 @@ object Scalars {
       map(col("event_type"), col("value")).as("m"))
       .select(
         col("event_id"),
-        map_keys(col("m")).as("ks"),
+        array_join(map_keys(col("m")), ",").as("ks"),
         element_at(col("m"), "click").as("click_val"))
       .orderBy("event_id")
 
@@ -197,12 +212,12 @@ object Scalars {
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  abs(l_discount - 0.05) AS abs_d,
-        |  ceil(l_extendedprice) AS ceil_p,
-        |  floor(l_extendedprice) AS floor_p,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
         |  round(sqrt(l_quantity), 6) AS sqrt_q,
         |  pow(l_quantity, 2) AS sq_q,
         |  l_orderkey % 7 AS mod7,
-        |  CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS sign_d,
+        |  CAST(CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS sign_d,
         |  round(ln(l_extendedprice), 6) AS ln_p,
         |  round(exp(l_discount), 6) AS exp_d
         |FROM lineitem WHERE l_linenumber = 1
@@ -218,8 +233,8 @@ object Scalars {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_cast_decimal" ->
       """SELECT o_orderkey,
-        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
-        |  CAST(o_totalprice AS DECIMAL(12,2)) * CAST(2 AS DECIMAL(3,0)) AS price_x2,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(2 AS DECIMAL(3,0)) AS DECIMAL(14,2)) AS DOUBLE) AS price_x2,
         |  CAST(CAST(o_orderkey AS VARCHAR) AS INT) AS key_roundtrip,
         |  TRY_CAST('99999999999999999999' AS INT) AS overflow_null,
         |  TRY_CAST(CAST(o_custkey AS VARCHAR) AS INT) AS cust_int
@@ -228,20 +243,27 @@ object Scalars {
       """SELECT vec_id,
         |  CAST(len(embedding) AS INT) AS dim,
         |  embedding[1] AS first_elem,
-        |  list_slice(embedding, 1, 4) AS head4,
+        |  array_to_string(list_transform(list_slice(embedding, 1, 4),
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',') AS head4_micros,
         |  list_contains([1, 2, 3], label) AS label_in_123,
-        |  list_sort([label, 0, 9]) AS sorted_triple
+        |  array_to_string(list_sort([label, 0, 9]), ',') AS sorted_triple
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_explode" ->
       """SELECT CAST(ord AS INT) AS pos, count(*) AS n,
-        |  sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sum_micros
+        |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
         |FROM (SELECT unnest(list_slice(embedding, 1, 8)) AS v,
         |             unnest(range(1, 9)) AS ord
         |      FROM embeddings)
         |GROUP BY ord ORDER BY pos""".stripMargin,
     "q_json_funcs" ->
-      """SELECT event_type, count(*) AS n, sum(k) AS sum_k
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
         |WHERE k > 50 GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // single-entry map semantics expressed relationally: the map's one key
+    // is event_type, lookup of 'click' hits only when that key matches
+    "q_map_funcs" ->
+      """SELECT event_id, event_type AS ks,
+        |  CASE WHEN event_type = 'click' THEN value END AS click_val
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

@@ -105,10 +105,12 @@ object Similarity {
   }
 
   /** kNN label vote: majority label among the top-20 most-similar vectors
-    * for each anchor vec_id ∈ {0..4} (tie → min label). Unit-test only
-    * (float-rank fragility at the k boundary — SURVEY §2.2-K), so no
-    * oracle entry; determinism within Spark is still guaranteed by the
-    * (cos desc, vec_id) ordering.
+    * for each anchor vec_id ∈ {0..4} (tie → min label). The ranking key is
+    * the 4dp-ROUNDED cosine (ties broken by vec_id): the native kernel and
+    * the oracle's positional double sum are bit-identical, so after
+    * rounding the rank order — and therefore the k-boundary cut — is the
+    * same in both engines, making the key hash-checkable (round-1 had it
+    * unit-test-only out of float-rank caution).
     */
   private def labelKnn(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorKernels.ensureRegistered(s)
@@ -117,7 +119,7 @@ object Similarity {
       .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"))
     val scored = e.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("anchor_id"))
-      .withColumn("cos", expr(cosE("embedding", "a_emb")))
+      .withColumn("cos", round(expr(cosE("embedding", "a_emb")), 4))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("anchor_id")).orderBy(col("cos").desc, col("vec_id").asc)))
       .filter(col("rn") <= 20)
@@ -140,8 +142,12 @@ object Similarity {
     embeddings(s, d)
       .withColumn("mx",
         expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      // an all-zero vector has mx=0 → x/mx would be NaN (Spark tolerates,
+      // DuckDB errors casting to BIGINT): divide by 1 instead, every
+      // quantized value is then exactly 0
+      .withColumn("mxs", expr("CASE WHEN mx = 0.0 THEN 1.0 ELSE mx END"))
       .withColumn("q",
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / mx * 127) AS BIGINT))"))
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / mxs * 127) AS BIGINT))"))
       .select(
         col("vec_id"),
         round(col("mx"), 6).as("scale"),
@@ -169,11 +175,35 @@ object Similarity {
         |  FROM embeddings, UNNEST(range(1, 65)) AS u(i) GROUP BY vec_id),
         |q AS (
         |  SELECT e.vec_id, m.mx,
-        |    CAST(round(CAST(e.embedding[i] AS DOUBLE) / m.mx * 127) AS BIGINT) AS qi
+        |    CAST(round(CAST(e.embedding[i] AS DOUBLE)
+        |      / (CASE WHEN m.mx = 0 THEN 1.0 ELSE m.mx END) * 127) AS BIGINT) AS qi
         |  FROM embeddings e JOIN m ON e.vec_id = m.mid, UNNEST(range(1, 65)) AS u(i))
-        |SELECT vec_id, round(mx, 6) AS scale, sum(qi) AS q_sum,
+        |SELECT vec_id, round(mx, 6) AS scale, CAST(sum(qi) AS BIGINT) AS q_sum,
         |  min(qi) AS q_min, max(qi) AS q_max
         |FROM q GROUP BY vec_id, mx ORDER BY vec_id""".stripMargin,
+    "q_label_knn" ->
+      """WITH a AS (
+        |  SELECT vec_id AS anchor_id, embedding AS a_emb
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT a.anchor_id, v.vec_id, max(v.label) AS label,
+        |    round(sum(CAST(v.embedding[i] AS DOUBLE) * CAST(a.a_emb[i] AS DOUBLE))
+        |      / (sqrt(sum(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+        |         * sqrt(sum(CAST(a.a_emb[i] AS DOUBLE) * CAST(a.a_emb[i] AS DOUBLE)))), 4) AS cos
+        |  FROM embeddings v, a, UNNEST(range(1, 65)) AS u(i)
+        |  WHERE v.vec_id <> a.anchor_id
+        |  GROUP BY a.anchor_id, v.vec_id),
+        |top AS (
+        |  SELECT anchor_id, label FROM (
+        |    SELECT anchor_id, label,
+        |      row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, vec_id ASC) AS rn
+        |    FROM s) WHERE rn <= 20),
+        |vt AS (
+        |  SELECT anchor_id, label, count(*) AS votes FROM top GROUP BY 1, 2)
+        |SELECT anchor_id, label AS pred_label, votes FROM (
+        |  SELECT anchor_id, label, votes,
+        |    row_number() OVER (PARTITION BY anchor_id ORDER BY votes DESC, label ASC) AS rk
+        |  FROM vt) WHERE rk = 1 ORDER BY anchor_id""".stripMargin,
     "q_sim_dot" ->
       """WITH a AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
         |s AS (

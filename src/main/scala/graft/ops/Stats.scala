@@ -46,8 +46,11 @@ object Stats {
       .withColumn("qty_c", expr("CAST(round(l_quantity * 100) AS BIGINT)"))
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("transform(percentile(price_c, array(0.25D, 0.5D, 0.75D)), x -> round(x / 100, 2))")
-          .as("price_quartiles"),
+        // three scalar columns, not one array column: list-typed outputs
+        // crash the driver's pandas row-sort (round-1 red)
+        round(expr("percentile(price_c, 0.25D)") / 100, 2).as("price_q25"),
+        round(expr("percentile(price_c, 0.5D)") / 100, 2).as("price_q50"),
+        round(expr("percentile(price_c, 0.75D)") / 100, 2).as("price_q75"),
         round(expr("percentile(qty_c, 0.5D)") / 100, 2).as("median_qty"))
       .orderBy(col("l_returnflag"))
 
@@ -66,8 +69,9 @@ object Stats {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_percentile" ->
       """SELECT l_returnflag,
-        |  list_transform(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), [0.25, 0.5, 0.75]),
-        |    x -> round(x / 100, 2)) AS price_quartiles,
+        |  round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) / 100, 2) AS price_q25,
+        |  round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) / 100, 2) AS price_q50,
+        |  round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) / 100, 2) AS price_q75,
         |  round(quantile_cont(CAST(round(l_quantity * 100) AS BIGINT), 0.5) / 100, 2) AS median_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )

@@ -196,8 +196,8 @@ object Text {
          |FROM q GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_token_count" ->
       """SELECT source, count(*) AS n_docs,
-        |  sum(len(regexp_extract_all(text, '[^ ]+'))) AS sum_ws_tokens,
-        |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS sum_bpe_tokens
+        |  CAST(sum(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_doc_fingerprint" ->
       s"""WITH sh AS (

@@ -1,41 +1,108 @@
 #!/usr/bin/env python3
-"""Local mirror of the driver's DuckDB-oracle correctness gate.
+"""Local mirror of the driver's DuckDB-oracle correctness gate — TYPE-STRICT.
 
 Usage: python3 tools/check.py <verify_out_dir> [sf_dir] [only_query...]
 
 For each subdir <out>/<name> (Spark result parquet) with an entry in
 <out>/oracle_sql.json, runs the oracle SQL in DuckDB over the sf parquet
-tables and compares: row count, column names (sorted), and cell values
-(columns sorted by name, row order as produced). Reports per-query
-match/mismatch with first differing rows.
+tables and compares like the driver does:
+  - both sides loaded as pandas DataFrames (spark: pyarrow parquet read;
+    oracle: duckdb .df()),
+  - columns sorted by (lowercased) name,
+  - rows sorted by all columns via pandas sort_values — list/array-typed
+    columns make this CRASH, exactly like the driver's checker, and are
+    reported as ARRAY-COL failures,
+  - cell values compared TYPE-STRICTLY: Decimal != float, int != float,
+    str != anything else. DuckDB HUGEINT/oversized-DECIMAL outputs surface
+    here as float64/object vs int64 mismatches — the round-1 failure mode
+    the old lenient norm() masked.
+
+Keys NOT in oracle_sql.json get the driver's weaker rows-only treatment:
+loaded and row-sorted (so array columns still crash them), count reported.
 """
-import sys, json, glob, math, datetime, decimal
+import sys, os, json, glob, math, datetime, decimal
 
 import duckdb
+import pandas as pd
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return float(v)
+def type_class(v):
+    """Strict-but-sane type bucket: all int widths are one class (parquet
+    int32 vs int64 is a schema concern, not a value concern — the driver
+    compares values after pandas conversion where both are numpy ints),
+    but float vs Decimal vs int vs str are DISTINCT."""
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
     if isinstance(v, decimal.Decimal):
-        return float(v)
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return v
+        return "decimal"
+    if isinstance(v, (datetime.datetime, pd.Timestamp, np.datetime64,
+                      datetime.date)):
+        # one temporal class: spark DATE loads as datetime.date objects,
+        # duckdb DATE as datetime64 — round-1 driver accepted that pairing
+        return "temporal"
+    if isinstance(v, (str, bytes)):
+        return "str"
+    return type(v).__name__
 
 
-def vals_equal(a, b):
-    # driver hash-compares exactly: no float tolerance here
+def is_null(v):
+    if v is None:
+        return True
+    if isinstance(v, (float, np.floating)) and math.isnan(v):
+        return True
+    if v is pd.NaT:
+        return True
+    return False
+
+
+def cell_equal(a, b):
+    """Type-strict equality. No Decimal→float, no list→tuple coercion."""
+    if is_null(a) or is_null(b):
+        return is_null(a) and is_null(b)
+    ta, tb = type_class(a), type_class(b)
+    if ta != tb:
+        return False
+    if ta == "temporal":
+        ta_, tb_ = pd.Timestamp(a), pd.Timestamp(b)
+        if ta_.tzinfo is not None:
+            ta_ = ta_.tz_localize(None)
+        if tb_.tzinfo is not None:
+            tb_ = tb_.tz_localize(None)
+        return ta_ == tb_
+    if ta == "float":
+        # exact binary compare — the driver hashes, no tolerance
+        return float(a) == float(b)
+    if ta == "decimal":
+        # driver hashes the decimal value; trailing-zero scale differences
+        # at the same numeric value still hash apart at the arrow level,
+        # so require identical string form too
+        return a == b and str(a.normalize()) == str(b.normalize())
     return a == b
+
+
+def sort_frame(df):
+    """Row-sort by all columns, like the driver. Raises TypeError on
+    list/array columns — intentionally not caught here."""
+    cols = sorted(df.columns, key=str.lower)
+    df = df[cols]
+    if len(df) and cols:
+        df = df.sort_values(by=cols, kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def load_spark(out_dir, name):
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        return None
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
 
 
 def main():
@@ -47,56 +114,67 @@ def main():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    n_ok = n_bad = n_skip = 0
-    for name in sorted(oracle):
+    n_ok = n_bad = 0
+    result_dirs = sorted(
+        os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p))
+    for name in result_dirs:
         if only and name not in only:
             continue
-        sql = oracle[name]
-        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
-        if not files:
+        s_df = load_spark(out_dir, name)
+        if s_df is None:
             print(f"MISSING  {name}: no spark result parquet")
             n_bad += 1
             continue
-        spark_rel = con.sql(
-            "SELECT * FROM read_parquet([" +
-            ",".join(f"'{f}'" for f in files) + "])")
-        s_cols = list(spark_rel.columns)
-        s_rows = spark_rel.fetchall()
+        if name not in oracle:
+            # rows-only: still row-sort so array columns crash like the driver
+            try:
+                sort_frame(s_df)
+                print(f"ROWSONLY {name} ({len(s_df)} rows)")
+                n_ok += 1
+            except TypeError as e:
+                print(f"ARRAY-COL {name}: rows-only sort crashed: {e}")
+                n_bad += 1
+            continue
         try:
-            duck_rel = con.sql(sql)
-            d_cols = list(duck_rel.columns)
-            d_rows = duck_rel.fetchall()
+            d_df = con.sql(oracle[name]).df()
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}")
             n_bad += 1
             continue
-        if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
-            print(f"SCHEMA   {name}: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        s_cols = sorted(c.lower() for c in s_df.columns)
+        d_cols = sorted(c.lower() for c in d_df.columns)
+        if s_cols != d_cols:
+            print(f"SCHEMA   {name}: spark={s_cols} duck={d_cols}")
             n_bad += 1
             continue
-        if len(s_rows) != len(d_rows):
-            print(f"ROWCOUNT {name}: spark={len(s_rows)} duck={len(d_rows)}")
+        if len(s_df) != len(d_df):
+            print(f"ROWCOUNT {name}: spark={len(s_df)} duck={len(d_df)}")
             n_bad += 1
             continue
-        # sort columns by name (driver behavior)
-        s_idx = [i for i, _ in sorted(enumerate(s_cols), key=lambda x: x[1].lower())]
-        d_idx = [i for i, _ in sorted(enumerate(d_cols), key=lambda x: x[1].lower())]
+        try:
+            s_df = sort_frame(s_df)
+            d_df = sort_frame(d_df)
+        except TypeError as e:
+            print(f"ARRAY-COL {name}: sort crashed: {e}")
+            n_bad += 1
+            continue
         bad = None
-        for r, (sr, dr) in enumerate(zip(s_rows, d_rows)):
-            sv = [norm(sr[i]) for i in s_idx]
-            dv = [norm(dr[i]) for i in d_idx]
-            for c in range(len(sv)):
-                if not vals_equal(sv[c], dv[c]):
-                    bad = (r, sorted(s_cols, key=str.lower)[c], sv[c], dv[c])
+        cols = list(s_df.columns)
+        for ci, c in enumerate(cols):
+            sv, dv = s_df[c].tolist(), d_df[c].tolist()
+            for r in range(len(sv)):
+                if not cell_equal(sv[r], dv[r]):
+                    bad = (r, c, sv[r], type_class(sv[r]), dv[r], type_class(dv[r]))
                     break
             if bad:
                 break
         if bad:
-            r, cname, svv, dvv = bad
-            print(f"VALUE    {name}: row {r} col {cname}: spark={svv!r} duck={dvv!r}")
+            r, cname, svv, st, dvv, dt = bad
+            print(f"VALUE    {name}: row {r} col {cname}: "
+                  f"spark={svv!r}({st}) duck={dvv!r}({dt})")
             n_bad += 1
         else:
-            print(f"OK       {name} ({len(s_rows)} rows)")
+            print(f"OK       {name} ({len(s_df)} rows)")
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} bad")
     sys.exit(1 if n_bad else 0)
