@@ -41,6 +41,7 @@ object SparkEntry {
       (SqlSurface.queries, SqlSurface.oracle),
       (BinaryFuncs.queries, BinaryFuncs.oracle),
       (Sampling.queries, Sampling.oracle),
+      (Privacy.queries, Privacy.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.2. */

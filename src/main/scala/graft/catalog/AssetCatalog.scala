@@ -1,5 +1,6 @@
 package graft.catalog
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,8 +47,10 @@ class AssetCatalog(spark: SparkSession, root: String) {
 
   def readTable(table: String): DataFrame = spark.read.parquet(path(table))
 
+  // Hadoop FileSystem, not java.io.File: existence must resolve correctly
+  // on HDFS/S3A, where File.exists() is unconditionally false
   private def exists(table: String): Boolean =
-    new java.io.File(path(table)).exists()
+    ParquetRewrite.fs(spark, path(table)).exists(new Path(path(table)))
 
   private def rewrite(table: String, df: DataFrame): Unit =
     ParquetRewrite.rewrite(df, path(table))
@@ -109,4 +112,34 @@ class AssetCatalog(spark: SparkSession, root: String) {
 
   def initZonePath(bucket: String, asset: String, batch: String): String =
     s"$bucket/$asset/$batch/init"
+
+  /** Dual-region posture (reference config/globalConfig.json:4-5 carries a
+    * primary + secondary region): replicate every registry table under
+    * `root` into `secondaryRoot` via the same staged-rewrite commit the
+    * primary uses, so a replica is never observable half-written. Returns
+    * the table names replicated.
+    *
+    * At scale each table replicates independently (per-table rewrite =
+    * per-table parallel copy job); the registry tables are small dims, so
+    * this is metadata-cheap next to the data-plane replication it models.
+    */
+  def replicate(secondaryRoot: String): Seq[String] = {
+    val hfs = ParquetRewrite.fs(spark, root)
+    val tables = hfs.listStatus(new Path(root))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.endsWith(".staging") || n.endsWith(".old"))
+      .toSeq.sorted
+    tables.foreach(t => ParquetRewrite.rewrite(readTable(t), s"$secondaryRoot/$t"))
+    tables
+  }
+
+  /** Replica parity: primary and secondary hold exactly the same multiset
+    * of rows (exceptAll empty both directions — catches missing AND extra).
+    */
+  def replicaParity(secondaryRoot: String, table: String): Boolean = {
+    val a = readTable(table)
+    val b = spark.read.parquet(s"$secondaryRoot/$table")
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+  }
 }

@@ -31,44 +31,46 @@ object Dedup {
     * 4 bands × 2 rows; candidate pairs share ≥1 band signature; survivors
     * verified by exact Jaccard ≥ 0.2.
     */
-  private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    // shingles feed 4 consumers (minhash slots, sizes, both verify sides)
-    val sh = documents(s, d)
-      .filter(col("doc_id") < 200)
-      .select(col("doc_id"), explode(expr(shinglesE)).as("sh"))
-      .persist()
-    val mh = sh
-      .withColumn("i", explode(expr("sequence(0, 7)")))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("mh"))
-    val bands = mh
-      .withColumn("band", expr("i div 2"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(array_join(
-        expr("transform(array_sort(collect_list(struct(i, mh))), x -> x.mh)"), ",")
-        .as("sig"))
-      .persist()   // both sides of the candidate self-join
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sz.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .withColumn("jaccard",
-        col("i").cast("double") / (col("na.n") + col("nb.n") - col("i")))
-      .filter(col("jaccard") >= 0.2)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 3).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  private def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    // shingles feed 4 consumers (minhash slots, sizes, both verify sides);
+    // scoped caches release the blocks once the result is materialized
+    Caching.withCached(
+      documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(expr(shinglesE)).as("sh"))) { sh =>
+      val mh = sh
+        .withColumn("i", explode(expr("sequence(0, 7)")))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("mh"))
+      // bands feed both sides of the candidate self-join
+      Caching.withCached(
+        mh.withColumn("band", expr("i div 2"))
+          .groupBy(col("doc_id"), col("band"))
+          .agg(array_join(
+            expr("transform(array_sort(collect_list(struct(i, mh))), x -> x.mh)"), ",")
+            .as("sig"))) { bands =>
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sz.as("na"), col("doc_a") === col("na.doc_id"))
+          .join(sz.as("nb"), col("doc_b") === col("nb.doc_id"))
+          .withColumn("jaccard",
+            col("i").cast("double") / (col("na.n") + col("nb.n") - col("i")))
+          .filter(col("jaccard") >= 0.2)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 3).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      }
+    }
 
   /** SimHash: 64-bit fingerprint (two 32-bit halves, one per md5 stream;
     * bit j = majority of the j-th hex nibble's high bit across the doc's
@@ -81,46 +83,48 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(expr(toksE))).as("tok"))
       .withColumn("h1", md5(col("tok")))
       .withColumn("h2", md5(concat(lit("x"), col("tok"))))
-    val fp = tk
-      .withColumn("j", explode(expr("sequence(1, 32)")))
-      .withColumn("i1", expr(s"CASE WHEN substring(h1, j, 1) IN $hexHigh THEN 1 ELSE -1 END"))
-      .withColumn("i2", expr(s"CASE WHEN substring(h2, j, 1) IN $hexHigh THEN 1 ELSE -1 END"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("i1")).as("s1"), sum(col("i2")).as("s2"))
-      .withColumn("b1", expr("CASE WHEN s1 > 0 THEN CAST(pow(2, j-1) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
-      .withColumn("b2", expr("CASE WHEN s2 > 0 THEN CAST(pow(2, j-1) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("b1")).as("f1"), sum(col("b2")).as("f2"))
-      .select(col("doc_id"), col("f1").cast("long").as("f1"), col("f2").cast("long").as("f2"))
-      .persist()   // fingerprint pipeline is 32× explode — never run it twice
-    // banded candidate generation, NOT all-pairs: the 64-bit fingerprint
-    // (two 32-bit halves) splits into 4 bands of 16 bits; Hamming ≤ 2 over
-    // 4 bands ⇒ by pigeonhole at least one band is bit-identical, so the
-    // equi-join on (band, bkey) finds every qualifying pair. Candidate set
-    // ≈ docs sharing a 16-bit band value — linear-ish shuffle keyed on
-    // (band, bkey) instead of the O(n²) cartesian; exact Hamming verified
-    // on candidates only. Same output as all-pairs (the DuckDB oracle IS
-    // the all-pairs form).
-    val banded = fp
-      .withColumn("band", explode(expr("sequence(0, 3)")))
-      .withColumn("bkey", expr(
-        "CASE WHEN band < 2 THEN (f1 >> (band * 16)) & 65535 " +
-          "ELSE (f2 >> ((band - 2) * 16)) & 65535 END"))
-      .select(col("doc_id"), col("band"), col("bkey"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(fp.as("fa"), col("doc_a") === col("fa.doc_id"))
-      .join(fp.as("fb"), col("doc_b") === col("fb.doc_id"))
-      .withColumn("hamming",
-        expr("bit_count(fa.f1 ^ fb.f1) + bit_count(fa.f2 ^ fb.f2)"))
-      .filter(col("hamming") <= 2)
-      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // fingerprint pipeline is 32× explode — cached so it never runs twice
+    Caching.withCached(
+      tk.withColumn("j", explode(expr("sequence(1, 32)")))
+        .withColumn("i1", expr(s"CASE WHEN substring(h1, j, 1) IN $hexHigh THEN 1 ELSE -1 END"))
+        .withColumn("i2", expr(s"CASE WHEN substring(h2, j, 1) IN $hexHigh THEN 1 ELSE -1 END"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(col("i1")).as("s1"), sum(col("i2")).as("s2"))
+        .withColumn("b1", expr("CASE WHEN s1 > 0 THEN CAST(pow(2, j-1) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+        .withColumn("b2", expr("CASE WHEN s2 > 0 THEN CAST(pow(2, j-1) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("b1")).as("f1"), sum(col("b2")).as("f2"))
+        .select(col("doc_id"), col("f1").cast("long").as("f1"),
+          col("f2").cast("long").as("f2"))) { fp =>
+      // banded candidate generation, NOT all-pairs: the 64-bit fingerprint
+      // (two 32-bit halves) splits into 4 bands of 16 bits; Hamming ≤ 2 over
+      // 4 bands ⇒ by pigeonhole at least one band is bit-identical, so the
+      // equi-join on (band, bkey) finds every qualifying pair. Candidate set
+      // ≈ docs sharing a 16-bit band value — linear-ish shuffle keyed on
+      // (band, bkey) instead of the O(n²) cartesian; exact Hamming verified
+      // on candidates only. Same output as all-pairs (the DuckDB oracle IS
+      // the all-pairs form).
+      val banded = fp
+        .withColumn("band", explode(expr("sequence(0, 3)")))
+        .withColumn("bkey", expr(
+          "CASE WHEN band < 2 THEN (f1 >> (band * 16)) & 65535 " +
+            "ELSE (f2 >> ((band - 2) * 16)) & 65535 END"))
+        .select(col("doc_id"), col("band"), col("bkey"))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(fp.as("fa"), col("doc_a") === col("fa.doc_id"))
+        .join(fp.as("fb"), col("doc_b") === col("fb.doc_id"))
+        .withColumn("hamming",
+          expr("bit_count(fa.f1 ^ fb.f1) + bit_count(fa.f2 ^ fb.f2)"))
+        .filter(col("hamming") <= 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
   }
 
   /** Word-bigram Jaccard near-dup: pairs with bigram-set Jaccard ≥ 0.1. */
@@ -130,23 +134,24 @@ object Dedup {
          |  array_distinct(transform(sequence(1, size($toksE)-1),
          |    i -> concat(element_at($toksE, i), ' ', element_at($toksE, i+1))))
          |ELSE array() END""".stripMargin
-    val g = documents(s, d)
-      .filter(col("doc_id") < 100)
-      .select(col("doc_id"), explode(expr(bigramsE)).as("g"))
-      .persist()
-    val sz = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = g.as("a")
-      .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sz.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .withColumn("jaccard",
-        col("i").cast("double") / (col("na.n") + col("nb.n") - col("i")))
-      .filter(col("jaccard") >= 0.1)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 3).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    Caching.withCached(
+      documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(expr(bigramsE)).as("g"))) { g =>
+      val sz = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = g.as("a")
+        .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(sz.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .withColumn("jaccard",
+          col("i").cast("double") / (col("na.n") + col("nb.n") - col("i")))
+        .filter(col("jaccard") >= 0.1)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 3).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

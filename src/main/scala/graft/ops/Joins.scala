@@ -182,6 +182,26 @@ object Joins {
       .orderBy("n_name")
   }
 
+  /** Supplier-dimension revenue (TPC-H Q5/Q20 shape): lineitem ⋈ supplier
+    * ⋈ nation, revenue per supplier nation — covers the one test table no
+    * other key touches. nation (25 rows, SF-invariant) broadcasts
+    * explicitly; supplier scales with SF so it takes the shuffle
+    * equi-join (AQE still picks broadcast when a given SF's supplier fits
+    * under the threshold — don't pin a hint that breaks at 100 TB).
+    */
+  private def supplierRevenue(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d); val su = supplier(s, d); val n = nation(s, d)
+    val rev = (l("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) - l("l_discount").cast(DecimalType(4, 2))))
+    l.join(su, l("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name"))
+      .agg(sum(rev).cast("double").as("supp_revenue"),
+        countDistinct(su("s_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_inner"     -> inner _,
     "q_join_left"      -> left _,
@@ -196,6 +216,7 @@ object Joins {
     "q_join_asof"      -> asof _,
     "q_join_asof_native" -> asofNative _,
     "q_join_multiway"  -> multiway _,
+    "q_supplier_revenue" -> supplierRevenue _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -276,6 +297,16 @@ object Joins {
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q_supplier_revenue" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS supp_revenue,
+        |  count(DISTINCT s.s_suppkey) AS n_suppliers,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
   )
 }

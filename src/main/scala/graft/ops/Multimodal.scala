@@ -86,8 +86,13 @@ object Multimodal {
     * (round(x*128) is lossless — see withFeatures) so the output has no
     * array column (driver-unhashable) and IS oracle-checkable.
     */
+  // single source of truth for the frame count — interpolated into the
+  // oracle SQL below so the two sides cannot drift
+  private val mmFrameCount = 4
+
   private def mmFeatures(s: SparkSession, d: String): DataFrame =
-    withFrames(withFeatures(withPayload(documents(s, d).filter(col("doc_id") < 50))), 4)
+    withFrames(withFeatures(withPayload(documents(s, d).filter(col("doc_id") < 50))),
+      mmFrameCount)
       .select(
         col("doc_id"),
         expr("array_join(transform(features, " +
@@ -110,10 +115,10 @@ object Multimodal {
         |  CAST(sum(n_chars % 3 + 1) AS BIGINT) AS sum_channels
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_mm_features" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  array_to_string([(('0x' || substring(md5(text), 2*i - 1, 2))::INT)::VARCHAR
         |                   FOR i IN range(1, 9)], ',') AS feature_bytes,
-        |  CAST(4 AS INT) AS n_frames
+        |  CAST($mmFrameCount AS INT) AS n_frames
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Column privacy — the engine analog of the reference's wired-in privacy
+  * key for sensitive columns (reference: config/globalConfig.json:8 keeps
+  * a `secret_name` for a column-privacy integration in the global config;
+  * every registered asset may carry PII that the lake must not expose
+  * raw).
+  *
+  * Three protection modes, all per-row codegen'd built-ins (narrow maps —
+  * no shuffle, no UDF, embarrassingly parallel at 100 TB):
+  *  - deterministic tokenization: sha2-256 pseudonym. Referentially
+  *    stable (same value → same token everywhere), so joins / groupBys /
+  *    dedup on the tokenized key keep working after the raw value is gone;
+  *  - format-preserving masking: redact all but the trailing 4 characters
+  *    of the identifier (the synthetic customer table carries PII only in
+  *    `c_name`, shaped `Customer#NNNNNNNNN`), keeping the column shape for
+  *    downstream format validators;
+  *  - reversible encryption: AES round-trip via aes_encrypt/aes_decrypt —
+  *    GCM's random IV makes ciphertext non-deterministic, so this is
+  *    proven by PrivacySpec's round-trip property, not a value oracle.
+  */
+object Privacy {
+
+  /** Declared query: pseudonymize + mask the customer PII columns. */
+  private def maskSensitive(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+        col("c_custkey"),
+        concat(lit("anon-"), substring(sha2(col("c_name"), 256), 1, 16))
+          .as("name_token"),
+        concat(lit("Customer#*****"), expr("right(c_name, 4)")).as("name_masked"),
+        col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** AES round-trip used by PrivacySpec: encrypt then decrypt a column
+    * with the same key; the result must equal the input byte-for-byte.
+    */
+  def aesRoundTrip(df: DataFrame, column: String, key: String): DataFrame =
+    df.withColumn("_rt",
+      expr(s"CAST(aes_decrypt(aes_encrypt($column, '$key'), '$key') AS STRING)"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mask_sensitive" -> maskSensitive _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_mask_sensitive" ->
+      """SELECT c_custkey,
+        |  'anon-' || substring(sha256(c_name), 1, 16) AS name_token,
+        |  'Customer#*****' || right(c_name, 4) AS name_masked,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+  )
+}

@@ -83,25 +83,28 @@ object Similarity {
     val e = embeddings(s, d)
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val assign = e.crossJoin(broadcast(cents))
-      .withColumn("cos_vc", expr(cosE("embedding", "c_emb")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cos_vc").desc, col("c_id").asc)))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id"))
-      .persist()   // consumed by both the anchor-cluster probe and the join
-    val anchorCluster = assign.filter(col("vec_id") === 0)
-      .select(col("c_id").as("anchor_c"))
-    val anchor = e.filter(col("vec_id") === 0).select(col("embedding").as("a_emb"))
-    assign
-      .join(broadcast(anchorCluster), col("c_id") === col("anchor_c"))
-      .filter(col("vec_id") =!= 0)
-      .join(e, Seq("vec_id"))
-      .crossJoin(broadcast(anchor))
-      .withColumn("cosine", round(expr(cosE("embedding", "a_emb")), 4))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-      .limit(10)
-      .select(col("vec_id"), col("cosine"))
+    // assignments feed both the anchor-cluster probe and the join — scoped
+    // cache, released once the probe result is materialized
+    Caching.withCached(
+      e.crossJoin(broadcast(cents))
+        .withColumn("cos_vc", expr(cosE("embedding", "c_emb")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cos_vc").desc, col("c_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id"))) { assign =>
+      val anchorCluster = assign.filter(col("vec_id") === 0)
+        .select(col("c_id").as("anchor_c"))
+      val anchor = e.filter(col("vec_id") === 0).select(col("embedding").as("a_emb"))
+      assign
+        .join(broadcast(anchorCluster), col("c_id") === col("anchor_c"))
+        .filter(col("vec_id") =!= 0)
+        .join(e, Seq("vec_id"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("cosine", round(expr(cosE("embedding", "a_emb")), 4))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("cosine"))
+    }
   }
 
   /** kNN label vote: majority label among the top-20 most-similar vectors

@@ -129,30 +129,30 @@ object Text {
     * bounded to doc_id < 100 (the declared query is the correctness spec;
     * the LSH path in Dedup.scala is the scale path — SURVEY §7.4.4).
     */
-  private def docNearDup(s: SparkSession, d: String): DataFrame = {
+  private def docNearDup(s: SparkSession, d: String): DataFrame =
     // the shingle set feeds three consumers (sizes + both self-join sides);
-    // without persist each consumer re-runs the explode over the corpus —
-    // the dominant cost at scale
-    val sh = documents(s, d)
-      .filter(col("doc_id") < 100)
-      .select(col("doc_id"), col("lang"), explode(expr(shinglesE)).as("sh"))
-      .persist()
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("jaccard",
-        col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")))
-      .filter(col("jaccard") >= 0.25)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 3).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+    // without a cache each consumer re-runs the explode over the corpus —
+    // the dominant cost at scale. Scoped: blocks release on return.
+    Caching.withCached(
+      documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("lang"), explode(expr(shinglesE)).as("sh"))) { sh =>
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("jaccard",
+          col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")))
+        .filter(col("jaccard") >= 0.25)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 3).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"      -> textStats _,

@@ -12,8 +12,9 @@ import graft.Tables._
   * (o_orderkey / event_id); running money sums accumulate in decimal
   * (exact) and surface as double. Partition keys (customer, user) keep
   * state bounded per key at 100 TB; only `q_win_ntile` uses a global
-  * (unpartitioned) window, which is inherently single-reducer — flagged
-  * as such, acceptable for a quartile-assignment utility.
+  * (unpartitioned) window, which is inherently single-reducer — kept as
+  * the semantics spec, with `q_win_ntile_dist` as the distributed
+  * (broadcast-cutoff) formulation that actually runs at scale.
   */
 object Windows {
 
@@ -90,6 +91,32 @@ object Windows {
       .orderBy("c_custkey")
   }
 
+  /** Distributed quartile assignment — the scale-safe formulation of
+    * q_win_ntile (which stays as the rank-based semantics spec). Exact
+    * percentile cutoffs over integer cents (one partial+final aggregation;
+    * the cents trick from Stats.aggPercentile makes the interpolation
+    * bit-identical across engines), broadcast to a narrow CASE map. No
+    * global window, no single-reducer stage; at 100 TB swap `percentile`
+    * for `approx_percentile` — the plan shape is unchanged. Buckets are
+    * value-based (ties share a bucket), which is exactly the property that
+    * makes the assignment order-independent and therefore distributable.
+    */
+  private def ntileDist(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+      .withColumn("bal_c", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+    val cuts = c.agg(
+      expr("percentile(bal_c, 0.25D)").as("q1"),
+      expr("percentile(bal_c, 0.5D)").as("q2"),
+      expr("percentile(bal_c, 0.75D)").as("q3"))
+    c.crossJoin(broadcast(cuts))
+      .select(col("c_custkey"), col("c_acctbal"),
+        (lit(1)
+          + when(col("bal_c") > col("q1"), 1).otherwise(0)
+          + when(col("bal_c") > col("q2"), 1).otherwise(0)
+          + when(col("bal_c") > col("q3"), 1).otherwise(0)).as("quartile"))
+      .orderBy("c_custkey")
+  }
+
   /** first_value / last_value with an explicit full-partition frame. */
   private def firstLast(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -109,6 +136,7 @@ object Windows {
     "q_win_moving"      -> moving _,
     "q_win_range_frame" -> rangeFrame _,
     "q_win_ntile"       -> ntile_ _,
+    "q_win_ntile_dist"  -> ntileDist _,
     "q_win_first_last"  -> firstLast _,
   )
 
@@ -152,6 +180,15 @@ object Windows {
         |FROM customer
         |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
         |ORDER BY c_custkey""".stripMargin,
+    "q_win_ntile_dist" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+        |cuts AS (SELECT quantile_cont(bal_c, 0.25) AS q1, quantile_cont(bal_c, 0.5) AS q2,
+        |                quantile_cont(bal_c, 0.75) AS q3 FROM c)
+        |SELECT c_custkey, c_acctbal,
+        |  CAST(1 + CAST(bal_c > q1 AS INT) + CAST(bal_c > q2 AS INT)
+        |         + CAST(bal_c > q3 AS INT) AS INT) AS quartile
+        |FROM c, cuts ORDER BY c_custkey""".stripMargin,
     "q_win_first_last" ->
       """SELECT o_orderkey, o_custkey,
         |  FIRST_VALUE(o_orderkey) OVER w AS first_ok,

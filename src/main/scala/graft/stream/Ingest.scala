@@ -70,8 +70,13 @@ object Ingest {
           .groupBy(col(keyCol))
           .agg(min(struct(others.map(col): _*)).as("_s"))
           .select(col(keyCol) +: others.map(c => col(s"_s.$c").as(c)): _*)
+        // Hadoop FS existence probe (java.io.File.exists is always false on
+        // HDFS/S3A — every batch would silently overwrite the table)
+        val tableExists = graft.catalog.ParquetRewrite
+          .fs(s, tablePath)
+          .exists(new org.apache.hadoop.fs.Path(tablePath))
         val merged =
-          if (!new java.io.File(tablePath).exists()) newRows
+          if (!tableExists) newRows
           else s.read.parquet(tablePath)
             .join(newRows.select(keyCol), Seq(keyCol), "left_anti")
             .unionByName(newRows)

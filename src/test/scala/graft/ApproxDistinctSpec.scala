@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §2.2-E `q_agg_approx_distinct`: the HLL sketch is engine-specific
+  * (no DuckDB oracle), so correctness is an accuracy bound — each approx
+  * count must land within ±5% of the exact distinct count. Checked at two
+  * scale factors so the bound holds across cardinality regimes.
+  */
+class ApproxDistinctSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private def check(sfDir: String): Unit = {
+    val approx = ops.Aggregates.queries("q_agg_approx_distinct")(spark, sfDir)
+      .collect().head
+    val exact = Tables.events(spark, sfDir).agg(
+      countDistinct(col("user_id")).as("u"),
+      countDistinct(col("event_id")).as("e")).collect().head
+    val pairs = Seq(
+      ("user_id", approx.getLong(approx.fieldIndex("approx_users")),
+        exact.getLong(0)),
+      ("event_id", approx.getLong(approx.fieldIndex("approx_events")),
+        exact.getLong(1)))
+    pairs.foreach { case (colName, a, e) =>
+      assert(e > 0, s"$sfDir/$colName: exact distinct is zero")
+      val relErr = math.abs(a - e).toDouble / e
+      assert(relErr <= 0.05,
+        s"$sfDir/$colName: approx=$a exact=$e rel_err=$relErr > 0.05")
+    }
+  }
+
+  test("approx_count_distinct within ±5% of exact at sf0.001") {
+    check("/root/testdata/sf0.001")
+  }
+
+  test("approx_count_distinct within ±5% of exact at sf0.01") {
+    check("/root/testdata/sf0.01")
+  }
+}

@@ -86,6 +86,24 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("replicate mirrors every registry table to the secondary root with parity") {
+    val cat = new AssetCatalog(spark, freshRoot())
+    seed(cat)
+    import graft.catalog.DataAsset
+    cat.create("data_asset", "asset_id", Seq(
+      DataAsset(7L, 101L, "clickstream", "init", ts("2026-02-01 00:00:00"), "active")).toDS())
+    val secondary = freshRoot()
+    val replicated = cat.replicate(secondary)
+    assert(replicated == Seq("data_asset", "source_system"))
+    replicated.foreach(t => assert(cat.replicaParity(secondary, t), s"parity: $t"))
+    // parity detects divergence: mutate the primary, replica now stale
+    cat.deleteKeys("source_system", "src_sys_id", Seq(101L))
+    assert(!cat.replicaParity(secondary, "source_system"))
+    // re-replicate restores parity (idempotent staged rewrite over the replica)
+    cat.replicate(secondary)
+    assert(cat.replicaParity(secondary, "source_system"))
+  }
+
   test("audit log: append, lookup, guarded status update") {
     val log = new AuditLog(spark, freshRoot() + "/audit")
     log.append("req-1", "create", "fn", Map("tasktype" -> "create"), """{"k":1}""")

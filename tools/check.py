@@ -82,15 +82,30 @@ def cell_equal(a, b):
         return float(a) == float(b)
     if ta == "decimal":
         # driver hashes the decimal value; trailing-zero scale differences
-        # at the same numeric value still hash apart at the arrow level,
-        # so require identical string form too
-        return a == b and str(a.normalize()) == str(b.normalize())
+        # at the same numeric value still hash apart at the arrow level —
+        # compare value AND exponent (normalize() strips trailing zeros,
+        # which would wrongly equate 1.10 and 1.1)
+        return a == b and a.as_tuple().exponent == b.as_tuple().exponent
     return a == b
 
 
+def array_col(df):
+    """Name of the first column holding list/array cells, else None.
+    Explicit detection: plain Python list cells sort WITHOUT raising
+    TypeError, so exception-sniffing under-detects — and the driver's
+    hasher rejects them regardless of what pandas sorting does."""
+    for c in df.columns:
+        for v in df[c]:
+            if is_null(v):
+                continue
+            if isinstance(v, (list, tuple, np.ndarray)):
+                return c
+            break  # first non-null cell decides the column's shape
+    return None
+
+
 def sort_frame(df):
-    """Row-sort by all columns, like the driver. Raises TypeError on
-    list/array columns — intentionally not caught here."""
+    """Row-sort by all columns, like the driver."""
     cols = sorted(df.columns, key=str.lower)
     df = df[cols]
     if len(df) and cols:
@@ -126,13 +141,18 @@ def main():
             n_bad += 1
             continue
         if name not in oracle:
-            # rows-only: still row-sort so array columns crash like the driver
+            # rows-only: array columns still fail like the driver's hasher
+            ac = array_col(s_df)
+            if ac is not None:
+                print(f"ARRAY-COL {name}: rows-only result has array column {ac!r}")
+                n_bad += 1
+                continue
             try:
                 sort_frame(s_df)
                 print(f"ROWSONLY {name} ({len(s_df)} rows)")
                 n_ok += 1
-            except TypeError as e:
-                print(f"ARRAY-COL {name}: rows-only sort crashed: {e}")
+            except Exception as e:
+                print(f"SORT-ERR {name}: rows-only sort crashed: {e}")
                 n_bad += 1
             continue
         try:
@@ -151,23 +171,33 @@ def main():
             print(f"ROWCOUNT {name}: spark={len(s_df)} duck={len(d_df)}")
             n_bad += 1
             continue
+        ac = array_col(s_df) or array_col(d_df)
+        if ac is not None:
+            print(f"ARRAY-COL {name}: result has array column {ac!r}")
+            n_bad += 1
+            continue
         try:
             s_df = sort_frame(s_df)
             d_df = sort_frame(d_df)
-        except TypeError as e:
-            print(f"ARRAY-COL {name}: sort crashed: {e}")
+        except Exception as e:
+            print(f"SORT-ERR {name}: sort crashed: {e}")
             n_bad += 1
             continue
         bad = None
         cols = list(s_df.columns)
-        for ci, c in enumerate(cols):
-            sv, dv = s_df[c].tolist(), d_df[c].tolist()
-            for r in range(len(sv)):
-                if not cell_equal(sv[r], dv[r]):
-                    bad = (r, c, sv[r], type_class(sv[r]), dv[r], type_class(dv[r]))
+        try:
+            for ci, c in enumerate(cols):
+                sv, dv = s_df[c].tolist(), d_df[c].tolist()
+                for r in range(len(sv)):
+                    if not cell_equal(sv[r], dv[r]):
+                        bad = (r, c, sv[r], type_class(sv[r]), dv[r], type_class(dv[r]))
+                        break
+                if bad:
                     break
-            if bad:
-                break
+        except Exception as e:
+            print(f"CMP-ERR  {name}: cell comparison crashed: {e}")
+            n_bad += 1
+            continue
         if bad:
             r, cname, svv, st, dvv, dt = bad
             print(f"VALUE    {name}: row {r} col {cname}: "
