@@ -134,6 +134,30 @@ class AssetCatalog(spark: SparkSession, root: String) {
     tables
   }
 
+  /** Small-file compaction. Streaming ingest and per-batch appends leave
+    * a table as thousands of KB-sized parquet files; at 100 TB that turns
+    * every scan into open/footer-read overhead and floods the driver's
+    * file index. Rewrite the table into `ceil(bytes / targetFileBytes)`
+    * files via the same staged-rewrite commit as every other mutation (a
+    * reader never observes a half-compacted table). `coalesce`, not
+    * `repartition`: compaction must not pay a shuffle — it only narrows
+    * the file count.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(table: String, targetFileBytes: Long = 128L * 1024 * 1024)
+      : (Int, Int) = {
+    val p = path(table)
+    val hfs = ParquetRewrite.fs(spark, p)
+    def dataFiles = hfs.listStatus(new Path(p))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles
+    val bytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    rewrite(table, readTable(table).coalesce(nOut))
+    (before.length, dataFiles.length)
+  }
+
   /** Replica parity: primary and secondary hold exactly the same multiset
     * of rows (exceptAll empty both directions — catches missing AND extra).
     */

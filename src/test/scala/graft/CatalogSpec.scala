@@ -104,6 +104,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.replicaParity(secondary, "source_system"))
   }
 
+  test("compact narrows many small files to few, preserving every row") {
+    val cat = new AssetCatalog(spark, freshRoot())
+    // 40 tiny single-row appends → 40+ small parquet files
+    for (i <- 0L to 39L)
+      cat.create("source_system", "src_sys_id", Seq(
+        SourceSystem(i, s"s$i", "r", ts("2026-01-01 00:00:00"), "active")).toDS())
+    val beforeRows = cat.readTable("source_system").orderBy("src_sys_id").collect()
+    val (nBefore, nAfter) = cat.compact("source_system")
+    assert(nBefore >= 40, s"expected many small files, got $nBefore")
+    assert(nAfter == 1, s"40 tiny rows should compact to one file, got $nAfter")
+    val afterRows = cat.readTable("source_system").orderBy("src_sys_id").collect()
+    assert(afterRows.toSeq == beforeRows.toSeq)
+  }
+
   test("audit log: append, lookup, guarded status update") {
     val log = new AuditLog(spark, freshRoot() + "/audit")
     log.append("req-1", "create", "fn", Map("tasktype" -> "create"), """{"k":1}""")

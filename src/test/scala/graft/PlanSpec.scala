@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the scale-critical queries.
+  *
+  * CORRECTNESS proves the right rows come back at test SF; these tests
+  * prove the PLAN is the one that survives a 100× scale-up — filters and
+  * projections reach the parquet reader, small sides broadcast, the
+  * distributed ntile really has no single-reducer window, top-k never
+  * sorts the full relation, and exact dedup is one hash shuffle rather
+  * than a join. A regression that silently flips one of these (a lost
+  * pushdown after a refactor, a broadcast that becomes a shuffle) passes
+  * the value oracle but fails here.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sfDir = SparkTestSession.sfDir
+
+  /** Plan string including the initial adaptive plan (pre-execution). */
+  private def planStr(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Plan string with AQE off: whole-stage-codegen stages are only
+    * collapsed into the printed plan pre-execution when AQE is disabled
+    * (under AQE they appear per query stage at runtime), so codegen
+    * assertions must read the non-adaptive plan.
+    */
+  private def planStrNoAqe(build: => DataFrame): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try planStr(build)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  private val joinNodes =
+    "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin".r
+
+  test("scan_pruned pushes the shipdate predicate into the parquet scan") {
+    val p = planStr(q("scan_pruned"))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("GreaterThanOrEqual(`l_shipdate`"), s"shipdate filter not pushed:\n$p")
+  }
+
+  test("scan_pruned reads only the 3 referenced columns (column pruning)") {
+    val p = planStr(q("scan_pruned"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice")
+      && readSchema.contains("l_shipdate"), readSchema)
+    // the fat columns must NOT be read
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_quantity"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("q_join_broadcast plans a broadcast hash join (no shuffle of the fact side)") {
+    val p = planStr(q("q_join_broadcast"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to shuffle:\n$p")
+  }
+
+  test("q_win_ntile_dist has no window operator at all (cutoffs broadcast to a narrow map)") {
+    val p = planStr(q("q_win_ntile_dist"))
+    assert(!p.contains("Window"), s"distributed ntile regressed to a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"cutoffs not broadcast:\n$p")
+  }
+
+  test("q_topk / q_sim_topk plan TakeOrderedAndProject (never a full global sort)") {
+    for (name <- Seq("q_topk", "q_sim_topk")) {
+      val p = planStr(q(name))
+      assert(p.contains("TakeOrderedAndProject"), s"$name sorts globally:\n$p")
+    }
+  }
+
+  test("q_sim_dot runs the native kernels inside whole-stage codegen") {
+    val p = planStrNoAqe(q("q_sim_dot"))
+    assert(p.contains("graft_vec_dot") && p.contains("graft_vec_cosine"), p)
+    // the projection evaluating the kernels must be codegen'd (starred) —
+    // a doGenCode regression (e.g. Janino compile failure) silently falls
+    // back to interpreted eval and drops the star
+    val kernelLine = p.linesIterator.find(_.contains("graft_vec_dot")).getOrElse("")
+    assert(kernelLine.contains("*("), s"kernel projection not codegen'd: $kernelLine")
+  }
+
+  test("q_doc_dedup_exact is a single hash aggregation — no join anywhere") {
+    val p = planStr(q("q_doc_dedup_exact"))
+    assert(joinNodes.findFirstIn(p).isEmpty, s"exact dedup grew a join:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_agg_group aggregates map-side first (partial + final HashAggregate)") {
+    val p = planStr(q("q_agg_group"))
+    val nAggs = "HashAggregate".r.findAllIn(p).size
+    assert(nAggs >= 2, s"no partial aggregation ($nAggs HashAggregate nodes):\n$p")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+  }
+
+  test("q_join_skew_salted joins on the salted key and never goes cartesian") {
+    val p = planStr(q("q_join_skew_salted"))
+    assert(p.contains("_salt"), s"salt column missing from plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"salted join planned as a product:\n$p")
+  }
+
+  test("q_dedup_minhash / q_dedup_simhash candidate joins are equi-joins, not products") {
+    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash")) {
+      val p = planStr(q(name))
+      assert(!p.contains("CartesianProduct"),
+        s"$name regressed to all-pairs:\n$p")
+    }
+  }
+}
