@@ -42,6 +42,7 @@ object SparkEntry {
       (BinaryFuncs.queries, BinaryFuncs.oracle),
       (Sampling.queries, Sampling.oracle),
       (Privacy.queries, Privacy.oracle),
+      (Bucketed.queries, Bucketed.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.2. */

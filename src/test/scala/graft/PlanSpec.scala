@@ -106,6 +106,23 @@ class PlanSpec extends AnyFunSuite {
       s"salted join planned as a product:\n$p")
   }
 
+  test("q_join_bucketed sort-merge-joins with ZERO exchange (bucket co-location)") {
+    // force the SMJ path (at test SF the planner would broadcast instead,
+    // which is also shuffle-free but not the property under test)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planStr(q("q_join_bucketed"))
+      assert(p.contains("SortMergeJoin"), p)
+      // no Exchange may feed the join: both sides read pre-bucketed
+      val afterJoin = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!afterJoin.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(afterJoin.contains("SelectedBucketsCount") || afterJoin.contains("Bucketed: true"),
+        s"scan is not bucket-aware:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_dedup_minhash / q_dedup_simhash candidate joins are equi-joins, not products") {
     for (name <- Seq("q_dedup_minhash", "q_dedup_simhash")) {
       val p = planStr(q(name))
