@@ -41,8 +41,17 @@ class RoundtripSpec extends AnyFunSuite {
       .filter(col("o_year") === 1995)
     val expected = orders.filter(year(col("o_orderdate")) === 1995).count()
     assert(part.count() == expected && expected > 0)
-    // partition filter must prune at plan time, not post-scan
+    // partition filter must prune at plan time, not post-scan: the
+    // predicate lands in the scan's PartitionFilters (directory-level
+    // pruning — non-matching years are never opened), NOT as a data
+    // filter evaluated per row after reading everything
     val planned = part.queryExecution.executedPlan.toString
-    assert(!planned.contains("o_year) = 1995) AND") || expected > 0)
+    val scanLine = planned.linesIterator
+      .find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(scanLine.contains("o_year") && scanLine.contains("1995"),
+      s"year predicate not in PartitionFilters:\n$planned")
+    val pf = scanLine.split("PushedFilters:")(1)
+    assert(pf.trim.startsWith("[]"),
+      s"partition predicate leaked into data filters: $scanLine")
   }
 }
