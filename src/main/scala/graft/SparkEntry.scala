@@ -43,6 +43,7 @@ object SparkEntry {
       (Sampling.queries, Sampling.oracle),
       (Privacy.queries, Privacy.oracle),
       (Bucketed.queries, Bucketed.oracle),
+      (TrainPrep.queries, TrainPrep.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.2. */

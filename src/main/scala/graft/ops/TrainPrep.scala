@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY §2.2-K — corpus-preparation operators a training-data pipeline
+  * runs between "raw crawl" and "tokenized batches" (north-star scope;
+  * grounding: the reference's data-asset plane registers exactly these
+  * corpus tables, lambda/aws-dl-fmwrk-data-asset-api/lambda_function.py:
+  * 56-130).
+  *
+  * Scale notes (100 TB):
+  *  - incremental dedup is ONE anti-join keyed on the content digest —
+  *    the daily-crawl-vs-corpus shape; the corpus side is a digest-only
+  *    projection (32 bytes/doc), so a 10⁹-doc corpus is ~30 GB of keys,
+  *    shuffled once, or bucketed on `h` to make every nightly run
+  *    exchange-free (see `q_join_bucketed` for the layout mechanics).
+  *  - stratified sampling is a per-group rank over a hash ordering —
+  *    one shuffle on the group key; Spark's WindowGroupLimit pushes the
+  *    rank≤k filter below the sort so only k rows per group survive the
+  *    exchange.
+  *  - tf-idf is two hash aggregations over the exploded token stream
+  *    (map-side partial combine collapses each partition's token runs
+  *    before the shuffle) + a broadcast of the tiny per-lang doc counts.
+  *  - chunking and packing are narrow per-row maps; packing adds one
+  *    windowed prefix-sum per source — the same partitioned-cumsum shape
+  *    as `q_win_running`, no global window anywhere.
+  */
+object TrainPrep {
+
+  /** Incremental corpus dedup: the "new batch vs existing corpus" shape.
+    * Corpus = doc_id % 5 != 0, incoming batch = doc_id % 5 == 0 (a
+    * scale-independent 80/20 split of the same table). Keep batch docs
+    * whose md5(text) digest is unseen in the corpus, deduping within the
+    * batch by the same min-doc_id survivor rule as `q_doc_dedup_exact`.
+    */
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).withColumn("h", md5(col("text")))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).select(col("h"))
+    docs.filter(col("doc_id") % 5 === 0)
+      .join(corpus, Seq("h"), "left_anti")
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("h"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stratified sample: k=20 docs per language, chosen by md5(doc_id)
+    * rank — deterministic across runs/engines/partitionings (same
+    * rationale as Sampling.scala's hash gates), and exactly k per
+    * stratum, which a threshold sample cannot guarantee.
+    */
+  private def sampleStratified(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+
+  /** Top-5 terms per language by tf-idf with a LINEAR idf (tf · N/df):
+    * every arithmetic step (int→double cast, one multiply, one divide)
+    * is IEEE-exact-or-correctly-rounded and association-identical in
+    * both engines, so ranking doubles are bit-identical — the ln() form
+    * is a one-line substitution but can half-ulp-tie across libm
+    * implementations (SURVEY §7.3.3 discipline).
+    */
+  private def tfidfTerms(s: SparkSession, d: String): DataFrame = {
+    import TextExprs.toksE
+    val docs = documents(s, d)
+    val toks = docs.select(col("doc_id"), col("lang"), explode(expr(toksE)).as("term"))
+    val stats = toks.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs_lang"))
+    stats.join(broadcast(nDocs), Seq("lang"))
+      .withColumn("score_raw",
+        col("tf").cast("double") * col("n_docs_lang") / col("df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("score_raw").desc, col("term"))))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("term"), col("tf"), col("df"),
+        round(col("score_raw"), 4).as("tfidf"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Fixed-window chunking with overlap (chunk 100 chars, stride 80) —
+    * the context-window splitter. Exploding the OFFSET list (not the
+    * chunk list) keeps the pre-explode row narrow; the chunk index is
+    * offset arithmetic. Output is digests, not text, so the result of a
+    * 100 TB run is fingerprint-sized.
+    */
+  private def docChunk(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text), 80)")).as("o"))
+      .select(
+        col("doc_id"),
+        expr("(o - 1) div 80").as("chunk_ix"),
+        length(expr("substring(text, o, 100)")).as("chunk_len"),
+        md5(expr("substring(text, o, 100)")).as("h"))
+      .orderBy(col("doc_id"), col("chunk_ix"))
+
+  /** Sequence packing, concat-and-cut semantics: per source, documents
+    * are laid end-to-end in doc_id order on a token tape cut into
+    * 256-token blocks; a doc belongs to the block where it starts
+    * (pack = start_offset div 256 — exclusive prefix sum, integer-exact).
+    * This is the GPT-style block assignment, expressible as one
+    * partitioned window cumsum + narrow arithmetic.
+    */
+  private def packSequences(s: SparkSession, d: String): DataFrame = {
+    import TextExprs.toksE
+    documents(s, d)
+      .withColumn("n_tok", size(expr(toksE)).cast("long"))
+      .withColumn("cum", sum(col("n_tok")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pack_id", expr("(cum - n_tok) div 256"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_incremental" -> dedupIncremental _,
+    "q_sample_stratified" -> sampleStratified _,
+    "q_tfidf_terms"       -> tfidfTerms _,
+    "q_doc_chunk"         -> docChunk _,
+    "q_pack_sequences"    -> packSequences _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT min(doc_id) AS doc_id, md5(text) AS h
+        |FROM documents
+        |WHERE doc_id % 5 = 0
+        |  AND md5(text) NOT IN (SELECT h FROM corpus)
+        |GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, rk FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "q_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(regexp_extract_all(text, '[^ ]+')) AS term
+        |  FROM documents),
+        |stats AS (
+        |  SELECT lang, term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM toks GROUP BY lang, term),
+        |n AS (SELECT lang, count(*) AS n_docs_lang FROM documents GROUP BY lang),
+        |ranked AS (
+        |  SELECT s.lang, term, tf, df,
+        |    CAST(tf AS DOUBLE) * n_docs_lang / df AS score_raw,
+        |    CAST(row_number() OVER (PARTITION BY s.lang
+        |      ORDER BY CAST(tf AS DOUBLE) * n_docs_lang / df DESC, term) AS INT) AS rk
+        |  FROM stats s JOIN n ON s.lang = n.lang)
+        |SELECT lang, term, tf, df, round(score_raw, 4) AS tfidf, rk
+        |FROM ranked WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    "q_doc_chunk" ->
+      """SELECT doc_id,
+        |  (o - 1) // 80 AS chunk_ix,
+        |  CAST(len(substring(text, o, 100)) AS INT) AS chunk_len,
+        |  md5(substring(text, o, 100)) AS h
+        |FROM documents, UNNEST(range(1, len(text) + 1, 80)) AS u(o)
+        |WHERE len(text) >= 1
+        |ORDER BY doc_id, chunk_ix""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin,
+  )
+}
