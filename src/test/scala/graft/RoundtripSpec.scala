@@ -31,6 +31,21 @@ class RoundtripSpec extends AnyFunSuite {
       nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("src_orc_roundtrip: customer writes to ORC and reads back, filter pushed to scan") {
+    val dir = tmp()
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    customer.write.orc(s"$dir/customer_orc")
+    val back = spark.read.orc(s"$dir/customer_orc")
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      customer.orderBy("c_custkey").collect().toSeq)
+    // ORC scans take pushed filters like parquet ones — the columnar
+    // source contract holds across both lake formats
+    val filtered = back.filter(col("c_custkey") === 1)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,1)]"),
+      s"c_custkey filter not pushed to ORC scan:\n$scan")
+  }
+
   test("sink_partitioned: orders partitioned by year, one partition read back pruned") {
     val dir = tmp()
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
