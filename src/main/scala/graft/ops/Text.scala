@@ -104,13 +104,22 @@ object Text {
     * per-doc sketch is 4 fixed strings, so fingerprint comparison is a
     * cheap equi-join instead of a text scan).
     */
+  /** Portable HOF formulation of the bottom-4 sketch — the semantics
+    * spec the native kernel must match (ShingleKernelSpec asserts
+    * equality row-for-row).
+    */
+  private[graft] def fingerprintPortable =
+    array_join(
+      slice(array_sort(expr(s"transform($shinglesE, x -> md5(x))")), 1, 4), "|")
+
   private def docFingerprint(s: SparkSession, d: String): DataFrame =
-    // entirely per-row array HOFs: no explode, no shuffle, no window —
-    // the sketch of a 100 TB corpus is one narrow codegen'd map
+    // no explode, no shuffle, no window — the sketch of a 100 TB corpus
+    // is one narrow map, and the native one-pass kernel (ShingleKernel)
+    // replaces the interpreted HOF pipeline (shingle array → distinct →
+    // md5 array → full sort) with a streaming bottom-k buffer
     documents(s, d)
       .select(col("doc_id"),
-        array_join(
-          slice(array_sort(expr(s"transform($shinglesE, x -> md5(x))")), 1, 4), "|")
+        graft.functions.ShingleKernel.bottomKShingleMd5(col("text"), 5, 4)
           .as("fingerprint"))
       .orderBy(col("doc_id"))
 
