@@ -159,11 +159,66 @@ object Similarity {
         expr("array_max(q)").cast("long").as("q_max"))
       .orderBy(col("vec_id"))
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic ±1 hyperplane weights: sign from the first md5 nibble
+    * of "j_i" — reproducible in any engine, no RNG state to ship. The
+    * oracle recomputes the same values inline.
+    */
+  private val lshW: Seq[Seq[Int]] =
+    Seq.tabulate(4, 64)((j, i) => if (md5Hex(s"${j}_${i}").charAt(0) < '8') 1 else -1)
+
+  /** LSH-bucketed ANN (the second scale path next to IVF): 4-bit
+    * random-hyperplane signature per vector, computed over the INT8-
+    * QUANTIZED embedding (q_embed_quantize's proven-exact integer map) so
+    * every sign bit is an integer-sum comparison — exact in any engine,
+    * no float-boundary flips. Probing is multi-probe: the anchor's bucket
+    * plus its 4 Hamming-1 neighbors (5/16 of the corpus), exact cosine
+    * only within the candidates.
+    *
+    * Scale: signature assignment is a narrow per-row map — NO shuffle,
+    * no training, no centroid state (the advantage over IVF); the probe
+    * is a broadcast-filtered scan + TakeOrderedAndProject. At 10¹⁰
+    * vectors with more bits (e.g. 16, banded) the same plan prunes
+    * 1-in-thousands instead of 5-in-16.
+    */
+  private def annLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
+    var q = embeddings(s, d)
+      .withColumn("mx", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("mxs", expr("CASE WHEN mx = 0.0 THEN 1.0 ELSE mx END"))
+      .withColumn("qv", expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / mxs * 127) AS BIGINT))"))
+    for (j <- 0 until 4) {
+      q = q.withColumn(s"w$j", typedlit(lshW(j)))
+        .withColumn(s"b$j", when(expr(
+          s"aggregate(zip_with(qv, w$j, (a, b) -> a * CAST(b AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)") >= 0, 1).otherwise(0))
+    }
+    val sig = q.withColumn("sig", expr("b0 + 2*b1 + 4*b2 + 8*b3"))
+      .select(col("vec_id"), col("embedding"), col("sig"))
+    Caching.withCached(sig) { sg =>
+      val anchor = sg.filter(col("vec_id") === 0)
+        .select(col("sig").as("a_sig"), col("embedding").as("a_emb"))
+      sg.crossJoin(broadcast(anchor))
+        .filter(col("vec_id") =!= 0)
+        .filter(expr("sig = a_sig OR sig = (a_sig ^ 1) OR sig = (a_sig ^ 2)" +
+          " OR sig = (a_sig ^ 4) OR sig = (a_sig ^ 8)"))
+        .withColumn("cosine", round(expr(cosE("embedding", "a_emb")), 4))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("sig"), col("cosine"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_dot"           -> simDot _,
     "q_sim_topk"          -> simTopk _,
     "q_dedup_embed_cosine" -> embedCosinePairs _,
     "q_ann_ivf"           -> annIvf _,
+    "q_ann_lsh"           -> annLsh _,
     "q_label_knn"         -> labelKnn _,
     "q_embed_quantize"    -> embedQuantize _,
   )
@@ -242,6 +297,38 @@ object Similarity {
         |SELECT vec_a, vec_b, round(dot/(sqrt(nsa)*sqrt(nsb)), 4) AS cosine
         |FROM p WHERE dot/(sqrt(nsa)*sqrt(nsb)) >= 0.30
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_ann_lsh" ->
+      """WITH m AS (
+        |  SELECT vec_id AS mid, max(abs(CAST(embedding[i] AS DOUBLE))) AS mx
+        |  FROM embeddings, UNNEST(range(1, 65)) AS u(i) GROUP BY vec_id),
+        |q AS (
+        |  SELECT e.vec_id, i,
+        |    CAST(round(CAST(e.embedding[i] AS DOUBLE)
+        |      / (CASE WHEN m.mx = 0 THEN 1.0 ELSE m.mx END) * 127) AS BIGINT) AS qi
+        |  FROM embeddings e JOIN m ON e.vec_id = m.mid, UNNEST(range(1, 65)) AS u(i)),
+        |bits AS (
+        |  SELECT vec_id, j,
+        |    CASE WHEN sum(CASE WHEN substring(md5(concat(j, '_', i - 1)), 1, 1) < '8'
+        |                       THEN qi ELSE -qi END) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM q, UNNEST(range(0, 4)) AS v(j)
+        |  GROUP BY vec_id, j),
+        |sg AS (
+        |  SELECT vec_id, CAST(sum(bit * (1 << j)) AS INT) AS sig FROM bits GROUP BY vec_id),
+        |asig AS (SELECT sig AS a_sig FROM sg WHERE vec_id = 0),
+        |a AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT s.vec_id, s.sig FROM sg s, asig
+        |  WHERE s.vec_id <> 0 AND (s.sig = a_sig OR s.sig = xor(a_sig, 1)
+        |    OR s.sig = xor(a_sig, 2) OR s.sig = xor(a_sig, 4) OR s.sig = xor(a_sig, 8))),
+        |sc AS (
+        |  SELECT v.vec_id, cand.sig,
+        |    sum(CAST(v.embedding[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE)) AS dot,
+        |    sum(CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)) AS ne,
+        |    sum(CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE)) AS na
+        |  FROM embeddings v JOIN cand ON v.vec_id = cand.vec_id, a, UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY v.vec_id, cand.sig)
+        |SELECT vec_id, sig, round(dot/(sqrt(ne)*sqrt(na)), 4) AS cosine
+        |FROM sc ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_ann_ivf" ->
       """WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
         |vc AS (
