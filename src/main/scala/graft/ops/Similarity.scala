@@ -184,7 +184,7 @@ object Similarity {
     * vectors with more bits (e.g. 16, banded) the same plan prunes
     * 1-in-thousands instead of 5-in-16.
     */
-  private def annLsh(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lshSignatures(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorKernels.ensureRegistered(s)
     var q = embeddings(s, d)
       .withColumn("mx", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
@@ -197,21 +197,27 @@ object Similarity {
           s"aggregate(zip_with(qv, w$j, (a, b) -> a * CAST(b AS BIGINT)), " +
             "CAST(0 AS BIGINT), (acc, x) -> acc + x)") >= 0, 1).otherwise(0))
     }
-    val sig = q.withColumn("sig", expr("b0 + 2*b1 + 4*b2 + 8*b3"))
+    q.withColumn("sig", expr("b0 + 2*b1 + 4*b2 + 8*b3"))
       .select(col("vec_id"), col("embedding"), col("sig"))
-    Caching.withCached(sig) { sg =>
-      val anchor = sg.filter(col("vec_id") === 0)
-        .select(col("sig").as("a_sig"), col("embedding").as("a_emb"))
-      sg.crossJoin(broadcast(anchor))
-        .filter(col("vec_id") =!= 0)
-        .filter(expr("sig = a_sig OR sig = (a_sig ^ 1) OR sig = (a_sig ^ 2)" +
-          " OR sig = (a_sig ^ 4) OR sig = (a_sig ^ 8)"))
-        .withColumn("cosine", round(expr(cosE("embedding", "a_emb")), 4))
-        .orderBy(col("cosine").desc, col("vec_id").asc)
-        .limit(10)
-        .select(col("vec_id"), col("sig"), col("cosine"))
-    }
   }
+
+  private[graft] def lshProbe(sg: DataFrame): DataFrame = {
+    val anchor = sg.filter(col("vec_id") === 0)
+      .select(col("sig").as("a_sig"), col("embedding").as("a_emb"))
+    sg.crossJoin(broadcast(anchor))
+      .filter(col("vec_id") =!= 0)
+      .filter(expr("sig = a_sig OR sig = (a_sig ^ 1) OR sig = (a_sig ^ 2)" +
+        " OR sig = (a_sig ^ 4) OR sig = (a_sig ^ 8)"))
+      .withColumn("cosine", round(expr(cosE("embedding", "a_emb")), 4))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("sig"), col("cosine"))
+  }
+
+  private def annLsh(s: SparkSession, d: String): DataFrame =
+    // signatures feed both the anchor lookup and the candidate filter —
+    // scoped cache, released after the probe materializes
+    Caching.withCached(lshSignatures(s, d))(lshProbe)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_dot"           -> simDot _,

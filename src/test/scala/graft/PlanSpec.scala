@@ -130,4 +130,75 @@ class PlanSpec extends AnyFunSuite {
         s"$name regressed to all-pairs:\n$p")
     }
   }
+
+  test("q_sample_stratified prunes the per-group rank below the sort (WindowGroupLimit)") {
+    val p = planStr(q("q_sample_stratified"))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k filter not pushed below the window sort:\n$p")
+  }
+
+  test("q_ann_lsh probe is join-free: narrow signature map + top-k, no shuffle join") {
+    // the declared query localCheckpoints the shared signature subplan
+    // (plan becomes an opaque RDD scan), so assert on the uncached pipeline
+    val p = planStr(graft.ops.Similarity.lshProbe(
+      graft.ops.Similarity.lshSignatures(spark, sfDir)))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"LSH probe grew a shuffle join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"probe sorts globally:\n$p")
+  }
+
+  private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits a skewed shuffle join at runtime (automatic complement to manual salting)") {
+    // one hot key holds ~90% of the probe side; with the skew thresholds
+    // scaled down to test size, AQE must mark the sort-merge join
+    // skew-handled after execution — the runtime behavior q_join_skew_salted
+    // encodes manually, proven live
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      import org.apache.spark.sql.functions._
+      val left = spark.range(200000).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"), col("id").as("v"))
+      val right = spark.range(100).select(col("id").as("k"), col("id").as("w"))
+      val joined = left.join(right, "k")
+      // collect() (not count()) so THIS plan executes and finalizes its
+      // adaptive stages. Hot key 0: 180000 ids with id%10!=0 plus id=0
+      // itself; cold keys: ids 10..90 step 10 land in right's 0..99 range
+      assert(joined.collect().length == 180001 + 9)
+      val p = planStr(joined)
+      assert(p.contains("skew=true"), s"AQE did not split the skewed partition:\n$p")
+    }
+  }
+
+  test("runtime bloom filter from the selective dim side prunes the fact scan") {
+    // a selective filter on orders injects a bloom filter evaluated on the
+    // lineitem side BEFORE the join — the runtime row-pruning that makes a
+    // 100 TB fact⋈filtered-dim join scan-bound instead of shuffle-bound
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
+      import org.apache.spark.sql.functions._
+      val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$p")
+    }
+  }
 }
