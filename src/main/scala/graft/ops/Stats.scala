@@ -54,9 +54,68 @@ object Stats {
         round(expr("percentile(qty_c, 0.5D)") / 100, 2).as("median_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Distributed-exact percentile twin of `q_agg_percentile` (same output,
+    * same oracle). `percentile()` buffers every value per group — with a
+    * 3-value group key that is 3 giant buffers on 3 tasks, the same
+    * cannot-scale-out shape as a global window. This formulation is the
+    * canonical distributed exact percentile:
+    *
+    *   1. value histogram — groupBy (group, metric, CENTS value) count:
+    *      the only pass over the raw data, shuffled on a HIGH-cardinality
+    *      key, partial-agg combined map-side;
+    *   2. cumulative ranks — one window over the (small) histogram, so
+    *      each distinct value knows its 0-based rank range [cum-cnt, cum);
+    *   3. quartile targets — rank t = (n-1)·k/4 held as integer
+    *      quarter-rank units (t, lo = t div 4, rem = t mod 4);
+    *   4. bracketing join — the ≤12 target rows broadcast against the
+    *      histogram (equi on group+metric, rank-range residual);
+    *   5. interpolate v_lo + (v_hi − v_lo)·rem/4 — integers and a
+    *      power-of-two divide, so the double is bit-identical to
+    *      `percentile()`'s lower + (higher−lower)·frac.
+    */
+  private def aggPercentileDist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val long = lineitem(s, d)
+      .withColumn("price_c", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .withColumn("qty_c", expr("CAST(round(l_quantity * 100) AS BIGINT)"))
+      .select(col("l_returnflag").as("g"),
+        expr("stack(2, 'price', price_c, 'qty', qty_c) AS (metric, v)"))
+    val hist = long.groupBy(col("g"), col("metric"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_hi", sum(col("cnt")).over(
+        Window.partitionBy(col("g"), col("metric")).orderBy(col("v"))))
+      .withColumn("cum_lo", col("cum_hi") - col("cnt"))
+    val targets = long.groupBy(col("g"), col("metric"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k", explode(when(col("metric") === "price",
+        typedlit(Seq(1, 2, 3))).otherwise(typedlit(Seq(2)))))
+      .withColumn("t", (col("n") - 1) * col("k"))
+      .withColumn("lo_rank", expr("t div 4"))
+      .withColumn("rem", col("t") % 4)
+      .withColumn("hi_rank", expr("CASE WHEN rem = 0 THEN t div 4 ELSE t div 4 + 1 END"))
+    def bracket(rank: String, out: String) = hist
+      .join(broadcast(targets), Seq("g", "metric"))
+      .filter(col("cum_lo") <= col(rank) && col(rank) < col("cum_hi"))
+      .select(col("g"), col("metric"), col("k"), col("rem"), col("v").as(out))
+    bracket("lo_rank", "v_lo")
+      .join(bracket("hi_rank", "v_hi"), Seq("g", "metric", "k", "rem"))
+      .withColumn("r", round(
+        (col("v_lo") + (col("v_hi") - col("v_lo")) * col("rem") / lit(4.0)) / 100, 2))
+      .groupBy(col("g"))
+      .agg(
+        max(when(col("metric") === "price" && col("k") === 1, col("r"))).as("price_q25"),
+        max(when(col("metric") === "price" && col("k") === 2, col("r"))).as("price_q50"),
+        max(when(col("metric") === "price" && col("k") === 3, col("r"))).as("price_q75"),
+        max(when(col("metric") === "qty" && col("k") === 2, col("r"))).as("median_qty"))
+      .select(col("g").as("l_returnflag"), col("price_q25"), col("price_q50"),
+        col("price_q75"), col("median_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_stats"      -> aggStats _,
-    "q_agg_percentile" -> aggPercentile _,
+    "q_agg_stats"           -> aggStats _,
+    "q_agg_percentile"      -> aggPercentile _,
+    "q_agg_percentile_dist" -> aggPercentileDist _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -68,6 +127,15 @@ object Stats {
         |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) / 100, 2) AS price_q25,
+        |  round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) / 100, 2) AS price_q50,
+        |  round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) / 100, 2) AS price_q75,
+        |  round(quantile_cont(CAST(round(l_quantity * 100) AS BIGINT), 0.5) / 100, 2) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the distributed twin must produce byte-identical results to the
+    // buffered form — one oracle text, two physical strategies
+    "q_agg_percentile_dist" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) / 100, 2) AS price_q25,
         |  round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) / 100, 2) AS price_q50,
