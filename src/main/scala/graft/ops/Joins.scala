@@ -127,6 +127,31 @@ object Joins {
       .orderBy("user_id")
   }
 
+  /** Binned range join — the scale pattern for range predicates with NO
+    * equi key (where `q_join_range` leans on user_id, this pairs events
+    * across ALL users). A naive plan is a nested-loop product; binning
+    * time into window-width buckets turns it into an equi-join: the probe
+    * side explodes into the ≤2 buckets its 60s window covers, the build
+    * side keys by its own bucket, the join is hash/sort-merge on the
+    * bucket, and the exact interval check is a residual filter. Each
+    * qualifying pair is found exactly once (the follower's single bucket
+    * is covered by exactly one of the probe's two). The oracle is the
+    * declarative inequality join — proving the decomposition is lossless.
+    */
+  private def rangeBinned(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("event_type"), date_trunc("second", col("ts")).as("t"))
+      .withColumn("se", unix_timestamp(col("t")))
+    val probe = e.select(col("event_type"), col("se"),
+      explode(array(expr("se div 60"), expr("se div 60 + 1"))).as("bin"))
+    val build = e.select(col("se").as("se2"), expr("se2 div 60").as("bin"))
+    probe.join(build, Seq("bin"))
+      .filter(col("se2") > col("se") && col("se2") <= col("se") + 60)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("event_type"))
+  }
+
   /** As-of join: for each purchase event, the latest same-user click at or
     * before it. Spark has no native as-of; the scalable formulation is the
     * union + last-ignoring-nulls window (one shuffle on user_id), not the
@@ -213,6 +238,7 @@ object Joins {
     "q_join_broadcast" -> bcast _,
     "q_join_theta"     -> theta _,
     "q_join_range"     -> range _,
+    "q_join_range_binned" -> rangeBinned _,
     "q_join_asof"      -> asof _,
     "q_join_asof_native" -> asofNative _,
     "q_join_multiway"  -> multiway _,
@@ -272,6 +298,11 @@ object Joins {
         |JOIN (SELECT user_id AS u, date_trunc('second', ts) AS t FROM events) e2
         |  ON e1.u = e2.u AND e2.t > e1.t AND e2.t <= e1.t + INTERVAL 5 MINUTE
         |GROUP BY e1.u ORDER BY user_id""".stripMargin,
+    "q_join_range_binned" ->
+      """WITH e AS (SELECT event_type, date_trunc('second', ts) AS t FROM events)
+        |SELECT a.event_type, count(*) AS n_pairs
+        |FROM e a JOIN e b ON b.t > a.t AND b.t <= a.t + INTERVAL 60 SECOND
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
     "q_join_asof_native" ->
       """WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts
         |           FROM events WHERE event_type = 'purchase'),

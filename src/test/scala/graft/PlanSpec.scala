@@ -147,6 +147,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"probe sorts globally:\n$p")
   }
 
+  test("q_join_range_binned equi-joins on the bin — never a nested-loop product") {
+    val p = planStr(q("q_join_range_binned"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"binned range join regressed to a product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join on the bin:\n$p")
+  }
+
   private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
