@@ -153,9 +153,24 @@ object VectorKernels {
     build(c(0), c(1))
   }
 
+  /** graft_bottomk_md5(text, w, k) — w/k must be integer literals (they
+    * parameterize the kernel, not per-row data).
+    */
+  private def bottomKBuilder(c: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    c match {
+      case Seq(text, Literal(w: Int, IntegerType), Literal(k: Int, IntegerType)) =>
+        ShingleKernel.BottomKShingleMd5(text, w, k)
+      case _ => throw new IllegalArgumentException(
+        "graft_bottomk_md5 requires (text, int literal w, int literal k)")
+    }
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_vec_dot" -> arity2("graft_vec_dot")(FloatVecDot(_, _)),
-    "graft_vec_cosine" -> arity2("graft_vec_cosine")(FloatVecCosine(_, _)))
+    "graft_vec_cosine" -> arity2("graft_vec_cosine")(FloatVecCosine(_, _)),
+    "graft_bottomk_md5" -> (bottomKBuilder _))
 
   private[functions] def builderFor(name: String): Seq[Expression] => Expression =
     fns.find(_._1 == name).get._2
@@ -193,12 +208,9 @@ object VectorKernels {
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("graft_vec_dot"),
-      new ExpressionInfo(classOf[VectorKernels.type].getName, "graft_vec_dot"),
-      VectorKernels.builderFor("graft_vec_dot")))
-    ext.injectFunction((FunctionIdentifier("graft_vec_cosine"),
-      new ExpressionInfo(classOf[VectorKernels.type].getName, "graft_vec_cosine"),
-      VectorKernels.builderFor("graft_vec_cosine")))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    for (name <- Seq("graft_vec_dot", "graft_vec_cosine", "graft_bottomk_md5"))
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[VectorKernels.type].getName, name),
+        VectorKernels.builderFor(name)))
 }

@@ -83,6 +83,34 @@ object Text {
           .as("avg_quality"))
       .orderBy(col("bucket"))
 
+  /** Repetition quality signal (the Gopher-rules shape): per doc, the
+    * fraction of word bigrams taken by the single most frequent bigram —
+    * high values flag boilerplate/degenerate text a curation pipeline
+    * drops. Non-distinct bigrams by construction (repetition IS the
+    * signal; the dedup queries use the distinct set).
+    *
+    * Scale: explode + two hash aggregations keyed on (doc_id, bigram) /
+    * doc_id — high-cardinality keys, map-side combine, no skew. The
+    * ratio is int/int division — correctly rounded and engine-exact.
+    */
+  private def qualityRepetition(s: SparkSession, d: String): DataFrame =
+    // tokenize ONCE into a named column — inlining toksE under the
+    // element_at lambda re-runs the regex per bigram element, turning a
+    // linear pass quadratic
+    documents(s, d)
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks)-1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))""".stripMargin))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_count"),
+        round(col("top_count").cast("double") / col("n_bigrams"), 4).as("top_frac"))
+      .orderBy(col("doc_id"))
+
   /** Token counting per source: whitespace tokens and a BPE-ish regex
     * tokenization (letter runs / digit runs / single punctuation).
     */
@@ -167,6 +195,7 @@ object Text {
     "q_text_stats"      -> textStats _,
     "q_lang_id"         -> langId _,
     "q_quality_score"   -> qualityScore _,
+    "q_quality_repetition" -> qualityRepetition _,
     "q_token_count"     -> tokenCount _,
     "q_doc_fingerprint" -> docFingerprint _,
     "q_doc_dedup_exact" -> docDedupExact _,
@@ -203,6 +232,17 @@ object Text {
          |SELECT CAST(floor(quality*10) AS INT) AS bucket, count(*) AS n_docs,
          |  round(CAST(sum(CAST(quality AS DECIMAL(8,4))) AS DOUBLE)/count(*), 4) AS avg_quality
          |FROM q GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_quality_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS g
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS t FROM documents)
+        |  WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, g, count(*) AS cnt FROM b GROUP BY doc_id, g)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(max(cnt) AS BIGINT) AS top_count,
+        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS sum_ws_tokens,

@@ -42,6 +42,15 @@ class ShingleKernelSpec extends AnyFunSuite {
     assert(!rep.contains("|") && rep.length == 32)
   }
 
+  test("SQL-registered name matches the Column API") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val d = spark.createDataFrame(Seq(Tuple1("the quick brown fox jumps")))
+      .toDF("text")
+      .withColumn("via_sql", expr("graft_bottomk_md5(text, 5, 4)"))
+      .withColumn("via_col", ShingleKernel.bottomKShingleMd5(col("text"), 5, 4))
+    assert(d.filter(col("via_sql") =!= col("via_col")).count() == 0)
+  }
+
   test("null text stays null") {
     val d = spark.createDataFrame(Seq(Tuple1("x" * 10))).toDF("text")
       .select(ShingleKernel.bottomKShingleMd5(
