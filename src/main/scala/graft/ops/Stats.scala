@@ -80,25 +80,34 @@ object Stats {
       .withColumn("qty_c", expr("CAST(round(l_quantity * 100) AS BIGINT)"))
       .select(col("l_returnflag").as("g"),
         expr("stack(2, 'price', price_c, 'qty', qty_c) AS (metric, v)"))
-    val hist = long.groupBy(col("g"), col("metric"), col("v"))
+    // ONE pass over the raw data: the histogram feeds both the cumulative
+    // ranks and (re-aggregated) the per-key totals, so lineitem is
+    // scanned once and the histogram shuffle is reused, not recomputed
+    val hist0 = long.groupBy(col("g"), col("metric"), col("v"))
       .agg(count(lit(1)).as("cnt"))
+    val hist = hist0
       .withColumn("cum_hi", sum(col("cnt")).over(
         Window.partitionBy(col("g"), col("metric")).orderBy(col("v"))))
       .withColumn("cum_lo", col("cum_hi") - col("cnt"))
-    val targets = long.groupBy(col("g"), col("metric"))
-      .agg(count(lit(1)).as("n"))
+    val targets = hist0.groupBy(col("g"), col("metric"))
+      .agg(sum(col("cnt")).as("n"))
       .withColumn("k", explode(when(col("metric") === "price",
         typedlit(Seq(1, 2, 3))).otherwise(typedlit(Seq(2)))))
       .withColumn("t", (col("n") - 1) * col("k"))
       .withColumn("lo_rank", expr("t div 4"))
       .withColumn("rem", col("t") % 4)
       .withColumn("hi_rank", expr("CASE WHEN rem = 0 THEN t div 4 ELSE t div 4 + 1 END"))
-    def bracket(rank: String, out: String) = hist
-      .join(broadcast(targets), Seq("g", "metric"))
-      .filter(col("cum_lo") <= col(rank) && col(rank) < col("cum_hi"))
-      .select(col("g"), col("metric"), col("k"), col("rem"), col("v").as(out))
-    bracket("lo_rank", "v_lo")
-      .join(bracket("hi_rank", "v_hi"), Seq("g", "metric", "k", "rem"))
+    // one bracketing join resolves BOTH bounds: disjunctive rank-range
+    // filter, then a conditional max per bound
+    hist.join(broadcast(targets), Seq("g", "metric"))
+      .filter((col("cum_lo") <= col("lo_rank") && col("lo_rank") < col("cum_hi")) ||
+        (col("cum_lo") <= col("hi_rank") && col("hi_rank") < col("cum_hi")))
+      .groupBy(col("g"), col("metric"), col("k"), col("rem"))
+      .agg(
+        max(when(col("cum_lo") <= col("lo_rank") && col("lo_rank") < col("cum_hi"),
+          col("v"))).as("v_lo"),
+        max(when(col("cum_lo") <= col("hi_rank") && col("hi_rank") < col("cum_hi"),
+          col("v"))).as("v_hi"))
       .withColumn("r", round(
         (col("v_lo") + (col("v_hi") - col("v_lo")) * col("rem") / lit(4.0)) / 100, 2))
       .groupBy(col("g"))
