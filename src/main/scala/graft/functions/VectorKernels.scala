@@ -175,6 +175,8 @@ object VectorKernels {
   private[functions] def builderFor(name: String): Seq[Expression] => Expression =
     fns.find(_._1 == name).get._2
 
+  private[functions] def kernelNames: Seq[String] = fns.map(_._1)
+
   /** Idempotent per-session registration — lets any session (including the
     * driver-constructed Verify/Bench sessions) call the kernels by name.
     */
@@ -209,7 +211,9 @@ object VectorKernels {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    for (name <- Seq("graft_vec_dot", "graft_vec_cosine", "graft_bottomk_md5"))
+    // driven by the same registry as ensureRegistered — a kernel added
+    // there is automatically available to extension-wired sessions too
+    for (name <- VectorKernels.kernelNames)
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[VectorKernels.type].getName, name),
         VectorKernels.builderFor(name)))

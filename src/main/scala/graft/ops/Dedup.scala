@@ -128,20 +128,18 @@ object Dedup {
   }
 
   /** Word-bigram Jaccard near-dup: pairs with bigram-set Jaccard ≥ 0.1.
-    * Tokenizes ONCE into a named column — inlining toksE under the
-    * element_at lambda re-runs the regex per bigram element (quadratic).
+    * The DISTINCT set of the shared TextExprs.bigramsE (which requires a
+    * pre-materialized toks column — see its scaladoc).
     */
   private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val bigramsE =
-      """CASE WHEN size(toks) >= 2 THEN
-        |  array_distinct(transform(sequence(1, size(toks)-1),
-        |    i -> concat(element_at(toks, i), ' ', element_at(toks, i+1))))
-        |ELSE array() END""".stripMargin
+    val distinctBigramsE =
+      s"""CASE WHEN size(toks) >= 2 THEN array_distinct(${TextExprs.bigramsE})
+         |ELSE array() END""".stripMargin
     Caching.withCached(
       documents(s, d)
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), expr(toksE).as("toks"))
-        .select(col("doc_id"), explode(expr(bigramsE)).as("g"))) { g =>
+        .select(col("doc_id"), explode(expr(distinctBigramsE)).as("g"))) { g =>
       val sz = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = g.as("a")
         .join(g.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

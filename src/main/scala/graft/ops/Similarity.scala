@@ -141,16 +141,24 @@ object Similarity {
     * final rescale. All computed with array higher-order functions (no
     * explode, no shuffle): one narrow codegen'd map per vector.
     */
-  private def embedQuantize(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
-      .withColumn("mx",
+  /** Shared int8 quantization pipeline (max-abs scale): mx, the
+    * zero-vector-guarded divisor mxs, and the quantized array under
+    * `outCol`. ONE definition so `q_embed_quantize` (the proven-exact
+    * oracle key) and `q_ann_lsh` (whose integer-exactness argument rests
+    * on this exact map) cannot drift apart.
+    */
+  private def withQuantized(df: DataFrame, outCol: String): DataFrame =
+    df.withColumn("mx",
         expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
       // an all-zero vector has mx=0 → x/mx would be NaN (Spark tolerates,
       // DuckDB errors casting to BIGINT): divide by 1 instead, every
       // quantized value is then exactly 0
       .withColumn("mxs", expr("CASE WHEN mx = 0.0 THEN 1.0 ELSE mx END"))
-      .withColumn("q",
+      .withColumn(outCol,
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / mxs * 127) AS BIGINT))"))
+
+  private def embedQuantize(s: SparkSession, d: String): DataFrame =
+    withQuantized(embeddings(s, d), "q")
       .select(
         col("vec_id"),
         round(col("mx"), 6).as("scale"),
@@ -186,11 +194,7 @@ object Similarity {
     */
   private[graft] def lshSignatures(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorKernels.ensureRegistered(s)
-    var q = embeddings(s, d)
-      .withColumn("mx", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
-      .withColumn("mxs", expr("CASE WHEN mx = 0.0 THEN 1.0 ELSE mx END"))
-      .withColumn("qv", expr(
-        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / mxs * 127) AS BIGINT))"))
+    var q = withQuantized(embeddings(s, d), "qv")
     for (j <- 0 until 4) {
       q = q.withColumn(s"w$j", typedlit(lshW(j)))
         .withColumn(s"b$j", when(expr(

@@ -94,16 +94,10 @@ object Text {
     * ratio is int/int division — correctly rounded and engine-exact.
     */
   private def qualityRepetition(s: SparkSession, d: String): DataFrame =
-    // tokenize ONCE into a named column — inlining toksE under the
-    // element_at lambda re-runs the regex per bigram element, turning a
-    // linear pass quadratic
     documents(s, d)
       .select(col("doc_id"), expr(toksE).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks)-1),
-          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))""".stripMargin))
-        .as("g"))
+      .select(col("doc_id"), explode(expr(TextExprs.bigramsE)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_count"))

@@ -17,4 +17,14 @@ private[ops] object TextExprs {
   /** The DuckDB-side shingle comprehension (oracle dialect). */
   val shinglesSql =
     "[substring(text, i, 5) FOR i IN range(1, greatest(len(text)-3, 1))]"
+
+  /** Word bigrams over a pre-materialized `toks` array column —
+    * NON-distinct (repetition analysis needs the duplicates; dedup wraps
+    * this in array_distinct). Callers MUST bind toksE to a named `toks`
+    * column first: inlining the regex under the element_at lambda
+    * re-runs it per bigram element, turning a linear pass quadratic.
+    */
+  val bigramsE =
+    """transform(sequence(1, size(toks)-1),
+      |  i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))""".stripMargin
 }

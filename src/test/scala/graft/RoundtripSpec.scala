@@ -65,6 +65,8 @@ class RoundtripSpec extends AnyFunSuite {
       .find(_.contains("PartitionFilters:")).getOrElse("")
     assert(scanLine.contains("o_year") && scanLine.contains("1995"),
       s"year predicate not in PartitionFilters:\n$planned")
+    assert(scanLine.contains("PushedFilters:"),
+      s"scan line format changed — no PushedFilters token: $scanLine")
     val pf = scanLine.split("PushedFilters:")(1)
     assert(pf.trim.startsWith("[]"),
       s"partition predicate leaked into data filters: $scanLine")
