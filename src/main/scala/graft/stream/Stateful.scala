@@ -210,11 +210,37 @@ object Stateful {
       .orderBy("user_id")
   }
 
+  /** Running per-user min/max through the v2 arbitrary-state API
+    * (`transformWithState` + RocksDB store) across TWO micro-batches.
+    * Update mode emits one row per (user, batch); lo is monotone down and
+    * hi monotone up, so min(lo)/max(hi) over emissions = final state.
+    * min/max involve no arithmetic — exact doubles, oracle-checkable.
+    */
+  private def minMaxState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = eventStream(s, landingDir(d, 2), Some(1))
+        .select(col("user_id"), col("value")).as[UserValue]
+      val out = runToMemory(s, runningMinMaxPerUser(src).toDF(), OutputMode.Update)
+      out.groupBy("user_id")
+        .agg(min(col("lo")).as("min_val"), max(col("hi")).as("max_val"))
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_watermark_late" -> watermarkLate _,
     "stream_dedup_state"    -> dedupState _,
     "stream_static_join"    -> staticJoin _,
     "stream_stateful_count" -> statefulCount _,
+    "stream_minmax_state"   -> minMaxState _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -234,6 +260,9 @@ object Stateful {
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "stream_stateful_count" ->
       """SELECT user_id, 2 * count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_minmax_state" ->
+      """SELECT user_id, min(value) AS min_val, max(value) AS max_val
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
