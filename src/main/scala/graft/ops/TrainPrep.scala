@@ -125,7 +125,35 @@ object TrainPrep {
       .orderBy(col("source"), col("pack_id"))
   }
 
+  /** Train/eval decontamination — the benchmark-leakage check every
+    * training pipeline runs before eval: flag eval-split documents
+    * (doc_id % 10 = 0) sharing any word 5-gram with the train split,
+    * reporting how many of the doc's distinct 5-grams are contaminated.
+    *
+    * Scale: explode + distinct + one equi-join keyed on the n-gram — the
+    * same digest-keyed shape as `q_dedup_incremental` (at 100 TB hash the
+    * n-gram to a fixed digest and bucket the train set on it so the
+    * nightly check is exchange-free on the corpus side).
+    */
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    import TextExprs.toksE
+    val ngramsE =
+      "array_distinct(transform(sequence(1, size(toks)-4), " +
+        "i -> concat_ws(' ', slice(toks, i, 5))))"
+    val g = documents(s, d)
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(ngramsE)).as("ng"))
+    val train = g.filter(col("doc_id") % 10 =!= 0).select(col("ng")).distinct()
+    g.filter(col("doc_id") % 10 === 0)
+      .join(train, Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate"     -> decontaminate _,
     "q_dedup_incremental" -> dedupIncremental _,
     "q_sample_stratified" -> sampleStratified _,
     "q_tfidf_terms"       -> tfidfTerms _,
@@ -134,6 +162,18 @@ object TrainPrep {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS t FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, ng
+        |  FROM d, UNNEST([array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t)-3)]) AS u(ng)
+        |  WHERE len(t) >= 5),
+        |tr AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 <> 0)
+        |SELECT g.doc_id, count(*) AS n_contaminated
+        |FROM g JOIN tr ON g.ng = tr.ng
+        |WHERE g.doc_id % 10 = 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "q_dedup_incremental" ->
       """WITH corpus AS (
         |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0)
