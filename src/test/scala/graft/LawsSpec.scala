@@ -65,4 +65,28 @@ class LawsSpec extends AnyFunSuite {
       assert(roll >= plain)
     }
   }
+
+  test("binned range-join decomposition is lossless (== naive inequality join)") {
+    // the q_join_range_binned claim: exploding the probe into the ≤2
+    // window-width bins it covers + equi-join on the bin + residual
+    // filter finds each qualifying pair EXACTLY once — stressed here on
+    // random timestamps that land on and around bin boundaries
+    val tsGen = Gen.listOfN(60, Gen.choose(0L, 300L))
+    for (xs <- samples(tsGen, 5)) {
+      val w = 60L
+      val e = xs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "se")
+      val naive = e.as("a").join(e.as("b"),
+          col("b.se") > col("a.se") && col("b.se") <= col("a.se") + w)
+        .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      val probe = e.select(col("id").as("ia"), col("se"),
+        explode(array(expr(s"se div $w"), expr(s"se div $w + 1"))).as("bin"))
+      val build = e.select(col("id").as("ib"), col("se").as("se2"),
+        expr(s"se div $w").as("bin"))
+      val binned = probe.join(build, Seq("bin"))
+        .filter(col("se2") > col("se") && col("se2") <= col("se") + w)
+        .select(col("ia"), col("ib"))
+      assert(binned.count() == naive.count())
+      assert(binned.except(naive).count() == 0 && naive.except(binned).count() == 0)
+    }
+  }
 }
