@@ -44,6 +44,7 @@ object SparkEntry {
       (Privacy.queries, Privacy.oracle),
       (Bucketed.queries, Bucketed.oracle),
       (TrainPrep.queries, TrainPrep.oracle),
+      (DataQuality.queries, DataQuality.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.2. */
