@@ -42,8 +42,22 @@ object Privacy {
     df.withColumn("_rt",
       expr(s"CAST(aes_decrypt(aes_encrypt($column, '$key'), '$key') AS STRING)"))
 
+  /** k-anonymity audit over the quasi-identifier pair (nation, market
+    * segment): groups smaller than k=50 are re-identification risks a
+    * release gate must suppress or generalize. One partial+final hash
+    * aggregation on the quasi-identifier key — the same single-shuffle
+    * shape as any groupBy, so the audit costs one pass at any scale.
+    */
+  private def kAnonymity(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < 50)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mask_sensitive" -> maskSensitive _,
+    "q_k_anonymity"    -> kAnonymity _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -53,5 +67,10 @@ object Privacy {
         |  'Customer#*****' || right(c_name, 4) AS name_masked,
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |HAVING count(*) < 50
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
   )
 }
