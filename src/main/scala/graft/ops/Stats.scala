@@ -121,10 +121,31 @@ object Stats {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Deterministic mode (most frequent value) per group. The built-in
+    * `mode()` breaks frequency ties arbitrarily in both engines — useless
+    * for differential testing AND for reproducible pipelines — so the
+    * declared formulation is count + rank with an explicit value
+    * tie-break, which is simultaneously the distributed shape (two keyed
+    * hash aggregations, no per-group buffering).
+    */
+  private def aggMode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("n").desc, col("l_quantity").asc)))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_stats"           -> aggStats _,
     "q_agg_percentile"      -> aggPercentile _,
     "q_agg_percentile_dist" -> aggPercentileDist _,
+    "q_agg_mode"            -> aggMode _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -151,5 +172,16 @@ object Stats {
         |  round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) / 100, 2) AS price_q75,
         |  round(quantile_cont(CAST(round(l_quantity * 100) AS BIGINT), 0.5) / 100, 2) AS median_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |r AS (
+        |  SELECT l_returnflag, l_quantity, n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY n DESC, l_quantity ASC) AS rk
+        |  FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n
+        |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
   )
 }
