@@ -157,6 +157,25 @@ object Similarity {
       .withColumn(outCol,
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / mxs * 127) AS BIGINT))"))
 
+  /** Embedding-store QA: L2-norm distribution histogram (unit-bucket
+    * counts + per-bucket min/max). Degenerate norms (zeros, magnitude
+    * outliers) are how broken encoder runs surface in a 10¹⁰-vector
+    * store; one narrow kernel map + a small keyed agg audits it in a
+    * single pass. norm = sqrt(dot(e,e)) through the codegen kernel —
+    * bit-identical to the oracle's positional fold, sqrt correctly
+    * rounded in both engines.
+    */
+  private def embedNorms(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
+    embeddings(s, d)
+      .withColumn("norm", expr(s"sqrt(${dotE("embedding", "embedding")})"))
+      .groupBy(floor(col("norm")).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(min(col("norm")), 4).as("min_norm"),
+        round(max(col("norm")), 4).as("max_norm"))
+      .orderBy(col("bucket"))
+  }
+
   private def embedQuantize(s: SparkSession, d: String): DataFrame =
     withQuantized(embeddings(s, d), "q")
       .select(
@@ -231,6 +250,7 @@ object Similarity {
     "q_ann_lsh"           -> annLsh _,
     "q_label_knn"         -> labelKnn _,
     "q_embed_quantize"    -> embedQuantize _,
+    "q_embed_norms"       -> embedNorms _,
   )
 
   /** Positional-sum oracle fragments: i runs 1..64 in order, products and
@@ -249,6 +269,15 @@ object Similarity {
         |SELECT vec_id, round(mx, 6) AS scale, CAST(sum(qi) AS BIGINT) AS q_sum,
         |  min(qi) AS q_min, max(qi) AS q_max
         |FROM q GROUP BY vec_id, mx ORDER BY vec_id""".stripMargin,
+    "q_embed_norms" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS norm
+        |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+        |  GROUP BY vec_id)
+        |SELECT CAST(floor(norm) AS INT) AS bucket, count(*) AS n_vecs,
+        |  round(min(norm), 4) AS min_norm, round(max(norm), 4) AS max_norm
+        |FROM n GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_label_knn" ->
       """WITH a AS (
         |  SELECT vec_id AS anchor_id, embedding AS a_emb
