@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args = run only these keys (dev loop); the driver passes none
+    val only: Set[String] = args.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,7 +37,9 @@ object Bench {
     // min of two runs: a single GC pause or co-tenant CPU spike on the
     // shared harness cannot masquerade as a 10x regression (round-2 bench
     // artifact was contention noise; judge-adjudicated)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val a = once(fn); val b = once(fn)
       val best = if (a < 0) b else if (b < 0) a else math.min(a, b)
       name -> math.rint(best * 1000) / 1000   // 3dp: keeps the JSON line short
@@ -44,10 +48,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = math.rint(results.values.filter(_ >= 0).sum * 1000) / 1000
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Emitted twice — once before and once after spark.stop() — so the
-    // driver's tail-capture sees a complete line at the very end of output
-    // even if shutdown logging or capture limits clip one copy
-    // (BENCH_r02.json lost the head of the single line: parsed=null).
+    // Truncation-proofing, three redundant channels (r02 AND r03 artifacts
+    // both lost the head of the single long line: parsed=null):
+    //  1. full JSON written to a file the repo commits (survives any stdout
+    //     clipping);
+    //  2. one short {"q":...,"s":...} line per query — no single line is
+    //     long enough to clip;
+    //  3. the one-line aggregate, emitted before and after spark.stop().
+    if (only.isEmpty)   // a filtered dev run must not clobber the full record
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    results.foreach { case (k, v) => println(s"""{"q":"$k","s":$v}""") }
     println(line)
     spark.stop()
     println(line)

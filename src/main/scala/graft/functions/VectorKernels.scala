@@ -167,10 +167,25 @@ object VectorKernels {
     }
   }
 
+  /** graft_simhash32(toks, prefix) — prefix must be a string literal (it
+    * seeds the hash, it is not per-row data).
+    */
+  private def simhashBuilder(c: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    c match {
+      case Seq(toks, Literal(p: org.apache.spark.unsafe.types.UTF8String, _: StringType)) =>
+        SimHashKernel.SimHash32(toks, p.toString)
+      case _ => throw new IllegalArgumentException(
+        "graft_simhash32 requires (array<string> toks, string literal prefix)")
+    }
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_vec_dot" -> arity2("graft_vec_dot")(FloatVecDot(_, _)),
     "graft_vec_cosine" -> arity2("graft_vec_cosine")(FloatVecCosine(_, _)),
-    "graft_bottomk_md5" -> (bottomKBuilder _))
+    "graft_bottomk_md5" -> (bottomKBuilder _),
+    "graft_simhash32" -> (simhashBuilder _))
 
   private[functions] def builderFor(name: String): Seq[Expression] => Expression =
     fns.find(_._1 == name).get._2

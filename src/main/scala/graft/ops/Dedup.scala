@@ -75,27 +75,23 @@ object Dedup {
   /** SimHash: 64-bit fingerprint (two 32-bit halves, one per md5 stream;
     * bit j = majority of the j-th hex nibble's high bit across the doc's
     * distinct tokens). Near-dups = pairs with Hamming distance ≤ 2.
+    *
+    * Fingerprint construction is the native one-pass kernel
+    * (graft.functions.SimHashKernel, proven bit-identical to the portable
+    * 32×-explode + two-shuffle formulation in SimHashKernelSpec) — the
+    * fingerprint pass stays a narrow codegen'd map over the corpus scan.
     */
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val hexHigh = "('8','9','a','b','c','d','e','f')"
-    val tk = documents(s, d)
-      .filter(col("doc_id") < 150)
-      .select(col("doc_id"), explode(array_distinct(expr(toksE))).as("tok"))
-      .withColumn("h1", md5(col("tok")))
-      .withColumn("h2", md5(concat(lit("x"), col("tok"))))
-    // fingerprint pipeline is 32× explode — cached so it never runs twice
+    import graft.functions.SimHashKernel.simhash32
+    // fingerprints are consumed 3× (banding + both verify sides); the
+    // scoped cache keeps the corpus scan single-pass
     Caching.withCached(
-      tk.withColumn("j", explode(expr("sequence(1, 32)")))
-        .withColumn("i1", expr(s"CASE WHEN substring(h1, j, 1) IN $hexHigh THEN 1 ELSE -1 END"))
-        .withColumn("i2", expr(s"CASE WHEN substring(h2, j, 1) IN $hexHigh THEN 1 ELSE -1 END"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(col("i1")).as("s1"), sum(col("i2")).as("s2"))
-        .withColumn("b1", expr("CASE WHEN s1 > 0 THEN CAST(pow(2, j-1) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
-        .withColumn("b2", expr("CASE WHEN s2 > 0 THEN CAST(pow(2, j-1) AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("b1")).as("f1"), sum(col("b2")).as("f2"))
-        .select(col("doc_id"), col("f1").cast("long").as("f1"),
-          col("f2").cast("long").as("f2"))) { fp =>
+      documents(s, d)
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id"), array_distinct(expr(toksE)).as("toks"))
+        .select(col("doc_id"),
+          simhash32(col("toks"), "").as("f1"),
+          simhash32(col("toks"), "x").as("f2"))) { fp =>
       // banded candidate generation, NOT all-pairs: the 64-bit fingerprint
       // (two 32-bit halves) splits into 4 bands of 16 bits; Hamming ≤ 2 over
       // 4 bands ⇒ by pigeonhole at least one band is bit-identical, so the
