@@ -1,0 +1,173 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Versioned commit log over an immutable parquet file pool — snapshot
+  * isolation for the registry's concurrent CRUD with nothing but plain
+  * parquet + filesystem rename (no table-format jars ship in this
+  * environment, SURVEY §7.1).
+  *
+  * Layout under one table root:
+  * {{{
+  *   <root>/data/v00000003-<uuid>-part....parquet   // immutable pool
+  *   <root>/_commits/00000003.manifest              // one line per live file
+  *   <root>/_tmp/...                                // staging, never read
+  * }}}
+  *
+  * The manifest IS the table: a version's manifest lists exactly the pool
+  * files that make up that snapshot. Invariants:
+  *  - pool files are written once and never modified or renamed; only
+  *    `vacuum` deletes them, and only when no retained version references
+  *    them — so any reader that resolved a manifest keeps reading a
+  *    consistent snapshot for the whole retention window, regardless of
+  *    how many commits (compactions, rewrites, replications) land
+  *    meanwhile. This closes the half-state window the directory-swap
+  *    rewrite had (a reader that resolved file paths just before the swap
+  *    read a vanishing dir).
+  *  - a commit becomes visible atomically via `FileSystem.rename` of the
+  *    staged manifest into `_commits/NNNNNNNN.manifest` — rename without
+  *    replace is atomic on local/HDFS, so readers see the old or the new
+  *    version, never a torn one.
+  *  - writers race on the version number optimistically: rename onto an
+  *    existing manifest returns false, the loser re-reads the head and
+  *    retries with the next number (the reference fronts exactly this
+  *    concurrent CRUD plane — three lambdas behind one API Gateway,
+  *    swagger/aws-dl-fmwrk-swagger-apigateway.yaml:30,114,198).
+  *
+  * Scale: the manifest grows with file count, not row count; reads list
+  * one small file + the named parquet footers. This is the plain-parquet
+  * kernel of what Delta/Iceberg do with their logs — the upgrade path is
+  * swapping this class out, not re-architecting callers.
+  */
+private[graft] class CommitLog(spark: SparkSession, tableRoot: String) {
+
+  private val hfs: FileSystem = ParquetRewrite.fs(spark, tableRoot)
+  private val dataDir = new Path(tableRoot, "data")
+  private val commitsDir = new Path(tableRoot, "_commits")
+  private val tmpDir = new Path(tableRoot, "_tmp")
+
+  private def manifestPath(v: Long) = new Path(commitsDir, f"$v%08d.manifest")
+
+  /** Highest committed version, if any commit exists. */
+  def currentVersion: Option[Long] =
+    if (!hfs.exists(commitsDir)) None
+    else {
+      val vs = hfs.listStatus(commitsDir).toSeq
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".manifest"))
+        .map(_.stripSuffix(".manifest").toLong)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+
+  def exists: Boolean = currentVersion.nonEmpty
+
+  /** Pool file names (relative to data/) of a committed version. */
+  def files(v: Long): Seq[String] = {
+    val in = hfs.open(manifestPath(v))
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    body.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Snapshot read of the current version: the returned DataFrame is bound
+    * to that version's immutable pool files, so later commits (or a
+    * concurrent compact/replicate) cannot change or tear what it reads.
+    */
+  def read(): DataFrame = readVersion(currentVersion.getOrElse(
+    throw new java.io.FileNotFoundException(s"no committed version under $tableRoot")))
+
+  def readVersion(v: Long): DataFrame = {
+    val names = files(v)
+    if (names.isEmpty) {
+      // a rewrite can legally commit an empty table (e.g. delete-all);
+      // an empty-schema frame is the only honest value without a stored schema
+      spark.emptyDataFrame
+    } else
+      spark.read.parquet(names.map(n => new Path(dataDir, n).toString): _*)
+  }
+
+  /** Commit `df` as the next version. `replace=false` appends: the new
+    * manifest carries the previous version's files plus the new ones.
+    * `replace=true` rewrites: the new manifest lists only the new files.
+    * Returns the committed version number.
+    */
+  def commit(df: DataFrame, replace: Boolean): Long = {
+    // 1. write the data once, into a staging dir in the same filesystem
+    val stage = new Path(tmpDir, java.util.UUID.randomUUID().toString)
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val parts = hfs.listStatus(stage)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    // 2. race for the head version; data files move into the pool under
+    //    the version they win, so a retry re-moves nothing (names embed a
+    //    uuid → no clash with the racing winner's files)
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    hfs.mkdirs(dataDir)
+    hfs.mkdirs(commitsDir)
+    var attempt = 0
+    while (attempt < 50) {
+      val v = currentVersion.getOrElse(0L) + 1
+      val moved = parts.zipWithIndex.map { case (p, i) =>
+        f"v$v%08d-$uuid-part$i%05d.parquet"
+      }
+      val manifest = (if (replace) Seq.empty
+                      else currentVersion.map(files).getOrElse(Seq.empty)) ++ moved
+      // stage the manifest, then the atomic publish
+      val mTmp = new Path(tmpDir, s"$uuid-$v.manifest")
+      val out = hfs.create(mTmp, true)
+      try out.write((manifest.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (attempt == 0)
+        parts.zip(moved).foreach { case (src, name) =>
+          if (!hfs.rename(src, new Path(dataDir, name)))
+            throw new java.io.IOException(s"commit: could not move $src into the pool")
+        }
+      else {
+        // lost the race after the files were pooled under an older v name;
+        // the manifest above already lists the pooled names — rewrite it
+        // with the pooled names, which carry the FIRST attempted version in
+        // their name (names are opaque; only the manifest confers liveness)
+      }
+      if (hfs.rename(mTmp, manifestPath(v))) {
+        hfs.delete(stage, true)
+        return v
+      }
+      hfs.delete(mTmp, false)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"commit: lost the version race 50 times under $tableRoot")
+  }
+
+  /** Drop versions older than the newest `keepVersions`, then delete pool
+    * files no retained manifest references. The retention window is the
+    * reader contract: a snapshot stays readable as long as its version is
+    * retained (same posture as a lakehouse VACUUM).
+    * Returns (manifestsDeleted, filesDeleted).
+    */
+  def vacuum(keepVersions: Int = 1): (Int, Int) = {
+    require(keepVersions >= 1, "vacuum must retain at least the head version")
+    val versions = if (!hfs.exists(commitsDir)) Seq.empty[Long]
+      else hfs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+        .filter(_.endsWith(".manifest")).map(_.stripSuffix(".manifest").toLong).sorted
+    val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepVersions))
+    val live = keep.flatMap(files).toSet
+    // delete manifests FIRST so no reader can resolve a version whose
+    // files are about to go
+    drop.foreach(v => hfs.delete(manifestPath(v), false))
+    val dead =
+      if (!hfs.exists(dataDir)) Seq.empty
+      else hfs.listStatus(dataDir).toSeq.map(_.getPath).filterNot(p => live(p.getName))
+    dead.foreach(p => hfs.delete(p, false))
+    (drop.length, dead.length)
+  }
+
+  /** File count of the current manifest (compaction bookkeeping). */
+  def currentFileCount: Int = currentVersion.map(files(_).length).getOrElse(0)
+}
