@@ -55,10 +55,18 @@ object Bench {
     //  2. one short {"q":...,"s":...} line per query — no single line is
     //     long enough to clip;
     //  3. the one-line aggregate, emitted before and after spark.stop().
-    if (only.isEmpty)   // a filtered dev run must not clobber the full record
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+    if (only.isEmpty) {  // a filtered dev run must not clobber the full record
+      // path is env-overridable and falls back to the working directory so
+      // the bench is runnable outside this container's checkout layout
+      val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(java.nio.file.Paths.get(_))
+        .getOrElse {
+          val repo = java.nio.file.Paths.get("/root/repo")
+          (if (java.nio.file.Files.isDirectory(repo)) repo
+           else java.nio.file.Paths.get(".")).resolve("BENCH_LOCAL.json")
+        }
+      java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     results.foreach { case (k, v) => println(s"""{"q":"$k","s":$v}""") }
     println(line)
     spark.stop()

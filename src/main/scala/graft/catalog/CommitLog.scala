@@ -28,9 +28,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    rewrite had (a reader that resolved file paths just before the swap
   *    read a vanishing dir).
   *  - a commit becomes visible atomically via `FileSystem.rename` of the
-  *    staged manifest into `_commits/NNNNNNNN.manifest` — rename without
-  *    replace is atomic on local/HDFS, so readers see the old or the new
-  *    version, never a torn one.
+  *    staged manifest into `_commits/NNNNNNNN.manifest` — readers see the
+  *    old or the new version, never a torn one (no-replace semantics come
+  *    from HDFS rename; see `publish` for the local-fs posture).
   *  - writers race on the version number optimistically: rename onto an
   *    existing manifest returns false, the loser re-reads the head and
   *    retries with the next number (the reference fronts exactly this
@@ -51,16 +51,22 @@ private[graft] class CommitLog(spark: SparkSession, tableRoot: String) {
 
   private def manifestPath(v: Long) = new Path(commitsDir, f"$v%08d.manifest")
 
-  /** Highest committed version, if any commit exists. */
-  def currentVersion: Option[Long] =
-    if (!hfs.exists(commitsDir)) None
-    else {
-      val vs = hfs.listStatus(commitsDir).toSeq
-        .map(_.getPath.getName)
-        .filter(_.endsWith(".manifest"))
-        .map(_.stripSuffix(".manifest").toLong)
-      if (vs.isEmpty) None else Some(vs.max)
+  // strict name gate: a stray non-numeric file in _commits/ (editor swap,
+  // _SUCCESS marker, half-written temp) must be ignored, not explode every
+  // operation with NumberFormatException
+  private val ManifestName = "^(\\d{8,})\\.manifest$".r
+
+  private def committedVersions: Seq[Long] =
+    if (!hfs.exists(commitsDir)) Seq.empty
+    else hfs.listStatus(commitsDir).toSeq.map(_.getPath.getName).collect {
+      case ManifestName(d) => d.toLong
     }
+
+  /** Highest committed version, if any commit exists. */
+  def currentVersion: Option[Long] = {
+    val vs = committedVersions
+    if (vs.isEmpty) None else Some(vs.max)
+  }
 
   def exists: Boolean = currentVersion.nonEmpty
 
@@ -104,37 +110,39 @@ private[graft] class CommitLog(spark: SparkSession, tableRoot: String) {
     val parts = hfs.listStatus(stage)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath).sortBy(_.getName)
-    // 2. race for the head version; data files move into the pool under
-    //    the version they win, so a retry re-moves nothing (names embed a
-    //    uuid → no clash with the racing winner's files)
+    // 2. move the data into the pool ONCE, under names computed before the
+    //    version race — names are opaque (only a manifest confers
+    //    liveness), so they need not embed the finally-committed version;
+    //    the uuid keeps racing writers' files from clashing. Computing the
+    //    names inside the retry loop was a real bug: a writer that lost the
+    //    rename race would publish a manifest listing names that were never
+    //    created (the files sat in the pool under the FIRST attempt's
+    //    names), making that version and every append chaining it
+    //    unreadable — and vacuum would collect the real files as orphans.
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     hfs.mkdirs(dataDir)
     hfs.mkdirs(commitsDir)
+    val moved = parts.zipWithIndex.map { case (_, i) =>
+      f"$uuid-part$i%05d.parquet"
+    }
+    parts.zip(moved).foreach { case (src, name) =>
+      if (!hfs.rename(src, new Path(dataDir, name)))
+        throw new java.io.IOException(s"commit: could not move $src into the pool")
+    }
+    // 3. race for the head version: stage a manifest for head+1, atomic
+    //    rename into place; the loser re-reads the head and retries with
+    //    the SAME pooled file names
     var attempt = 0
     while (attempt < 50) {
       val v = currentVersion.getOrElse(0L) + 1
-      val moved = parts.zipWithIndex.map { case (p, i) =>
-        f"v$v%08d-$uuid-part$i%05d.parquet"
-      }
       val manifest = (if (replace) Seq.empty
                       else currentVersion.map(files).getOrElse(Seq.empty)) ++ moved
-      // stage the manifest, then the atomic publish
-      val mTmp = new Path(tmpDir, s"$uuid-$v.manifest")
+      val mTmp = new Path(tmpDir, s"$uuid-$attempt.manifest")
       val out = hfs.create(mTmp, true)
       try out.write((manifest.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      if (attempt == 0)
-        parts.zip(moved).foreach { case (src, name) =>
-          if (!hfs.rename(src, new Path(dataDir, name)))
-            throw new java.io.IOException(s"commit: could not move $src into the pool")
-        }
-      else {
-        // lost the race after the files were pooled under an older v name;
-        // the manifest above already lists the pooled names — rewrite it
-        // with the pooled names, which carry the FIRST attempted version in
-        // their name (names are opaque; only the manifest confers liveness)
-      }
-      if (hfs.rename(mTmp, manifestPath(v))) {
+      beforePublish(attempt, v)
+      if (publish(mTmp, manifestPath(v))) {
         hfs.delete(stage, true)
         return v
       }
@@ -149,25 +157,67 @@ private[graft] class CommitLog(spark: SparkSession, tableRoot: String) {
     * files no retained manifest references. The retention window is the
     * reader contract: a snapshot stays readable as long as its version is
     * retained (same posture as a lakehouse VACUUM).
+    *
+    * `minFileAgeMs` protects in-flight commits: a concurrent writer pools
+    * its data files BEFORE its manifest rename publishes them, so an
+    * unreferenced-but-young pool file may belong to a commit about to
+    * land — deleting it would let that commit succeed while referencing
+    * vanished files. Only unreferenced files older than the threshold are
+    * collected (the lakehouse VACUUM retention pattern); pass 0 only when
+    * no writer can be in flight.
     * Returns (manifestsDeleted, filesDeleted).
     */
-  def vacuum(keepVersions: Int = 1): (Int, Int) = {
+  def vacuum(keepVersions: Int = 1,
+             minFileAgeMs: Long = 15L * 60 * 1000): (Int, Int) = {
     require(keepVersions >= 1, "vacuum must retain at least the head version")
-    val versions = if (!hfs.exists(commitsDir)) Seq.empty[Long]
-      else hfs.listStatus(commitsDir).toSeq.map(_.getPath.getName)
-        .filter(_.endsWith(".manifest")).map(_.stripSuffix(".manifest").toLong).sorted
+    val versions = committedVersions.sorted
     val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepVersions))
     val live = keep.flatMap(files).toSet
     // delete manifests FIRST so no reader can resolve a version whose
     // files are about to go
     drop.foreach(v => hfs.delete(manifestPath(v), false))
+    val cutoff = System.currentTimeMillis() - minFileAgeMs
     val dead =
       if (!hfs.exists(dataDir)) Seq.empty
-      else hfs.listStatus(dataDir).toSeq.map(_.getPath).filterNot(p => live(p.getName))
+      else hfs.listStatus(dataDir).toSeq
+        .filter(f => !live(f.getPath.getName) && f.getModificationTime <= cutoff)
+        .map(_.getPath)
     dead.foreach(p => hfs.delete(p, false))
     (drop.length, dead.length)
   }
 
+  /** Atomic no-replace publish of a staged manifest. On HDFS, `rename`
+    * itself fails when the destination exists — the real concurrency
+    * guard. POSIX rename REPLACES the destination, so on the local
+    * filesystem the exists pre-check restores lose-the-race semantics
+    * (with a TOCTOU window acceptable for single-host testing; a cloud
+    * deployment would use a conditional-put log store here, the same
+    * split lakehouse formats make).
+    */
+  private def publish(mTmp: Path, dst: Path): Boolean =
+    if (hfs.exists(dst)) false else hfs.rename(mTmp, dst)
+
+  /** Test seam: runs just before each publish attempt, letting a spec
+    * inject a racing writer's manifest deterministically. */
+  protected def beforePublish(attempt: Int, v: Long): Unit = ()
+
   /** File count of the current manifest (compaction bookkeeping). */
   def currentFileCount: Int = currentVersion.map(files(_).length).getOrElse(0)
+
+  /** Versioned small-file compaction: rewrite the head snapshot into
+    * `ceil(bytes / targetFileBytes)` pool files as a NEW version (replace
+    * commit; `coalesce`, no shuffle). Unlike the in-place directory-swap
+    * compact, a reader holding any retained version keeps reading exactly
+    * its snapshot throughout — the maintenance op and the query plane
+    * never race. Returns (filesBefore, filesAfter).
+    */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val v = currentVersion.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $tableRoot"))
+    val names = files(v)
+    val bytes = names.map(n => hfs.getFileStatus(new Path(dataDir, n)).getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    commit(readVersion(v).coalesce(nOut), replace = true)
+    (names.length, currentFileCount)
+  }
 }

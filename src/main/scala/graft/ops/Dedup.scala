@@ -89,6 +89,12 @@ object Dedup {
       documents(s, d)
         .filter(col("doc_id") < 150)
         .select(col("doc_id"), array_distinct(expr(toksE)).as("toks"))
+        // docs with no tokens never reached the pairing in the portable
+        // explode form (UNNEST of an empty array emits no rows, and the
+        // DuckDB oracle still works that way); the one-pass kernel would
+        // fingerprint them all as (0,0) — Hamming-0 "near-dups" the oracle
+        // never reports — so exclude them explicitly
+        .filter(size(col("toks")) > 0)
         .select(col("doc_id"),
           simhash32(col("toks"), "").as("f1"),
           simhash32(col("toks"), "x").as("f2"))) { fp =>

@@ -118,6 +118,80 @@ class CatalogSpec extends AnyFunSuite {
     assert(afterRows.toSeq == beforeRows.toSeq)
   }
 
+  test("commit log: append and replace commits version snapshots") {
+    val log = new graft.catalog.CommitLog(spark, freshRoot() + "/t")
+    val v1 = log.commit(Seq(1L, 2L).toDF("k"), replace = false)
+    val v2 = log.commit(Seq(3L).toDF("k"), replace = false)
+    assert((v1, v2) == (1L, 2L))
+    assert(log.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(log.readVersion(v1).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val v3 = log.commit(Seq(9L).toDF("k"), replace = true)
+    assert(log.read().as[Long].collect().toSeq == Seq(9L))
+    assert(log.readVersion(v2).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(v3 == 3L)
+  }
+
+  test("commit log: reader mid-compact keeps its consistent snapshot") {
+    val log = new graft.catalog.CommitLog(spark, freshRoot() + "/t")
+    // many tiny files: one commit per row
+    for (i <- 1L to 12L) log.commit(Seq(i).toDF("k"), replace = false)
+    assert(log.currentFileCount >= 12)
+    // a reader resolves its snapshot BEFORE the compaction lands
+    val reader = log.read()
+    val (before, after) = log.compact()
+    assert(before >= 12 && after == 1)
+    // old snapshot still reads all rows — the files it resolved are
+    // immutable pool members, not a vanished directory
+    assert(reader.as[Long].collect().sorted.toSeq == (1L to 12L))
+    // vacuum with the default retention must NOT touch the young
+    // unreferenced files (they could belong to an in-flight commit)
+    val (_, keptYoung) = log.vacuum(keepVersions = 1)
+    assert(keptYoung == 0)
+    assert(reader.as[Long].collect().sorted.toSeq == (1L to 12L))
+    // aged-out vacuum collects them; the head snapshot is unaffected
+    val (_, collected) = log.vacuum(keepVersions = 1, minFileAgeMs = 0L)
+    assert(collected >= 12)
+    assert(log.read().as[Long].collect().sorted.toSeq == (1L to 12L))
+  }
+
+  test("commit log: losing the version race retries with the same pooled names") {
+    val root = freshRoot() + "/t"
+    val log = new graft.catalog.CommitLog(spark, root)
+    log.commit(Seq(1L).toDF("k"), replace = false)
+    // inject a racing winner: just before our attempt-0 publish of v2, a
+    // competing manifest for v2 appears (its content = v1's files, i.e. a
+    // no-op rewrite by another writer)
+    val racing = new graft.catalog.CommitLog(spark, root) {
+      override protected def beforePublish(attempt: Int, v: Long): Unit =
+        if (attempt == 0) {
+          val src = new org.apache.hadoop.fs.Path(root, "_commits/00000001.manifest")
+          val dst = new org.apache.hadoop.fs.Path(root, f"_commits/$v%08d.manifest")
+          org.apache.hadoop.fs.FileUtil.copy(
+            graft.catalog.ParquetRewrite.fs(spark, root), src,
+            graft.catalog.ParquetRewrite.fs(spark, root), dst, false,
+            spark.sparkContext.hadoopConfiguration)
+        }
+    }
+    val v = racing.commit(Seq(2L).toDF("k"), replace = false)
+    // lost v2, landed v3 — and the manifest must reference files that
+    // exist (the retry reuses the names the data was pooled under)
+    assert(v == 3L)
+    assert(log.readVersion(v).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(log.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("commit log: stray files in _commits are ignored, not fatal") {
+    val root = freshRoot() + "/t"
+    val log = new graft.catalog.CommitLog(spark, root)
+    log.commit(Seq(1L).toDF("k"), replace = false)
+    val hfs = graft.catalog.ParquetRewrite.fs(spark, root)
+    for (junk <- Seq("_SUCCESS", "notes.txt", "vNEXT.manifest"))
+      hfs.create(new org.apache.hadoop.fs.Path(root, s"_commits/$junk"), true).close()
+    assert(log.currentVersion.contains(1L))
+    log.vacuum(keepVersions = 1)
+    assert(log.read().as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("audit log: append, lookup, guarded status update") {
     val log = new AuditLog(spark, freshRoot() + "/audit")
     log.append("req-1", "create", "fn", Map("tasktype" -> "create"), """{"k":1}""")

@@ -75,6 +75,25 @@ class SimHashKernelSpec extends AnyFunSuite {
     assert(n.head().isNullAt(0))
   }
 
+  test("row coverage: empty-token docs are excluded, as in the explode form") {
+    // the portable/oracle form drops token-less docs (UNNEST of an empty
+    // array emits no rows); the kernel path must filter them rather than
+    // fingerprint them as (0,0) — else two empty docs become a Hamming-0
+    // "near-dup" pair the oracle never reports. Inner-join equality can't
+    // catch that; compare the doc SETS both directions.
+    val rows = Seq(
+      (1L, Seq("shared", "tokens", "here")),
+      (2L, Seq("shared", "tokens", "here")),
+      (3L, Seq.empty[String]),                       // no tokens at all
+      (4L, Seq.empty[String]))                       // second empty doc
+    val toks = spark.createDataFrame(rows).toDF("id", "toks")
+    val kernelPath = native(toks.filter(size(col("toks")) > 0))  // as Dedup does
+    val portablePath = portable(toks)
+    assert(kernelPath.select("id").exceptAll(portablePath.select("id")).count() == 0)
+    assert(portablePath.select("id").exceptAll(kernelPath.select("id")).count() == 0)
+    assert(kernelPath.filter(col("id").isin(3L, 4L)).count() == 0)
+  }
+
   test("SQL-registered name matches the Column API") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     val d = spark.createDataFrame(Seq((1L, Seq("the", "quick", "brown"))))
