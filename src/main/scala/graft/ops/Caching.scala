@@ -8,16 +8,40 @@ import org.apache.spark.sql.DataFrame
   * Verify/Bench harnesses clearCache() per query, but a library consumer
   * running many queries in one session accumulates cached blocks until
   * the executors evict under pressure. `withCached` persists the subplan,
-  * builds the result, eagerly materializes it (`localCheckpoint` runs the
-  * job while the cache is alive AND truncates the result's lineage so it
-  * no longer references the cached plan), then unpersists. The checkpoint
-  * blocks of the small result are reference-tracked by Spark's
-  * ContextCleaner and vanish when the returned DataFrame is unreferenced.
+  * builds the result, eagerly materializes it (so the job runs while the
+  * cache is alive and the result stops referencing the cached plan), then
+  * unpersists.
+  *
+  * The materialization tier is chosen by `spark.graft.cache.materialize`:
+  *  - `local` (default): `localCheckpoint` — fastest (executor-local
+  *    blocks), but NOT fault-tolerant: on a real cluster an executor loss
+  *    permanently kills the truncated-lineage result. The right tier for
+  *    single-host and for results consumed immediately.
+  *  - `reliable`: `checkpoint` to the SparkContext's configured
+  *    checkpoint directory (HDFS/S3 on a cluster) — survives executor
+  *    loss; costs a write to reliable storage. Requires
+  *    `SparkContext.setCheckpointDir` to have been called.
+  *  - `lineage`: no truncation at all — the result keeps its full plan
+  *    and recomputes through the (still-persisted) subplan; fault
+  *    tolerance by recomputation, the classic Spark posture. The subplan's
+  *    blocks are NOT eagerly released — the session's cache manager
+  *    (clearCache / LRU eviction / ContextCleaner) owns the release, which
+  *    is the trade for keeping the result recomputable.
   */
-private[ops] object Caching {
+private[graft] object Caching {
   def withCached(df: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
-    val cached = df.persist()
-    try f(cached).localCheckpoint(eager = true)
-    finally { cached.unpersist(): Unit }
+    val mode = df.sparkSession.conf.get("spark.graft.cache.materialize", "local")
+    mode match {
+      case "lineage" =>
+        f(df.persist())
+      case "reliable" =>
+        val cached = df.persist()
+        try f(cached).checkpoint(eager = true)
+        finally { cached.unpersist(): Unit }
+      case _ =>
+        val cached = df.persist()
+        try f(cached).localCheckpoint(eager = true)
+        finally { cached.unpersist(): Unit }
+    }
   }
 }

@@ -96,18 +96,51 @@ object Meta {
   private def health(s: SparkSession, d: String): DataFrame =
     s.range(1).select(lit("ok").as("status"), lit(200).as("code"))
 
-  /** R11 request-envelope construction (swagger:37-61): nested
-    * {body, params, context} document serialized to JSON.
+  /** R11 request-envelope construction (swagger:37-61): the FULL canonical
+    * shape the gateway's VTL template builds — `{body-json, params:
+    * {querystring|path|header maps}, stage-variables, context:{18 named
+    * identity/request fields}}` — serialized to JSON. Field names and
+    * nesting mirror the template verbatim; values are derived
+    * deterministically from event columns (identity fields the template
+    * leaves unset surface as empty strings, exactly as VTL renders an
+    * absent `$context.identity.*`). Narrow projection — scales as a map.
     */
   private def envelopeJson(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
       col("event_id"),
       to_json(struct(
-        col("event_type").as("body"),
-        struct(col("user_id").cast("string").as("user")).as("params"),
+        col("event_type").as("body-json"),
         struct(
+          struct(
+            col("event_type").as("tasktype"),
+            col("user_id").cast("string").as("user")).as("querystring"),
+          struct(
+            (col("event_id") % 100).cast("string").as("srcSysId")).as("path"),
+          struct(
+            lit("application/json").as("Content-Type"),
+            lit("graft/1.0").as("User-Agent")).as("header")).as("params"),
+        struct(
+          lit("prod").as("env"),
+          lit("us-east-2").as("region")).as("stage-variables"),
+        struct(
+          lit("123456789012").as("account-id"),
+          concat(lit("api-"), (col("event_id") % 10)).as("api-id"),
+          lit("").as("api-key"),
+          col("user_id").cast("string").as("authorizer-principal-id"),
+          concat(lit("caller-"), col("user_id")).as("caller"),
+          lit("").as("cognito-authentication-provider"),
+          lit("").as("cognito-authentication-type"),
+          lit("").as("cognito-identity-id"),
+          lit("").as("cognito-identity-pool-id"),
           lit("POST").as("http-method"),
-          concat(lit("req-"), col("event_id")).as("request-id")
+          lit("prod").as("stage"),
+          concat(lit("10.0."), (col("event_id") % 256), lit(".1")).as("source-ip"),
+          concat(lit("user-"), col("user_id")).as("user"),
+          lit("graft/1.0").as("user-agent"),
+          concat(lit("arn:user/"), col("user_id")).as("user-arn"),
+          concat(lit("req-"), col("event_id")).as("request-id"),
+          concat(lit("rsrc-"), (col("event_id") % 100)).as("resource-id"),
+          lit("/sourcesystem/{tasktype}").as("resource-path")
         ).as("context"))).as("envelope"))
       .orderBy("event_id")
 
@@ -180,10 +213,32 @@ object Meta {
     "meta_health" -> "SELECT 'ok' AS status, 200 AS code",
     "meta_envelope_json" ->
       """SELECT event_id,
-        |  CAST(json_object('body', event_type,
-        |    'params', json_object('user', CAST(user_id AS VARCHAR)),
-        |    'context', json_object('http-method', 'POST',
-        |      'request-id', 'req-' || CAST(event_id AS VARCHAR))) AS VARCHAR) AS envelope
+        |  CAST(json_object(
+        |    'body-json', event_type,
+        |    'params', json_object(
+        |      'querystring', json_object('tasktype', event_type, 'user', CAST(user_id AS VARCHAR)),
+        |      'path', json_object('srcSysId', CAST(event_id % 100 AS VARCHAR)),
+        |      'header', json_object('Content-Type', 'application/json', 'User-Agent', 'graft/1.0')),
+        |    'stage-variables', json_object('env', 'prod', 'region', 'us-east-2'),
+        |    'context', json_object(
+        |      'account-id', '123456789012',
+        |      'api-id', 'api-' || CAST(event_id % 10 AS VARCHAR),
+        |      'api-key', '',
+        |      'authorizer-principal-id', CAST(user_id AS VARCHAR),
+        |      'caller', 'caller-' || CAST(user_id AS VARCHAR),
+        |      'cognito-authentication-provider', '',
+        |      'cognito-authentication-type', '',
+        |      'cognito-identity-id', '',
+        |      'cognito-identity-pool-id', '',
+        |      'http-method', 'POST',
+        |      'stage', 'prod',
+        |      'source-ip', '10.0.' || CAST(event_id % 256 AS VARCHAR) || '.1',
+        |      'user', 'user-' || CAST(user_id AS VARCHAR),
+        |      'user-agent', 'graft/1.0',
+        |      'user-arn', 'arn:user/' || CAST(user_id AS VARCHAR),
+        |      'request-id', 'req-' || CAST(event_id AS VARCHAR),
+        |      'resource-id', 'rsrc-' || CAST(event_id % 100 AS VARCHAR),
+        |      'resource-path', '/sourcesystem/{tasktype}')) AS VARCHAR) AS envelope
         |FROM events ORDER BY event_id""".stripMargin,
     "meta_validate_required" ->
       """SELECT event_type, count(*) AS n_invalid

@@ -42,6 +42,48 @@ object Privacy {
     df.withColumn("_rt",
       expr(s"CAST(aes_decrypt(aes_encrypt($column, '$key'), '$key') AS STRING)"))
 
+  /** Encrypt `column` under the CURRENT version of a named secret,
+    * recording the key version beside the ciphertext (`<col>_enc`,
+    * `<col>_key_ver`) and dropping the plaintext. The stored version is
+    * what keeps old ciphertext decryptable after a rotation. Narrow
+    * per-row map — no shuffle at any scale.
+    */
+  def encryptWith(df: DataFrame, column: String, p: SecretProvider,
+      name: String): DataFrame = {
+    val v = p.currentVersion(name)
+    df.withColumn(s"${column}_enc",
+        call_function("aes_encrypt", col(column), lit(p.key(name, v))))
+      .withColumn(s"${column}_key_ver", lit(v))
+      .drop(column)
+  }
+
+  /** Decrypt `<col>_enc` back to `column`, resolving each ROW's key from
+    * its recorded version — a broadcast-free literal version→key map, so
+    * rows written before and after a rotation decrypt side by side.
+    */
+  def decryptWith(df: DataFrame, column: String, p: SecretProvider,
+      name: String): DataFrame = {
+    val keyByVer = map(p.secret(name).zipWithIndex.flatMap {
+      case (k, i) => Seq(lit(i + 1), lit(k))
+    }: _*)
+    df.withColumn(column,
+        call_function("aes_decrypt",
+          col(s"${column}_enc"),
+          element_at(keyByVer, col(s"${column}_key_ver").cast("int")))
+          .cast("string"))
+      .drop(s"${column}_enc", s"${column}_key_ver")
+  }
+
+  /** Key rotation: decrypt every row under its recorded (old) version and
+    * re-encrypt under the provider's current one. After this, all rows
+    * carry the current key version and the retired key can be destroyed —
+    * the operational step the reference's named-secret indirection exists
+    * to allow.
+    */
+  def rotate(df: DataFrame, column: String, p: SecretProvider,
+      name: String): DataFrame =
+    encryptWith(decryptWith(df, column, p, name), column, p, name)
+
   /** k-anonymity audit over the quasi-identifier pair (nation, market
     * segment): groups smaller than k=50 are re-identification risks a
     * release gate must suppress or generalize. One partial+final hash
