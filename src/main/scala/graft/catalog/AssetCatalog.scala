@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Registered entities of the lake control plane — the reference's three
@@ -23,37 +23,45 @@ case class TargetSystem(tgt_sys_id: Long, name: String, region: String,
 case class DataAsset(asset_id: Long, src_sys_id: Long, name: String,
     zone: String, modified_ts: java.sql.Timestamp, status: String)
 
-/** CRUD over a parquet-backed registry table, Spark-native.
+/** CRUD over a versioned-parquet registry table, Spark-native.
   *
   * No table-format jars ship in this environment (SURVEY §7.1), so mutable
-  * semantics are realized as read→transform→atomic-rewrite of plain
-  * parquet — the same logical plans a MERGE/DELETE would produce on a
-  * lakehouse table:
-  *  - create  = validated append                    (R1/R5, lambda_function.py:19-32,56-73)
-  *  - read    = key-predicate scan (pushdown)       (R3, lambda_function.py:35-38,75-92)
-  *  - update  = left-join + conditional projection  (R2/R6, guarded upsert,
+  * semantics are realized over [[CommitLog]] — every table under `root` is
+  * a commit-log table (immutable parquet pool + atomic manifest commits),
+  * giving the registry snapshot isolation: a reader that resolved a
+  * version keeps reading exactly that snapshot while concurrent CRUD,
+  * replication, or compaction land new versions (the reference fronts this
+  * concurrent plane with three lambdas behind one gateway,
+  * swagger/aws-dl-fmwrk-swagger-apigateway.yaml:30,114,198). The logical
+  * plans are the same a MERGE/DELETE would produce on a lakehouse table:
+  *  - create  = validated append commit                (R1/R5, lambda_function.py:19-32,56-73)
+  *  - read    = key-predicate scan (pushdown)          (R3, lambda_function.py:35-38,75-92)
+  *  - update  = left-join + conditional projection,
+  *              committed as a replace version         (R2/R6, guarded upsert,
   *              ConditionExpression at lambda_function.py:39)
-  *  - delete  = left-anti join rewrite              (R4, lambda_function.py:113-130)
+  *  - delete  = left-anti join, replace commit         (R4, lambda_function.py:113-130)
   *
-  * At scale the rewrite touches only the table's partitions that contain
-  * the key range (partition pruning on the key column); the registry
-  * tables themselves are small dimension tables — broadcast-joinable
-  * against any fact.
+  * At scale the registry tables are small dimension tables — broadcast-
+  * joinable against any fact — and the commit log's cost is one manifest
+  * write per mutation, independent of row count.
   */
 class AssetCatalog(spark: SparkSession, root: String) {
   import spark.implicits._
 
   private def path(table: String) = s"$root/$table"
 
-  def readTable(table: String): DataFrame = spark.read.parquet(path(table))
+  /** Test seam: specs override to inject race-instrumented commit logs. */
+  protected def newLog(table: String): CommitLog = new CommitLog(spark, path(table))
 
-  // Hadoop FileSystem, not java.io.File: existence must resolve correctly
-  // on HDFS/S3A, where File.exists() is unconditionally false
-  private def exists(table: String): Boolean =
-    ParquetRewrite.fs(spark, path(table)).exists(new Path(path(table)))
+  private val logs = scala.collection.concurrent.TrieMap.empty[String, CommitLog]
+  private def log(table: String): CommitLog = logs.getOrElseUpdate(table, newLog(table))
 
-  private def rewrite(table: String, df: DataFrame): Unit =
-    ParquetRewrite.rewrite(df, path(table))
+  /** Snapshot read of the table's current version — later commits cannot
+    * change or tear what the returned frame reads.
+    */
+  def readTable(table: String): DataFrame = log(table).read()
+
+  private def exists(table: String): Boolean = log(table).exists
 
   /** R1/R5: validated append. Fails fast on duplicate key — the
     * analysis-time validation posture of the reference's gateway
@@ -66,10 +74,10 @@ class AssetCatalog(spark: SparkSession, root: String) {
       s"create: duplicate keys within the batch for $table")
     if (exists(table)) {
       val dup = readTable(table).select(keyCol)
-        .join(rows.toDF().select(keyCol), Seq(keyCol), "inner").limit(1).count()
+        .join(batch.select(keyCol), Seq(keyCol), "inner").limit(1).count()
       require(dup == 0, s"create: key already exists in $table")
-      rows.toDF().write.mode(SaveMode.Append).parquet(path(table))
-    } else rows.toDF().write.parquet(path(table))
+    }
+    log(table).commit(batch, replace = false): Unit
   }
 
   /** R3: point lookup by key — a pushed-down predicate scan. */
@@ -78,7 +86,9 @@ class AssetCatalog(spark: SparkSession, root: String) {
 
   /** R2/R6: guarded upsert — rows whose key exists get the new column
     * values; others pass through unchanged (left join + CASE projection,
-    * the MERGE-WHEN-MATCHED plan).
+    * the MERGE-WHEN-MATCHED plan). Committed as a replace version: the
+    * projection reads the old snapshot's immutable pool files while the
+    * new version stages, so the rewrite can never consume itself.
     */
   def update(table: String, keyCol: String, updates: DataFrame): Unit = {
     require(updates.select(keyCol).distinct().count() == updates.count(),
@@ -94,13 +104,14 @@ class AssetCatalog(spark: SparkSession, root: String) {
         when(col("_matched"), col(s"u.$c")).otherwise(col(s"c.$c")).as(c)
       else col(s"c.$c").as(c)
     }: _*)
-    rewrite(table, projected)
+    log(table).commit(projected, replace = true): Unit
   }
 
-  /** R4: keyed delete — left-anti rewrite. */
+  /** R4: keyed delete — left-anti projection, replace commit. */
   def deleteKeys(table: String, keyCol: String, keys: Seq[Long]): Unit = {
     val ks = keys.toDF(keyCol)
-    rewrite(table, readTable(table).join(ks, Seq(keyCol), "left_anti"))
+    log(table).commit(
+      readTable(table).join(ks, Seq(keyCol), "left_anti"), replace = true): Unit
   }
 
   /** R15: per-source landing bucket name `{prefix}-{srcSysId}-{region}`
@@ -113,57 +124,65 @@ class AssetCatalog(spark: SparkSession, root: String) {
   def initZonePath(bucket: String, asset: String, batch: String): String =
     s"$bucket/$asset/$batch/init"
 
+  /** Registry tables under `root`: directories carrying a commit log. */
+  private def listTables: Seq[String] = {
+    val hfs = HadoopFs.fs(spark, root)
+    if (!hfs.exists(new Path(root))) Seq.empty
+    else hfs.listStatus(new Path(root))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(t => hfs.exists(new Path(path(t), "_commits")))
+      .toSeq.sorted
+  }
+
   /** Dual-region posture (reference config/globalConfig.json:4-5 carries a
     * primary + secondary region): replicate every registry table under
-    * `root` into `secondaryRoot` via the same staged-rewrite commit the
-    * primary uses, so a replica is never observable half-written. Returns
-    * the table names replicated.
+    * `root` into `secondaryRoot` as a replace commit on the replica's own
+    * commit log, so a replica reader always sees a complete version —
+    * never a half-written copy. Returns the table names replicated.
     *
-    * At scale each table replicates independently (per-table rewrite =
+    * At scale each table replicates independently (per-table commit =
     * per-table parallel copy job); the registry tables are small dims, so
     * this is metadata-cheap next to the data-plane replication it models.
     */
   def replicate(secondaryRoot: String): Seq[String] = {
-    val hfs = ParquetRewrite.fs(spark, root)
-    val tables = hfs.listStatus(new Path(root))
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filterNot(n => n.endsWith(".staging") || n.endsWith(".old"))
-      .toSeq.sorted
-    tables.foreach(t => ParquetRewrite.rewrite(readTable(t), s"$secondaryRoot/$t"))
+    val tables = listTables
+    tables.foreach { t =>
+      new CommitLog(spark, s"$secondaryRoot/$t")
+        .commit(readTable(t), replace = true)
+    }
     tables
   }
 
   /** Small-file compaction. Streaming ingest and per-batch appends leave
-    * a table as thousands of KB-sized parquet files; at 100 TB that turns
-    * every scan into open/footer-read overhead and floods the driver's
-    * file index. Rewrite the table into `ceil(bytes / targetFileBytes)`
-    * files via the same staged-rewrite commit as every other mutation (a
-    * reader never observes a half-compacted table). `coalesce`, not
-    * `repartition`: compaction must not pay a shuffle — it only narrows
-    * the file count.
+    * a table's head manifest listing hundreds of KB-sized parquet files;
+    * at 100 TB that turns every scan into open/footer-read overhead and
+    * floods the driver's file index. Delegates to the commit log's
+    * versioned compaction (`coalesce`, no shuffle): the rewrite lands as a
+    * NEW version, so a reader holding any retained snapshot keeps reading
+    * exactly its files — the maintenance op and the query plane never
+    * race.
     *
     * Returns (filesBefore, filesAfter).
     */
   def compact(table: String, targetFileBytes: Long = 128L * 1024 * 1024)
-      : (Int, Int) = {
-    val p = path(table)
-    val hfs = ParquetRewrite.fs(spark, p)
-    def dataFiles = hfs.listStatus(new Path(p))
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val before = dataFiles
-    val bytes = before.map(_.getLen).sum
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    rewrite(table, readTable(table).coalesce(nOut))
-    (before.length, dataFiles.length)
-  }
+      : (Int, Int) =
+    log(table).compact(targetFileBytes)
+
+  /** Drop registry versions beyond the newest `keepVersions` and collect
+    * pool files no retained version references (see [[CommitLog.vacuum]]
+    * for the in-flight-commit age guard).
+    */
+  def vacuum(table: String, keepVersions: Int = 1,
+      minFileAgeMs: Long = 15L * 60 * 1000): (Int, Int) =
+    log(table).vacuum(keepVersions, minFileAgeMs)
 
   /** Replica parity: primary and secondary hold exactly the same multiset
     * of rows (exceptAll empty both directions — catches missing AND extra).
     */
   def replicaParity(secondaryRoot: String, table: String): Boolean = {
     val a = readTable(table)
-    val b = spark.read.parquet(s"$secondaryRoot/$table")
+    val b = new CommitLog(spark, s"$secondaryRoot/$table").read()
     a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
   }
 }

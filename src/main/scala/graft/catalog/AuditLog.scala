@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Append-only API/query audit log — the reference's one fully
@@ -9,14 +9,19 @@ import org.apache.spark.sql.functions._
   * `(aws_request_id, method_name)` with the conditional status update at
   * :33-44; every handler audits via :67,:86,:105,:124 = R18).
   *
-  * Spark-native: an append-only parquet table with the reference's
-  * attribute set (`query_string` as map<string,string>, `payload` as a
-  * JSON string — SURVEY §1.3), plus the guarded status correction as a
-  * join-projection rewrite. Append-only parquet is the scale-correct
-  * shape: no rewrite on the hot path, audit writes are pure appends
-  * partitioned by event time.
+  * Spark-native: a [[CommitLog]] table with the reference's attribute set
+  * (`query_string` as map<string,string>, `payload` as a JSON string —
+  * SURVEY §1.3). Appends are append commits (no rewrite of prior events —
+  * the hot path stays O(batch)); the guarded status correction is a
+  * join-free conditional projection committed as a replace version, so an
+  * auditor reading the log mid-correction keeps a consistent snapshot.
   */
 class AuditLog(spark: SparkSession, root: String) {
+
+  /** Test seam: specs override to inject race-instrumented commit logs. */
+  protected def newLog(): CommitLog = new CommitLog(spark, root)
+
+  private lazy val log: CommitLog = newLog()
 
   val schemaCols: Seq[String] = Seq("aws_request_id", "method_name",
     "function_name", "query_string", "payload", "api_call_type",
@@ -34,21 +39,21 @@ class AuditLog(spark: SparkSession, root: String) {
         "query_string", "payload", "api_call_type")
       .withColumn("modified_ts", date_trunc("second", current_timestamp()))
       .withColumn("status", lit("success"))
-    row.write.mode(SaveMode.Append).parquet(root)
+    log.commit(row, replace = false): Unit
   }
 
-  def events: DataFrame = spark.read.parquet(root)
+  /** Snapshot read of the current audit log version. */
+  def events: DataFrame = log.read()
 
   /** R2: conditional status update — only rows whose key exists change
     * (`attribute_exists` guard, lambda_function.py:39).
     */
   def setStatus(requestId: String, methodName: String, status: String): Unit = {
-    val cur = events
-    val updated = cur.withColumn("status",
+    val updated = events.withColumn("status",
       when(col("aws_request_id") === requestId &&
         col("method_name") === methodName, lit(status))
         .otherwise(col("status")))
-    ParquetRewrite.rewrite(updated, root)
+    log.commit(updated, replace = true): Unit
   }
 
   /** R3: point lookup by the composite key. */

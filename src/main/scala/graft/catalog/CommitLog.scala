@@ -42,9 +42,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * kernel of what Delta/Iceberg do with their logs — the upgrade path is
   * swapping this class out, not re-architecting callers.
   */
-private[graft] class CommitLog(spark: SparkSession, tableRoot: String) {
+class CommitLog(spark: SparkSession, tableRoot: String) {
 
-  private val hfs: FileSystem = ParquetRewrite.fs(spark, tableRoot)
+  private val hfs: FileSystem = HadoopFs.fs(spark, tableRoot)
   private val dataDir = new Path(tableRoot, "data")
   private val commitsDir = new Path(tableRoot, "_commits")
   private val tmpDir = new Path(tableRoot, "_tmp")
@@ -189,13 +189,24 @@ private[graft] class CommitLog(spark: SparkSession, tableRoot: String) {
   /** Atomic no-replace publish of a staged manifest. On HDFS, `rename`
     * itself fails when the destination exists — the real concurrency
     * guard. POSIX rename REPLACES the destination, so on the local
-    * filesystem the exists pre-check restores lose-the-race semantics
-    * (with a TOCTOU window acceptable for single-host testing; a cloud
-    * deployment would use a conditional-put log store here, the same
-    * split lakehouse formats make).
+    * filesystem the manifest is published via `Files.createLink`, which
+    * the kernel guarantees to fail with EEXIST if the destination already
+    * exists — a genuinely atomic lose-the-race primitive, no TOCTOU
+    * window. (A cloud object store would use a conditional-put log store
+    * here, the same split lakehouse formats make.)
     */
   private def publish(mTmp: Path, dst: Path): Boolean =
-    if (hfs.exists(dst)) false else hfs.rename(mTmp, dst)
+    if (hfs.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(mTmp.toUri.getPath))
+        hfs.delete(mTmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else if (hfs.exists(dst)) false else hfs.rename(mTmp, dst)
 
   /** Test seam: runs just before each publish attempt, letting a spec
     * inject a racing writer's manifest deterministically. */

@@ -42,18 +42,22 @@ object Ingest {
     s.read.parquet(sinkPath)
   }
 
-  /** Streaming upsert sink: each micro-batch MERGEs into a parquet table
-    * by key (new rows replace same-key rows, others append) via
+  /** Streaming upsert sink: each micro-batch MERGEs into a versioned
+    * table by key (new rows replace same-key rows, others append) via
     * foreachBatch — the reference's SNS-triggered "lambda body" (R16,
     * cft/sourceSystem.yaml:29-63) doing idempotent ingestion (R2's
     * guarded-upsert semantics on the data plane). At scale foreachBatch
     * is the standard bridge from a stream to MERGE-style table
-    * maintenance; the join-rewrite here is the plain-parquet stand-in
-    * for a lakehouse MERGE (SURVEY §7.1).
+    * maintenance; the [[graft.catalog.CommitLog]] replace commit is the
+    * plain-parquet stand-in for a lakehouse MERGE (SURVEY §7.1): a crash
+    * mid-batch leaves only unreferenced staging/pool files — never a
+    * partial table that replay mistakes for a live one — and a concurrent
+    * reader keeps its resolved snapshot throughout the merge.
     */
   def ingestUpsert(s: SparkSession, srcPath: String, tablePath: String,
       checkpoint: String, keyCol: String): DataFrame = {
     val schema = s.read.parquet(srcPath).schema
+    val log = new graft.catalog.CommitLog(s, tablePath)
     val q = s.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -70,26 +74,18 @@ object Ingest {
           .groupBy(col(keyCol))
           .agg(min(struct(others.map(col): _*)).as("_s"))
           .select(col(keyCol) +: others.map(c => col(s"_s.$c").as(c)): _*)
-        // Hadoop FS existence probe (java.io.File.exists is always false on
-        // HDFS/S3A — every batch would silently overwrite the table)
-        val tableExists = graft.catalog.ParquetRewrite
-          .fs(s, tablePath)
-          .exists(new org.apache.hadoop.fs.Path(tablePath))
         val merged =
-          if (!tableExists) newRows
-          else s.read.parquet(tablePath)
+          if (!log.exists) newRows
+          else log.read()
             .join(newRows.select(keyCol), Seq(keyCol), "left_anti")
             .unionByName(newRows)
-        // staged rewrite on EVERY batch including the first — a crash
-        // mid-write must not leave a partial dir that replay mistakes
-        // for a live table
-        graft.catalog.ParquetRewrite.rewrite(merged, tablePath)
+        log.commit(merged, replace = true): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(tablePath)
+    log.read()
   }
 
   /** Declared query: ingest the events landing files via the streaming

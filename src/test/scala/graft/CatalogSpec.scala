@@ -167,8 +167,8 @@ class CatalogSpec extends AnyFunSuite {
           val src = new org.apache.hadoop.fs.Path(root, "_commits/00000001.manifest")
           val dst = new org.apache.hadoop.fs.Path(root, f"_commits/$v%08d.manifest")
           org.apache.hadoop.fs.FileUtil.copy(
-            graft.catalog.ParquetRewrite.fs(spark, root), src,
-            graft.catalog.ParquetRewrite.fs(spark, root), dst, false,
+            graft.catalog.HadoopFs.fs(spark, root), src,
+            graft.catalog.HadoopFs.fs(spark, root), dst, false,
             spark.sparkContext.hadoopConfiguration)
         }
     }
@@ -184,12 +184,87 @@ class CatalogSpec extends AnyFunSuite {
     val root = freshRoot() + "/t"
     val log = new graft.catalog.CommitLog(spark, root)
     log.commit(Seq(1L).toDF("k"), replace = false)
-    val hfs = graft.catalog.ParquetRewrite.fs(spark, root)
+    val hfs = graft.catalog.HadoopFs.fs(spark, root)
     for (junk <- Seq("_SUCCESS", "notes.txt", "vNEXT.manifest"))
       hfs.create(new org.apache.hadoop.fs.Path(root, s"_commits/$junk"), true).close()
     assert(log.currentVersion.contains(1L))
     log.vacuum(keepVersions = 1)
     assert(log.read().as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("commit log: vacuum honors retention and drops manifests before files") {
+    val log = new graft.catalog.CommitLog(spark, freshRoot() + "/t")
+    for (i <- 1L to 3L) log.commit(Seq(i).toDF("k"), replace = false)
+    intercept[IllegalArgumentException](log.vacuum(keepVersions = 0))
+    val snapshotV2 = log.readVersion(2L)
+    val (m1, f1) = log.vacuum(keepVersions = 2, minFileAgeMs = 0L)
+    assert(m1 == 1, "exactly the v1 manifest drops")
+    // append chain: v1's pool files are still referenced by v2/v3 → kept
+    assert(f1 == 0)
+    intercept[java.io.FileNotFoundException](log.files(1L))
+    // the retained snapshot resolved BEFORE the vacuum stays fully readable
+    assert(snapshotV2.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // a replace commit orphans the whole old chain…
+    log.commit(Seq(9L).toDF("k"), replace = true)
+    // …but the default age guard protects the young unreferenced files
+    // (they could belong to an in-flight commit)
+    val (m2, f2) = log.vacuum(keepVersions = 1)
+    assert(m2 == 2 && f2 == 0)
+    // aged out, the orphaned pool files of all three old commits go
+    val (_, f3) = log.vacuum(keepVersions = 1, minFileAgeMs = 0L)
+    assert(f3 >= 3)
+    assert(log.read().as[Long].collect().toSeq == Seq(9L))
+  }
+
+  test("asset catalog: reader mid-compact keeps its consistent snapshot") {
+    val cat = new AssetCatalog(spark, freshRoot())
+    for (i <- 0L to 11L)
+      cat.create("source_system", "src_sys_id", Seq(
+        SourceSystem(i, s"s$i", "r", ts("2026-01-01 00:00:00"), "active")).toDS())
+    // a reader resolves its snapshot BEFORE the compaction lands
+    val reader = cat.readTable("source_system")
+    val (before, after) = cat.compact("source_system")
+    assert(before >= 12 && after == 1)
+    assert(reader.select("src_sys_id").as[Long].collect().sorted.toSeq == (0L to 11L))
+    // default-retention vacuum must not collect the young unreferenced files
+    val (_, young) = cat.vacuum("source_system")
+    assert(young == 0)
+    assert(reader.select("src_sys_id").as[Long].collect().sorted.toSeq == (0L to 11L))
+    // aged-out vacuum collects them; the compacted head is unaffected
+    val (_, collected) = cat.vacuum("source_system", keepVersions = 1, minFileAgeMs = 0L)
+    assert(collected >= 12)
+    assert(cat.readTable("source_system").count() == 12)
+  }
+
+  test("asset catalog: losing the CRUD version race retries and lands") {
+    val root = freshRoot()
+    val cat = new AssetCatalog(spark, root) {
+      override protected def newLog(table: String): graft.catalog.CommitLog =
+        new graft.catalog.CommitLog(spark, s"$root/$table") {
+          // inject a racing winner: just before this catalog's publish of
+          // v2, a competing manifest for v2 appears (content = v1's files,
+          // i.e. a no-op rewrite by another writer)
+          override protected def beforePublish(attempt: Int, v: Long): Unit =
+            if (attempt == 0 && v == 2L) {
+              val hfs = graft.catalog.HadoopFs.fs(spark, root)
+              val src = new org.apache.hadoop.fs.Path(
+                root, s"$table/_commits/00000001.manifest")
+              val dst = new org.apache.hadoop.fs.Path(
+                root, f"$table/_commits/$v%08d.manifest")
+              org.apache.hadoop.fs.FileUtil.copy(hfs, src, hfs, dst, false,
+                spark.sparkContext.hadoopConfiguration)
+            }
+        }
+    }
+    seed(cat)
+    cat.update("source_system", "src_sys_id",
+      Seq((101L, "inactive")).toDF("src_sys_id", "status"))
+    // lost v2 to the injected racer, landed v3 — with the update applied
+    val log = new graft.catalog.CommitLog(spark, s"$root/source_system")
+    assert(log.currentVersion.contains(3L))
+    val m = cat.readTable("source_system")
+      .select("src_sys_id", "status").as[(Long, String)].collect().toMap
+    assert(m == Map(101L -> "inactive", 102L -> "active"))
   }
 
   test("audit log: append, lookup, guarded status update") {
