@@ -37,16 +37,27 @@ object Privacy {
 
   /** AES round-trip used by PrivacySpec: encrypt then decrypt a column
     * with the same key; the result must equal the input byte-for-byte.
+    * The key is passed as a bound Column, never interpolated into SQL
+    * text (injection-proof and absent from the parsed query string).
     */
   def aesRoundTrip(df: DataFrame, column: String, key: String): DataFrame =
     df.withColumn("_rt",
-      expr(s"CAST(aes_decrypt(aes_encrypt($column, '$key'), '$key') AS STRING)"))
+      call_function("aes_decrypt",
+        call_function("aes_encrypt", col(column), lit(key)),
+        lit(key)).cast("string"))
 
   /** Encrypt `column` under the CURRENT version of a named secret,
     * recording the key version beside the ciphertext (`<col>_enc`,
     * `<col>_key_ver`) and dropping the plaintext. The stored version is
     * what keeps old ciphertext decryptable after a rotation. Narrow
     * per-row map — no shuffle at any scale.
+    *
+    * Operational caveat: the resolved key is a plan literal, so plans
+    * containing these columns must not be logged (explain output / event
+    * logs / UI SQL tab would carry key material). A cluster deployment
+    * would resolve the key executor-side behind a secret-resolving
+    * expression; in this environment the literal keeps the whole path
+    * codegen'd built-ins.
     */
   def encryptWith(df: DataFrame, column: String, p: SecretProvider,
       name: String): DataFrame = {
@@ -58,18 +69,27 @@ object Privacy {
   }
 
   /** Decrypt `<col>_enc` back to `column`, resolving each ROW's key from
-    * its recorded version — a broadcast-free literal version→key map, so
-    * rows written before and after a rotation decrypt side by side.
+    * its recorded version — a literal version→key map keyed by the STABLE
+    * version identifiers, so rows written before and after a rotation
+    * decrypt side by side even after retired versions are destroyed.
+    * A row whose recorded version is no longer live FAILS the query
+    * (raise_error) instead of silently decrypting to null — a missing key
+    * is data loss and must be loud. (Same plan-literal caveat as
+    * `encryptWith`.)
     */
   def decryptWith(df: DataFrame, column: String, p: SecretProvider,
       name: String): DataFrame = {
-    val keyByVer = map(p.secret(name).zipWithIndex.flatMap {
-      case (k, i) => Seq(lit(i + 1), lit(k))
+    val keyByVer = map(p.secret(name).flatMap {
+      case (v, k) => Seq(lit(v), lit(k))
     }: _*)
+    val ver = col(s"${column}_key_ver").cast("int")
     df.withColumn(column,
         call_function("aes_decrypt",
           col(s"${column}_enc"),
-          element_at(keyByVer, col(s"${column}_key_ver").cast("int")))
+          coalesce(element_at(keyByVer, ver),
+            raise_error(concat(
+              lit(s"decrypt $column: secret '$name' has no live version "),
+              ver.cast("string")))))
           .cast("string"))
       .drop(s"${column}_enc", s"${column}_key_ver")
   }

@@ -6,50 +6,78 @@ package graft.ops
   * (config/globalConfig.json:8, `secret_name: "cape_privacy_key"`) rather
   * than a raw key — the privacy plane resolves the key at use time from a
   * secret store, and the stored name stays valid across key rotations.
-  * This trait is that indirection, engine-side: versions of a secret are
-  * ordered, the highest is current, and every older version remains
-  * resolvable so ciphertext written under it can still be decrypted
-  * (rotation would otherwise orphan every encrypted column in the lake).
+  * This trait is that indirection, engine-side.
+  *
+  * Versions are STABLE IDENTIFIERS, not list positions: a secret exposes
+  * `(version, key)` pairs, and destroying a retired version removes its
+  * pair without renumbering the survivors. That invariant is what makes
+  * `<col>_key_ver` values stored beside ciphertext durable — with
+  * positional versions, deleting an old key would silently shift every
+  * later version onto the wrong key and decrypt the lake to garbage or
+  * nulls. Rows whose recorded version is no longer resolvable must FAIL
+  * (Privacy.decryptWith raises), never decrypt to null.
   */
 trait SecretProvider {
-  /** All versions of a named secret, oldest first; last = current.
-    * Must be non-empty for a known name; unknown names throw.
+  /** Live `(version, key)` pairs of a named secret, ascending by version;
+    * the highest version is current. Must be non-empty for a known name;
+    * unknown names throw. Versions are positive and unique.
     */
-  def secret(name: String): Seq[String]
+  def secret(name: String): Seq[(Int, String)]
 
-  final def currentVersion(name: String): Int = secret(name).length
-  final def currentKey(name: String): String = secret(name).last
-  final def key(name: String, version: Int): String = {
+  final def currentVersion(name: String): Int = {
     val vs = secret(name)
-    require(version >= 1 && version <= vs.length,
-      s"secret '$name' has no version $version (1..${vs.length})")
-    vs(version - 1)
+    require(vs.nonEmpty, s"secret '$name' has no live versions")
+    vs.map(_._1).max
   }
+
+  final def currentKey(name: String): String = key(name, currentVersion(name))
+
+  final def key(name: String, version: Int): String =
+    secret(name).collectFirst { case (`version`, k) => k }.getOrElse(
+      throw new NoSuchElementException(
+        s"secret '$name' has no live version $version " +
+          s"(live: ${secret(name).map(_._1).mkString(",")})"))
 }
 
 /** Config-backed provider for tests and embedded use. */
-class InMemorySecretProvider(entries: Map[String, Seq[String]])
+class InMemorySecretProvider(entries: Map[String, Seq[(Int, String)]])
     extends SecretProvider {
-  override def secret(name: String): Seq[String] =
+  override def secret(name: String): Seq[(Int, String)] =
     entries.getOrElse(name,
       throw new NoSuchElementException(s"unknown secret '$name'"))
+      .sortBy(_._1)
 }
 
 object SecretProvider {
   /** Environment-backed provider: secret `cape_privacy_key` resolves from
-    * `GRAFT_SECRET_CAPE_PRIVACY_KEY`, whose value is the comma-separated
-    * version list (oldest first). The deployment analog of the reference's
-    * secret-store lookup, with the same named indirection.
+    * `GRAFT_SECRET_CAPE_PRIVACY_KEY`. The value is a comma-separated
+    * version list — either explicit `ver:key` pairs (`1:oldk,3:newk`;
+    * gaps mark destroyed versions) or bare keys, which are numbered
+    * positionally 1..n (only safe while no version has ever been
+    * destroyed). The deployment analog of the reference's secret-store
+    * lookup, with the same named indirection.
     */
   def fromEnv(env: Map[String, String] = sys.env): SecretProvider =
     new SecretProvider {
-      override def secret(name: String): Seq[String] = {
+      override def secret(name: String): Seq[(Int, String)] = {
         val envKey = "GRAFT_SECRET_" + name.toUpperCase.replaceAll("[^A-Z0-9]", "_")
-        env.get(envKey) match {
+        val raw = env.get(envKey) match {
           case Some(v) if v.nonEmpty => v.split(",").toSeq
           case _ => throw new NoSuchElementException(
             s"secret '$name' not found (env $envKey unset)")
         }
+        val explicit = raw.forall(_.matches("\\d+:.+"))
+        require(explicit || raw.forall(!_.matches("\\d+:.+")),
+          s"secret '$name': mixed ver:key and bare entries in $envKey")
+        val pairs =
+          if (explicit) raw.map { e =>
+            val Array(v, k) = e.split(":", 2)
+            (v.toInt, k)
+          }
+          else raw.zipWithIndex.map { case (k, i) => (i + 1, k) }
+        require(pairs.map(_._1).distinct.length == pairs.length,
+          s"secret '$name': duplicate versions in $envKey")
+        pairs.sortBy(_._1)
       }
     }
 }

@@ -25,6 +25,88 @@ class PrivacySpec extends AnyFunSuite {
     assert(df.filter(expr("CAST(ct AS STRING) = c_name")).count() == 0)
   }
 
+  private val k1 = "0123456789abcdef"
+  private val k2 = "fedcba9876543210"
+  private def pii = Tables.customer(spark, sfDir)
+    .select(col("c_custkey"), col("c_name")).limit(200)
+
+  test("secret rotation: rows encrypted under v1 and v2 decrypt side by side") {
+    import ops.{InMemorySecretProvider, Privacy}
+    val p1 = new InMemorySecretProvider(Map("cape_privacy_key" -> Seq(1 -> k1)))
+    val p2 = new InMemorySecretProvider(Map("cape_privacy_key" -> Seq(1 -> k1, 2 -> k2)))
+    val oldRows = Privacy.encryptWith(pii.filter(col("c_custkey") <= 100),
+      "c_name", p1, "cape_privacy_key")
+    val newRows = Privacy.encryptWith(pii.filter(col("c_custkey") > 100),
+      "c_name", p2, "cape_privacy_key")
+    assert(oldRows.select("c_name_key_ver").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(newRows.select("c_name_key_ver").distinct().collect().map(_.getInt(0)).toSeq == Seq(2))
+    // cross-rotation decrypt: both populations recover their plaintext
+    val decrypted = Privacy.decryptWith(oldRows.unionByName(newRows),
+      "c_name", p2, "cape_privacy_key")
+    val mismatches = decrypted.join(pii.withColumnRenamed("c_name", "expected"),
+      Seq("c_custkey"))
+      .filter(col("c_name") =!= col("expected") || col("c_name").isNull)
+    assert(mismatches.count() == 0 && decrypted.count() == pii.count())
+  }
+
+  test("rotate() re-encrypts everything under the current version; the retired key can then be destroyed") {
+    import ops.{InMemorySecretProvider, Privacy}
+    val p1 = new InMemorySecretProvider(Map("cape_privacy_key" -> Seq(1 -> k1)))
+    val p2 = new InMemorySecretProvider(Map("cape_privacy_key" -> Seq(1 -> k1, 2 -> k2)))
+    val rotated = Privacy.rotate(
+      Privacy.encryptWith(pii, "c_name", p1, "cape_privacy_key"),
+      "c_name", p2, "cape_privacy_key")
+    assert(rotated.select("c_name_key_ver").distinct().collect().map(_.getInt(0)).toSeq == Seq(2))
+    // v1 destroyed: versions stay STABLE identifiers, v2 still resolves
+    val p3 = new InMemorySecretProvider(Map("cape_privacy_key" -> Seq(2 -> k2)))
+    val decrypted = Privacy.decryptWith(rotated, "c_name", p3, "cape_privacy_key")
+    val mismatches = decrypted.join(pii.withColumnRenamed("c_name", "expected"),
+      Seq("c_custkey"))
+      .filter(col("c_name") =!= col("expected") || col("c_name").isNull)
+    assert(mismatches.count() == 0 && decrypted.count() == pii.count())
+  }
+
+  test("decrypt fails loudly when a row's recorded version is no longer live") {
+    import ops.{InMemorySecretProvider, Privacy}
+    val p1 = new InMemorySecretProvider(Map("cape_privacy_key" -> Seq(1 -> k1)))
+    val enc = Privacy.encryptWith(pii, "c_name", p1, "cape_privacy_key")
+    // v1 destroyed WITHOUT rotating first — decrypt must raise, not null out
+    val pDestroyed = new InMemorySecretProvider(Map("cape_privacy_key" -> Seq(2 -> k2)))
+    val e = intercept[Exception] {
+      Privacy.decryptWith(enc, "c_name", pDestroyed, "cape_privacy_key").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("no live version"),
+      s"unexpected failure: ${e.getMessage}")
+  }
+
+  test("provider version lookups are stable identifiers, not positions") {
+    import ops.InMemorySecretProvider
+    // v1 destroyed, v3 current: key(3) must resolve to k2, key(1) must throw
+    val p = new InMemorySecretProvider(Map("s" -> Seq(3 -> k2, 2 -> k1)))
+    assert(p.currentVersion("s") == 3 && p.currentKey("s") == k2)
+    assert(p.key("s", 2) == k1)
+    intercept[NoSuchElementException](p.key("s", 1))
+    intercept[NoSuchElementException](p.secret("unknown"))
+  }
+
+  test("fromEnv mangles the secret name and parses ver:key pairs") {
+    import ops.SecretProvider
+    // explicit ver:key pairs with a destroyed v2
+    val p = SecretProvider.fromEnv(Map(
+      "GRAFT_SECRET_CAPE_PRIVACY_KEY" -> s"1:$k1,3:$k2"))
+    assert(p.secret("cape_privacy_key") == Seq(1 -> k1, 3 -> k2))
+    assert(p.currentVersion("cape_privacy_key") == 3)
+    intercept[NoSuchElementException](p.key("cape_privacy_key", 2))
+    // bare list → positional numbering
+    val bare = SecretProvider.fromEnv(Map("GRAFT_SECRET_K" -> s"$k1,$k2"))
+    assert(bare.secret("k") == Seq(1 -> k1, 2 -> k2))
+    // unknown name / unset env
+    intercept[NoSuchElementException](p.secret("other_key"))
+    // mixed formats rejected
+    intercept[IllegalArgumentException](
+      SecretProvider.fromEnv(Map("GRAFT_SECRET_K" -> s"$k1,2:$k2")).secret("k"))
+  }
+
   test("sha2 tokenization is deterministic and distinct-preserving") {
     val masked = ops.Privacy.queries("q_mask_sensitive")(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
