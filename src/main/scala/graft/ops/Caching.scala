@@ -38,10 +38,15 @@ private[graft] object Caching {
         val cached = df.persist()
         try f(cached).checkpoint(eager = true)
         finally { cached.unpersist(): Unit }
-      case _ =>
+      case "local" =>
         val cached = df.persist()
         try f(cached).localCheckpoint(eager = true)
         finally { cached.unpersist(): Unit }
+      case other =>
+        // a typo ("relaible") must not silently drop the fault tolerance
+        // the user asked for
+        throw new IllegalArgumentException(
+          s"spark.graft.cache.materialize must be local|reliable|lineage, got '$other'")
     }
   }
 }
