@@ -90,6 +90,63 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState resumes its state from the checkpoint across query restarts") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val landing = java.nio.file.Files.createTempDirectory("graft_restart_src")
+      val work = java.nio.file.Files.createTempDirectory("graft_restart")
+      Seq(landing, work).foreach(d => Stateful.deleteOnExit(d.toFile))
+      val chk = s"$work/chk"
+
+      // stage one parquet file of UserValue rows into the landing dir
+      def dropFile(name: String, rows: Seq[Stateful.UserValue]): Unit = {
+        val stage = java.nio.file.Files.createTempDirectory("graft_restart_stage")
+        Stateful.deleteOnExit(stage.toFile)
+        rows.toDS().coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, landing.resolve(name)): Unit
+      }
+
+      // a COMPLETELY fresh query instance per run — new source, new
+      // processor, new sink dir; only the checkpoint dir is shared
+      def runQuery(outDir: String): Unit = {
+        val schema = org.apache.spark.sql.Encoders.product[Stateful.UserValue].schema
+        val src = spark.readStream.schema(schema).parquet(landing.toString)
+          .as[Stateful.UserValue]
+        val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          (b, _) => b.write.mode("append").parquet(outDir)
+        val q = Stateful.runningMinMaxPerUser(src).toDF()
+          .writeStream
+          .foreachBatch(sink)
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+
+      dropFile("f1.parquet", Seq(Stateful.UserValue(5L, 3.0), Stateful.UserValue(5L, 9.0)))
+      runQuery(s"$work/out1")
+      val run1 = spark.read.parquet(s"$work/out1")
+        .select("user_id", "lo", "hi").as[(Long, Double, Double)].collect().toSet
+      assert(run1 == Set((5L, 3.0, 9.0)))
+
+      // the first query is gone; land a new file and start a NEW query
+      // from the same checkpoint — it must see ONLY the new file (source
+      // progress restored) and carry user 5's min/max (state restored)
+      dropFile("f2.parquet", Seq(Stateful.UserValue(5L, 1.0), Stateful.UserValue(6L, 4.0)))
+      runQuery(s"$work/out2")
+      val run2 = spark.read.parquet(s"$work/out2")
+        .select("user_id", "lo", "hi").as[(Long, Double, Double)].collect().toSet
+      // hi = 9.0 can only come from the checkpointed state: 9.0 is not in f2
+      assert(run2 == Set((5L, 1.0, 9.0), (6L, 4.0, 4.0)))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("foreachBatch upsert sink: re-delivered batches stay idempotent per key") {
     val d = sfDir
     val landing = Stateful.landingDir(d, 2)   // same events file twice → 2 batches
