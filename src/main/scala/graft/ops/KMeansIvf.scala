@@ -49,6 +49,14 @@ object KMeansIvf {
     * update steps. Returns the trained centroid table (c_id, c_emb) and
     * the inertia (sum of squared distances) measured after each update —
     * non-increasing by construction, which the spec asserts.
+    *
+    * One Spark job per iteration: the inertia of the centroids ENTERING an
+    * iteration is harvested from that iteration's assignment pass via
+    * `Dataset.observe` (an `Observation` accumulates sum(d2) inside the
+    * update job — no separate collect/job per iteration), and iteration
+    * i+1's observation IS the post-update-i inertia because Lloyd re-runs
+    * the same assignment. Only the final update needs one extra
+    * measurement job, since no later iteration re-assigns against it.
     */
   def train(spark: SparkSession, vectors: DataFrame, k: Int, iters: Int)
       : (DataFrame, Seq[Double]) = {
@@ -57,9 +65,11 @@ object KMeansIvf {
     var cents = v.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("c_id"), col("embedding").as("c_emb"))
       .localCheckpoint(eager = true)
-    val inertia = Seq.newBuilder[Double]
+    val observed = Seq.newBuilder[Double]
     for (_ <- 1 to iters) {
+      val obs = org.apache.spark.sql.Observation()
       val a = assign(v, cents)
+        .observe(obs, sum(col("d2")).cast("double").as("sse"))
       // element-wise mean per centroid: explode to (c_id, pos, x), average,
       // fold back into an array<float> in position order. One shuffle keyed
       // on (c_id, pos) — k·dim groups, partial-aggregated map-side.
@@ -71,9 +81,16 @@ object KMeansIvf {
           "transform(array_sort(collect_list(struct(pos, m))), s -> CAST(s.m AS FLOAT))")
           .as("c_emb"))
         .localCheckpoint(eager = true)   // truncate per-iteration lineage
-      inertia += assign(v, cents).agg(sum(col("d2"))).collect()(0).getDouble(0)
+      observed += obs.get("sse").asInstanceOf[Double]
     }
-    (cents, inertia.result())
+    val finalSse = assign(v, cents).agg(sum(col("d2")).cast("double"))
+      .collect()(0).getDouble(0)
+    // observed = SSE of the centroids entering each iteration: init, then
+    // after update 1, …, after update iters-1. Drop the init reading and
+    // append the final update's dedicated measurement → exactly the
+    // after-each-update series the previous two-jobs-per-iteration
+    // implementation produced.
+    (cents, observed.result().drop(1) :+ finalSse)
   }
 
   /** IVF search: rank centroids by distance to the anchor, exhaustively
