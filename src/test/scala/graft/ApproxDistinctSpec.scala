@@ -5,8 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** SURVEY §2.2-E `q_agg_approx_distinct`: the HLL sketch is engine-specific
   * (no DuckDB oracle), so correctness is an accuracy bound — each approx
-  * count must land within ±5% of the exact distinct count. Checked at two
-  * scale factors so the bound holds across cardinality regimes.
+  * count must land within ±5% of the exact distinct count. Checked at all
+  * three scale factors so the bound holds across cardinality regimes.
   */
 class ApproxDistinctSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
@@ -36,5 +36,9 @@ class ApproxDistinctSpec extends AnyFunSuite {
 
   test("approx_count_distinct within ±5% of exact at sf0.01") {
     check("/root/testdata/sf0.01")
+  }
+
+  test("approx_count_distinct within ±5% of exact at sf0.1") {
+    check("/root/testdata/sf0.1")
   }
 }
