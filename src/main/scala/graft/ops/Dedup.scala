@@ -81,7 +81,7 @@ object Dedup {
     * 32×-explode + two-shuffle formulation in SimHashKernelSpec) — the
     * fingerprint pass stays a narrow codegen'd map over the corpus scan.
     */
-  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     import graft.functions.SimHashKernel.simhash32
     // fingerprints are consumed 3× (banding + both verify sides); the
     // scoped cache keeps the corpus scan single-pass
@@ -125,8 +125,64 @@ object Dedup {
           expr("bit_count(fa.f1 ^ fb.f1) + bit_count(fa.f2 ^ fb.f2)"))
         .filter(col("hamming") <= 2)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
-        .orderBy(col("doc_a"), col("doc_b"))
     }
+  }
+
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Connected-component clustering over the SimHash near-dup PAIRS — the
+    * production step pair generation exists for: a near-dup relation is
+    * transitive in effect (A~B, B~C usually means one shared source), so
+    * the survivor rule must operate per CLUSTER, not per pair, or chains
+    * keep one doc per edge instead of one per group. Output: every doc in
+    * a cluster with its representative (min doc_id in the component) and
+    * the cluster size.
+    *
+    * Spark shape: iterative min-label propagation to a fixpoint —
+    * `rep(v) ← min(rep(v), min rep(u) over neighbors u)` — one shuffle
+    * keyed on doc_id per iteration, converging in O(component diameter)
+    * iterations (near-dup clusters are near-cliques, so 2-3 in practice).
+    * The convergence probe rides the iteration job itself via
+    * `Dataset.observe` (no extra job), each iteration localCheckpoints to
+    * keep the plan flat, and iteration control is the only driver-side
+    * piece — the data path never leaves the cluster. At 100 TB this is
+    * the standard MapReduce-CC recipe (cf. the large-star/small-star
+    * halving refinement if diameters ever grow).
+    */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = simhashPairs(s, d)
+    // undirected: propagate along both edge directions; checkpointed once
+    // because every iteration re-reads it
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 64) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("rep")).as("nbr"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels.withColumnRenamed("rep", "prev")
+        .join(nbrMin, Seq("doc_id"), "left")
+        .withColumn("rep", least(col("prev"), coalesce(col("nbr"), col("prev"))))
+        .observe(obs, sum(when(col("rep") =!= col("prev"), 1L).otherwise(0L))
+          .as("changed"))
+        .select(col("doc_id"), col("rep"))
+        .localCheckpoint(eager = true)
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("csize"))
+    labels.join(sizes, Seq("rep"))
+      .select(col("doc_id"), col("rep"), col("csize"))
+      .orderBy(col("doc_id"))
   }
 
   /** Word-bigram Jaccard near-dup: pairs with bigram-set Jaccard ≥ 0.1.
@@ -161,8 +217,26 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash"       -> dedupMinhash _,
     "q_dedup_simhash"       -> dedupSimhash _,
+    "q_dedup_clusters"      -> dedupClusters _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
   )
+
+  /** Shared DuckDB CTEs computing the SimHash fingerprints (the portable
+    * 32-bit-halves formulation the kernel is proven bit-identical to).
+    */
+  private val simhashFpCtes =
+    """tk AS (
+      |  SELECT DISTINCT doc_id, tok
+      |  FROM documents, UNNEST(regexp_extract_all(text, '[^ ]+')) AS u(tok)
+      |  WHERE doc_id < 150),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN sum(CASE WHEN substring(md5(tok), j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0
+      |         THEN (2::BIGINT ** (j-1))::BIGINT ELSE 0 END AS b1,
+      |    CASE WHEN sum(CASE WHEN substring(md5('x' || tok), j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0
+      |         THEN (2::BIGINT ** (j-1))::BIGINT ELSE 0 END AS b2
+      |  FROM tk, UNNEST(range(1, 33)) AS u(j) GROUP BY doc_id, j),
+      |fp AS (SELECT doc_id, sum(b1)::BIGINT AS f1, sum(b2)::BIGINT AS f2 FROM bits GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_dedup_minhash" ->
@@ -191,23 +265,32 @@ object Dedup {
          |WHERE CAST(i AS DOUBLE)/(na.n + nb.n - i) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_simhash" ->
-      """WITH tk AS (
-        |  SELECT DISTINCT doc_id, tok
-        |  FROM documents, UNNEST(regexp_extract_all(text, '[^ ]+')) AS u(tok)
-        |  WHERE doc_id < 150),
-        |bits AS (
-        |  SELECT doc_id, j,
-        |    CASE WHEN sum(CASE WHEN substring(md5(tok), j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0
-        |         THEN (2::BIGINT ** (j-1))::BIGINT ELSE 0 END AS b1,
-        |    CASE WHEN sum(CASE WHEN substring(md5('x' || tok), j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0
-        |         THEN (2::BIGINT ** (j-1))::BIGINT ELSE 0 END AS b2
-        |  FROM tk, UNNEST(range(1, 33)) AS u(j) GROUP BY doc_id, j),
-        |fp AS (SELECT doc_id, sum(b1)::BIGINT AS f1, sum(b2)::BIGINT AS f2 FROM bits GROUP BY doc_id)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.f1, b.f1)) + bit_count(xor(a.f2, b.f2)) AS INT) AS hamming
-        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.f1, b.f1)) + bit_count(xor(a.f2, b.f2)) <= 2
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $simhashFpCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.f1, b.f1)) + bit_count(xor(a.f2, b.f2)) AS INT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.f1, b.f1)) + bit_count(xor(a.f2, b.f2)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $simhashFpCtes,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.f1, b.f1)) + bit_count(xor(a.f2, b.f2)) <= 2),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a),
+         |comp AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+         |sz AS (SELECT rep, count(*) AS csize FROM comp GROUP BY rep)
+         |SELECT c.doc_id, c.rep, s.csize
+         |FROM comp c JOIN sz s ON c.rep = s.rep
+         |ORDER BY c.doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS t

@@ -227,8 +227,43 @@ object Joins {
       .orderBy("n_name")
   }
 
+  /** Runtime bloom-filter semi-join reduction (the declared twin of the
+    * PlanSpec injection assertion): a selective predicate on orders makes
+    * Catalyst build a bloom filter over the surviving join keys and
+    * evaluate it on the lineitem side BEFORE the shuffle — at 100 TB this
+    * turns a fact⋈filtered-dim join from shuffle-bound into scan-bound,
+    * with zero semantic change (the exact join still runs on the
+    * survivors; false positives only cost bytes). Confs are scoped to
+    * this query and the plan is executed eagerly inside the scope
+    * (injection happens at execution-time optimization, so the scope must
+    * cover it); broadcast is disabled so the shuffle join the filter
+    * exists for is actually exercised.
+    */
+  private def bloomFiltered(s: SparkSession, d: String): DataFrame = {
+    val scoped = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val l = lineitem(s, d)
+      val o = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(l("l_quantity").cast(DecimalType(12, 2))).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+        .localCheckpoint(eager = true)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_inner"     -> inner _,
+    "q_join_bloom_filtered" -> bloomFiltered _,
     "q_join_left"      -> left _,
     "q_join_right"     -> right _,
     "q_join_full"      -> full _,
@@ -246,6 +281,12 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_bloom_filtered" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
     "q_join_inner" ->
       """SELECT c.c_custkey, c.c_name,
         |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -60,6 +60,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("cluster dedup groups a chained near-dup component under one representative") {
+    // A≈B and B≈C but pairwise (A,C) may or may not surface — the whole
+    // point of the component step: one survivor for the CHAIN, not per pair
+    val d = writeTmpSf(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s"),
+      (2L, "alpha beta gamma delta epsilon zeta", "en", "s"),
+      (3L, "alpha beta gamma delta epsilon zeta", "en", "s"),
+      (4L, "totally different words in this document here", "en", "s"),
+      (5L, "totally different words in this document here", "en", "s"),
+      (6L, "nothing like any other text qq ww ee rr tt", "en", "s"))
+    val out = ops.Dedup.queries("q_dedup_clusters")(spark, d)
+      .select("doc_id", "rep", "csize").as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 2L), (5L, 4L, 2L)))
+    // invariants any clustering must satisfy: the representative is a
+    // member of its own cluster with itself as rep (fixpoint), and no
+    // singleton clusters (nodes only exist via edges)
+    val byRep = out.groupBy(_._2)
+    byRep.foreach { case (rep, members) =>
+      assert(members.exists(_._1 == rep), s"rep $rep not in its own cluster")
+      assert(members.forall(_._3 == members.size.toLong))
+      assert(members.size >= 2)
+      assert(rep == members.map(_._1).min, s"rep $rep is not the min member")
+    }
+  }
+
   test("token counts: whitespace vs BPE-ish regex") {
     val d = writeTmpSf((1L, "ab cd, ef12 gh", "en", "s"))
     val row = ops.Text.queries("q_token_count")(spark, d).collect().head
