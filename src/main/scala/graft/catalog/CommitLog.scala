@@ -212,6 +212,30 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * inject a racing writer's manifest deterministically. */
   protected def beforePublish(attempt: Int, v: Long): Unit = ()
 
+  /** Time travel: the newest version whose manifest was published at or
+    * before `tsMillis` (manifest publication IS the commit instant — the
+    * rename/link that made the version visible). Within the vacuum
+    * retention window this gives lakehouse-style `AS OF` reads: audits
+    * ("what did the registry say when batch X ran?") without any copy.
+    */
+  def versionAsOf(tsMillis: Long): Option[Long] = {
+    if (!hfs.exists(commitsDir)) return None
+    val vs = hfs.listStatus(commitsDir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestName(d) if st.getModificationTime <= tsMillis => Some(d.toLong)
+        case _ => None
+      }
+    }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  def readAsOf(tsMillis: Long): DataFrame = readVersion(versionAsOf(tsMillis)
+    .getOrElse(throw new java.io.FileNotFoundException(
+      s"no version committed at or before $tsMillis under $tableRoot")))
+
+  /** Publication instant of a committed version (its manifest mtime). */
+  def commitTime(v: Long): Long = hfs.getFileStatus(manifestPath(v)).getModificationTime
+
   /** File count of the current manifest (compaction bookkeeping). */
   def currentFileCount: Int = currentVersion.map(files(_).length).getOrElse(0)
 

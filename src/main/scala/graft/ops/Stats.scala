@@ -141,10 +141,30 @@ object Stats {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Sketch percentile — the 100 TB operating point next to the exact
+    * twins: `approx_percentile` keeps a FIXED-SIZE quantile summary per
+    * group (accuracy knob 10000 ⇒ rank error ≤ n/10000) instead of
+    * buffering every value, so the per-group memory is constant at any
+    * scale and the aggregation stays a single partial+final shuffle.
+    * The sketch is engine-specific (like the HLL key) → no DuckDB oracle;
+    * ApproxPercentileSpec bounds it against the exact quartiles at two
+    * scale factors.
+    */
+  private def aggApproxPercentile(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .withColumn("price_c", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("approx_percentile(price_c, 0.25D, 10000)") / 100, 2).as("price_q25"),
+        round(expr("approx_percentile(price_c, 0.5D, 10000)") / 100, 2).as("price_q50"),
+        round(expr("approx_percentile(price_c, 0.75D, 10000)") / 100, 2).as("price_q75"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_stats"           -> aggStats _,
     "q_agg_percentile"      -> aggPercentile _,
     "q_agg_percentile_dist" -> aggPercentileDist _,
+    "q_agg_approx_percentile" -> aggApproxPercentile _,
     "q_agg_mode"            -> aggMode _,
   )
 

@@ -267,6 +267,50 @@ class CatalogSpec extends AnyFunSuite {
     assert(m == Map(101L -> "inactive", 102L -> "active"))
   }
 
+  test("commit log: time travel reads the version as of a commit instant") {
+    val log = new graft.catalog.CommitLog(spark, freshRoot() + "/t")
+    val v1 = log.commit(Seq(1L).toDF("k"), replace = false)
+    val t1 = log.commitTime(v1)
+    Thread.sleep(30)   // separate the two commit instants at mtime granularity
+    log.commit(Seq(2L).toDF("k"), replace = false)
+    assert(log.versionAsOf(t1).contains(v1))
+    assert(log.readAsOf(t1).as[Long].collect().toSeq == Seq(1L))
+    assert(log.readAsOf(System.currentTimeMillis())
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    intercept[java.io.FileNotFoundException](log.readAsOf(t1 - 1000000L))
+  }
+
+  test("scd2: history closes changed rows, opens new ones, reads point-in-time") {
+    import graft.catalog.{CommitLog, Scd2}
+    val log = new CommitLog(spark, freshRoot() + "/dim")
+    val t0 = ts("2026-01-01 00:00:00"); val t1 = ts("2026-02-01 00:00:00")
+    log.commit(Scd2.initial(
+      Seq((101L, "crm", "active"), (102L, "erp", "active"))
+        .toDF("src_sys_id", "name", "status"), t0), replace = true)
+    val updates = Seq(
+      (101L, "crm", "inactive"),   // payload changed → close + open
+      (102L, "erp", "active"),     // identical → no-op (idempotent redelivery)
+      (103L, "mes", "active"))     // new key → open
+      .toDF("src_sys_id", "name", "status")
+    log.commit(Scd2.applyBatch(log.read(), updates, "src_sys_id", t1),
+      replace = true)
+    val h = log.read()
+    assert(h.count() == 4)   // 101 closed + 101 current + 102 + 103
+    val cur = h.filter(col("is_current"))
+      .select("src_sys_id", "status").as[(Long, String)].collect().toMap
+    assert(cur == Map(101L -> "inactive", 102L -> "active", 103L -> "active"))
+    val old101 = h.filter(col("src_sys_id") === 101L && !col("is_current")).collect()
+    assert(old101.length == 1 &&
+      old101.head.getAs[Timestamp]("effective_to") == t1)
+    // point-in-time between the batches: original payloads, no 103 yet
+    val mid = Scd2.asOf(h, ts("2026-01-15 00:00:00"))
+      .select("src_sys_id", "status").as[(Long, String)].collect().toMap
+    assert(mid == Map(101L -> "active", 102L -> "active"))
+    // re-delivering the same batch at a later ts adds no spurious versions
+    val again = Scd2.applyBatch(h, updates, "src_sys_id", ts("2026-03-01 00:00:00"))
+    assert(again.count() == 4)
+  }
+
   test("audit log: append, lookup, guarded status update") {
     val log = new AuditLog(spark, freshRoot() + "/audit")
     log.append("req-1", "create", "fn", Map("tasktype" -> "create"), """{"k":1}""")
