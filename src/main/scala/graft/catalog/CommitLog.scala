@@ -95,7 +95,14 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       // an empty-schema frame is the only honest value without a stored schema
       spark.emptyDataFrame
     } else
-      spark.read.parquet(names.map(n => new Path(dataDir, n).toString): _*)
+      // mergeSchema: an append commit may carry evolved (wider) rows —
+      // without the union-of-footers schema, whether a new column shows up
+      // would depend on WHICH file Spark samples (silent column loss).
+      // Cost is one footer read per pool file, bounded by compaction; a
+      // manifest-stored schema would amortize it (the Delta/Iceberg move)
+      // if registry file counts ever made footer reads noticeable.
+      spark.read.option("mergeSchema", "true")
+        .parquet(names.map(n => new Path(dataDir, n).toString): _*)
   }
 
   /** Commit `df` as the next version. `replace=false` appends: the new

@@ -88,6 +88,69 @@ object Ingest {
     log.read()
   }
 
+  /** Continuously-maintained rollup (a streaming materialized view): each
+    * micro-batch's partial aggregate MERGEs into a commit-log rollup
+    * table, so any reader at any moment sees a complete, consistent
+    * rollup of everything ingested so far — the "running dashboard over
+    * the landing zone" shape. At 100 TB the per-batch work is
+    * O(batch + |rollup|), never a rescan of history, and the rollup key
+    * space (event_type here) is small, so the merge is a broadcast-scale
+    * aggregation.
+    *
+    * Idempotence: a re-delivered batch (foreachBatch is at-least-once)
+    * is skipped via an applied-batch marker under the table root. The
+    * marker lands after the commit, so a crash in between can still
+    * double-merge that one batch — closing that window needs the batch id
+    * recorded transactionally inside the commit itself (the lakehouse
+    * txn-action pattern), noted in [[graft.catalog.CommitLog]]'s upgrade
+    * path.
+    */
+  def maintainRollup(s: SparkSession, srcPath: String, tablePath: String,
+      checkpoint: String): DataFrame = {
+    val schema = s.read.parquet(srcPath).schema
+    val log = new graft.catalog.CommitLog(s, tablePath)
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeRollupBatch(log, batch, id, tablePath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    log.read()
+  }
+
+  /** One micro-batch of the rollup MERGE (factored out so specs can replay
+    * a batch id directly). sum_val is pinned to DECIMAL(22,2): without the
+    * cast every re-merge would widen the sum's decimal precision and the
+    * rollup's schema would drift version to version.
+    */
+  def mergeRollupBatch(log: graft.catalog.CommitLog, batch: DataFrame,
+      batchId: Long, tablePath: String): Unit = {
+    val s = batch.sparkSession
+    val hfs = graft.catalog.HadoopFs.fs(s, tablePath)
+    val marker = new org.apache.hadoop.fs.Path(tablePath, f"_applied/$batchId%020d")
+    if (hfs.exists(marker)) return   // re-delivered batch: already merged
+    val delta = batch
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2)))
+          .cast(DecimalType(22, 2)).as("sum_val"))
+    val merged =
+      if (!log.exists) delta
+      else log.read().unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("sum_val")).cast(DecimalType(22, 2)).as("sum_val"))
+    log.commit(merged, replace = true)
+    hfs.mkdirs(marker.getParent)
+    hfs.create(marker, true).close()
+  }
+
   /** Declared query: ingest the events landing files via the streaming
     * file source, then checksum what arrived (count / key range / exact
     * value sum) — the oracle checks it equals the batch table.

@@ -267,6 +267,18 @@ class CatalogSpec extends AnyFunSuite {
     assert(m == Map(101L -> "inactive", 102L -> "active"))
   }
 
+  test("commit log: an append commit with an added column evolves the schema") {
+    val log = new graft.catalog.CommitLog(spark, freshRoot() + "/t")
+    log.commit(Seq(1L).toDF("k"), replace = false)
+    log.commit(Seq((2L, "x")).toDF("k", "extra"), replace = false)
+    val out = log.read()
+    assert(out.columns.sorted.toSeq == Seq("extra", "k"))
+    val m = out.select("k", "extra").as[(Long, Option[String])].collect().toMap
+    assert(m == Map(1L -> None, 2L -> Some("x")))
+    // old snapshots keep their narrow schema
+    assert(log.readVersion(1L).columns.toSeq == Seq("k"))
+  }
+
   test("commit log: time travel reads the version as of a commit instant") {
     val log = new graft.catalog.CommitLog(spark, freshRoot() + "/t")
     val v1 = log.commit(Seq(1L).toDF("k"), replace = false)

@@ -160,6 +160,32 @@ class StreamingSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("count") > 1).count() == 0)
   }
 
+  test("foreachBatch rollup sink maintains a merged materialized view, idempotent per batch") {
+    val d = sfDir
+    val landing = Stateful.landingDir(d, 2)   // two copies → two merge batches
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rollup")
+    Stateful.deleteOnExit(tmp.toFile)
+    val out = graft.stream.Ingest.maintainRollup(
+      spark, landing, s"$tmp/rollup", s"$tmp/chk")
+    val got = out.select(col("event_type"), col("n"),
+        col("sum_val").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    // the maintained rollup equals the batch aggregation of BOTH copies
+    val expect = spark.read.parquet(s"$d/events.parquet")
+      .groupBy(col("event_type"))
+      .agg((count(lit(1)) * 2).as("n"),
+        (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))) * 2)
+          .cast("double").as("sum_val"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == expect)
+    // re-delivering an already-applied batch id must be a no-op
+    val log = new graft.catalog.CommitLog(spark, s"$tmp/rollup")
+    val before = log.currentVersion
+    graft.stream.Ingest.mergeRollupBatch(log,
+      spark.read.parquet(landing), 0L, s"$tmp/rollup")
+    assert(log.currentVersion == before)
+  }
+
   test("flatMapGroupsWithState keeps a running per-key count across batches") {
     val in = MemoryStream[Stateful.UserEvent](spark)
     val q = Stateful.runningCountPerUser(in.toDS())
