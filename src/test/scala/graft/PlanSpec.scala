@@ -190,6 +190,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes the fact's partitions") {
+    // the partition-layout complement to the bloom filter below: when the
+    // fact is PARTITIONED on the join key, the dim-side filter turns into
+    // a partition predicate at runtime and unselected partition DIRECTORIES
+    // are never opened — at 100 TB the difference between scanning one
+    // day's partitions and scanning the lake
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    stream.Stateful.deleteOnExit(new java.io.File(dir))
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must NOT be constant-foldable (a literal dim collapses into
+    // a static partition filter before DPP ever runs), so it comes off
+    // disk with a runtime filter
+    import spark.implicits._
+    Seq(("click", 1L), ("view", 0L)).toDF("etype", "w")
+      .write.mode("overwrite").parquet(s"$dir-dim")
+    val dim = spark.read.parquet(s"$dir-dim").filter(col("w") === 1L)
+    withConfs(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10000") {
+      val joined = fact.join(dim, fact("event_type") === dim("etype"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val p = planStr(joined)
+      assert(p.contains("dynamicpruning"),
+        s"no dynamic partition pruning in the plan:\n$p")
+      // and the pruned plan still computes the right thing
+      assert(joined.collect().map(r => r.getString(0)).toSeq == Seq("click"))
+    }
+  }
+
   test("runtime bloom filter from the selective dim side prunes the fact scan") {
     // a selective filter on orders injects a bloom filter evaluated on the
     // lineitem side BEFORE the join — the runtime row-pruning that makes a
