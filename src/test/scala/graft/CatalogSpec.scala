@@ -267,6 +267,27 @@ class CatalogSpec extends AnyFunSuite {
     assert(m == Map(101L -> "inactive", 102L -> "active"))
   }
 
+  test("commit log: 8 truly concurrent appenders all land, nothing lost") {
+    val log = new graft.catalog.CommitLog(spark, freshRoot() + "/t")
+    // build the frames up front; the threads only race the commit protocol
+    val frames = (1L to 8L).map(i => Seq(i).toDF("k"))
+    val versions = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = frames.map { df =>
+      new Thread(() =>
+        try versions.add(log.commit(df, replace = false)): Unit
+        catch { case t: Throwable => failures.add(t): Unit })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(failures.isEmpty, s"commit threw: ${failures.peek()}")
+    // every writer landed a DISTINCT version 1..8 (losers retried, no
+    // manifest was overwritten) and the head snapshot holds every row
+    import scala.jdk.CollectionConverters._
+    assert(versions.asScala.toSeq.sorted == (1L to 8L))
+    assert(log.read().as[Long].collect().sorted.toSeq == (1L to 8L))
+  }
+
   test("commit log: an append commit with an added column evolves the schema") {
     val log = new graft.catalog.CommitLog(spark, freshRoot() + "/t")
     log.commit(Seq(1L).toDF("k"), replace = false)
