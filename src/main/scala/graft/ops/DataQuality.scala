@@ -50,9 +50,56 @@ object DataQuality {
       .orderBy(col("day"))
   }
 
+  /** Referential-integrity audit: orphan fact keys per FK edge of the
+    * lake's schema (the pre-training-run sanity gate — a join downstream
+    * silently DROPS orphans, so they must be counted before they vanish).
+    * Each edge is one left-anti join + global count: the anti join
+    * shuffles on the key like any join and the output is one row per
+    * edge — bounded by schema size, not data size.
+    */
+  private def dqReferential(s: SparkSession, d: String): DataFrame = {
+    val checks = Seq(
+      ("customer.c_nationkey -> nation.n_nationkey",
+        customer(s, d), "c_nationkey", nation(s, d), "n_nationkey"),
+      ("lineitem.l_orderkey -> orders.o_orderkey",
+        lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey"),
+      ("lineitem.l_suppkey -> supplier.s_suppkey",
+        lineitem(s, d), "l_suppkey", supplier(s, d), "s_suppkey"),
+      ("orders.o_custkey -> customer.c_custkey",
+        orders(s, d), "o_custkey", customer(s, d), "c_custkey"))
+    checks.map { case (rel, fact, fk, parent, pk) =>
+      fact.select(col(fk).as("k"))
+        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(rel).as("relation"), col("n_orphans"))
+    }.reduce(_.unionByName(_)).orderBy(col("relation"))
+  }
+
+  /** Candidate-key uniqueness audit: rows vs distinct key values per
+    * declared candidate key. Not vacuous on this corpus — lineitem's
+    * composite (l_orderkey, l_linenumber) carries synthetic duplicates,
+    * so `n_excess` is the duplication the dedup plane must absorb. One
+    * partial+final distinct aggregation per key — single shuffle each.
+    */
+  private def dqUniqueness(s: SparkSession, d: String): DataFrame = {
+    val checks = Seq(
+      ("customer.c_custkey", customer(s, d), Seq("c_custkey")),
+      ("lineitem.(l_orderkey,l_linenumber)", lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber")),
+      ("orders.o_orderkey", orders(s, d), Seq("o_orderkey")))
+    checks.map { case (name, df, cols) =>
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(cols.head), cols.tail.map(col): _*).as("n_distinct"))
+        .select(lit(name).as("candidate_key"), col("n_rows"), col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("n_excess"))
+    }.reduce(_.unionByName(_)).orderBy(col("candidate_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_fuzzy_lookup" -> fuzzyLookup _,
-    "q_date_gaps"    -> dateGaps _,
+    "q_fuzzy_lookup"   -> fuzzyLookup _,
+    "q_date_gaps"      -> dateGaps _,
+    "q_dq_referential" -> dqReferential _,
+    "q_dq_uniqueness"  -> dqUniqueness _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -60,6 +107,41 @@ object DataQuality {
       """SELECT c_custkey, c_name,
         |  CAST(levenshtein(c_name, 'Custoner#000000042') AS INT) AS dist
         |FROM customer ORDER BY dist ASC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q_dq_referential" ->
+      """SELECT * FROM (
+        |  SELECT 'customer.c_nationkey -> nation.n_nationkey' AS relation,
+        |    (SELECT count(*) FROM customer c
+        |     WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey -> supplier.s_suppkey',
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey -> customer.c_custkey',
+        |    (SELECT count(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |) ORDER BY relation""".stripMargin,
+    "q_dq_uniqueness" ->
+      """SELECT * FROM (
+        |  SELECT 'customer.c_custkey' AS candidate_key, count(*) AS n_rows,
+        |    count(DISTINCT c_custkey) AS n_distinct,
+        |    count(*) - count(DISTINCT c_custkey) AS n_excess
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem.(l_orderkey,l_linenumber)', count(*),
+        |    count(DISTINCT (l_orderkey, l_linenumber)),
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders.o_orderkey', count(*),
+        |    count(DISTINCT o_orderkey),
+        |    count(*) - count(DISTINCT o_orderkey)
+        |  FROM orders
+        |) ORDER BY candidate_key""".stripMargin,
     "q_date_gaps" ->
       """WITH e AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events),
         |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),

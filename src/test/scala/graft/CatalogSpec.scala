@@ -344,6 +344,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(again.count() == 4)
   }
 
+  test("right to erasure: delete + aged vacuum physically removes the key from disk") {
+    val root = freshRoot()
+    val cat = new AssetCatalog(spark, root)
+    seed(cat)
+    cat.deleteKeys("source_system", "src_sys_id", Seq(101L))
+    // logically gone immediately…
+    assert(cat.read("source_system", "src_sys_id", 101L).count() == 0)
+    // …but history versions (and their pool files) still hold it until
+    // retention expires — that's the snapshot contract, not a leak
+    cat.vacuum("source_system", keepVersions = 1, minFileAgeMs = 0L)
+    // now NO surviving pool file may contain the erased key: scan every
+    // remaining parquet file under the table root directly
+    val hfs = graft.catalog.HadoopFs.fs(spark, root)
+    val it = hfs.listFiles(new org.apache.hadoop.fs.Path(root, "source_system"), true)
+    val parquets = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq
+    assert(parquets.nonEmpty)
+    val residual = spark.read.parquet(parquets: _*)
+      .filter(col("src_sys_id") === 101L).count()
+    assert(residual == 0, "erased key still present in a pool file")
+    assert(cat.readTable("source_system").select("src_sys_id")
+      .as[Long].collect().toSeq == Seq(102L))
+  }
+
   test("audit log: append, lookup, guarded status update") {
     val log = new AuditLog(spark, freshRoot() + "/audit")
     log.append("req-1", "create", "fn", Map("tasktype" -> "create"), """{"k":1}""")
