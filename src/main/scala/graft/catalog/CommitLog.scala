@@ -2,8 +2,41 @@ package graft.catalog
 
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, lit}
+
+/** Per-file min/max of one column, harvested from the parquet footer at
+  * commit time and carried in the manifest line. Values are kept as
+  * strings with a type tag so manifests stay a plain text format;
+  * comparisons parse per type. Strings compare as UTF-16 `compareTo` on
+  * both sides of the pruning test, so pruning is self-consistent (and
+  * exact for the ASCII identifiers the registry keys actually use).
+  */
+private[graft] case class ColStats(tpe: String, min: String, max: String) {
+  /** Could any value in [lo, hi] live in a file with these bounds? */
+  def overlaps(lo: Any, hi: Any): Boolean =
+    ColStats.cmp(tpe, min, hi.toString) <= 0 && ColStats.cmp(tpe, max, lo.toString) >= 0
+}
+
+private[graft] object ColStats {
+  /** Typed order on the string-tagged values. */
+  def cmp(tpe: String, a: String, b: String): Int = tpe match {
+    case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _        => a.compareTo(b)
+  }
+
+  /** Row-group merge: widen `a` to also cover `b`. */
+  def widen(a: ColStats, b: ColStats): ColStats = ColStats(a.tpe,
+    if (cmp(a.tpe, b.min, a.min) < 0) b.min else a.min,
+    if (cmp(a.tpe, b.max, a.max) > 0) b.max else a.max)
+}
 
 /** Versioned commit log over an immutable parquet file pool — snapshot
   * isolation for the registry's concurrent CRUD with nothing but plain
@@ -70,8 +103,12 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
 
   def exists: Boolean = currentVersion.nonEmpty
 
-  /** Pool file names (relative to data/) of a committed version. */
-  def files(v: Long): Seq[String] = {
+  /** Raw manifest lines of a committed version: `<name>` or
+    * `<name>\t<stats-json>`. The tab-separated stats suffix is optional
+    * per line, so pre-stats manifests (and carried-over lines from them)
+    * parse unchanged — those files are simply never pruned.
+    */
+  private def manifestLines(v: Long): Seq[String] = {
     val in = hfs.open(manifestPath(v))
     val body = try {
       val out = new java.io.ByteArrayOutputStream()
@@ -79,6 +116,66 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
     body.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Pool file names (relative to data/) of a committed version. */
+  def files(v: Long): Seq[String] = manifestLines(v).map(_.split('\t').head)
+
+  /** Per-file column statistics of a committed version (absent for files
+    * committed before stats existed — they are treated as unprunable).
+    */
+  def fileStats(v: Long): Map[String, Map[String, ColStats]] =
+    manifestLines(v).flatMap { line =>
+      line.split('\t') match {
+        case Array(name, json) => Some(name -> parseStats(json))
+        case _                 => None
+      }
+    }.toMap
+
+  // ---- footer statistics -------------------------------------------------
+
+  /** Min/max per top-level column, merged across the file's row groups,
+    * straight from the parquet footer — no data pages are read, so the
+    * cost is O(columns), not O(rows). A column whose stats are missing in
+    * ANY row group is dropped (conservative: the file stays a candidate
+    * for every predicate on that column).
+    */
+  private def footerStats(p: Path): Map[String, ColStats] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, hfs.getConf))
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, ColStats]
+      val bad = scala.collection.mutable.Set.empty[String]
+      for (b <- reader.getFooter.getBlocks.asScala;
+           c <- b.getColumns.asScala if c.getPath.size == 1) {
+        val name = c.getPath.toDotString
+        val st = c.getStatistics
+        if (st == null || st.isEmpty || !st.hasNonNullValue) bad += name
+        else {
+          val prim = c.getPrimitiveType
+          val tagged: Option[ColStats] = prim.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+              Some(ColStats("long", st.genericGetMin.toString, st.genericGetMax.toString))
+            case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+              Some(ColStats("double", st.genericGetMin.toString, st.genericGetMax.toString))
+            case PrimitiveTypeName.BINARY
+                if prim.getLogicalTypeAnnotation ==
+                  org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+              Some(ColStats("string",
+                st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8,
+                st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8))
+            case _ => None
+          }
+          tagged match {
+            case None => bad += name
+            case Some(cs) =>
+              acc(name) = acc.get(name).fold(cs)(ColStats.widen(_, cs))
+          }
+        }
+      }
+      (acc -- bad).toMap
+    } finally reader.close()
   }
 
   /** Snapshot read of the current version: the returned DataFrame is bound
@@ -136,14 +233,20 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (!hfs.rename(src, new Path(dataDir, name)))
         throw new java.io.IOException(s"commit: could not move $src into the pool")
     }
+    // footer stats ride the manifest line: one footer read per new file at
+    // commit time buys every future reader file-level pruning
+    val newLines = moved.map { name =>
+      val st = footerStats(new Path(dataDir, name))
+      if (st.isEmpty) name else s"$name\t${statsJson(st)}"
+    }
     // 3. race for the head version: stage a manifest for head+1, atomic
     //    rename into place; the loser re-reads the head and retries with
-    //    the SAME pooled file names
+    //    the SAME pooled file names (carried-over lines keep their stats)
     var attempt = 0
     while (attempt < 50) {
       val v = currentVersion.getOrElse(0L) + 1
       val manifest = (if (replace) Seq.empty
-                      else currentVersion.map(files).getOrElse(Seq.empty)) ++ moved
+                      else currentVersion.map(manifestLines).getOrElse(Seq.empty)) ++ newLines
       val mTmp = new Path(tmpDir, s"$uuid-$attempt.manifest")
       val out = hfs.create(mTmp, true)
       try out.write((manifest.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
@@ -158,6 +261,143 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     }
     throw new java.io.IOException(
       s"commit: lost the version race 50 times under $tableRoot")
+  }
+
+  // ---- manifest stats encoding (json4s ships with Spark) -----------------
+
+  private def statsJson(st: Map[String, ColStats]): String = {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    val fields = st.toSeq.sortBy(_._1).map { case (c, s) =>
+      JField(c, ("t" -> s.tpe) ~ ("mn" -> s.min) ~ ("mx" -> s.max))
+    }.toList
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(JObject(fields)))
+  }
+
+  private def parseStats(json: String): Map[String, ColStats] =
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case org.json4s.JObject(fields) => fields.collect {
+        case (c, org.json4s.JObject(f)) =>
+          val m = f.toMap
+          def str(k: String) = m(k) match {
+            case org.json4s.JString(s) => s
+            case other                 => other.values.toString
+          }
+          c -> ColStats(str("t"), str("mn"), str("mx"))
+      }.toMap
+      case _ => Map.empty
+    }
+
+  /** File-skipping range read: rows of the current version with `column`
+    * in [lo, hi], scanning ONLY the pool files whose footer min/max
+    * overlap the range — the plain-parquet kernel of Delta/Iceberg data
+    * skipping. On a range-clustered 100 TB table this turns a full scan
+    * into a handful of file reads; files without recorded stats are
+    * conservatively scanned. An empty candidate set short-circuits to an
+    * empty frame without touching storage.
+    */
+  def readBetween(column: String, lo: Any, hi: Any): DataFrame = {
+    val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+      s"no committed version under $tableRoot"))
+    val stats = fileStats(v)
+    val names = files(v)
+    val candidates = names.filter { n =>
+      stats.get(n).flatMap(_.get(column)).forall(_.overlaps(lo, hi))
+    }
+    val pred = col(column).between(lit(lo), lit(hi))
+    if (names.isEmpty) readVersion(v)
+    // all files pruned: zero-row frame with the table schema, no scan
+    // (OptimizeLimitZero folds the limit-0 into an empty relation)
+    else if (candidates.isEmpty) readVersion(v).filter(pred).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(candidates.map(n => new Path(dataDir, n).toString): _*)
+      .filter(pred)
+  }
+
+  /** Copy-on-write MERGE (upsert by key): rows of `updates` replace
+    * same-key rows and new keys append — but only the pool files that
+    * actually CONTAIN a matched key are rewritten; every untouched file is
+    * carried into the new manifest by name, stats intact. Touched files
+    * are found in two steps: footer-stats range overlap first (no I/O),
+    * then an exact semi-join over just the candidate files — so a merge
+    * into a range-clustered table costs O(files touched), not O(table),
+    * which is what makes daily upserts viable at 100 TB.
+    *
+    * Concurrency: optimistic — the merge is computed against a head
+    * snapshot and published at head+1; if another writer lands first, the
+    * whole merge recomputes against the new head (lost work is bounded by
+    * the touched-file rewrite). Updates must carry the table's schema.
+    */
+  def merge(updates: DataFrame, keyCol: String, maxAttempts: Int = 5): Long = {
+    require(updates.select(keyCol).distinct().count() == updates.count(),
+      s"merge: duplicate keys in the updates batch")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed version under $tableRoot"))
+      val lines = manifestLines(v)
+      val stats = fileStats(v)
+      val cols = readVersion(v).columns.toSeq
+      require(updates.columns.toSet == cols.toSet,
+        s"merge: updates schema ${updates.columns.toSeq} != table schema $cols")
+      val keys = updates.select(keyCol).distinct()
+      val bounds = keys.agg(org.apache.spark.sql.functions.min(keyCol),
+        org.apache.spark.sql.functions.max(keyCol)).head()
+      val touched: Set[String] =
+        if (bounds.isNullAt(0)) Set.empty
+        else {
+          val (lo, hi) = (bounds.get(0), bounds.get(1))
+          val candidates = lines.map(_.split('\t').head).filter { n =>
+            stats.get(n).flatMap(_.get(keyCol)).forall(_.overlaps(lo, hi))
+          }
+          if (candidates.isEmpty) Set.empty
+          else spark.read.option("mergeSchema", "true")
+            .parquet(candidates.map(n => new Path(dataDir, n).toString): _*)
+            .withColumn("_graft_file", input_file_name())
+            .join(keys, Seq(keyCol), "semi")
+            .select("_graft_file").distinct()
+            .collect().map(r => r.getString(0).split('/').last).toSet
+        }
+      val keptLines = lines.filterNot(l => touched(l.split('\t').head))
+      val merged =
+        if (touched.isEmpty) updates.select(cols.map(col): _*)
+        else spark.read.option("mergeSchema", "true")
+          .parquet(touched.toSeq.sorted.map(n => new Path(dataDir, n).toString): _*)
+          .join(keys, Seq(keyCol), "left_anti")
+          .select(cols.map(col): _*)
+          .unionByName(updates.select(cols.map(col): _*))
+      // stage + pool the rewrite, then publish at exactly v+1: losing the
+      // race means the snapshot we merged against is stale, so recompute
+      // (the orphaned pool files age out under vacuum's in-flight guard)
+      val stage = new Path(tmpDir, java.util.UUID.randomUUID().toString)
+      merged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      val parts = hfs.listStatus(stage)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).sortBy(_.getName)
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      val moved = parts.indices.map(i => f"$uuid-part$i%05d.parquet")
+      parts.zip(moved).foreach { case (src, name) =>
+        if (!hfs.rename(src, new Path(dataDir, name)))
+          throw new java.io.IOException(s"merge: could not move $src into the pool")
+      }
+      val newLines = moved.map { name =>
+        val st = footerStats(new Path(dataDir, name))
+        if (st.isEmpty) name else s"$name\t${statsJson(st)}"
+      }
+      val mTmp = new Path(tmpDir, s"$uuid-merge.manifest")
+      val out = hfs.create(mTmp, true)
+      try out.write(((keptLines ++ newLines).mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val ok = publish(mTmp, manifestPath(v + 1))
+      hfs.delete(stage, true)
+      if (ok) return v + 1
+      hfs.delete(mTmp, false)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"merge: lost the head race $maxAttempts times under $tableRoot")
   }
 
   /** Drop versions older than the newest `keepVersions`, then delete pool

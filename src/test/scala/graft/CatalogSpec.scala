@@ -370,6 +370,75 @@ class CatalogSpec extends AnyFunSuite {
       .as[Long].collect().toSeq == Seq(102L))
   }
 
+  test("commit log: footer stats in the manifest prune file-skipping reads") {
+    import graft.catalog.CommitLog
+    val log = new CommitLog(spark, freshRoot() + "/t")
+    // 3 range-clustered pool files with EXACT bounds: one single-file
+    // append per contiguous third of 0..299
+    for (lo <- Seq(0L, 100L, 200L))
+      log.commit(spark.range(lo, lo + 100).toDF("k")
+        .withColumn("payload", format_string("row-%03d", col("k")))
+        .coalesce(1), replace = false)
+    val v = log.currentVersion.get
+    val stats = log.fileStats(v)
+    assert(stats.size == 3, s"every pool file carries stats, got ${stats.size}")
+    assert(stats.values.forall(m => m.contains("k") && m.contains("payload")))
+    // the narrow range lives in ONE file; the pruned read scans only it
+    val pruned = log.readBetween("k", 10, 20)
+    assert(pruned.inputFiles.length == 1,
+      s"expected 1 scanned file, got ${pruned.inputFiles.length}")
+    assert(log.read().count() == 300)
+    assert(pruned.as[(Long, String)].collect().sorted.toSeq ==
+      (10L to 20L).map(i => (i, f"row-$i%03d")))
+    // string stats prune too
+    assert(log.readBetween("payload", "row-100", "row-100").inputFiles.length == 1)
+    // fully out-of-range: zero files scanned, empty result, schema kept
+    val none = log.readBetween("k", 1000, 2000)
+    assert(none.inputFiles.isEmpty && none.count() == 0)
+    assert(none.columns.toSeq == Seq("k", "payload"))
+    // an append carries the old stats lines forward and adds its own
+    log.commit(Seq((5000L, "row-5000")).toDF("k", "payload"), replace = false)
+    val v2 = log.currentVersion.get
+    assert(log.fileStats(v2).size == 4)
+    assert(log.readBetween("k", 5000, 5000).inputFiles.length == 1)
+  }
+
+  test("commit log: merge rewrites only the files containing matched keys") {
+    import graft.catalog.CommitLog
+    val log = new CommitLog(spark, freshRoot() + "/t")
+    for (lo <- Seq(0L, 100L, 200L))
+      log.commit(spark.range(lo, lo + 100).toDF("k")
+        .withColumn("payload", format_string("row-%03d", col("k")))
+        .coalesce(1), replace = false)
+    val v1 = log.currentVersion.get
+    val oldFiles = log.files(v1).toSet
+    assert(oldFiles.size == 3)
+    // two updated keys land in the same range file; one key is brand new
+    val updates = Seq((10L, "upd-10"), (20L, "upd-20"), (1000L, "row-1000"))
+      .toDF("k", "payload")
+    val v2 = log.merge(updates, "k")
+    val newFiles = log.files(v2).toSet
+    // the two untouched range files are carried by NAME — not rewritten
+    assert((oldFiles & newFiles).size == 2,
+      s"expected 2 carried files, manifest: $newFiles")
+    val out = log.read()
+    assert(out.count() == 301)
+    val m = out.as[(Long, String)].collect().toMap
+    assert(m(10L) == "upd-10" && m(20L) == "upd-20" && m(1000L) == "row-1000")
+    assert(m(150L) == "row-150" && m(299L) == "row-299")
+    // a merge matching nothing carries EVERY file and only appends
+    val v3 = log.merge(Seq((2000L, "row-2000")).toDF("k", "payload"), "k")
+    assert(newFiles.subsetOf(log.files(v3).toSet))
+    assert(log.read().count() == 302)
+    // rewritten + appended files carry fresh stats: pruning still works
+    assert(log.readBetween("k", 2000, 2000).inputFiles.length == 1)
+    // schema mismatch and duplicate update keys fail fast
+    intercept[IllegalArgumentException](
+      log.merge(Seq((1L, "x"), (1L, "y")).toDF("k", "payload"), "k"))
+    intercept[IllegalArgumentException](
+      log.merge(Seq(1L).toDF("k"), "k"))
+  }
+
   test("audit log: append, lookup, guarded status update") {
     val log = new AuditLog(spark, freshRoot() + "/audit")
     log.append("req-1", "create", "fn", Map("tasktype" -> "create"), """{"k":1}""")
