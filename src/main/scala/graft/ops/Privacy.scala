@@ -104,6 +104,41 @@ object Privacy {
       name: String): DataFrame =
     encryptWith(decryptWith(df, column, p, name), column, p, name)
 
+  // no backslashes: the same literal parses identically as a Scala string,
+  // a Spark SQL string, and a DuckDB string ([.] and [+] replace \. and \+)
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val phoneRe = "[+]1-555-[0-9]{4}"
+
+  /** PII scrubbing over the documents corpus: the curation step that
+    * removes contact identifiers before text enters a training mix. The
+    * synthetic corpus carries no PII, so the query injects a
+    * deterministic contact line per doc (1–2 emails keyed on doc_id, one
+    * phone), scrubs with the redaction regexes, and reports per-doc found
+    * counts plus residual-leak audit flags (which must be zero — the
+    * audit IS the point of the query). Narrow per-row regex maps, all
+    * codegen'd built-ins: embarrassingly parallel at 100 TB.
+    */
+  private def piiScrub(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("pii_text", concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"),
+            lit("@mail.example.org"))).otherwise(lit("")),
+        lit(" or call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("pii_text"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]"))
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(pii_text, '$emailRe', 0)")).as("emails_found"),
+        size(expr(s"regexp_extract_all(pii_text, '$phoneRe', 0)")).as("phones_found"),
+        (instr(col("scrubbed"), "@") > 0).cast("int").as("residual_email"),
+        size(expr(s"regexp_extract_all(scrubbed, '$phoneRe', 0)")).as("residual_phone"))
+      .orderBy("doc_id")
+
   /** k-anonymity audit over the quasi-identifier pair (nation, market
     * segment): groups smaller than k=50 are re-identification risks a
     * release gate must suppress or generalize. One partial+final hash
@@ -120,6 +155,7 @@ object Privacy {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mask_sensitive" -> maskSensitive _,
     "q_k_anonymity"    -> kAnonymity _,
+    "q_pii_scrub"      -> piiScrub _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -134,5 +170,26 @@ object Privacy {
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |HAVING count(*) < 50
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |      || CASE WHEN doc_id % 3 = 0
+         |              THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+         |              ELSE '' END
+         |      || ' or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      AS pii_text
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, pii_text,
+         |    regexp_replace(regexp_replace(pii_text, '$emailRe', '[EMAIL]', 'g'),
+         |      '$phoneRe', '[PHONE]', 'g') AS scrubbed
+         |  FROM p)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii_text, '$emailRe')) AS INT) AS emails_found,
+         |  CAST(len(regexp_extract_all(pii_text, '$phoneRe')) AS INT) AS phones_found,
+         |  CASE WHEN contains(scrubbed, '@') THEN 1 ELSE 0 END AS residual_email,
+         |  CAST(len(regexp_extract_all(scrubbed, '$phoneRe')) AS INT) AS residual_phone
+         |FROM sc ORDER BY doc_id""".stripMargin,
   )
 }

@@ -185,7 +185,31 @@ object Text {
         .orderBy(col("doc_a"), col("doc_b"))
     }
 
+  /** Canonical text normalization — the first step of every curation
+    * pipeline (and the precondition of exact dedup: un-normalized
+    * duplicates hash apart). The synthetic corpus is already clean, so
+    * the query synthesizes a noisy variant (padding + deterministic case
+    * noise keyed on doc_id), then normalizes: lowercase → collapse
+    * whitespace runs → trim. Emits audit lengths plus md5 of the
+    * normalized form and of the alphanumeric skeleton (the key fuzzy
+    * matchers join on). Narrow per-row map, codegen'd built-ins only.
+    */
+  private def textNormalize(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("raw", concat(lit("  "),
+        when(pmod(col("doc_id"), lit(2)) === 0, upper(col("text")))
+          .otherwise(col("text")),
+        lit("   ")))
+      .withColumn("norm", trim(regexp_replace(lower(col("raw")), "[ ]+", " ")))
+      .select(col("doc_id"),
+        length(col("raw")).as("n_raw"),
+        length(col("norm")).as("n_norm"),
+        md5(col("norm")).as("norm_md5"),
+        md5(regexp_replace(col("norm"), "[^a-z0-9]", "")).as("skeleton_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_normalize"  -> textNormalize _,
     "q_text_stats"      -> textStats _,
     "q_lang_id"         -> langId _,
     "q_quality_score"   -> qualityScore _,
@@ -197,6 +221,17 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    '  ' || CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END || '   ' AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw,
+        |        trim(regexp_replace(lower(raw), '[ ]+', ' ', 'g')) AS norm FROM r)
+        |SELECT doc_id, CAST(len(raw) AS INT) AS n_raw, CAST(len(norm) AS INT) AS n_norm,
+        |  md5(norm) AS norm_md5,
+        |  md5(regexp_replace(norm, '[^a-z0-9]', '', 'g')) AS skeleton_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
         |  round(avg(len(regexp_extract_all(text, '[^ ]+'))), 4) AS avg_tokens

@@ -129,7 +129,25 @@ object Windows {
       .orderBy("o_orderkey")
   }
 
+  /** cume_dist / percent_rank per customer by totalprice — the
+    * relative-standing pair completing the ranking family. The window is
+    * fully ordered (orderkey tiebreak), so both rationals are
+    * deterministic; k/n and (rank-1)/(n-1) divide identically under IEEE
+    * in both engines, rounded at the output edge. Same keyed-window
+    * shuffle shape as q_win_rank — per-key state, no global sort.
+    */
+  private def cume(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        round(cume_dist().over(w), 6).as("cd"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_cume"        -> cume _,
     "q_win_rank"        -> rank_ _,
     "q_win_lag_lead"    -> lagLead _,
     "q_win_running"     -> running _,
@@ -141,6 +159,13 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_cume" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(CUME_DIST() OVER w, 6) AS cd,
+        |  round(PERCENT_RANK() OVER w, 6) AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_win_rank" ->
       """SELECT o_orderkey, o_custkey,
         |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
