@@ -85,34 +85,34 @@ class AssetCatalog(spark: SparkSession, root: String) {
     readTable(table).filter(col(keyCol) === key)
 
   /** R2/R6: guarded upsert — rows whose key exists get the new column
-    * values; others pass through unchanged (left join + CASE projection,
-    * the MERGE-WHEN-MATCHED plan). Committed as a replace version: the
-    * projection reads the old snapshot's immutable pool files while the
-    * new version stages, so the rewrite can never consume itself.
+    * values; others pass through unchanged. MERGE-WHEN-MATCHED semantics
+    * realized as a copy-on-write [[CommitLog.merge]]: the inner join
+    * builds full replacement rows for the MATCHED keys only (so unknown
+    * keys update nothing — the reference's `attribute_exists` guard), and
+    * the merge rewrites only the pool files containing those keys instead
+    * of the whole table. The projection reads the old snapshot's
+    * immutable pool files while the new version stages, so the rewrite
+    * can never consume itself.
     */
   def update(table: String, keyCol: String, updates: DataFrame): Unit = {
     require(updates.select(keyCol).distinct().count() == updates.count(),
       s"update: duplicate keys in the updates batch for $table")
     val cur = readTable(table)
     val upd = updates.columns.filterNot(_ == keyCol)
-    val joined = cur.as("c").join(
-      updates.as("u").withColumn("_matched", lit(true)),
-      Seq(keyCol), "left")
-    val projected = joined.select(cur.columns.map { c =>
-      if (c == keyCol) col(keyCol)
-      else if (upd.contains(c))
-        when(col("_matched"), col(s"u.$c")).otherwise(col(s"c.$c")).as(c)
-      else col(s"c.$c").as(c)
-    }: _*)
-    log(table).commit(projected, replace = true): Unit
+    val matchedNew = cur.as("c").join(updates.as("u"), Seq(keyCol), "inner")
+      .select(cur.columns.map { c =>
+        if (c == keyCol) col(keyCol)
+        else if (upd.contains(c)) col(s"u.$c").as(c)
+        else col(s"c.$c").as(c)
+      }: _*)
+    log(table).merge(matchedNew, keyCol): Unit
   }
 
-  /** R4: keyed delete — left-anti projection, replace commit. */
-  def deleteKeys(table: String, keyCol: String, keys: Seq[Long]): Unit = {
-    val ks = keys.toDF(keyCol)
-    log(table).commit(
-      readTable(table).join(ks, Seq(keyCol), "left_anti"), replace = true): Unit
-  }
+  /** R4: keyed delete — copy-on-write [[CommitLog.deleteKeys]]: only the
+    * pool files containing a deleted key are rewritten.
+    */
+  def deleteKeys(table: String, keyCol: String, keys: Seq[Long]): Unit =
+    log(table).deleteKeys(keys.toDF(keyCol), keyCol): Unit
 
   /** R15: per-source landing bucket name `{prefix}-{srcSysId}-{region}`
     * (cft/sourceSystem.yaml:27) and R17 zone path

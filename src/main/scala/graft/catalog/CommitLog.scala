@@ -134,15 +134,16 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
 
   // ---- footer statistics -------------------------------------------------
 
-  /** Min/max per top-level column, merged across the file's row groups,
-    * straight from the parquet footer — no data pages are read, so the
-    * cost is O(columns), not O(rows). A column whose stats are missing in
-    * ANY row group is dropped (conservative: the file stays a candidate
-    * for every predicate on that column).
+  /** Row count + min/max per top-level column, merged across the file's
+    * row groups, straight from the parquet footer — no data pages are
+    * read, so the cost is O(columns), not O(rows). A column whose stats
+    * are missing in ANY row group is dropped (conservative: the file
+    * stays a candidate for every predicate on that column).
     */
-  private def footerStats(p: Path): Map[String, ColStats] = {
+  private def footerInfo(p: Path): (Long, Map[String, ColStats]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, hfs.getConf))
     try {
+      val rowCount = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       val acc = scala.collection.mutable.Map.empty[String, ColStats]
       val bad = scala.collection.mutable.Set.empty[String]
       for (b <- reader.getFooter.getBlocks.asScala;
@@ -174,7 +175,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           }
         }
       }
-      (acc -- bad).toMap
+      (rowCount, (acc -- bad).toMap)
     } finally reader.close()
   }
 
@@ -208,59 +209,94 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * Returns the committed version number.
     */
   def commit(df: DataFrame, replace: Boolean): Long = {
-    // 1. write the data once, into a staging dir in the same filesystem
-    val stage = new Path(tmpDir, java.util.UUID.randomUUID().toString)
-    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-    val parts = hfs.listStatus(stage)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath).sortBy(_.getName)
-    // 2. move the data into the pool ONCE, under names computed before the
-    //    version race — names are opaque (only a manifest confers
-    //    liveness), so they need not embed the finally-committed version;
-    //    the uuid keeps racing writers' files from clashing. Computing the
-    //    names inside the retry loop was a real bug: a writer that lost the
-    //    rename race would publish a manifest listing names that were never
-    //    created (the files sat in the pool under the FIRST attempt's
-    //    names), making that version and every append chaining it
-    //    unreadable — and vacuum would collect the real files as orphans.
-    val uuid = java.util.UUID.randomUUID().toString.take(8)
-    hfs.mkdirs(dataDir)
-    hfs.mkdirs(commitsDir)
-    val moved = parts.zipWithIndex.map { case (_, i) =>
-      f"$uuid-part$i%05d.parquet"
-    }
-    parts.zip(moved).foreach { case (src, name) =>
-      if (!hfs.rename(src, new Path(dataDir, name)))
-        throw new java.io.IOException(s"commit: could not move $src into the pool")
-    }
-    // footer stats ride the manifest line: one footer read per new file at
-    // commit time buys every future reader file-level pruning
-    val newLines = moved.map { name =>
-      val st = footerStats(new Path(dataDir, name))
-      if (st.isEmpty) name else s"$name\t${statsJson(st)}"
-    }
-    // 3. race for the head version: stage a manifest for head+1, atomic
-    //    rename into place; the loser re-reads the head and retries with
-    //    the SAME pooled file names (carried-over lines keep their stats)
+    val newLines = stageToPool(df, "commit")
+    // race for the head version: stage a manifest for head+1, atomic
+    // rename into place; the loser re-reads the head and retries with
+    // the SAME pooled file names (carried-over lines keep their stats)
     var attempt = 0
     while (attempt < 50) {
       val v = currentVersion.getOrElse(0L) + 1
       val manifest = (if (replace) Seq.empty
                       else currentVersion.map(manifestLines).getOrElse(Seq.empty)) ++ newLines
-      val mTmp = new Path(tmpDir, s"$uuid-$attempt.manifest")
-      val out = hfs.create(mTmp, true)
-      try out.write((manifest.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      val mTmp = writeTmpManifest(manifest, s"a$attempt")
       beforePublish(attempt, v)
-      if (publish(mTmp, manifestPath(v))) {
-        hfs.delete(stage, true)
-        return v
-      }
+      if (publish(mTmp, manifestPath(v))) return v
       hfs.delete(mTmp, false)
       attempt += 1
     }
     throw new java.io.IOException(
       s"commit: lost the version race 50 times under $tableRoot")
+  }
+
+  /** Write `df` once into a staging dir, move its part files into the
+    * pool under fresh opaque names, and return their manifest lines
+    * (name + footer stats). Names are computed BEFORE any version race —
+    * only a manifest confers liveness, so they need not embed the
+    * finally-committed version; the uuid keeps racing writers' files from
+    * clashing. (Computing names inside the retry loop was a real bug: a
+    * writer that lost the rename race would publish a manifest listing
+    * names that were never created, making that version and every append
+    * chaining it unreadable — and vacuum would collect the real files as
+    * orphans.) Footer stats ride the manifest line: one footer read per
+    * new file at commit time buys every future reader file-level pruning.
+    */
+  private def stageToPool(df: DataFrame, op: String): Seq[String] = {
+    val stage = new Path(tmpDir, java.util.UUID.randomUUID().toString)
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    // one footer read per part yields BOTH the row count and the stats;
+    // zero-row parts (Spark writes schema-only files for empty partitions
+    // of union/anti-join plans) are dropped here — they would pollute
+    // every future manifest as stats-less, never-prunable entries
+    val parts = hfs.listStatus(stage)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+      .map(p => (p, footerInfo(p)))
+      .filter { case (_, (rows, _)) => rows > 0 }
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    hfs.mkdirs(dataDir)
+    hfs.mkdirs(commitsDir)
+    val lines = parts.zipWithIndex.map { case ((src, (_, st)), i) =>
+      val name = f"$uuid-part$i%05d.parquet"
+      if (!hfs.rename(src, new Path(dataDir, name)))
+        throw new java.io.IOException(s"$op: could not move $src into the pool")
+      if (st.isEmpty) name else s"$name\t${statsJson(st)}"
+    }
+    hfs.delete(stage, true)
+    lines.toSeq
+  }
+
+  private def writeTmpManifest(lines: Seq[String], tag: String): Path = {
+    val mTmp = new Path(tmpDir,
+      s"${java.util.UUID.randomUUID().toString.take(8)}-$tag.manifest")
+    val out = hfs.create(mTmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    mTmp
+  }
+
+  /** Pool files among `lines` that CONTAIN at least one of `keys`:
+    * footer-stats range overlap first (no I/O), then an exact semi-join
+    * with `input_file_name()` over just the candidates. The collected
+    * result is file names — metadata-scale, never row-scale.
+    */
+  private def findTouched(lines: Seq[String], stats: Map[String, Map[String, ColStats]],
+      keys: DataFrame, keyCol: String): Set[String] = {
+    val bounds = keys.agg(org.apache.spark.sql.functions.min(keyCol),
+      org.apache.spark.sql.functions.max(keyCol)).head()
+    if (bounds.isNullAt(0)) Set.empty
+    else {
+      val (lo, hi) = (bounds.get(0), bounds.get(1))
+      val candidates = lines.map(_.split('\t').head).filter { n =>
+        stats.get(n).flatMap(_.get(keyCol)).forall(_.overlaps(lo, hi))
+      }
+      if (candidates.isEmpty) Set.empty
+      else spark.read.option("mergeSchema", "true")
+        .parquet(candidates.map(n => new Path(dataDir, n).toString): _*)
+        .withColumn("_graft_file", input_file_name())
+        .join(keys, Seq(keyCol), "semi")
+        .select("_graft_file").distinct()
+        .collect().map(r => r.getString(0).split('/').last).toSet
+    }
   }
 
   // ---- manifest stats encoding (json4s ships with Spark) -----------------
@@ -337,28 +373,11 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
         s"no committed version under $tableRoot"))
       val lines = manifestLines(v)
-      val stats = fileStats(v)
       val cols = readVersion(v).columns.toSeq
       require(updates.columns.toSet == cols.toSet,
         s"merge: updates schema ${updates.columns.toSeq} != table schema $cols")
       val keys = updates.select(keyCol).distinct()
-      val bounds = keys.agg(org.apache.spark.sql.functions.min(keyCol),
-        org.apache.spark.sql.functions.max(keyCol)).head()
-      val touched: Set[String] =
-        if (bounds.isNullAt(0)) Set.empty
-        else {
-          val (lo, hi) = (bounds.get(0), bounds.get(1))
-          val candidates = lines.map(_.split('\t').head).filter { n =>
-            stats.get(n).flatMap(_.get(keyCol)).forall(_.overlaps(lo, hi))
-          }
-          if (candidates.isEmpty) Set.empty
-          else spark.read.option("mergeSchema", "true")
-            .parquet(candidates.map(n => new Path(dataDir, n).toString): _*)
-            .withColumn("_graft_file", input_file_name())
-            .join(keys, Seq(keyCol), "semi")
-            .select("_graft_file").distinct()
-            .collect().map(r => r.getString(0).split('/').last).toSet
-        }
+      val touched = findTouched(lines, fileStats(v), keys, keyCol)
       val keptLines = lines.filterNot(l => touched(l.split('\t').head))
       val merged =
         if (touched.isEmpty) updates.select(cols.map(col): _*)
@@ -367,37 +386,74 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           .join(keys, Seq(keyCol), "left_anti")
           .select(cols.map(col): _*)
           .unionByName(updates.select(cols.map(col): _*))
-      // stage + pool the rewrite, then publish at exactly v+1: losing the
-      // race means the snapshot we merged against is stale, so recompute
-      // (the orphaned pool files age out under vacuum's in-flight guard)
-      val stage = new Path(tmpDir, java.util.UUID.randomUUID().toString)
-      merged.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-      val parts = hfs.listStatus(stage)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath).sortBy(_.getName)
-      val uuid = java.util.UUID.randomUUID().toString.take(8)
-      val moved = parts.indices.map(i => f"$uuid-part$i%05d.parquet")
-      parts.zip(moved).foreach { case (src, name) =>
-        if (!hfs.rename(src, new Path(dataDir, name)))
-          throw new java.io.IOException(s"merge: could not move $src into the pool")
-      }
-      val newLines = moved.map { name =>
-        val st = footerStats(new Path(dataDir, name))
-        if (st.isEmpty) name else s"$name\t${statsJson(st)}"
-      }
-      val mTmp = new Path(tmpDir, s"$uuid-merge.manifest")
-      val out = hfs.create(mTmp, true)
-      try out.write(((keptLines ++ newLines).mkString("\n") + "\n")
-        .getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      val ok = publish(mTmp, manifestPath(v + 1))
-      hfs.delete(stage, true)
-      if (ok) return v + 1
+      // pool the rewrite, then publish at exactly v+1: losing the race
+      // means the snapshot we merged against is stale, so recompute (the
+      // orphaned pool files age out under vacuum's in-flight guard)
+      val newLines = stageToPool(merged, "merge")
+      val mTmp = writeTmpManifest(keptLines ++ newLines, "merge")
+      beforePublish(attempt, v + 1)
+      if (publish(mTmp, manifestPath(v + 1))) return v + 1
       hfs.delete(mTmp, false)
       attempt += 1
     }
     throw new java.io.IOException(
       s"merge: lost the head race $maxAttempts times under $tableRoot")
+  }
+
+  /** Copy-on-write keyed DELETE: drop every row whose `keyCol` is in
+    * `keys0`, rewriting ONLY the pool files that contain one (same
+    * two-step touched-file discovery and optimistic head+1 publish as
+    * [[merge]]). A delete that touches nothing returns the current
+    * version without committing — no write amplification for misses.
+    * Combined with an aged [[vacuum]] this is the right-to-erasure path:
+    * once old versions expire, no surviving pool file holds the key.
+    */
+  def deleteKeys(keys0: DataFrame, keyCol: String, maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed version under $tableRoot"))
+      val lines = manifestLines(v)
+      val cols = readVersion(v).columns.toSeq
+      val keys = keys0.select(keyCol).distinct()
+      val touched = findTouched(lines, fileStats(v), keys, keyCol)
+      if (touched.isEmpty) return v
+      val keptLines = lines.filterNot(l => touched(l.split('\t').head))
+      val survivors = spark.read.option("mergeSchema", "true")
+        .parquet(touched.toSeq.sorted.map(n => new Path(dataDir, n).toString): _*)
+        .join(keys, Seq(keyCol), "left_anti")
+        .select(cols.map(col): _*)
+      val newLines = stageToPool(survivors, "delete")
+      val mTmp = writeTmpManifest(keptLines ++ newLines, "delete")
+      beforePublish(attempt, v + 1)
+      if (publish(mTmp, manifestPath(v + 1))) return v + 1
+      hfs.delete(mTmp, false)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"delete: lost the head race $maxAttempts times under $tableRoot")
+  }
+
+  /** Range-cluster the head snapshot on `column` (the 1-D OPTIMIZE /
+    * cluster-by maintenance op): rewrite into `ceil(bytes/target)` files
+    * partitioned AND sorted by `column`, as a replace commit. After this,
+    * every file covers a disjoint range, so [[readBetween]] and the
+    * touched-file discovery of [[merge]]/[[deleteKeys]] hit the minimum
+    * file set — clustering is what converts footer stats into actual
+    * pruning. Same snapshot guarantees as [[compact]]: maintenance and
+    * the query plane never race. Returns (filesBefore, filesAfter).
+    */
+  def optimizeBy(column: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val v = currentVersion.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $tableRoot"))
+    val names = files(v)
+    val bytes = names.map(n => hfs.getFileStatus(new Path(dataDir, n)).getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    commit(readVersion(v)
+      .repartitionByRange(nOut, col(column))
+      .sortWithinPartitions(col(column)), replace = true)
+    (names.length, currentFileCount)
   }
 
   /** Drop versions older than the newest `keepVersions`, then delete pool

@@ -439,6 +439,80 @@ class CatalogSpec extends AnyFunSuite {
       log.merge(Seq(1L).toDF("k"), "k"))
   }
 
+  test("commit log: copy-on-write delete rewrites only the files containing the keys") {
+    import graft.catalog.CommitLog
+    val log = new CommitLog(spark, freshRoot() + "/t")
+    for (lo <- Seq(0L, 100L, 200L))
+      log.commit(spark.range(lo, lo + 100).toDF("k")
+        .withColumn("payload", format_string("row-%03d", col("k")))
+        .coalesce(1), replace = false)
+    val v1 = log.currentVersion.get
+    val oldFiles = log.files(v1).toSet
+    // both keys live in the middle range file — only it is rewritten
+    val vd = log.deleteKeys(Seq(150L, 160L).toDF("k"), "k")
+    assert(vd == v1 + 1)
+    val newFiles = log.files(vd).toSet
+    assert((oldFiles & newFiles).size == 2,
+      s"expected 2 carried files, manifest: $newFiles")
+    assert(log.read().count() == 298)
+    assert(log.read().filter(col("k").isin(150L, 160L)).count() == 0)
+    assert(log.read().filter(col("k") === 151L).count() == 1)
+    // a delete matching nothing commits NOTHING — same version, no write
+    assert(log.deleteKeys(Seq(9999L).toDF("k"), "k") == vd)
+    assert(log.currentVersion.contains(vd))
+  }
+
+  test("commit log: optimizeBy range-clusters the table so pruning hits one file") {
+    import graft.catalog.CommitLog
+    val root = freshRoot() + "/t"
+    val log = new CommitLog(spark, root)
+    // interleaved appends: every pool file spans the WHOLE key range, so
+    // footer stats can prune nothing
+    for (r <- 0L to 2L)
+      log.commit(spark.range(0, 300).filter(pmod(col("id"), lit(3)) === r)
+        .toDF("k").withColumn("payload", format_string("row-%03d", col("k")))
+        .coalesce(1), replace = false)
+    assert(log.readBetween("k", 10, 20).inputFiles.length == 3,
+      "interleaved layout must defeat pruning")
+    // target a third of the current bytes → ~3 range-disjoint files
+    val hfs = graft.catalog.HadoopFs.fs(spark, root)
+    val total = log.files(log.currentVersion.get)
+      .map(n => hfs.getFileStatus(
+        new org.apache.hadoop.fs.Path(root + "/data", n)).getLen).sum
+    val (before, after) = log.optimizeBy("k", targetFileBytes = total / 3)
+    assert(before == 3 && after >= 3, s"expected a multi-file rewrite, got $after")
+    assert(log.read().count() == 300)
+    // clustered: the same range read now scans exactly one file
+    assert(log.readBetween("k", 10, 20).inputFiles.length == 1)
+    assert(log.readBetween("k", 10, 20).count() == 11)
+  }
+
+  test("asset catalog: update and delete rewrite only the touched pool files") {
+    val root = freshRoot()
+    val cat = new AssetCatalog(spark, root)
+    // 3 single-row creates → 3 pool files with disjoint key stats
+    for (i <- Seq(101L, 102L, 103L))
+      cat.create("source_system", "src_sys_id", Seq(
+        SourceSystem(i, s"s$i", "r", ts("2026-01-01 00:00:00"), "active")).toDS())
+    val log = new graft.catalog.CommitLog(spark, s"$root/source_system")
+    val filesBefore = log.files(log.currentVersion.get).toSet
+    cat.update("source_system", "src_sys_id",
+      Seq((102L, "inactive")).toDF("src_sys_id", "status"))
+    val filesAfter = log.files(log.currentVersion.get).toSet
+    // the two unrelated key files are carried by name
+    assert((filesBefore & filesAfter).size == 2,
+      s"update must not rewrite unrelated files: $filesAfter")
+    val m = cat.readTable("source_system")
+      .select("src_sys_id", "status").as[(Long, String)].collect().toMap
+    assert(m == Map(101L -> "active", 102L -> "inactive", 103L -> "active"))
+    cat.deleteKeys("source_system", "src_sys_id", Seq(101L))
+    val filesFinal = log.files(log.currentVersion.get).toSet
+    assert((filesAfter & filesFinal).size == 2,
+      s"delete must not rewrite unrelated files: $filesFinal")
+    assert(cat.readTable("source_system").select("src_sys_id")
+      .as[Long].collect().sorted.toSeq == Seq(102L, 103L))
+  }
+
   test("audit log: append, lookup, guarded status update") {
     val log = new AuditLog(spark, freshRoot() + "/audit")
     log.append("req-1", "create", "fn", Map("tasktype" -> "create"), """{"k":1}""")
