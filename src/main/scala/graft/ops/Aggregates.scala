@@ -129,6 +129,27 @@ object Aggregates {
       .agg(sum(col("value").cast(DecimalType(12, 2))).cast("double"))
       .orderBy("bucket")
 
+  /** argmax family: per return-flag, the orderkey holding the maximum
+    * extended price — the deterministic formulation of `max_by`, whose
+    * native tie behavior is UNDEFINED in both engines, so the tie rule
+    * (smallest key among maxima) is explicit: per-group maxima broadcast
+    * back, min key over the attaining rows. max() of shared doubles is
+    * bit-exact cross-engine, so the equality probe is safe. Two bounded
+    * aggregations + one broadcast join — no row-scale shuffle beyond the
+    * group-by at any SF.
+    */
+  private def aggArgmax(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+    val m = l.groupBy(col("l_returnflag").as("rf"))
+      .agg(max(col("l_extendedprice")).as("max_price"))
+    l.join(broadcast(m),
+        col("l_returnflag") === col("rf") &&
+          col("l_extendedprice") === col("max_price"))
+      .groupBy(col("l_returnflag"), col("max_price"))
+      .agg(min(col("l_orderkey")).as("argmax_orderkey"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group"           -> aggGroup _,
     "q_agg_global"          -> aggGlobal _,
@@ -139,6 +160,7 @@ object Aggregates {
     "q_agg_cube"            -> aggCube _,
     "q_agg_grouping_sets"   -> aggGroupingSets _,
     "q_agg_pivot"           -> aggPivot _,
+    "q_agg_argmax"          -> aggArgmax _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -196,5 +218,11 @@ object Aggregates {
         |  CAST(sum(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS signup,
         |  CAST(sum(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_agg_argmax" ->
+      """WITH m AS (SELECT l_returnflag AS rf, max(l_extendedprice) AS max_price
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, max_price, min(l_orderkey) AS argmax_orderkey
+        |FROM lineitem JOIN m ON l_returnflag = rf AND l_extendedprice = max_price
+        |GROUP BY l_returnflag, max_price ORDER BY l_returnflag""".stripMargin,
   )
 }

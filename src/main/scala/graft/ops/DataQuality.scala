@@ -95,14 +95,42 @@ object DataQuality {
     }.reduce(_.unionByName(_)).orderBy(col("candidate_key"))
   }
 
+  /** Freshness audit: per order-priority stream, the newest record's
+    * date and its lag in days behind the corpus watermark — "which feeds
+    * are stale" measured against the data's own max, never the wall
+    * clock (deterministic at every SF). Two bounded aggregations: a
+    * per-key max and a 1-row global watermark broadcast back — O(keys)
+    * output at any input size.
+    */
+  private def dqFreshness(s: SparkSession, d: String): DataFrame = {
+    // midnight timestamps → explicit date cast keeps both engines in
+    // calendar-day arithmetic (no boundary-crossing ambiguity)
+    val o = orders(s, d).select(col("o_orderpriority"),
+      col("o_orderdate").cast("date").as("od"))
+    val wm = o.agg(max(col("od")).as("watermark"))
+    o.groupBy(col("o_orderpriority"))
+      .agg(max(col("od")).as("latest"))
+      .crossJoin(broadcast(wm))
+      .select(col("o_orderpriority"), col("latest"),
+        datediff(col("watermark"), col("latest")).as("days_behind"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_lookup"   -> fuzzyLookup _,
     "q_date_gaps"      -> dateGaps _,
     "q_dq_referential" -> dqReferential _,
     "q_dq_uniqueness"  -> dqUniqueness _,
+    "q_dq_freshness"   -> dqFreshness _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_freshness" ->
+      """WITH o AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS od FROM orders),
+        |wm AS (SELECT max(od) AS watermark FROM o)
+        |SELECT o_orderpriority, max(od) AS latest,
+        |  CAST(date_diff('day', max(od), (SELECT watermark FROM wm)) AS INT) AS days_behind
+        |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_fuzzy_lookup" ->
       """SELECT c_custkey, c_name,
         |  CAST(levenshtein(c_name, 'Custoner#000000042') AS INT) AS dist
