@@ -456,6 +456,40 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     (names.length, currentFileCount)
   }
 
+  /** Change data feed between two committed versions (`fromV` exclusive,
+    * `toV` inclusive): pool files are immutable, so the row-level diff is
+    * exactly the files the manifests stopped/started referencing — rows
+    * of added files are `insert`s, rows of dropped files are `delete`s,
+    * tagged in `_change_type`. A downstream consumer (replica, index,
+    * rollup) incrementally maintains itself at a cost that scales with
+    * CHANGED files, never with table history — the Delta CDF shape from
+    * nothing but the manifest diff.
+    *
+    * Caveat (shared by every CDF without per-row ids): a copy-on-write
+    * rewrite re-lists the unchanged rows of a touched file as a
+    * delete+insert pair of identical rows; [[merge]]/[[deleteKeys]]
+    * minimize that by rewriting only files that truly contain a matched
+    * key. Both versions must still be within the vacuum retention window.
+    */
+  def changesBetween(fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
+    val from = files(fromV).toSet
+    val to = files(toV).toSet
+    def readNames(ns: Seq[String]) = spark.read.option("mergeSchema", "true")
+      .parquet(ns.map(n => new Path(dataDir, n).toString): _*)
+    val added = (to -- from).toSeq.sorted
+    val removed = (from -- to).toSeq.sorted
+    val parts = Seq(
+      added   -> "insert",
+      removed -> "delete").collect {
+      case (ns, tag) if ns.nonEmpty =>
+        readNames(ns).withColumn("_change_type", lit(tag))
+    }
+    if (parts.isEmpty)
+      readVersion(toV).withColumn("_change_type", lit("insert")).limit(0)
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Drop versions older than the newest `keepVersions`, then delete pool
     * files no retained manifest references. The retention window is the
     * reader contract: a snapshot stays readable as long as its version is

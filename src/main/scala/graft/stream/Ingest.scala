@@ -48,11 +48,12 @@ object Ingest {
     * cft/sourceSystem.yaml:29-63) doing idempotent ingestion (R2's
     * guarded-upsert semantics on the data plane). At scale foreachBatch
     * is the standard bridge from a stream to MERGE-style table
-    * maintenance; the [[graft.catalog.CommitLog]] replace commit is the
-    * plain-parquet stand-in for a lakehouse MERGE (SURVEY §7.1): a crash
-    * mid-batch leaves only unreferenced staging/pool files — never a
-    * partial table that replay mistakes for a live one — and a concurrent
-    * reader keeps its resolved snapshot throughout the merge.
+    * maintenance; [[graft.catalog.CommitLog.merge]] is the plain-parquet
+    * stand-in for a lakehouse MERGE (SURVEY §7.1): per-batch cost is
+    * O(pool files containing a batch key), never a rescan of the table,
+    * a crash mid-batch leaves only unreferenced staging/pool files —
+    * never a partial table that replay mistakes for a live one — and a
+    * concurrent reader keeps its resolved snapshot throughout the merge.
     */
   def ingestUpsert(s: SparkSession, srcPath: String, tablePath: String,
       checkpoint: String, keyCol: String): DataFrame = {
@@ -74,12 +75,8 @@ object Ingest {
           .groupBy(col(keyCol))
           .agg(min(struct(others.map(col): _*)).as("_s"))
           .select(col(keyCol) +: others.map(c => col(s"_s.$c").as(c)): _*)
-        val merged =
-          if (!log.exists) newRows
-          else log.read()
-            .join(newRows.select(keyCol), Seq(keyCol), "left_anti")
-            .unionByName(newRows)
-        log.commit(merged, replace = true): Unit
+        if (!log.exists) log.commit(newRows, replace = true): Unit
+        else log.merge(newRows, keyCol): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

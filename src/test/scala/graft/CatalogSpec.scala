@@ -513,6 +513,42 @@ class CatalogSpec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq == Seq(102L, 103L))
   }
 
+  test("commit log: change data feed lists exactly the added and removed rows") {
+    import graft.catalog.CommitLog
+    val log = new CommitLog(spark, freshRoot() + "/t")
+    for (lo <- Seq(0L, 100L, 200L))
+      log.commit(spark.range(lo, lo + 100).toDF("k")
+        .withColumn("payload", format_string("row-%03d", col("k")))
+        .coalesce(1), replace = false)
+    val v1 = log.currentVersion.get
+    // pure append → one insert, no deletes
+    val v2 = log.commit(Seq((500L, "row-500")).toDF("k", "payload"), replace = false)
+    val c12 = log.changesBetween(v1, v2)
+    assert(c12.filter(col("_change_type") === "insert")
+      .as[(Long, String, String)].collect().toSeq == Seq((500L, "row-500", "insert")))
+    assert(c12.filter(col("_change_type") === "delete").count() == 0)
+    // CoW merge touching ONLY the middle file → that file's rows cycle,
+    // the rest of the table never appears in the feed
+    val v3 = log.merge(Seq((150L, "upd-150")).toDF("k", "payload"), "k")
+    val c23 = log.changesBetween(v2, v3)
+    val dels = c23.filter(col("_change_type") === "delete")
+    val ins = c23.filter(col("_change_type") === "insert")
+    assert(dels.count() == 100 && ins.count() == 100)
+    assert(dels.agg(min(col("k")), max(col("k"))).as[(Long, Long)].head() == ((100L, 199L)))
+    // net diff = exactly the changed row pair
+    assert(ins.drop("_change_type").exceptAll(dels.drop("_change_type"))
+      .as[(Long, String)].collect().toSeq == Seq((150L, "upd-150")))
+    assert(dels.drop("_change_type").exceptAll(ins.drop("_change_type"))
+      .as[(Long, String)].collect().toSeq == Seq((150L, "row-150")))
+    // CoW delete → one delete, no inserts; empty span → empty feed
+    val v4 = log.deleteKeys(Seq(500L).toDF("k"), "k")
+    val c34 = log.changesBetween(v3, v4)
+    assert(c34.filter(col("_change_type") === "delete")
+      .as[(Long, String, String)].collect().toSeq == Seq((500L, "row-500", "delete")))
+    assert(c34.filter(col("_change_type") === "insert").count() == 0)
+    assert(log.changesBetween(v4, v4).count() == 0)
+  }
+
   test("audit log: append, lookup, guarded status update") {
     val log = new AuditLog(spark, freshRoot() + "/audit")
     log.append("req-1", "create", "fn", Map("tasktype" -> "create"), """{"k":1}""")
