@@ -62,6 +62,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"dim join fell back to shuffle:\n$p")
   }
 
+  test("q_agg_argmax broadcasts the per-group maxima back (no fact-fact shuffle join)") {
+    val p = planStr(q("q_agg_argmax"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"maxima probe fell back to shuffle:\n$p")
+  }
+
+  test("q_pii_scrub / q_text_normalize are pure narrow maps (no join, no mid-plan agg)") {
+    for (name <- Seq("q_pii_scrub", "q_text_normalize")) {
+      val p = planStr(q(name))
+      assert(joinNodes.findFirstIn(p).isEmpty, s"$name grew a join:\n$p")
+      assert(!p.contains("HashAggregate"), s"$name grew an aggregate:\n$p")
+    }
+  }
+
   test("q_win_ntile_dist has no window operator at all (cutoffs broadcast to a narrow map)") {
     val p = planStr(q("q_win_ntile_dist"))
     assert(!p.contains("Window"), s"distributed ntile regressed to a window:\n$p")
