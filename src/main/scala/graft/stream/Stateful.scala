@@ -235,12 +235,44 @@ object Stateful {
     }
   }
 
+  /** Stream-stream inner join: per-user click→purchase attribution
+    * within a 1-hour window, BOTH sides watermarked streams — the
+    * two-sided state-store join (each side buffers rows until the other
+    * side's watermark passes the time-range bound, then evicts). The
+    * time-range predicate is what makes state finite at 100 TB/day: the
+    * store holds ~2 hours of both streams per key, not history. Second
+    * truncation on both engines keeps the boundary comparison exact.
+    */
+  private def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val src = landingDir(d, 1)
+    def side() = eventStream(s, src, None)
+      .withColumn("ts", date_trunc("second", col("ts")))
+    val clicks = side().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val buys = side().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+    runToMemory(s, joined, OutputMode.Append)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("p_value").cast(DecimalType(12, 2))).cast("double")
+          .as("sum_purchase"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_watermark_late" -> watermarkLate _,
     "stream_dedup_state"    -> dedupState _,
     "stream_static_join"    -> staticJoin _,
     "stream_stateful_count" -> statefulCount _,
     "stream_minmax_state"   -> minMaxState _,
+    "stream_stream_join"    -> streamStreamJoin _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -264,5 +296,15 @@ object Stateful {
     "stream_minmax_state" ->
       """SELECT user_id, min(value) AS min_val, max(value) AS max_val
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_stream_join" ->
+      """WITH e AS (SELECT user_id, event_type, date_trunc('second', ts) AS ts, value
+        |           FROM events),
+        |c AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, count(*) AS n_pairs,
+        |  CAST(sum(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_purchase
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
   )
 }
