@@ -549,6 +549,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(log.changesBetween(v4, v4).count() == 0)
   }
 
+  test("change data feed incrementally maintains a replica to multiset parity") {
+    import graft.catalog.CommitLog
+    val log = new CommitLog(spark, freshRoot() + "/t")
+    for (lo <- Seq(0L, 100L, 200L))
+      log.commit(spark.range(lo, lo + 100).toDF("k")
+        .withColumn("payload", format_string("row-%03d", col("k")))
+        .coalesce(1), replace = false)
+    val v1 = log.currentVersion.get
+    // replica bootstraps from the v1 snapshot…
+    val replica = new CommitLog(spark, freshRoot() + "/r")
+    replica.commit(log.readVersion(v1), replace = true)
+    // …then the primary moves on: append + upsert + delete
+    log.commit(Seq((500L, "row-500")).toDF("k", "payload"), replace = false)
+    log.merge(Seq((150L, "upd-150"), (600L, "row-600")).toDF("k", "payload"), "k")
+    val v4 = log.deleteKeys(Seq(7L, 500L).toDF("k"), "k")
+    // one catch-up pass from the feed — never a full table copy
+    val feed = log.changesBetween(v1, v4)
+    val ins = feed.filter(col("_change_type") === "insert").drop("_change_type")
+    val del = feed.filter(col("_change_type") === "delete").drop("_change_type")
+    replica.commit(replica.read().exceptAll(del).unionByName(ins), replace = true)
+    val a = log.read(); val b = replica.read()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "replica diverged from primary after CDF catch-up")
+    assert(b.count() == 300)   // 300 - 7 - 500 + 500 + 600 + (150 upd in place)
+  }
+
   test("audit log: append, lookup, guarded status update") {
     val log = new AuditLog(spark, freshRoot() + "/audit")
     log.append("req-1", "create", "fn", Map("tasktype" -> "create"), """{"k":1}""")
