@@ -575,6 +575,31 @@ class CatalogSpec extends AnyFunSuite {
     assert(b.count() == 300)   // 300 - 7 - 500 + 500 + 600 + (150 upd in place)
   }
 
+  test("commit log: a CoW merge racing a concurrent appender loses, recomputes, both land") {
+    import graft.catalog.CommitLog
+    val root = freshRoot() + "/t"
+    val log = new CommitLog(spark, root)
+    for (lo <- Seq(0L, 100L, 200L))
+      log.commit(spark.range(lo, lo + 100).toDF("k")
+        .withColumn("payload", format_string("row-%03d", col("k")))
+        .coalesce(1), replace = false)
+    val append = Seq((900L, "row-900")).toDF("k", "payload")
+    // inject a racing appender exactly once, just before the merge's
+    // first publish — the merge must detect the stale head and recompute
+    // against the appended snapshot, not clobber it
+    val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racingMerge = new CommitLog(spark, root) {
+      override protected def beforePublish(attempt: Int, v: Long): Unit =
+        if (raced.compareAndSet(false, true))
+          new CommitLog(spark, root).commit(append, replace = false): Unit
+    }
+    val vm = racingMerge.merge(Seq((150L, "upd-150")).toDF("k", "payload"), "k")
+    assert(vm == 5L, s"merge should land AFTER the injected v4 append, got v$vm")
+    val m = log.read().as[(Long, String)].collect().toMap
+    assert(m.size == 301, "the concurrent append must survive the merge")
+    assert(m(900L) == "row-900" && m(150L) == "upd-150")
+  }
+
   test("audit log: append, lookup, guarded status update") {
     val log = new AuditLog(spark, freshRoot() + "/audit")
     log.append("req-1", "create", "fn", Map("tasktype" -> "create"), """{"k":1}""")
