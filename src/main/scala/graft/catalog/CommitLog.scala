@@ -118,19 +118,34 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     body.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Pool file names (relative to data/) of a committed version. */
-  def files(v: Long): Seq[String] = manifestLines(v).map(_.split('\t').head)
+  /** Pool file names (relative to data/) of a committed version.
+    * `#`-prefixed manifest lines are metadata (txn markers), not files.
+    */
+  def files(v: Long): Seq[String] =
+    manifestLines(v).filterNot(_.startsWith("#")).map(_.split('\t').head)
 
   /** Per-file column statistics of a committed version (absent for files
     * committed before stats existed — they are treated as unprunable).
     */
   def fileStats(v: Long): Map[String, Map[String, ColStats]] =
-    manifestLines(v).flatMap { line =>
+    manifestLines(v).filterNot(_.startsWith("#")).flatMap { line =>
       line.split('\t') match {
         case Array(name, json) => Some(name -> parseStats(json))
         case _                 => None
       }
     }.toMap
+
+  /** Transaction ids recorded in a version's manifest (`#txn:` header
+    * lines). A txn id committed WITH its data is the exactly-once seam
+    * for at-least-once writers (foreachBatch redelivery): either the
+    * commit landed — and its id is visible — or neither did. Ids are
+    * carried forward by every commit (append carries raw lines; replace
+    * re-adds the headers), so "was this batch applied" survives
+    * compaction and rewrites for the table's lifetime.
+    */
+  def txns(v: Long): Set[String] =
+    manifestLines(v).filter(_.startsWith("#txn:"))
+      .map(_.stripPrefix("#txn:")).toSet
 
   // ---- footer statistics -------------------------------------------------
 
@@ -208,7 +223,18 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * `replace=true` rewrites: the new manifest lists only the new files.
     * Returns the committed version number.
     */
-  def commit(df: DataFrame, replace: Boolean): Long = {
+  def commit(df: DataFrame, replace: Boolean): Long = commit(df, replace, None)
+
+  /** Commit with an optional transaction id recorded atomically in the
+    * same manifest (`#txn:` header). If the id is already present on the
+    * head version, the commit is SKIPPED and the head version returned —
+    * redelivered batches become no-ops with no crash window, because the
+    * marker and the data land in one atomic manifest publish.
+    */
+  def commit(df: DataFrame, replace: Boolean, txn: Option[String]): Long = {
+    txn.foreach { id =>
+      currentVersion.foreach { v => if (txns(v).contains(id)) return v }
+    }
     val newLines = stageToPool(df, "commit")
     // race for the head version: stage a manifest for head+1, atomic
     // rename into place; the loser re-reads the head and retries with
@@ -216,8 +242,14 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     var attempt = 0
     while (attempt < 50) {
       val v = currentVersion.getOrElse(0L) + 1
-      val manifest = (if (replace) Seq.empty
-                      else currentVersion.map(manifestLines).getOrElse(Seq.empty)) ++ newLines
+      // a replace drops the file lines but MUST carry the txn headers —
+      // applied-batch memory outlives any rewrite or compaction
+      val prev = currentVersion.map(manifestLines).getOrElse(Seq.empty)
+      txn.foreach { id =>
+        if (prev.contains(s"#txn:$id")) return v - 1  // lost race to our own id's writer
+      }
+      val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
+      val manifest = carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines
       val mTmp = writeTmpManifest(manifest, s"a$attempt")
       beforePublish(attempt, v)
       if (publish(mTmp, manifestPath(v))) return v
@@ -286,9 +318,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     if (bounds.isNullAt(0)) Set.empty
     else {
       val (lo, hi) = (bounds.get(0), bounds.get(1))
-      val candidates = lines.map(_.split('\t').head).filter { n =>
-        stats.get(n).flatMap(_.get(keyCol)).forall(_.overlaps(lo, hi))
-      }
+      val candidates = lines.filterNot(_.startsWith("#"))
+        .map(_.split('\t').head).filter { n =>
+          stats.get(n).flatMap(_.get(keyCol)).forall(_.overlaps(lo, hi))
+        }
       if (candidates.isEmpty) Set.empty
       else spark.read.option("mergeSchema", "true")
         .parquet(candidates.map(n => new Path(dataDir, n).toString): _*)

@@ -95,12 +95,10 @@ object Ingest {
     * aggregation.
     *
     * Idempotence: a re-delivered batch (foreachBatch is at-least-once)
-    * is skipped via an applied-batch marker under the table root. The
-    * marker lands after the commit, so a crash in between can still
-    * double-merge that one batch — closing that window needs the batch id
-    * recorded transactionally inside the commit itself (the lakehouse
-    * txn-action pattern), noted in [[graft.catalog.CommitLog]]'s upgrade
-    * path.
+    * is skipped because the batch id is recorded ATOMICALLY inside the
+    * commit's own manifest (`CommitLog` `#txn:` header — the lakehouse
+    * txn-action pattern): either the merge landed and its id is visible,
+    * or neither happened. No marker-after-commit crash window exists.
     */
   def maintainRollup(s: SparkSession, srcPath: String, tablePath: String,
       checkpoint: String): DataFrame = {
@@ -124,14 +122,14 @@ object Ingest {
   /** One micro-batch of the rollup MERGE (factored out so specs can replay
     * a batch id directly). sum_val is pinned to DECIMAL(22,2): without the
     * cast every re-merge would widen the sum's decimal precision and the
-    * rollup's schema would drift version to version.
+    * rollup's schema would drift version to version. The batch id rides
+    * the commit as its txn id, so skip-on-redelivery needs no side files.
     */
   def mergeRollupBatch(log: graft.catalog.CommitLog, batch: DataFrame,
       batchId: Long, tablePath: String): Unit = {
-    val s = batch.sparkSession
-    val hfs = graft.catalog.HadoopFs.fs(s, tablePath)
-    val marker = new org.apache.hadoop.fs.Path(tablePath, f"_applied/$batchId%020d")
-    if (hfs.exists(marker)) return   // re-delivered batch: already merged
+    val txn = s"rollup-$batchId"
+    if (log.currentVersion.exists(v => log.txns(v).contains(txn)))
+      return   // re-delivered batch: its id landed with its commit
     val delta = batch
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -143,9 +141,7 @@ object Ingest {
         .groupBy(col("event_type"))
         .agg(sum(col("n")).as("n"),
           sum(col("sum_val")).cast(DecimalType(22, 2)).as("sum_val"))
-    log.commit(merged, replace = true)
-    hfs.mkdirs(marker.getParent)
-    hfs.create(marker, true).close()
+    log.commit(merged, replace = true, Some(txn)): Unit
   }
 
   /** Declared query: ingest the events landing files via the streaming

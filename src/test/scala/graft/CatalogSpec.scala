@@ -600,6 +600,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(m(900L) == "row-900" && m(150L) == "upd-150")
   }
 
+  test("commit log: txn ids land atomically with their commit and survive rewrites") {
+    import graft.catalog.CommitLog
+    val log = new CommitLog(spark, freshRoot() + "/t")
+    val v1 = log.commit(Seq((1L, "a")).toDF("k", "p"), replace = true, Some("batch-1"))
+    assert(log.txns(v1) == Set("batch-1"))
+    // redelivered txn: skipped entirely — same head, no new version
+    assert(log.commit(Seq((9L, "x")).toDF("k", "p"), replace = false,
+      Some("batch-1")) == v1)
+    assert(log.currentVersion.contains(v1))
+    assert(log.read().count() == 1)
+    // append with a new txn carries the old header
+    val v2 = log.commit(Seq((2L, "b")).toDF("k", "p"), replace = false, Some("batch-2"))
+    assert(log.txns(v2) == Set("batch-1", "batch-2"))
+    // applied-batch memory survives compaction, CoW merge, and delete
+    log.compact()
+    assert(log.txns(log.currentVersion.get) == Set("batch-1", "batch-2"))
+    log.merge(Seq((1L, "a2")).toDF("k", "p"), "k")
+    log.deleteKeys(Seq(2L).toDF("k"), "k")
+    assert(log.txns(log.currentVersion.get) == Set("batch-1", "batch-2"))
+    assert(log.read().as[(Long, String)].collect().toSeq == Seq((1L, "a2")))
+  }
+
   test("audit log: append, lookup, guarded status update") {
     val log = new AuditLog(spark, freshRoot() + "/audit")
     log.append("req-1", "create", "fn", Map("tasktype" -> "create"), """{"k":1}""")
