@@ -208,7 +208,24 @@ object Text {
         md5(regexp_replace(col("norm"), "[^a-z0-9]", "")).as("skeleton_md5"))
       .orderBy("doc_id")
 
+  /** Soft (canonicalized) exact dedup: documents collapse when their
+    * alphanumeric skeleton matches — lowercase, all non-alphanumerics
+    * dropped — so case, punctuation, and whitespace variants of the same
+    * text dedup together where raw md5(text) would miss them. The step
+    * between exact dedup and MinHash in every curation pipeline; same
+    * single hash-shuffle shape as q_doc_dedup_exact, survivor = min
+    * doc_id.
+    */
+  private def docDedupSoft(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+        .as("skeleton_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+      .select(col("doc_id"), col("skeleton_md5"), col("n_members"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_dedup_soft"  -> docDedupSoft _,
     "q_text_normalize"  -> textNormalize _,
     "q_text_stats"      -> textStats _,
     "q_lang_id"         -> langId _,
@@ -221,6 +238,13 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_doc_dedup_soft" ->
+      """SELECT min(doc_id) AS doc_id,
+        |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS skeleton_md5,
+        |  count(*) AS n_members
+        |FROM documents
+        |GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+        |ORDER BY doc_id""".stripMargin,
     "q_text_normalize" ->
       """WITH r AS (
         |  SELECT doc_id,

@@ -146,7 +146,35 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Gap-based sessionization: a session BREAKS when a user's gap from
+    * the previous event exceeds 30 minutes; session id = running count
+    * of breaks (the lag → flag → cumulative-sum composition every
+    * funnel pipeline builds, and the id-assigning complement of the
+    * `session_window` AGGREGATE in q_stream_session). One keyed-window
+    * shuffle + one hash agg; per-user state only — scales like any keyed
+    * window. Fully-ordered (event_id tiebreak) so ids are deterministic.
+    */
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .withColumn("brk",
+        when(col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") > 1800
+          || lag(col("ts"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_val"))
+      .orderBy("user_id", "sess_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_sessionize"  -> sessionize _,
     "q_win_cume"        -> cume _,
     "q_win_rank"        -> rank_ _,
     "q_win_lag_lead"    -> lagLead _,
@@ -159,6 +187,22 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts, value
+        |           FROM events),
+        |f AS (SELECT user_id, event_id, ts, value,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts, value,
+        |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |      FROM f)
+        |SELECT user_id, sess_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+        |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
     "q_win_cume" ->
       """SELECT o_orderkey, o_custkey,
         |  round(CUME_DIST() OVER w, 6) AS cd,
