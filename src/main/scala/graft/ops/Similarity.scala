@@ -242,7 +242,30 @@ object Similarity {
     // scoped cache, released after the probe materializes
     Caching.withCached(lshSignatures(s, d))(lshProbe)
 
+  /** Random-projection dimensionality reduction: 64-dim embeddings →
+    * 8 signed-sum components, signs derived from a deterministic integer
+    * formula of (dim, component) so both engines build the SAME
+    * projection matrix from nothing. The pre-index compression step of
+    * an ANN pipeline (Johnson–Lindenstrauss shape). Long output
+    * (vec_id, j, p) keeps the oracle compare scalar. Narrow per-row map
+    * — 8×64 multiply-adds per row, no shuffle at any scale.
+    */
+  private def embedProject(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"),
+        col("embedding"))
+      .select(col("vec_id"), col("j"),
+        round(expr(
+          """aggregate(
+            |  zip_with(embedding, sequence(0, size(embedding)-1),
+            |    (v, i) -> CAST(v AS DOUBLE) *
+            |              CAST(((i*31 + j*17) % 2)*2 - 1 AS DOUBLE)),
+            |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 4)
+          .as("p"))
+      .orderBy("vec_id", "j")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_project"     -> embedProject _,
     "q_sim_dot"           -> simDot _,
     "q_sim_topk"          -> simTopk _,
     "q_dedup_embed_cosine" -> embedCosinePairs _,
@@ -257,6 +280,12 @@ object Similarity {
     * accumulation all in DOUBLE — mirrors the Spark fold exactly.
     */
   val oracle: Map[String, String] = Map(
+    "q_embed_project" ->
+      """SELECT vec_id, CAST(j AS INT) AS j,
+        |  round(sum(CAST(embedding[i] AS DOUBLE)
+        |            * ((((i-1)*31 + j*17) % 2)*2 - 1)), 4) AS p
+        |FROM embeddings, UNNEST(range(1, 65)) AS u(i), UNNEST(range(0, 8)) AS w(j)
+        |GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
     "q_embed_quantize" ->
       """WITH m AS (
         |  SELECT vec_id AS mid, max(abs(CAST(embedding[i] AS DOUBLE))) AS mx
