@@ -101,9 +101,28 @@ object Multimodal {
         size(col("frames")).as("n_frames"))
       .orderBy(col("doc_id"))
 
+  /** Frame sampling as a first-class op: byte-range "frames" of the
+    * payload, every 2nd frame kept, each with a content digest — the
+    * video-pipeline shape (sample frames → per-frame features) with the
+    * decode stubbed to byte slicing. The pre-explode row stays narrow
+    * (offsets of a FIXED count explode, never the payload itself
+    * replicated), so the op is a bounded fan-out map at 100 TB.
+    */
+  private def mmFrameSample(s: SparkSession, d: String): DataFrame =
+    withFrames(withPayload(documents(s, d).filter(col("doc_id") < 50)),
+      mmFrameCount)
+      .select(col("doc_id"), posexplode(col("frames")))
+      .toDF("doc_id", "frame_idx", "frame")
+      .filter(col("frame_idx") % 2 === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("frame")).as("frame_md5"),
+        length(col("frame")).as("n_bytes"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_mm_decode_meta" -> mmDecodeMeta _,
-    "q_mm_features"    -> mmFeatures _,
+    "q_mm_decode_meta"  -> mmDecodeMeta _,
+    "q_mm_features"     -> mmFeatures _,
+    "q_mm_frame_sample" -> mmFrameSample _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -120,5 +139,19 @@ object Multimodal {
         |                   FOR i IN range(1, 9)], ',') AS feature_bytes,
         |  CAST($mmFrameCount AS INT) AS n_frames
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+    // DuckDB substring() has no BLOB overload, so the oracle slices the
+    // VARCHAR — byte-identical to the Spark binary slice because the
+    // corpus is pure ASCII (verified: octet_length(encode(text)) ==
+    // len(text) for every doc at all three SFs)
+    "q_mm_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id, i AS frame_idx,
+         |        substring(text, i * (len(text) // $mmFrameCount) + 1,
+         |                  len(text) // $mmFrameCount) AS frame
+         |      FROM documents, UNNEST(range(0, $mmFrameCount)) AS u(i)
+         |      WHERE doc_id < 50)
+         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+         |  md5(frame) AS frame_md5,
+         |  CAST(octet_length(encode(frame)) AS INT) AS n_bytes
+         |FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
