@@ -143,9 +143,16 @@ object Stateful {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Run a streaming DF to completion into a memory sink, return it. */
+  /** Run a streaming DF to completion into a memory sink, return it.
+    * The run is scoped to a narrower shuffle: stateful operators build
+    * their state stores per shuffle partition (a stream-stream join
+    * builds FOUR per partition), and at declared-query volume the store
+    * setup dominates the wall clock. On a cluster the same knob sizes
+    * state parallelism to the keyspace, independent of the batch-side
+    * default; values are partition-count-invariant either way.
+    */
   private def runToMemory(s: SparkSession, df: DataFrame, mode: OutputMode)
-      : DataFrame = {
+      : DataFrame = withShufflePartitions(s, 8) {
     val name = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
@@ -264,6 +271,18 @@ object Stateful {
         sum(col("p_value").cast(DecimalType(12, 2))).cast("double")
           .as("sum_purchase"))
       .orderBy("user_id")
+  }
+
+  /** Scope `spark.sql.shuffle.partitions` around a streaming run: the
+    * value at FIRST start fixes a streaming query's state-store partition
+    * count for its checkpoint lifetime, so per-query sizing belongs here,
+    * not in the session default. Restores the previous value after.
+    */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
