@@ -150,6 +150,21 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Boolean aggregate family: universal/existential predicates and a
+    * filtered count per group — the data-quality assertions every gate
+    * expresses (`bool_and` = "all rows satisfy", `bool_or` = "any row
+    * trips", `count_if` = "how many violate"). Predicates are exact
+    * (integer/threshold comparisons), so no rounding is needed anywhere.
+    */
+  private def aggBool(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bool_and(col("l_quantity") > 0).as("all_qty_pos"),
+        bool_or(col("l_discount") > 0.05).as("any_big_disc"),
+        count_if(col("l_tax") === 0).as("n_tax_free"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group"           -> aggGroup _,
     "q_agg_global"          -> aggGlobal _,
@@ -161,6 +176,7 @@ object Aggregates {
     "q_agg_grouping_sets"   -> aggGroupingSets _,
     "q_agg_pivot"           -> aggPivot _,
     "q_agg_argmax"          -> aggArgmax _,
+    "q_agg_bool"            -> aggBool _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -224,5 +240,11 @@ object Aggregates {
         |SELECT l_returnflag, max_price, min(l_orderkey) AS argmax_orderkey
         |FROM lineitem JOIN m ON l_returnflag = rf AND l_extendedprice = max_price
         |GROUP BY l_returnflag, max_price ORDER BY l_returnflag""".stripMargin,
+    "q_agg_bool" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_qty_pos,
+        |  bool_or(l_discount > 0.05) AS any_big_disc,
+        |  CAST(count(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_tax_free
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

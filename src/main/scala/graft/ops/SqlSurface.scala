@@ -55,12 +55,43 @@ object SqlSurface {
         |GROUP BY n_name ORDER BY n_name""".stripMargin)
   }
 
+  /** Correlated LATERAL join: top-2 orders per customer — the
+    * "top-N per group as a JOIN" shape (Catalyst decorrelates the
+    * correlated ORDER BY ... LIMIT subquery into a ranked window under
+    * the hood, so the plan scales like q_win_rank, not like a
+    * nested-loop). Restricted to a key slice to keep output bounded.
+    */
+  private def sqlLateral(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d, Seq("customer", "orders"))
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |WHERE c.c_custkey < 100
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_lateral"       -> sqlLateral _,
     "q_sql_ship_priority" -> sqlShipPriority _,
     "q_sql_subqueries"    -> sqlSubqueries _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |WHERE c.c_custkey < 100
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "q_sql_ship_priority" ->
       """SELECT o_orderkey,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
