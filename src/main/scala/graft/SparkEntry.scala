@@ -45,6 +45,7 @@ object SparkEntry {
       (Bucketed.queries, Bucketed.oracle),
       (TrainPrep.queries, TrainPrep.oracle),
       (DataQuality.queries, DataQuality.oracle),
+      (Analytics.queries, Analytics.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.2. */

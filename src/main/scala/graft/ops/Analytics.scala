@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Product-analytics shapes over the event stream — the ordered
+  * conversion funnel and cohort retention. These are the two queries
+  * every event-lake consumer runs daily; the reference's event plane
+  * (cft/sourceSystem.yaml:29-63 routes landing events through SNS to the
+  * data plane) implies exactly this consumption tier downstream.
+  *
+  * Scale posture: both queries reduce the event stream with ONE hash
+  * aggregation keyed on `user_id` before anything else touches it — the
+  * 100 TB event table collapses to one row (funnel) or one row per
+  * active day (retention) per user, map-side partial aggregation doing
+  * the heavy lifting. The retention self-join runs on the SAME key the
+  * aggregate was shuffled on, so the exchange is reused, not repeated.
+  * Timestamps are second-truncated first (ns parquet vs µs Spark —
+  * same discipline as StreamingBatch).
+  */
+object Analytics {
+
+  private def secTs = date_trunc("second", col("ts"))
+
+  /** Ordered funnel view → click → purchase: a user reaches stage k only
+    * if the k-th event's FIRST occurrence is strictly after the first
+    * occurrence that qualified stage k-1 (min-timestamp ordering — the
+    * standard "ordered funnel" semantics, deterministic because ties are
+    * excluded by the strict inequality identically in both engines).
+    * One pass: per-user conditional min timestamps, then a tiny stage
+    * histogram. No self-join, no window — the event table is touched
+    * exactly once.
+    */
+  private def funnel(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", secTs)).as("t_view"),
+        min(when(col("event_type") === "click", secTs)).as("t_click"),
+        min(when(col("event_type") === "purchase", secTs)).as("t_purchase"))
+      .select(
+        when(col("t_view").isNull, 0)
+          .when(col("t_click").isNull || col("t_click") <= col("t_view"), 1)
+          .when(col("t_purchase").isNull || col("t_purchase") <= col("t_click"), 2)
+          .otherwise(3).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+
+  /** Cohort retention: cohort = calendar day of a user's first event;
+    * report distinct users per (cohort, day-offset) at the canonical
+    * offsets 0/1/7/14. The per-user first-day aggregate joins back to
+    * the (user, day) activity set on `user_id` — the join key IS the
+    * aggregation key, so Catalyst reuses the hash partitioning instead
+    * of shuffling the fact side twice (EnsureRequirements sees the
+    * child's HashPartitioning already satisfies the join).
+    */
+  private def retention(s: SparkSession, d: String): DataFrame = {
+    val active = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    active.join(first, Seq("user_id"))
+      .select(col("cohort"),
+        datediff(col("day"), col("cohort")).as("day_offset"),
+        col("user_id"))
+      .filter(col("day_offset").isin(0, 1, 7, 14))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_funnel"    -> funnel _,
+    "q_events_retention" -> retention _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_events_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |             THEN date_trunc('second', ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click'
+        |             THEN date_trunc('second', ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase'
+        |             THEN date_trunc('second', ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT stage, count(*) AS n_users FROM (
+        |  SELECT CASE WHEN t_view IS NULL THEN 0
+        |              WHEN t_click IS NULL OR t_click <= t_view THEN 1
+        |              WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+        |              ELSE 3 END AS stage
+        |  FROM per_user) GROUP BY stage ORDER BY stage""".stripMargin,
+    "q_events_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |first AS (SELECT user_id, min(day) AS cohort FROM active GROUP BY user_id),
+        |off AS (
+        |  SELECT cohort, CAST(date_diff('day', cohort, day) AS INT) AS day_offset
+        |  FROM active JOIN first USING (user_id))
+        |SELECT cohort, day_offset, count(*) AS n_users
+        |FROM off WHERE day_offset IN (0, 1, 7, 14)
+        |GROUP BY cohort, day_offset
+        |ORDER BY cohort, day_offset""".stripMargin,
+  )
+}

@@ -43,9 +43,38 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
       .orderBy(col("lang"))
 
+  /** Hash bucket over the order key — same md5-prefix construction as
+    * `bucketE`, keyed on the stable primary key so the draw is a pure
+    * function of the row's identity.
+    */
+  private val keyBucketE =
+    "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 4), 16, 10) AS INT)"
+
+  /** Probability-proportional-to-size sampling: an order is kept with
+    * probability `o_totalprice / max(o_totalprice)` — the importance-
+    * sampling shape (weight big examples in, keep a trace of the tail)
+    * — but fully deterministic: the uniform draw is the key's hash
+    * bucket. The acceptance test multiplies instead of dividing
+    * (`bucket · wmax < 65536 · price`): one IEEE multiply per side,
+    * bit-identical in any engine, no float-division boundary. The
+    * one-row max broadcasts; the filter stays a narrow map over the
+    * fact table.
+    */
+  private def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val wmax = o.agg(max(col("o_totalprice")).as("wmax"))
+    o.join(broadcast(wmax),
+        expr(keyBucketE).cast("double") * col("wmax") <
+          lit(65536.0) * col("o_totalprice"), "inner")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sample_hash" -> sampleHash _,
-    "q_sample_mix"  -> sampleMix _,
+    "q_sample_hash"     -> sampleHash _,
+    "q_sample_mix"      -> sampleMix _,
+    "q_sample_weighted" -> sampleWeighted _,
   )
 
   private val bucketSql =
@@ -62,5 +91,13 @@ object Sampling {
          |WHERE CASE WHEN lang = 'en' THEN $bucketSql < 16384
          |           ELSE $bucketSql < 49152 END
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH w AS (SELECT max(o_totalprice) AS wmax FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders, w
+        |WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::INT
+        |           AS DOUBLE) * wmax < 65536.0 * o_totalprice
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -224,7 +224,29 @@ object Text {
       .select(col("doc_id"), col("skeleton_md5"), col("n_members"))
       .orderBy("doc_id")
 
+  /** EXACT corpus heavy hitters: every token whose global frequency
+    * exceeds 1/30 of the whole corpus — the vocabulary-pruning /
+    * boilerplate-detection primitive ("which tokens dominate the crawl").
+    * Two hash aggregations (per-term counts, global total) and a
+    * broadcast of the one-row total; the threshold compares by integer
+    * cross-multiplication (`cnt * 30 > total`), no division, so there is
+    * no float boundary to disagree on. Unlike sketch-based heavy hitters
+    * this is exact, yet still one shuffle of (term, partial-count) pairs
+    * — map-side combine makes the shuffled volume the vocabulary size,
+    * not the corpus size.
+    */
+  private def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(explode(expr(toksE)).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    counts.join(broadcast(total),
+        col("cnt") * lit(30) > col("total"), "inner")
+      .select(col("term"), col("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters"   -> heavyHitters _,
     "q_doc_dedup_soft"  -> docDedupSoft _,
     "q_text_normalize"  -> textNormalize _,
     "q_text_stats"      -> textStats _,
@@ -238,6 +260,14 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+        |SELECT term, cnt FROM c
+        |WHERE cnt * 30 > (SELECT count(*) FROM toks)
+        |ORDER BY cnt DESC, term""".stripMargin,
     "q_doc_dedup_soft" ->
       """SELECT min(doc_id) AS doc_id,
         |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS skeleton_md5,
