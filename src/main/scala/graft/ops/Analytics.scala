@@ -50,26 +50,26 @@ object Analytics {
 
   /** Cohort retention: cohort = calendar day of a user's first event;
     * report distinct users per (cohort, day-offset) at the canonical
-    * offsets 0/1/7/14. The per-user first-day aggregate joins back to
-    * the (user, day) activity set on `user_id` — the join key IS the
-    * aggregation key, so Catalyst reuses the hash partitioning instead
-    * of shuffling the fact side twice (EnsureRequirements sees the
-    * child's HashPartitioning already satisfies the join).
+    * offsets 0/1/7/14. The naive shape (distinct days, per-user min,
+    * join back on user_id) shuffles the fact table twice — distinct
+    * partitions on (user, day), the join needs (user). Instead ONE
+    * aggregation keyed on user_id carries both the cohort (min day) and
+    * the active-day set: `collect_set(day)` is bounded by the calendar
+    * (≤ retention horizon, ~tens of entries), combines map-side, and
+    * makes the offset computation a narrow explode — no join, no second
+    * fact shuffle, at any corpus size.
     */
-  private def retention(s: SparkSession, d: String): DataFrame = {
-    val active = events(s, d)
+  private def retention(s: SparkSession, d: String): DataFrame =
+    events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day"))
-      .distinct()
-    val first = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
-    active.join(first, Seq("user_id"))
-      .select(col("cohort"),
-        datediff(col("day"), col("cohort")).as("day_offset"),
-        col("user_id"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort"), collect_set(col("day")).as("days"))
+      .select(col("cohort"), explode(col("days")).as("day"))
+      .select(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
       .filter(col("day_offset").isin(0, 1, 7, 14))
       .groupBy(col("cohort"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort"), col("day_offset"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_funnel"    -> funnel _,

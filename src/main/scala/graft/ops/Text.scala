@@ -238,7 +238,10 @@ object Text {
   private def heavyHitters(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d).select(explode(expr(toksE)).as("term"))
     val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    // total = sum over the vocabulary-sized histogram, NOT a second
+    // corpus scan — both consumers share one exchange (ReuseExchange),
+    // so the 100 TB corpus is read and exploded exactly once
+    val total = counts.agg(sum(col("cnt")).as("total"))
     counts.join(broadcast(total),
         col("cnt") * lit(30) > col("total"), "inner")
       .select(col("term"), col("cnt"))

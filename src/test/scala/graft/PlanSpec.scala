@@ -256,4 +256,49 @@ class PlanSpec extends AnyFunSuite {
         s"no runtime bloom filter injected:\n$p")
     }
   }
+
+  test("q_events_funnel / q_events_retention touch the event table exactly once, join-free") {
+    for (key <- Seq("q_events_funnel", "q_events_retention")) {
+      val p = planStr(q(key))
+      assert(joinNodes.findFirstIn(p).isEmpty, s"$key has a join:\n$p")
+      assert(!p.contains("Window"), s"$key has a window operator:\n$p")
+      // one scan of events, one fact-sized exchange (on user_id); the
+      // remaining exchanges move post-aggregate row counts only
+      assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+        s"$key scans events more than once:\n$p")
+      assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) == 1,
+        s"$key must shuffle the fact side exactly once:\n$p")
+      // that shuffle is fed by a map-side partial aggregate
+      assert(p.contains("partial_min"), s"$key lost map-side combine:\n$p")
+    }
+  }
+
+  test("q_heavy_hitters reads the corpus once; the total broadcasts against the vocabulary") {
+    val p = planStr(q("q_heavy_hitters"))
+    // the global total is sum() over the histogram, not a second corpus
+    // scan — ReuseExchange collapses the shared subplan post-execution,
+    // but even pre-AQE the plan must not contain a second Generate/scan
+    // pair beyond the reused aggregate subtree feeding both consumers
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"threshold side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q_heavy_hitters must never shuffle-join or go cartesian:\n$p")
+    val df = q("q_heavy_hitters")
+    df.collect()
+    val reused = df.queryExecution.executedPlan.toString
+    assert(reused.contains("ReusedExchange") ||
+      reused.linesIterator.count(_.contains("FileScan")) == 1,
+      s"corpus scanned twice (exchange not reused):\n$reused")
+  }
+
+  test("q_sample_weighted: acceptance filter is a narrow map over an unshuffled fact side") {
+    val p = planStr(q("q_sample_weighted"))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"one-row max not broadcast:\n$p")
+    // the fact side below the join must carry no exchange: the sample is
+    // decided row-local, the only shuffle is the tiny post-filter rollup
+    val belowJoin = p.linesIterator.dropWhile(!_.contains("BroadcastNestedLoopJoin"))
+      .takeWhile(l => !l.contains("BroadcastExchange")).mkString("\n")
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      s"fact side shuffled before the acceptance filter:\n$p")
+  }
 }
