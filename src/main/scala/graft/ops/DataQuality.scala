@@ -116,12 +116,47 @@ object DataQuality {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Three-sigma outlier audit per group — EXACT. Float mean/stddev
+    * would make the |v−μ| > 3σ comparison engine-dependent for values
+    * near the boundary (summation order alone shifts μ by ULPs), so the
+    * test is cross-multiplied into pure integer arithmetic on cents:
+    *
+    *   (v·n − S)²·(n−1) > 9·n·(n·Q − S²)
+    *
+    * with S = Σv, Q = Σv² carried as DECIMAL(38,0) (exact int128-range
+    * integers in both engines; magnitudes peak ~1e29, far inside 1e38).
+    * Shape: one 3-row stats aggregate (map-side combined) broadcast back
+    * onto the unshuffled fact, flag per row, tiny rollup — the fact
+    * table is never shuffled.
+    */
+  private def dqOutliers(s: SparkSession, d: String): DataFrame = {
+    val c = lineitem(s, d).select(col("l_returnflag").as("g"),
+      expr("CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))").as("v"))
+    val stats = c.groupBy(col("g")).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("v")).as("sv"),
+      sum(expr("v * v")).as("sq"))
+    c.join(broadcast(stats), Seq("g"))
+      .withColumn("is_out",
+        expr("(v * n - sv) * (v * n - sv) * (n - 1) > 9 * n * (n * sq - sv * sv)"))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        min(when(col("is_out"), col("v"))).cast("bigint").as("min_out_cents"),
+        max(when(col("is_out"), col("v"))).cast("bigint").as("max_out_cents"))
+      .select(col("g").as("l_returnflag"), col("n_rows"), col("n_outliers"),
+        col("min_out_cents"), col("max_out_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_lookup"   -> fuzzyLookup _,
     "q_date_gaps"      -> dateGaps _,
     "q_dq_referential" -> dqReferential _,
     "q_dq_uniqueness"  -> dqUniqueness _,
     "q_dq_freshness"   -> dqFreshness _,
+    "q_dq_outliers"    -> dqOutliers _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -170,6 +205,23 @@ object DataQuality {
         |    count(*) - count(DISTINCT o_orderkey)
         |  FROM orders
         |) ORDER BY candidate_key""".stripMargin,
+    "q_dq_outliers" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT) AS v
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT g, CAST(count(*) AS HUGEINT) AS n, sum(v) AS sv, sum(v * v) AS sq
+        |  FROM c GROUP BY g),
+        |flagged AS (
+        |  SELECT c.g, v,
+        |    (v * n - sv) * (v * n - sv) * (n - 1) > 9 * n * (n * sq - sv * sv) AS is_out
+        |  FROM c JOIN st ON c.g = st.g)
+        |SELECT g AS l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(min(CASE WHEN is_out THEN v END) AS BIGINT) AS min_out_cents,
+        |  CAST(max(CASE WHEN is_out THEN v END) AS BIGINT) AS max_out_cents
+        |FROM flagged GROUP BY g ORDER BY g""".stripMargin,
     "q_date_gaps" ->
       """WITH e AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events),
         |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
