@@ -35,35 +35,41 @@ object Privacy {
         col("c_mktsegment"))
       .orderBy("c_custkey")
 
+  /** Key material as a Column that never appears in plan strings —
+    * explain output, the UI SQL tab, event logs, and error messages all
+    * render `graft_secret_key(<name>, v<ver>)` instead of the key (see
+    * `graft.functions.SecretKeyRef`).
+    */
+  private def keyRef(name: String, version: Int, key: String) =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.functions.SecretKeyRef(name, version, key))
+
   /** AES round-trip used by PrivacySpec: encrypt then decrypt a column
     * with the same key; the result must equal the input byte-for-byte.
     * The key is passed as a bound Column, never interpolated into SQL
-    * text (injection-proof and absent from the parsed query string).
+    * text (injection-proof and absent from the parsed query string), and
+    * rides a `SecretKeyRef` so it is absent from plan strings too.
     */
   def aesRoundTrip(df: DataFrame, column: String, key: String): DataFrame =
     df.withColumn("_rt",
       call_function("aes_decrypt",
-        call_function("aes_encrypt", col(column), lit(key)),
-        lit(key)).cast("string"))
+        call_function("aes_encrypt", col(column), keyRef("adhoc", 0, key)),
+        keyRef("adhoc", 0, key)).cast("string"))
 
   /** Encrypt `column` under the CURRENT version of a named secret,
     * recording the key version beside the ciphertext (`<col>_enc`,
     * `<col>_key_ver`) and dropping the plaintext. The stored version is
     * what keeps old ciphertext decryptable after a rotation. Narrow
-    * per-row map — no shuffle at any scale.
-    *
-    * Operational caveat: the resolved key is a plan literal, so plans
-    * containing these columns must not be logged (explain output / event
-    * logs / UI SQL tab would carry key material). A cluster deployment
-    * would resolve the key executor-side behind a secret-resolving
-    * expression; in this environment the literal keeps the whole path
-    * codegen'd built-ins.
+    * per-row map — no shuffle at any scale. The key rides a
+    * `SecretKeyRef`, so plan strings (explain / UI / event logs) carry
+    * only the secret's NAME and version, never the material — the plan
+    * is loggable.
     */
   def encryptWith(df: DataFrame, column: String, p: SecretProvider,
       name: String): DataFrame = {
     val v = p.currentVersion(name)
     df.withColumn(s"${column}_enc",
-        call_function("aes_encrypt", col(column), lit(p.key(name, v))))
+        call_function("aes_encrypt", col(column), keyRef(name, v, p.key(name, v))))
       .withColumn(s"${column}_key_ver", lit(v))
       .drop(column)
   }
@@ -74,13 +80,13 @@ object Privacy {
     * decrypt side by side even after retired versions are destroyed.
     * A row whose recorded version is no longer live FAILS the query
     * (raise_error) instead of silently decrypting to null — a missing key
-    * is data loss and must be loud. (Same plan-literal caveat as
-    * `encryptWith`.)
+    * is data loss and must be loud. Map values are `SecretKeyRef`s, so
+    * the version map prints as names+versions, never material.
     */
   def decryptWith(df: DataFrame, column: String, p: SecretProvider,
       name: String): DataFrame = {
     val keyByVer = map(p.secret(name).flatMap {
-      case (v, k) => Seq(lit(v), lit(k))
+      case (v, k) => Seq(lit(v), keyRef(name, v, k))
     }: _*)
     val ver = col(s"${column}_key_ver").cast("int")
     df.withColumn(column,

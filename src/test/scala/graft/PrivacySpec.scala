@@ -49,6 +49,26 @@ class PrivacySpec extends AnyFunSuite {
     assert(mismatches.count() == 0 && decrypted.count() == pii.count())
   }
 
+  test("key material never appears in any plan string (SecretKeyRef, not a literal)") {
+    import ops.{InMemorySecretProvider, Privacy}
+    val p = new InMemorySecretProvider(Map("cape_privacy_key" -> Seq(1 -> k1, 2 -> k2)))
+    val enc = Privacy.encryptWith(pii, "c_name", p, "cape_privacy_key")
+    val dec = Privacy.decryptWith(enc, "c_name", p, "cape_privacy_key")
+    for (df <- Seq(enc, dec)) {
+      val qe = df.queryExecution
+      val rendered = Seq(qe.logical, qe.analyzed, qe.optimizedPlan, qe.executedPlan)
+        .map(_.toString).mkString("\n") + qe.explainString(
+          org.apache.spark.sql.execution.ExtendedMode)
+      for (k <- Seq(k1, k2))
+        assert(!rendered.contains(k), s"key material leaked into a plan string")
+      // the reference stays legible for debugging: name + version visible
+      assert(rendered.contains("graft_secret_key"), rendered.take(500))
+    }
+    // and the hardened path still round-trips
+    assert(dec.join(pii.withColumnRenamed("c_name", "expected"), Seq("c_custkey"))
+      .filter(col("c_name") =!= col("expected")).count() == 0)
+  }
+
   test("rotate() re-encrypts everything under the current version; the retired key can then be destroyed") {
     import ops.{InMemorySecretProvider, Privacy}
     val p1 = new InMemorySecretProvider(Map("cape_privacy_key" -> Seq(1 -> k1)))
