@@ -71,10 +71,47 @@ object Sampling {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Rebalance the corpus to a TARGET language mix (per-mille targets:
+    * en 400, others 150) — the "make the training mix match the recipe"
+    * step. The largest achievable output keeps 100% of the BINDING
+    * language (min nₛ/pₛ) and down-samples every other to rate
+    * pₛ·n_b/(p_b·nₛ). All arithmetic is integer: the binding language is
+    * argmin of `n·10⁶ div p` (lang tie-break), and acceptance is the
+    * cross-multiplied `bucket·p_b·nₛ < 65536·pₛ·n_b` — products peak
+    * ~6.5e16 at 10⁹ docs/lang, inside BIGINT. Shape: 5-row stats +
+    * 1-row binding constraint broadcast onto an unshuffled corpus
+    * filter, then a small rollup. Fully deterministic at every SF and
+    * partitioning.
+    */
+  private def sampleTargetMix(s: SparkSession, d: String): DataFrame = {
+    val targets = Seq(("en", 400L), ("de", 150L), ("es", 150L),
+      ("fr", 150L), ("zh", 150L))
+    val t = s.createDataFrame(targets).toDF("lang", "p")
+    val stats = documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(t), Seq("lang"))
+    val binding = stats
+      .select(col("n").as("nb"), col("p").as("pb"),
+        expr("n * 1000000L div p").as("q"), col("lang").as("bl"))
+      .orderBy(col("q"), col("bl"))
+      .limit(1)
+      .select(col("nb"), col("pb"))
+    documents(s, d)
+      .join(broadcast(stats), Seq("lang"))
+      .crossJoin(broadcast(binding))
+      .filter(expr(bucketE).cast("bigint") * col("pb") * col("n") <
+        lit(65536L) * col("p") * col("nb"))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sample_hash"     -> sampleHash _,
-    "q_sample_mix"      -> sampleMix _,
-    "q_sample_weighted" -> sampleWeighted _,
+    "q_sample_hash"       -> sampleHash _,
+    "q_sample_mix"        -> sampleMix _,
+    "q_sample_weighted"   -> sampleWeighted _,
+    "q_sample_target_mix" -> sampleTargetMix _,
   )
 
   private val bucketSql =
@@ -99,5 +136,19 @@ object Sampling {
         |WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::INT
         |           AS DOUBLE) * wmax < 65536.0 * o_totalprice
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sample_target_mix" ->
+      s"""WITH t(lang, p) AS (VALUES ('en', 400), ('de', 150), ('es', 150),
+         |                           ('fr', 150), ('zh', 150)),
+         |st AS (
+         |  SELECT d.lang, count(*) AS n, max(p) AS p
+         |  FROM documents d JOIN t ON d.lang = t.lang GROUP BY d.lang),
+         |b AS (
+         |  SELECT n AS nb, p AS pb FROM st
+         |  ORDER BY (n * 1000000) // p, lang LIMIT 1)
+         |SELECT d.lang, max(st.n) AS n_docs, count(*) AS n_kept,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM documents d JOIN st ON d.lang = st.lang, b
+         |WHERE CAST($bucketSql AS BIGINT) * pb * n < 65536 * p * nb
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
   )
 }
