@@ -102,6 +102,53 @@ object Stateful {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class StageEvent(user_id: Long, event_type: String, sec: Long)
+  case class StageMins(user_id: Long, t_view: Long, t_click: Long, t_purchase: Long)
+
+  /** Streaming funnel state: three per-user FIRST-occurrence timestamps
+    * (unix seconds; Long.MaxValue = not seen). Each running min is
+    * monotone non-increasing, so the state machine is insensitive to
+    * out-of-order arrival WITHIN and ACROSS micro-batches — late events
+    * can only move a min earlier, never corrupt the ordering decision,
+    * which is deferred to read-out (same min-timestamp semantics as the
+    * batch `q_events_funnel`). State per key: three longs, constant at
+    * any scale.
+    */
+  class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, StageEvent, StageMins] {
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    @transient private var mins: ss.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: ss.TimeMode): Unit =
+      mins = getHandle.getValueState[(Long, Long, Long)]("funnel_mins",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        ss.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[StageEvent],
+        tv: ss.TimerValues): Iterator[StageMins] = {
+      var (v, c, p) =
+        if (mins.exists()) mins.get()
+        else (Long.MaxValue, Long.MaxValue, Long.MaxValue)
+      rows.foreach { e =>
+        e.event_type match {
+          case "view"     => v = math.min(v, e.sec)
+          case "click"    => c = math.min(c, e.sec)
+          case "purchase" => p = math.min(p, e.sec)
+          case _          => ()
+        }
+      }
+      mins.update((v, c, p))
+      Iterator(StageMins(key, v, c, p))
+    }
+  }
+
+  def funnelMinsPerUser(ds: Dataset[StageEvent]): Dataset[StageMins] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   // ---- declared queries (real streaming runs, oracle-checkable) ----
 
   /** Streaming file sources need a DIRECTORY; the test tables are single
@@ -242,6 +289,46 @@ object Stateful {
     }
   }
 
+  /** Streaming ordered funnel across TWO micro-batches: per-user first
+    * view/click/purchase seconds maintained in `transformWithState`
+    * (RocksDB store), stage decided at read-out with the exact
+    * `q_events_funnel` ordering rule — the same answer the batch query
+    * gives, computed incrementally as events land. Update mode emits a
+    * row per (user, batch); each min is monotone down, so min-over-
+    * emissions = final state.
+    */
+  private def funnelState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // every event type flows through: a user with no funnel events at
+      // all must still surface as stage 0, exactly like the batch query
+      val src = eventStream(s, landingDir(d, 2), Some(1))
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+        .as[StageEvent]
+      val out = runToMemory(s, funnelMinsPerUser(src).toDF(), OutputMode.Update)
+      val none = Long.MaxValue
+      out.groupBy("user_id")
+        .agg(min(col("t_view")).as("v"), min(col("t_click")).as("c"),
+          min(col("t_purchase")).as("p"))
+        .select(
+          when(col("v") === none, 0)
+            .when(col("c") === none || col("c") <= col("v"), 1)
+            .when(col("p") === none || col("p") <= col("c"), 2)
+            .otherwise(3).as("stage"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Stream-stream inner join: per-user click→purchase attribution
     * within a 1-hour window, BOTH sides watermarked streams — the
     * two-sided state-store join (each side buffers rows until the other
@@ -292,6 +379,7 @@ object Stateful {
     "stream_stateful_count" -> statefulCount _,
     "stream_minmax_state"   -> minMaxState _,
     "stream_stream_join"    -> streamStreamJoin _,
+    "stream_funnel_state"   -> funnelState _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -315,6 +403,22 @@ object Stateful {
     "stream_minmax_state" ->
       """SELECT user_id, min(value) AS min_val, max(value) AS max_val
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_funnel_state" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |             THEN date_trunc('second', ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click'
+        |             THEN date_trunc('second', ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase'
+        |             THEN date_trunc('second', ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT stage, count(*) AS n_users FROM (
+        |  SELECT CASE WHEN t_view IS NULL THEN 0
+        |              WHEN t_click IS NULL OR t_click <= t_view THEN 1
+        |              WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+        |              ELSE 3 END AS stage
+        |  FROM per_user) GROUP BY stage ORDER BY stage""".stripMargin,
     "stream_stream_join" ->
       """WITH e AS (SELECT user_id, event_type, date_trunc('second', ts) AS ts, value
         |           FROM events),

@@ -14,7 +14,8 @@ class AllQueriesSpec extends AnyFunSuite {
   // keys whose queries spin up real streaming runs — executed once (slow)
   private val streamingKeys = Set(
     "stream_file_ingest", "stream_watermark_late", "stream_dedup_state",
-    "stream_static_join", "stream_stateful_count", "stream_stream_join")
+    "stream_static_join", "stream_stateful_count", "stream_stream_join",
+    "stream_funnel_state")
 
   for (key <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$key executes at sf0.001") {

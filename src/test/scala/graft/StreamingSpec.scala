@@ -90,6 +90,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel state machine tolerates out-of-order and cross-batch events") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Stateful.StageEvent](spark)
+      val q = Stateful.funnelMinsPerUser(in.toDS())
+        .toDF().writeStream.format("memory").queryName("funnel_test")
+        .outputMode(OutputMode.Update()).start()
+      // user 1: purchase arrives FIRST (out of order), then click, then a
+      // late view in a later batch that lands BEFORE the click — the
+      // running mins must settle to (view=5, click=20, purchase=30)
+      runBatches(q, in, Seq(
+        Seq(Stateful.StageEvent(1L, "purchase", 30L),
+          Stateful.StageEvent(1L, "click", 20L)),
+        Seq(Stateful.StageEvent(1L, "view", 5L),
+          Stateful.StageEvent(1L, "signup", 1L)),   // non-funnel type ignored
+        Seq(Stateful.StageEvent(1L, "click", 25L)))) // later click can't raise the min
+      val rows = spark.table("funnel_test")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(rows.contains((1L, Long.MaxValue, 20L, 30L)))  // after batch 1
+      assert(rows.contains((1L, 5L, 20L, 30L)))             // late view folded in
+      // final emission still (5, 20, 30): batch-3 click=25 is ignored
+      assert(rows.count(_ == ((1L, 5L, 20L, 30L))) == 2)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState resumes its state from the checkpoint across query restarts") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
