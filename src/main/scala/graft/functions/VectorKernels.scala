@@ -185,7 +185,12 @@ object VectorKernels {
     "graft_vec_dot" -> arity2("graft_vec_dot")(FloatVecDot(_, _)),
     "graft_vec_cosine" -> arity2("graft_vec_cosine")(FloatVecCosine(_, _)),
     "graft_bottomk_md5" -> (bottomKBuilder _),
-    "graft_simhash32" -> (simhashBuilder _))
+    "graft_simhash32" -> (simhashBuilder _),
+    "graft_hash_bucket" -> { c =>
+      if (c.length != 1) throw new IllegalArgumentException(
+        s"graft_hash_bucket requires exactly 1 argument, got ${c.length}")
+      HashBucketKernel.HashBucket(c.head)
+    })
 
   private[functions] def builderFor(name: String): Seq[Expression] => Expression =
     fns.find(_._1 == name).get._2

@@ -18,14 +18,23 @@ import graft.Tables._
   */
 object Sampling {
 
-  /** First 4 md5 hex chars → uniform value in [0, 65536). */
-  private val bucketE = "CAST(conv(substring(md5(text), 1, 4), 16, 10) AS INT)"
+  /** Uniform draw in [0, 65536): first 16 md5 bits of the content, via
+    * the native `graft_hash_bucket` kernel — bit-identical to the
+    * portable `CAST(conv(substring(md5(text),1,4),16,10) AS INT)` the
+    * oracles keep (KernelParitySpec proves the equality), without the
+    * per-row hex-string round-trip.
+    */
+  private val bucketE = "graft_hash_bucket(text)"
+
+  private def registered(s: SparkSession): SparkSession = {
+    graft.functions.VectorKernels.ensureRegistered(s); s
+  }
 
   /** ~25% deterministic sample of documents (hash bucket < 16384/65536),
     * summarized per lang for a compact oracle check.
     */
   private def sampleHash(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    documents(registered(s), d)
       .filter(expr(bucketE) < 16384)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
@@ -36,7 +45,7 @@ object Sampling {
     * corpus mixing, still fully deterministic.
     */
   private def sampleMix(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    documents(registered(s), d)
       .filter(expr(
         s"CASE WHEN lang = 'en' THEN $bucketE < 16384 ELSE $bucketE < 49152 END"))
       .groupBy(col("lang"))
@@ -47,8 +56,7 @@ object Sampling {
     * `bucketE`, keyed on the stable primary key so the draw is a pure
     * function of the row's identity.
     */
-  private val keyBucketE =
-    "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 4), 16, 10) AS INT)"
+  private val keyBucketE = "graft_hash_bucket(CAST(o_orderkey AS STRING))"
 
   /** Probability-proportional-to-size sampling: an order is kept with
     * probability `o_totalprice / max(o_totalprice)` — the importance-
@@ -61,7 +69,7 @@ object Sampling {
     * fact table.
     */
   private def sampleWeighted(s: SparkSession, d: String): DataFrame = {
-    val o = orders(s, d)
+    val o = orders(registered(s), d)
     val wmax = o.agg(max(col("o_totalprice")).as("wmax"))
     o.join(broadcast(wmax),
         expr(keyBucketE).cast("double") * col("wmax") <
@@ -96,7 +104,7 @@ object Sampling {
       .orderBy(col("q"), col("bl"))
       .limit(1)
       .select(col("nb"), col("pb"))
-    documents(s, d)
+    documents(registered(s), d)
       .join(broadcast(stats), Seq("lang"))
       .crossJoin(broadcast(binding))
       .filter(expr(bucketE).cast("bigint") * col("pb") * col("n") <
