@@ -63,8 +63,15 @@ object Stats {
     *   1. value histogram — groupBy (group, metric, CENTS value) count:
     *      the only pass over the raw data, shuffled on a HIGH-cardinality
     *      key, partial-agg combined map-side;
-    *   2. cumulative ranks — one window over the (small) histogram, so
-    *      each distinct value knows its 0-based rank range [cum-cnt, cum);
+    *   2. cumulative ranks — a TWO-LEVEL prefix sum over the histogram:
+    *      per-bucket subtotals (bucket = v div 2¹⁶) take a small window
+    *      over ~hundreds of bucket rows, and the within-bucket running
+    *      sum windows over partitions bounded by the bucket width — no
+    *      single task ever sees a whole group's histogram, even when
+    *      distinct values approach the key range (the cents histogram of
+    *      a 100 TB price column is ~10⁷ rows per group; one flat window
+    *      would put them all on one reducer). The composed rank
+    *      `b_off + in_off` is integer-identical to the flat window;
     *   3. quartile targets — rank t = (n-1)·k/4 held as integer
     *      quarter-rank units (t, lo = t div 4, rem = t mod 4);
     *   4. bracketing join — the ≤12 target rows broadcast against the
@@ -85,9 +92,21 @@ object Stats {
     // scanned once and the histogram shuffle is reused, not recomputed
     val hist0 = long.groupBy(col("g"), col("metric"), col("v"))
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", expr("v div 65536"))
+    // two-level prefix sum: bucket offsets (tiny window) + within-bucket
+    // running sums (partitions bounded by the 2^16 bucket width)
+    val bucketOffsets = hist0.groupBy(col("g"), col("metric"), col("bucket"))
+      .agg(sum(col("cnt")).as("bcnt"))
+      .withColumn("b_off", sum(col("bcnt")).over(
+        Window.partitionBy(col("g"), col("metric")).orderBy(col("bucket")))
+        - col("bcnt"))
+      .select(col("g"), col("metric"), col("bucket"), col("b_off"))
     val hist = hist0
-      .withColumn("cum_hi", sum(col("cnt")).over(
-        Window.partitionBy(col("g"), col("metric")).orderBy(col("v"))))
+      .withColumn("in_off", sum(col("cnt")).over(
+        Window.partitionBy(col("g"), col("metric"), col("bucket"))
+          .orderBy(col("v"))))
+      .join(broadcast(bucketOffsets), Seq("g", "metric", "bucket"))
+      .withColumn("cum_hi", col("b_off") + col("in_off"))
       .withColumn("cum_lo", col("cum_hi") - col("cnt"))
     val targets = hist0.groupBy(col("g"), col("metric"))
       .agg(sum(col("cnt")).as("n"))

@@ -291,6 +291,21 @@ class PlanSpec extends AnyFunSuite {
       s"corpus scanned twice (exchange not reused):\n$reused")
   }
 
+  test("q_agg_percentile_dist: no window ever partitions on (g, metric) alone over the value histogram") {
+    // the cumulative rank must be the two-level form: within-bucket
+    // windows partition by (g, metric, bucket) — bounded by the 2^16
+    // bucket width — and only the tiny bucket-subtotal window runs on
+    // (g, metric). A flat window over the histogram would put a whole
+    // group's distinct values on one reducer at 100 TB.
+    val p = planStr(q("q_agg_percentile_dist"))
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"no window found:\n$p")
+    val overValues = windows.filter(_.contains("v#"))
+    assert(overValues.nonEmpty, "expected a within-bucket window ordered by v")
+    assert(overValues.forall(_.contains("bucket")),
+      s"value-ordered window not bucket-partitioned:\n${overValues.mkString("\n")}")
+  }
+
   test("q_sample_weighted: acceptance filter is a narrow map over an unshuffled fact side") {
     val p = planStr(q("q_sample_weighted"))
     assert(p.contains("BroadcastNestedLoopJoin"), s"one-row max not broadcast:\n$p")
