@@ -165,7 +165,23 @@ object Aggregates {
         count_if(col("l_tax") === 0).as("n_tax_free"))
       .orderBy("l_returnflag")
 
+  /** Ordered string aggregation (the LISTAGG / string_agg reporting
+    * shape): nation names per region, comma-joined. `collect_list` is
+    * order-free by contract — parallelism decides arrival — so the
+    * order is forced by `array_sort` BEFORE the join, making the string
+    * deterministic at any partition count (names are ASCII, so binary
+    * sort order agrees across engines).
+    */
+  private def aggString(s: SparkSession, d: String): DataFrame =
+    nation(s, d).join(broadcast(region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(expr("array_join(array_sort(collect_list(n_name)), ',')").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_string"          -> aggString _,
     "q_agg_group"           -> aggGroup _,
     "q_agg_global"          -> aggGlobal _,
     "q_agg_having"          -> aggHaving _,
@@ -180,6 +196,12 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_string" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

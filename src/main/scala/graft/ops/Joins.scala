@@ -261,7 +261,27 @@ object Joins {
     }
   }
 
+  /** Null-safe equality join (`<=>`): NULL keys MATCH each other, where
+    * `=` silently drops every row whose key is null — the semantics gap
+    * that loses data when a nullable surrogate key joins. Keys are made
+    * nullable by NULLIFing one nation; the rollup reports the null-match
+    * population beside the regular matches. `<=>` is still an equi-join
+    * key to the planner — hash-partitionable, never a nested loop.
+    */
+  private def nullsafe(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_custkey"),
+      expr("nullif(c_nationkey, 3)").as("ck"))
+    val su = supplier(s, d).select(col("s_suppkey"),
+      expr("nullif(s_nationkey, 3)").as("sk"))
+    c.join(su, col("ck") <=> col("sk"))
+      .groupBy(col("ck").isNull.as("null_key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c_custkey") + col("s_suppkey")).as("key_sum"))
+      .orderBy(col("null_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_nullsafe"  -> nullsafe _,
     "q_join_inner"     -> inner _,
     "q_join_bloom_filtered" -> bloomFiltered _,
     "q_join_left"      -> left _,
@@ -281,6 +301,13 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_nullsafe" ->
+      """SELECT c.ck IS NULL AS null_key, count(*) AS n_pairs,
+        |  CAST(sum(c_custkey + s_suppkey) AS BIGINT) AS key_sum
+        |FROM (SELECT c_custkey, nullif(c_nationkey, 3) AS ck FROM customer) c
+        |JOIN (SELECT s_suppkey, nullif(s_nationkey, 3) AS sk FROM supplier) s
+        |  ON c.ck IS NOT DISTINCT FROM s.sk
+        |GROUP BY 1 ORDER BY null_key""".stripMargin,
     "q_join_bloom_filtered" ->
       """SELECT o.o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty

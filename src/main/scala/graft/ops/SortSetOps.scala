@@ -96,7 +96,26 @@ object SortSetOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** Schema-evolution union: an OLD batch lacking a column unions with a
+    * NEW batch carrying it (`unionByName(allowMissingColumns = true)`) —
+    * the lake-append shape right after a column is added. Missing values
+    * surface as NULL by NAME, never positional misalignment (plain
+    * `union` would zip columns by position and silently cross-wire).
+    */
+  private def unionEvolved(s: SparkSession, d: String): DataFrame = {
+    val old = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val evolved = orders(s, d).filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    old.unionByName(evolved, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy(col("priority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union_evolved"  -> unionEvolved _,
     "q_sort_multi"     -> sortMulti _,
     "q_limit"          -> limit_ _,
     "q_topk"           -> topk _,
@@ -109,6 +128,16 @@ object SortSetOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_union_evolved" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT coalesce(o_orderpriority, '(pre-evolution)') AS priority,
+        |       count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM u GROUP BY 1 ORDER BY priority""".stripMargin,
     "q_sort_multi" ->
       """SELECT c_custkey, c_nationkey,
         |  CASE WHEN c_acctbal < 0 THEN NULL ELSE CAST(floor(c_acctbal / 1000) AS BIGINT) END AS bal_band
