@@ -180,7 +180,27 @@ object Aggregates {
         count(lit(1)).as("n_nations"))
       .orderBy(col("r_name"))
 
+  /** UNPIVOT (melt): the wide lineitem measures reshaped to long
+    * (metric, value) rows — `pivot`'s inverse, the normalization step
+    * before generic per-metric aggregation. `stack` is a Generate (narrow,
+    * no shuffle); the only exchange is the 3-row metric rollup. Decimal
+    * casts before the stack keep the sums engine-exact.
+    */
+  private def aggUnpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(expr(
+        """stack(3,
+          |  'qty',   CAST(l_quantity      AS DECIMAL(12,2)),
+          |  'price', CAST(l_extendedprice AS DECIMAL(12,2)),
+          |  'disc',  CAST(l_discount      AS DECIMAL(12,2))) AS (metric, val)"""
+          .stripMargin))
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("val")).cast("double").as("sum_val"))
+      .orderBy(col("metric"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_unpivot"         -> aggUnpivot _,
     "q_agg_string"          -> aggString _,
     "q_agg_group"           -> aggGroup _,
     "q_agg_global"          -> aggGlobal _,
@@ -196,6 +216,15 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_unpivot" ->
+      """WITH long AS (
+        |  SELECT 'qty' AS metric, CAST(l_quantity AS DECIMAL(12,2)) AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'price', CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'disc', CAST(l_discount AS DECIMAL(12,2)) FROM lineitem)
+        |SELECT metric, count(*) AS n, CAST(sum(val) AS DOUBLE) AS sum_val
+        |FROM long GROUP BY metric ORDER BY metric""".stripMargin,
     "q_agg_string" ->
       """SELECT r_name,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
