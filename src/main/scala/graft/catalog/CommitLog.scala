@@ -260,6 +260,35 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       s"commit: lost the version race 50 times under $tableRoot")
   }
 
+  /** RESTORE (rollback): make the head's content equal an earlier
+    * version's, published as a NEW commit whose manifest re-references
+    * that version's pool files BY NAME — no data is copied or moved, and
+    * history is preserved (the rolled-back versions stay readable and
+    * time-travelable until vacuum). Because the new head references the
+    * restored files, vacuum keeps them live even after it drops the old
+    * manifests. `#txn:` headers on the CURRENT head are carried forward —
+    * applied-batch memory must survive a rollback exactly as it survives
+    * replace and compaction (a restore that forgot them would let a
+    * redelivered streaming batch double-apply). Races through the same
+    * optimistic publish loop as `commit`.
+    */
+  def restore(v: Long): Long = {
+    val dataLines = manifestLines(v).filterNot(_.startsWith("#txn:"))
+    var attempt = 0
+    while (attempt < 50) {
+      val head = currentVersion.getOrElse(throw new java.util.NoSuchElementException(
+        s"restore: empty commit log under $tableRoot"))
+      val carried = manifestLines(head).filter(_.startsWith("#txn:"))
+      val mTmp = writeTmpManifest(carried ++ dataLines, s"r$attempt")
+      beforePublish(attempt, head + 1)
+      if (publish(mTmp, manifestPath(head + 1))) return head + 1
+      hfs.delete(mTmp, false)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"restore: lost the version race 50 times under $tableRoot")
+  }
+
   /** Write `df` once into a staging dir, move its part files into the
     * pool under fresh opaque names, and return their manifest lines
     * (name + footer stats). Names are computed BEFORE any version race —

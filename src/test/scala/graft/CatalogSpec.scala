@@ -131,6 +131,27 @@ class CatalogSpec extends AnyFunSuite {
     assert(v3 == 3L)
   }
 
+  test("commit log: restore rolls the head back as a new commit, history intact") {
+    val log = new graft.catalog.CommitLog(spark, freshRoot() + "/t")
+    val v1 = log.commit(Seq(1L, 2L).toDF("k"), replace = false)
+    log.commit(Seq(99L).toDF("k"), replace = true,
+      txn = Some("batch-7"))                       // the "bad deploy"
+    val vr = log.restore(v1)
+    assert(vr == 3L)
+    // head content equals v1's; the bad version is still time-travelable
+    assert(log.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(log.readVersion(2L).as[Long].collect().toSeq == Seq(99L))
+    // txn memory survives the rollback: the redelivered batch stays a no-op
+    assert(log.txns(vr).contains("batch-7"))
+    assert(log.commit(Seq(99L).toDF("k"), replace = false,
+      txn = Some("batch-7")) == vr)
+    // vacuum keeps the restored head readable: its files are re-referenced
+    // by the new manifest even though their ORIGINAL version is dropped
+    log.vacuum(keepVersions = 1, minFileAgeMs = 0L)
+    assert(log.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    intercept[Exception] { log.readVersion(v1).collect() }: Unit
+  }
+
   test("commit log: reader mid-compact keeps its consistent snapshot") {
     val log = new graft.catalog.CommitLog(spark, freshRoot() + "/t")
     // many tiny files: one commit per row
