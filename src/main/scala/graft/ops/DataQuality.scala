@@ -150,7 +150,33 @@ object DataQuality {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Ingestion-rate anomaly audit: hours whose event count runs 20%+
+    * above the trailing-24-observed-hour average — the feed-health alarm
+    * beside `q_date_gaps`' completeness check. The raw stream collapses
+    * to ONE hourly rollup first (calendar-bounded: ≤ 8,760 rows/year
+    * however large the corpus), so the trailing window runs over
+    * metadata-scale data; the spike test cross-multiplies
+    * (`cnt·20 > trailing_sum`, i.e. cnt > 1.2·mean) — pure BIGINT, no
+    * float average to disagree on. Requires a full 24-hour lookback
+    * before judging (the first day is calibration).
+    */
+  private def dqAnomaly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("h")).rowsBetween(-24, -1)
+    hourly
+      .withColumn("trail_sum", sum(col("cnt")).over(w))
+      .withColumn("n_trail", count(col("cnt")).over(w))
+      .filter(col("n_trail") === 24 &&
+        col("cnt") * 20 > col("trail_sum"))
+      .select(col("h"), col("cnt"), col("trail_sum"))
+      .orderBy(col("h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_anomaly"     -> dqAnomaly _,
     "q_fuzzy_lookup"   -> fuzzyLookup _,
     "q_date_gaps"      -> dateGaps _,
     "q_dq_referential" -> dqReferential _,
@@ -205,6 +231,20 @@ object DataQuality {
         |    count(*) - count(DISTINCT o_orderkey)
         |  FROM orders
         |) ORDER BY candidate_key""".stripMargin,
+    "q_dq_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |win AS (
+        |  SELECT h, cnt,
+        |    sum(cnt) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |      AS trail_sum,
+        |    count(cnt) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |      AS n_trail
+        |  FROM hourly)
+        |SELECT h, cnt, CAST(trail_sum AS BIGINT) AS trail_sum
+        |FROM win WHERE n_trail = 24 AND cnt * 20 > trail_sum
+        |ORDER BY h""".stripMargin,
     "q_dq_outliers" ->
       """WITH c AS (
         |  SELECT l_returnflag AS g,
