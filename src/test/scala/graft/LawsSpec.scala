@@ -89,4 +89,31 @@ class LawsSpec extends AnyFunSuite {
       assert(binned.except(naive).count() == 0 && naive.except(binned).count() == 0)
     }
   }
+
+  test("hash sampling is monotone: raising the threshold strictly grows the sample") {
+    // the Sampling-family consistency law: a row admitted at threshold t
+    // stays admitted at every t' > t, because membership is a pure
+    // function of the row's bucket — the property that lets a pipeline
+    // raise its sampling rate WITHOUT resampling history (seeded
+    // df.sample has no such guarantee)
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("graft_hash_bucket(text)").as("b"))
+    val at16k = docs.filter(col("b") < 16384).select("doc_id")
+    val at32k = docs.filter(col("b") < 32768).select("doc_id")
+    assert(at16k.except(at32k).count() == 0, "smaller sample must be a subset")
+    assert(at32k.count() > at16k.count(), "larger threshold must admit more rows")
+  }
+
+  test("target-mix acceptance keeps the binding language whole and never over-keeps") {
+    // with rate p_s·n_b/(p_b·n_s): the binding language passes 100% of
+    // its rows (bucket·p_b·n_b < 65536·p_b·n_b always), and no language's
+    // kept count exceeds its population
+    val out = SparkEntry.queries("q_sample_target_mix")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val rows = out.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (_, n, kept) => kept <= n })
+    assert(rows.exists { case (_, n, kept) => kept == n },
+      "some (binding) language must be kept whole")
+  }
 }
