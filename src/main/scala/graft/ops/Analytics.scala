@@ -71,9 +71,42 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort"), col("day_offset"))
 
+  /** Power-of-two minute bands as an explicit integer CASE ladder.
+    * `2^ceil(log2(lag+1))` is the obvious spelling, but Spark computes
+    * log2 as ln(x)/ln(2) — NOT exact at powers of two, so a lag of
+    * exactly 8 minutes could band differently across engines. The
+    * ladder is pure integer comparison; the calendar bounds it at 16
+    * rungs. Shared verbatim with the oracle SQL.
+    */
+  private[ops] val lagBandSql: String =
+    (0 to 16).map(k => s"WHEN lag_min < ${1L << k} THEN ${1L << k}")
+      .mkString("CASE ", " ", s" ELSE ${1L << 17} END")
+
+  /** Conversion lag: minutes from a user's FIRST view to their first
+    * purchase after it, bucketed into power-of-two minute bands (how
+    * long the funnel takes, not just whether it completes). Same
+    * one-aggregation shape as the funnel; lag and band are integer
+    * arithmetic on epoch seconds — engine-exact boundaries.
+    */
+  private def conversionLag(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view",
+          unix_timestamp(secTs))).as("t_view"),
+        min(when(col("event_type") === "purchase",
+          unix_timestamp(secTs))).as("t_purchase"))
+      .filter(col("t_view").isNotNull && col("t_purchase") > col("t_view"))
+      .select(expr("(t_purchase - t_view) div 60").as("lag_min"))
+      .select(expr(s"CAST($lagBandSql AS BIGINT)").as("lag_band_min"))
+      .groupBy(col("lag_band_min"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("lag_band_min"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_events_funnel"    -> funnel _,
-    "q_events_retention" -> retention _,
+    "q_events_funnel"     -> funnel _,
+    "q_events_retention"  -> retention _,
+    "q_events_conversion" -> conversionLag _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -93,6 +126,22 @@ object Analytics {
         |              WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
         |              ELSE 3 END AS stage
         |  FROM per_user) GROUP BY stage ORDER BY stage""".stripMargin,
+    "q_events_conversion" ->
+      s"""WITH per_user AS (
+         |  SELECT user_id,
+         |    -- epoch() is DOUBLE and DuckDB's // on doubles is plain
+         |    -- division: cast to BIGINT first so // floors like Spark div
+         |    min(CASE WHEN event_type = 'view'
+         |             THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END) AS t_view,
+         |    min(CASE WHEN event_type = 'purchase'
+         |             THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END) AS t_purchase
+         |  FROM events GROUP BY user_id),
+         |lags AS (
+         |  SELECT (t_purchase - t_view) // 60 AS lag_min
+         |  FROM per_user
+         |  WHERE t_view IS NOT NULL AND t_purchase > t_view)
+         |SELECT CAST($lagBandSql AS BIGINT) AS lag_band_min, count(*) AS n_users
+         |FROM lags GROUP BY 1 ORDER BY lag_band_min""".stripMargin,
     "q_events_retention" ->
       """WITH active AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
