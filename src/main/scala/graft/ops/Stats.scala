@@ -187,6 +187,30 @@ object Stats {
     "q_agg_mode"            -> aggMode _,
   )
 
+  /** Count-min sketch over a keyed column — the point-frequency sketch
+    * completing the approx trio beside HLL (`q_agg_approx_distinct`,
+    * distincts) and the quantile sketch (`q_agg_approx_percentile`).
+    * The SQL aggregate merges partial sketches map-side like any
+    * aggregation, so building one is a single pass at any scale; the
+    * returned bytes are the mergeable serialized form (union across
+    * batches/partitions by construction). Deterministic for a fixed
+    * seed. NOTE: terminal action — the sketch is a driver-side value by
+    * design (kilobytes), like any aggregate a caller collects.
+    * One-sided error: estimate ≥ true count, and ≤ true + eps·N with
+    * probability `confidence` (CmSketchSpec pins the bound at 3 SFs).
+    */
+  def countMin(df: DataFrame, column: String, eps: Double,
+      confidence: Double, seed: Int): Array[Byte] =
+    df.agg(expr(s"count_min_sketch($column, CAST($eps AS DOUBLE), " +
+        s"CAST($confidence AS DOUBLE), $seed)"))
+      .collect()(0).getAs[Array[Byte]](0)
+
+  /** Probe a serialized count-min sketch for an item's estimated count. */
+  def cmsEstimate(sketch: Array[Byte], item: Long): Long =
+    org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketch))
+      .estimateCount(item)
+
   val oracle: Map[String, String] = Map(
     "q_agg_stats" ->
       """SELECT l_returnflag, count(*) AS n,
