@@ -175,7 +175,28 @@ object DataQuality {
       .orderBy(col("h"))
   }
 
+  /** Ingestion cast-safety audit: `try_cast` the untyped string column
+    * to its target type, counting rejects instead of failing the batch —
+    * the reject-row pattern of every typed-landing pipeline (a plain
+    * CAST either throws under ANSI or silently nulls without a count).
+    * A deterministic third of the synthesized feed is corrupted with a
+    * non-numeric prefix; the audit reports rejects and the checksum of
+    * what parsed. Narrow per-row map + small rollup.
+    */
+  private def dqCastSafety(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("raw", expr(
+        "CASE WHEN o_orderkey % 3 = 0 THEN 'id-' || CAST(o_orderkey AS STRING) " +
+          "ELSE CAST(o_orderkey AS STRING) END"))
+      .withColumn("parsed", expr("try_cast(raw AS BIGINT)"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("parsed").isNull, 1L).otherwise(0L)).as("n_rejected"),
+        sum(col("parsed")).as("sum_parsed"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_cast_safety" -> dqCastSafety _,
     "q_dq_anomaly"     -> dqAnomaly _,
     "q_fuzzy_lookup"   -> fuzzyLookup _,
     "q_date_gaps"      -> dateGaps _,
@@ -231,6 +252,18 @@ object DataQuality {
         |    count(*) - count(DISTINCT o_orderkey)
         |  FROM orders
         |) ORDER BY candidate_key""".stripMargin,
+    "q_dq_cast_safety" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority,
+        |    TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+        |                  THEN 'id-' || CAST(o_orderkey AS VARCHAR)
+        |                  ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS parsed
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rejected,
+        |  CAST(sum(parsed) AS BIGINT) AS sum_parsed
+        |FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_dq_anomaly" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS h, count(*) AS cnt

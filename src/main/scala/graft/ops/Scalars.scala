@@ -144,6 +144,24 @@ object Scalars {
           .as("sum_micros"))
       .orderBy("pos")
 
+  /** `explode_outer` null-row semantics: inner explode silently DROPS
+    * rows whose array is empty — the lost-parent-rows gap in every
+    * flatten-then-rejoin pipeline. A deterministic subset of docs gets
+    * an emptied token array; outer explode must keep them as null-token
+    * rows. The oracle is closed-form (sum of greatest(len, 1)) — a true
+    * differential: operator semantics vs arithmetic, not mirror vs
+    * mirror.
+    */
+  private def explodeOuter(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", expr(
+        s"CASE WHEN doc_id % 7 = 0 THEN array() ELSE ${TextExprs.toksE} END"))
+      .select(col("lang"), explode_outer(col("toks")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("tok").isNull, 1L).otherwise(0L)).as("n_empty_docs"))
+      .orderBy(col("lang"))
+
   /** Map family: construct, keys, point lookup. The map itself stays
     * internal (map output columns are driver-unhashable); the projection
     * serializes keys via array_join and surfaces the looked-up value, so
@@ -179,6 +197,7 @@ object Scalars {
     "q_cast_decimal" -> castDecimal _,
     "q_array_funcs"  -> arrayFuncs _,
     "q_explode"      -> explode_ _,
+    "q_explode_outer" -> explodeOuter _,
     "q_map_funcs"    -> mapFuncs _,
     "q_json_funcs"   -> jsonFuncs _,
   )
@@ -248,6 +267,17 @@ object Scalars {
         |  list_contains([1, 2, 3], label) AS label_in_123,
         |  array_to_string(list_sort([label, 0, 9]), ',') AS sorted_triple
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_explode_outer" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN 0
+        |         ELSE len(regexp_extract_all(text, '[^ ]+')) END AS n_toks
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(sum(greatest(n_toks, 1)) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN n_toks = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_empty_docs
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q_explode" ->
       """SELECT CAST(ord AS INT) AS pos, count(*) AS n,
         |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
