@@ -30,6 +30,29 @@ class ApproxDistinctSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketches on disjoint halves union to the whole-corpus estimate") {
+    // the property that makes the distinct sketch a DISTRIBUTED
+    // aggregate: register-wise max over partial sketches equals the
+    // one-pass sketch, so partition count / batch boundaries can never
+    // change the estimate (same law CmSketchSpec pins for count-min)
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    li.createOrReplaceTempView("li_hll")
+    val whole = spark.sql(
+      "SELECT hll_sketch_estimate(hll_sketch_agg(l_suppkey)) FROM li_hll")
+      .collect()(0).getLong(0)
+    val merged = spark.sql(
+      """SELECT hll_sketch_estimate(hll_union(a, b)) FROM
+        |  (SELECT hll_sketch_agg(l_suppkey) AS a FROM li_hll
+        |   WHERE l_orderkey % 2 = 0),
+        |  (SELECT hll_sketch_agg(l_suppkey) AS b FROM li_hll
+        |   WHERE l_orderkey % 2 = 1)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(merged == whole,
+      s"union-of-halves estimate $merged != one-pass estimate $whole")
+    val exact = li.select(countDistinct(col("l_suppkey"))).collect()(0).getLong(0)
+    assert(math.abs(whole - exact).toDouble / exact <= 0.05)
+  }
+
   test("approx_count_distinct within ±5% of exact at sf0.001") {
     check("/root/testdata/sf0.001")
   }
