@@ -291,6 +291,18 @@ class PlanSpec extends AnyFunSuite {
       s"corpus scanned twice (exchange not reused):\n$reused")
   }
 
+  test("q_sql_lateral decorrelates: ranked window + equi-join, never a nested loop") {
+    // a correlated LATERAL (ORDER BY … LIMIT) naively executes as a
+    // per-outer-row subquery — a nested loop over the fact table.
+    // Catalyst must rewrite it to a ranked window (WindowGroupLimit
+    // prunes below the sort) joined back on the correlation key.
+    val p = planStr(q("q_sql_lateral"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LATERAL fell back to a nested loop:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pruned below the sort:\n$p")
+  }
+
   test("q_agg_percentile_dist: no window ever partitions on (g, metric) alone over the value histogram") {
     // the cumulative rank must be the two-level form: within-bucket
     // windows partition by (g, metric, bucket) — bounded by the 2^16
