@@ -28,6 +28,10 @@ class ApproxPercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile quartiles within ±1% of exact at sf0.001") {
+    check("/root/testdata/sf0.001")
+  }
+
   test("approx_percentile quartiles within ±1% of exact at sf0.01") {
     check("/root/testdata/sf0.01")
   }
