@@ -291,6 +291,25 @@ class PlanSpec extends AnyFunSuite {
       s"corpus scanned twice (exchange not reused):\n$reused")
   }
 
+  test("q_dq_outliers: stats broadcast back, the fact side never shuffles before the flag") {
+    val p = planStr(q("q_dq_outliers"))
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"fact side shuffled for the stats join:\n$p")
+  }
+
+  test("q_dq_anomaly aggregates to hours BEFORE any window runs") {
+    // the trailing window must see the calendar-bounded hourly rollup,
+    // never raw events: in the plan tree the (single-partition, tiny)
+    // window sits strictly ABOVE the hash aggregate on the hour key
+    val p = planStr(q("q_dq_anomaly"))
+    val lines = p.linesIterator.toSeq
+    val winAt = lines.indexWhere(_.contains("Window"))
+    val aggAt = lines.indexWhere(_.contains("HashAggregate"))
+    assert(winAt >= 0 && aggAt > winAt,
+      s"window not fed by the hourly pre-aggregation:\n$p")
+  }
+
   test("q_sql_lateral decorrelates: ranked window + equi-join, never a nested loop") {
     // a correlated LATERAL (ORDER BY … LIMIT) naively executes as a
     // per-outer-row subquery — a nested loop over the fact table.
