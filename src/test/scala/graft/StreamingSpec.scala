@@ -176,6 +176,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel state machine resumes its mins from the checkpoint across query restarts") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val landing = java.nio.file.Files.createTempDirectory("graft_funrestart_src")
+      val work = java.nio.file.Files.createTempDirectory("graft_funrestart")
+      Seq(landing, work).foreach(d => Stateful.deleteOnExit(d.toFile))
+      val chk = s"$work/chk"
+
+      def dropFile(name: String, rows: Seq[Stateful.StageEvent]): Unit = {
+        val stage = java.nio.file.Files.createTempDirectory("graft_funrestart_stage")
+        Stateful.deleteOnExit(stage.toFile)
+        rows.toDS().coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, landing.resolve(name)): Unit
+      }
+
+      def runQuery(outDir: String): Unit = {
+        val schema = org.apache.spark.sql.Encoders.product[Stateful.StageEvent].schema
+        val src = spark.readStream.schema(schema).parquet(landing.toString)
+          .as[Stateful.StageEvent]
+        val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          (b, _) => b.write.mode("append").parquet(outDir)
+        val q = Stateful.funnelMinsPerUser(src).toDF()
+          .writeStream
+          .foreachBatch(sink)
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+
+      dropFile("f1.parquet", Seq(Stateful.StageEvent(1L, "view", 10L)))
+      runQuery(s"$work/out1")
+      // second query instance: the purchase lands; the view min (10) can
+      // only come from the restored checkpoint — it is not in f2
+      dropFile("f2.parquet", Seq(Stateful.StageEvent(1L, "purchase", 40L)))
+      runQuery(s"$work/out2")
+      val last = spark.read.parquet(s"$work/out2")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(last == Set((1L, 10L, Long.MaxValue, 40L)))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("foreachBatch upsert sink: re-delivered batches stay idempotent per key") {
     val d = sfDir
     val landing = Stateful.landingDir(d, 2)   // same events file twice → 2 batches
