@@ -48,13 +48,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = math.rint(results.values.filter(_ >= 0).sum * 1000) / 1000
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Truncation-proofing, three redundant channels (r02 AND r03 artifacts
-    // both lost the head of the single long line: parsed=null):
-    //  1. full JSON written to a file the repo commits (survives any stdout
-    //     clipping);
-    //  2. one short {"q":...,"s":...} line per query — no single line is
-    //     long enough to clip;
-    //  3. the one-line aggregate, emitted before and after spark.stop().
+    // Truncation-proofing (r02/r03/r06 artifacts all clipped stdout:
+    // parsed=null): the full JSON goes to a committed file, and stdout
+    // carries ONLY the aggregate line (twice, straddling spark.stop()) —
+    // per-query stdout chatter is what pushed the aggregate line out of
+    // the driver's capture window in r06.
     if (only.isEmpty) {  // a filtered dev run must not clobber the full record
       // path is env-overridable and falls back to the working directory so
       // the bench is runnable outside this container's checkout layout
@@ -67,7 +65,6 @@ object Bench {
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    results.foreach { case (k, v) => println(s"""{"q":"$k","s":$v}""") }
     println(line)
     spark.stop()
     println(line)

@@ -273,6 +273,18 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * optimistic publish loop as `commit`.
     */
   def restore(v: Long): Long = {
+    val live = committedVersions
+    if (live.isEmpty) throw new java.util.NoSuchElementException(
+      s"restore: empty commit log under $tableRoot")
+    // fail with intent, not a raw FileNotFoundException from the manifest
+    // read: a vacuumed / future / never-committed version is a caller
+    // error worth naming (vacuumed versions are gone for good)
+    if (!live.contains(v)) throw new IllegalArgumentException(
+      s"restore: version $v is not available under $tableRoot " +
+        s"(live versions: ${live.min}..${live.max} minus any vacuumed; " +
+        "a vacuumed version cannot be restored)")
+    // restoring the head would publish a redundant duplicate commit
+    if (v == live.max) return v
     val dataLines = manifestLines(v).filterNot(_.startsWith("#txn:"))
     var attempt = 0
     while (attempt < 50) {

@@ -119,26 +119,81 @@ object DataQuality {
   /** Three-sigma outlier audit per group — EXACT. Float mean/stddev
     * would make the |v−μ| > 3σ comparison engine-dependent for values
     * near the boundary (summation order alone shifts μ by ULPs), so the
-    * test is cross-multiplied into pure integer arithmetic on cents:
+    * test stays in integer arithmetic on cents. The naive
+    * cross-multiplied form `(v·n − S)²·(n−1) > 9·n·(n·Q − S²)` is cubic
+    * in n (overflows DECIMAL(38,0) near n ≈ 1e8 rows/group at ~1e7-cent
+    * magnitudes), so the comparison is split: the per-GROUP threshold
     *
-    *   (v·n − S)²·(n−1) > 9·n·(n·Q − S²)
+    *   K = ⌊3·σ·n⌋ = isqrt(⌊9·n·(n·Q − S²)/(n−1)⌋)
     *
-    * with S = Σv, Q = Σv² carried as DECIMAL(38,0) (exact int128-range
-    * integers in both engines; magnitudes peak ~1e29, far inside 1e38).
-    * Shape: one 3-row stats aggregate (map-side combined) broadcast back
-    * onto the unshuffled fact, flag per row, tiny rollup — the fact
-    * table is never shuffled.
+    * is computed once per group (quadratic in n: n·Q and S² stay inside
+    * DECIMAL(38,0) up to n ≈ 2e11 rows/group — ~sf100k, the 100 TB
+    * point), and each row is flagged by the linear-in-n integer test
+    * `|v·n − S| > K` — exactly ⇔ |v−μ| > 3σ because |v·n − S| is an
+    * integer and K = ⌊3σn⌋. isqrt runs as plain column expressions
+    * (double seed + two integer Newton steps + exact ±2 correction) on
+    * the 3-row stats aggregate. Beyond the DECIMAL(38,0) envelope the
+    * audit FAILS LOUDLY instead of undercounting: under ANSI the
+    * overflow itself throws; under legacy null-on-overflow semantics
+    * the explicit raise_error guard below fires.
+    *
+    * Shape: one 3-row stats aggregate (map-side combined) broadcast
+    * back onto the unshuffled fact, flag per row, tiny rollup — the
+    * fact table is never shuffled.
     */
+  /** Per-row exact 3-sigma flag over `(g, v)` with v DECIMAL(38,0) —
+    * the kernel of [[dqOutliers]], factored out so its integer-sqrt
+    * threshold algebra is unit-testable against a BigInt brute force.
+    * Returns the input plus `n`, `sv`, `kk` (the per-group ⌊3σn⌋
+    * threshold) and `is_out`.
+    */
+  private[graft] def outlierFlags(c: DataFrame): DataFrame = {
+    // exact floor-division of non-negative decimals: (a − a mod b)/b.
+    // Decimal division keeps 6 fractional digits but the quotients here
+    // are ≤ ~1e19 — far inside the 32 integer digits that survive.
+    def fdiv(a: String, b: String) =
+      s"CAST((($a) - pmod(($a), ($b))) / ($b) AS DECIMAL(38,0))"
+    val two52 = "4503599627370496"   // doubles are exact below 2^52
+    val stats = c.groupBy(col("g")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("v")).as("sv"),
+        sum(expr("v * v")).as("sq"))
+      // m = n·Q − S² = n(n−1)σ² ≥ 0 (Cauchy–Schwarz); the largest term anywhere
+      .withColumn("m", expr("n * sq - sv * sv"))
+      // ⌊T²⌋ with T² = 9nm/(n−1) = 9m + 9m/(n−1); 9m is an integer so the
+      // floor lands only on the second term. NULL for n=1 (σ undefined).
+      .withColumn("t2", expr(
+        s"CASE WHEN n > 1 THEN 9 * m + ${fdiv("9 * m", "n - 1")} END"))
+      // isqrt(t2): below 2^52 the double seed is exact to ±1; above, the
+      // seed is inflated past the double rounding error (≤ ~1100 at 1e38)
+      // so integer Newton converges from above in two steps
+      .withColumn("k0", expr(
+        s"CAST(floor(sqrt(CAST(t2 AS DOUBLE))) AS DECIMAL(38,0)) + " +
+          s"CASE WHEN t2 >= $two52 THEN 4096 ELSE 0 END"))
+      .withColumn("k1", expr(
+        s"CASE WHEN t2 >= $two52 THEN ${fdiv(s"k0 + ${fdiv("t2", "k0")}", "2")} ELSE k0 END"))
+      .withColumn("k2", expr(
+        s"CASE WHEN t2 >= $two52 THEN ${fdiv(s"k1 + ${fdiv("t2", "k1")}", "2")} ELSE k1 END"))
+      .withColumn("kk", expr(
+        """CASE WHEN t2 IS NULL THEN NULL
+          |     WHEN (k2 + 1) * (k2 + 1) <= t2 THEN k2 + 1
+          |     WHEN k2 * k2 <= t2 THEN k2
+          |     WHEN (k2 - 1) * (k2 - 1) <= t2 THEN k2 - 1
+          |     ELSE k2 - 2 END""".stripMargin))
+      .select(col("g"), col("n"), col("sv"), col("kk"))
+    c.join(broadcast(stats), Seq("g"))
+      .withColumn("d", expr("abs(v * n - sv)"))
+      .withColumn("is_out", expr(
+        """CASE WHEN n <= 1 THEN false
+          |     WHEN d IS NULL OR kk IS NULL
+          |       THEN raise_error('q_dq_outliers: DECIMAL(38,0) overflow — group too large for the exact 3-sigma audit')
+          |     ELSE d > kk END""".stripMargin))
+  }
+
   private def dqOutliers(s: SparkSession, d: String): DataFrame = {
     val c = lineitem(s, d).select(col("l_returnflag").as("g"),
       expr("CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))").as("v"))
-    val stats = c.groupBy(col("g")).agg(
-      count(lit(1)).cast("decimal(38,0)").as("n"),
-      sum(col("v")).as("sv"),
-      sum(expr("v * v")).as("sq"))
-    c.join(broadcast(stats), Seq("g"))
-      .withColumn("is_out",
-        expr("(v * n - sv) * (v * n - sv) * (n - 1) > 9 * n * (n * sq - sv * sv)"))
+    outlierFlags(c)
       .groupBy(col("g"))
       .agg(
         count(lit(1)).as("n_rows"),

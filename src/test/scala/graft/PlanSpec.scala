@@ -338,13 +338,30 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_sample_weighted: acceptance filter is a narrow map over an unshuffled fact side") {
-    val p = planStr(q("q_sample_weighted"))
-    assert(p.contains("BroadcastNestedLoopJoin"), s"one-row max not broadcast:\n$p")
-    // the fact side below the join must carry no exchange: the sample is
-    // decided row-local, the only shuffle is the tiny post-filter rollup
-    val belowJoin = p.linesIterator.dropWhile(!_.contains("BroadcastNestedLoopJoin"))
-      .takeWhile(l => !l.contains("BroadcastExchange")).mkString("\n")
-    assert(!belowJoin.contains("Exchange hashpartitioning"),
-      s"fact side shuffled before the acceptance filter:\n$p")
+    // walk the plan TREE, not the printed lines: print order of the BNLJ's
+    // children is a formatting choice, and a line-sliced window can go
+    // vacuously empty under an AQE/plan-print change
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val top = q("q_sample_weighted").queryExecution.executedPlan
+    val plan = top match {   // collect() does not descend into the AQE wrapper
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    val bnljs = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnljs.nonEmpty, s"one-row max not broadcast:\n$plan")
+    // the streamed (fact) child must carry no shuffle below the join: the
+    // sample is decided row-local, the only shuffle is the post-filter rollup
+    bnljs.foreach { j =>
+      val streamed = j.buildSide match {
+        case BuildLeft  => j.right
+        case BuildRight => j.left
+      }
+      val shuffles = streamed.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"fact side shuffled before the acceptance filter:\n$plan")
+    }
   }
 }
