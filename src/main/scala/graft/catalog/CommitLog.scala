@@ -60,15 +60,19 @@ private[graft] object ColStats {
   *    meanwhile. This closes the half-state window the directory-swap
   *    rewrite had (a reader that resolved file paths just before the swap
   *    read a vanishing dir).
-  *  - a commit becomes visible atomically via `FileSystem.rename` of the
-  *    staged manifest into `_commits/NNNNNNNN.manifest` — readers see the
-  *    old or the new version, never a torn one (no-replace semantics come
-  *    from HDFS rename; see `publish` for the local-fs posture).
-  *  - writers race on the version number optimistically: rename onto an
-  *    existing manifest returns false, the loser re-reads the head and
-  *    retries with the next number (the reference fronts exactly this
-  *    concurrent CRUD plane — three lambdas behind one API Gateway,
-  *    swagger/aws-dl-fmwrk-swagger-apigateway.yaml:30,114,198).
+  *  - a commit becomes visible atomically via a put-if-absent create of
+  *    `_commits/NNNNNNNN.manifest` ([[LogStore]]) — readers see the old
+  *    or the new version, never a torn one. The primitive is pluggable
+  *    per substrate (POSIX hard-link, HDFS no-replace rename, object-
+  *    store conditional PUT) because S3-class stores have NO atomic
+  *    rename — and the reference's data plane is per-source S3 buckets
+  *    (cft/sourceSystem.yaml:20-27), so rename-assuming commits would
+  *    lose one of two racing writers on day one.
+  *  - writers race on the version number optimistically: a conditional
+  *    create onto an existing manifest returns false, the loser re-reads
+  *    the head and retries with the next number (the reference fronts
+  *    exactly this concurrent CRUD plane — three lambdas behind one API
+  *    Gateway, swagger/aws-dl-fmwrk-swagger-apigateway.yaml:30,114,198).
   *
   * Scale: the manifest grows with file count, not row count; reads list
   * one small file + the named parquet footers. This is the plain-parquet
@@ -82,23 +86,83 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   private val commitsDir = new Path(tableRoot, "_commits")
   private val tmpDir = new Path(tableRoot, "_tmp")
 
+  /** Publication seam: put-if-absent of a complete manifest. Overridable
+    * for tests; production resolution is per storage scheme (see
+    * [[LogStore]] — POSIX link, HDFS rename, object-store conditional
+    * put via conf).
+    */
+  protected def newLogStore(): LogStore = LogStore.forPath(spark, tableRoot)
+  private lazy val store: LogStore = newLogStore()
+
   private def manifestPath(v: Long) = new Path(commitsDir, f"$v%08d.manifest")
 
   // strict name gate: a stray non-numeric file in _commits/ (editor swap,
-  // _SUCCESS marker, half-written temp) must be ignored, not explode every
-  // operation with NumberFormatException
+  // _SUCCESS marker, half-written temp, the _head.hint pointer) must be
+  // ignored, not explode every operation with NumberFormatException
   private val ManifestName = "^(\\d{8,})\\.manifest$".r
 
-  private def committedVersions: Seq[Long] =
+  /** Head pointer (`_last_checkpoint` analog): a tiny file naming the
+    * newest version its writer published. Purely a HINT — written
+    * best-effort after every successful publish, possibly stale (a
+    * crash between publish and pointer write, or two racers finishing
+    * out of order, leaves it pointing low, never high) — so the head is
+    * recovered by probing forward from the hint, not trusted blindly.
+    * This turns head discovery from an O(versions) directory listing
+    * (10⁵ commits on a streaming table = 10⁵-entry LIST per read, the
+    * classic growing-log bottleneck) into one small read plus
+    * O(staleness) existence probes.
+    */
+  private val headHint = new Path(commitsDir, "_head.hint")
+
+  /** Test seam: every metadata-plane access funnels through here
+    * (`open` = manifest/hint file read, `list` = _commits listing) so
+    * specs can assert the metadata cost of the read path stays O(1) in
+    * version count.
+    */
+  protected def onMetaAccess(kind: String): Unit = ()
+
+  private def committedVersions: Seq[Long] = {
+    onMetaAccess("list")
     if (!hfs.exists(commitsDir)) Seq.empty
     else hfs.listStatus(commitsDir).toSeq.map(_.getPath.getName).collect {
       case ManifestName(d) => d.toLong
     }
+  }
 
-  /** Highest committed version, if any commit exists. */
+  private def readHeadHint(): Option[Long] =
+    try {
+      onMetaAccess("open")
+      val in = hfs.open(headHint)
+      val body = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      Some(body.trim.toLong)
+    } catch { case _: Exception => None }
+
+  private def writeHeadHint(v: Long): Unit =
+    try LogStore.write(hfs, headHint,
+      s"$v\n".getBytes(StandardCharsets.UTF_8))
+    catch { case _: Exception => () }   // a lost hint only costs probes
+
+  /** Highest committed version, if any commit exists. O(1) metadata
+    * reads on the hinted path: one hint read + forward existence probes
+    * from it (versions are consecutive: commits land at head+1 and
+    * vacuum drops only the oldest prefix, so the first missing manifest
+    * above a live one IS the frontier). Falls back to a full listing
+    * when the hint is absent or points below the vacuum horizon.
+    */
   def currentVersion: Option[Long] = {
-    val vs = committedVersions
-    if (vs.isEmpty) None else Some(vs.max)
+    readHeadHint() match {
+      case Some(h) if hfs.exists(manifestPath(h)) =>
+        var v = h
+        while (hfs.exists(manifestPath(v + 1))) v += 1
+        Some(v)
+      case _ =>
+        val vs = committedVersions
+        if (vs.isEmpty) None else Some(vs.max)
+    }
   }
 
   def exists: Boolean = currentVersion.nonEmpty
@@ -109,6 +173,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * parse unchanged — those files are simply never pruned.
     */
   private def manifestLines(v: Long): Seq[String] = {
+    onMetaAccess("open")
     val in = hfs.open(manifestPath(v))
     val body = try {
       val out = new java.io.ByteArrayOutputStream()
@@ -250,10 +315,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       }
       val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
       val manifest = carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines
-      val mTmp = writeTmpManifest(manifest, s"a$attempt")
       beforePublish(attempt, v)
-      if (publish(mTmp, manifestPath(v))) return v
-      hfs.delete(mTmp, false)
+      if (publish(v, manifest)) return v
       attempt += 1
     }
     throw new java.io.IOException(
@@ -291,10 +354,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val head = currentVersion.getOrElse(throw new java.util.NoSuchElementException(
         s"restore: empty commit log under $tableRoot"))
       val carried = manifestLines(head).filter(_.startsWith("#txn:"))
-      val mTmp = writeTmpManifest(carried ++ dataLines, s"r$attempt")
       beforePublish(attempt, head + 1)
-      if (publish(mTmp, manifestPath(head + 1))) return head + 1
-      hfs.delete(mTmp, false)
+      if (publish(head + 1, carried ++ dataLines)) return head + 1
       attempt += 1
     }
     throw new java.io.IOException(
@@ -338,22 +399,40 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     lines.toSeq
   }
 
-  private def writeTmpManifest(lines: Seq[String], tag: String): Path = {
-    val mTmp = new Path(tmpDir,
-      s"${java.util.UUID.randomUUID().toString.take(8)}-$tag.manifest")
-    val out = hfs.create(mTmp, true)
-    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    mTmp
+  /** Publish version `v` with exactly these manifest lines, through the
+    * store's conditional create. False = lost the race; the caller
+    * re-reads the head and retries. No rename of the manifest name is
+    * ever involved, so the protocol holds on substrates without atomic
+    * rename (object stores) given a conditional-put [[LogStore]].
+    */
+  private def publish(v: Long, lines: Seq[String]): Boolean = {
+    hfs.mkdirs(commitsDir)
+    val won = store.putIfAbsent(manifestPath(v), LogStore.lines(lines))
+    if (won) writeHeadHint(v)   // best-effort; stale-low is self-healing
+    won
   }
 
   /** Pool files among `lines` that CONTAIN at least one of `keys`:
-    * footer-stats range overlap first (no I/O), then an exact semi-join
-    * with `input_file_name()` over just the candidates. The collected
-    * result is file names — metadata-scale, never row-scale.
+    * footer-stats range overlap first (no I/O, pure driver metadata the
+    * manifest already holds), then an exact semi-join with
+    * `input_file_name()` over just the candidates, reduced to ONE
+    * aggregated row (`collect_set` of file names, map-side combined) —
+    * per-file rows never materialize on the driver, and the fetched
+    * array is bounded by the candidate count, which is itself bounded
+    * by `refineCap`: past the cap the exact refinement is skipped and
+    * the stats-overlap set stands as the touched set (correct — a
+    * candidate with no matched key is rewritten byte-identical — at the
+    * price of extra rewrite, the right trade once the refinement scan
+    * itself would rival the rewrite it prunes).
     */
+  /** Candidate-count ceiling above which touched-file discovery trusts
+    * footer stats alone (no exact refinement scan). Overridable for
+    * tests and for tables whose clustering makes stats near-exact.
+    */
+  protected def touchRefineCap: Int = 4096
+
   private def findTouched(lines: Seq[String], stats: Map[String, Map[String, ColStats]],
-      keys: DataFrame, keyCol: String): Set[String] = {
+      keys: DataFrame, keyCol: String, refineCap: Int = touchRefineCap): Set[String] = {
     val bounds = keys.agg(org.apache.spark.sql.functions.min(keyCol),
       org.apache.spark.sql.functions.max(keyCol)).head()
     if (bounds.isNullAt(0)) Set.empty
@@ -364,12 +443,14 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           stats.get(n).flatMap(_.get(keyCol)).forall(_.overlaps(lo, hi))
         }
       if (candidates.isEmpty) Set.empty
+      else if (candidates.length > refineCap) candidates.toSet
       else spark.read.option("mergeSchema", "true")
         .parquet(candidates.map(n => new Path(dataDir, n).toString): _*)
         .withColumn("_graft_file", input_file_name())
         .join(keys, Seq(keyCol), "semi")
-        .select("_graft_file").distinct()
-        .collect().map(r => r.getString(0).split('/').last).toSet
+        .agg(org.apache.spark.sql.functions.collect_set(col("_graft_file")))
+        .head().getSeq[String](0)
+        .map(_.split('/').last).toSet
     }
   }
 
@@ -464,10 +545,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       // means the snapshot we merged against is stale, so recompute (the
       // orphaned pool files age out under vacuum's in-flight guard)
       val newLines = stageToPool(merged, "merge")
-      val mTmp = writeTmpManifest(keptLines ++ newLines, "merge")
       beforePublish(attempt, v + 1)
-      if (publish(mTmp, manifestPath(v + 1))) return v + 1
-      hfs.delete(mTmp, false)
+      if (publish(v + 1, keptLines ++ newLines)) return v + 1
       attempt += 1
     }
     throw new java.io.IOException(
@@ -498,10 +577,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         .join(keys, Seq(keyCol), "left_anti")
         .select(cols.map(col): _*)
       val newLines = stageToPool(survivors, "delete")
-      val mTmp = writeTmpManifest(keptLines ++ newLines, "delete")
       beforePublish(attempt, v + 1)
-      if (publish(mTmp, manifestPath(v + 1))) return v + 1
-      hfs.delete(mTmp, false)
+      if (publish(v + 1, keptLines ++ newLines)) return v + 1
       attempt += 1
     }
     throw new java.io.IOException(
@@ -596,28 +673,6 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     dead.foreach(p => hfs.delete(p, false))
     (drop.length, dead.length)
   }
-
-  /** Atomic no-replace publish of a staged manifest. On HDFS, `rename`
-    * itself fails when the destination exists — the real concurrency
-    * guard. POSIX rename REPLACES the destination, so on the local
-    * filesystem the manifest is published via `Files.createLink`, which
-    * the kernel guarantees to fail with EEXIST if the destination already
-    * exists — a genuinely atomic lose-the-race primitive, no TOCTOU
-    * window. (A cloud object store would use a conditional-put log store
-    * here, the same split lakehouse formats make.)
-    */
-  private def publish(mTmp: Path, dst: Path): Boolean =
-    if (hfs.getUri.getScheme == "file") {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(mTmp.toUri.getPath))
-        hfs.delete(mTmp, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    } else if (hfs.exists(dst)) false else hfs.rename(mTmp, dst)
 
   /** Test seam: runs just before each publish attempt, letting a spec
     * inject a racing writer's manifest deterministically. */

@@ -643,6 +643,74 @@ class CatalogSpec extends AnyFunSuite {
     assert(log.read().as[(Long, String)].collect().toSeq == Seq((1L, "a2")))
   }
 
+  test("commit log: past the refine cap, stats alone bound the CoW rewrite — still exact") {
+    import graft.catalog.CommitLog
+    val root = freshRoot() + "/t"
+    val log = new CommitLog(spark, root)
+    for (lo <- Seq(0L, 100L, 200L))
+      log.commit(spark.range(lo, lo + 100).toDF("k")
+        .withColumn("payload", format_string("row-%03d", col("k")))
+        .coalesce(1), replace = false)
+    // cap 0: every stats-overlapping candidate counts as touched; the
+    // refinement scan (and its driver fetch) never runs at all
+    val capped = new CommitLog(spark, root) {
+      override protected def touchRefineCap: Int = 0
+    }
+    val before = log.files(log.currentVersion.get).toSet
+    // keys 10 and 250 span [10, 250] — stats overlap ALL three files even
+    // though only the first and last contain a match
+    capped.merge(Seq((10L, "upd-10"), (250L, "upd-250")).toDF("k", "payload"), "k")
+    val after = log.files(log.currentVersion.get).toSet
+    assert((before & after).isEmpty,
+      "under cap 0 every overlapping candidate must be rewritten")
+    val m = log.read().as[(Long, String)].collect().toMap
+    assert(m.size == 300 && m(10L) == "upd-10" && m(250L) == "upd-250"
+      && m(150L) == "row-150")
+    // delete through the capped path stays exact too
+    capped.deleteKeys(Seq(150L).toDF("k"), "k")
+    assert(log.read().count() == 299)
+    assert(log.read().filter(col("k") === 150L).count() == 0)
+  }
+
+  test("commit log: head discovery is O(1) metadata reads after 500 commits") {
+    import graft.catalog.CommitLog
+    val root = freshRoot() + "/t"
+    class Counting extends CommitLog(spark, root) {
+      val opens = new java.util.concurrent.atomic.AtomicInteger
+      val lists = new java.util.concurrent.atomic.AtomicInteger
+      override protected def onMetaAccess(kind: String): Unit =
+        (if (kind == "open") opens else lists).incrementAndGet(): Unit
+    }
+    val writer = new CommitLog(spark, root)
+    // 500 commits in one JVM; each appends a 25-row chunk
+    for (i <- 0L until 500L)
+      writer.commit(spark.range(i * 25, i * 25 + 25).toDF("k").coalesce(1),
+        replace = false)
+    // a FRESH reader (no cached state) resolves and reads the head
+    // opening exactly 2 metadata files: the head hint + that version's
+    // manifest — never an O(versions) listing of _commits
+    val reader = new Counting
+    val head = reader.read()
+    assert(reader.lists.get == 0,
+      s"read listed _commits ${reader.lists.get} times; the hint path must not list")
+    assert(reader.opens.get <= 2,
+      s"read opened ${reader.opens.get} metadata files, expected <=2")
+    assert(head.count() == 12500)
+    // a stale hint self-heals by probing forward, not by mislistng the head
+    val hfs = graft.catalog.HadoopFs.fs(spark, root)
+    val out = hfs.create(new org.apache.hadoop.fs.Path(root, "_commits/_head.hint"), true)
+    out.write("497\n".getBytes("UTF-8")); out.close()
+    val stale = new Counting
+    assert(stale.currentVersion.contains(500L))
+    assert(stale.lists.get == 0)
+    // time travel, CDF, and RESTORE are unaffected by the pointer plane
+    assert(reader.readVersion(3L).count() == 75)
+    assert(reader.changesBetween(499L, 500L).count() == 25)
+    val vr = reader.restore(499L)
+    assert(vr == 501L && reader.read().count() == 12475)
+    assert(new Counting().currentVersion.contains(501L))
+  }
+
   test("audit log: append, lookup, guarded status update") {
     val log = new AuditLog(spark, freshRoot() + "/audit")
     log.append("req-1", "create", "fn", Map("tasktype" -> "create"), """{"k":1}""")
