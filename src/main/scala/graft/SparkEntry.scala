@@ -39,6 +39,7 @@ object SparkEntry {
       (SkewJoin.queries, SkewJoin.oracle),
       (Stats.queries, Stats.oracle),
       (SqlSurface.queries, SqlSurface.oracle),
+      (CatalogSql.queries, CatalogSql.oracle),
       (BinaryFuncs.queries, BinaryFuncs.oracle),
       (Sampling.queries, Sampling.oracle),
       (Privacy.queries, Privacy.oracle),

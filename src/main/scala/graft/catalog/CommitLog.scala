@@ -189,6 +189,12 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   def files(v: Long): Seq[String] =
     manifestLines(v).filterNot(_.startsWith("#")).map(_.split('\t').head)
 
+  /** Absolute pool-file paths of a committed version — the file list a
+    * V2 scan binds to (the snapshot stays immutable under later commits).
+    */
+  def filePaths(v: Long): Seq[String] =
+    files(v).map(n => new Path(dataDir, n).toString)
+
   /** Per-file column statistics of a committed version (absent for files
     * committed before stats existed — they are treated as unprunable).
     */
@@ -584,6 +590,62 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     throw new java.io.IOException(
       s"delete: lost the head race $maxAttempts times under $tableRoot")
   }
+
+  /** Copy-on-write rewrite of exactly the files containing rows matching
+    * `cond`, replacing them with their survivors plus (optionally)
+    * `extra` rows, in ONE atomic commit — the engine behind the SQL
+    * catalog's `DELETE FROM ... WHERE` and filter-overwrite
+    * ([[GraftTableCatalog]]). Unlike [[deleteKeys]] (equality on one key
+    * column), the predicate is arbitrary, so touched-file discovery is a
+    * predicate-pushed scan over the snapshot (parquet row-group stats
+    * prune the probe) reduced to a single `collect_set` row of file
+    * names — metadata-scale on the driver, never row-scale. Untouched
+    * files are carried by name; `#` headers (txn memory) survive.
+    */
+  def rewriteWhere(cond: org.apache.spark.sql.Column, extra: Option[DataFrame],
+      maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, collect_set}
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed version under $tableRoot"))
+      val lines = manifestLines(v)
+      val names = files(v)
+      val touched: Set[String] =
+        if (names.isEmpty) Set.empty
+        else spark.read.option("mergeSchema", "true")
+          .parquet(names.map(n => new Path(dataDir, n).toString): _*)
+          .filter(cond)
+          .select(input_file_name().as("_graft_file"))
+          .agg(collect_set(col("_graft_file")))
+          .head().getSeq[String](0)
+          .map(_.split('/').last).toSet
+      if (touched.isEmpty && extra.isEmpty) return v
+      val keptLines = lines.filterNot(l =>
+        !l.startsWith("#") && touched(l.split('\t').head))
+      val survivorLines =
+        if (touched.isEmpty) Seq.empty
+        else {
+          val cols = readVersion(v).columns.toSeq
+          val survivors = spark.read.option("mergeSchema", "true")
+            .parquet(touched.toSeq.sorted.map(n => new Path(dataDir, n).toString): _*)
+            // SQL DELETE semantics: rows where the predicate is NULL survive
+            .filter(!coalesce(cond, lit(false)))
+            .select(cols.map(col): _*)
+          stageToPool(survivors, "rewriteWhere")
+        }
+      val extraLines = extra.map(stageToPool(_, "rewriteWhere")).getOrElse(Seq.empty)
+      beforePublish(attempt, v + 1)
+      if (publish(v + 1, keptLines ++ survivorLines ++ extraLines)) return v + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"rewriteWhere: lost the head race $maxAttempts times under $tableRoot")
+  }
+
+  /** `DELETE FROM ... WHERE cond` as a predicate CoW commit. */
+  def deleteWhere(cond: org.apache.spark.sql.Column, maxAttempts: Int = 5): Long =
+    rewriteWhere(cond, None, maxAttempts)
 
   /** Range-cluster the head snapshot on `column` (the 1-D OPTIMIZE /
     * cluster-by maintenance op): rewrite into `ceil(bytes/target)` files

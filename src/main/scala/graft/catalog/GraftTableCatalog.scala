@@ -1,0 +1,334 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** V2 `TableCatalog` plugin putting [[CommitLog]] tables behind catalog
+  * names, so plain `spark.sql` reaches the commit log — the named-table
+  * front door the reference's mono-backend dispatch implies (one backend
+  * behind every route, swagger/aws-dl-fmwrk-swagger-apigateway.yaml:30,
+  * 114,198):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftTableCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "s3://bucket/wh")
+  *   spark.sql("CREATE TABLE graft.db.t (k BIGINT, v STRING)")
+  *   spark.sql("INSERT INTO graft.db.t VALUES (1, 'a')")
+  *   spark.sql("SELECT * FROM graft.db.t VERSION AS OF 1")
+  *   spark.sql("DELETE FROM graft.db.t WHERE k < 10")
+  * }}}
+  *
+  * Layout: `<warehouse>/<namespace>/<table>` is a CommitLog root; the
+  * declared schema lives in `_schema.json` beside the log (a delete-all
+  * commit leaves zero pool files, so footers alone cannot carry the
+  * schema of an empty table). One namespace level, mirroring the
+  * reference's `<source>/<asset>` addressing.
+  *
+  * Scale posture: reads delegate to Spark's own parquet V2 scan over the
+  * snapshot's immutable file list — full pushdown/pruning/vectorization,
+  * nothing bespoke in the hot path. Writes are manifest commits
+  * (append / truncate-replace); `DELETE WHERE` is the predicate CoW of
+  * [[CommitLog.rewriteWhere]], rewriting only files that contain
+  * matching rows. MERGE stays on the DataFrame API ([[CommitLog.merge]])
+  * — Spark's row-level-operation rewrite demands a native V2 batch
+  * write, which would re-implement the parquet writer for no new
+  * semantics.
+  */
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark = SparkSession.active
+  private def fs = HadoopFs.fs(spark, warehouse)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
+      s"spark.sql.catalog.$name.warehouse must point at a directory"))
+  }
+
+  override def name(): String = catalogName
+
+  private def ns1(ns: Array[String]): String = ns match {
+    case Array(db) => db
+    case _         => throw new NoSuchNamespaceException(ns)
+  }
+  private def nsPath(db: String) = new Path(warehouse, db)
+  private def tableRoot(ident: Identifier) =
+    new Path(nsPath(ns1(ident.namespace())), ident.name())
+  private def schemaFile(root: Path) = new Path(root, "_schema.json")
+
+  /** A table dir is one holding a declared schema or committed data —
+    * raw CommitLog tables dropped into the warehouse by the DataFrame
+    * plane are addressable without re-registration.
+    */
+  private def isTable(root: Path): Boolean =
+    fs.exists(schemaFile(root)) || fs.exists(new Path(root, "_commits"))
+
+  // ---- namespaces --------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val w = new Path(warehouse)
+    if (!fs.exists(w)) Array.empty
+    else fs.listStatus(w).filter(_.isDirectory).map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] =
+    if (ns.isEmpty) listNamespaces()
+    else if (namespaceExists(ns)) Array.empty   // single-level namespaces
+    else throw new NoSuchNamespaceException(ns)
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.length == 1 && fs.exists(nsPath(ns(0)))
+
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] =
+    if (namespaceExists(ns)) Map("location" -> nsPath(ns1(ns)).toString).asJava
+    else throw new NoSuchNamespaceException(ns)
+
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(ns)) throw new NamespaceAlreadyExistsException(ns)
+    fs.mkdirs(nsPath(ns1(ns))): Unit
+  }
+
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no mutable metadata")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    if (!cascade && listTables(ns).nonEmpty) throw new IllegalStateException(
+      s"namespace ${ns.mkString(".")} is not empty; use CASCADE")
+    fs.delete(nsPath(ns1(ns)), true)
+  }
+
+  // ---- tables ------------------------------------------------------------
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    fs.listStatus(nsPath(ns1(ns)))
+      .filter(s => s.isDirectory && isTable(s.getPath))
+      .map(s => Identifier.of(ns, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && isTable(tableRoot(ident))
+
+  private def declaredSchema(root: Path): Option[StructType] = {
+    val f = schemaFile(root)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val body = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      Some(DataType.fromJson(body).asInstanceOf[StructType])
+    }
+  }
+
+  private def writeSchema(root: Path, schema: StructType): Unit =
+    LogStore.write(fs, schemaFile(root),
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val root = tableRoot(ident)
+    new GraftTable(spark, fullName(ident), root.toString, declaredSchema(root), None)
+  }
+
+  /** `VERSION AS OF v` — the commit log's native time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val root = tableRoot(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft versions are commit numbers; got '$version'")
+    }
+    new GraftTable(spark, fullName(ident), root.toString, declaredSchema(root), Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` — micros from Spark, resolved against manifest
+    * publication instants.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val root = tableRoot(ident)
+    val log = new CommitLog(spark, root.toString)
+    val v = log.versionAsOf(timestampMicros / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit at or before timestamp $timestampMicros under $root"))
+    new GraftTable(spark, fullName(ident), root.toString, declaredSchema(root), Some(v))
+  }
+
+  private def fullName(ident: Identifier): String =
+    s"$catalogName.${ns1(ident.namespace())}.${ident.name()}"
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft tables range-cluster via optimizeBy, not static partitioning")
+    val root = tableRoot(ident)
+    fs.mkdirs(root)
+    writeSchema(root, schema)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val root = tableRoot(ident)
+    var schema = declaredSchema(root).getOrElse(loadTable(ident).schema())
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports top-level ADD COLUMN only, got $other")
+    }
+    writeSchema(root, schema)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs.delete(tableRoot(ident), true)
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    if (!namespaceExists(to.namespace())) throw new NoSuchNamespaceException(to.namespace())
+    // a directory move is a pure metadata op here; an object-store deploy
+    // would record the mapping catalog-side instead of moving data
+    if (!fs.rename(tableRoot(from), tableRoot(to)))
+      throw new java.io.IOException(s"rename $from -> $to failed")
+  }
+}
+
+/** One commit-log table behind the catalog: reads delegate to the built-in
+  * parquet V2 scan over the pinned snapshot's file list (pushdown,
+  * pruning, vectorized reader all come from Spark); writes commit through
+  * the log's optimistic publish. `pinned` carries time travel.
+  */
+private[graft] class GraftTable(spark: SparkSession, tableName: String, root: String,
+    declared: Option[StructType], pinned: Option[Long])
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private val log = new CommitLog(spark, root)
+
+  override def name(): String = tableName
+
+  override lazy val schema: StructType = declared.getOrElse {
+    pinned.orElse(log.currentVersion)
+      .map(v => log.readVersion(v).schema)
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalStateException(
+        s"$tableName has neither a declared schema nor committed data"))
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] =
+    Map("location" -> root, "provider" -> "graft").asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val snapshot = pinned.orElse(log.currentVersion)
+    pinned.foreach { v =>
+      require(log.files(v) != null, s"version $v not readable under $root")
+    }
+    val paths = snapshot.map(log.filePaths).getOrElse(Seq.empty)
+    ParquetTable(tableName, spark, options, paths, Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+  }
+
+  private sealed trait WriteMode
+  private case object AppendMode extends WriteMode
+  private case object TruncateMode extends WriteMode
+  private case class OverwriteMode(cond: Column) extends WriteMode
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty, s"cannot write to time-travel snapshot of $tableName")
+    new WriteBuilder with SupportsOverwrite {
+      private var mode: WriteMode = AppendMode
+      override def truncate(): WriteBuilder = { mode = TruncateMode; this }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        val cond = filters.map(f => GraftTable.filterToColumn(f).getOrElse(
+            throw new UnsupportedOperationException(s"untranslatable overwrite filter: $f")))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        mode = OverwriteMode(cond)
+        this
+      }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = mode match {
+              case AppendMode        => log.commit(data, replace = false): Unit
+              case TruncateMode      => log.commit(data, replace = true): Unit
+              case OverwriteMode(c)  =>
+                if (log.currentVersion.isEmpty) log.commit(data, replace = true): Unit
+                else log.rewriteWhere(c, Some(data)): Unit
+            }
+          }
+      }
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(GraftTable.filterToColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    if (log.currentVersion.nonEmpty) {
+      val cond = filters.flatMap(GraftTable.filterToColumn)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      log.deleteWhere(cond): Unit
+    }
+}
+
+private[graft] object GraftTable {
+  import org.apache.spark.sql.sources._
+
+  /** V1 pushdown filter → Column, total on the shapes Spark produces for
+    * top-level columns; nested references return None (the caller then
+    * reports the predicate as unsupported rather than mistranslating).
+    */
+  def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => ref(a).map(_ === lit(v))
+    case EqualNullSafe(a, v)      => ref(a).map(_ <=> lit(v))
+    case GreaterThan(a, v)        => ref(a).map(_ > lit(v))
+    case GreaterThanOrEqual(a, v) => ref(a).map(_ >= lit(v))
+    case LessThan(a, v)           => ref(a).map(_ < lit(v))
+    case LessThanOrEqual(a, v)    => ref(a).map(_ <= lit(v))
+    case In(a, vs)                => ref(a).map(_.isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => ref(a).map(_.isNull)
+    case IsNotNull(a)             => ref(a).map(_.isNotNull)
+    case And(l, r)                => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
+    case Or(l, r)                 => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+    case Not(c)                   => filterToColumn(c).map(!_)
+    case StringStartsWith(a, v)   => ref(a).map(_.startsWith(v))
+    case StringEndsWith(a, v)     => ref(a).map(_.endsWith(v))
+    case StringContains(a, v)     => ref(a).map(_.contains(v))
+    case AlwaysTrue()             => Some(lit(true))
+    case AlwaysFalse()            => Some(lit(false))
+    case _                        => None
+  }
+
+  private def ref(a: String): Option[Column] =
+    if (a.contains(".")) None else Some(col(s"`$a`"))
+}

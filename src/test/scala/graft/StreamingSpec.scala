@@ -264,6 +264,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(log.currentVersion == before)
   }
 
+  test("forced micro-batch retry across a restart: txn commits keep the table exactly-once") {
+    // the crash window under test: the batch's rows COMMIT to the table,
+    // then the query dies before the streaming checkpoint records the
+    // batch — on restart the engine MUST replay it (at-least-once), and
+    // the #txn header in the same manifest publish must turn the replay
+    // into a no-op (exactly-once at the table)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_retry")
+    Stateful.deleteOnExit(tmp.toFile)
+    val table = s"$tmp/table"
+    val chk = s"$tmp/chk"
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val in = MemoryStream[Long](spark)
+    def start() = in.toDF().toDF("k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val log = new graft.catalog.CommitLog(spark, table)
+        log.commit(batch, replace = false, Some(s"ingest-$id")): Unit
+        if (id == 1L && !crashed.getAndSet(true))
+          throw new RuntimeException("injected crash after table commit, before checkpoint")
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    val q1 = start()
+    in.addData(1L, 2L, 3L)          // batch 0: clean
+    q1.processAllAvailable()
+    in.addData(4L, 5L)              // batch 1: commits, then the query dies
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      in.addData(6L)                // ensure the engine keeps pulling
+      q1.awaitTermination()
+    }
+    val log = new graft.catalog.CommitLog(spark, table)
+    val afterCrash = log.read().as[Long].collect().sorted.toSeq
+    assert(afterCrash.contains(4L) && afterCrash.contains(5L),
+      s"batch 1 must have committed before the crash: $afterCrash")
+    val q2 = start()                // same checkpoint: batch 1 replays
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = log.read().as[Long].collect().sorted.toSeq
+    assert(rows == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      s"replayed batch must not duplicate rows: $rows")
+    // the replay was genuinely redelivered: its txn id appears exactly once
+    assert(log.txns(log.currentVersion.get).count(_ == "ingest-1") == 1)
+  }
+
   test("flatMapGroupsWithState keeps a running per-key count across batches") {
     val in = MemoryStream[Stateful.UserEvent](spark)
     val q = Stateful.runningCountPerUser(in.toDS())
