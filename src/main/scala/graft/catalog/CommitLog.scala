@@ -383,6 +383,16 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   private def stageToPool(df: DataFrame, op: String): Seq[String] = {
     val stage = new Path(tmpDir, java.util.UUID.randomUUID().toString)
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    poolFromStage(stage, op)
+  }
+
+  /** Move an already-written staging dir's part files into the pool
+    * under fresh opaque names and return their manifest lines — the
+    * second half of [[stageToPool]], split out so writers that produce
+    * their files through other machinery (the V2 batch write behind SQL
+    * MERGE/UPDATE) share the same pooling discipline.
+    */
+  private def poolFromStage(stage: Path, op: String): Seq[String] = {
     // one footer read per part yields BOTH the row count and the stats;
     // zero-row parts (Spark writes schema-only files for empty partitions
     // of union/anti-join plans) are dropped here — they would pollute
@@ -403,6 +413,35 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     }
     hfs.delete(stage, true)
     lines.toSeq
+  }
+
+  /** Fresh staging directory under the table's `_tmp` for an external
+    * writer (the SQL row-level-operation write stages here, then commits
+    * via [[commitStaged]]). Unreferenced leftovers from crashed writers
+    * age out under vacuum's in-flight guard like any orphan.
+    */
+  def newStageDir(tag: String): String =
+    new Path(tmpDir, s"$tag-${java.util.UUID.randomUUID().toString}").toString
+
+  /** Publish the parquet files previously written into `stageDir` (via
+    * [[newStageDir]]) as the next commit. `replace=true` is the
+    * row-level-operation contract: the staged files ARE the table's new
+    * content. Same optimistic version race as [[commit]]; `#txn:`
+    * headers carry forward across the replace.
+    */
+  def commitStaged(stageDir: String, replace: Boolean): Long = {
+    val newLines = poolFromStage(new Path(stageDir), "commitStaged")
+    var attempt = 0
+    while (attempt < 50) {
+      val v = currentVersion.getOrElse(0L) + 1
+      val prev = currentVersion.map(manifestLines).getOrElse(Seq.empty)
+      val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
+      beforePublish(attempt, v)
+      if (publish(v, carried ++ newLines)) return v
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"commitStaged: lost the version race 50 times under $tableRoot")
   }
 
   /** Publish version `v` with exactly these manifest lines, through the

@@ -177,7 +177,7 @@ object DeltaInterop {
     * version-0 commit listing them. Any Delta reader ≥ protocol (1,2)
     * accepts the result.
     */
-  def exportDelta(spark: SparkSession, commitRoot: String, dest: String): Unit = {
+  def exportDelta(spark: SparkSession, commitRoot: String, dest: String): Int = {
     val log = new CommitLog(spark, commitRoot)
     val v = log.currentVersion.getOrElse(throw new java.io.FileNotFoundException(
       s"no committed version under $commitRoot"))
@@ -207,5 +207,6 @@ object DeltaInterop {
     fs.mkdirs(logDir(dest))
     LogStore.write(fs, new Path(logDir(dest), f"${0L}%020d.json"),
       ((protocol +: metaData +: adds).mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    names.length
   }
 }

@@ -1,0 +1,131 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Table-maintenance plane as SQL `CALL` procedures (`graft.system.*`) —
+  * the OPTIMIZE/VACUUM/RESTORE surface lakehouse users expect, reaching
+  * the same [[CommitLog]] maintenance ops the DataFrame plane uses:
+  *
+  * {{{
+  *   CALL graft.system.optimize(`table` => 'db.t', cluster_by => 'k')
+  *   CALL graft.system.compact('db.t')
+  *   CALL graft.system.vacuum('db.t', 1, 0)
+  *   CALL graft.system.restore('db.t', 3)
+  *   CALL graft.system.export_delta('db.t', '/path/delta')
+  *   CALL graft.system.import_delta('/path/delta', 'db.t')
+  * }}}
+  *
+  * Each returns a one-row summary (a [[LocalScan]] — driver-local; the
+  * results are manifest-plane counters, never data rows).
+  */
+private[catalog] object GraftProcedures {
+
+  val names: Seq[String] =
+    Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta")
+
+  def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
+    case "optimize"     => new Optimize(cat)
+    case "compact"      => new Compact(cat)
+    case "vacuum"       => new Vacuum(cat)
+    case "restore"      => new Restore(cat)
+    case "export_delta" => new ExportDelta(cat)
+    case "import_delta" => new ImportDelta(cat)
+    case other => throw new IllegalArgumentException(
+      s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
+  }
+
+  private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
+
+  private abstract class Proc(procName: String, params: Seq[ProcedureParameter])
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+
+    protected def result(schema: StructType, values: Any*): java.util.Iterator[Scan] = {
+      val row = InternalRow.fromSeq(values.map {
+        case s: String => UTF8String.fromString(s)
+        case x         => x
+      })
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+  }
+
+  private val rewriteSchema = new StructType()
+    .add("files_before", IntegerType).add("files_after", IntegerType)
+
+  private final class Optimize(cat: GraftTableCatalog)
+    extends Proc("optimize", Seq(in("table", StringType), in("cluster_by", StringType))) {
+    override def description(): String =
+      "range-cluster a table on a column so footer stats prune file reads"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val (before, after) = log.optimizeBy(input.getUTF8String(1).toString)
+      result(rewriteSchema, before, after)
+    }
+  }
+
+  private final class Compact(cat: GraftTableCatalog)
+    extends Proc("compact", Seq(in("table", StringType))) {
+    override def description(): String = "bin-pack small pool files into ~128MB files"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val (before, after) = log.compact()
+      result(rewriteSchema, before, after)
+    }
+  }
+
+  private final class Vacuum(cat: GraftTableCatalog)
+    extends Proc("vacuum", Seq(in("table", StringType), in("keep_versions", IntegerType),
+      in("min_age_ms", LongType))) {
+    override def description(): String =
+      "drop old versions and collect unreferenced pool files past the age threshold"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val (manifests, files) = log.vacuum(input.getInt(1), input.getLong(2))
+      result(new StructType().add("manifests_deleted", IntegerType)
+        .add("files_deleted", IntegerType), manifests, files)
+    }
+  }
+
+  private final class Restore(cat: GraftTableCatalog)
+    extends Proc("restore", Seq(in("table", StringType), in("version", LongType))) {
+    override def description(): String =
+      "roll the table head back to an earlier version (published as a new commit)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val v = log.restore(input.getLong(1))
+      result(new StructType().add("version", LongType), v)
+    }
+  }
+
+  private final class ExportDelta(cat: GraftTableCatalog)
+    extends Proc("export_delta", Seq(in("table", StringType), in("dest", StringType))) {
+    override def description(): String = "export the table head as a minimal Delta table"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val n = DeltaInterop.exportDelta(cat.sparkSession,
+        cat.rootOf(input.getUTF8String(0).toString), input.getUTF8String(1).toString)
+      result(new StructType().add("files_exported", IntegerType), n)
+    }
+  }
+
+  private final class ImportDelta(cat: GraftTableCatalog)
+    extends Proc("import_delta", Seq(in("source", StringType), in("table", StringType))) {
+    override def description(): String =
+      "import a Delta table's head snapshot as a commit (table created if absent)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = cat.rootForCreate(input.getUTF8String(1).toString)
+      val v = DeltaInterop.importDelta(cat.sparkSession,
+        input.getUTF8String(0).toString, root)
+      result(new StructType().add("version", LongType), v)
+    }
+  }
+}

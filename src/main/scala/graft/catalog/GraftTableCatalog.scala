@@ -49,13 +49,51 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * write, which would re-implement the parquet writer for no new
   * semantics.
   */
-class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
 
   private def spark = SparkSession.active
   private def fs = HadoopFs.fs(spark, warehouse)
+
+  private[catalog] def sparkSession: SparkSession = spark
+
+  /** `db.table` → existing table root (procedures address tables as one
+    * string argument, not parsed identifiers).
+    */
+  private[catalog] def rootOf(qualified: String): String = {
+    val root = qualified.split('.') match {
+      case Array(db, t) => new Path(nsPath(db), t)
+      case _ => throw new IllegalArgumentException(
+        s"expected <namespace>.<table>, got '$qualified'")
+    }
+    if (!isTable(root)) throw new NoSuchTableException(qualified.split('.').toSeq)
+    root.toString
+  }
+
+  /** Like [[rootOf]] but tolerates a not-yet-existing table (import target). */
+  private[catalog] def rootForCreate(qualified: String): String =
+    qualified.split('.') match {
+      case Array(db, t) =>
+        if (!fs.exists(nsPath(db))) throw new NoSuchNamespaceException(Array(db))
+        new Path(nsPath(db), t).toString
+      case _ => throw new IllegalArgumentException(
+        s"expected <namespace>.<table>, got '$qualified'")
+    }
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    if (ns.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new IllegalArgumentException(
+        s"procedures live under $catalogName.system, got ${ident.namespace().mkString(".")}")
+    GraftProcedures(this, ident.name())
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -227,7 +265,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   */
 private[graft] class GraftTable(spark: SparkSession, tableName: String, root: String,
     declared: Option[StructType], pinned: Option[Long])
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private val log = new CommitLog(spark, root)
 
@@ -299,6 +338,111 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
         .reduceOption(_ && _).getOrElse(lit(true))
       log.deleteWhere(cond): Unit
     }
+
+  /** SQL MERGE INTO / UPDATE: Spark's group-based row-level rewrite.
+    * The operation's scan reads the whole snapshot (one group — file-
+    * granular grouping would need the parquet write stack re-implemented
+    * per group for no semantic gain; the file-pruned CoW merge lives on
+    * the DataFrame plane, [[CommitLog.merge]]); Spark computes the
+    * post-merge rows and writes them through Spark's OWN parquet V2
+    * batch write into a commit-log staging dir, and the batch commit
+    * publishes the staged files as a replace version — atomic, snapshot-
+    * isolated, and the data path is entirely Spark's vectorized writer.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new org.apache.spark.sql.connector.write.RowLevelOperation {
+          override def command() = info.command()
+          // the write replaces the WHOLE table (one group), so the scan
+          // must not accept Spark's group-filter pushdown: a pruned file
+          // would count as an untouched group whose rows the replace
+          // commit then loses. Exposing a bare ScanBuilder (no pushdown
+          // traits) makes the group scan read the full snapshot, which
+          // is exactly what the one-group contract requires.
+          override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+            val inner = GraftTable.this.newScanBuilder(options)
+            new ScanBuilder {
+              override def build(): org.apache.spark.sql.connector.read.Scan = inner.build()
+            }
+          }
+          override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+            new WriteBuilder {
+              override def build(): Write = new Write {
+                override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+                  val stage = log.newStageDir("rlo")
+                  val delegate = ParquetTable("graft-rlo-stage", spark, winfo.options(),
+                    Seq(stage), Some(winfo.schema()), classOf[ParquetFileFormat])
+                    .newWriteBuilder(winfo).build().toBatch
+                  new org.apache.spark.sql.connector.write.BatchWrite {
+                    // the file commit protocol arbitrates its own task
+                    // commits; advertising the default (coordinator on)
+                    // over a delegate that opted out denies every task
+                    override def useCommitCoordinator(): Boolean =
+                      delegate.useCommitCoordinator()
+                    override def onDataWriterCommit(
+                        message: org.apache.spark.sql.connector.write.WriterCommitMessage): Unit =
+                      delegate.onDataWriterCommit(message)
+                    override def createBatchWriterFactory(
+                        pinfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo) =
+                      new OperationStrippingWriterFactory(
+                        delegate.createBatchWriterFactory(pinfo), winfo.schema())
+                    override def commit(
+                        messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+                      delegate.commit(messages)
+                      log.commitStaged(stage, replace = true): Unit
+                    }
+                    override def abort(
+                        messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+                      delegate.abort(messages)
+                  }
+                }
+              }
+            }
+        }
+    }
+}
+
+/** The group-based row-level rewrite hands the data writer its rows with
+  * a leading `__row_operation` column when the table declares no metadata
+  * attributes (Spark applies the strip projection only on the
+  * metadata-bearing task path) — this factory restores the data-only view
+  * by projecting ordinals 1..n through a [[ProjectingInternalRow]].
+  */
+private[catalog] final class OperationStrippingWriterFactory(
+    delegate: org.apache.spark.sql.connector.write.DataWriterFactory,
+    dataSchema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new OperationStrippingWriter(delegate.createWriter(partitionId, taskId), dataSchema)
+}
+
+private[catalog] final class OperationStrippingWriter(
+    delegate: org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow],
+    dataSchema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+  private val n = dataSchema.size
+  // one reusable view; the parquet writer consumes each row before the
+  // next write, so mutating the projection between rows is safe
+  private lazy val proj =
+    org.apache.spark.sql.catalyst.ProjectingInternalRow(dataSchema, (1 to n).toIndexedSeq)
+  override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+    if (row.numFields == n) delegate.write(row)
+    else {
+      require(row.numFields == n + 1,
+        s"row-level write row has ${row.numFields} fields, expected $n or ${n + 1}")
+      proj.project(row)
+      delegate.write(proj)
+    }
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+    delegate.commit()
+  override def abort(): Unit = delegate.abort()
+  override def close(): Unit = delegate.close()
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    delegate.currentMetricsValues()
 }
 
 private[graft] object GraftTable {

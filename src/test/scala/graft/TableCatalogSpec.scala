@@ -100,6 +100,76 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(nss.contains("db"))
   }
 
+  test("CALL procedures: optimize clusters, vacuum collects, restore rolls back") {
+    spark.sql("CREATE TABLE g.db.maint (k BIGINT, v STRING)")
+    for (lo <- Seq(0L, 100L, 200L)) {
+      spark.range(lo, lo + 100).select($"id".as("k"),
+          org.apache.spark.sql.functions.format_string("m%03d", $"id").as("v"))
+        .coalesce(1).createOrReplaceTempView("batch_maint")
+      spark.sql("INSERT INTO g.db.maint SELECT * FROM batch_maint"): Unit
+    }
+    // optimize: 3 appended files range-cluster into fewer, rows intact
+    val opt = spark.sql("CALL g.system.optimize('db.maint', 'k')").collect().head
+    assert(opt.getAs[Int]("files_before") == 3)
+    assert(spark.sql("SELECT count(*) AS c FROM g.db.maint").as[Long].head() == 300L)
+    // restore: head rolls back to the pre-optimize content (same rows here)
+    val restored = spark.sql("CALL g.system.restore('db.maint', 2)").collect().head
+    assert(restored.getAs[Long]("version") == 5L)
+    assert(spark.sql("SELECT count(*) AS c FROM g.db.maint").as[Long].head() == 200L)
+    // vacuum with zero age: only the head version survives on disk
+    val vac = spark.sql("CALL g.system.vacuum('db.maint', 1, 0)").collect().head
+    assert(vac.getAs[Int]("manifests_deleted") >= 4)
+    assert(spark.sql("SELECT count(*) AS c FROM g.db.maint").as[Long].head() == 200L)
+    val e = intercept[Exception](spark.sql("CALL g.system.no_such_proc('x')"))
+    assert(e.getMessage.contains("no_such_proc") || e.getMessage.contains("not found"),
+      e.getMessage)
+  }
+
+  test("CALL export_delta / import_delta round a table through the open format") {
+    spark.sql("CREATE TABLE g.db.exp (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.exp VALUES (1, 'a'), (2, 'b')")
+    val dest = java.nio.file.Files.createTempDirectory("graft_proc_delta").toString + "/d"
+    val exported = spark.sql(s"CALL g.system.export_delta('db.exp', '$dest')")
+      .collect().head
+    // the two VALUES rows may land as one or two part files — what
+    // matters is every live pool file is exported
+    assert(exported.getAs[Int]("files_exported") ==
+      new CommitLog(spark, s"$warehouse/db/exp")
+        .files(new CommitLog(spark, s"$warehouse/db/exp").currentVersion.get).length)
+    spark.sql(s"CALL g.system.import_delta('$dest', 'db.imp')")
+    assert(spark.sql("SELECT * FROM g.db.imp ORDER BY k").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("SQL MERGE INTO upserts through the row-level rewrite") {
+    spark.sql("CREATE TABLE g.db.mrg (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.mrg VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    Seq((2L, "B"), (4L, "D")).toDF("k", "v").createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO g.db.mrg t USING mrg_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    assert(spark.sql("SELECT * FROM g.db.mrg ORDER BY k").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    // MERGE with delete action
+    Seq(3L).toDF("k").createOrReplaceTempView("mrg_del")
+    spark.sql(
+      """MERGE INTO g.db.mrg t USING mrg_del s ON t.k = s.k
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT * FROM g.db.mrg ORDER BY k").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "B"), (4L, "D")))
+    // the rewrite is a commit like any other: history stays travelable
+    assert(spark.sql("SELECT * FROM g.db.mrg VERSION AS OF 1").count() == 3L)
+  }
+
+  test("SQL UPDATE rewrites matching rows in place") {
+    spark.sql("CREATE TABLE g.db.upd (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.upd VALUES (1, 'a'), (2, 'b')")
+    spark.sql("UPDATE g.db.upd SET v = concat(v, '!') WHERE k = 2")
+    assert(spark.sql("SELECT * FROM g.db.upd ORDER BY k").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b!")))
+  }
+
   test("catalog writes and commit-log DataFrame API see one log") {
     spark.sql("CREATE TABLE g.db.shared (k BIGINT, v STRING)")
     spark.sql("INSERT INTO g.db.shared VALUES (1, 'sql')")
