@@ -39,6 +39,17 @@ class PlanSpec extends AnyFunSuite {
   private val joinNodes =
     "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin".r
 
+  test("q_sql_catalog_table: catalog-addressed join broadcasts the dims like the view twin") {
+    // the V2 catalog must not cost plan quality: nation/region (25/5
+    // rows) broadcast, and the scans are Spark's parquet V2 reader over
+    // the snapshot file lists (BatchScan), not some opaque relation
+    val p = planStr(q("q_sql_catalog_table"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"both dims should broadcast through the catalog:\n$p")
+    assert(p.contains("BatchScan"), s"catalog reads must be V2 batch scans:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join for 25-row dims:\n$p")
+  }
+
   test("scan_pruned pushes the shipdate predicate into the parquet scan") {
     val p = planStr(q("scan_pruned"))
     assert(p.contains("PushedFilters:"), p)
