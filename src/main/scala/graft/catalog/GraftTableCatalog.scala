@@ -199,6 +199,16 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft versions are commit numbers; got '$version'")
     }
+    // fail at resolution with the live range, not at scan time with a
+    // raw FileNotFoundException from the manifest read
+    if (!HadoopFs.fs(spark, root.toString)
+        .exists(new Path(root, f"_commits/$v%08d.manifest"))) {
+      val head = new CommitLog(spark, root.toString).currentVersion
+      throw new IllegalArgumentException(
+        s"version $v is not available for ${fullName(ident)}" +
+          head.map(h => s" (head: $h; older versions may be vacuumed)")
+            .getOrElse(" (table has no commits)"))
+    }
     new GraftTable(spark, fullName(ident), root.toString, declaredSchema(root), Some(v))
   }
 

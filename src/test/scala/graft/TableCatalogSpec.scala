@@ -48,6 +48,15 @@ class TableCatalogSpec extends AnyFunSuite {
       spark.sql("INSERT INTO g.db.hist VERSION AS OF 1 VALUES (9, 'x')")
     }
     assert(e != null)
+    // an unavailable version fails at resolution with the live head named,
+    // not at scan time with a raw FileNotFoundException
+    val missing = intercept[Exception] {
+      spark.sql("SELECT * FROM g.db.hist VERSION AS OF 99").collect()
+    }
+    val msg = Iterator.iterate[Throwable](missing)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msg.contains("version 99 is not available"), msg)
+    assert(msg.contains("head: 2"), msg)
   }
 
   test("SQL DELETE WHERE is a copy-on-write commit touching only matching files") {
