@@ -47,6 +47,7 @@ object SparkEntry {
       (TrainPrep.queries, TrainPrep.oracle),
       (DataQuality.queries, DataQuality.oracle),
       (Analytics.queries, Analytics.oracle),
+      (Temporal.queries, Temporal.oracle),
     )
 
   /** One entry per implemented operator from SURVEY.md §2.2. */

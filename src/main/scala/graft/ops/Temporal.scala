@@ -1,0 +1,227 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Temporal-data operators: CDC apply, SCD2 range construction,
+  * interval-overlap join, and time-series gap interpolation. These are
+  * the change-data shapes the reference's landing-zone design implies
+  * downstream (reference: cft/sourceSystem.yaml:29-63 — file arrivals
+  * feed a mutable asset registry; consuming such a feed IS the CDC-apply
+  * problem) but that no built-in Spark operator provides whole.
+  *
+  * Scale posture, per operator:
+  *  - `q_cdc_apply` collapses the change feed with ONE `max_by` hash
+  *    aggregation keyed on the primary key (map-side partial, no window,
+  *    no self-join), then joins base⋈winners on that same key — at
+  *    100 TB the feed is touched once and both shuffles share the key.
+  *  - `q_scd2_ranges` is a single `lead()` window per business key: one
+  *    shuffle, O(1) state per row — the standard scalable SCD2 build.
+  *  - `q_join_interval` is interval×interval overlap WITHOUT an equi-key:
+  *    the all-pairs theta join Spark would otherwise plan is replaced by
+  *    month-bin expansion + equi-join on the bin, each overlapping pair
+  *    counted exactly once in the bin of its greatest lower bound (that
+  *    bin is always covered by both intervals, so no distinct needed).
+  *    Bin fan-out is bounded by interval length (≤3 months here), so the
+  *    join stays hash-partitioned at any corpus size.
+  *  - `q_win_interpolate` gap-fills a per-group hourly series and
+  *    linearly interpolates missing points: grid generation is a narrow
+  *    per-group `sequence` explode (one row per group carries the span),
+  *    and the fill is two windows on the SAME (group, time) ordering —
+  *    Spark sorts once, both frames reuse the sort.
+  */
+object Temporal {
+
+  // ---- CDC apply --------------------------------------------------------
+
+  /** Apply a change feed to a base snapshot, last-writer-wins. The feed
+    * is derived deterministically from `orders`: each order is a change
+    * event against its customer (seq = o_orderkey, op = D when
+    * o_orderstatus is 'P' else U carrying o_totalprice as the new
+    * balance). Winners are picked with `max_by` over the seq — no window
+    * function, no row_number, one hash aggregation.
+    */
+  private def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val winners = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max_by(when(col("o_orderstatus") === "P", lit("D")).otherwise(lit("U")),
+          col("o_orderkey")).as("op"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("price"))
+    customer(s, d)
+      .join(winners, col("c_custkey") === col("o_custkey"), "left")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("c_custkey"), col("c_name"),
+        when(col("op") === "U", col("price")).otherwise(col("c_acctbal"))
+          .cast("double").as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  // ---- SCD2 range build -------------------------------------------------
+
+  /** Type-2 slowly-changing-dimension history from a change stream: each
+    * change opens a validity range closed by the NEXT change of the same
+    * business key (`lead` over (effective date, seq) — seq breaks
+    * same-day ties deterministically). The open range is the current row.
+    * Oracle-green twin of the unit-only [[graft.catalog.Scd2]] builder.
+    */
+  private def scd2Ranges(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate").as("valid_from"),
+        col("o_orderkey").as("seq"), col("o_totalprice").cast("double").as("attr"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy("o_custkey").orderBy("valid_from", "seq")))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("o_custkey", "valid_from", "seq")
+
+  // ---- interval-overlap join --------------------------------------------
+
+  /** Count, per urgent order (deterministic ~3% key sample), the returned line items
+    * whose ship window [l_shipdate, l_shipdate + quantity days] overlaps
+    * the order's fulfillment window [o_orderdate, o_orderdate + 14 days].
+    * No equi-key exists between the two interval sets, so the scalable
+    * plan expands each interval to the calendar months it covers and
+    * equi-joins on the month; a pair is counted in exactly one bin — the
+    * month of `greatest(lo_a, lo_b)`, which both intervals cover whenever
+    * they overlap — so no post-join distinct is needed.
+    */
+  private def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    def withBins(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("bin",
+        explode(sequence(trunc(col(lo), "month"), trunc(col(hi), "month"),
+          expr("interval 1 month"))))
+    val a = withBins(
+      orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 31 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("a_lo"),
+          date_add(col("o_orderdate").cast("date"), 14).as("a_hi")),
+      "a_lo", "a_hi")
+    val b = withBins(
+      lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_shipdate").cast("date").as("b_lo"),
+          date_add(col("l_shipdate").cast("date"),
+            col("l_quantity").cast("int")).as("b_hi")),
+      "b_lo", "b_hi")
+    a.join(b, a("bin") === b("bin") &&
+        col("b_lo") <= col("a_hi") && col("b_hi") >= col("a_lo") &&
+        trunc(greatest(col("a_lo"), col("b_lo")), "month") === a("bin"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---- time-series gap interpolation ------------------------------------
+
+  /** Hourly event counts per type, gap-filled over each type's observed
+    * span with linear interpolation of missing hours. The fraction is a
+    * ratio of epoch-second DIFFERENCES, so any session-timezone offset
+    * cancels; values are rounded to 6 places on both engines.
+    */
+  private def interpolate(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    val wPrev = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val sec: Column = unix_timestamp(col("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("ph", last(when(col("cnt").isNotNull, sec), ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last(col("cnt"), ignoreNulls = true).over(wPrev))
+      .withColumn("nh", first(when(col("cnt").isNotNull, sec), ignoreNulls = true).over(wNext))
+      .withColumn("nv", first(col("cnt"), ignoreNulls = true).over(wNext))
+      .select(col("event_type"), col("h").as("hour_ts"),
+        round(when(col("cnt").isNotNull, col("cnt").cast("double"))
+          .otherwise(col("pv") +
+            (col("nv") - col("pv")) *
+              ((sec - col("ph")).cast("double") / (col("nh") - col("ph")).cast("double"))),
+          6).as("filled"),
+        col("cnt").isNull.as("interpolated"))
+      .orderBy("event_type", "hour_ts")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_apply"       -> cdcApply _,
+    "q_scd2_ranges"     -> scd2Ranges _,
+    "q_join_interval"   -> intervalJoin _,
+    "q_win_interpolate" -> interpolate _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_cdc_apply" ->
+      """WITH chg AS (
+        |  SELECT o_custkey,
+        |    arg_max(CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END,
+        |            o_orderkey) AS op,
+        |    arg_max(o_totalprice, o_orderkey) AS price
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_name,
+        |  CAST(CASE WHEN op = 'U' THEN price ELSE c_acctbal END AS DOUBLE) AS acctbal
+        |FROM customer LEFT JOIN chg ON c_custkey = o_custkey
+        |WHERE op IS NULL OR op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
+    "q_scd2_ranges" ->
+      """SELECT o_custkey, o_orderdate AS valid_from, o_orderkey AS seq,
+        |  CAST(o_totalprice AS DOUBLE) AS attr,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, seq""".stripMargin,
+    "q_join_interval" ->
+      """SELECT o_orderkey, count(*) AS n_overlap
+        |FROM orders JOIN lineitem
+        |  ON CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 14
+        | AND CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER)
+        |       >= CAST(o_orderdate AS DATE)
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 31 = 0
+        |  AND l_returnflag = 'R'
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q_win_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM span),
+        |joined AS (
+        |  SELECT g.event_type, g.h, hourly.cnt
+        |  FROM grid g LEFT JOIN hourly
+        |    ON g.event_type = hourly.event_type AND g.h = hourly.h),
+        |walled AS (
+        |  SELECT event_type, h, cnt,
+        |    last_value(CASE WHEN cnt IS NOT NULL
+        |                    THEN CAST(epoch(h) AS BIGINT) END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    last_value(cnt IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    first_value(CASE WHEN cnt IS NOT NULL
+        |                     THEN CAST(epoch(h) AS BIGINT) END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh,
+        |    first_value(cnt IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM joined)
+        |SELECT event_type, h AS hour_ts,
+        |  round(CASE WHEN cnt IS NOT NULL THEN CAST(cnt AS DOUBLE)
+        |        ELSE pv + (nv - pv) *
+        |          (CAST(CAST(epoch(h) AS BIGINT) - ph AS DOUBLE)
+        |             / CAST(nh - ph AS DOUBLE)) END, 6) AS filled,
+        |  (cnt IS NULL) AS interpolated
+        |FROM walled ORDER BY event_type, hour_ts""".stripMargin,
+  )
+}
