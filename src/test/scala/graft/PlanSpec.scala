@@ -375,4 +375,43 @@ class PlanSpec extends AnyFunSuite {
         s"fact side shuffled before the acceptance filter:\n$plan")
     }
   }
+
+  test("q_cdc_apply: winners come from one partial+final max_by agg, no window") {
+    // the change feed must be collapsed with a map-side-combining
+    // aggregation, never a row_number window (which would sort-shuffle
+    // the whole feed into per-key reducers before discarding losers)
+    val p = planStr(q("q_cdc_apply"))
+    assert(!p.contains("Window"), s"CDC winners must not use a window:\n$p")
+    assert(p.contains("partial_max_by"),
+      s"feed collapse must combine map-side:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"exactly one keyed shuffle (the agg); apply join must reuse/broadcast:\n$p")
+  }
+
+  test("q_join_interval: overlap join is an equi-join on the month bin, never a nested loop") {
+    // interval×interval with no natural equi-key: the month-bin expansion
+    // must give the planner a hash key; a BNLJ/cartesian here is the
+    // all-pairs shape that dies at 100×
+    val p = planStr(q("q_join_interval"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join fell back to all-pairs:\n$p")
+    val joinLine = p.linesIterator.find(l => joinNodes.findFirstIn(l).nonEmpty)
+      .getOrElse(sys.error(s"no join node:\n$p"))
+    assert(joinLine.contains("[bin#"), s"join not keyed on the bin:\n$joinLine")
+  }
+
+  test("q_win_interpolate: both fill frames reuse one sort (no exchange between windows)") {
+    // wPrev and wNext share (event_type, h) ordering; Spark must plan
+    // Window←Project←Window←Sort — a second Sort/Exchange between the two
+    // Window nodes would double the series shuffle for no reason
+    val p = planStr(q("q_win_interpolate"))
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.trim.startsWith("+- Window") || l.trim.startsWith(":- Window") => i
+    }
+    assert(winIdx.length == 2, s"expected exactly 2 window nodes:\n$p")
+    val between = lines.slice(winIdx.min + 1, winIdx.max)
+    assert(between.nonEmpty && !between.exists(l => l.contains("Sort") || l.contains("Exchange")),
+      s"re-sort/shuffle between the two fill windows:\n$p")
+  }
 }
