@@ -533,15 +533,31 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * conservatively scanned. An empty candidate set short-circuits to an
     * empty frame without touching storage.
     */
-  def readBetween(column: String, lo: Any, hi: Any): DataFrame = {
+  def readBetween(column: String, lo: Any, hi: Any): DataFrame =
+    readWhere(Seq((column, lo, hi)))
+
+  /** Conjunctive multi-column file-skipping read: rows with EVERY listed
+    * column in its [lo, hi] range, scanning only pool files whose footer
+    * stats overlap ALL the ranges — a file is pruned as soon as ONE
+    * dimension rules it out, so selectivity multiplies across dimensions.
+    * On a 1-D range-clustered table only the cluster column prunes; after
+    * [[optimizeZOrder]] every z-ordered dimension carries narrow per-file
+    * bounds and a 2-D selective query touches ~(sel_x × sel_y) of the
+    * files instead of ~sel_x.
+    */
+  def readWhere(ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "readWhere: at least one (column, lo, hi) range")
     val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
       s"no committed version under $tableRoot"))
     val stats = fileStats(v)
     val names = files(v)
     val candidates = names.filter { n =>
-      stats.get(n).flatMap(_.get(column)).forall(_.overlaps(lo, hi))
+      ranges.forall { case (c, lo, hi) =>
+        stats.get(n).flatMap(_.get(c)).forall(_.overlaps(lo, hi))
+      }
     }
-    val pred = col(column).between(lit(lo), lit(hi))
+    val pred = ranges.map { case (c, lo, hi) => col(c).between(lit(lo), lit(hi)) }
+      .reduce(_ && _)
     if (names.isEmpty) readVersion(v)
     // all files pruned: zero-row frame with the table schema, no scan
     // (OptimizeLimitZero folds the limit-0 into an empty relation)
@@ -705,6 +721,64 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     commit(readVersion(v)
       .repartitionByRange(nOut, col(column))
       .sortWithinPartitions(col(column)), replace = true)
+    (names.length, currentFileCount)
+  }
+
+  /** Z-order cluster the head snapshot on `columns` (the multi-dimension
+    * OPTIMIZE ZORDER maintenance op): rows are range-partitioned and
+    * sorted by the Morton interleave of the columns' bits, so each output
+    * file covers a small HYPER-RECTANGLE of the value space instead of a
+    * slab of one dimension — after this, footer stats are narrow on EVERY
+    * z-ordered column at once and a [[readWhere]] selective on two
+    * dimensions prunes multiplicatively (1-D clustering can only prune on
+    * its own column). This is how a 100 TB fact table serves both
+    * `WHERE k1 BETWEEN …` and `WHERE k1 … AND k2 …` from one layout.
+    *
+    * Each column is min/max-scaled to 16 bits (one tiny agg — heavy skew
+    * would prefer quantile mapping; linear scaling is the documented
+    * trade), then bit i of column j lands at interleaved position
+    * `i*k + j`. The z-value is pure codegen'd shift/mask arithmetic —
+    * no UDF — and is dropped before the replace commit, so the table
+    * schema is untouched. Non-castable values scale to bucket 0:
+    * clustering quality degrades, correctness never (stats pruning
+    * remains conservative per file).
+    */
+  def optimizeZOrder(columns: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(columns.size >= 2, "optimizeZOrder: need >= 2 columns (use optimizeBy for 1)")
+    val v = currentVersion.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $tableRoot"))
+    val names = files(v)
+    val bytes = names.map(n => hfs.getFileStatus(new Path(dataDir, n)).getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val snap = readVersion(v)
+    val boundAggs = columns.flatMap(c => Seq(
+      org.apache.spark.sql.functions.min(col(c).cast("double")),
+      org.apache.spark.sql.functions.max(col(c).cast("double"))))
+    val bounds = snap.agg(boundAggs.head, boundAggs.tail: _*).head()
+    val k = columns.size
+    val scaled = columns.zipWithIndex.map { case (c, j) =>
+      val (mn, mx) = (bounds.get(2 * j), bounds.get(2 * j + 1))
+      if (mn == null || mx == null || mn == mx) lit(0L)
+      else {
+        val lo = mn.asInstanceOf[Double]
+        val span = mx.asInstanceOf[Double] - lo
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.floor(
+            (col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0)), lit(0L))
+      }
+    }
+    val zval = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      scaled.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(org.apache.spark.sql.functions.shiftleft(
+          org.apache.spark.sql.functions.shiftright(c, i).bitwiseAND(lit(1L)),
+          i * k + j))
+      }
+    }
+    commit(snap.withColumn("_graft_z", zval)
+      .repartitionByRange(nOut, col("_graft_z"))
+      .sortWithinPartitions(col("_graft_z"))
+      .drop("_graft_z"), replace = true)
     (names.length, currentFileCount)
   }
 

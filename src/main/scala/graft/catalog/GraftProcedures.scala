@@ -12,6 +12,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * {{{
   *   CALL graft.system.optimize(`table` => 'db.t', cluster_by => 'k')
+  *   CALL graft.system.optimize(`table` => 'db.t', cluster_by => 'k1,k2')  -- Z-order
   *   CALL graft.system.compact('db.t')
   *   CALL graft.system.vacuum('db.t', 1, 0)
   *   CALL graft.system.restore('db.t', 3)
@@ -65,10 +66,13 @@ private[catalog] object GraftProcedures {
   private final class Optimize(cat: GraftTableCatalog)
     extends Proc("optimize", Seq(in("table", StringType), in("cluster_by", StringType))) {
     override def description(): String =
-      "range-cluster a table on a column so footer stats prune file reads"
+      "cluster a table so footer stats prune file reads: one column " +
+        "range-clusters, a comma-separated list Z-orders"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
-      val (before, after) = log.optimizeBy(input.getUTF8String(1).toString)
+      val cols = input.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty)
+      val (before, after) =
+        if (cols.length > 1) log.optimizeZOrder(cols.toSeq) else log.optimizeBy(cols.head)
       result(rewriteSchema, before, after)
     }
   }
