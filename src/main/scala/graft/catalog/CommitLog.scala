@@ -51,7 +51,11 @@ private[graft] object ColStats {
   * }}}
   *
   * The manifest IS the table: a version's manifest lists exactly the pool
-  * files that make up that snapshot. Invariants:
+  * files that make up that snapshot. Three line types: `<name>[\tstats]`
+  * (a data file), `#txn:<id>` (applied-batch memory), and
+  * `-<name>[\tstats]` (a merge-on-read deletion-vector file of
+  * (data-file, row-position) tombstones — see [[deleteWhereMoR]]).
+  * Invariants:
   *  - pool files are written once and never modified or renamed; only
   *    `vacuum` deletes them, and only when no retained version references
   *    them — so any reader that resolved a manifest keeps reading a
@@ -183,11 +187,30 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     body.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Pool file names (relative to data/) of a committed version.
-    * `#`-prefixed manifest lines are metadata (txn markers), not files.
+  /** Line-type partitions of one already-read manifest — every caller
+    * that needs more than one of these parses the manifest ONCE and
+    * splits, keeping read-path metadata cost at one open per version.
+    * (Pool names are uuid-derived and can never start with `#` or `-`,
+    * so the prefixes are unambiguous.)
     */
-  def files(v: Long): Seq[String] =
-    manifestLines(v).filterNot(_.startsWith("#")).map(_.split('\t').head)
+  private def dataNamesOf(lines: Seq[String]): Seq[String] =
+    lines.filterNot(l => l.startsWith("#") || l.startsWith("-"))
+      .map(_.split('\t').head)
+  private def dvNamesOf(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith("-")).map(_.stripPrefix("-").split('\t').head)
+
+  /** Data pool file names (relative to data/) of a committed version.
+    * `#`-prefixed manifest lines are metadata (txn markers) and
+    * `-`-prefixed lines are deletion-vector files, not data files.
+    */
+  def files(v: Long): Seq[String] = dataNamesOf(manifestLines(v))
+
+  /** Deletion-vector pool file names of a committed version (`-`-prefixed
+    * manifest lines). Each is a parquet file of (data-file name, row
+    * position) tombstones — the merge-on-read delete tier (see
+    * [[deleteWhereMoR]]).
+    */
+  def dvFiles(v: Long): Seq[String] = dvNamesOf(manifestLines(v))
 
   /** Absolute pool-file paths of a committed version — the file list a
     * V2 scan binds to (the snapshot stays immutable under later commits).
@@ -199,7 +222,11 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * committed before stats existed — they are treated as unprunable).
     */
   def fileStats(v: Long): Map[String, Map[String, ColStats]] =
-    manifestLines(v).filterNot(_.startsWith("#")).flatMap { line =>
+    fileStatsOf(manifestLines(v))
+
+  private def fileStatsOf(lines: Seq[String]): Map[String, Map[String, ColStats]] =
+    lines.filterNot(l => l.startsWith("#") || l.startsWith("-"))
+      .flatMap { line =>
       line.split('\t') match {
         case Array(name, json) => Some(name -> parseStats(json))
         case _                 => None
@@ -273,21 +300,64 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     throw new java.io.FileNotFoundException(s"no committed version under $tableRoot")))
 
   def readVersion(v: Long): DataFrame = {
-    val names = files(v)
+    val lines = manifestLines(v)   // one parse serves data AND dv names
+    val names = dataNamesOf(lines)
     if (names.isEmpty) {
       // a rewrite can legally commit an empty table (e.g. delete-all);
       // an empty-schema frame is the only honest value without a stored schema
       spark.emptyDataFrame
-    } else
-      // mergeSchema: an append commit may carry evolved (wider) rows —
-      // without the union-of-footers schema, whether a new column shows up
-      // would depend on WHICH file Spark samples (silent column loss).
-      // Cost is one footer read per pool file, bounded by compaction; a
-      // manifest-stored schema would amortize it (the Delta/Iceberg move)
-      // if registry file counts ever made footer reads noticeable.
-      spark.read.option("mergeSchema", "true")
-        .parquet(names.map(n => new Path(dataDir, n).toString): _*)
+    } else readFiles(names, dvFrameOf(dvNamesOf(lines)))
   }
+
+  // ---- merge-on-read deletion vectors ------------------------------------
+
+  /** Tombstone schema: which row of which data pool file is deleted.
+    * Positions are the file source's `_metadata.row_index` — stable for
+    * an immutable parquet file regardless of split planning, which is
+    * exactly the invariant the pool guarantees (files are written once,
+    * never modified; only vacuum deletes them).
+    */
+  private val DvKeys = Seq("_graft_del_file", "_graft_del_pos")
+
+  /** Union of a version's deletion-vector files, or None when the
+    * version carries no tombstones (the fast path: reads stay the plain
+    * parquet scan, zero overhead).
+    */
+  private def dvFrame(v: Long): Option[DataFrame] = dvFrameOf(dvFiles(v))
+
+  private def dvFrameOf(names: Seq[String]): Option[DataFrame] =
+    if (names.isEmpty) None
+    else Some(spark.read.parquet(names.map(n => new Path(dataDir, n).toString): _*)
+      .select(DvKeys.map(col): _*))
+
+  /** Data-file read annotated with tombstone join keys: each row carries
+    * its pool file name and its stable row position within that file.
+    */
+  private def withPos(names: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(names.map(n => new Path(dataDir, n).toString): _*)
+      .select(col("*"),
+        org.apache.spark.sql.functions.substring_index(
+          col("_metadata.file_path"), "/", -1).as(DvKeys.head),
+        col("_metadata.row_index").as(DvKeys.last))
+
+  /** Read `names` with tombstones applied: an ANTI JOIN on (file,
+    * position) against the deletion vectors. The DV side is parquet-
+    * backed and small by the MoR premise (tombstones, not data), so
+    * Spark's size estimate broadcasts it and the scan stays one
+    * shuffle-free codegen'd pass; stale tombstones referencing files no
+    * longer in `names` simply match nothing. No DVs = the plain scan.
+    */
+  private def readFiles(names: Seq[String], dv: Option[DataFrame]): DataFrame =
+    dv match {
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(names.map(n => new Path(dataDir, n).toString): _*)
+      case Some(d) =>
+        val dataCols = spark.read.option("mergeSchema", "true")
+          .parquet(names.map(n => new Path(dataDir, n).toString): _*).columns.toSeq
+        withPos(names).join(d, DvKeys, "left_anti")
+          .select(dataCols.map(col): _*)
+    }
 
   /** Commit `df` as the next version. `replace=false` appends: the new
     * manifest carries the previous version's files plus the new ones.
@@ -483,7 +553,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     if (bounds.isNullAt(0)) Set.empty
     else {
       val (lo, hi) = (bounds.get(0), bounds.get(1))
-      val candidates = lines.filterNot(_.startsWith("#"))
+      val candidates = lines.filterNot(l => l.startsWith("#") || l.startsWith("-"))
         .map(_.split('\t').head).filter { n =>
           stats.get(n).flatMap(_.get(keyCol)).forall(_.overlaps(lo, hi))
         }
@@ -549,8 +619,9 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     require(ranges.nonEmpty, "readWhere: at least one (column, lo, hi) range")
     val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
       s"no committed version under $tableRoot"))
-    val stats = fileStats(v)
-    val names = files(v)
+    val lines = manifestLines(v)   // one parse serves stats, data, dv names
+    val stats = fileStatsOf(lines)
+    val names = dataNamesOf(lines)
     val candidates = names.filter { n =>
       ranges.forall { case (c, lo, hi) =>
         stats.get(n).flatMap(_.get(c)).forall(_.overlaps(lo, hi))
@@ -562,9 +633,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     // all files pruned: zero-row frame with the table schema, no scan
     // (OptimizeLimitZero folds the limit-0 into an empty relation)
     else if (candidates.isEmpty) readVersion(v).filter(pred).limit(0)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(candidates.map(n => new Path(dataDir, n).toString): _*)
-      .filter(pred)
+    else readFiles(candidates, dvFrameOf(dvNamesOf(lines))).filter(pred)
   }
 
   /** Copy-on-write MERGE (upsert by key): rows of `updates` replace
@@ -597,8 +666,9 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val keptLines = lines.filterNot(l => touched(l.split('\t').head))
       val merged =
         if (touched.isEmpty) updates.select(cols.map(col): _*)
-        else spark.read.option("mergeSchema", "true")
-          .parquet(touched.toSeq.sorted.map(n => new Path(dataDir, n).toString): _*)
+        // tombstones apply BEFORE the key anti-join: a MoR-deleted row
+        // must not resurrect through the rewrite
+        else readFiles(touched.toSeq.sorted, dvFrame(v))
           .join(keys, Seq(keyCol), "left_anti")
           .select(cols.map(col): _*)
           .unionByName(updates.select(cols.map(col): _*))
@@ -633,8 +703,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val touched = findTouched(lines, fileStats(v), keys, keyCol)
       if (touched.isEmpty) return v
       val keptLines = lines.filterNot(l => touched(l.split('\t').head))
-      val survivors = spark.read.option("mergeSchema", "true")
-        .parquet(touched.toSeq.sorted.map(n => new Path(dataDir, n).toString): _*)
+      val survivors = readFiles(touched.toSeq.sorted, dvFrame(v))
         .join(keys, Seq(keyCol), "left_anti")
         .select(cols.map(col): _*)
       val newLines = stageToPool(survivors, "delete")
@@ -666,24 +735,23 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         s"no committed version under $tableRoot"))
       val lines = manifestLines(v)
       val names = files(v)
+      val dv = dvFrame(v)
+      // discovery runs over the VISIBLE snapshot: a file whose only
+      // matching rows are already tombstoned is not touched (no rewrite)
       val touched: Set[String] =
         if (names.isEmpty) Set.empty
-        else spark.read.option("mergeSchema", "true")
-          .parquet(names.map(n => new Path(dataDir, n).toString): _*)
+        else dv.fold(withPos(names))(d => withPos(names).join(d, DvKeys, "left_anti"))
           .filter(cond)
-          .select(input_file_name().as("_graft_file"))
-          .agg(collect_set(col("_graft_file")))
-          .head().getSeq[String](0)
-          .map(_.split('/').last).toSet
+          .agg(collect_set(col(DvKeys.head)))
+          .head().getSeq[String](0).toSet
       if (touched.isEmpty && extra.isEmpty) return v
       val keptLines = lines.filterNot(l =>
-        !l.startsWith("#") && touched(l.split('\t').head))
+        !l.startsWith("#") && !l.startsWith("-") && touched(l.split('\t').head))
       val survivorLines =
         if (touched.isEmpty) Seq.empty
         else {
           val cols = readVersion(v).columns.toSeq
-          val survivors = spark.read.option("mergeSchema", "true")
-            .parquet(touched.toSeq.sorted.map(n => new Path(dataDir, n).toString): _*)
+          val survivors = readFiles(touched.toSeq.sorted, dv)
             // SQL DELETE semantics: rows where the predicate is NULL survive
             .filter(!coalesce(cond, lit(false)))
             .select(cols.map(col): _*)
@@ -701,6 +769,116 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   /** `DELETE FROM ... WHERE cond` as a predicate CoW commit. */
   def deleteWhere(cond: org.apache.spark.sql.Column, maxAttempts: Int = 5): Long =
     rewriteWhere(cond, None, maxAttempts)
+
+  /** Merge-on-read DELETE: record (file, position) tombstones for every
+    * visible row matching `cond` — NO data file is rewritten. The write
+    * cost is O(rows deleted), not O(files touched × file size), which is
+    * the tier a 100 TB table needs for frequent small deletes (GDPR
+    * erasure drips, late-data retractions) where copy-on-write
+    * ([[deleteWhere]]) would rewrite a 128 MB file per tombstoned row.
+    * Reads apply tombstones as a broadcast anti-join ([[readFiles]]);
+    * the read debt is bounded by [[rewriteDeletes]] / [[compact]] /
+    * [[optimizeBy]], all of which fold tombstones in and drop them.
+    *
+    * Matching runs against the VISIBLE snapshot (existing tombstones
+    * applied), so re-deleting an already-deleted row writes nothing and
+    * the change feed never reports a double delete. A delete that
+    * matches nothing returns the current version without committing.
+    * Same optimistic head+1 publish as [[merge]].
+    */
+  def deleteWhereMoR(cond: org.apache.spark.sql.Column, maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.coalesce
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed version under $tableRoot"))
+      val names = files(v)
+      if (names.isEmpty) return v
+      val visible = dvFrame(v).fold(withPos(names))(d =>
+        withPos(names).join(d, DvKeys, "left_anti"))
+      val tombs = visible.filter(coalesce(cond, lit(false)))
+        .select(DvKeys.map(col): _*)
+      val staged = stageToPool(tombs, "deleteWhereMoR")
+      if (staged.isEmpty) return v
+      beforePublish(attempt, v + 1)
+      if (publish(v + 1, manifestLines(v) ++ staged.map("-" + _))) return v + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"deleteWhereMoR: lost the head race $maxAttempts times under $tableRoot")
+  }
+
+  /** Merge-on-read keyed DELETE: tombstone every visible row whose
+    * `keyCol` is in `keys0`. Footer stats bound the probe the same way
+    * they bound [[deleteKeys]] — only files whose [min,max] overlaps the
+    * key range are scanned for positions — but nothing is rewritten.
+    */
+  def deleteKeysMoR(keys0: DataFrame, keyCol: String, maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed version under $tableRoot"))
+      val names = files(v)
+      if (names.isEmpty) return v
+      val keys = keys0.select(keyCol).distinct()
+      val bounds = keys.agg(org.apache.spark.sql.functions.min(keyCol),
+        org.apache.spark.sql.functions.max(keyCol)).head()
+      if (bounds.isNullAt(0)) return v
+      val stats = fileStats(v)
+      val candidates = names.filter { n =>
+        stats.get(n).flatMap(_.get(keyCol))
+          .forall(_.overlaps(bounds.get(0), bounds.get(1)))
+      }
+      if (candidates.isEmpty) return v
+      val visible = dvFrame(v).fold(withPos(candidates))(d =>
+        withPos(candidates).join(d, DvKeys, "left_anti"))
+      val tombs = visible.join(keys, Seq(keyCol), "semi")
+        .select(DvKeys.map(col): _*)
+      val staged = stageToPool(tombs, "deleteKeysMoR")
+      if (staged.isEmpty) return v
+      beforePublish(attempt, v + 1)
+      if (publish(v + 1, manifestLines(v) ++ staged.map("-" + _))) return v + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"deleteKeysMoR: lost the head race $maxAttempts times under $tableRoot")
+  }
+
+  /** Fold tombstones into the data: rewrite ONLY the data files that
+    * carry at least one tombstone (their visible rows survive), carry
+    * every untouched file by name, and drop all deletion-vector lines —
+    * the maintenance op that converts accumulated read debt back into
+    * clean scans. Touched-file discovery is one distributed distinct-agg
+    * over the DV files reduced to a file-name list (metadata-scale on
+    * the driver, same plane as [[rewriteWhere]]'s discovery). Returns
+    * (dvFilesFolded, dataFilesRewritten); a table with no tombstones is
+    * a no-op.
+    */
+  def rewriteDeletes(maxAttempts: Int = 5): (Int, Int) = {
+    import org.apache.spark.sql.functions.collect_set
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed version under $tableRoot"))
+      val dvN = dvFiles(v)
+      if (dvN.isEmpty) return (0, 0)
+      val dv = dvFrame(v).get
+      val targets = dv.agg(collect_set(col(DvKeys.head))).head().getSeq[String](0).toSet
+      // stale tombstones may name files a later CoW op already removed
+      val touched = files(v).filter(targets).toSet
+      val lines = manifestLines(v)
+      val keptLines = lines.filterNot(l => l.startsWith("-") ||
+        (!l.startsWith("#") && touched(l.split('\t').head)))
+      val survivorLines =
+        if (touched.isEmpty) Seq.empty
+        else stageToPool(readFiles(touched.toSeq.sorted, Some(dv)), "rewriteDeletes")
+      beforePublish(attempt, v + 1)
+      if (publish(v + 1, keptLines ++ survivorLines)) return (dvN.length, touched.size)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"rewriteDeletes: lost the head race $maxAttempts times under $tableRoot")
+  }
 
   /** Range-cluster the head snapshot on `column` (the 1-D OPTIMIZE /
     * cluster-by maintenance op): rewrite into `ceil(bytes/target)` files
@@ -801,16 +979,46 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
     val from = files(fromV).toSet
     val to = files(toV).toSet
-    def readNames(ns: Seq[String]) = spark.read.option("mergeSchema", "true")
-      .parquet(ns.map(n => new Path(dataDir, n).toString): _*)
+    val fromDvN = dvFiles(fromV).toSet
+    val toDvN = dvFiles(toV).toSet
+    def dvOf(ns: Set[String]): Option[DataFrame] =
+      if (ns.isEmpty) None
+      else Some(spark.read.parquet(ns.toSeq.sorted
+        .map(n => new Path(dataDir, n).toString): _*).select(DvKeys.map(col): _*))
+    val fromDv = dvOf(fromDvN)
+    val toDv = dvOf(toDvN)
     val added = (to -- from).toSeq.sorted
     val removed = (from -- to).toSeq.sorted
-    val parts = Seq(
-      added   -> "insert",
-      removed -> "delete").collect {
-      case (ns, tag) if ns.nonEmpty =>
-        readNames(ns).withColumn("_change_type", lit(tag))
+    val common = from.intersect(to)
+    // file-set diffs carry the coarse changes, VISIBILITY-adjusted: an
+    // added file's rows already tombstoned at toV were never visible, and
+    // a removed file's rows already tombstoned at fromV were already gone
+    val fileParts = Seq(
+      (added, toDv, "insert"),
+      (removed, fromDv, "delete")).collect {
+      case (ns, dv, tag) if ns.nonEmpty =>
+        readFiles(ns, dv).withColumn("_change_type", lit(tag))
     }
+    // tombstone diffs on files present at BOTH ends: a DV file added in
+    // the window deletes the positions it names (unless they were
+    // already dead at fromV — stacked tombstones must not double-
+    // report); one dropped in the window (RESTORE across a MoR delete)
+    // resurrects them (unless still dead at toV). Scans are bounded to
+    // the files the tombstones actually name — the change feed's cost
+    // stays O(changed), never O(table).
+    def dvDiffRows(diff: Option[DataFrame], stillDead: Option[DataFrame],
+        tag: String): Option[DataFrame] = diff.map { d =>
+      import org.apache.spark.sql.functions.collect_set
+      val targets = d.agg(collect_set(col(DvKeys.head))).head()
+        .getSeq[String](0).toSet.intersect(common).toSeq.sorted
+      val effective = stillDead.fold(d)(sd => d.join(sd, DvKeys, "left_anti"))
+      if (targets.isEmpty) None
+      else Some(withPos(targets).join(effective, DvKeys, "semi")
+        .drop(DvKeys: _*).withColumn("_change_type", lit(tag)))
+    }.flatten
+    val newDvDeletes = dvDiffRows(dvOf(toDvN -- fromDvN), fromDv, "delete")
+    val droppedDvInserts = dvDiffRows(dvOf(fromDvN -- toDvN), toDv, "insert")
+    val parts = fileParts ++ newDvDeletes.toSeq ++ droppedDvInserts.toSeq
     if (parts.isEmpty)
       readVersion(toV).withColumn("_change_type", lit("insert")).limit(0)
     else parts.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -835,7 +1043,9 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     require(keepVersions >= 1, "vacuum must retain at least the head version")
     val versions = committedVersions.sorted
     val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepVersions))
-    val live = keep.flatMap(files).toSet
+    // deletion-vector files are pool files too: collecting a referenced
+    // DV would resurrect its tombstoned rows
+    val live = keep.flatMap(v => files(v) ++ dvFiles(v)).toSet
     // delete manifests FIRST so no reader can resolve a version whose
     // files are about to go
     drop.foreach(v => hfs.delete(manifestPath(v), false))

@@ -185,13 +185,34 @@ object DeltaInterop {
     val fs = HadoopFs.fs(spark, dest)
     val destPath = new Path(dest)
     fs.mkdirs(destPath)
-    val names = log.files(v)
     val srcFs = HadoopFs.fs(spark, commitRoot)
-    names.foreach { n =>
-      val src = new Path(new Path(commitRoot, "data"), n)
-      if (!FileUtil.copy(srcFs, src, fs, new Path(destPath, n), false, fs.getConf))
-        throw new java.io.IOException(s"exportDelta: copy of $n failed")
-    }
+    val names: Seq[String] =
+      if (log.dvFiles(v).isEmpty) {
+        // no tombstones: pool files are the table bytes — copy, don't recompute
+        val ns = log.files(v)
+        ns.foreach { n =>
+          val src = new Path(new Path(commitRoot, "data"), n)
+          if (!FileUtil.copy(srcFs, src, fs, new Path(destPath, n), false, fs.getConf))
+            throw new java.io.IOException(s"exportDelta: copy of $n failed")
+        }
+        ns
+      } else {
+        // merge-on-read tombstones don't exist in the Delta dialect we
+        // emit, so a byte-copy would resurrect deleted rows: materialize
+        // the visible snapshot instead (one distributed write)
+        val stage = new Path(destPath, "_graft_export_stage")
+        log.readVersion(v).write.mode("overwrite").parquet(stage.toString)
+        val parts = fs.listStatus(stage)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath).sortBy(_.getName)
+        val moved = parts.map { p =>
+          if (!fs.rename(p, new Path(destPath, p.getName)))
+            throw new java.io.IOException(s"exportDelta: move of ${p.getName} failed")
+          p.getName
+        }
+        fs.delete(stage, true)
+        moved.toSeq
+      }
     def esc(s: String): String = mapper.writeValueAsString(s)
     val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     val metaData =

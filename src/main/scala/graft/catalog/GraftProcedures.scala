@@ -26,15 +26,17 @@ import org.apache.spark.unsafe.types.UTF8String
 private[catalog] object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta")
+    Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta",
+      "rewrite_deletes")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
-    case "optimize"     => new Optimize(cat)
-    case "compact"      => new Compact(cat)
-    case "vacuum"       => new Vacuum(cat)
-    case "restore"      => new Restore(cat)
-    case "export_delta" => new ExportDelta(cat)
-    case "import_delta" => new ImportDelta(cat)
+    case "optimize"        => new Optimize(cat)
+    case "compact"         => new Compact(cat)
+    case "vacuum"          => new Vacuum(cat)
+    case "restore"         => new Restore(cat)
+    case "export_delta"    => new ExportDelta(cat)
+    case "import_delta"    => new ImportDelta(cat)
+    case "rewrite_deletes" => new RewriteDeletes(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
   }
@@ -108,6 +110,18 @@ private[catalog] object GraftProcedures {
       val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
       val v = log.restore(input.getLong(1))
       result(new StructType().add("version", LongType), v)
+    }
+  }
+
+  private final class RewriteDeletes(cat: GraftTableCatalog)
+    extends Proc("rewrite_deletes", Seq(in("table", StringType))) {
+    override def description(): String =
+      "fold merge-on-read deletion vectors into the data files they tombstone"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val (dvs, rewritten) = log.rewriteDeletes()
+      result(new StructType().add("dv_files_folded", IntegerType)
+        .add("data_files_rewritten", IntegerType), dvs, rewritten)
     }
   }
 

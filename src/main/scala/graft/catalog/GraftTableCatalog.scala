@@ -282,6 +282,22 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
 
   override def name(): String = tableName
 
+  /** Whether this snapshot carries merge-on-read tombstones. Stable for
+    * the table handle's lifetime (one analysis pass) — the analyzer rule
+    * probes it on every iteration, and a per-call manifest read would
+    * turn analysis into O(iterations) metadata I/O.
+    */
+  private[graft] lazy val hasDeletes: Boolean =
+    pinned.orElse(log.currentVersion).exists(v => log.dvFiles(v).nonEmpty)
+
+  /** Tombstone-applied snapshot read for the DV analyzer rule
+    * ([[graft.plans.ApplyDeletionVectors]]): the commit log's own
+    * DataFrame-plane read, bound to this handle's pinned version.
+    */
+  private[graft] def snapshotRead(): DataFrame =
+    log.readVersion(pinned.orElse(log.currentVersion).getOrElse(
+      throw new IllegalStateException(s"$tableName has no committed data")))
+
   override lazy val schema: StructType = declared.getOrElse {
     pinned.orElse(log.currentVersion)
       .map(v => log.readVersion(v).schema)
@@ -298,6 +314,15 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
     Map("location" -> root, "provider" -> "graft").asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // with the DV analyzer rule installed ([[graft.plans.ApplyDeletionVectors]]
+    // via GraftExtensions) a tombstone-bearing relation is rewritten to the
+    // anti-joined read BEFORE any scan is built, so reaching this point with
+    // live tombstones means the session lacks the rule — a raw file scan
+    // would silently resurrect deleted rows, so refuse loudly instead
+    if (hasDeletes) throw new IllegalStateException(
+      s"$tableName carries merge-on-read deletion vectors; install " +
+        "spark.sql.extensions=graft.functions.GraftExtensions (applies them at " +
+        s"read) or fold them in first: CALL <catalog>.system.rewrite_deletes")
     val snapshot = pinned.orElse(log.currentVersion)
     pinned.foreach { v =>
       require(log.files(v) != null, s"version $v not readable under $root")
@@ -361,7 +386,14 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // the group-based rewrite replaces the WHOLE table from its own raw
+    // scan (which must stay pushdown-free and un-rewritten — see
+    // newScanBuilder's one-group contract), so merge-on-read tombstones
+    // cannot ride through it: require them folded in first
+    if (hasDeletes) throw new IllegalStateException(
+      s"$tableName carries merge-on-read deletion vectors; fold them in " +
+        "before SQL MERGE/UPDATE: CALL <catalog>.system.rewrite_deletes")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
         new org.apache.spark.sql.connector.write.RowLevelOperation {
@@ -413,6 +445,7 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
             }
         }
     }
+  }
 }
 
 /** The group-based row-level rewrite hands the data writer its rows with

@@ -230,11 +230,15 @@ object VectorKernels {
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     // driven by the same registry as ensureRegistered — a kernel added
     // there is automatically available to extension-wired sessions too
     for (name <- VectorKernels.kernelNames)
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[VectorKernels.type].getName, name),
         VectorKernels.builderFor(name)))
+    // merge-on-read correctness for the SQL catalog: tombstone-bearing
+    // snapshots read through the DV anti-join, not the raw file scan
+    ext.injectResolutionRule(session => new graft.plans.ApplyDeletionVectors(session))
+  }
 }

@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{CommitLog, DeltaInterop}
+
+/** Merge-on-read deletion vectors: tombstones instead of rewrites for
+  * the delete path, applied on read as an anti-join, folded back into
+  * data by maintenance, visible once (and only once) in the change feed,
+  * and honored by every read surface including the SQL catalog.
+  */
+class DeletionVectorSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_dv").toString
+
+  /** Three single-file append commits with disjoint key ranges, so footer
+    * stats give each data file a known [lo, hi] and tests can reason
+    * about exactly which files a delete touches.
+    */
+  private def seeded(root: String): CommitLog = {
+    val log = new CommitLog(spark, root)
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).toDF("k").withColumn("v", col("k") * 10L).coalesce(1)
+    log.commit(batch(1, 100), replace = false)
+    log.commit(batch(101, 200), replace = false)
+    log.commit(batch(201, 300), replace = false)
+    log
+  }
+
+  private def keys(log: CommitLog): Seq[Long] =
+    log.read().select("k").as[Long].collect().sorted.toSeq
+
+  test("MoR delete tombstones rows without rewriting any data file") {
+    val log = seeded(freshRoot())
+    val before = log.files(3L)
+    val v = log.deleteWhereMoR(col("k") <= 50)
+    assert(v == 4L)
+    // zero write amplification: the data file set is byte-identical
+    assert(log.files(v) == before)
+    assert(log.dvFiles(v).nonEmpty)
+    assert(keys(log) == (51L to 300L))
+    // snapshot isolation: the pre-delete version still reads in full
+    assert(log.readVersion(3L).count() == 300)
+  }
+
+  test("re-deleting already-invisible rows commits nothing") {
+    val log = seeded(freshRoot())
+    val v = log.deleteWhereMoR(col("k") <= 50)
+    assert(log.deleteWhereMoR(col("k") <= 50) == v)
+    // and a delete matching nothing at all also commits nothing
+    assert(log.deleteWhereMoR(col("k") > 10_000) == v)
+  }
+
+  test("keyed MoR delete removes exactly the given keys") {
+    val log = seeded(freshRoot())
+    val v = log.deleteKeysMoR(Seq(5L, 150L, 300L, 999L).toDF("k"), "k")
+    assert(log.files(v) == log.files(3L))
+    assert(keys(log) == ((1L to 300L).toSet -- Set(5L, 150L, 300L)).toSeq.sorted)
+  }
+
+  test("tombstone-applied read is a broadcast anti-join, data side unshuffled") {
+    val log = seeded(freshRoot())
+    log.deleteWhereMoR(col("k") <= 50)
+    val plan = log.read().queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("merge upserts a tombstoned key exactly once (no resurrection)") {
+    val log = seeded(freshRoot())
+    log.deleteWhereMoR(col("k") <= 50)
+    log.merge(Seq((2L, -20L), (60L, -600L)).toDF("k", "v"), "k")
+    val m = log.read().as[(Long, Long)].collect().groupBy(_._1)
+    // deleted key re-inserted by the merge: exactly one row, the new value
+    assert(m(2L).toSeq == Seq((2L, -20L)))
+    assert(m(60L).toSeq == Seq((60L, -600L)))
+    // a deleted key the merge never mentioned stays deleted
+    assert(!m.contains(30L))
+    assert(log.read().count() == 251)   // 250 survivors + k=2 back; k=60 updates in place
+  }
+
+  test("rewriteDeletes folds tombstones into ONLY the touched files") {
+    val log = seeded(freshRoot())
+    val dataBefore = log.files(3L)
+    log.deleteWhereMoR(col("k") <= 50)   // touches only the first file
+    val (dvs, rewritten) = log.rewriteDeletes()
+    assert(dvs == 1 && rewritten == 1)
+    val head = log.currentVersion.get
+    assert(log.dvFiles(head).isEmpty)
+    // the two untouched files are carried by NAME, stats intact
+    assert(dataBefore.drop(1).forall(log.files(head).contains))
+    assert(!log.files(head).contains(dataBefore.head))
+    assert(keys(log) == (51L to 300L))
+    // folding twice is a no-op
+    assert(log.rewriteDeletes() == ((0, 0)))
+  }
+
+  test("compact folds tombstones and drops the DV lines") {
+    val log = seeded(freshRoot())
+    log.deleteWhereMoR(col("k") % 2 === 0)
+    log.compact()
+    val head = log.currentVersion.get
+    assert(log.dvFiles(head).isEmpty)
+    assert(keys(log) == (1L to 300L by 2))
+  }
+
+  test("vacuum keeps referenced DV files live; collects them after the fold") {
+    val root = freshRoot()
+    val log = seeded(root)
+    val v = log.deleteWhereMoR(col("k") <= 50)
+    val dvNames = log.dvFiles(v)
+    log.vacuum(keepVersions = 1, minFileAgeMs = 0)
+    // head references the DV — it must survive and still apply
+    assert(dvNames.forall(n => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data", n))))
+    assert(keys(log) == (51L to 300L))
+    log.rewriteDeletes()
+    log.vacuum(keepVersions = 1, minFileAgeMs = 0)
+    // no retained version references the DV any more
+    assert(dvNames.forall(n => !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data", n))))
+    assert(keys(log) == (51L to 300L))
+  }
+
+  test("change feed: each tombstone batch reports its deletes exactly once") {
+    val log = seeded(freshRoot())
+    log.deleteWhereMoR(col("k") <= 50)            // v4
+    log.deleteWhereMoR(col("k").between(51, 60))  // v5 — stacked second DV
+    val d1 = log.changesBetween(3L, 4L)
+    assert(d1.select("_change_type").distinct().as[String].collect().toSeq == Seq("delete"))
+    assert(d1.select("k").as[Long].collect().sorted.toSeq == (1L to 50L))
+    // the second window must NOT re-report the first window's deletes
+    val d2 = log.changesBetween(4L, 5L)
+    assert(d2.select("k").as[Long].collect().sorted.toSeq == (51L to 60L))
+    assert(log.changesBetween(3L, 5L).select("k").as[Long]
+      .collect().sorted.toSeq == (1L to 60L))
+  }
+
+  test("change feed: RESTORE across MoR deletes reports the resurrections") {
+    val log = seeded(freshRoot())
+    log.deleteWhereMoR(col("k") <= 50)            // v4
+    log.deleteWhereMoR(col("k").between(51, 60))  // v5
+    val v6 = log.restore(3L)
+    assert(keys(log) == (1L to 300L))
+    val back = log.changesBetween(5L, v6)
+    assert(back.select("_change_type").distinct().as[String].collect().toSeq == Seq("insert"))
+    assert(back.select("k").as[Long].collect().sorted.toSeq == (1L to 60L))
+    // end-to-end the table is unchanged: the 3→6 feed is empty
+    assert(log.changesBetween(3L, v6).count() == 0)
+  }
+
+  test("file-skipping reads apply tombstones") {
+    val log = seeded(freshRoot())
+    log.deleteKeysMoR((120L to 130L).toDF("k"), "k")
+    assert(log.readBetween("k", 100, 200).select("k").as[Long].collect().sorted.toSeq ==
+      ((100L to 200L).toSet -- (120L to 130L)).toSeq.sorted)
+  }
+
+  test("delta export of a tombstoned table materializes the visible rows") {
+    val root = freshRoot()
+    val log = seeded(root)
+    log.deleteWhereMoR(col("k") > 250)
+    val dest = freshRoot() + "/delta"
+    DeltaInterop.exportDelta(spark, root, dest)
+    assert(DeltaInterop.readDelta(spark, dest).select("k").as[Long]
+      .collect().sorted.toSeq == (1L to 250L))
+  }
+
+  // ---- SQL catalog front door --------------------------------------------
+
+  private val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_dv_wh").toString
+  spark.conf.set("spark.sql.catalog.gdv", classOf[graft.catalog.GraftTableCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gdv.warehouse", warehouse)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS gdv.db")
+
+  test("SQL reads apply tombstones through the analyzer rule") {
+    spark.sql("CREATE TABLE gdv.db.t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gdv.db.t SELECT id, id * 10 FROM range(1, 301)")
+    new CommitLog(spark, s"$warehouse/db/t").deleteWhereMoR(col("k") <= 50)
+    assert(spark.sql("SELECT count(*) AS c FROM gdv.db.t").as[Long].head() == 250L)
+    assert(spark.sql("SELECT min(k) AS mn FROM gdv.db.t").as[Long].head() == 51L)
+    // filters still reach the data side below the anti-join
+    val plan = spark.sql("SELECT v FROM gdv.db.t WHERE k = 60")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    // SQL MERGE/UPDATE refuses until tombstones are folded in
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gdv.db.t SET v = 0 WHERE k = 60")
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("rewrite_deletes") ||
+        Option(e.getCause).exists(_.getMessage.contains("rewrite_deletes"))))
+    val folded = spark.sql("CALL gdv.system.rewrite_deletes('db.t')").collect()
+    assert(folded.head.getInt(0) == 1)
+    // after the fold: plain scan again, UPDATE works
+    spark.sql("UPDATE gdv.db.t SET v = 0 WHERE k = 60")
+    assert(spark.sql("SELECT v FROM gdv.db.t WHERE k = 60").as[Long].head() == 0L)
+    assert(spark.sql("SELECT count(*) AS c FROM gdv.db.t").as[Long].head() == 250L)
+  }
+}
