@@ -48,12 +48,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = math.rint(results.values.filter(_ >= 0).sum * 1000) / 1000
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Truncation-proofing (r02/r03/r06 artifacts all clipped stdout:
-    // parsed=null): the full JSON goes to a committed file, and stdout
-    // carries ONLY the aggregate line (twice, straddling spark.stop()) —
-    // per-query stdout chatter is what pushed the aggregate line out of
-    // the driver's capture window in r06.
+    val n = results.size
+    val failed = results.count(_._2 < 0)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Truncation-proofing (r02/r03/r06/r07 artifacts all clipped stdout:
+    // parsed=null — even the single aggregate line at ~4 KB exceeded the
+    // driver's capture window). stdout now carries ONLY a short summary
+    // line (total + counts + pointer to the committed file); the full
+    // per-query map lives in BENCH_LOCAL.json.
+    val short = s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,"sf":"$sfDir","file":"BENCH_LOCAL.json"}"""
     if (only.isEmpty) {  // a filtered dev run must not clobber the full record
       // path is env-overridable and falls back to the working directory so
       // the bench is runnable outside this container's checkout layout
@@ -64,10 +67,10 @@ object Bench {
            else java.nio.file.Paths.get(".")).resolve("BENCH_LOCAL.json")
         }
       java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
-    println(line)
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(short)
+    } else println(full)  // dev runs are few keys; full detail fits stdout
     spark.stop()
-    println(line)
+    if (only.isEmpty) println(short)
   }
 }

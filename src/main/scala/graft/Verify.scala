@@ -26,7 +26,19 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A key that crashes before the oracle must still surface in the
+        // driver's compare (r7 lost 7 keys to silent absence). Dump a
+        // sentinel one-row result whose schema can never match an oracle,
+        // so the key shows up as a FAILING row instead of vanishing.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+            .toDF("__graft_query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel dump failed: ${e2.getMessage}")
+        }
       }
       // queries persist() shared subplans; drop them so cached blocks
       // don't accumulate across the whole suite

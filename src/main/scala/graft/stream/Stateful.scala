@@ -179,15 +179,28 @@ object Stateful {
     }))
 
   /** Streaming source over parquet events with ts normalized to a
-    * microsecond timestamp (the raw column is INT64 nanos).
+    * microsecond TIMESTAMP. Same type guard as the batch loader
+    * (`Tables.events`): the parquet may surface `ts` as INT64 nanos
+    * (`nanosAsLong=true`) or as a timestamp type depending on how the
+    * data was written. Unlike the batch path, watermarks REQUIRE
+    * TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ), so a
+    * TIMESTAMP_NTZ column is cast — instant-preserving under the
+    * session's UTC timezone.
     */
   private def eventStream(s: SparkSession, path: String,
       maxFilesPerTrigger: Option[Int]): DataFrame = {
     val schema = s.read.parquet(path).schema
     val reader = s.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = reader.parquet(path)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Run a streaming DF to completion into a memory sink, return it.
