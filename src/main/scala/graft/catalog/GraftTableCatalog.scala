@@ -307,7 +307,8 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] =
@@ -328,8 +329,14 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
       require(log.files(v) != null, s"version $v not readable under $root")
     }
     val paths = snapshot.map(log.filePaths).getOrElse(Seq.empty)
-    ParquetTable(tableName, spark, options, paths, Some(schema),
+    val inner = ParquetTable(tableName, spark, options, paths, Some(schema),
       classOf[ParquetFileFormat]).newScanBuilder(options)
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
+    // batch pushdown forwards untouched; streaming reads tail the commit
+    // log ([[GraftMicroBatchStream]]) — the checkpoint location is unused
+    // because offsets ARE commit versions (the engine's own durable log)
+    new org.apache.spark.sql.GraftForwardingScanBuilder(inner,
+      _ => new GraftMicroBatchStream(spark, tableName, root, schema, options))
   }
 
   private sealed trait WriteMode

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming reads OVER commit-log tables: downstream consumers tail the
+  * catalog table (`spark.readStream.table`), not a raw landing directory —
+  * offsets are commit versions, so delivery is exactly-once across
+  * restarts, and non-append commits fail loudly unless opted into.
+  */
+class CommitLogStreamSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_stream_wh").toString
+
+  spark.conf.set("spark.sql.catalog.gs", classOf[graft.catalog.GraftTableCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gs.warehouse", warehouse)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS gs.db")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  /** Drain the table's new commits into a parquet sink, to completion. */
+  private def runOnce(table: String, out: String, cp: String,
+      opts: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.readStream
+    opts.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.table(table).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("two commits stream exactly once across a restart") {
+    spark.sql("CREATE TABLE gs.db.ev (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gs.db.ev VALUES (1, 'a'), (2, 'b')")
+    val (out, cp) = (tmp("graft_sink"), tmp("graft_cp"))
+
+    runOnce("gs.db.ev", out, cp)
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+
+    // second commit lands while no query is running; the restarted query
+    // resumes from the checkpointed version and sees ONLY the new batch
+    spark.sql("INSERT INTO gs.db.ev VALUES (3, 'c')")
+    runOnce("gs.db.ev", out, cp)
+    val all = spark.read.parquet(out).as[(Long, String)].collect().toSeq
+    assert(all.size == 3, s"exactly-once violated: $all")
+    assert(all.toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // an idle restart (no new commits) emits nothing
+    runOnce("gs.db.ev", out, cp)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
+  test("non-append commit fails the stream; ignoreChanges opts into added-only") {
+    spark.sql("CREATE TABLE gs.db.mut (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gs.db.mut VALUES (1, 'a'), (2, 'b')")
+    val (out, cp) = (tmp("graft_sink"), tmp("graft_cp"))
+    runOnce("gs.db.mut", out, cp)
+    assert(spark.read.parquet(out).count() == 2)
+
+    // CoW DELETE removes a file from the manifest → insert-only feed
+    // cannot express it → loud failure naming the escape hatches
+    spark.sql("DELETE FROM gs.db.mut WHERE k = 1")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce("gs.db.mut", out, cp)
+    }
+    val msg = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_)).mkString(" | ")
+    assert(msg.contains("removed") && msg.contains("ignoreChanges"), msg)
+
+    // with ignoreChanges the non-append commit passes through as its
+    // ADDED files only (here the deleted row's file simply disappears —
+    // rewritten survivors re-emit when they share a file, a documented
+    // Delta-parity contract) and the stream proceeds
+    runOnce("gs.db.mut", out, cp, Map("ignoreChanges" -> "true"))
+    val rows = spark.read.parquet(out).as[(Long, String)].collect().toSeq
+    assert(rows.count(_ == (1L, "a")) == 1, s"initial rows must not re-emit: $rows")
+
+    // and the source keeps tailing appends normally afterwards
+    spark.sql("INSERT INTO gs.db.mut VALUES (4, 'd')")
+    runOnce("gs.db.mut", out, cp)
+    val later = spark.read.parquet(out).as[(Long, String)].collect().toSeq
+    assert(later.count(_ == (4L, "d")) == 1, s"append after skip lost/duped: $later")
+  }
+
+  test("first batch is the full snapshot; version offsets appear in the checkpoint") {
+    spark.sql("CREATE TABLE gs.db.snap (k BIGINT)")
+    spark.sql("INSERT INTO gs.db.snap VALUES (1)")
+    spark.sql("INSERT INTO gs.db.snap VALUES (2)")
+    spark.sql("INSERT INTO gs.db.snap VALUES (3)")
+    val (out, cp) = (tmp("graft_sink"), tmp("graft_cp"))
+    runOnce("gs.db.snap", out, cp)   // three commits, ONE initial load
+    assert(spark.read.parquet(out).as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // the committed offset is the commit version, human-auditable
+    val offsets = new java.io.File(s"$cp/offsets").listFiles().map(f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath)))
+    assert(offsets.exists(_.linesIterator.toSeq.lastOption.exists(_.trim == "3")),
+      offsets.mkString("\n---\n"))
+  }
+}
