@@ -1,0 +1,379 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Interop with the open Apache Iceberg table format, implemented from
+  * the PUBLIC spec (iceberg.apache.org/spec — v2 table metadata, manifest
+  * list, manifest) rather than the connector jars (absent in this
+  * environment). Mirrors [[DeltaInterop.exportDelta]] for the other half
+  * of the lake world: a [[CommitLog]] snapshot leaves as a table any
+  * Iceberg catalog pointed at the directory (HadoopTables layout:
+  * `metadata/v1.metadata.json` + `version-hint.text`) can load.
+  *
+  * What is written:
+  *  - data files copied byte-identical into `data/` (or the visible
+  *    snapshot materialized when merge-on-read tombstones exist — the
+  *    Iceberg dialect emitted here is data-only, like the Delta export),
+  *  - one manifest (Avro, `manifest_entry` records with spec field-ids),
+  *  - one manifest list (Avro, `manifest_file` records),
+  *  - `v1.metadata.json` (format-version 2: schemas with assigned
+  *    field-ids, unpartitioned spec, one append snapshot, main ref),
+  *  - `version-hint.text` for HadoopCatalog-style discovery.
+  *
+  * All log processing is metadata-scale on the driver (file names, row
+  * counts from parquet footers); row bytes move only in the no-DV copy
+  * or the one distributed materialization write.
+  */
+object IcebergInterop {
+
+  private val mapper = new ObjectMapper()
+
+  // ---- Spark → Iceberg schema JSON with field-id assignment --------------
+
+  /** Iceberg type JSON for a Spark type; `nextId` hands out element/key/
+    * value/nested-field ids (the spec requires every field to carry a
+    * unique id — ids are what make Iceberg schema evolution safe).
+    */
+  private def icebergType(dt: DataType, nextId: () => Int): Object = dt match {
+    case BooleanType => "boolean"
+    case IntegerType | ShortType | ByteType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case ArrayType(et, containsNull) =>
+      val node = mapper.createObjectNode()
+      node.put("type", "list")
+      val eid = nextId()
+      node.put("element-id", eid)
+      node.set("element", mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+        icebergType(et, nextId)))
+      node.put("element-required", !containsNull)
+      node
+    case MapType(kt, vt, valueContainsNull) =>
+      val node = mapper.createObjectNode()
+      node.put("type", "map")
+      val kid = nextId(); val vid = nextId()
+      node.put("key-id", kid)
+      node.set("key", mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+        icebergType(kt, nextId)))
+      node.put("value-id", vid)
+      node.set("value", mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+        icebergType(vt, nextId)))
+      node.put("value-required", !valueContainsNull)
+      node
+    case StructType(fields) =>
+      val node = mapper.createObjectNode()
+      node.put("type", "struct")
+      val arr = node.putArray("fields")
+      fields.foreach { f =>
+        val fid = nextId()
+        val fn = mapper.createObjectNode()
+        fn.put("id", fid)
+        fn.put("name", f.name)
+        fn.put("required", !f.nullable)
+        fn.set("type", mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+          icebergType(f.dataType, nextId)))
+        arr.add(fn)
+      }
+      node
+    case other => throw new UnsupportedOperationException(
+      s"exportIceberg: no Iceberg mapping for Spark type $other")
+  }
+
+  /** (schema JSON with schema-id 0, last assigned column id). Top-level
+    * fields take ids 1..n first (the Iceberg convention), then nested
+    * ids follow.
+    */
+  private def icebergSchemaJson(schema: StructType): (String, Int) = {
+    var id = 0
+    def nextId(): Int = { id += 1; id }
+    val node = mapper.createObjectNode()
+    node.put("type", "struct")
+    node.put("schema-id", 0)
+    val arr = node.putArray("fields")
+    // two passes: top-level ids first, nested ids after — matching how
+    // Iceberg's own schema assignment numbers a fresh table
+    val topIds = schema.fields.map(_ => nextId())
+    schema.fields.zip(topIds).foreach { case (f, fid) =>
+      val fn = mapper.createObjectNode()
+      fn.put("id", fid)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      fn.set("type", mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+        icebergType(f.dataType, () => nextId())))
+      arr.add(fn)
+    }
+    (mapper.writeValueAsString(node), id)
+  }
+
+  // ---- Avro schemas from the public spec (field-ids as avro props) -------
+
+  private val manifestEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","field-id":134},
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]}}]}""".stripMargin)
+
+  private val manifestFileSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  /** Export the head of a [[CommitLog]] table as a minimal Iceberg v2
+    * table under `dest`. Returns the number of data files exported.
+    */
+  def exportIceberg(spark: SparkSession, commitRoot: String, dest: String): Int = {
+    val log = new CommitLog(spark, commitRoot)
+    val v = log.currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+      s"no committed version under $commitRoot"))
+    val schema = log.readVersion(v).schema
+    val fs = HadoopFs.fs(spark, dest)
+    val destPath = fs.makeQualified(new Path(dest))
+    val dataDir = new Path(destPath, "data")
+    val metaDir = new Path(destPath, "metadata")
+    fs.mkdirs(dataDir)
+    fs.mkdirs(metaDir)
+    val srcFs = HadoopFs.fs(spark, commitRoot)
+
+    // same DV posture as the Delta export: byte-copy when clean,
+    // materialize the visible snapshot when tombstones exist
+    val names: Seq[String] =
+      if (log.dvFiles(v).isEmpty) {
+        val ns = log.files(v)
+        ns.foreach { n =>
+          val src = new Path(new Path(commitRoot, "data"), n)
+          if (!FileUtil.copy(srcFs, src, fs, new Path(dataDir, n), false, fs.getConf))
+            throw new java.io.IOException(s"exportIceberg: copy of $n failed")
+        }
+        ns
+      } else {
+        val stage = new Path(destPath, "_graft_export_stage")
+        log.readVersion(v).write.mode("overwrite").parquet(stage.toString)
+        val parts = fs.listStatus(stage)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath).sortBy(_.getName)
+        val moved = parts.map { p =>
+          if (!fs.rename(p, new Path(dataDir, p.getName)))
+            throw new java.io.IOException(s"exportIceberg: move of ${p.getName} failed")
+          p.getName
+        }
+        fs.delete(stage, true)
+        moved.toSeq
+      }
+
+    val now = System.currentTimeMillis()
+    val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
+    val uuid = java.util.UUID.randomUUID().toString
+
+    // per-file (rows, bytes) from footers/listing — metadata-scale
+    val fileInfo = names.map { n =>
+      val p = new Path(dataDir, n)
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, fs.getConf))
+      val rows = try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      (n, rows, fs.getFileStatus(p).getLen)
+    }
+    val totalRows = fileInfo.map(_._2).sum
+
+    // ---- manifest (one, content=data) ------------------------------------
+    val (schemaJson, lastColumnId) = icebergSchemaJson(schema)
+    val manifestName = s"$uuid-m0.avro"
+    val manifestPath = new Path(metaDir, manifestName)
+    val partitionRecord = new GenericData.Record(
+      manifestEntrySchema.getField("data_file").schema().getField("partition").schema())
+    locally {
+      val writer = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](manifestEntrySchema))
+      writer.setMeta("schema", schemaJson)
+      writer.setMeta("schema-id", "0")
+      writer.setMeta("partition-spec", "[]")
+      writer.setMeta("partition-spec-id", "0")
+      writer.setMeta("format-version", "2")
+      writer.setMeta("content", "data")
+      val out = fs.create(manifestPath, true)
+      writer.create(manifestEntrySchema, out)
+      fileInfo.foreach { case (n, rows, bytes) =>
+        val df = new GenericData.Record(
+          manifestEntrySchema.getField("data_file").schema())
+        df.put("content", 0)
+        df.put("file_path", new Path(dataDir, n).toString)
+        df.put("file_format", "PARQUET")
+        df.put("partition", partitionRecord)
+        df.put("record_count", rows)
+        df.put("file_size_in_bytes", bytes)
+        val entry = new GenericData.Record(manifestEntrySchema)
+        entry.put("status", 1)                       // ADDED
+        entry.put("snapshot_id", snapshotId)
+        entry.put("sequence_number", 1L)
+        entry.put("file_sequence_number", 1L)
+        entry.put("data_file", df)
+        writer.append(entry)
+      }
+      writer.close()
+    }
+    val manifestLen = fs.getFileStatus(manifestPath).getLen
+
+    // ---- manifest list ---------------------------------------------------
+    val listName = s"snap-$snapshotId-1-$uuid.avro"
+    val listPath = new Path(metaDir, listName)
+    locally {
+      val writer = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](manifestFileSchema))
+      writer.setMeta("format-version", "2")
+      val out = fs.create(listPath, true)
+      writer.create(manifestFileSchema, out)
+      val mf = new GenericData.Record(manifestFileSchema)
+      mf.put("manifest_path", manifestPath.toString)
+      mf.put("manifest_length", manifestLen)
+      mf.put("partition_spec_id", 0)
+      mf.put("content", 0)
+      mf.put("sequence_number", 1L)
+      mf.put("min_sequence_number", 1L)
+      mf.put("added_snapshot_id", snapshotId)
+      mf.put("added_files_count", names.length)
+      mf.put("existing_files_count", 0)
+      mf.put("deleted_files_count", 0)
+      mf.put("added_rows_count", totalRows)
+      mf.put("existing_rows_count", 0L)
+      mf.put("deleted_rows_count", 0L)
+      writer.append(mf)
+      writer.close()
+    }
+
+    // ---- table metadata (v2) + version hint ------------------------------
+    val metadata = mapper.createObjectNode()
+    metadata.put("format-version", 2)
+    metadata.put("table-uuid", uuid)
+    metadata.put("location", destPath.toString)
+    metadata.put("last-sequence-number", 1L)
+    metadata.put("last-updated-ms", now)
+    metadata.put("last-column-id", lastColumnId)
+    metadata.put("current-schema-id", 0)
+    metadata.putArray("schemas").add(mapper.readTree(schemaJson))
+    metadata.put("default-spec-id", 0)
+    locally {
+      val spec = mapper.createObjectNode()
+      spec.put("spec-id", 0)
+      spec.putArray("fields")
+      metadata.putArray("partition-specs").add(spec)
+    }
+    // spec: partition field ids start at 1000; none assigned yet
+    metadata.put("last-partition-id", 999)
+    metadata.put("default-sort-order-id", 0)
+    locally {
+      val order = mapper.createObjectNode()
+      order.put("order-id", 0)
+      order.putArray("fields")
+      metadata.putArray("sort-orders").add(order)
+    }
+    metadata.putObject("properties")
+    metadata.put("current-snapshot-id", snapshotId)
+    locally {
+      val main = metadata.putObject("refs").putObject("main")
+      main.put("snapshot-id", snapshotId)
+      main.put("type", "branch")
+    }
+    locally {
+      val snap = mapper.createObjectNode()
+      snap.put("snapshot-id", snapshotId)
+      snap.put("sequence-number", 1L)
+      snap.put("timestamp-ms", now)
+      snap.put("manifest-list", listPath.toString)
+      snap.putObject("summary").put("operation", "append")
+      snap.put("schema-id", 0)
+      metadata.putArray("snapshots").add(snap)
+    }
+    metadata.putArray("snapshot-log")
+    metadata.putArray("metadata-log")
+    LogStore.write(fs, new Path(metaDir, "v1.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(metadata))
+    LogStore.write(fs, new Path(metaDir, "version-hint.text"),
+      "1".getBytes(StandardCharsets.UTF_8))
+    names.length
+  }
+
+  /** Resolve an exported table's CURRENT data-file paths the way an
+    * Iceberg reader does: version hint → metadata JSON → current
+    * snapshot's manifest list (Avro) → manifests (Avro) → live
+    * `file_path`s (status != DELETED). The round-trip proof that the
+    * emitted bytes really are the open format, not a private echo.
+    */
+  def readFileList(spark: SparkSession, table: String): Seq[String] = {
+    val fs = HadoopFs.fs(spark, table)
+    val metaDir = new Path(table, "metadata")
+    def slurp(p: Path): Array[Byte] = {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        out.toByteArray
+      } finally in.close()
+    }
+    val hint = new String(slurp(new Path(metaDir, "version-hint.text")),
+      StandardCharsets.UTF_8).trim
+    val metadata = mapper.readTree(slurp(new Path(metaDir, s"v$hint.metadata.json")))
+    val snapshotId = metadata.get("current-snapshot-id").asLong
+    val snap = metadata.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == snapshotId)
+      .getOrElse(throw new IllegalStateException(
+        s"current snapshot $snapshotId missing from $table metadata"))
+    def avroRecords(p: Path): Seq[GenericRecord] = {
+      // avro's SeekableInput over a local copy: hadoop streams don't
+      // expose the interface directly and these files are metadata-small
+      val tmp = java.io.File.createTempFile("graft_iceberg", ".avro")
+      try {
+        java.nio.file.Files.write(tmp.toPath, slurp(p))
+        val r = new DataFileReader[GenericRecord](tmp,
+          new GenericDatumReader[GenericRecord]())
+        try r.iterator().asScala.toSeq finally r.close()
+      } finally { tmp.delete(): Unit }
+    }
+    val manifests = avroRecords(new Path(snap.get("manifest-list").asText))
+      .map(_.get("manifest_path").toString)
+    manifests.flatMap { mp =>
+      avroRecords(new Path(mp)).collect {
+        case e if e.get("status").asInstanceOf[Int] != 2 =>   // not DELETED
+          e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
+      }
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{CommitLog, IcebergInterop}
+
+/** Iceberg export: a CommitLog snapshot leaves as an Iceberg-v2 layout
+  * (metadata JSON + Avro manifest list + Avro manifest) whose resolved
+  * file list equals the snapshot — and whose files carry the rows.
+  */
+class IcebergInteropSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("export → spec-path re-read: file list equals snapshot, rows survive") {
+    val root = tmp("graft_ice_src")
+    val log = new CommitLog(spark, root)
+    log.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), replace = true)
+    log.commit(Seq((3L, "c")).toDF("k", "v"), replace = false)
+
+    val dest = tmp("graft_ice_dst")
+    val n = IcebergInterop.exportIceberg(spark, root, dest)
+    assert(n == log.files(log.currentVersion.get).length)
+
+    // resolve through the format itself: hint → metadata → manifest list
+    // (avro) → manifest (avro) → file paths
+    val listed = IcebergInterop.readFileList(spark, dest)
+    assert(listed.size == n)
+    assert(listed.forall(_.contains("/data/")), listed.mkString(", "))
+    // the exported files ARE the snapshot bytes: same names as the pool
+    assert(listed.map(_.split('/').last).toSet ==
+      log.files(log.currentVersion.get).toSet)
+    // and scanning the resolved list yields the table
+    assert(spark.read.parquet(listed: _*).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // metadata sanity per the public spec: v2, one snapshot, main ref
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dest/metadata/v1.metadata.json")))
+    assert(meta.contains("\"format-version\" : 2") || meta.contains("\"format-version\":2"))
+    assert(meta.contains("manifest-list"))
+    assert(meta.contains("\"main\""))
+  }
+
+  test("merge-on-read tombstones materialize: no deleted row leaks into the export") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp("graft_ice_mor")
+    val log = new CommitLog(spark, root)
+    log.commit((1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), replace = true)
+    log.deleteWhereMoR(col("k") <= 3L)
+
+    val dest = tmp("graft_ice_mor_dst")
+    IcebergInterop.exportIceberg(spark, root, dest)
+    val listed = IcebergInterop.readFileList(spark, dest)
+    val rows = spark.read.parquet(listed: _*).as[(Long, String)].collect().toSet
+    assert(rows.map(_._1) == (4L to 10L).toSet, rows)
+  }
+
+  test("array columns map to Iceberg list types with assigned ids") {
+    val root = tmp("graft_ice_arr")
+    val log = new CommitLog(spark, root)
+    log.commit(Seq((1L, Seq(0.5f, 0.25f))).toDF("id", "emb"), replace = true)
+    val dest = tmp("graft_ice_arr_dst")
+    IcebergInterop.exportIceberg(spark, root, dest)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dest/metadata/v1.metadata.json")))
+    assert(meta.contains("list") && meta.contains("element-id"), meta)
+    assert(IcebergInterop.readFileList(spark, dest).nonEmpty)
+  }
+}
