@@ -233,6 +233,32 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       }
     }.toMap
 
+  /** Partition columns recorded in a version's manifest (`#partition:`
+    * header, JSON array), empty for unpartitioned versions. Hive-style
+    * layout: data files live under `data/<c1>=<v1>/<c2>=<v2>/...`, the
+    * manifest names carry the subdirs, and each partition value rides
+    * the file's stats as an exact (min=max) bound — so [[readWhere]]
+    * prunes on partition columns through the SAME conjunctive test as
+    * footer stats, exactly, before any footer is consulted. This is the
+    * manifest analog of the reference's `<asset>/<batch>/init/` landing
+    * layout (cft/sourceSystem.yaml:77).
+    */
+  def partitionColumns(v: Long): Seq[String] = partitionColsOf(manifestLines(v))
+
+  private def partitionColsOf(lines: Seq[String]): Seq[String] =
+    lines.find(_.startsWith("#partition:")).map { l =>
+      org.json4s.jackson.JsonMethods.parse(l.stripPrefix("#partition:")) match {
+        case org.json4s.JArray(vs) => vs.collect { case org.json4s.JString(s) => s }
+        case _ => Seq.empty
+      }
+    }.getOrElse(Seq.empty)
+
+  /** Leaf file name (pool names carry partition subdirs; leaves are
+    * uuid-derived and globally unique, so leaf-keyed matching — what the
+    * DV tombstones and `input_file_name` discovery produce — stays exact).
+    */
+  private def leafOf(n: String): String = n.split('/').last
+
   /** Transaction ids recorded in a version's manifest (`#txn:` header
     * lines). A txn id committed WITH its data is the exactly-once seam
     * for at-least-once writers (foreachBatch redelivery): either the
@@ -331,10 +357,12 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       .select(DvKeys.map(col): _*))
 
   /** Data-file read annotated with tombstone join keys: each row carries
-    * its pool file name and its stable row position within that file.
+    * its pool file LEAF name and its stable row position within that
+    * file (leaves are uuid-unique across partition subdirs).
     */
   private def withPos(names: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true")
+      .option("basePath", dataDir.toString)
       .parquet(names.map(n => new Path(dataDir, n).toString): _*)
       .select(col("*"),
         org.apache.spark.sql.functions.substring_index(
@@ -351,9 +379,13 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   private def readFiles(names: Seq[String], dv: Option[DataFrame]): DataFrame =
     dv match {
       case None => spark.read.option("mergeSchema", "true")
+        // basePath keeps hive-layout partition columns in the schema
+        // (and is a no-op for flat pool files)
+        .option("basePath", dataDir.toString)
         .parquet(names.map(n => new Path(dataDir, n).toString): _*)
       case Some(d) =>
         val dataCols = spark.read.option("mergeSchema", "true")
+          .option("basePath", dataDir.toString)
           .parquet(names.map(n => new Path(dataDir, n).toString): _*).columns.toSeq
         withPos(names).join(d, DvKeys, "left_anti")
           .select(dataCols.map(col): _*)
@@ -389,6 +421,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       txn.foreach { id =>
         if (prev.contains(s"#txn:$id")) return v - 1  // lost race to our own id's writer
       }
+      if (!replace) requireUnpartitioned("commit(append)", v, prev)
       val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
       val manifest = carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines
       beforePublish(attempt, v)
@@ -485,6 +518,143 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     lines.toSeq
   }
 
+  /** Hive %xx escape decoding for partition-dir values (Spark escapes
+    * path-hostile chars when writing `c=v` dirs; `+` is NOT a space in
+    * this dialect, so URLDecoder would mistranslate).
+    */
+  private def unescapePathValue(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try { out.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Exact per-file stats from a hive partition subpath (`c1=v1/c2=v2`):
+    * each value is its own min=max bound, typed numerically when it
+    * parses, so partition pruning rides the ordinary stats test. A
+    * `__HIVE_DEFAULT_PARTITION__` (null) value yields no bound — the
+    * file simply stays unprunable on that column, conservative as ever.
+    */
+  private def partValueStats(subdirs: Seq[String]): Map[String, ColStats] =
+    subdirs.flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(c, raw) if raw != "__HIVE_DEFAULT_PARTITION__" =>
+          val v = unescapePathValue(raw)
+          val tpe =
+            if (v.nonEmpty && v.forall(ch => ch.isDigit || ch == '-') &&
+              scala.util.Try(v.toLong).isSuccess) "long"
+            else if (scala.util.Try(v.toDouble).isSuccess) "double"
+            else "string"
+          Some(c -> ColStats(tpe, v, v))
+        case _ => None
+      }
+    }.toMap
+
+  /** Stage `df` hive-partitioned by `partitionCols` and pool the parts
+    * UNDER their partition subdirs (manifest names carry the subpath).
+    * Stats = footer stats of the data columns + exact partition-value
+    * bounds, so one conjunctive test serves both pruning tiers.
+    */
+  private def stagePartitioned(df: DataFrame, partitionCols: Seq[String],
+      op: String): Seq[String] = {
+    require(partitionCols.nonEmpty, s"$op: empty partition column list")
+    val missing = partitionCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"$op: partition columns $missing not in ${df.columns.toSeq}")
+    val stage = new Path(tmpDir, java.util.UUID.randomUUID().toString)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+      .parquet(stage.toString)
+    val stageUri = stage.toUri.getPath
+    val it = hfs.listFiles(stage, true)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[(Path, Seq[String])]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val rel = f.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
+        parts += ((f.getPath, rel.split('/').dropRight(1).toSeq))
+      }
+    }
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    hfs.mkdirs(dataDir)
+    hfs.mkdirs(commitsDir)
+    val lines = parts.sortBy(_._1.getName).zipWithIndex.map {
+      case ((src, subdirs), i) =>
+        val (rows, st) = footerInfo(src)
+        if (rows == 0L) { hfs.delete(src, false); None }
+        else {
+          val name = (subdirs :+ f"$uuid-part$i%05d.parquet").mkString("/")
+          val dest = new Path(dataDir, name)
+          hfs.mkdirs(dest.getParent)
+          if (!hfs.rename(src, dest))
+            throw new java.io.IOException(s"$op: could not move $src into the pool")
+          val merged = st ++ partValueStats(subdirs)
+          Some(if (merged.isEmpty) name else s"$name\t${statsJson(merged)}")
+        }
+    }.flatten
+    hfs.delete(stage, true)
+    lines.toSeq
+  }
+
+  /** Commit `df` hive-partitioned by `partitionCols` as the next version
+    * (the partitioned twin of [[commit]]). Appends require the head's
+    * partition spec to match; a replace may change it. The spec rides
+    * the manifest as a `#partition:` header, carried across appends and
+    * MoR deletes; the CoW mutators that would flatten the layout refuse
+    * on partitioned tables ([[requireUnpartitioned]]) — their partitioned
+    * tier is MoR delete + [[rewriteDeletes]] (partition-aware) +
+    * re-`commitPartitioned(replace = true)` maintenance.
+    */
+  def commitPartitioned(df: DataFrame, partitionCols: Seq[String],
+      replace: Boolean, txn: Option[String] = None): Long = {
+    txn.foreach { id =>
+      currentVersion.foreach { v => if (txns(v).contains(id)) return v }
+    }
+    currentVersion.filter(_ => !replace).foreach { v =>
+      val existing = partitionColumns(v)
+      require(existing.isEmpty || existing == partitionCols,
+        s"commitPartitioned: head is partitioned by $existing, append by $partitionCols " +
+          "would mix layouts (replace=true may change the spec)")
+    }
+    val newLines = stagePartitioned(df, partitionCols, "commitPartitioned")
+    val header = "#partition:" + org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JArray(partitionCols.map(org.json4s.JString(_)).toList)))
+    var attempt = 0
+    while (attempt < 50) {
+      val v = currentVersion.getOrElse(0L) + 1
+      val prev = currentVersion.map(manifestLines).getOrElse(Seq.empty)
+      txn.foreach { id =>
+        if (prev.contains(s"#txn:$id")) return v - 1
+      }
+      val carried =
+        if (replace) prev.filter(_.startsWith("#txn:"))
+        else prev.filterNot(_.startsWith("#partition:"))
+      val manifest = header +: (carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines)
+      beforePublish(attempt, v)
+      if (publish(v, manifest)) return v
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"commitPartitioned: lost the version race 50 times under $tableRoot")
+  }
+
+  /** The copy-on-write mutators stage FLAT pool files; on a partitioned
+    * head that would mix directory depths under `data/` and break
+    * partition inference. They refuse loudly instead of corrupting the
+    * layout — the partitioned delete tier is [[deleteWhereMoR]] /
+    * [[deleteKeysMoR]] + [[rewriteDeletes]].
+    */
+  private def requireUnpartitioned(op: String, v: Long, lines: Seq[String]): Unit =
+    require(partitionColsOf(lines).isEmpty,
+      s"$op: table under $tableRoot is hive-partitioned; use the MoR delete " +
+        "tier (deleteWhereMoR/deleteKeysMoR + rewriteDeletes) or rebuild with " +
+        "commitPartitioned(replace = true)")
+
   /** Fresh staging directory under the table's `_tmp` for an external
     * writer (the SQL row-level-operation write stages here, then commits
     * via [[commitStaged]]). Unreferenced leftovers from crashed writers
@@ -505,6 +675,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     while (attempt < 50) {
       val v = currentVersion.getOrElse(0L) + 1
       val prev = currentVersion.map(manifestLines).getOrElse(Seq.empty)
+      if (!replace) requireUnpartitioned("commitStaged(append)", v, prev)
       val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
       beforePublish(attempt, v)
       if (publish(v, carried ++ newLines)) return v
@@ -546,6 +717,32 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     */
   protected def touchRefineCap: Int = 4096
 
+  /** Ceiling on driver-fetched distinct file NAMES ([[collectNames]]).
+    * The manifest itself is driver-resident O(files), so any in-bounds
+    * fetch is dominated by state the driver already holds; the cap is a
+    * loud backstop against a runaway set (a 100 TB table at 128 MB
+    * files is ~10⁶ names — the default leaves 4× headroom). Overridable
+    * for tests.
+    */
+  protected def nameCollectCap: Int = 4 * 1024 * 1024
+
+  /** Distinct values of `c`, fetched as ROWS with a map-side-combined
+    * distinct — never `collect_set` into one giant array cell (a single
+    * row whose one value holds every name trips driver single-object
+    * limits long before the same names as a row stream would). Throws
+    * loudly past [[nameCollectCap]] instead of OOMing the driver.
+    */
+  private def collectNames(df: DataFrame, c: String, what: String): Set[String] = {
+    val cap = nameCollectCap
+    val rows = df.select(col(c)).filter(col(c).isNotNull)
+      .distinct().limit(cap + 1).collect()
+    if (rows.length > cap) throw new IllegalStateException(
+      s"$what: more than $cap distinct file names under $tableRoot — " +
+        "refusing to materialize the set on the driver; compact the table " +
+        "or raise nameCollectCap")
+    rows.iterator.map(_.getString(0)).toSet
+  }
+
   private def findTouched(lines: Seq[String], stats: Map[String, Map[String, ColStats]],
       keys: DataFrame, keyCol: String, refineCap: Int = touchRefineCap): Set[String] = {
     val bounds = keys.agg(org.apache.spark.sql.functions.min(keyCol),
@@ -559,13 +756,13 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         }
       if (candidates.isEmpty) Set.empty
       else if (candidates.length > refineCap) candidates.toSet
-      else spark.read.option("mergeSchema", "true")
-        .parquet(candidates.map(n => new Path(dataDir, n).toString): _*)
-        .withColumn("_graft_file", input_file_name())
-        .join(keys, Seq(keyCol), "semi")
-        .agg(org.apache.spark.sql.functions.collect_set(col("_graft_file")))
-        .head().getSeq[String](0)
-        .map(_.split('/').last).toSet
+      else collectNames(
+        spark.read.option("mergeSchema", "true")
+          .parquet(candidates.map(n => new Path(dataDir, n).toString): _*)
+          .withColumn("_graft_file", input_file_name())
+          .join(keys, Seq(keyCol), "semi"),
+        "_graft_file", "findTouched")
+        .map(_.split('/').last)
     }
   }
 
@@ -658,6 +855,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
         s"no committed version under $tableRoot"))
       val lines = manifestLines(v)
+      requireUnpartitioned("merge", v, lines)
       val cols = readVersion(v).columns.toSeq
       require(updates.columns.toSet == cols.toSet,
         s"merge: updates schema ${updates.columns.toSeq} != table schema $cols")
@@ -698,6 +896,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
         s"no committed version under $tableRoot"))
       val lines = manifestLines(v)
+      requireUnpartitioned("deleteKeys", v, lines)
       val cols = readVersion(v).columns.toSeq
       val keys = keys0.select(keyCol).distinct()
       val touched = findTouched(lines, fileStats(v), keys, keyCol)
@@ -728,22 +927,26 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     */
   def rewriteWhere(cond: org.apache.spark.sql.Column, extra: Option[DataFrame],
       maxAttempts: Int = 5): Long = {
-    import org.apache.spark.sql.functions.{coalesce, collect_set}
+    import org.apache.spark.sql.functions.coalesce
     var attempt = 0
     while (attempt < maxAttempts) {
       val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
         s"no committed version under $tableRoot"))
       val lines = manifestLines(v)
+      requireUnpartitioned("rewriteWhere", v, lines)
       val names = files(v)
       val dv = dvFrame(v)
       // discovery runs over the VISIBLE snapshot: a file whose only
-      // matching rows are already tombstoned is not touched (no rewrite)
-      val touched: Set[String] =
+      // matching rows are already tombstoned is not touched (no rewrite).
+      // Discovery yields LEAF names (what input-file metadata exposes);
+      // they normalize to manifest names, exactly (leaves are uuid-unique)
+      val touchedLeaves: Set[String] =
         if (names.isEmpty) Set.empty
-        else dv.fold(withPos(names))(d => withPos(names).join(d, DvKeys, "left_anti"))
-          .filter(cond)
-          .agg(collect_set(col(DvKeys.head)))
-          .head().getSeq[String](0).toSet
+        else collectNames(
+          dv.fold(withPos(names))(d => withPos(names).join(d, DvKeys, "left_anti"))
+            .filter(cond),
+          DvKeys.head, "rewriteWhere")
+      val touched = names.filter(n => touchedLeaves(leafOf(n))).toSet
       if (touched.isEmpty && extra.isEmpty) return v
       val keptLines = lines.filterNot(l =>
         !l.startsWith("#") && !l.startsWith("-") && touched(l.split('\t').head))
@@ -855,7 +1058,6 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * a no-op.
     */
   def rewriteDeletes(maxAttempts: Int = 5): (Int, Int) = {
-    import org.apache.spark.sql.functions.collect_set
     var attempt = 0
     while (attempt < maxAttempts) {
       val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
@@ -863,14 +1065,22 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val dvN = dvFiles(v)
       if (dvN.isEmpty) return (0, 0)
       val dv = dvFrame(v).get
-      val targets = dv.agg(collect_set(col(DvKeys.head))).head().getSeq[String](0).toSet
-      // stale tombstones may name files a later CoW op already removed
-      val touched = files(v).filter(targets).toSet
+      val targets = collectNames(dv, DvKeys.head, "rewriteDeletes")
+      // stale tombstones may name files a later op already removed;
+      // tombstones carry LEAF names, manifests may carry partition subdirs
+      val touched = files(v).filter(n => targets(leafOf(n))).toSet
       val lines = manifestLines(v)
+      val partCols = partitionColsOf(lines)
       val keptLines = lines.filterNot(l => l.startsWith("-") ||
         (!l.startsWith("#") && touched(l.split('\t').head)))
+      // a partitioned table's survivors restage UNDER their partition
+      // subdirs (basePath read keeps the columns; partitionBy re-lays
+      // them out) so the fold never flattens the layout
       val survivorLines =
         if (touched.isEmpty) Seq.empty
+        else if (partCols.nonEmpty)
+          stagePartitioned(readFiles(touched.toSeq.sorted, Some(dv)), partCols,
+            "rewriteDeletes")
         else stageToPool(readFiles(touched.toSeq.sorted, Some(dv)), "rewriteDeletes")
       beforePublish(attempt, v + 1)
       if (publish(v + 1, keptLines ++ survivorLines)) return (dvN.length, touched.size)
@@ -893,6 +1103,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val v = currentVersion.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $tableRoot"))
+    requireUnpartitioned("optimizeBy", v, manifestLines(v))
     val names = files(v)
     val bytes = names.map(n => hfs.getFileStatus(new Path(dataDir, n)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
@@ -926,6 +1137,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     require(columns.size >= 2, "optimizeZOrder: need >= 2 columns (use optimizeBy for 1)")
     val v = currentVersion.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $tableRoot"))
+    requireUnpartitioned("optimizeZOrder", v, manifestLines(v))
     val names = files(v)
     val bytes = names.map(n => hfs.getFileStatus(new Path(dataDir, n)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
@@ -1008,9 +1220,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     // stays O(changed), never O(table).
     def dvDiffRows(diff: Option[DataFrame], stillDead: Option[DataFrame],
         tag: String): Option[DataFrame] = diff.map { d =>
-      import org.apache.spark.sql.functions.collect_set
-      val targets = d.agg(collect_set(col(DvKeys.head))).head()
-        .getSeq[String](0).toSet.intersect(common).toSeq.sorted
+      val targets = collectNames(d, DvKeys.head, "changesBetween")
+        .intersect(common).toSeq.sorted
       val effective = stillDead.fold(d)(sd => d.join(sd, DvKeys, "left_anti"))
       if (targets.isEmpty) None
       else Some(withPos(targets).join(effective, DvKeys, "semi")
@@ -1050,11 +1261,22 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     // files are about to go
     drop.foreach(v => hfs.delete(manifestPath(v), false))
     val cutoff = System.currentTimeMillis() - minFileAgeMs
-    val dead =
+    // recursive walk: partitioned pools nest files under c=v subdirs,
+    // and liveness is keyed by the dataDir-relative name
+    val dead: Seq[Path] =
       if (!hfs.exists(dataDir)) Seq.empty
-      else hfs.listStatus(dataDir).toSeq
-        .filter(f => !live(f.getPath.getName) && f.getModificationTime <= cutoff)
-        .map(_.getPath)
+      else {
+        val base = dataDir.toUri.getPath
+        val it = hfs.listFiles(dataDir, true)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = f.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+          if (f.isFile && !live(rel) && f.getModificationTime <= cutoff)
+            acc += f.getPath
+        }
+        acc.toSeq
+      }
     dead.foreach(p => hfs.delete(p, false))
     (drop.length, dead.length)
   }
@@ -1101,6 +1323,13 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     val v = currentVersion.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $tableRoot"))
     val names = files(v)
+    val partCols = partitionColumns(v)
+    if (partCols.nonEmpty) {
+      // partitioned compaction: re-lay the snapshot out under the SAME
+      // spec (one output chain per partition via the hive writer)
+      commitPartitioned(readVersion(v), partCols, replace = true)
+      return (names.length, currentFileCount)
+    }
     val bytes = names.map(n => hfs.getFileStatus(new Path(dataDir, n)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     commit(readVersion(v).coalesce(nOut), replace = true)

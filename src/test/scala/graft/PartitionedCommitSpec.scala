@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.CommitLog
+
+/** Hive-partitioned commit-log tables: `#partition:` spec in the
+  * manifest, `c=v` directory layout on write, EXACT partition pruning in
+  * readWhere (file-count assertions, like ZOrderSpec), the MoR delete
+  * tier with a partition-aware fold, and loud refusals from the CoW
+  * mutators that would flatten the layout.
+  */
+class PartitionedCommitSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def sample(from: Int, to: Int): DataFrame =
+    (from to to).map(i => (i.toLong, s"v$i", s"cat${i % 4}")).toDF("k", "v", "cat")
+
+  test("partitioned commit: layout, spec header, exact pruning by file count") {
+    val root = tmp("graft_part")
+    val log = new CommitLog(spark, root)
+    log.commitPartitioned(sample(1, 400), Seq("cat"), replace = true)
+    val v1 = log.currentVersion.get
+    assert(log.partitionColumns(v1) == Seq("cat"))
+    // names carry the hive subdir
+    assert(log.files(v1).forall(_.startsWith("cat=")), log.files(v1).take(3))
+
+    // partition column survives the read (rehydrated from the layout)
+    val all = log.read()
+    assert(all.columns.contains("cat"))
+    assert(all.count() == 400)
+    assert(all.filter(col("cat") === "cat1").count() == 100)
+
+    // the pruned read opens ONLY the matching partition's files
+    val catFiles = log.files(v1).groupBy(_.split('/').head)
+    val pruned = log.readBetween("cat", "cat2", "cat2")
+    assert(pruned.inputFiles.length == catFiles("cat=cat2").length,
+      s"expected ${catFiles("cat=cat2").length} files, opened ${pruned.inputFiles.length}")
+    assert(pruned.count() == 100)
+
+    // conjunctive with a footer-stats column still multiplies selectivity
+    val both = log.readWhere(Seq(("cat", "cat2", "cat2"), ("k", 1, 50)))
+    assert(both.inputFiles.length <= catFiles("cat=cat2").length)
+    assert(both.count() == sample(1, 400).filter($"cat" === "cat2" && $"k".between(1, 50)).count())
+  }
+
+  test("append requires the same spec; plain commit append refuses; replace may change") {
+    val root = tmp("graft_part_app")
+    val log = new CommitLog(spark, root)
+    log.commitPartitioned(sample(1, 100), Seq("cat"), replace = true)
+    log.commitPartitioned(sample(101, 200), Seq("cat"), replace = false)
+    assert(log.read().count() == 200)
+
+    val wrongSpec = intercept[IllegalArgumentException] {
+      log.commitPartitioned(sample(201, 300), Seq("v"), replace = false)
+    }
+    assert(wrongSpec.getMessage.contains("mix layouts"), wrongSpec.getMessage)
+
+    val flatAppend = intercept[IllegalArgumentException] {
+      log.commit(sample(201, 300), replace = false)
+    }
+    assert(flatAppend.getMessage.contains("hive-partitioned"), flatAppend.getMessage)
+
+    // replace back to flat is legal and drops the spec
+    log.commit(sample(1, 10).drop("cat"), replace = true)
+    assert(log.partitionColumns(log.currentVersion.get).isEmpty)
+  }
+
+  test("MoR delete + partition-aware rewriteDeletes keep the layout") {
+    val root = tmp("graft_part_mor")
+    val log = new CommitLog(spark, root)
+    log.commitPartitioned(sample(1, 200), Seq("cat"), replace = true)
+    log.deleteWhereMoR(col("k") <= 20L)
+    assert(log.read().count() == 180)
+    // tombstones can target partition columns too (they are real columns)
+    log.deleteWhereMoR(col("cat") === "cat3" && col("k") > 190L)
+    val visible = log.read()
+    assert(visible.count() == 180 - sample(1, 200)
+      .filter($"cat" === "cat3" && $"k" > 190 && $"k" > 20).count())
+
+    val (dvFolded, rewritten) = log.rewriteDeletes()
+    assert(dvFolded > 0 && rewritten > 0)
+    val vAfter = log.currentVersion.get
+    assert(log.dvFiles(vAfter).isEmpty)
+    assert(log.partitionColumns(vAfter) == Seq("cat"), "fold must keep the spec")
+    assert(log.files(vAfter).forall(_.startsWith("cat=")), "fold must keep the layout")
+    assert(log.read().count() == visible.count())
+    // pruning still exact after the fold
+    val catFiles = log.files(vAfter).groupBy(_.split('/').head)
+    assert(log.readBetween("cat", "cat0", "cat0").inputFiles.length ==
+      catFiles("cat=cat0").length)
+  }
+
+  test("CoW mutators refuse on partitioned tables; compact re-lays out per spec") {
+    val root = tmp("graft_part_guard")
+    val log = new CommitLog(spark, root)
+    log.commitPartitioned(sample(1, 100), Seq("cat"), replace = true)
+    assert(intercept[IllegalArgumentException] {
+      log.merge(sample(1, 5), "k")
+    }.getMessage.contains("hive-partitioned"))
+    assert(intercept[IllegalArgumentException] {
+      log.deleteKeys(Seq(1L).toDF("k"), "k")
+    }.getMessage.contains("hive-partitioned"))
+    assert(intercept[IllegalArgumentException] {
+      log.deleteWhere(col("k") === 1L)
+    }.getMessage.contains("hive-partitioned"))
+    assert(intercept[IllegalArgumentException] {
+      log.optimizeBy("k")
+    }.getMessage.contains("hive-partitioned"))
+
+    val before = log.currentFileCount
+    val (was, now) = log.compact()
+    assert(was == before)
+    assert(log.partitionColumns(log.currentVersion.get) == Seq("cat"))
+    assert(log.read().count() == 100)
+    assert(now <= was)
+  }
+
+  test("vacuum walks partition subdirs: replaced nested files are collected") {
+    val root = tmp("graft_part_vac")
+    val log = new CommitLog(spark, root)
+    log.commitPartitioned(sample(1, 100), Seq("cat"), replace = true)
+    val oldFiles = log.files(log.currentVersion.get)
+    log.commitPartitioned(sample(101, 200), Seq("cat"), replace = true)
+    val (manifests, dead) = log.vacuum(keepVersions = 1, minFileAgeMs = 0)
+    assert(manifests == 1)
+    assert(dead == oldFiles.length, s"expected ${oldFiles.length} dead, got $dead")
+    assert(log.read().count() == 100)
+  }
+
+  test("collectNames cap: many touched files pass; a tiny cap fails loudly") {
+    val root = tmp("graft_part_cap")
+    val log = new CommitLog(spark, root)
+    // 64 range-partitioned files (file i holds ids [10i, 10i+10)), every
+    // one tombstoned via id%10==0 → 64 distinct names through the
+    // bounded row-stream fetch (no single giant array cell)
+    log.commit(spark.range(0, 640).repartitionByRange(64, col("id")).toDF(),
+      replace = true)
+    assert(log.currentFileCount == 64)
+    log.deleteWhereMoR(col("id") % 10 === 0)
+    val (folded, rewritten) = log.rewriteDeletes()
+    assert(folded > 0 && rewritten == 64)
+    assert(log.read().count() == 640 - 64)
+
+    val capped = new CommitLog(spark, root) {
+      override protected def nameCollectCap: Int = 3
+    }
+    capped.deleteWhereMoR(col("id") % 7 === 1)
+    val e = intercept[IllegalStateException] { capped.rewriteDeletes() }
+    assert(e.getMessage.contains("distinct file names"), e.getMessage)
+    // the uncapped log still folds the same debt fine
+    assert(log.rewriteDeletes()._1 > 0)
+  }
+}
