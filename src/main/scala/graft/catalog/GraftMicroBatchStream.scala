@@ -123,6 +123,15 @@ private[graft] final class GraftMicroBatchStream(
       .planInputPartitions()
   }
 
+  /** The factory's read/partition schemas come from its OWN file index,
+    * so it must see a representative file set: a hive-partitioned pool
+    * needs the factory to infer the same partition schema the planning
+    * batch embedded in its FilePartitions (an empty list would silently
+    * drop the partition columns from every row). The head snapshot's
+    * list is that representative set — the spec is append-stable for the
+    * stream's lifetime (non-append commits fail the stream).
+    */
   override def createReaderFactory(): PartitionReaderFactory =
-    parquetBatch(Seq.empty).createReaderFactory()
+    parquetBatch(log.currentVersion.map(log.filePaths).getOrElse(Seq.empty))
+      .createReaderFactory()
 }

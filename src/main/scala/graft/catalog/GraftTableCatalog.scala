@@ -188,7 +188,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val root = tableRoot(ident)
-    new GraftTable(spark, fullName(ident), root.toString, declaredSchema(root), None)
+    new GraftTable(spark, fullName(ident), root.toString, declaredSchema(root),
+      declaredPartitioning(root), None)
   }
 
   /** `VERSION AS OF v` — the commit log's native time travel. */
@@ -209,7 +210,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
           head.map(h => s" (head: $h; older versions may be vacuumed)")
             .getOrElse(" (table has no commits)"))
     }
-    new GraftTable(spark, fullName(ident), root.toString, declaredSchema(root), Some(v))
+    new GraftTable(spark, fullName(ident), root.toString, declaredSchema(root),
+      declaredPartitioning(root), Some(v))
   }
 
   /** `TIMESTAMP AS OF t` — micros from Spark, resolved against manifest
@@ -222,21 +224,58 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     val v = log.versionAsOf(timestampMicros / 1000L).getOrElse(
       throw new IllegalArgumentException(
         s"no commit at or before timestamp $timestampMicros under $root"))
-    new GraftTable(spark, fullName(ident), root.toString, declaredSchema(root), Some(v))
+    new GraftTable(spark, fullName(ident), root.toString, declaredSchema(root),
+      declaredPartitioning(root), Some(v))
   }
 
   private def fullName(ident: Identifier): String =
     s"$catalogName.${ns1(ident.namespace())}.${ident.name()}"
 
+  private def partitionFile(root: Path) = new Path(root, "_partition.json")
+
+  private def declaredPartitioning(root: Path): Seq[String] = {
+    val f = partitionFile(root)
+    if (!fs.exists(f)) Seq.empty
+    else {
+      val in = fs.open(f)
+      val body = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      org.json4s.jackson.JsonMethods.parse(body) match {
+        case org.json4s.JArray(vs) => vs.collect { case org.json4s.JString(s) => s }
+        case _ => Seq.empty
+      }
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "graft tables range-cluster via optimizeBy, not static partitioning")
+    // PARTITIONED BY (col, ...) — identity transforms only (hive layout);
+    // bucket/temporal transforms stay the optimizeBy/Z-order plane
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name == "identity" && t.references.length == 1)
+        t.references.head.fieldNames.mkString(".")
+      else throw new UnsupportedOperationException(
+        s"graft tables support identity PARTITIONED BY columns " +
+          s"(got $t); range/multi-dim clustering is optimizeBy / " +
+          "CALL <catalog>.system.zorder")
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema ${schema.fieldNames.toSeq}"))
     val root = tableRoot(ident)
     fs.mkdirs(root)
     writeSchema(root, schema)
+    if (partCols.nonEmpty) {
+      val json = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JArray(partCols.map(org.json4s.JString(_)).toList)))
+      LogStore.write(fs, partitionFile(root),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     loadTable(ident)
   }
 
@@ -274,7 +313,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   * the log's optimistic publish. `pinned` carries time travel.
   */
 private[graft] class GraftTable(spark: SparkSession, tableName: String, root: String,
-    declared: Option[StructType], pinned: Option[Long])
+    declared: Option[StructType], partCols: Seq[String], pinned: Option[Long])
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
@@ -314,6 +353,9 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
   override def properties(): util.Map[String, String] =
     Map("location" -> root, "provider" -> "graft").asJava
 
+  override def partitioning(): Array[Transform] =
+    partCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // with the DV analyzer rule installed ([[graft.plans.ApplyDeletionVectors]]
     // via GraftExtensions) a tombstone-bearing relation is rewritten to the
@@ -329,14 +371,22 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
       require(log.files(v) != null, s"version $v not readable under $root")
     }
     val paths = snapshot.map(log.filePaths).getOrElse(Seq.empty)
-    val inner = ParquetTable(tableName, spark, options, paths, Some(schema),
-      classOf[ParquetFileFormat]).newScanBuilder(options)
+    // hive-partitioned pools nest files under c=v dirs: basePath lets the
+    // file index rehydrate the partition columns (and makes them PRUNABLE
+    // partition attributes — Spark plans partition filters as file-level
+    // pruning, not row filters, exactly the DPP-ready shape)
+    val scanOptions =
+      if (partCols.isEmpty) options
+      else new CaseInsensitiveStringMap(
+        (options.asScala ++ Map("basePath" -> new Path(root, "data").toString)).asJava)
+    val inner = ParquetTable(tableName, spark, scanOptions, paths, Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(scanOptions)
       .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
     // batch pushdown forwards untouched; streaming reads tail the commit
     // log ([[GraftMicroBatchStream]]) — the checkpoint location is unused
     // because offsets ARE commit versions (the engine's own durable log)
     new org.apache.spark.sql.GraftForwardingScanBuilder(inner,
-      _ => new GraftMicroBatchStream(spark, tableName, root, schema, options))
+      _ => new GraftMicroBatchStream(spark, tableName, root, schema, scanOptions))
   }
 
   private sealed trait WriteMode
@@ -360,11 +410,20 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = mode match {
+              case AppendMode if partCols.nonEmpty =>
+                log.commitPartitioned(data, partCols, replace = false): Unit
               case AppendMode        => log.commit(data, replace = false): Unit
+              case TruncateMode if partCols.nonEmpty =>
+                log.commitPartitioned(data, partCols, replace = true): Unit
               case TruncateMode      => log.commit(data, replace = true): Unit
               case OverwriteMode(c)  =>
-                if (log.currentVersion.isEmpty) log.commit(data, replace = true): Unit
-                else log.rewriteWhere(c, Some(data)): Unit
+                if (log.currentVersion.isEmpty) {
+                  if (partCols.nonEmpty)
+                    log.commitPartitioned(data, partCols, replace = true): Unit
+                  else log.commit(data, replace = true): Unit
+                } else log.rewriteWhere(c, Some(data)): Unit
+                // (filter-overwrite on a partitioned table refuses inside
+                // rewriteWhere — the CoW tier would flatten the layout)
             }
           }
       }
@@ -378,7 +437,11 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
     if (log.currentVersion.nonEmpty) {
       val cond = filters.flatMap(GraftTable.filterToColumn)
         .reduceOption(_ && _).getOrElse(lit(true))
-      log.deleteWhere(cond): Unit
+      // partitioned tables delete on the merge-on-read tier (CoW would
+      // flatten the hive layout); reads apply the tombstones via the
+      // ApplyDeletionVectors rule, and rewrite_deletes folds them
+      if (partCols.nonEmpty) log.deleteWhereMoR(cond): Unit
+      else log.deleteWhere(cond): Unit
     }
 
   /** SQL MERGE INTO / UPDATE: Spark's group-based row-level rewrite.
@@ -401,6 +464,19 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
     if (hasDeletes) throw new IllegalStateException(
       s"$tableName carries merge-on-read deletion vectors; fold them in " +
         "before SQL MERGE/UPDATE: CALL <catalog>.system.rewrite_deletes")
+    // the group-based rewrite stages FLAT files and replaces the table —
+    // on a hive-partitioned pool that silently drops the layout, so refuse
+    // MERGE/UPDATE up front. DELETE must be allowed to ANALYZE through
+    // this path (Spark rewrites DeleteFromTable row-level first and only
+    // falls back to SupportsDelete.deleteWhere — our MoR tier — at
+    // optimization when the predicate translates to filters); its
+    // group-based WRITE is refused below for the untranslatable remainder.
+    if (partCols.nonEmpty &&
+        info.command() != org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+      throw new UnsupportedOperationException(
+        s"$tableName is hive-partitioned; SQL MERGE/UPDATE would flatten the " +
+          "layout. Use DELETE (merge-on-read) + INSERT, or rebuild with " +
+          "INSERT OVERWRITE")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
         new org.apache.spark.sql.connector.write.RowLevelOperation {
@@ -421,6 +497,15 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
             new WriteBuilder {
               override def build(): Write = new Write {
                 override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+                  // reaching the group WRITE on a partitioned table means
+                  // the DELETE predicate did not translate to filters
+                  // (subquery etc.) — the flat replace would drop the
+                  // layout, so refuse with the workable alternatives
+                  if (partCols.nonEmpty) throw new UnsupportedOperationException(
+                    s"$tableName is hive-partitioned and this DELETE's " +
+                      "predicate is not filter-expressible; use a filter " +
+                      "predicate (merge-on-read DELETE) or rebuild with " +
+                      "INSERT OVERWRITE")
                   val stage = log.newStageDir("rlo")
                   val delegate = ParquetTable("graft-rlo-stage", spark, winfo.options(),
                     Seq(stage), Some(winfo.schema()), classOf[ParquetFileFormat])

@@ -24,10 +24,14 @@ object CatalogSql {
   private def warehouseFor(d: String): String =
     "/tmp/graft_warehouse_" + java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
 
-  private def ensureTables(s: SparkSession, d: String): Unit = {
+  private def ensureCatalog(s: SparkSession, d: String): Unit = {
     s.conf.set("spark.sql.catalog.graft", classOf[graft.catalog.GraftTableCatalog].getName)
     s.conf.set("spark.sql.catalog.graft.warehouse", warehouseFor(d))
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.tpch")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.tpch"): Unit
+  }
+
+  private def ensureTables(s: SparkSession, d: String): Unit = {
+    ensureCatalog(s, d)
     SqlSurface.registerViews(s, d, Seq("customer", "nation", "region"))
     for (t <- Seq("customer", "nation", "region")) {
       // idempotent setup: rebuild only when the catalog copy is absent or
@@ -60,8 +64,73 @@ object CatalogSql {
         |ORDER BY r_name, n_name""".stripMargin)
   }
 
+  /** Hive-partitioned commit-log table: `orders` partitioned by status,
+    * then a conjunctive partition + stats range read
+    * ([[graft.catalog.CommitLog.readWhere]]) — the partition value prunes
+    * files EXACTLY (min=max bound from the `c=v` path), the totalprice
+    * range prunes within the partition via footer stats. File-count
+    * exactness is PartitionedCommitSpec's assertion; this key pins the
+    * VALUES against the raw-table oracle.
+    */
+  private def partPruned(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_part/orders_by_status"
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+    val fresh =
+      try log.read().count() == src.count()
+      catch { case _: Exception => false }
+    if (!fresh) log.commitPartitioned(src, Seq("o_orderstatus"), replace = true)
+    log.readWhere(Seq(("o_orderstatus", "F", "F"), ("o_totalprice", 50000.0, 150000.0)))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
+  /** Downstream consumers tail the catalog TABLE, not a landing dir
+    * ([[graft.catalog.GraftMicroBatchStream]]): events land in TWO
+    * append commits, a `readStream.table` drains them (AvailableNow)
+    * into a sink, and the checksum must equal the whole source table —
+    * commit-version offsets, Spark's own parquet reader per batch.
+    */
+  private def streamTableTail(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ensureCatalog(s, d)
+    val ev = graft.Tables.events(s, d).select("event_id", "user_id", "value")
+    val root = warehouseFor(d) + "/tpch/events_tail"
+    val log = new graft.catalog.CommitLog(s, root)
+    val fresh =
+      try log.read().count() == ev.count()
+      catch { case _: Exception => false }
+    if (!fresh) {
+      val mid = ev.agg(percentile_approx(col("event_id"), lit(0.5), lit(100)))
+        .head().getLong(0)
+      log.commit(ev.filter(col("event_id") <= mid), replace = true)
+      log.commit(ev.filter(col("event_id") > mid), replace = false): Unit
+    }
+    val sink = s"graft_tail_${java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)}" +
+      s"_${java.util.UUID.randomUUID.toString.take(8)}"
+    val q = s.readStream.table("graft.tpch.events_tail")
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_tail_cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("event_id")).as("min_id"),
+      max(col("event_id")).as("max_id"),
+      sum(col("user_id")).as("sum_user"),
+      sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_val"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_catalog_table" -> sqlCatalogTable _,
+    "q_part_pruned" -> partPruned _,
+    "stream_table_tail" -> streamTableTail _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -73,5 +142,15 @@ object CatalogSql {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    "q_part_pruned" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice BETWEEN 50000.0 AND 150000.0""".stripMargin,
+    "stream_table_tail" ->
+      """SELECT count(*) AS n_rows, min(event_id) AS min_id, max(event_id) AS max_id,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_user,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+        |FROM events""".stripMargin,
   )
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioned commit-log tables through the SQL front door:
+  * `CREATE TABLE ... PARTITIONED BY`, INSERT routing to the hive layout,
+  * partition-pruned scans (planned-file assertion), the MoR DELETE tier,
+  * and loud refusals where the CoW plane would flatten the layout.
+  */
+class PartitionedCatalogSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_pwh").toString
+
+  spark.conf.set("spark.sql.catalog.gp", classOf[graft.catalog.GraftTableCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gp.warehouse", warehouse)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS gp.db")
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      .flatMap { b =>
+        b.inputRDD.partitions.toSeq.flatMap {
+          case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+            p.inputPartitions.toSeq.flatMap {
+              case fp: FilePartition => fp.files.map(_.urlEncodedPath).toSeq
+              case _ => Seq.empty[String]
+            }
+          case _ => Seq.empty[String]
+        }
+      }
+
+  test("PARTITIONED BY: insert lands hive layout, scans prune to the partition") {
+    spark.sql("CREATE TABLE gp.db.pt (k BIGINT, v STRING, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO gp.db.pt SELECT id AS k, concat('v', id) AS v, " +
+      "concat('cat', id % 4) AS cat FROM range(0, 400)")
+    spark.sql("INSERT INTO gp.db.pt SELECT id AS k, concat('v', id) AS v, " +
+      "concat('cat', id % 4) AS cat FROM range(400, 800)")
+
+    assert(spark.sql("SELECT count(*) FROM gp.db.pt").as[Long].head() == 800)
+    // partition column survives the catalog read with declared order
+    assert(spark.sql("SELECT * FROM gp.db.pt").columns.toSeq == Seq("k", "v", "cat"))
+    assert(spark.sql("SELECT count(*) FROM gp.db.pt WHERE cat = 'cat1'")
+      .as[Long].head() == 200)
+
+    // the planned scan touches ONLY the matching partition's files
+    val pruned = spark.sql("SELECT k FROM gp.db.pt WHERE cat = 'cat2'")
+    val files = plannedFiles(pruned)
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("cat%3Dcat2") || files.forall(_.contains("cat=cat2"))),
+      files.take(3).mkString(", "))
+
+    // SHOW-style metadata reports the partitioning
+    val table = spark.sessionState.catalogManager.catalog("gp")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "pt"))
+    assert(table.partitioning().map(_.toString).toSeq == Seq("identity(cat)"))
+  }
+
+  test("DELETE on a partitioned table is merge-on-read; fold keeps the layout") {
+    spark.sql("CREATE TABLE gp.db.pd (k BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO gp.db.pd SELECT id, concat('c', id % 3) FROM range(0, 300)")
+    spark.sql("DELETE FROM gp.db.pd WHERE k < 30")
+    assert(spark.sql("SELECT count(*) FROM gp.db.pd").as[Long].head() == 270)
+    // tombstones live as DVs; the fold keeps partition layout + spec
+    spark.sql("CALL gp.system.rewrite_deletes('db.pd')").collect()
+    assert(spark.sql("SELECT count(*) FROM gp.db.pd").as[Long].head() == 270)
+    val root = s"$warehouse/db/pd"
+    val log = new graft.catalog.CommitLog(spark, root)
+    val v = log.currentVersion.get
+    assert(log.dvFiles(v).isEmpty)
+    assert(log.partitionColumns(v) == Seq("cat"))
+  }
+
+  test("MERGE/UPDATE refuse on partitioned tables; INSERT OVERWRITE re-lays out") {
+    spark.sql("CREATE TABLE gp.db.pm (k BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO gp.db.pm SELECT id, concat('c', id % 2) FROM range(0, 10)")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gp.db.pm SET k = k + 1 WHERE k = 1")
+    }
+    val msg = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_)).mkString(" | ")
+    assert(msg.contains("hive-partitioned"), msg)
+
+    spark.sql("INSERT OVERWRITE gp.db.pm SELECT id, concat('c', id % 2) FROM range(0, 4)")
+    assert(spark.sql("SELECT count(*) FROM gp.db.pm").as[Long].head() == 4)
+    val log = new graft.catalog.CommitLog(spark, s"$warehouse/db/pm")
+    assert(log.partitionColumns(log.currentVersion.get) == Seq("cat"))
+  }
+
+  test("streaming tail of a partitioned catalog table keeps partition columns") {
+    spark.sql("CREATE TABLE gp.db.ps (k BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO gp.db.ps SELECT id, concat('c', id % 2) FROM range(0, 20)")
+    val out = java.nio.file.Files.createTempDirectory("gp_sink").toString
+    val cp = java.nio.file.Files.createTempDirectory("gp_cp").toString
+    val q = spark.readStream.table("gp.db.ps").writeStream
+      .format("parquet").option("path", out).option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out).as[(Long, String)].collect()
+    assert(rows.length == 20)
+    assert(rows.forall { case (k, c) => c == s"c${k % 2}" })
+  }
+}
