@@ -27,7 +27,7 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta",
-      "rewrite_deletes")
+      "export_iceberg", "import_iceberg", "rewrite_deletes")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -36,6 +36,8 @@ private[catalog] object GraftProcedures {
     case "restore"         => new Restore(cat)
     case "export_delta"    => new ExportDelta(cat)
     case "import_delta"    => new ImportDelta(cat)
+    case "export_iceberg"  => new ExportIceberg(cat)
+    case "import_iceberg"  => new ImportIceberg(cat)
     case "rewrite_deletes" => new RewriteDeletes(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
@@ -132,6 +134,29 @@ private[catalog] object GraftProcedures {
       val n = DeltaInterop.exportDelta(cat.sparkSession,
         cat.rootOf(input.getUTF8String(0).toString), input.getUTF8String(1).toString)
       result(new StructType().add("files_exported", IntegerType), n)
+    }
+  }
+
+  private final class ExportIceberg(cat: GraftTableCatalog)
+    extends Proc("export_iceberg", Seq(in("table", StringType), in("dest", StringType))) {
+    override def description(): String =
+      "export the table head as a minimal Iceberg v2 table (HadoopCatalog layout)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val n = IcebergInterop.exportIceberg(cat.sparkSession,
+        cat.rootOf(input.getUTF8String(0).toString), input.getUTF8String(1).toString)
+      result(new StructType().add("files_exported", IntegerType), n)
+    }
+  }
+
+  private final class ImportIceberg(cat: GraftTableCatalog)
+    extends Proc("import_iceberg", Seq(in("source", StringType), in("table", StringType))) {
+    override def description(): String =
+      "import an Iceberg table's current snapshot as a commit (table created if absent)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = cat.rootForCreate(input.getUTF8String(1).toString)
+      val v = IcebergInterop.importIceberg(cat.sparkSession,
+        input.getUTF8String(0).toString, root)
+      result(new StructType().add("version", LongType), v)
     }
   }
 

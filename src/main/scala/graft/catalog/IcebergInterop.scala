@@ -331,6 +331,28 @@ object IcebergInterop {
     names.length
   }
 
+  /** Read an Iceberg table's current snapshot into a DataFrame by
+    * resolving its live file list through the format ([[readFileList]])
+    * and scanning the named parquet files distributed. Unpartitioned
+    * Iceberg layouts carry every column in the data files, so no
+    * partition rehydration is needed; a hive-layout'd Iceberg table
+    * would additionally need the spec's partition JSON → column mapping
+    * (out of scope until an asset arrives shaped that way).
+    */
+  def readIceberg(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
+    val files = readFileList(spark, table)
+    require(files.nonEmpty, s"Iceberg table $table has no live data files")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Import an Iceberg table's current snapshot into a [[CommitLog]]
+    * table (one commit) — the inbound half of the interop, mirroring
+    * [[DeltaInterop.importDelta]].
+    */
+  def importIceberg(spark: SparkSession, icebergTable: String, commitRoot: String,
+      replace: Boolean = true): Long =
+    new CommitLog(spark, commitRoot).commit(readIceberg(spark, icebergTable), replace)
+
   /** Resolve an exported table's CURRENT data-file paths the way an
     * Iceberg reader does: version hint → metadata JSON → current
     * snapshot's manifest list (Avro) → manifests (Avro) → live

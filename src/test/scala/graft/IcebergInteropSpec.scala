@@ -59,6 +59,25 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(rows.map(_._1) == (4L to 10L).toSet, rows)
   }
 
+  test("CALL export_iceberg / import_iceberg round a table through the open format") {
+    val warehouse = tmp("graft_ice_wh")
+    spark.conf.set("spark.sql.catalog.gi", classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gi.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gi.db")
+    spark.sql("CREATE TABLE gi.db.src (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gi.db.src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+
+    val dest = tmp("graft_ice_call")
+    val exported = spark.sql(s"CALL gi.system.export_iceberg('db.src', '$dest')")
+      .collect().head.getInt(0)
+    assert(exported > 0)
+    val v = spark.sql(s"CALL gi.system.import_iceberg('$dest', 'db.back')")
+      .collect().head.getLong(0)
+    assert(v == 1L)
+    assert(spark.sql("SELECT * FROM gi.db.back").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("array columns map to Iceberg list types with assigned ids") {
     val root = tmp("graft_ice_arr")
     val log = new CommitLog(spark, root)
