@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
@@ -52,12 +52,47 @@ private[graft] final class GraftMicroBatchStream(
     tableName: String,
     root: String,
     schema: StructType,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    options: CaseInsensitiveStringMap)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val log = new CommitLog(spark, root)
   private val dataDir = new Path(root, "data")
   private val ignoreChanges =
     Option(options.get("ignorechanges")).exists(_.toBoolean)
+
+  /** Admission control: cap how many COMMITS one micro-batch may span.
+    * On a high-commit-rate table (streaming writers land one commit per
+    * batch) an uncapped catch-up batch would read the whole backlog in
+    * one shot; the cap keeps batch size — and therefore executor memory
+    * and retry cost — bounded, the same knob as Delta's
+    * maxFilesPerTrigger but in the engine's own commit currency.
+    */
+  private val maxCommitsPerTrigger: Option[Long] =
+    Option(options.get("maxcommitspertrigger")).map { s =>
+      val n = s.toLong
+      require(n > 0, s"maxCommitsPerTrigger must be positive, got $n")
+      n
+    }
+
+  // Trigger.AvailableNow contract: pin the head once, drain up to it in
+  // rate-limited batches, then stop — a concurrent writer's commits wait
+  // for the next run instead of keeping this one alive forever
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(log.currentVersion.getOrElse(0L))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head0 = log.currentVersion.getOrElse(0L)
+    val head = availableNowCap.fold(head0)(math.min(head0, _))
+    val s = versionOf(start)
+    GraftVersionOffset(maxCommitsPerTrigger.fold(head)(n => math.min(head, s + n)))
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftVersionOffset(log.currentVersion.getOrElse(0L))
 
   /** Spark's parquet V2 scan over an explicit file list: the partition
     * planning and the vectorized reader factory both come from here —
@@ -72,7 +107,8 @@ private[graft] final class GraftMicroBatchStream(
   override def initialOffset(): Offset = GraftVersionOffset(0L)
 
   override def latestOffset(): Offset =
-    GraftVersionOffset(log.currentVersion.getOrElse(0L))
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-controlled path")
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toLong)

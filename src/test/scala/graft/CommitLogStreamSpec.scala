@@ -89,6 +89,27 @@ class CommitLogStreamSpec extends AnyFunSuite {
     assert(later.count(_ == (4L, "d")) == 1, s"append after skip lost/duped: $later")
   }
 
+  test("maxCommitsPerTrigger bounds each micro-batch to its commit window") {
+    spark.sql("CREATE TABLE gs.db.rate (k BIGINT)")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO gs.db.rate VALUES ($i)"))
+    val cp = tmp("graft_cp")
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .option("maxCommitsPerTrigger", "1")
+      .table("gs.db.rate")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }: Unit
+      }
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 4 commits, 1 commit per trigger → 4 batches of exactly 1 row;
+    // an uncapped run would take the whole backlog as ONE initial batch
+    assert(batchSizes.toSeq == Seq(1L, 1L, 1L, 1L), batchSizes.toSeq)
+  }
+
   test("first batch is the full snapshot; version offsets appear in the checkpoint") {
     spark.sql("CREATE TABLE gs.db.snap (k BIGINT)")
     spark.sql("INSERT INTO gs.db.snap VALUES (1)")
