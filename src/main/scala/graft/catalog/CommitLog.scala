@@ -38,6 +38,10 @@ private[graft] object ColStats {
     if (cmp(a.tpe, b.max, a.max) > 0) b.max else a.max)
 }
 
+/** One row of [[CommitLog.history]]: a retained version's metadata. */
+case class CommitInfo(version: Long, committedAtMs: Long, dataFiles: Int,
+    dvFiles: Int, txnCount: Int, partitionColumns: Seq[String])
+
 /** Versioned commit log over an immutable parquet file pool — snapshot
   * isolation for the registry's concurrent CRUD with nothing but plain
   * parquet + filesystem rename (no table-format jars ship in this
@@ -1308,6 +1312,20 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
 
   /** Publication instant of a committed version (its manifest mtime). */
   def commitTime(v: Long): Long = hfs.getFileStatus(manifestPath(v)).getModificationTime
+
+  /** Table history from the retained manifests, newest first: per version
+    * the commit instant, file/tombstone counts, txn ids, and partition
+    * spec — the DESCRIBE HISTORY surface, O(retained versions) manifest
+    * reads and nothing else.
+    */
+  def history(): Seq[CommitInfo] =
+    committedVersions.sorted.reverse.map { v =>
+      val lines = manifestLines(v)
+      CommitInfo(v, commitTime(v), dataNamesOf(lines).length,
+        dvNamesOf(lines).length,
+        lines.count(_.startsWith("#txn:")),
+        partitionColsOf(lines))
+    }
 
   /** File count of the current manifest (compaction bookkeeping). */
   def currentFileCount: Int = currentVersion.map(files(_).length).getOrElse(0)

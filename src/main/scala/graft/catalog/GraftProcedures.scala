@@ -27,7 +27,7 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta",
-      "export_iceberg", "import_iceberg", "rewrite_deletes")
+      "export_iceberg", "import_iceberg", "rewrite_deletes", "history")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -39,6 +39,7 @@ private[catalog] object GraftProcedures {
     case "export_iceberg"  => new ExportIceberg(cat)
     case "import_iceberg"  => new ImportIceberg(cat)
     case "rewrite_deletes" => new RewriteDeletes(cat)
+    case "history"         => new History(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
   }
@@ -52,13 +53,17 @@ private[catalog] object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = params.toArray
     override def isDeterministic: Boolean = false
 
-    protected def result(schema: StructType, values: Any*): java.util.Iterator[Scan] = {
-      val row = InternalRow.fromSeq(values.map {
+    protected def result(schema: StructType, values: Any*): java.util.Iterator[Scan] =
+      resultRows(schema, Seq(values))
+
+    protected def resultRows(schema: StructType,
+        rows: Seq[Seq[Any]]): java.util.Iterator[Scan] = {
+      val irs = rows.map(vals => InternalRow.fromSeq(vals.map {
         case s: String => UTF8String.fromString(s)
         case x         => x
-      })
+      })).toArray
       java.util.List.of[Scan](new LocalScan {
-        override def rows(): Array[InternalRow] = Array(row)
+        override def rows(): Array[InternalRow] = irs
         override def readSchema(): StructType = schema
       }).iterator()
     }
@@ -134,6 +139,21 @@ private[catalog] object GraftProcedures {
       val n = DeltaInterop.exportDelta(cat.sparkSession,
         cat.rootOf(input.getUTF8String(0).toString), input.getUTF8String(1).toString)
       result(new StructType().add("files_exported", IntegerType), n)
+    }
+  }
+
+  private final class History(cat: GraftTableCatalog)
+    extends Proc("history", Seq(in("table", StringType))) {
+    override def description(): String =
+      "retained versions newest-first: commit time, file/tombstone/txn counts, partition spec"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      resultRows(new StructType()
+        .add("version", LongType).add("committed_at_ms", LongType)
+        .add("data_files", IntegerType).add("dv_files", IntegerType)
+        .add("txns", IntegerType).add("partitioned_by", StringType),
+        log.history().map(h => Seq[Any](h.version, h.committedAtMs, h.dataFiles,
+          h.dvFiles, h.txnCount, h.partitionColumns.mkString(","))))
     }
   }
 

@@ -91,6 +91,20 @@ class PartitionedCatalogSpec extends AnyFunSuite {
     assert(log.partitionColumns(log.currentVersion.get) == Seq("cat"))
   }
 
+  test("CALL history lists versions newest-first with counts and partition spec") {
+    spark.sql("CREATE TABLE gp.db.ph (k BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO gp.db.ph SELECT id, concat('c', id % 2) FROM range(0, 10)")
+    spark.sql("INSERT INTO gp.db.ph SELECT id, concat('c', id % 2) FROM range(10, 20)")
+    spark.sql("DELETE FROM gp.db.ph WHERE k = 3")
+    val h = spark.sql("CALL gp.system.history('db.ph')").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))   // newest first
+    assert(h.forall(_.getString(5) == "cat"))
+    val head = h.head
+    assert(head.getInt(3) > 0, "head must report the delete's DV file")
+    assert(h.last.getInt(3) == 0)
+    assert(head.getInt(2) >= h.last.getInt(2), "appends accumulate files")
+  }
+
   test("streaming tail of a partitioned catalog table keeps partition columns") {
     spark.sql("CREATE TABLE gp.db.ps (k BIGINT, cat STRING) PARTITIONED BY (cat)")
     spark.sql("INSERT INTO gp.db.ps SELECT id, concat('c', id % 2) FROM range(0, 20)")
