@@ -647,6 +647,50 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       s"commitPartitioned: lost the version race 50 times under $tableRoot")
   }
 
+  /** Commit EXPLICITLY NAMED staged parquet files (not a whole staging
+    * dir) as the next version, with optional txn dedup — the streaming
+    * sink's entry point: only files named by task COMMIT messages pool,
+    * so a speculative or failed attempt's orphan in the same epoch dir
+    * can never leak into the table (it ages out under vacuum's
+    * in-flight guard instead). A txn id already on the head makes the
+    * whole call a no-op returning the head — epoch redelivery inserts
+    * nothing twice. An empty `paths` with `replace=true` is a legal
+    * truncate-to-empty (Complete-mode epoch with no rows).
+    */
+  private[catalog] def commitPooledFiles(paths: Seq[Path], replace: Boolean,
+      txn: Option[String]): Long = {
+    txn.foreach { id =>
+      currentVersion.foreach { v => if (txns(v).contains(id)) return v }
+    }
+    if (paths.isEmpty && !replace) return currentVersion.getOrElse(0L)
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    hfs.mkdirs(dataDir)
+    hfs.mkdirs(commitsDir)
+    val newLines = paths.sortBy(_.getName).map(p => (p, footerInfo(p)))
+      .filter { case (_, (rows, _)) => rows > 0 }
+      .zipWithIndex.map { case ((src, (_, st)), i) =>
+        val name = f"$uuid-part$i%05d.parquet"
+        if (!hfs.rename(src, new Path(dataDir, name)))
+          throw new java.io.IOException(s"commitPooledFiles: could not move $src")
+        if (st.isEmpty) name else s"$name\t${statsJson(st)}"
+      }
+    var attempt = 0
+    while (attempt < 50) {
+      val v = currentVersion.getOrElse(0L) + 1
+      val prev = currentVersion.map(manifestLines).getOrElse(Seq.empty)
+      txn.foreach { id =>
+        if (prev.contains(s"#txn:$id")) return v - 1
+      }
+      if (!replace) requireUnpartitioned("commitPooledFiles(append)", v, prev)
+      val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
+      beforePublish(attempt, v)
+      if (publish(v, carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines)) return v
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"commitPooledFiles: lost the version race 50 times under $tableRoot")
+  }
+
   /** The copy-on-write mutators stage FLAT pool files; on a partitioned
     * head that would mix directory depths under `data/` and break
     * partition inference. They refuse loudly instead of corrupting the

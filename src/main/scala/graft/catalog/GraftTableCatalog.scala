@@ -347,7 +347,7 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] =
@@ -407,6 +407,24 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
         this
       }
       override def build(): Write = new V1Write {
+        // streaming sink: append commits per epoch (Append mode) or a
+        // replace commit per epoch (Complete mode, via truncate());
+        // exactly-once through per-epoch txn ids
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(partCols.isEmpty,
+            s"$tableName is hive-partitioned; streaming writes land flat files " +
+              "— stream into an unpartitioned table or batch-repartition with " +
+              "commitPartitioned")
+          val replaceEachEpoch = mode match {
+            case TruncateMode => true
+            case AppendMode   => false
+            case OverwriteMode(_) => throw new UnsupportedOperationException(
+              "streaming filter-overwrite is not a streaming output mode")
+          }
+          new GraftStreamingWrite(log, info.schema(), info.queryId(),
+            replaceEachEpoch, tableName)
+        }
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = mode match {
