@@ -1,0 +1,98 @@
+package graft.catalog
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Path-based access to commit-log tables WITHOUT a catalog —
+  * `spark.read.format("graft").load(root)` (registered via
+  * `DataSourceRegister`, so the short name resolves from
+  * META-INF/services like any built-in source):
+  *
+  * {{{
+  *   spark.read.format("graft").load("/lake/t")                       // head snapshot
+  *   spark.read.format("graft").option("versionAsOf", 3).load("/lake/t")
+  *   spark.read.format("graft").option("timestampAsOfMs", t).load("/lake/t")
+  *   df.write.format("graft").mode("append").save("/lake/t")
+  *   spark.readStream.format("graft").load("/lake/t")                 // commit tail
+  *   df.writeStream.format("graft").option("path", "/lake/t").start() // epoch commits
+  * }}}
+  *
+  * The resolved [[GraftTable]] is the SAME class the catalog serves, so
+  * every capability — pushdown-preserving batch scan, commit-version
+  * micro-batch source with admission control, txn-deduped streaming
+  * sink, time travel — behaves identically whether a table is reached
+  * by name or by path (the reference's data plane is per-source S3
+  * paths, cft/sourceSystem.yaml:20-27, so path addressing is the
+  * primary key there). Declared schema / partition spec sidecars
+  * (`_schema.json` / `_partition.json`) are honored when present, e.g.
+  * for a table created through the catalog and later read by path.
+  */
+final class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  // writes into a not-yet-populated root take the QUERY's schema (the
+  // streaming-sink bootstrap case); reads of committed tables ignore it
+  // in favor of the sidecar/footers
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def rootOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft: a table root path is required — .load(path) / .option(\"path\", ...)"))
+
+  private def resolve(options: CaseInsensitiveStringMap,
+      external: Option[StructType] = None): GraftTable = {
+    val spark = SparkSession.active
+    val root = rootOf(options)
+    val fs = HadoopFs.fs(spark, root)
+    def sidecar(name: String): Option[String] = {
+      val f = new Path(root, name)
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          Some(new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      }
+    }
+    val declared = sidecar("_schema.json")
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .orElse(external)
+    val partCols = sidecar("_partition.json").map { body =>
+      org.json4s.jackson.JsonMethods.parse(body) match {
+        case org.json4s.JArray(vs) => vs.collect { case org.json4s.JString(s) => s }
+        case _ => Seq.empty[String]
+      }
+    }.getOrElse(Seq.empty)
+    val log = new CommitLog(spark, root)
+    val pinned: Option[Long] =
+      Option(options.get("versionasof")).map(_.toLong)
+        .orElse(Option(options.get("timestampasofms")).map { ts =>
+          log.versionAsOf(ts.toLong).getOrElse(throw new IllegalArgumentException(
+            s"graft: no commit at or before $ts under $root"))
+        })
+    pinned.foreach { v =>
+      require(log.currentVersion.nonEmpty, s"graft: no commits under $root")
+    }
+    new GraftTable(spark, s"graft.`$root`", root, declared, partCols, pinned)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolve(options).schema
+
+  override def inferPartitioning(options: CaseInsensitiveStringMap): Array[Transform] =
+    resolve(options).partitioning()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    resolve(new CaseInsensitiveStringMap(properties), Option(schema))
+}

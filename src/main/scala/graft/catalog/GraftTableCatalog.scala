@@ -346,8 +346,12 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
   }
 
   override def capabilities(): util.Set[TableCapability] =
+    // BATCH_WRITE is advertised for path-based DataFrameWriter.save()
+    // eligibility; execution still dispatches on the Write object being
+    // a V1Write, so every batch write runs the commit-log V1 path
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] =
