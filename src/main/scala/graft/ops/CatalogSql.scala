@@ -127,10 +127,61 @@ object CatalogSql {
       sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_val"))
   }
 
+  /** Deterministic two-commit table for the time-travel/CDF keys:
+    * version 1 = even event_ids, version 2 appends the odds — the split
+    * is pure parity, so the ORACLE can name each version's content with
+    * a plain WHERE, no versioning needed on the DuckDB side.
+    */
+  private def parityTable(s: SparkSession, d: String): graft.catalog.CommitLog = {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(s, d).select("event_id", "user_id", "value")
+    val root = warehouseFor(d) + "_tt/events_parity"
+    val log = new graft.catalog.CommitLog(s, root)
+    val fresh =
+      try log.currentVersion.contains(2L) && log.read().count() == ev.count()
+      catch { case _: Exception => false }
+    if (!fresh) {
+      log.commit(ev.filter(col("event_id") % 2 === 0), replace = true)
+      log.commit(ev.filter(col("event_id") % 2 === 1), replace = false): Unit
+    }
+    log
+  }
+
+  /** Lakehouse time travel as an oracle key: `VERSION AS OF 1` of the
+    * parity table must equal the raw table's even-id half — proving a
+    * later commit cannot disturb an earlier snapshot's content.
+    */
+  private def timeTravel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    parityTable(s, d).readVersion(1L).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("event_id")).as("min_id"),
+      max(col("event_id")).as("max_id"),
+      sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_val"))
+  }
+
+  /** Change data feed as an oracle key: the (1 → 2] diff of the parity
+    * table is exactly the odd-id insert set, `_change_type`-tagged —
+    * the incremental-consumer contract (replicas, indexes, rollups pay
+    * O(changed), never O(table)) checked against the raw source.
+    */
+  private def cdfFeed(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    parityTable(s, d).changesBetween(1L, 2L)
+      .groupBy(col("_change_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_val"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_catalog_table" -> sqlCatalogTable _,
     "q_part_pruned" -> partPruned _,
     "stream_table_tail" -> streamTableTail _,
+    "q_time_travel" -> timeTravel _,
+    "q_cdf_feed" -> cdfFeed _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -152,5 +203,14 @@ object CatalogSql {
         |       CAST(sum(user_id) AS BIGINT) AS sum_user,
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
         |FROM events""".stripMargin,
+    "q_time_travel" ->
+      """SELECT count(*) AS n_rows, min(event_id) AS min_id, max(event_id) AS max_id,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+        |FROM events WHERE event_id % 2 = 0""".stripMargin,
+    "q_cdf_feed" ->
+      """SELECT 'insert' AS _change_type, count(*) AS n_rows,
+        |       min(event_id) AS min_id, max(event_id) AS max_id,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+        |FROM events WHERE event_id % 2 = 1""".stripMargin,
   )
 }
