@@ -134,6 +134,29 @@ class PartitionedCommitSpec extends AnyFunSuite {
     assert(log.read().count() == 100)
   }
 
+  test("commitPartitioned racing a concurrent writer loses, retries, both land") {
+    val root = tmp("graft_part_race")
+    val log = new CommitLog(spark, root)
+    log.commitPartitioned(sample(1, 50), Seq("cat"), replace = true)
+    // a competing manifest for v2 appears between pool and publish
+    val racing = new CommitLog(spark, root) {
+      override protected def beforePublish(attempt: Int, v: Long): Unit =
+        if (attempt == 0 && v == 2L) {
+          val hfs = graft.catalog.HadoopFs.fs(spark, root)
+          val src = new org.apache.hadoop.fs.Path(root, "_commits/00000001.manifest")
+          val dst = new org.apache.hadoop.fs.Path(root, f"_commits/$v%08d.manifest")
+          org.apache.hadoop.fs.FileUtil.copy(hfs, src, hfs, dst, false,
+            spark.sparkContext.hadoopConfiguration): Unit
+        }
+    }
+    val v = racing.commitPartitioned(sample(51, 100), Seq("cat"), replace = false)
+    assert(v == 3L)   // lost v2, landed v3, same pooled files
+    assert(log.read().count() == 100)
+    assert(log.partitionColumns(3L) == Seq("cat"))
+    // exactly one #partition header survives the carried lines
+    assert(log.history().head.partitionColumns == Seq("cat"))
+  }
+
   test("collectNames cap: many touched files pass; a tiny cap fails loudly") {
     val root = tmp("graft_part_cap")
     val log = new CommitLog(spark, root)
