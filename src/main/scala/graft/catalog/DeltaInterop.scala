@@ -187,8 +187,9 @@ object DeltaInterop {
     fs.mkdirs(destPath)
     val srcFs = HadoopFs.fs(spark, commitRoot)
     val names: Seq[String] =
-      if (log.dvFiles(v).isEmpty) {
-        // no tombstones: pool files are the table bytes — copy, don't recompute
+      if (log.dvFiles(v).isEmpty && log.partitionColumns(v).isEmpty) {
+        // no tombstones, flat layout: pool files ARE the table bytes —
+        // copy, don't recompute
         val ns = log.files(v)
         ns.foreach { n =>
           val src = new Path(new Path(commitRoot, "data"), n)
@@ -198,8 +199,11 @@ object DeltaInterop {
         ns
       } else {
         // merge-on-read tombstones don't exist in the Delta dialect we
-        // emit, so a byte-copy would resurrect deleted rows: materialize
-        // the visible snapshot instead (one distributed write)
+        // emit (a byte-copy would resurrect deleted rows), and a
+        // hive-partitioned pool's files don't CONTAIN the partition
+        // column (it lives in the path — a byte-copy would silently
+        // drop it): materialize the visible snapshot instead (one
+        // distributed write; partition columns become data columns)
         val stage = new Path(destPath, "_graft_export_stage")
         log.readVersion(v).write.mode("overwrite").parquet(stage.toString)
         val parts = fs.listStatus(stage)

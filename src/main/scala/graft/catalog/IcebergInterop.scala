@@ -174,10 +174,12 @@ object IcebergInterop {
     fs.mkdirs(metaDir)
     val srcFs = HadoopFs.fs(spark, commitRoot)
 
-    // same DV posture as the Delta export: byte-copy when clean,
-    // materialize the visible snapshot when tombstones exist
+    // same posture as the Delta export: byte-copy when clean AND flat;
+    // materialize the visible snapshot when tombstones exist or the pool
+    // is hive-partitioned (partition values live in the path, not the
+    // file bytes — a byte-copy would silently drop the column)
     val names: Seq[String] =
-      if (log.dvFiles(v).isEmpty) {
+      if (log.dvFiles(v).isEmpty && log.partitionColumns(v).isEmpty) {
         val ns = log.files(v)
         ns.foreach { n =>
           val src = new Path(new Path(commitRoot, "data"), n)

@@ -118,6 +118,20 @@ class DeltaInteropSpec extends AnyFunSuite {
       s"checkpoint live set minus f1 plus f3: $rows")
   }
 
+  test("hive-partitioned commit-log table materializes on Delta export") {
+    val commitRoot = freshDir() + "/tp"
+    val log = new CommitLog(spark, commitRoot)
+    log.commitPartitioned(
+      Seq((1L, "c0"), (2L, "c1"), (3L, "c0")).toDF("k", "cat"), Seq("cat"),
+      replace = true)
+    val dest = freshDir() + "/delta_part"
+    DeltaInterop.exportDelta(spark, commitRoot, dest)
+    // a byte-copy would have dropped `cat` (path-carried, not in bytes)
+    val back = DeltaInterop.readDelta(spark, dest)
+    assert(back.select("k", "cat").as[(Long, String)].collect().toSet ==
+      Set((1L, "c0"), (2L, "c1"), (3L, "c0")))
+  }
+
   test("export → read back → import: rows and schema survive both directions") {
     val commitRoot = freshDir() + "/t"
     val log = new CommitLog(spark, commitRoot)

@@ -78,6 +78,26 @@ class IcebergInteropSpec extends AnyFunSuite {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("hive-partitioned tables materialize on export: partition values survive") {
+    val root = tmp("graft_ice_part")
+    val log = new CommitLog(spark, root)
+    log.commitPartitioned(
+      Seq((1L, "c0"), (2L, "c1"), (3L, "c0")).toDF("k", "cat"), Seq("cat"),
+      replace = true)
+    val dest = tmp("graft_ice_part_dst")
+    IcebergInterop.exportIceberg(spark, root, dest)
+    val rows = IcebergInterop.readIceberg(spark, dest)
+      .select("k", "cat").as[(Long, String)].collect().toSet
+    // a byte-copy would have dropped `cat` (it lives in the path, not
+    // the file bytes) — the export must carry it as a data column
+    assert(rows == Set((1L, "c0"), (2L, "c1"), (3L, "c0")), rows)
+
+    val back = tmp("graft_ice_part_back")
+    IcebergInterop.importIceberg(spark, dest, back)
+    assert(new CommitLog(spark, back).read().select("k", "cat")
+      .as[(Long, String)].collect().toSet == rows)
+  }
+
   test("array columns map to Iceberg list types with assigned ids") {
     val root = tmp("graft_ice_arr")
     val log = new CommitLog(spark, root)
