@@ -165,9 +165,17 @@ private[graft] final class GraftMicroBatchStream(
     * batch embedded in its FilePartitions (an empty list would silently
     * drop the partition columns from every row). The head snapshot's
     * list is that representative set — the spec is append-stable for the
-    * stream's lifetime (non-append commits fail the stream).
+    * stream's lifetime (non-append commits fail the stream) — and the
+    * factory is built ONCE per stream, not per micro-batch: the reader
+    * factory is file-list independent (it reads whatever FilePartition
+    * it is handed, with types pinned by the table schema), and
+    * rebuilding it each trigger would re-list O(head files) on the
+    * driver per batch — the growing-table tailing cost this source
+    * exists to avoid.
     */
-  override def createReaderFactory(): PartitionReaderFactory =
+  private lazy val cachedReaderFactory: PartitionReaderFactory =
     parquetBatch(log.currentVersion.map(log.filePaths).getOrElse(Seq.empty))
       .createReaderFactory()
+
+  override def createReaderFactory(): PartitionReaderFactory = cachedReaderFactory
 }
