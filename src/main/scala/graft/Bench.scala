@@ -69,6 +69,8 @@ object Bench {
       java.nio.file.Files.write(out,
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(short)
+      // stderr copy: survives even if a logger re-wraps stdout
+      System.err.println(short)
     } else println(full)  // dev runs are few keys; full detail fits stdout
     spark.stop()
     if (only.isEmpty) println(short)

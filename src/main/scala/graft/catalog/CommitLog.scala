@@ -336,7 +336,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       // a rewrite can legally commit an empty table (e.g. delete-all);
       // an empty-schema frame is the only honest value without a stored schema
       spark.emptyDataFrame
-    } else readFiles(names, dvFrameOf(dvNamesOf(lines)))
+    } else readFiles(names, dvFrameOf(dvNamesOf(lines)), partTypesOf(lines))
   }
 
   // ---- merge-on-read deletion vectors ------------------------------------
@@ -373,6 +373,35 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           col("_metadata.file_path"), "/", -1).as(DvKeys.head),
         col("_metadata.row_index").as(DvKeys.last))
 
+  /** Stats-tag type per partition column of a manifest (long / double /
+    * string), harvested from the first file line carrying a bound for
+    * it. Read-side partition columns are CAST to these types: Spark's
+    * path-based partition type inference would otherwise make the
+    * column's type depend on WHICH files survive pruning — a digit-only
+    * string value set infers as int unless a non-numeric sibling happens
+    * to be in the read set, so the same table could read string in one
+    * query and int in the next (and a pruned range read would silently
+    * drop rows the lexical row filter should keep).
+    */
+  private def partTypesOf(lines: Seq[String]): Map[String, String] = {
+    val cols = partitionColsOf(lines)
+    if (cols.isEmpty) Map.empty
+    else {
+      val stats = fileStatsOf(lines)
+      cols.flatMap(c =>
+        stats.valuesIterator.flatMap(_.get(c).map(_.tpe)).take(1).toSeq
+          .headOption.orElse(Some("string")).map(c -> _)).toMap
+    }
+  }
+
+  private def castParts(df: DataFrame, partTypes: Map[String, String]): DataFrame =
+    partTypes.foldLeft(df) { case (d, (c, t)) =>
+      if (!d.columns.contains(c)) d
+      else d.withColumn(c, col(c).cast(t match {
+        case "long" => "bigint"; case "double" => "double"; case _ => "string"
+      }))
+    }
+
   /** Read `names` with tombstones applied: an ANTI JOIN on (file,
     * position) against the deletion vectors. The DV side is parquet-
     * backed and small by the MoR premise (tombstones, not data), so
@@ -380,8 +409,9 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * shuffle-free codegen'd pass; stale tombstones referencing files no
     * longer in `names` simply match nothing. No DVs = the plain scan.
     */
-  private def readFiles(names: Seq[String], dv: Option[DataFrame]): DataFrame =
-    dv match {
+  private def readFiles(names: Seq[String], dv: Option[DataFrame],
+      partTypes: Map[String, String] = Map.empty): DataFrame = {
+    val base = dv match {
       case None => spark.read.option("mergeSchema", "true")
         // basePath keeps hive-layout partition columns in the schema
         // (and is a no-op for flat pool files)
@@ -394,6 +424,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         withPos(names).join(d, DvKeys, "left_anti")
           .select(dataCols.map(col): _*)
     }
+    castParts(base, partTypes)
+  }
 
   /** Commit `df` as the next version. `replace=false` appends: the new
     * manifest carries the previous version's files plus the new ones.
@@ -540,25 +572,42 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   }
 
   /** Exact per-file stats from a hive partition subpath (`c1=v1/c2=v2`):
-    * each value is its own min=max bound, typed numerically when it
-    * parses, so partition pruning rides the ordinary stats test. A
+    * each value is its own min=max bound, so partition pruning rides the
+    * ordinary stats test. The stats TYPE comes from the writer's schema
+    * (`colType`), never from the value's lexical shape: a STRING column
+    * holding digit-only values ("2") must keep lexicographic bounds, or
+    * range pruning disagrees with the row filter ("2" BETWEEN "10" AND
+    * "30" lexically, yet numeric pruning would skip the file — silently
+    * missing rows; mixed values would even crash the numeric parse). A
     * `__HIVE_DEFAULT_PARTITION__` (null) value yields no bound — the
     * file simply stays unprunable on that column, conservative as ever.
     */
-  private def partValueStats(subdirs: Seq[String]): Map[String, ColStats] =
+  private def partValueStats(subdirs: Seq[String],
+      colType: Map[String, String]): Map[String, ColStats] =
     subdirs.flatMap { seg =>
       seg.split("=", 2) match {
         case Array(c, raw) if raw != "__HIVE_DEFAULT_PARTITION__" =>
           val v = unescapePathValue(raw)
-          val tpe =
-            if (v.nonEmpty && v.forall(ch => ch.isDigit || ch == '-') &&
-              scala.util.Try(v.toLong).isSuccess) "long"
-            else if (scala.util.Try(v.toDouble).isSuccess) "double"
-            else "string"
-          Some(c -> ColStats(tpe, v, v))
+          Some(c -> ColStats(colType.getOrElse(c, "string"), v, v))
         case _ => None
       }
     }.toMap
+
+  /** Manifest stats tag for a partition column's Catalyst type: integral
+    * → "long", fractional/decimal → "double", everything else (string,
+    * date, timestamp — ISO renderings order lexically) → "string".
+    */
+  private def partColTypes(df: DataFrame,
+      partitionCols: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.types._
+    partitionCols.map { c =>
+      c -> (df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => "long"
+        case FloatType | DoubleType | _: DecimalType       => "double"
+        case _                                             => "string"
+      })
+    }.toMap
+  }
 
   /** Stage `df` hive-partitioned by `partitionCols` and pool the parts
     * UNDER their partition subdirs (manifest names carry the subpath).
@@ -570,6 +619,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     require(partitionCols.nonEmpty, s"$op: empty partition column list")
     val missing = partitionCols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"$op: partition columns $missing not in ${df.columns.toSeq}")
+    val colType = partColTypes(df, partitionCols)
     val stage = new Path(tmpDir, java.util.UUID.randomUUID().toString)
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
       .parquet(stage.toString)
@@ -596,7 +646,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           hfs.mkdirs(dest.getParent)
           if (!hfs.rename(src, dest))
             throw new java.io.IOException(s"$op: could not move $src into the pool")
-          val merged = st ++ partValueStats(subdirs)
+          val merged = st ++ partValueStats(subdirs, colType)
           Some(if (merged.isEmpty) name else s"$name\t${statsJson(merged)}")
         }
     }.flatten
@@ -634,6 +684,18 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val prev = currentVersion.map(manifestLines).getOrElse(Seq.empty)
       txn.foreach { id =>
         if (prev.contains(s"#txn:$id")) return v - 1
+      }
+      // re-check the spec against the CURRENT head on every attempt: a
+      // concurrent replace can change/drop the spec between the entry
+      // check and this publish, and appending our header over the racer's
+      // file lines would mix directory layouts under data/ (the other
+      // commit paths all re-run requireUnpartitioned in-loop; this is
+      // the partitioned mirror of that discipline)
+      if (!replace) {
+        val headCols = partitionColsOf(prev)
+        require(headCols.isEmpty || headCols == partitionCols,
+          s"commitPartitioned: head is now partitioned by $headCols (changed " +
+            s"by a concurrent commit); append by $partitionCols would mix layouts")
       }
       val carried =
         if (replace) prev.filter(_.startsWith("#txn:"))
@@ -878,7 +940,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     // all files pruned: zero-row frame with the table schema, no scan
     // (OptimizeLimitZero folds the limit-0 into an empty relation)
     else if (candidates.isEmpty) readVersion(v).filter(pred).limit(0)
-    else readFiles(candidates, dvFrameOf(dvNamesOf(lines))).filter(pred)
+    else readFiles(candidates, dvFrameOf(dvNamesOf(lines)), partTypesOf(lines))
+      .filter(pred)
   }
 
   /** Copy-on-write MERGE (upsert by key): rows of `updates` replace
@@ -1127,8 +1190,11 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val survivorLines =
         if (touched.isEmpty) Seq.empty
         else if (partCols.nonEmpty)
-          stagePartitioned(readFiles(touched.toSeq.sorted, Some(dv)), partCols,
-            "rewriteDeletes")
+          // schema-typed partition cast matters doubly here: the fold
+          // REWRITES survivors, so an inference-drifted type would bake
+          // the wrong column type back into the pool files
+          stagePartitioned(readFiles(touched.toSeq.sorted, Some(dv),
+            partTypesOf(lines)), partCols, "rewriteDeletes")
         else stageToPool(readFiles(touched.toSeq.sorted, Some(dv)), "rewriteDeletes")
       beforePublish(attempt, v + 1)
       if (publish(v + 1, keptLines ++ survivorLines)) return (dvN.length, touched.size)
@@ -1254,10 +1320,11 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     // added file's rows already tombstoned at toV were never visible, and
     // a removed file's rows already tombstoned at fromV were already gone
     val fileParts = Seq(
-      (added, toDv, "insert"),
-      (removed, fromDv, "delete")).collect {
-      case (ns, dv, tag) if ns.nonEmpty =>
-        readFiles(ns, dv).withColumn("_change_type", lit(tag))
+      (added, toDv, "insert", toV),
+      (removed, fromDv, "delete", fromV)).collect {
+      case (ns, dv, tag, v) if ns.nonEmpty =>
+        readFiles(ns, dv, partTypesOf(manifestLines(v)))
+          .withColumn("_change_type", lit(tag))
     }
     // tombstone diffs on files present at BOTH ends: a DV file added in
     // the window deletes the positions it names (unless they were
@@ -1326,7 +1393,32 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         acc.toSeq
       }
     dead.foreach(p => hfs.delete(p, false))
-    (drop.length, dead.length)
+    // `_tmp` staging orphans — zero-row writer files, redelivered-epoch
+    // restages (txn dedup returns before pooling), crashed attempts — are
+    // never referenced by any manifest, so they'd otherwise accumulate
+    // forever on long-running streams. A staging entry whose NEWEST
+    // descendant mtime is past the in-flight guard cannot belong to a
+    // commit still in progress (pooling renames files OUT of _tmp before
+    // the manifest publishes): collect it whole.
+    var tmpDead = 0
+    if (hfs.exists(tmpDir)) hfs.listStatus(tmpDir).foreach { entry =>
+      def newestMtime(p: Path): Long = {
+        val st = hfs.getFileStatus(p)
+        if (st.isFile) st.getModificationTime
+        else (st.getModificationTime +:
+          hfs.listStatus(p).map(c => newestMtime(c.getPath)).toSeq).max
+      }
+      if (newestMtime(entry.getPath) <= cutoff) {
+        val files =
+          if (entry.isFile) 1
+          else {
+            val it = hfs.listFiles(entry.getPath, true); var n = 0
+            while (it.hasNext) { it.next(); n += 1 }; n
+          }
+        if (hfs.delete(entry.getPath, true)) tmpDead += files
+      }
+    }
+    (drop.length, dead.length + tmpDead)
   }
 
   /** Test seam: runs just before each publish attempt, letting a spec

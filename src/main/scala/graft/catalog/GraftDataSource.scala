@@ -67,13 +67,20 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     val declared = sidecar("_schema.json")
       .map(DataType.fromJson(_).asInstanceOf[StructType])
       .orElse(external)
+    val log = new CommitLog(spark, root)
+    // partition spec: the sidecar when present (catalog-created tables),
+    // else the manifest's authoritative #partition header — a table
+    // written via CommitLog.commitPartitioned directly has no sidecar,
+    // and resolving it flat would make the scan omit basePath while the
+    // schema still carries the partition columns: every row would read
+    // them as NULL (silent wrong results; r8 advice)
     val partCols = sidecar("_partition.json").map { body =>
       org.json4s.jackson.JsonMethods.parse(body) match {
         case org.json4s.JArray(vs) => vs.collect { case org.json4s.JString(s) => s }
         case _ => Seq.empty[String]
       }
-    }.getOrElse(Seq.empty)
-    val log = new CommitLog(spark, root)
+    }.getOrElse(log.currentVersion.map(log.partitionColumns)
+      .getOrElse(Seq.empty))
     val pinned: Option[Long] =
       Option(options.get("versionasof")).map(_.toLong)
         .orElse(Option(options.get("timestampasofms")).map { ts =>

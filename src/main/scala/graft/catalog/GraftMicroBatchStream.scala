@@ -153,6 +153,15 @@ private[graft] final class GraftMicroBatchStream(
     }
     // manifest order (stable across the two reads: carried lines precede
     // appended lines) keeps planned splits deterministic for a replayed range
+    if (ignoreChanges) synchronized {
+      // a replace commit admitted by ignoreChanges may have CHANGED the
+      // partition spec; a factory carrying the old partition schema would
+      // fail or misread freshly planned FilePartitions. The header is one
+      // parsed manifest read — invalidate and rebuild lazily when it moves.
+      cachedFactory.foreach { case (spec, _) =>
+        if (spec != log.partitionColumns(e)) cachedFactory = None
+      }
+    }
     val added = log.files(e).filterNot(before)
     if (added.isEmpty) Array.empty
     else parquetBatch(added.map(n => new Path(dataDir, n).toString))
@@ -164,18 +173,28 @@ private[graft] final class GraftMicroBatchStream(
     * needs the factory to infer the same partition schema the planning
     * batch embedded in its FilePartitions (an empty list would silently
     * drop the partition columns from every row). The head snapshot's
-    * list is that representative set — the spec is append-stable for the
-    * stream's lifetime (non-append commits fail the stream) — and the
-    * factory is built ONCE per stream, not per micro-batch: the reader
-    * factory is file-list independent (it reads whatever FilePartition
-    * it is handed, with types pinned by the table schema), and
-    * rebuilding it each trigger would re-list O(head files) on the
-    * driver per batch — the growing-table tailing cost this source
-    * exists to avoid.
+    * list is that representative set, and the factory is built ONCE per
+    * stream, not per micro-batch: the reader factory is file-list
+    * independent (it reads whatever FilePartition it is handed, with
+    * types pinned by the table schema), and rebuilding it each trigger
+    * would re-list O(head files) on the driver per batch — the
+    * growing-table tailing cost this source exists to avoid. The spec is
+    * append-stable under the default guard (non-append commits fail the
+    * stream); with ignoreChanges=true, [[planInputPartitions]]
+    * invalidates this cache whenever a replace commit moved the
+    * #partition header, so the factory is rebuilt against the new spec.
     */
-  private lazy val cachedReaderFactory: PartitionReaderFactory =
-    parquetBatch(log.currentVersion.map(log.filePaths).getOrElse(Seq.empty))
-      .createReaderFactory()
+  @volatile private var cachedFactory: Option[(Seq[String], PartitionReaderFactory)] = None
 
-  override def createReaderFactory(): PartitionReaderFactory = cachedReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = synchronized {
+    cachedFactory match {
+      case Some((_, f)) => f
+      case None =>
+        val spec = log.currentVersion.map(log.partitionColumns).getOrElse(Seq.empty)
+        val f = parquetBatch(log.currentVersion.map(log.filePaths).getOrElse(Seq.empty))
+          .createReaderFactory()
+        cachedFactory = Some((spec, f))
+        f
+    }
+  }
 }

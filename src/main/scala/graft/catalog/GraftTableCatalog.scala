@@ -235,8 +235,13 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   private def declaredPartitioning(root: Path): Seq[String] = {
     val f = partitionFile(root)
-    if (!fs.exists(f)) Seq.empty
-    else {
+    if (!fs.exists(f)) {
+      // no sidecar (table written via CommitLog.commitPartitioned outside
+      // the catalog): the manifest #partition header is authoritative —
+      // resolving flat would NULL every partition column (r8 advice)
+      val log = new CommitLog(spark, root.toString)
+      log.currentVersion.map(log.partitionColumns).getOrElse(Seq.empty)
+    } else {
       val in = fs.open(f)
       val body = try {
         val out = new java.io.ByteArrayOutputStream()

@@ -89,6 +89,35 @@ class CommitLogStreamSpec extends AnyFunSuite {
     assert(later.count(_ == (4L, "d")) == 1, s"append after skip lost/duped: $later")
   }
 
+  test("ignoreChanges replace that changes the partition spec rebuilds the reader factory") {
+    val root = tmp("graft_respec")
+    val log = new graft.catalog.CommitLog(spark, root)
+    log.commitPartitioned(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "cat"), Seq("cat"), replace = true)
+    val cp = tmp("graft_cp")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graft")
+      .option("ignoreChanges", "true").load(root)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = df.select("k", "cat").as[(Long, String)].collect()
+        seen.synchronized { seen ++= rows }: Unit
+      }
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.toSet == Set((1L, "a"), (2L, "b")), seen.toSeq)
+      // a replace to a FLAT layout mid-stream drops the #partition
+      // header; the reader factory cached against the partitioned spec
+      // must be rebuilt, or the flat FilePartitions of this batch fail
+      // or misread (r8 advice). Same stream instance — no restart.
+      log.commit(Seq((3L, "c"), (4L, "d")).toDF("k", "cat"), replace = true)
+      q.processAllAvailable()
+      assert(seen.toSet == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")), seen.toSeq)
+    } finally q.stop()
+  }
+
   test("maxCommitsPerTrigger bounds each micro-batch to its commit window") {
     spark.sql("CREATE TABLE gs.db.rate (k BIGINT)")
     (1 to 4).foreach(i => spark.sql(s"INSERT INTO gs.db.rate VALUES ($i)"))

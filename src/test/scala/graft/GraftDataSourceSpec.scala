@@ -36,6 +36,23 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("k"), plan)
   }
 
+  test("path read of a sidecar-less partitioned table rehydrates from the manifest header") {
+    // written via CommitLog.commitPartitioned directly — no catalog, no
+    // _partition.json sidecar. The manifest #partition header must drive
+    // basePath rehydration, or every partition-column cell reads NULL
+    // (r8 advice: silent wrong results)
+    val root = tmp("graft_ds_part")
+    val log = new CommitLog(spark, root)
+    log.commitPartitioned(
+      (1 to 60).map(i => (i.toLong, s"cat${i % 3}")).toDF("k", "cat"),
+      Seq("cat"), replace = true)
+    val byPath = spark.read.format("graft").load(root)
+    assert(byPath.columns.toSet == Set("k", "cat"))
+    assert(byPath.filter($"cat".isNull).count() == 0,
+      "partition column must rehydrate from the c=v layout, not NULL")
+    assert(byPath.filter($"cat" === "cat1").count() == 20)
+  }
+
   test("streaming tail and streaming sink through the format") {
     val src = tmp("graft_ds_src")
     val dst = tmp("graft_ds_dst")

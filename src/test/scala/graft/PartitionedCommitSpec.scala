@@ -157,6 +157,71 @@ class PartitionedCommitSpec extends AnyFunSuite {
     assert(log.history().head.partitionColumns == Seq("cat"))
   }
 
+  test("string partition values prune lexically, never numerically") {
+    // a STRING column holding digit-only values must keep string-typed
+    // bounds: "2" IS lexically between "10" and "30", and numeric-typed
+    // pruning would silently skip its file (r8 advice). Mixed values
+    // ("1" next to "other") must not crash the range compare either.
+    val root = tmp("graft_part_strtype")
+    val log = new CommitLog(spark, root)
+    val df = Seq((1L, "2"), (2L, "10"), (3L, "30"), (4L, "other"))
+      .toDF("k", "s")
+    log.commitPartitioned(df, Seq("s"), replace = true)
+    val expected = df.filter($"s".between("10", "30")).count()  // lexical: 3
+    val got = log.readBetween("s", "10", "30")
+    assert(got.count() == expected,
+      s"pruning disagrees with the lexical row filter: ${got.collect().toSeq}")
+    assert(got.filter($"s" === "2").count() == 1, "\"2\" must survive the range read")
+    // numeric partition columns still get numeric bounds
+    val root2 = tmp("graft_part_numtype")
+    val log2 = new CommitLog(spark, root2)
+    log2.commitPartitioned(df.withColumn("n", $"k" * 10), Seq("n"), replace = true)
+    assert(log2.readBetween("n", 15, 35).count() ==
+      df.filter(($"k" * 10).between(15, 35)).count())
+  }
+
+  test("commitPartitioned append refuses when a racer changes the spec mid-commit") {
+    val root = tmp("graft_part_respec")
+    val log = new CommitLog(spark, root)
+    log.commitPartitioned(sample(1, 50), Seq("cat"), replace = true)
+    // the racer publishes v2 with a DIFFERENT #partition header between
+    // our pool and publish; the retry must re-validate against the new
+    // head instead of publishing a cat-header manifest over v-layout lines
+    val racing = new CommitLog(spark, root) {
+      override protected def beforePublish(attempt: Int, v: Long): Unit =
+        if (attempt == 0 && v == 2L) {
+          val hfs = graft.catalog.HadoopFs.fs(spark, root)
+          val out = hfs.create(
+            new org.apache.hadoop.fs.Path(root, f"_commits/$v%08d.manifest"), false)
+          out.write("#partition:[\"v\"]\n".getBytes("UTF-8")); out.close()
+        }
+    }
+    val e = intercept[IllegalArgumentException] {
+      racing.commitPartitioned(sample(51, 100), Seq("cat"), replace = false)
+    }
+    assert(e.getMessage.contains("mix layouts"), e.getMessage)
+  }
+
+  test("vacuum ages out _tmp staging orphans but spares young entries") {
+    val root = tmp("graft_part_tmpvac")
+    val log = new CommitLog(spark, root)
+    log.commitPartitioned(sample(1, 100), Seq("cat"), replace = true)
+    val hfs = graft.catalog.HadoopFs.fs(spark, root)
+    val orphanDir = new org.apache.hadoop.fs.Path(root, "_tmp/dead-stage")
+    hfs.mkdirs(orphanDir)
+    val f = hfs.create(new org.apache.hadoop.fs.Path(orphanDir, "part-0.parquet"), false)
+    f.write(Array[Byte](1, 2, 3)); f.close()
+    // young guard: a generous age threshold keeps the (fresh) orphan
+    val (_, spared) = log.vacuum(keepVersions = 1, minFileAgeMs = 60 * 60 * 1000)
+    assert(hfs.exists(orphanDir), "young staging entry must survive the in-flight guard")
+    assert(spared == 0)
+    // past the guard the orphan is never referenced by any manifest: collect it
+    val (_, dead) = log.vacuum(keepVersions = 1, minFileAgeMs = 0)
+    assert(dead >= 1, s"expected the _tmp orphan collected, got $dead")
+    assert(!hfs.exists(orphanDir))
+    assert(log.read().count() == 100, "table data untouched by _tmp cleanup")
+  }
+
   test("collectNames cap: many touched files pass; a tiny cap fails loudly") {
     val root = tmp("graft_part_cap")
     val log = new CommitLog(spark, root)
