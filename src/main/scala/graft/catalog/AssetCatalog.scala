@@ -174,8 +174,9 @@ class AssetCatalog(spark: SparkSession, root: String) {
     * for the in-flight-commit age guard).
     */
   def vacuum(table: String, keepVersions: Int = 1,
-      minFileAgeMs: Long = 15L * 60 * 1000): (Int, Int) =
-    log(table).vacuum(keepVersions, minFileAgeMs)
+      minFileAgeMs: Long = 15L * 60 * 1000,
+      minVersionAgeMs: Long = CommitLog.DefaultVersionRetentionMs): (Int, Int) =
+    log(table).vacuum(keepVersions, minFileAgeMs, minVersionAgeMs)
 
   /** Replica parity: primary and secondary hold exactly the same multiset
     * of rows (exceptAll empty both directions — catches missing AND extra).

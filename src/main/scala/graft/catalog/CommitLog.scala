@@ -42,6 +42,13 @@ private[graft] object ColStats {
 case class CommitInfo(version: Long, committedAtMs: Long, dataFiles: Int,
     dvFiles: Int, txnCount: Int, partitionColumns: Seq[String])
 
+object CommitLog {
+  /** Default vacuum retention floor for committed VERSIONS (the streaming-
+    * checkpoint handshake): 7 days, the common lakehouse default.
+    */
+  val DefaultVersionRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+}
+
 /** Versioned commit log over an immutable parquet file pool — snapshot
   * isolation for the registry's concurrent CRUD with nothing but plain
   * parquet + filesystem rename (no table-format jars ship in this
@@ -538,17 +545,17 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     // every future manifest as stats-less, never-prunable entries
     val parts = hfs.listStatus(stage)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath).sortBy(_.getName)
-      .map(p => (p, footerInfo(p)))
-      .filter { case (_, (rows, _)) => rows > 0 }
+      .sortBy(_.getPath.getName)
+      .map(f => (f.getPath, f.getLen, footerInfo(f.getPath)))
+      .filter { case (_, _, (rows, _)) => rows > 0 }
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     hfs.mkdirs(dataDir)
     hfs.mkdirs(commitsDir)
-    val lines = parts.zipWithIndex.map { case ((src, (_, st)), i) =>
+    val lines = parts.zipWithIndex.map { case ((src, len, (rows, st)), i) =>
       val name = f"$uuid-part$i%05d.parquet"
       if (!hfs.rename(src, new Path(dataDir, name)))
         throw new java.io.IOException(s"$op: could not move $src into the pool")
-      if (st.isEmpty) name else s"$name\t${statsJson(st)}"
+      s"$name\t${statsJson(st, rows, len)}"
     }
     hfs.delete(stage, true)
     lines.toSeq
@@ -625,19 +632,19 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       .parquet(stage.toString)
     val stageUri = stage.toUri.getPath
     val it = hfs.listFiles(stage, true)
-    val parts = scala.collection.mutable.ArrayBuffer.empty[(Path, Seq[String])]
+    val parts = scala.collection.mutable.ArrayBuffer.empty[(Path, Long, Seq[String])]
     while (it.hasNext) {
       val f = it.next()
       if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
         val rel = f.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
-        parts += ((f.getPath, rel.split('/').dropRight(1).toSeq))
+        parts += ((f.getPath, f.getLen, rel.split('/').dropRight(1).toSeq))
       }
     }
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     hfs.mkdirs(dataDir)
     hfs.mkdirs(commitsDir)
     val lines = parts.sortBy(_._1.getName).zipWithIndex.map {
-      case ((src, subdirs), i) =>
+      case ((src, len, subdirs), i) =>
         val (rows, st) = footerInfo(src)
         if (rows == 0L) { hfs.delete(src, false); None }
         else {
@@ -647,7 +654,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           if (!hfs.rename(src, dest))
             throw new java.io.IOException(s"$op: could not move $src into the pool")
           val merged = st ++ partValueStats(subdirs, colType)
-          Some(if (merged.isEmpty) name else s"$name\t${statsJson(merged)}")
+          Some(s"$name\t${statsJson(merged, rows, len)}")
         }
     }.flatten
     hfs.delete(stage, true)
@@ -728,13 +735,14 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     hfs.mkdirs(dataDir)
     hfs.mkdirs(commitsDir)
-    val newLines = paths.sortBy(_.getName).map(p => (p, footerInfo(p)))
-      .filter { case (_, (rows, _)) => rows > 0 }
-      .zipWithIndex.map { case ((src, (_, st)), i) =>
+    val newLines = paths.sortBy(_.getName)
+      .map(p => (p, hfs.getFileStatus(p).getLen, footerInfo(p)))
+      .filter { case (_, _, (rows, _)) => rows > 0 }
+      .zipWithIndex.map { case ((src, len, (rows, st)), i) =>
         val name = f"$uuid-part$i%05d.parquet"
         if (!hfs.rename(src, new Path(dataDir, name)))
           throw new java.io.IOException(s"commitPooledFiles: could not move $src")
-        if (st.isEmpty) name else s"$name\t${statsJson(st)}"
+        s"$name\t${statsJson(st, rows, len)}"
       }
     var attempt = 0
     while (attempt < 50) {
@@ -878,14 +886,55 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
 
   // ---- manifest stats encoding (json4s ships with Spark) -----------------
 
-  private def statsJson(st: Map[String, ColStats]): String = {
+  /** Per-line stats json: column bounds plus the file's exact row count
+    * (`_n`) and byte size (`_b`), both known for free at commit time (the
+    * footer is already open, the FileStatus already listed). They make
+    * [[snapshotStats]] a pure manifest read — the planner's size/row
+    * estimates never re-list the pool. `_n`/`_b` are JSON numbers, which
+    * [[parseStats]]'s object-only collect skips, so old manifests and new
+    * readers interoperate both ways.
+    */
+  private def statsJson(st: Map[String, ColStats], rows: Long, bytes: Long): String = {
     import org.json4s._
     import org.json4s.JsonDSL._
-    val fields = st.toSeq.sortBy(_._1).map { case (c, s) =>
-      JField(c, ("t" -> s.tpe) ~ ("mn" -> s.min) ~ ("mx" -> s.max))
-    }.toList
+    val fields = JField("_n", JInt(rows)) :: JField("_b", JInt(bytes)) ::
+      st.toSeq.sortBy(_._1).map { case (c, s) =>
+        JField(c, ("t" -> s.tpe) ~ ("mn" -> s.min) ~ ("mx" -> s.max))
+      }.toList
     org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(JObject(fields)))
+  }
+
+  /** (_n, _b) of one stats json, absent on pre-tag manifests. */
+  private def lineMeta(json: String): (Option[Long], Option[Long]) =
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case org.json4s.JObject(fields) =>
+        val m = fields.toMap
+        def num(k: String): Option[Long] = m.get(k).collect {
+          case org.json4s.JInt(n) => n.toLong
+        }
+        (num("_n"), num("_b"))
+      case _ => (None, None)
+    }
+
+  /** Exact (bytes, rows) of a retained version. Bytes/rows come from the
+    * manifest's commit-time `_n`/`_b` tags — zero filesystem calls on the
+    * planner path (at 100 TB, re-listing the pool per query would be the
+    * cost this avoids); a pre-tag line falls back to one FileStatus call
+    * and reports rows as unknown. Rows are also unknown when the version
+    * carries merge-on-read tombstones (visible rows < stored rows).
+    */
+  def snapshotStats(v: Long): (Long, Option[Long]) = {
+    val lines = manifestLines(v)
+    var bytes = 0L; var rows = 0L; var rowsKnown = dvNamesOf(lines).isEmpty
+    lines.iterator.filterNot(l => l.startsWith("#") || l.startsWith("-")).foreach { l =>
+      val parts = l.split('\t')
+      val (n, b) = if (parts.length > 1) lineMeta(parts(1)) else (None, None)
+      bytes += b.getOrElse(
+        hfs.getFileStatus(new Path(dataDir, parts(0))).getLen)
+      n match { case Some(x) => rows += x; case None => rowsKnown = false }
+    }
+    (bytes, if (rowsKnown) Some(rows) else None)
   }
 
   private def parseStats(json: String): Map[String, ColStats] =
@@ -1217,13 +1266,23 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val v = currentVersion.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $tableRoot"))
-    requireUnpartitioned("optimizeBy", v, manifestLines(v))
     val names = files(v)
+    val partCols = partitionColumns(v)
+    require(!partCols.contains(column),
+      s"optimizeBy: $column is a partition column — constant within every " +
+        "c=v dir, clustering on it is a no-op")
     val bytes = names.map(n => hfs.getFileStatus(new Path(dataDir, n)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    commit(readVersion(v)
-      .repartitionByRange(nOut, col(column))
-      .sortWithinPartitions(col(column)), replace = true)
+    val keys = partCols.map(col) :+ col(column)
+    // on a partitioned table the cluster keys LEAD with the partition
+    // columns: each shuffle range then holds one partition's value slab,
+    // and the hive re-stage keeps the c=v layout — partition-local
+    // clustering, never a flat rewrite
+    val clustered = readVersion(v)
+      .repartitionByRange(nOut, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    if (partCols.isEmpty) commit(clustered, replace = true)
+    else commitPartitioned(clustered, partCols, replace = true)
     (names.length, currentFileCount)
   }
 
@@ -1251,7 +1310,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     require(columns.size >= 2, "optimizeZOrder: need >= 2 columns (use optimizeBy for 1)")
     val v = currentVersion.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $tableRoot"))
-    requireUnpartitioned("optimizeZOrder", v, manifestLines(v))
+    val partCols = partitionColumns(v)
+    require(!columns.exists(partCols.contains),
+      s"optimizeZOrder: ${columns.filter(partCols.contains)} are partition " +
+        "columns — constant within every c=v dir, z-ordering them is a no-op")
     val names = files(v)
     val bytes = names.map(n => hfs.getFileStatus(new Path(dataDir, n)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
@@ -1279,10 +1341,18 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           i * k + j))
       }
     }
-    commit(snap.withColumn("_graft_z", zval)
-      .repartitionByRange(nOut, col("_graft_z"))
-      .sortWithinPartitions(col("_graft_z"))
-      .drop("_graft_z"), replace = true)
+    // partitioned tables z-cluster WITHIN each partition: the shuffle
+    // keys lead with the partition columns so each range holds one
+    // partition's z-slab, and the hive re-stage keeps the c=v layout —
+    // pruning on the partition column and on the z-ordered dimensions
+    // compose instead of one destroying the other
+    val keys = partCols.map(col) :+ col("_graft_z")
+    val clustered = snap.withColumn("_graft_z", zval)
+      .repartitionByRange(nOut, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop("_graft_z")
+    if (partCols.isEmpty) commit(clustered, replace = true)
+    else commitPartitioned(clustered, partCols, replace = true)
     (names.length, currentFileCount)
   }
 
@@ -1362,13 +1432,34 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * vanished files. Only unreferenced files older than the threshold are
     * collected (the lakehouse VACUUM retention pattern); pass 0 only when
     * no writer can be in flight.
+    *
+    * `minVersionAgeMs` is the CONSUMER retention floor — the handshake
+    * with streaming checkpoints. A [[GraftMicroBatchStream]] consumer's
+    * checkpoint names a commit version; vacuuming a version a lagging
+    * consumer still needs makes its restart fail (the stream's
+    * checkpointed-version-vacuumed error). Since the table cannot
+    * enumerate its consumers' checkpoints, the guard is temporal: vacuum
+    * REFUSES — loudly, before dropping anything — to drop a version
+    * committed within the horizon (default 7 days, the common lakehouse
+    * retention default). Override by passing a smaller horizon (0 forces)
+    * only when no consumer can be lagging more than that far behind; a
+    * forced drop shifts the failure to the consumer's own restart error.
     * Returns (manifestsDeleted, filesDeleted).
     */
   def vacuum(keepVersions: Int = 1,
-             minFileAgeMs: Long = 15L * 60 * 1000): (Int, Int) = {
+             minFileAgeMs: Long = 15L * 60 * 1000,
+             minVersionAgeMs: Long = CommitLog.DefaultVersionRetentionMs): (Int, Int) = {
     require(keepVersions >= 1, "vacuum must retain at least the head version")
     val versions = committedVersions.sorted
     val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepVersions))
+    val horizon = System.currentTimeMillis() - minVersionAgeMs
+    val young = drop.filter(v => commitTime(v) > horizon)
+    if (young.nonEmpty) throw new IllegalStateException(
+      s"vacuum: refusing to drop version(s) ${young.mkString(", ")} under $tableRoot " +
+        s"— committed within the retention horizon (minVersionAgeMs=$minVersionAgeMs). " +
+        "A streaming consumer whose checkpoint still points inside this window " +
+        "would fail on restart once its version is gone. Pass a smaller " +
+        "minVersionAgeMs (0 forces) only when no consumer can lag that far.")
     // deletion-vector files are pool files too: collecting a referenced
     // DV would resurrect its tombstoned rows
     val live = keep.flatMap(v => files(v) ++ dvFiles(v)).toSet
@@ -1419,6 +1510,90 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       }
     }
     (drop.length, dead.length + tmpDead)
+  }
+
+  // ---- ANALYZE (optimizer statistics) ------------------------------------
+
+  /** ANALYZE: one aggregation pass over the head snapshot harvesting
+    * per-column NDV (HLL approximation) and null counts into
+    * `_stats.json` beside the table — the column-level statistics
+    * cost-based join reordering needs on top of the manifest's exact
+    * row/byte counts. Atomic-typed columns only (complex types carry no
+    * planner-meaningful NDV). The sidecar records the analyzed version;
+    * like every engine's ANALYZE, the numbers go stale as commits land
+    * and remain estimates, never correctness inputs. Returns
+    * (version analyzed, columns analyzed).
+    */
+  def analyze(): (Long, Int) = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, count, sum, when}
+    val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+      s"analyze: no committed version under $tableRoot"))
+    val df = readVersion(v)
+    val cols = {
+      import org.apache.spark.sql.types._
+      df.schema.fields.collect {
+        case f if (f.dataType match {
+          case _: NumericType | StringType | BooleanType | DateType |
+               TimestampType | TimestampNTZType | BinaryType => true
+          case _ => false
+        }) => f.name
+      }.toSeq
+    }
+    val aggs = cols.flatMap(c => Seq(
+      approx_count_distinct(col(s"`$c`")),
+      sum(when(col(s"`$c`").isNull, 1L).otherwise(0L))))
+    val row = df.agg(count(lit(1)), aggs: _*).head()
+    val rows = row.getLong(0)
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    val colFields = cols.zipWithIndex.map { case (c, i) =>
+      val ndv = row.getLong(1 + 2 * i)
+      val nulls = if (row.isNullAt(2 + 2 * i)) 0L else row.getLong(2 + 2 * i)
+      JField(c, ("ndv" -> ndv) ~ ("nulls" -> nulls))
+    }.toList
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("version" -> v) ~ ("rows" -> rows) ~ ("columns" -> JObject(colFields))))
+    LogStore.write(hfs, new Path(tableRoot, "_stats.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+    (v, cols.size)
+  }
+
+  /** The `_stats.json` sidecar, if [[analyze]] ever ran:
+    * (analyzedVersion, rows, col → (ndv, nullCount)).
+    */
+  def analyzedStats(): Option[(Long, Long, Map[String, (Long, Long)])] = {
+    val f = new Path(tableRoot, "_stats.json")
+    if (!hfs.exists(f)) None
+    else {
+      val in = hfs.open(f)
+      val body = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      org.json4s.jackson.JsonMethods.parse(body) match {
+        case org.json4s.JObject(fields) =>
+          val m = fields.toMap
+          for {
+            org.json4s.JInt(v) <- m.get("version")
+            org.json4s.JInt(r) <- m.get("rows")
+          } yield {
+            val cols = m.get("columns") match {
+              case Some(org.json4s.JObject(cf)) => cf.collect {
+                case (c, org.json4s.JObject(cv)) =>
+                  val cm = cv.toMap
+                  def num(k: String) = cm.get(k).collect {
+                    case org.json4s.JInt(n) => n.toLong }.getOrElse(0L)
+                  c -> (num("ndv"), num("nulls"))
+              }.toMap
+              case _ => Map.empty[String, (Long, Long)]
+            }
+            (v.toLong, r.toLong, cols)
+          }
+        case _ => None
+      }
+    }
   }
 
   /** Test seam: runs just before each publish attempt, letting a spec

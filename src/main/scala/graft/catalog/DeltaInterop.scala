@@ -60,6 +60,37 @@ object DeltaInterop {
         e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))).toMap
     }.getOrElse(Map.empty)
 
+  /** Reader features this replay actually honors. Everything else must
+    * refuse BY NAME: silently replaying a table whose reader contract we
+    * don't implement returns wrong rows (a deletion-vector table would
+    * resurrect deleted rows; a column-mapped table would read nulls for
+    * every mapped column). `timestampNtz` only gates a TYPE the Spark
+    * parquet reader handles natively, so it is safe to admit.
+    */
+  private val SupportedReaderFeatures = Set("timestampNtz")
+
+  private def refuse(feature: String, where: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"importDelta: table uses the Delta reader feature '$feature' ($where), " +
+        "which this replay does not implement — importing would return wrong " +
+        "rows. Rewrite the table without the feature (e.g. REORG TABLE ... " +
+        "APPLY (PURGE) for deletion vectors, or disable column mapping) and " +
+        "re-export, then import.")
+
+  private def checkProtocol(p: JsonNode): Unit = {
+    val feats = Option(p.get("readerFeatures"))
+      .map(_.elements().asScala.map(_.asText).toSet).getOrElse(Set.empty)
+    val unsupported = feats -- SupportedReaderFeatures
+    if (unsupported.nonEmpty)
+      refuse(unsupported.toSeq.sorted.mkString(","), "protocol readerFeatures")
+  }
+
+  private def checkMetaConfig(node: JsonNode): Unit = {
+    val mode = Option(node.get("configuration"))
+      .flatMap(c => Option(c.get("delta.columnMapping.mode"))).map(_.asText)
+    if (mode.exists(m => m != "none")) refuse("columnMapping", s"mode=${mode.get}")
+  }
+
   private def snapshot(spark: SparkSession, table: String,
       versionAsOf: Option[Long]): Snapshot = {
     val fs = HadoopFs.fs(spark, table)
@@ -88,7 +119,28 @@ object DeltaInterop {
       // checkpoint parquet: one row per action, nested structs; driver
       // fetch is metadata-scale (the file list itself)
       val cp = new Path(dir, f"$v%020d.checkpoint.parquet")
-      val rows = spark.read.parquet(cp.toString)
+      val cpDf = spark.read.parquet(cp.toString)
+      def structFields(col: String): Seq[String] =
+        cpDf.schema.find(_.name == col).map(_.dataType) match {
+          case Some(st: StructType) => st.fieldNames.toSeq
+          case _ => Seq.empty
+        }
+      // feature guards mirror the JSON replay: a checkpoint can be the
+      // ONLY place these actions survive (the commits they rode in may
+      // be below the checkpoint horizon)
+      if (structFields("protocol").contains("readerFeatures") &&
+          cpDf.selectExpr("protocol.readerFeatures AS rf").filter("rf IS NOT NULL")
+            .collect().exists(r => r.getSeq[String](0)
+              .exists(f => !SupportedReaderFeatures.contains(f))))
+        refuse("readerFeatures (checkpoint)", "protocol readerFeatures")
+      if (structFields("add").contains("deletionVector") &&
+          cpDf.selectExpr("add.deletionVector AS dv").filter("dv IS NOT NULL").count() > 0)
+        refuse("deletionVectors", "checkpoint add action")
+      if (structFields("metaData").contains("configuration") &&
+          cpDf.selectExpr("metaData.configuration['delta.columnMapping.mode'] AS m")
+            .filter("m IS NOT NULL AND m <> 'none'").count() > 0)
+        refuse("columnMapping", "checkpoint metaData configuration")
+      val rows = cpDf
         .selectExpr("add.path AS add_path", "add.partitionValues AS add_pv",
           "metaData.schemaString AS schema_string", "metaData.partitionColumns AS part_cols")
         .collect()
@@ -125,14 +177,20 @@ object DeltaInterop {
       } finally in.close()
       body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
         val action = mapper.readTree(line)
-        if (action.has("metaData")) meta = Some(parseMeta(action.get("metaData")))
-        else if (action.has("add")) {
+        if (action.has("protocol")) checkProtocol(action.get("protocol"))
+        else if (action.has("metaData")) {
+          checkMetaConfig(action.get("metaData"))
+          meta = Some(parseMeta(action.get("metaData")))
+        } else if (action.has("add")) {
           val a = action.get("add")
+          // a DV-bearing add can appear even below reader version 3 in
+          // the wild; never rely on the protocol action alone
+          if (a.hasNonNull("deletionVector")) refuse("deletionVectors", "add action")
           live(a.get("path").asText) = partValues(a)
         } else if (action.has("remove")) {
           live.remove(action.get("remove").get("path").asText): Unit
         }
-        // protocol/txn/commitInfo actions carry no file-set state here
+        // txn/commitInfo actions carry no file-set state here
       }
     }
 

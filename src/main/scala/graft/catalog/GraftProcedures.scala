@@ -27,7 +27,8 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta",
-      "export_iceberg", "import_iceberg", "rewrite_deletes", "history")
+      "export_iceberg", "import_iceberg", "rewrite_deletes", "history",
+      "materialize_mapping", "analyze")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -40,8 +41,35 @@ private[catalog] object GraftProcedures {
     case "import_iceberg"  => new ImportIceberg(cat)
     case "rewrite_deletes" => new RewriteDeletes(cat)
     case "history"         => new History(cat)
+    case "materialize_mapping" => new MaterializeMapping(cat)
+    case "analyze"         => new Analyze(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
+  }
+
+  /** Column-mapping state of a table root: (declared schema, logical→
+    * physical renames, dropped-physical registry). Exports must refuse
+    * while either is live — the data files store PHYSICAL names, so a
+    * straight file export would resurrect old names/columns.
+    */
+  private def mappingStateOf(cat: GraftTableCatalog,
+      root: String): (Option[org.apache.spark.sql.types.StructType],
+        Map[String, String], Set[String]) = {
+    val fs = HadoopFs.fs(cat.sparkSession, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val declared = cat.declaredSchema(rootPath)
+    val renames = declared.map(ColumnMapping.renames).getOrElse(Map.empty)
+    val (dropped, _) = ColumnMapping.readMeta(fs, rootPath)
+    (declared, renames, dropped)
+  }
+
+  private def requireUnmapped(cat: GraftTableCatalog, root: String, op: String): Unit = {
+    val (_, renames, dropped) = mappingStateOf(cat, root)
+    if (renames.nonEmpty || dropped.nonEmpty) throw new IllegalStateException(
+      s"$op: table has column-mapping metadata (renamed: ${renames.keys.mkString(",")}; " +
+        s"dropped physical: ${dropped.mkString(",")}) — the data files store " +
+        "physical names, so a file-level export would carry the wrong schema. " +
+        "Materialize first: CALL <catalog>.system.materialize_mapping")
   }
 
   private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
@@ -98,12 +126,15 @@ private[catalog] object GraftProcedures {
 
   private final class Vacuum(cat: GraftTableCatalog)
     extends Proc("vacuum", Seq(in("table", StringType), in("keep_versions", IntegerType),
-      in("min_age_ms", LongType))) {
+      in("min_age_ms", LongType), in("min_version_age_ms", LongType))) {
     override def description(): String =
-      "drop old versions and collect unreferenced pool files past the age threshold"
+      "drop old versions and collect unreferenced pool files past the age " +
+        "thresholds (min_version_age_ms is the streaming-checkpoint retention " +
+        "floor; dropping younger versions refuses loudly — pass 0 to force)"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
-      val (manifests, files) = log.vacuum(input.getInt(1), input.getLong(2))
+      val (manifests, files) = log.vacuum(input.getInt(1), input.getLong(2),
+        input.getLong(3))
       result(new StructType().add("manifests_deleted", IntegerType)
         .add("files_deleted", IntegerType), manifests, files)
     }
@@ -117,6 +148,19 @@ private[catalog] object GraftProcedures {
       val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
       val v = log.restore(input.getLong(1))
       result(new StructType().add("version", LongType), v)
+    }
+  }
+
+  private final class Analyze(cat: GraftTableCatalog)
+    extends Proc("analyze", Seq(in("table", StringType))) {
+    override def description(): String =
+      "harvest per-column NDV/null statistics for cost-based join planning " +
+        "(row/byte counts are already exact from the manifest)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val (v, nCols) = log.analyze()
+      result(new StructType().add("version", LongType)
+        .add("columns_analyzed", IntegerType), v, nCols)
     }
   }
 
@@ -136,8 +180,10 @@ private[catalog] object GraftProcedures {
     extends Proc("export_delta", Seq(in("table", StringType), in("dest", StringType))) {
     override def description(): String = "export the table head as a minimal Delta table"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = cat.rootOf(input.getUTF8String(0).toString)
+      requireUnmapped(cat, root, "export_delta")
       val n = DeltaInterop.exportDelta(cat.sparkSession,
-        cat.rootOf(input.getUTF8String(0).toString), input.getUTF8String(1).toString)
+        root, input.getUTF8String(1).toString)
       result(new StructType().add("files_exported", IntegerType), n)
     }
   }
@@ -162,8 +208,10 @@ private[catalog] object GraftProcedures {
     override def description(): String =
       "export the table head as a minimal Iceberg v2 table (HadoopCatalog layout)"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = cat.rootOf(input.getUTF8String(0).toString)
+      requireUnmapped(cat, root, "export_iceberg")
       val n = IcebergInterop.exportIceberg(cat.sparkSession,
-        cat.rootOf(input.getUTF8String(0).toString), input.getUTF8String(1).toString)
+        root, input.getUTF8String(1).toString)
       result(new StructType().add("files_exported", IntegerType), n)
     }
   }
@@ -177,6 +225,44 @@ private[catalog] object GraftProcedures {
       val v = IcebergInterop.importIceberg(cat.sparkSession,
         input.getUTF8String(0).toString, root)
       result(new StructType().add("version", LongType), v)
+    }
+  }
+
+  /** Rewrite a column-mapped table so files store the LOGICAL names: one
+    * replace commit reading physical→logical, then the mapping metadata
+    * is stripped (the dropped-name registry is kept — those physical
+    * names stay reserved because retained HISTORY versions still
+    * reference old files). After this, streaming reads, SQL MERGE/UPDATE
+    * and Delta/Iceberg exports work again. Caveat (same as any format
+    * that rewrites mapping away): time travel to PRE-materialize versions
+    * reads those snapshots under their physical column names.
+    */
+  private final class MaterializeMapping(cat: GraftTableCatalog)
+    extends Proc("materialize_mapping", Seq(in("table", StringType))) {
+    override def description(): String =
+      "rewrite a renamed/dropped-column table so data files store the logical names"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.functions.col
+      val root = cat.rootOf(input.getUTF8String(0).toString)
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val (declaredOpt, renames, dropped) = mappingStateOf(cat, root)
+      val resultSchema = new StructType()
+        .add("version", LongType).add("columns_materialized", IntegerType)
+      if (renames.isEmpty && dropped.isEmpty)
+        return result(resultSchema, -1L, 0)   // nothing to do; no commit
+      val schema = declaredOpt.getOrElse(throw new IllegalStateException(
+        s"materialize_mapping: no declared schema under $root"))
+      val log = new CommitLog(cat.sparkSession, root)
+      val logical = log.read().select(schema.fields.map(f =>
+        col(s"`${ColumnMapping.physicalName(f)}`").as(f.name)).toIndexedSeq: _*)
+      val partCols = cat.declaredPartitioning(rootPath)
+      val v =
+        if (partCols.nonEmpty) log.commitPartitioned(logical, partCols, replace = true)
+        else log.commit(logical, replace = true)
+      cat.writeSchema(rootPath, org.apache.spark.sql.types.StructType(
+        schema.fields.map(f => f.copy(metadata =
+          org.apache.spark.sql.types.Metadata.empty))))
+      result(resultSchema, v, renames.size)
     }
   }
 

@@ -15,7 +15,7 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** V2 `TableCatalog` plugin putting [[CommitLog]] tables behind catalog
@@ -167,7 +167,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().length == 1 && isTable(tableRoot(ident))
 
-  private def declaredSchema(root: Path): Option[StructType] = {
+  private[catalog] def declaredSchema(root: Path): Option[StructType] = {
     val f = schemaFile(root)
     if (!fs.exists(f)) None
     else {
@@ -181,7 +181,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  private def writeSchema(root: Path, schema: StructType): Unit =
+  private[catalog] def writeSchema(root: Path, schema: StructType): Unit =
     LogStore.write(fs, schemaFile(root),
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -233,7 +233,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   private def partitionFile(root: Path) = new Path(root, "_partition.json")
 
-  private def declaredPartitioning(root: Path): Seq[String] = {
+  private[catalog] def declaredPartitioning(root: Path): Seq[String] = {
     val f = partitionFile(root)
     if (!fs.exists(f)) {
       // no sidecar (table written via CommitLog.commitPartitioned outside
@@ -288,12 +288,60 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val root = tableRoot(ident)
     var schema = declaredSchema(root).getOrElse(loadTable(ident).schema())
+    val partCols = declaredPartitioning(root).toSet
+    var (dropped, seq) = ColumnMapping.readMeta(fs, root)
+    // physical names EVER used must never rebind to different bytes: live
+    // physicals + the dropped registry together are the reserved set
+    def reserved: Set[String] =
+      schema.fields.map(ColumnMapping.physicalName).toSet ++ dropped
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
-        schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+        val name = add.fieldNames()(0)
+        require(!schema.fieldNames.contains(name),
+          s"ADD COLUMN $name: column already exists")
+        // a re-added name whose physical slot is taken (dropped earlier,
+        // or surrendered by a rename) binds to a FRESH physical name —
+        // matching by name would resurrect the old column's bytes
+        val field =
+          if (!reserved.contains(name))
+            StructField(name, add.dataType(), nullable = true)
+          else {
+            var phys = s"${name}_c$seq"; seq += 1
+            while (reserved.contains(phys)) { phys = s"${name}_c$seq"; seq += 1 }
+            ColumnMapping.withPhysical(
+              StructField(name, add.dataType(), nullable = true), phys)
+          }
+        schema = StructType(schema.fields :+ field)
+      case ren: TableChange.RenameColumn if ren.fieldNames().length == 1 =>
+        val old = ren.fieldNames()(0); val nw = ren.newName()
+        require(schema.fieldNames.contains(old),
+          s"RENAME COLUMN $old: no such column (have ${schema.fieldNames.toSeq})")
+        require(!schema.fieldNames.contains(nw),
+          s"RENAME COLUMN $old TO $nw: target name already exists")
+        require(!partCols.contains(old),
+          s"RENAME COLUMN $old: partition columns name the directory layout " +
+            "(c=v paths); rebuild with commitPartitioned(replace) to rename one")
+        // metadata-only: the field keeps reading/writing its physical name
+        schema = StructType(schema.fields.map { f =>
+          if (f.name != old) f
+          else ColumnMapping.withPhysical(f.copy(name = nw),
+            ColumnMapping.physicalName(f))
+        })
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+        val name = del.fieldNames()(0)
+        require(schema.fieldNames.contains(name),
+          s"DROP COLUMN $name: no such column (have ${schema.fieldNames.toSeq})")
+        require(schema.length > 1, s"DROP COLUMN $name: cannot drop the last column")
+        require(!partCols.contains(name),
+          s"DROP COLUMN $name: partition columns name the directory layout; " +
+            "rebuild with commitPartitioned(replace) to drop one")
+        val phys = ColumnMapping.physicalName(schema(name))
+        dropped += phys   // reserve forever: data files still carry the bytes
+        schema = StructType(schema.fields.filterNot(_.name == name))
       case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports top-level ADD COLUMN only, got $other")
+        s"graft ALTER TABLE supports top-level ADD/RENAME/DROP COLUMN only, got $other")
     }
+    ColumnMapping.writeMeta(fs, root, dropped, seq)
     writeSchema(root, schema)
     loadTable(ident)
   }
@@ -333,6 +381,16 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
     */
   private[graft] lazy val hasDeletes: Boolean =
     pinned.orElse(log.currentVersion).exists(v => log.dvFiles(v).nonEmpty)
+
+  /** logical → physical for columns renamed via ALTER TABLE; empty on
+    * tables that never renamed (the overwhelmingly common case). Reads of
+    * renamed tables are rewritten at analysis ([[graft.plans.ApplyDeletionVectors]]);
+    * writes rename to physical before staging.
+    */
+  private[graft] lazy val renameMapping: Map[String, String] =
+    declared.map(ColumnMapping.renames).getOrElse(Map.empty)
+  private[graft] def hasRenames: Boolean = renameMapping.nonEmpty
+  private def physicalOf(name: String): String = renameMapping.getOrElse(name, name)
 
   /** Tombstone-applied snapshot read for the DV analyzer rule
     * ([[graft.plans.ApplyDeletionVectors]]): the commit log's own
@@ -375,6 +433,16 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
       s"$tableName carries merge-on-read deletion vectors; install " +
         "spark.sql.extensions=graft.functions.GraftExtensions (applies them at " +
         s"read) or fold them in first: CALL <catalog>.system.rewrite_deletes")
+    // a raw file scan on a renamed table binds logical names against
+    // files storing physical names — every renamed column would read
+    // NULL. Batch reads are rewritten at analysis when the extensions
+    // are installed; streaming reads have no rewrite hook, so renamed
+    // tables refuse them until the mapping is materialized.
+    if (hasRenames) throw new IllegalStateException(
+      s"$tableName has renamed columns ($renameMapping); batch reads need " +
+        "spark.sql.extensions=graft.functions.GraftExtensions, and streaming " +
+        "reads require materializing first: " +
+        "CALL <catalog>.system.materialize_mapping")
     val snapshot = pinned.orElse(log.currentVersion)
     pinned.foreach { v =>
       require(log.files(v) != null, s"version $v not readable under $root")
@@ -393,9 +461,23 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
       .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
     // batch pushdown forwards untouched; streaming reads tail the commit
     // log ([[GraftMicroBatchStream]]) — the checkpoint location is unused
-    // because offsets ARE commit versions (the engine's own durable log)
+    // because offsets ARE commit versions (the engine's own durable log).
+    // Whole-snapshot scans report the manifest's EXACT bytes/rows (plus
+    // ANALYZE ndv/null counts when the sidecar exists) so join planning
+    // and CBO reorder see real sizes, not compressed-bytes guesses.
+    val exactStats = () => snapshot.map { v =>
+      val (bytes, rows) = log.snapshotStats(v)
+      val cols = log.analyzedStats() match {
+        // serve column stats only while they describe this snapshot's
+        // head lineage (estimates may go stale, versions must not lie)
+        case Some((av, _, m)) if av <= v => m
+        case _ => Map.empty[String, (Long, Long)]
+      }
+      org.apache.spark.sql.GraftExactStats(bytes, rows, cols)
+    }
     new org.apache.spark.sql.GraftForwardingScanBuilder(inner,
-      _ => new GraftMicroBatchStream(spark, tableName, root, schema, scanOptions))
+      _ => new GraftMicroBatchStream(spark, tableName, root, schema, scanOptions),
+      exactStats)
   }
 
   private sealed trait WriteMode
@@ -409,7 +491,8 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
       private var mode: WriteMode = AppendMode
       override def truncate(): WriteBuilder = { mode = TruncateMode; this }
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
-        val cond = filters.map(f => GraftTable.filterToColumn(f).getOrElse(
+        // the condition runs against the FILES (physical names)
+        val cond = filters.map(f => GraftTable.filterToColumn(f, physicalOf).getOrElse(
             throw new UnsupportedOperationException(s"untranslatable overwrite filter: $f")))
           .reduceOption(_ && _).getOrElse(lit(true))
         mode = OverwriteMode(cond)
@@ -431,12 +514,21 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
             case OverwriteMode(_) => throw new UnsupportedOperationException(
               "streaming filter-overwrite is not a streaming output mode")
           }
-          new GraftStreamingWrite(log, info.schema(), info.queryId(),
+          // renamed tables stage files under PHYSICAL names (positional
+          // rename — the epoch write's rows are resolved to table order)
+          val streamSchema =
+            if (hasRenames) ColumnMapping.physicalSchema(schema) else info.schema()
+          new GraftStreamingWrite(log, streamSchema, info.queryId(),
             replaceEachEpoch, tableName)
         }
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit = mode match {
+            override def insert(data0: DataFrame, overwrite: Boolean): Unit = {
+              // column-mapped tables store physical names; the insert is
+              // resolved to table column order, so the rename is positional
+              val data =
+                if (hasRenames) ColumnMapping.toPhysical(data0, schema) else data0
+              mode match {
               case AppendMode if partCols.nonEmpty =>
                 log.commitPartitioned(data, partCols, replace = false): Unit
               case AppendMode        => log.commit(data, replace = false): Unit
@@ -451,6 +543,7 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
                 } else log.rewriteWhere(c, Some(data)): Unit
                 // (filter-overwrite on a partitioned table refuses inside
                 // rewriteWhere — the CoW tier would flatten the layout)
+              }
             }
           }
       }
@@ -462,7 +555,7 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
 
   override def deleteWhere(filters: Array[Filter]): Unit =
     if (log.currentVersion.nonEmpty) {
-      val cond = filters.flatMap(GraftTable.filterToColumn)
+      val cond = filters.flatMap(GraftTable.filterToColumn(_, physicalOf))
         .reduceOption(_ && _).getOrElse(lit(true))
       // partitioned tables delete on the merge-on-read tier (CoW would
       // flatten the hive layout); reads apply the tombstones via the
@@ -504,6 +597,16 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
         s"$tableName is hive-partitioned; SQL MERGE/UPDATE would flatten the " +
           "layout. Use DELETE (merge-on-read) + INSERT, or rebuild with " +
           "INSERT OVERWRITE")
+    // the group-based rewrite stages files under the QUERY's (logical)
+    // names — on a column-mapped table that silently forks the physical
+    // naming, so refuse MERGE/UPDATE until the mapping is materialized
+    // (DELETE still analyzes through here and lands on deleteWhere)
+    if (hasRenames &&
+        info.command() != org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+      throw new UnsupportedOperationException(
+        s"$tableName has renamed columns; SQL MERGE/UPDATE would stage files " +
+          "under the old logical names. Materialize the mapping first: " +
+          "CALL <catalog>.system.materialize_mapping")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
         new org.apache.spark.sql.connector.write.RowLevelOperation {
@@ -533,6 +636,11 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
                       "predicate is not filter-expressible; use a filter " +
                       "predicate (merge-on-read DELETE) or rebuild with " +
                       "INSERT OVERWRITE")
+                  if (hasRenames) throw new UnsupportedOperationException(
+                    s"$tableName has renamed columns and this DELETE's " +
+                      "predicate is not filter-expressible; use a filter " +
+                      "predicate or materialize the mapping first: " +
+                      "CALL <catalog>.system.materialize_mapping")
                   val stage = log.newStageDir("rlo")
                   val delegate = ParquetTable("graft-rlo-stage", spark, winfo.options(),
                     Seq(stage), Some(winfo.schema()), classOf[ParquetFileFormat])
@@ -614,27 +722,32 @@ private[graft] object GraftTable {
     * top-level columns; nested references return None (the caller then
     * reports the predicate as unsupported rather than mistranslating).
     */
-  def filterToColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v)            => ref(a).map(_ === lit(v))
-    case EqualNullSafe(a, v)      => ref(a).map(_ <=> lit(v))
-    case GreaterThan(a, v)        => ref(a).map(_ > lit(v))
-    case GreaterThanOrEqual(a, v) => ref(a).map(_ >= lit(v))
-    case LessThan(a, v)           => ref(a).map(_ < lit(v))
-    case LessThanOrEqual(a, v)    => ref(a).map(_ <= lit(v))
-    case In(a, vs)                => ref(a).map(_.isin(vs.toIndexedSeq: _*))
-    case IsNull(a)                => ref(a).map(_.isNull)
-    case IsNotNull(a)             => ref(a).map(_.isNotNull)
-    case And(l, r)                => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
-    case Or(l, r)                 => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
-    case Not(c)                   => filterToColumn(c).map(!_)
-    case StringStartsWith(a, v)   => ref(a).map(_.startsWith(v))
-    case StringEndsWith(a, v)     => ref(a).map(_.endsWith(v))
-    case StringContains(a, v)     => ref(a).map(_.contains(v))
+  def filterToColumn(f: Filter): Option[Column] = filterToColumn(f, identity)
+
+  /** `rename` maps logical attribute names to the names the underlying
+    * files store (column-mapped tables); identity everywhere else.
+    */
+  def filterToColumn(f: Filter, rename: String => String): Option[Column] = f match {
+    case EqualTo(a, v)            => ref(a, rename).map(_ === lit(v))
+    case EqualNullSafe(a, v)      => ref(a, rename).map(_ <=> lit(v))
+    case GreaterThan(a, v)        => ref(a, rename).map(_ > lit(v))
+    case GreaterThanOrEqual(a, v) => ref(a, rename).map(_ >= lit(v))
+    case LessThan(a, v)           => ref(a, rename).map(_ < lit(v))
+    case LessThanOrEqual(a, v)    => ref(a, rename).map(_ <= lit(v))
+    case In(a, vs)                => ref(a, rename).map(_.isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => ref(a, rename).map(_.isNull)
+    case IsNotNull(a)             => ref(a, rename).map(_.isNotNull)
+    case And(l, r)                => for (a <- filterToColumn(l, rename); b <- filterToColumn(r, rename)) yield a && b
+    case Or(l, r)                 => for (a <- filterToColumn(l, rename); b <- filterToColumn(r, rename)) yield a || b
+    case Not(c)                   => filterToColumn(c, rename).map(!_)
+    case StringStartsWith(a, v)   => ref(a, rename).map(_.startsWith(v))
+    case StringEndsWith(a, v)     => ref(a, rename).map(_.endsWith(v))
+    case StringContains(a, v)     => ref(a, rename).map(_.contains(v))
     case AlwaysTrue()             => Some(lit(true))
     case AlwaysFalse()            => Some(lit(false))
     case _                        => None
   }
 
-  private def ref(a: String): Option[Column] =
-    if (a.contains(".")) None else Some(col(s"`$a`"))
+  private def ref(a: String, rename: String => String): Option[Column] =
+    if (a.contains(".")) None else Some(col(s"`${rename(a)}`"))
 }

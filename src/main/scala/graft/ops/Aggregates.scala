@@ -37,8 +37,17 @@ object Aggregates {
       .agg(
         sum(dec("l_quantity")).cast("double").as("sum_qty"),
         sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(ext * (one - disc)).cast("double").as("sum_disc_price"),
-        sum(ext * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+        // ROUND the exact scale-4/6 decimal sums to 2dp BEFORE the double
+        // cast: a scale-6 sum s converts through unscaled s*1e6, which
+        // passes 2^53 around s≈9e9 — DuckDB's int128→double cast then
+        // double-rounds while java BigDecimal rounds once, and the oracle
+        // compare diverges in the last ulps (first seen at sf1). 2dp
+        // keeps the conversion exact to s≈9e13 on both engines. ROUND,
+        // not a rescaling cast: DuckDB's decimal downscale cast TRUNCATES
+        // (1.006 → 1.00) while Spark's rounds — ROUND is half-up on both.
+        round(sum(ext * (one - disc)), 2).cast("double").as("sum_disc_price"),
+        round(sum(ext * (one - disc) * (one + tax)), 2).cast("double")
+          .as("sum_charge"),
         (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(dec("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
         (sum(dec("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
@@ -180,6 +189,29 @@ object Aggregates {
         count(lit(1)).as("n_nations"))
       .orderBy(col("r_name"))
 
+  /** The bounded-state twin of [[aggString]]: per group, the K
+    * lexicographically-first members plus the TOTAL count — never the
+    * whole group in one aggregation buffer. `collect_list` sees only the
+    * rows the windowed rank admitted (the CASE yields null past K and
+    * collect_list drops nulls), so group state is ≤ K regardless of
+    * group size; the window sort itself spills, it does not buffer the
+    * group in an agg cell. This is the escape hatch SCALING.md names for
+    * `q_agg_string`'s O(group) `array_sort(collect_list)` memory — at
+    * 100 TB a hot group would otherwise hold its whole membership on one
+    * reducer.
+    */
+  private def aggStringCapped(s: SparkSession, d: String): DataFrame =
+    nation(s, d).join(broadcast(region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .withColumn("rn",
+        expr("row_number() OVER (PARTITION BY r_name ORDER BY n_name)"))
+      .groupBy(col("r_name"))
+      .agg(
+        expr("array_join(array_sort(collect_list(CASE WHEN rn <= 3 THEN n_name END)), ',')")
+          .as("top_nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+
   /** UNPIVOT (melt): the wide lineitem measures reshaped to long
     * (metric, value) rows — `pivot`'s inverse, the normalization step
     * before generic per-metric aggregation. `stack` is a Generate (narrow,
@@ -202,6 +234,7 @@ object Aggregates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_unpivot"         -> aggUnpivot _,
     "q_agg_string"          -> aggString _,
+    "q_agg_string_capped"   -> aggStringCapped _,
     "q_agg_group"           -> aggGroup _,
     "q_agg_global"          -> aggGlobal _,
     "q_agg_having"          -> aggHaving _,
@@ -231,12 +264,20 @@ object Aggregates {
         |  count(*) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_agg_string_capped" ->
+      """SELECT r_name,
+        |  string_agg(CASE WHEN rn <= 3 THEN n_name END, ',' ORDER BY n_name) AS top_nations,
+        |  count(*) AS n_nations
+        |FROM (SELECT r_name, n_name,
+        |        row_number() OVER (PARTITION BY r_name ORDER BY n_name) AS rn
+        |      FROM nation JOIN region ON n_regionkey = r_regionkey)
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
         |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,

@@ -17,36 +17,62 @@ import org.apache.spark.sql.types.StructType
   * ParquetScan: every pushdown call lands on the delegate, and `toBatch`
   * of the wrapped Scan IS the delegate's batch.
   */
+/** Snapshot-exact planner statistics for a commit-log table: bytes and
+  * rows from the manifest's commit-time tags, per-column NDV/null counts
+  * from the table's ANALYZE sidecar (empty when never analyzed).
+  */
+final case class GraftExactStats(sizeInBytes: Long, numRows: Option[Long],
+    colStats: Map[String, (Long, Long)])
+
 final class GraftForwardingScanBuilder(
     delegate: ParquetScanBuilder,
-    stream: String => MicroBatchStream)
+    stream: String => MicroBatchStream,
+    exactStats: () => Option[GraftExactStats] = () => None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
   with SupportsPushDownAggregates
   with SupportsPushDownVariantExtractions {
 
+  // once a filter or aggregate is pushed, the scan's output no longer
+  // matches the whole-snapshot statistics — fall back to the delegate's
+  // listing-based estimate instead of over-reporting
+  private var narrowed = false
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     delegate.pruneColumns(requiredSchema)
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
-    delegate.pushFilters(filters)
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val post = delegate.pushFilters(filters)
+    if (delegate.pushedFilters.nonEmpty) narrowed = true
+    post
+  }
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
-  override def pushAggregation(aggregation: Aggregation): Boolean =
-    delegate.pushAggregation(aggregation)
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val pushed = delegate.pushAggregation(aggregation)
+    if (pushed) narrowed = true
+    pushed
+  }
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     delegate.supportCompletePushDown(aggregation)
   override def pushVariantExtractions(
       extractions: Array[VariantExtraction]): Array[Boolean] =
     delegate.pushVariantExtractions(extractions)
 
-  override def build(): Scan = new GraftStreamableScan(delegate.build(), stream)
+  override def build(): Scan = new GraftStreamableScan(delegate.build(), stream,
+    if (narrowed) None else exactStats())
 }
 
-/** Scan wrapper: batch reads delegate untouched (statistics included, so
-  * join-side broadcast estimation sees the real file sizes); streaming
-  * reads get the catalog's commit-tailing [[MicroBatchStream]].
+/** Scan wrapper: batch reads delegate untouched; streaming reads get the
+  * catalog's commit-tailing [[MicroBatchStream]]. Statistics prefer the
+  * commit log's EXACT snapshot numbers (manifest row/byte tags + ANALYZE
+  * ndv/null sidecar) when the scan is the whole snapshot — this is what
+  * lets join planning broadcast the truly-small side and lets
+  * cost-based join reorder see real row counts instead of
+  * compressed-bytes guesses; a filtered/aggregated scan falls back to
+  * the delegate's post-pruning estimate.
   */
-final class GraftStreamableScan(delegate: Scan, stream: String => MicroBatchStream)
+final class GraftStreamableScan(delegate: Scan, stream: String => MicroBatchStream,
+    exact: Option[GraftExactStats] = None)
   extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = delegate.description()
@@ -56,11 +82,34 @@ final class GraftStreamableScan(delegate: Scan, stream: String => MicroBatchStre
   override def supportedCustomMetrics() = delegate.supportedCustomMetrics()
   override def reportDriverMetrics() = delegate.reportDriverMetrics()
   override def columnarSupportMode() = delegate.columnarSupportMode()
-  override def estimateStatistics(): Statistics = delegate match {
-    case s: SupportsReportStatistics => s.estimateStatistics()
-    case _ => new Statistics {
-      override def sizeInBytes() = java.util.OptionalLong.empty()
-      override def numRows() = java.util.OptionalLong.empty()
+
+  override def estimateStatistics(): Statistics = exact match {
+    case Some(st) => new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.of(st.sizeInBytes)
+      override def numRows() = st.numRows
+        .map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+      override def columnStats()
+          : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        st.colStats.foreach { case (c, (ndv, nulls)) =>
+          m.put(org.apache.spark.sql.connector.expressions.FieldReference.column(c),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount() = java.util.OptionalLong.of(ndv)
+              override def nullCount() = java.util.OptionalLong.of(nulls)
+            })
+        }
+        m
+      }
+    }
+    case None => delegate match {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => new Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
     }
   }
 }

@@ -147,7 +147,7 @@ class CatalogSpec extends AnyFunSuite {
       txn = Some("batch-7")) == vr)
     // vacuum keeps the restored head readable: its files are re-referenced
     // by the new manifest even though their ORIGINAL version is dropped
-    log.vacuum(keepVersions = 1, minFileAgeMs = 0L)
+    log.vacuum(keepVersions = 1, minFileAgeMs = 0L, minVersionAgeMs = 0)
     assert(log.read().as[Long].collect().sorted.toSeq == Seq(1L, 2L))
     intercept[Exception] { log.readVersion(v1).collect() }: Unit
   }
@@ -166,11 +166,11 @@ class CatalogSpec extends AnyFunSuite {
     assert(reader.as[Long].collect().sorted.toSeq == (1L to 12L))
     // vacuum with the default retention must NOT touch the young
     // unreferenced files (they could belong to an in-flight commit)
-    val (_, keptYoung) = log.vacuum(keepVersions = 1)
+    val (_, keptYoung) = log.vacuum(keepVersions = 1, minVersionAgeMs = 0)
     assert(keptYoung == 0)
     assert(reader.as[Long].collect().sorted.toSeq == (1L to 12L))
     // aged-out vacuum collects them; the head snapshot is unaffected
-    val (_, collected) = log.vacuum(keepVersions = 1, minFileAgeMs = 0L)
+    val (_, collected) = log.vacuum(keepVersions = 1, minFileAgeMs = 0L, minVersionAgeMs = 0)
     assert(collected >= 12)
     assert(log.read().as[Long].collect().sorted.toSeq == (1L to 12L))
   }
@@ -218,7 +218,7 @@ class CatalogSpec extends AnyFunSuite {
     for (i <- 1L to 3L) log.commit(Seq(i).toDF("k"), replace = false)
     intercept[IllegalArgumentException](log.vacuum(keepVersions = 0))
     val snapshotV2 = log.readVersion(2L)
-    val (m1, f1) = log.vacuum(keepVersions = 2, minFileAgeMs = 0L)
+    val (m1, f1) = log.vacuum(keepVersions = 2, minFileAgeMs = 0L, minVersionAgeMs = 0)
     assert(m1 == 1, "exactly the v1 manifest drops")
     // append chain: v1's pool files are still referenced by v2/v3 → kept
     assert(f1 == 0)
@@ -229,10 +229,10 @@ class CatalogSpec extends AnyFunSuite {
     log.commit(Seq(9L).toDF("k"), replace = true)
     // …but the default age guard protects the young unreferenced files
     // (they could belong to an in-flight commit)
-    val (m2, f2) = log.vacuum(keepVersions = 1)
+    val (m2, f2) = log.vacuum(keepVersions = 1, minVersionAgeMs = 0)
     assert(m2 == 2 && f2 == 0)
     // aged out, the orphaned pool files of all three old commits go
-    val (_, f3) = log.vacuum(keepVersions = 1, minFileAgeMs = 0L)
+    val (_, f3) = log.vacuum(keepVersions = 1, minFileAgeMs = 0L, minVersionAgeMs = 0)
     assert(f3 >= 3)
     assert(log.read().as[Long].collect().toSeq == Seq(9L))
   }
@@ -248,11 +248,11 @@ class CatalogSpec extends AnyFunSuite {
     assert(before >= 12 && after == 1)
     assert(reader.select("src_sys_id").as[Long].collect().sorted.toSeq == (0L to 11L))
     // default-retention vacuum must not collect the young unreferenced files
-    val (_, young) = cat.vacuum("source_system")
+    val (_, young) = cat.vacuum("source_system", minVersionAgeMs = 0)
     assert(young == 0)
     assert(reader.select("src_sys_id").as[Long].collect().sorted.toSeq == (0L to 11L))
     // aged-out vacuum collects them; the compacted head is unaffected
-    val (_, collected) = cat.vacuum("source_system", keepVersions = 1, minFileAgeMs = 0L)
+    val (_, collected) = cat.vacuum("source_system", keepVersions = 1, minFileAgeMs = 0L, minVersionAgeMs = 0)
     assert(collected >= 12)
     assert(cat.readTable("source_system").count() == 12)
   }
@@ -374,7 +374,7 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.read("source_system", "src_sys_id", 101L).count() == 0)
     // …but history versions (and their pool files) still hold it until
     // retention expires — that's the snapshot contract, not a leak
-    cat.vacuum("source_system", keepVersions = 1, minFileAgeMs = 0L)
+    cat.vacuum("source_system", keepVersions = 1, minFileAgeMs = 0L, minVersionAgeMs = 0)
     // now NO surviving pool file may contain the erased key: scan every
     // remaining parquet file under the table root directly
     val hfs = graft.catalog.HadoopFs.fs(spark, root)

@@ -139,6 +139,40 @@ class CommitLogStreamSpec extends AnyFunSuite {
     assert(batchSizes.toSeq == Seq(1L, 1L, 1L, 1L), batchSizes.toSeq)
   }
 
+  test("vacuum retention floor protects a lagging streaming checkpoint") {
+    spark.sql("CREATE TABLE gs.db.vacfloor (k BIGINT)")
+    spark.sql("INSERT INTO gs.db.vacfloor VALUES (1)")
+    val (out, cp) = (tmp("graft_sink"), tmp("graft_cp"))
+    runOnce("gs.db.vacfloor", out, cp)   // checkpoint now points at v1
+    // the consumer goes offline; the table keeps committing
+    spark.sql("INSERT INTO gs.db.vacfloor VALUES (2)")
+    spark.sql("INSERT INTO gs.db.vacfloor VALUES (3)")
+    val log = new graft.catalog.CommitLog(spark, s"$warehouse/db/vacfloor")
+
+    // DEFAULT settings: versions this young sit inside the retention
+    // horizon — vacuum refuses loudly and drops NOTHING
+    val refuse = intercept[IllegalStateException] {
+      log.vacuum(keepVersions = 1, minFileAgeMs = 0)
+    }
+    assert(refuse.getMessage.contains("retention horizon"), refuse.getMessage)
+    assert(log.history().map(_.version).min == 1L, "refusal must drop nothing")
+
+    // so the lagging consumer resumes cleanly from its checkpoint
+    runOnce("gs.db.vacfloor", out, cp)
+    assert(spark.read.parquet(out).count() == 3)
+
+    // FORCED vacuum (horizon 0) drops the checkpointed window → the
+    // consumer's restart hits the source's existing loud error
+    spark.sql("INSERT INTO gs.db.vacfloor VALUES (4)")
+    log.vacuum(keepVersions = 1, minFileAgeMs = 0, minVersionAgeMs = 0)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce("gs.db.vacfloor", out, cp)
+    }
+    val msg = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_)).mkString(" | ")
+    assert(msg.contains("no longer available") && msg.contains("vacuum"), msg)
+  }
+
   test("first batch is the full snapshot; version offsets appear in the checkpoint") {
     spark.sql("CREATE TABLE gs.db.snap (k BIGINT)")
     spark.sql("INSERT INTO gs.db.snap VALUES (1)")

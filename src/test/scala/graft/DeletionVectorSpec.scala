@@ -113,13 +113,13 @@ class DeletionVectorSpec extends AnyFunSuite {
     val log = seeded(root)
     val v = log.deleteWhereMoR(col("k") <= 50)
     val dvNames = log.dvFiles(v)
-    log.vacuum(keepVersions = 1, minFileAgeMs = 0)
+    log.vacuum(keepVersions = 1, minFileAgeMs = 0, minVersionAgeMs = 0)
     // head references the DV — it must survive and still apply
     assert(dvNames.forall(n => java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "data", n))))
     assert(keys(log) == (51L to 300L))
     log.rewriteDeletes()
-    log.vacuum(keepVersions = 1, minFileAgeMs = 0)
+    log.vacuum(keepVersions = 1, minFileAgeMs = 0, minVersionAgeMs = 0)
     // no retained version references the DV any more
     assert(dvNames.forall(n => !java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "data", n))))

@@ -132,6 +132,66 @@ class DeltaInteropSpec extends AnyFunSuite {
       Set((1L, "c0"), (2L, "c1"), (3L, "c0")))
   }
 
+  test("modern-feature tables refuse loudly by feature name") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+
+    // deletion vectors: DV-bearing add action
+    val dvTable = freshDir()
+    writeFile(dvTable, "f1.parquet", Seq(1L).toDF("k"))
+    writeLog(dvTable, 0L, Seq(protocol, metaData(schema.json),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,""" +
+        """"modificationTime":0,"dataChange":true,""" +
+        """"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,""" +
+        """"sizeInBytes":40,"cardinality":2}}}"""))
+    val dv = intercept[UnsupportedOperationException] {
+      DeltaInterop.readDelta(spark, dvTable)
+    }
+    assert(dv.getMessage.contains("deletionVectors"), dv.getMessage)
+
+    // column mapping: metaData configuration
+    val cmTable = freshDir()
+    writeFile(cmTable, "f1.parquet", Seq(1L).toDF("k"))
+    writeLog(cmTable, 0L, Seq(protocol,
+      s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000001",""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${new com.fasterxml.jackson.databind.ObjectMapper()
+          .writeValueAsString(schema.json)},""" +
+        s""""partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,""" +
+        """"modificationTime":0,"dataChange":true}}"""))
+    val cm = intercept[UnsupportedOperationException] {
+      DeltaInterop.readDelta(spark, cmTable)
+    }
+    assert(cm.getMessage.contains("columnMapping"), cm.getMessage)
+
+    // v3 protocol with unknown reader features
+    val featTable = freshDir()
+    writeFile(featTable, "f1.parquet", Seq(1L).toDF("k"))
+    writeLog(featTable, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      metaData(schema.json),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,""" +
+        """"modificationTime":0,"dataChange":true}}"""))
+    val ft = intercept[UnsupportedOperationException] {
+      DeltaInterop.readDelta(spark, featTable)
+    }
+    assert(ft.getMessage.contains("v2Checkpoint"), ft.getMessage)
+
+    // timestampNtz alone is admitted (the Spark reader handles the type)
+    val ntzTable = freshDir()
+    writeFile(ntzTable, "f1.parquet", Seq(1L).toDF("k"))
+    writeLog(ntzTable, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      metaData(schema.json),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,""" +
+        """"modificationTime":0,"dataChange":true}}"""))
+    assert(DeltaInterop.readDelta(spark, ntzTable).as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("export → read back → import: rows and schema survive both directions") {
     val commitRoot = freshDir() + "/t"
     val log = new CommitLog(spark, commitRoot)

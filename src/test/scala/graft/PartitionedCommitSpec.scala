@@ -110,9 +110,11 @@ class PartitionedCommitSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       log.deleteWhere(col("k") === 1L)
     }.getMessage.contains("hive-partitioned"))
+    // clustering a PARTITION column is refused (constant per dir);
+    // clustering a data column is partition-local and allowed (below)
     assert(intercept[IllegalArgumentException] {
-      log.optimizeBy("k")
-    }.getMessage.contains("hive-partitioned"))
+      log.optimizeBy("cat")
+    }.getMessage.contains("partition column"))
 
     val before = log.currentFileCount
     val (was, now) = log.compact()
@@ -128,7 +130,7 @@ class PartitionedCommitSpec extends AnyFunSuite {
     log.commitPartitioned(sample(1, 100), Seq("cat"), replace = true)
     val oldFiles = log.files(log.currentVersion.get)
     log.commitPartitioned(sample(101, 200), Seq("cat"), replace = true)
-    val (manifests, dead) = log.vacuum(keepVersions = 1, minFileAgeMs = 0)
+    val (manifests, dead) = log.vacuum(keepVersions = 1, minFileAgeMs = 0, minVersionAgeMs = 0)
     assert(manifests == 1)
     assert(dead == oldFiles.length, s"expected ${oldFiles.length} dead, got $dead")
     assert(log.read().count() == 100)
@@ -155,6 +157,49 @@ class PartitionedCommitSpec extends AnyFunSuite {
     assert(log.partitionColumns(3L) == Seq("cat"))
     // exactly one #partition header survives the carried lines
     assert(log.history().head.partitionColumns == Seq("cat"))
+  }
+
+  test("optimize and z-order on a partitioned table keep the c=v layout and pruning") {
+    val root = tmp("graft_part_opt")
+    val log = new CommitLog(spark, root)
+    val df = (1 to 400).map(i =>
+      (i.toLong, (i * 37 % 400).toLong, s"cat${i % 4}")).toDF("k", "x", "cat")
+    log.commitPartitioned(df, Seq("cat"), replace = true)
+
+    // 1-D optimize on a data column: spec + layout survive, files within
+    // each partition now cover disjoint k-ranges
+    log.optimizeBy("k", targetFileBytes = 4L * 1024)
+    val v1 = log.currentVersion.get
+    assert(log.partitionColumns(v1) == Seq("cat"))
+    assert(log.files(v1).forall(_.startsWith("cat=")), "optimize must keep the hive layout")
+    assert(log.read().count() == 400)
+    val catFiles = log.files(v1).groupBy(_.split('/').head)
+    // partition pruning exact after the rewrite
+    assert(log.readBetween("cat", "cat1", "cat1").inputFiles.length ==
+      catFiles("cat=cat1").length)
+    // and k-clustering prunes WITHIN the partition when it has >1 file
+    val pruned = log.readWhere(Seq(("cat", "cat1", "cat1"), ("k", 1, 30)))
+    if (catFiles("cat=cat1").length > 1)
+      assert(pruned.inputFiles.length < catFiles("cat=cat1").length,
+        s"${pruned.inputFiles.length} of ${catFiles("cat=cat1").length} files opened")
+    assert(pruned.count() ==
+      df.filter($"cat" === "cat1" && $"k".between(1, 30)).count())
+
+    // multi-dim z-order: same preservation, both dims carry narrow bounds
+    log.optimizeZOrder(Seq("k", "x"), targetFileBytes = 4L * 1024)
+    val v2 = log.currentVersion.get
+    assert(log.partitionColumns(v2) == Seq("cat"))
+    assert(log.files(v2).forall(_.startsWith("cat=")), "z-order must keep the hive layout")
+    val catFiles2 = log.files(v2).groupBy(_.split('/').head)
+    assert(log.readBetween("cat", "cat2", "cat2").inputFiles.length ==
+      catFiles2("cat=cat2").length)
+    val both = log.readWhere(Seq(("cat", "cat2", "cat2"), ("k", 1, 60), ("x", 1, 60)))
+    assert(both.count() ==
+      df.filter($"cat" === "cat2" && $"k".between(1, 60) && $"x".between(1, 60)).count())
+    // z-ordering a partition column refuses by name
+    assert(intercept[IllegalArgumentException] {
+      log.optimizeZOrder(Seq("k", "cat"))
+    }.getMessage.contains("partition"))
   }
 
   test("string partition values prune lexically, never numerically") {
@@ -216,7 +261,7 @@ class PartitionedCommitSpec extends AnyFunSuite {
     assert(hfs.exists(orphanDir), "young staging entry must survive the in-flight guard")
     assert(spared == 0)
     // past the guard the orphan is never referenced by any manifest: collect it
-    val (_, dead) = log.vacuum(keepVersions = 1, minFileAgeMs = 0)
+    val (_, dead) = log.vacuum(keepVersions = 1, minFileAgeMs = 0, minVersionAgeMs = 0)
     assert(dead >= 1, s"expected the _tmp orphan collected, got $dead")
     assert(!hfs.exists(orphanDir))
     assert(log.read().count() == 100, "table data untouched by _tmp cleanup")

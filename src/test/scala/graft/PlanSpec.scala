@@ -400,6 +400,57 @@ class PlanSpec extends AnyFunSuite {
     assert(joinLine.contains("[bin#"), s"join not keyed on the bin:\n$joinLine")
   }
 
+  test("catalog tables report exact stats; a 5-way join broadcasts every small side unhinted") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_cbo_wh").toString
+    spark.conf.set("spark.sql.catalog.cbo", classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cbo.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cbo.db")
+    import spark.implicits._
+    // five tables, three orders of magnitude apart
+    spark.range(0, 200000).select($"id".as("k"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("payload-padding-payload-padding-"),
+          $"id".cast("string")).as("pad"))
+      .write.saveAsTable("cbo.db.fact")
+    spark.range(0, 2000).select(($"id" % 2000).as("k"), ($"id" % 50).as("d1k"))
+      .write.saveAsTable("cbo.db.mid")
+    spark.range(0, 50).select($"id".as("d1k"), ($"id" % 10).as("d2k"))
+      .write.saveAsTable("cbo.db.dim1")
+    spark.range(0, 10).select($"id".as("d2k"), ($"id" % 3).as("d3k"))
+      .write.saveAsTable("cbo.db.dim2")
+    spark.range(0, 3).select($"id".as("d3k"),
+        org.apache.spark.sql.functions.lit("x").as("tag"))
+      .write.saveAsTable("cbo.db.dim3")
+
+    // (a) EXACT planner statistics from the manifest — no re-listing, no guess
+    val factStats = spark.table("cbo.db.fact").queryExecution.optimizedPlan.stats
+    assert(factStats.rowCount.contains(BigInt(200000)),
+      s"fact rowCount must be exact from the manifest: ${factStats.rowCount}")
+    assert(spark.table("cbo.db.dim2").queryExecution.optimizedPlan.stats
+      .rowCount.contains(BigInt(10)))
+
+    // (b) ANALYZE adds ndv/null column stats to the reported statistics
+    spark.sql("CALL cbo.system.analyze('db.mid')").collect()
+    val midStats = spark.table("cbo.db.mid").queryExecution.optimizedPlan.stats
+    val d1kAttr = midStats.attributeStats.toSeq
+      .find(_._1.name == "d1k").map(_._2)
+    assert(d1kAttr.exists(_.distinctCount.exists(n => n >= 40 && n <= 60)),
+      s"analyze must surface d1k ndv≈50: ${midStats.attributeStats}")
+
+    // (c) the 5-way star joins with every dim broadcast and the fact
+    // table never on a build side — from sizes alone, zero hints
+    val p = planStr(spark.sql(
+      """SELECT count(*) AS n FROM cbo.db.fact f
+        |JOIN cbo.db.mid m ON f.k = m.k
+        |JOIN cbo.db.dim1 a ON m.d1k = a.d1k
+        |JOIN cbo.db.dim2 b ON a.d2k = b.d2k
+        |JOIN cbo.db.dim3 c ON b.d3k = c.d3k""".stripMargin))
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj == 4, s"all four small sides must broadcast (got $bhj):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffle join belongs in this star:\n$p")
+  }
+
   test("q_win_interpolate: both fill frames reuse one sort (no exchange between windows)") {
     // wPrev and wNext share (event_type, h) ordering; Spark must plan
     // Window←Project←Window←Sort — a second Sort/Exchange between the two

@@ -109,6 +109,103 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(nss.contains("db"))
   }
 
+  test("RENAME COLUMN is metadata-only: old files readable, new name queryable") {
+    spark.sql("CREATE TABLE g.db.ren (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.ren VALUES (1, 'a'), (2, 'b')")
+    val log = new CommitLog(spark, s"$warehouse/db/ren")
+    val filesBefore = log.files(log.currentVersion.get).toSet
+
+    spark.sql("ALTER TABLE g.db.ren RENAME COLUMN v TO label")
+    // no data rewrite happened
+    assert(log.files(log.currentVersion.get).toSet == filesBefore,
+      "rename must not rewrite data files")
+    // new name queryable, with pushdown-eligible filters still correct
+    assert(spark.sql("SELECT k, label FROM g.db.ren WHERE label = 'b'")
+      .as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    assert(spark.sql("SELECT * FROM g.db.ren ORDER BY k").columns.toSeq ==
+      Seq("k", "label"))
+    // the old name is gone
+    val gone = intercept[Exception] {
+      spark.sql("SELECT v FROM g.db.ren").collect()
+    }
+    assert(gone.getMessage.contains("v") || gone.getMessage.contains("UNRESOLVED"),
+      gone.getMessage)
+
+    // inserts after the rename land under the PHYSICAL name — one
+    // consistent naming across old and new files
+    spark.sql("INSERT INTO g.db.ren VALUES (3, 'c')")
+    assert(spark.sql("SELECT label FROM g.db.ren WHERE k = 3")
+      .as[String].collect().toSeq == Seq("c"))
+    val physCols = spark.read.parquet(s"$warehouse/db/ren/data").columns.toSet
+    assert(physCols == Set("k", "v"), s"files must keep physical names: $physCols")
+
+    // time travel across the rename: pre-rename version, logical names
+    assert(spark.sql("SELECT * FROM g.db.ren VERSION AS OF 1").columns.toSeq ==
+      Seq("k", "label"))
+    assert(spark.sql("SELECT label FROM g.db.ren VERSION AS OF 1 ORDER BY k")
+      .as[String].collect().toSeq == Seq("a", "b"))
+
+    // DELETE WHERE on the renamed column translates to the physical name
+    spark.sql("DELETE FROM g.db.ren WHERE label = 'a'")
+    assert(spark.sql("SELECT k FROM g.db.ren ORDER BY k").as[Long]
+      .collect().toSeq == Seq(2L, 3L))
+  }
+
+  test("DROP COLUMN + re-ADD binds a fresh physical slot (no resurrection)") {
+    spark.sql("CREATE TABLE g.db.dropc (k BIGINT, v STRING, extra DOUBLE)")
+    spark.sql("INSERT INTO g.db.dropc VALUES (1, 'a', 9.5)")
+    spark.sql("ALTER TABLE g.db.dropc DROP COLUMN extra")
+    assert(spark.sql("SELECT * FROM g.db.dropc").columns.toSeq == Seq("k", "v"))
+    // files still carry the bytes — drop was metadata-only
+    assert(spark.read.parquet(s"$warehouse/db/dropc/data").columns.contains("extra"))
+
+    // re-adding the same name must NOT resurrect the dropped values
+    spark.sql("ALTER TABLE g.db.dropc ADD COLUMN extra DOUBLE")
+    assert(spark.sql("SELECT extra FROM g.db.dropc").as[Option[Double]]
+      .collect().toSeq == Seq(None),
+      "re-added column must read NULL, not the dropped column's bytes")
+    spark.sql("INSERT INTO g.db.dropc VALUES (2, 'b', 1.25)")
+    assert(spark.sql("SELECT k, extra FROM g.db.dropc ORDER BY k")
+      .as[(Long, Option[Double])].collect().toSeq ==
+      Seq((1L, None), (2L, Some(1.25))))
+  }
+
+  test("rename across MERGE/export refuses; materialize_mapping clears the state") {
+    spark.sql("CREATE TABLE g.db.matm (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.matm VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE g.db.matm RENAME COLUMN v TO w")
+
+    // MERGE refuses with the escape hatch named
+    val merge = intercept[Exception] {
+      spark.sql("""MERGE INTO g.db.matm t USING (SELECT 1 AS k, 'z' AS w) s
+                   ON t.k = s.k WHEN MATCHED THEN UPDATE SET w = s.w""")
+    }
+    assert(merge.getMessage.contains("materialize_mapping"), merge.getMessage)
+
+    // exports refuse: the files carry physical names
+    val exp = intercept[Exception] {
+      spark.sql(s"CALL g.system.export_delta('db.matm', '$warehouse/_matm_delta')").collect()
+    }
+    assert(exp.getMessage.contains("materialize_mapping"), exp.getMessage)
+
+    // materialize: one replace commit, logical names in the HEAD's files
+    // (pre-materialize pool files keep physical names until vacuumed)
+    val row = spark.sql("CALL g.system.materialize_mapping('db.matm')").collect()(0)
+    assert(row.getInt(1) == 1, row.toString)   // one renamed column folded
+    val mlog = new CommitLog(spark, s"$warehouse/db/matm")
+    val headFiles = mlog.files(mlog.currentVersion.get)
+      .map(n => s"$warehouse/db/matm/data/$n")
+    assert(spark.read.parquet(headFiles: _*).columns.toSet == Set("k", "w"))
+    assert(spark.sql("SELECT * FROM g.db.matm ORDER BY k").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    // and the previously-refused surfaces work again
+    spark.sql("""MERGE INTO g.db.matm t USING (SELECT 1 AS k, 'z' AS w) s
+                 ON t.k = s.k WHEN MATCHED THEN UPDATE SET w = s.w""")
+    assert(spark.sql("SELECT w FROM g.db.matm WHERE k = 1").as[String]
+      .collect().toSeq == Seq("z"))
+    spark.sql(s"CALL g.system.export_delta('db.matm', '$warehouse/_matm_delta')").collect()
+  }
+
   test("CALL procedures: optimize clusters, vacuum collects, restore rolls back") {
     spark.sql("CREATE TABLE g.db.maint (k BIGINT, v STRING)")
     for (lo <- Seq(0L, 100L, 200L)) {
@@ -126,7 +223,7 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(restored.getAs[Long]("version") == 5L)
     assert(spark.sql("SELECT count(*) AS c FROM g.db.maint").as[Long].head() == 200L)
     // vacuum with zero age: only the head version survives on disk
-    val vac = spark.sql("CALL g.system.vacuum('db.maint', 1, 0)").collect().head
+    val vac = spark.sql("CALL g.system.vacuum('db.maint', 1, 0, 0)").collect().head
     assert(vac.getAs[Int]("manifests_deleted") >= 4)
     assert(spark.sql("SELECT count(*) AS c FROM g.db.maint").as[Long].head() == 200L)
     val e = intercept[Exception](spark.sql("CALL g.system.no_such_proc('x')"))
