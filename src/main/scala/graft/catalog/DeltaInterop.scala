@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Interop with the open Delta Lake table format, implemented from the
   * PUBLIC protocol spec (delta.io PROTOCOL.md) rather than the connector
@@ -60,22 +60,30 @@ object DeltaInterop {
         e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))).toMap
     }.getOrElse(Map.empty)
 
+  /** Field-metadata key carrying the parquet column name a column-mapped
+    * Delta table stores a field under (public protocol; present in both
+    * `name` and `id` modes — id mode additionally tags parquet field ids,
+    * but physical-name matching reads both correctly for files Delta
+    * writers produce).
+    */
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+  private val ColumnIdKey = "delta.columnMapping.id"
+
   /** Reader features this replay actually honors. Everything else must
     * refuse BY NAME: silently replaying a table whose reader contract we
     * don't implement returns wrong rows (a deletion-vector table would
-    * resurrect deleted rows; a column-mapped table would read nulls for
-    * every mapped column). `timestampNtz` only gates a TYPE the Spark
-    * parquet reader handles natively, so it is safe to admit.
+    * resurrect deleted rows). `timestampNtz` only gates a TYPE the Spark
+    * parquet reader handles natively; `columnMapping` is implemented in
+    * [[readDelta]] via the fields' physical names.
     */
-  private val SupportedReaderFeatures = Set("timestampNtz")
+  private val SupportedReaderFeatures = Set("timestampNtz", "columnMapping")
 
   private def refuse(feature: String, where: String): Nothing =
     throw new UnsupportedOperationException(
       s"importDelta: table uses the Delta reader feature '$feature' ($where), " +
         "which this replay does not implement — importing would return wrong " +
         "rows. Rewrite the table without the feature (e.g. REORG TABLE ... " +
-        "APPLY (PURGE) for deletion vectors, or disable column mapping) and " +
-        "re-export, then import.")
+        "APPLY (PURGE) for deletion vectors) and re-export, then import.")
 
   private def checkProtocol(p: JsonNode): Unit = {
     val feats = Option(p.get("readerFeatures"))
@@ -83,12 +91,6 @@ object DeltaInterop {
     val unsupported = feats -- SupportedReaderFeatures
     if (unsupported.nonEmpty)
       refuse(unsupported.toSeq.sorted.mkString(","), "protocol readerFeatures")
-  }
-
-  private def checkMetaConfig(node: JsonNode): Unit = {
-    val mode = Option(node.get("configuration"))
-      .flatMap(c => Option(c.get("delta.columnMapping.mode"))).map(_.asText)
-    if (mode.exists(m => m != "none")) refuse("columnMapping", s"mode=${mode.get}")
   }
 
   private def snapshot(spark: SparkSession, table: String,
@@ -136,10 +138,6 @@ object DeltaInterop {
       if (structFields("add").contains("deletionVector") &&
           cpDf.selectExpr("add.deletionVector AS dv").filter("dv IS NOT NULL").count() > 0)
         refuse("deletionVectors", "checkpoint add action")
-      if (structFields("metaData").contains("configuration") &&
-          cpDf.selectExpr("metaData.configuration['delta.columnMapping.mode'] AS m")
-            .filter("m IS NOT NULL AND m <> 'none'").count() > 0)
-        refuse("columnMapping", "checkpoint metaData configuration")
       val rows = cpDf
         .selectExpr("add.path AS add_path", "add.partitionValues AS add_pv",
           "metaData.schemaString AS schema_string", "metaData.partitionColumns AS part_cols")
@@ -179,7 +177,6 @@ object DeltaInterop {
         val action = mapper.readTree(line)
         if (action.has("protocol")) checkProtocol(action.get("protocol"))
         else if (action.has("metaData")) {
-          checkMetaConfig(action.get("metaData"))
           meta = Some(parseMeta(action.get("metaData")))
         } else if (action.has("add")) {
           val a = action.get("add")
@@ -204,12 +201,28 @@ object DeltaInterop {
     */
   def readDelta(spark: SparkSession, table: String,
       versionAsOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val snap = snapshot(spark, table, versionAsOf)
     val partCols = snap.meta.partitionCols
-    val dataSchema = StructType(snap.meta.schema.filterNot(f => partCols.contains(f.name)))
+    // column mapping (mode name/id): fields carry the PHYSICAL name the
+    // parquet files store under; partitionValues are keyed by it too.
+    // Unmapped tables have no metadata and physical == logical.
+    def phys(name: String): String = {
+      val f = snap.meta.schema(name)
+      if (f.metadata.contains(PhysicalNameKey))
+        f.metadata.getString(PhysicalNameKey)
+      else f.name
+    }
+    // a plain logical-named schema for the returned frame (metadata
+    // stripped so downstream writes don't propagate the mapping keys)
+    val outSchema = StructType(snap.meta.schema.map(f =>
+      StructField(f.name, f.dataType, f.nullable)))
+    val dataSchema = StructType(snap.meta.schema
+      .filterNot(f => partCols.contains(f.name))
+      .map(f => StructField(phys(f.name), f.dataType, f.nullable)))
     if (snap.files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        snap.meta.schema)
+        outSchema)
     // group files by partition tuple; each group scans as one parquet
     // read with its partition values rehydrated as typed literals, then
     // the groups union — group count = partition count (metadata-scale)
@@ -219,8 +232,10 @@ object DeltaInterop {
       val base = spark.read.schema(dataSchema).parquet(paths: _*)
       partCols.foldLeft(base) { (df, c) =>
         val tpe = snap.meta.schema(c).dataType
-        df.withColumn(c, lit(pv.get(c).flatten.orNull).cast(tpe))
-      }.select(snap.meta.schema.map(f => org.apache.spark.sql.functions.col(f.name)): _*)
+        val v = pv.get(phys(c)).orElse(pv.get(c)).flatten.orNull
+        df.withColumn(phys(c), lit(v).cast(tpe))
+      }.select(snap.meta.schema.map(f =>
+        col(s"`${phys(f.name)}`").as(f.name)): _*)
     }
     frames.reduce(_.unionByName(_))
   }
@@ -276,12 +291,54 @@ object DeltaInterop {
         moved.toSeq
       }
     def esc(s: String): String = mapper.writeValueAsString(s)
-    val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    // a declared-schema sidecar with column renames exports as a
+    // COLUMN-MAPPED Delta table (mode=name): the emitted schema carries
+    // the logical names with `delta.columnMapping.physicalName` pointing
+    // at the name the (byte-copied) files actually store — the public
+    // protocol's own spelling of the indirection this commit log keeps
+    // in its sidecar, so a rename never forces a rewrite on export
+    // either. Tables without renames keep the minimal (1,2) log; a
+    // rename-free declared schema still REPLACES the file-derived one,
+    // which is what drops DROPPED columns from the exported contract.
+    val declared: Option[StructType] = {
+      val sidecar = new Path(commitRoot, "_schema.json")
+      if (!srcFs.exists(sidecar)) None
+      else {
+        val in = srcFs.open(sidecar)
+        val body = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          new String(out.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+        Some(DataType.fromJson(body).asInstanceOf[StructType])
+      }
+    }
+    val renames = declared.map(ColumnMapping.renames).getOrElse(Map.empty)
+    val (outSchema, configJson, protocol) =
+      if (renames.isEmpty) {
+        (declared.map(s => StructType(s.map(f =>
+          StructField(f.name, f.dataType, f.nullable)))).getOrElse(schema),
+          """{}""",
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      } else {
+        val d = declared.get
+        val mapped = StructType(d.fields.zipWithIndex.map { case (f, i) =>
+          StructField(f.name, f.dataType, f.nullable,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong(ColumnIdKey, i + 1L)
+              .putString(PhysicalNameKey, ColumnMapping.physicalName(f))
+              .build())
+        })
+        (mapped,
+          s"""{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"${d.length}"}""",
+          // columnMapping's protocol floor per the public spec
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+      }
     val metaData =
       s"""{"metaData":{"id":${esc(java.util.UUID.randomUUID().toString)},""" +
         s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":${esc(schema.json)},""" +
-        s""""partitionColumns":[],"configuration":{}}}"""
+        s""""schemaString":${esc(outSchema.json)},""" +
+        s""""partitionColumns":[],"configuration":$configJson}}"""
     val adds = names.map { n =>
       val st = fs.getFileStatus(new Path(destPath, n))
       s"""{"add":{"path":${esc(n)},"partitionValues":{},"size":${st.getLen},""" +

@@ -48,9 +48,10 @@ private[catalog] object GraftProcedures {
   }
 
   /** Column-mapping state of a table root: (declared schema, logical→
-    * physical renames, dropped-physical registry). Exports must refuse
-    * while either is live — the data files store PHYSICAL names, so a
-    * straight file export would resurrect old names/columns.
+    * physical renames, dropped-physical registry). Exports spell the
+    * mapping in each format's own indirection (Delta columnMapping mode
+    * name, Iceberg schema.name-mapping.default);
+    * [[MaterializeMapping]] folds it away entirely.
     */
   private def mappingStateOf(cat: GraftTableCatalog,
       root: String): (Option[org.apache.spark.sql.types.StructType],
@@ -61,15 +62,6 @@ private[catalog] object GraftProcedures {
     val renames = declared.map(ColumnMapping.renames).getOrElse(Map.empty)
     val (dropped, _) = ColumnMapping.readMeta(fs, rootPath)
     (declared, renames, dropped)
-  }
-
-  private def requireUnmapped(cat: GraftTableCatalog, root: String, op: String): Unit = {
-    val (_, renames, dropped) = mappingStateOf(cat, root)
-    if (renames.nonEmpty || dropped.nonEmpty) throw new IllegalStateException(
-      s"$op: table has column-mapping metadata (renamed: ${renames.keys.mkString(",")}; " +
-        s"dropped physical: ${dropped.mkString(",")}) — the data files store " +
-        "physical names, so a file-level export would carry the wrong schema. " +
-        "Materialize first: CALL <catalog>.system.materialize_mapping")
   }
 
   private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
@@ -178,10 +170,11 @@ private[catalog] object GraftProcedures {
 
   private final class ExportDelta(cat: GraftTableCatalog)
     extends Proc("export_delta", Seq(in("table", StringType), in("dest", StringType))) {
-    override def description(): String = "export the table head as a minimal Delta table"
+    override def description(): String =
+      "export the table head as a minimal Delta table (renamed columns " +
+        "export as Delta column mapping, mode=name)"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val root = cat.rootOf(input.getUTF8String(0).toString)
-      requireUnmapped(cat, root, "export_delta")
       val n = DeltaInterop.exportDelta(cat.sparkSession,
         root, input.getUTF8String(1).toString)
       result(new StructType().add("files_exported", IntegerType), n)
@@ -206,10 +199,10 @@ private[catalog] object GraftProcedures {
   private final class ExportIceberg(cat: GraftTableCatalog)
     extends Proc("export_iceberg", Seq(in("table", StringType), in("dest", StringType))) {
     override def description(): String =
-      "export the table head as a minimal Iceberg v2 table (HadoopCatalog layout)"
+      "export the table head as a minimal Iceberg v2 table (HadoopCatalog " +
+        "layout; renamed columns export via schema.name-mapping.default)"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val root = cat.rootOf(input.getUTF8String(0).toString)
-      requireUnmapped(cat, root, "export_iceberg")
       val n = IcebergInterop.exportIceberg(cat.sparkSession,
         root, input.getUTF8String(1).toString)
       result(new StructType().add("files_exported", IntegerType), n)

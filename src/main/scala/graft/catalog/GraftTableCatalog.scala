@@ -433,16 +433,22 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
       s"$tableName carries merge-on-read deletion vectors; install " +
         "spark.sql.extensions=graft.functions.GraftExtensions (applies them at " +
         s"read) or fold them in first: CALL <catalog>.system.rewrite_deletes")
-    // a raw file scan on a renamed table binds logical names against
-    // files storing physical names — every renamed column would read
-    // NULL. Batch reads are rewritten at analysis when the extensions
-    // are installed; streaming reads have no rewrite hook, so renamed
-    // tables refuse them until the mapping is materialized.
-    if (hasRenames) throw new IllegalStateException(
-      s"$tableName has renamed columns ($renameMapping); batch reads need " +
-        "spark.sql.extensions=graft.functions.GraftExtensions, and streaming " +
-        "reads require materializing first: " +
+    // a raw BATCH file scan on a renamed table would bind logical names
+    // against files storing physical names — every renamed column would
+    // read NULL. Batch reads are rewritten at analysis when the
+    // extensions are installed (so they never reach this scan); a
+    // rule-less session's scan refuses at toBatch. Streaming reads are
+    // mapping-aware natively: the micro-batch stream plans its parquet
+    // reads under the PHYSICAL schema and rows bind positionally to the
+    // logical attributes (same arity and types by construction).
+    val batchRefusal =
+      if (!hasRenames) None
+      else Some(s"$tableName has renamed columns ($renameMapping); batch reads " +
+        "need spark.sql.extensions=graft.functions.GraftExtensions (the " +
+        "column-mapping rewrite applies at analysis) or " +
         "CALL <catalog>.system.materialize_mapping")
+    val streamSchema =
+      if (hasRenames) ColumnMapping.physicalSchema(schema) else schema
     val snapshot = pinned.orElse(log.currentVersion)
     pinned.foreach { v =>
       require(log.files(v) != null, s"version $v not readable under $root")
@@ -476,8 +482,8 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
       org.apache.spark.sql.GraftExactStats(bytes, rows, cols)
     }
     new org.apache.spark.sql.GraftForwardingScanBuilder(inner,
-      _ => new GraftMicroBatchStream(spark, tableName, root, schema, scanOptions),
-      exactStats)
+      _ => new GraftMicroBatchStream(spark, tableName, root, streamSchema, scanOptions),
+      exactStats, batchRefusal)
   }
 
   private sealed trait WriteMode

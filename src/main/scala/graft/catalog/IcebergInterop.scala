@@ -206,6 +206,34 @@ object IcebergInterop {
     val snapshotId = math.abs(java.util.UUID.randomUUID().getMostSignificantBits)
     val uuid = java.util.UUID.randomUUID().toString
 
+    // a declared-schema sidecar with column renames exports under the
+    // LOGICAL names, with the spec's own indirection carrying the
+    // physical file columns: `schema.name-mapping.default` maps the
+    // names the (byte-copied) parquet files store — which lack Iceberg
+    // field-id metadata — to the schema's field ids. Readers resolve
+    // renamed columns with zero data rewrite, exactly as the commit log
+    // itself does.
+    val declared: Option[StructType] = {
+      val sidecar = new Path(commitRoot, "_schema.json")
+      if (!srcFs.exists(sidecar)) None
+      else {
+        val in = srcFs.open(sidecar)
+        val body = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          new String(out.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+        Some(org.apache.spark.sql.types.DataType.fromJson(body)
+          .asInstanceOf[StructType])
+      }
+    }
+    val renames = declared.map(ColumnMapping.renames).getOrElse(Map.empty)
+    val exportSchema = declared match {
+      case Some(d) => StructType(d.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
+      case None => schema
+    }
+
     // per-file (rows, bytes) from footers/listing — metadata-scale
     val fileInfo = names.map { n =>
       val p = new Path(dataDir, n)
@@ -217,7 +245,7 @@ object IcebergInterop {
     val totalRows = fileInfo.map(_._2).sum
 
     // ---- manifest (one, content=data) ------------------------------------
-    val (schemaJson, lastColumnId) = icebergSchemaJson(schema)
+    val (schemaJson, lastColumnId) = icebergSchemaJson(exportSchema)
     val manifestName = s"$uuid-m0.avro"
     val manifestPath = new Path(metaDir, manifestName)
     val partitionRecord = new GenericData.Record(
@@ -307,7 +335,25 @@ object IcebergInterop {
       order.putArray("fields")
       metadata.putArray("sort-orders").add(order)
     }
-    metadata.putObject("properties")
+    locally {
+      val props = metadata.putObject("properties")
+      if (renames.nonEmpty) {
+        // top-level ids are 1..n in field order (icebergSchemaJson's
+        // assignment); "names" lists every file-column spelling that
+        // resolves to the field — the physical name the copied files
+        // store, plus the logical name new files would
+        val arr = mapper.createArrayNode()
+        declared.get.fields.zipWithIndex.foreach { case (f, i) =>
+          val e = mapper.createObjectNode()
+          e.put("field-id", i + 1)
+          val ns = e.putArray("names")
+          ns.add(ColumnMapping.physicalName(f))
+          if (ColumnMapping.physicalName(f) != f.name) ns.add(f.name)
+          arr.add(e)
+        }
+        props.put("schema.name-mapping.default", mapper.writeValueAsString(arr))
+      }
+    }
     metadata.put("current-snapshot-id", snapshotId)
     locally {
       val main = metadata.putObject("refs").putObject("main")
@@ -335,7 +381,11 @@ object IcebergInterop {
 
   /** Read an Iceberg table's current snapshot into a DataFrame by
     * resolving its live file list through the format ([[readFileList]])
-    * and scanning the named parquet files distributed. Unpartitioned
+    * and scanning the named parquet files distributed. Honors
+    * `schema.name-mapping.default` (the spec's indirection for data
+    * files without field-id metadata): file columns listed under a
+    * field's "names" surface under the schema's (logical) field name —
+    * how a renamed-column export reads back correctly. Unpartitioned
     * Iceberg layouts carry every column in the data files, so no
     * partition rehydration is needed; a hive-layout'd Iceberg table
     * would additionally need the spec's partition JSON → column mapping
@@ -344,7 +394,32 @@ object IcebergInterop {
   def readIceberg(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
     val files = readFileList(spark, table)
     require(files.nonEmpty, s"Iceberg table $table has no live data files")
-    spark.read.parquet(files: _*)
+    val raw = spark.read.parquet(files: _*)
+    val metadata = loadMetadata(spark, table)
+    val mappingJson = Option(metadata.get("properties"))
+      .flatMap(p => Option(p.get("schema.name-mapping.default"))).map(_.asText)
+    mappingJson match {
+      case None => raw
+      case Some(j) =>
+        // field-id → logical name from the current schema
+        val schemaId = metadata.get("current-schema-id").asInt
+        val cur = metadata.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt == schemaId)
+          .getOrElse(throw new IllegalStateException(
+            s"current schema $schemaId missing from $table metadata"))
+        val logicalOf = cur.get("fields").elements().asScala
+          .map(f => f.get("id").asInt -> f.get("name").asText).toMap
+        // file column → field id → logical name
+        val present = raw.columns.toSet
+        val cols = mapper.readTree(j).elements().asScala.flatMap { e =>
+          val id = e.get("field-id").asInt
+          e.get("names").elements().asScala.map(_.asText)
+            .find(present.contains)
+            .flatMap(fileCol => logicalOf.get(id).map(l =>
+              org.apache.spark.sql.functions.col(s"`$fileCol`").as(l)))
+        }.toSeq
+        raw.select(cols: _*)
+    }
   }
 
   /** Import an Iceberg table's current snapshot into a [[CommitLog]]
@@ -361,7 +436,9 @@ object IcebergInterop {
     * `file_path`s (status != DELETED). The round-trip proof that the
     * emitted bytes really are the open format, not a private echo.
     */
-  def readFileList(spark: SparkSession, table: String): Seq[String] = {
+  /** Version hint → current table-metadata JSON (HadoopCatalog layout). */
+  private def loadMetadata(spark: SparkSession,
+      table: String): com.fasterxml.jackson.databind.JsonNode = {
     val fs = HadoopFs.fs(spark, table)
     val metaDir = new Path(table, "metadata")
     def slurp(p: Path): Array[Byte] = {
@@ -374,7 +451,20 @@ object IcebergInterop {
     }
     val hint = new String(slurp(new Path(metaDir, "version-hint.text")),
       StandardCharsets.UTF_8).trim
-    val metadata = mapper.readTree(slurp(new Path(metaDir, s"v$hint.metadata.json")))
+    mapper.readTree(slurp(new Path(metaDir, s"v$hint.metadata.json")))
+  }
+
+  def readFileList(spark: SparkSession, table: String): Seq[String] = {
+    val fs = HadoopFs.fs(spark, table)
+    def slurp(p: Path): Array[Byte] = {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        out.toByteArray
+      } finally in.close()
+    }
+    val metadata = loadMetadata(spark, table)
     val snapshotId = metadata.get("current-snapshot-id").asLong
     val snap = metadata.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong == snapshotId)

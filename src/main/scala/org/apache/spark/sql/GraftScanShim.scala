@@ -27,7 +27,8 @@ final case class GraftExactStats(sizeInBytes: Long, numRows: Option[Long],
 final class GraftForwardingScanBuilder(
     delegate: ParquetScanBuilder,
     stream: String => MicroBatchStream,
-    exactStats: () => Option[GraftExactStats] = () => None)
+    exactStats: () => Option[GraftExactStats] = () => None,
+    batchRefusal: Option[String] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -59,7 +60,7 @@ final class GraftForwardingScanBuilder(
     delegate.pushVariantExtractions(extractions)
 
   override def build(): Scan = new GraftStreamableScan(delegate.build(), stream,
-    if (narrowed) None else exactStats())
+    if (narrowed) None else exactStats(), batchRefusal)
 }
 
 /** Scan wrapper: batch reads delegate untouched; streaming reads get the
@@ -72,11 +73,19 @@ final class GraftForwardingScanBuilder(
   * the delegate's post-pruning estimate.
   */
 final class GraftStreamableScan(delegate: Scan, stream: String => MicroBatchStream,
-    exact: Option[GraftExactStats] = None)
+    exact: Option[GraftExactStats] = None,
+    batchRefusal: Option[String] = None)
   extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = delegate.description()
-  override def toBatch: Batch = delegate.toBatch
+  // a batch refusal set by the table means binding THIS raw scan would
+  // return wrong rows (e.g. renamed columns with no rewrite rule in the
+  // session) — streaming is unaffected because the micro-batch stream
+  // does its own (physical-schema) planning
+  override def toBatch: Batch = {
+    batchRefusal.foreach(msg => throw new IllegalStateException(msg))
+    delegate.toBatch
+  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     stream(checkpointLocation)
   override def supportedCustomMetrics() = delegate.supportedCustomMetrics()

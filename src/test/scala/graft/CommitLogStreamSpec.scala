@@ -139,6 +139,24 @@ class CommitLogStreamSpec extends AnyFunSuite {
     assert(batchSizes.toSeq == Seq(1L, 1L, 1L, 1L), batchSizes.toSeq)
   }
 
+  test("streaming a renamed table binds the physical files to the logical schema") {
+    spark.sql("CREATE TABLE gs.db.renstream (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gs.db.renstream VALUES (1, 'a')")
+    spark.sql("ALTER TABLE gs.db.renstream RENAME COLUMN v TO label")
+    spark.sql("INSERT INTO gs.db.renstream VALUES (2, 'b')")
+    val (out, cp) = (tmp("graft_sink"), tmp("graft_cp"))
+    // pre- and post-rename files both store the PHYSICAL column 'v';
+    // the stream must plan under the physical schema and surface rows
+    // under the LOGICAL name
+    runOnce("gs.db.renstream", out, cp)
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSet == Set("k", "label"), got.columns.toSeq)
+    assert(got.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    spark.sql("INSERT INTO gs.db.renstream VALUES (3, 'c')")
+    runOnce("gs.db.renstream", out, cp)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("vacuum retention floor protects a lagging streaming checkpoint") {
     spark.sql("CREATE TABLE gs.db.vacfloor (k BIGINT)")
     spark.sql("INSERT INTO gs.db.vacfloor VALUES (1)")

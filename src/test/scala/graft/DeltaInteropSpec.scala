@@ -149,22 +149,31 @@ class DeltaInteropSpec extends AnyFunSuite {
     }
     assert(dv.getMessage.contains("deletionVectors"), dv.getMessage)
 
-    // column mapping: metaData configuration
+    // column mapping (mode=name) READS: files store the physical name,
+    // the schema's physicalName metadata binds it to the logical column
     val cmTable = freshDir()
-    writeFile(cmTable, "f1.parquet", Seq(1L).toDF("k"))
-    writeLog(cmTable, 0L, Seq(protocol,
+    writeFile(cmTable, "f1.parquet",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "col-9f2a"))
+    val cmSchema = StructType(Seq(
+      StructField("k", LongType, nullable = true,
+        new MetadataBuilder().putLong("delta.columnMapping.id", 1L)
+          .putString("delta.columnMapping.physicalName", "k").build()),
+      StructField("w", StringType, nullable = true,
+        new MetadataBuilder().putLong("delta.columnMapping.id", 2L)
+          .putString("delta.columnMapping.physicalName", "col-9f2a").build())))
+    writeLog(cmTable, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000001",""" +
         s""""format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":${new com.fasterxml.jackson.databind.ObjectMapper()
-          .writeValueAsString(schema.json)},""" +
+          .writeValueAsString(cmSchema.json)},""" +
         s""""partitionColumns":[],""" +
         s""""configuration":{"delta.columnMapping.mode":"name"}}}""",
       """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,""" +
         """"modificationTime":0,"dataChange":true}}"""))
-    val cm = intercept[UnsupportedOperationException] {
-      DeltaInterop.readDelta(spark, cmTable)
-    }
-    assert(cm.getMessage.contains("columnMapping"), cm.getMessage)
+    val cm = DeltaInterop.readDelta(spark, cmTable)
+    assert(cm.columns.toSeq == Seq("k", "w"), cm.columns.toSeq)
+    assert(cm.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
 
     // v3 protocol with unknown reader features
     val featTable = freshDir()

@@ -78,6 +78,31 @@ class IcebergInteropSpec extends AnyFunSuite {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("renamed-column table exports via name-mapping and reads back logical") {
+    val warehouse = tmp("graft_ice_ren_wh")
+    spark.conf.set("spark.sql.catalog.gi", classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gi.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gi.db")
+    spark.sql("CREATE TABLE gi.db.ren (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gi.db.ren VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gi.db.ren RENAME COLUMN v TO label")
+
+    val dest = tmp("graft_ice_ren_dst")
+    spark.sql(s"CALL gi.system.export_iceberg('db.ren', '$dest')").collect()
+
+    // the metadata carries the spec's indirection: logical schema +
+    // name-mapping from the files' physical column to the field id
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dest/metadata/v1.metadata.json")), "UTF-8")
+    assert(body.contains("schema.name-mapping.default"), body.take(400))
+    assert(body.contains("label"), "schema must carry the LOGICAL name")
+
+    // spec-path read resolves physical "v" under logical "label"
+    val back = IcebergInterop.readIceberg(spark, dest)
+    assert(back.columns.toSet == Set("k", "label"), back.columns.toSeq)
+    assert(back.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("hive-partitioned tables materialize on export: partition values survive") {
     val root = tmp("graft_ice_part")
     val log = new CommitLog(spark, root)

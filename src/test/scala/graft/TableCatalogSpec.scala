@@ -170,7 +170,7 @@ class TableCatalogSpec extends AnyFunSuite {
       Seq((1L, None), (2L, Some(1.25))))
   }
 
-  test("rename across MERGE/export refuses; materialize_mapping clears the state") {
+  test("rename: MERGE refuses, Delta export carries column mapping; materialize clears") {
     spark.sql("CREATE TABLE g.db.matm (k BIGINT, v STRING)")
     spark.sql("INSERT INTO g.db.matm VALUES (1, 'a'), (2, 'b')")
     spark.sql("ALTER TABLE g.db.matm RENAME COLUMN v TO w")
@@ -182,11 +182,14 @@ class TableCatalogSpec extends AnyFunSuite {
     }
     assert(merge.getMessage.contains("materialize_mapping"), merge.getMessage)
 
-    // exports refuse: the files carry physical names
-    val exp = intercept[Exception] {
-      spark.sql(s"CALL g.system.export_delta('db.matm', '$warehouse/_matm_delta')").collect()
-    }
-    assert(exp.getMessage.contains("materialize_mapping"), exp.getMessage)
+    // Delta export spells the rename in the open protocol's own words
+    // (columnMapping mode=name) over BYTE-COPIED files, and the spec-path
+    // reader round-trips it under the logical names
+    val dest = s"$warehouse/_matm_cm_delta"
+    spark.sql(s"CALL g.system.export_delta('db.matm', '$dest')").collect()
+    val back = graft.catalog.DeltaInterop.readDelta(spark, dest)
+    assert(back.columns.toSet == Set("k", "w"), back.columns.toSeq)
+    assert(back.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
 
     // materialize: one replace commit, logical names in the HEAD's files
     // (pre-materialize pool files keep physical names until vacuumed)
