@@ -1296,18 +1296,34 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * its own column). This is how a 100 TB fact table serves both
     * `WHERE k1 BETWEEN …` and `WHERE k1 … AND k2 …` from one layout.
     *
-    * Each column is min/max-scaled to 16 bits (one tiny agg — heavy skew
-    * would prefer quantile mapping; linear scaling is the documented
-    * trade), then bit i of column j lands at interleaved position
-    * `i*k + j`. The z-value is pure codegen'd shift/mask arithmetic —
-    * no UDF — and is dropped before the replace commit, so the table
-    * schema is untouched. Non-castable values scale to bucket 0:
-    * clustering quality degrades, correctness never (stats pruning
-    * remains conservative per file).
+    * Each column is scaled to a bit-bucket, then bit i of column j lands
+    * at interleaved position `i*k + j`. Two scaling modes:
+    *
+    *  - `quantileBuckets = 0` (default): min/max LINEAR scaling to 16
+    *    bits — one tiny agg, ideal for roughly uniform value spaces.
+    *    Under heavy skew this collapses: one outlier stretches the
+    *    range and every normal value lands in bucket 0, so the skewed
+    *    dimension stops pruning.
+    *  - `quantileBuckets = 2^b` (e.g. 256): EQUI-DEPTH scaling — each
+    *    column's bucket boundaries are its own approximate quantiles,
+    *    so every bucket holds ~the same row count no matter how skewed
+    *    the distribution (the documented skew escape hatch, shipped).
+    *    The per-row bucket is a codegen'd fold over the broadcast
+    *    cutpoint array — still no UDF.
+    *
+    * The z-value is pure codegen'd shift/mask arithmetic and is dropped
+    * before the replace commit, so the table schema is untouched.
+    * Non-castable values scale to bucket 0: clustering quality degrades,
+    * correctness never (stats pruning remains conservative per file).
     */
   def optimizeZOrder(columns: Seq[String],
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      quantileBuckets: Int = 0): (Int, Int) = {
     require(columns.size >= 2, "optimizeZOrder: need >= 2 columns (use optimizeBy for 1)")
+    require(quantileBuckets == 0 ||
+      (quantileBuckets >= 2 && quantileBuckets <= 65536 &&
+        (quantileBuckets & (quantileBuckets - 1)) == 0),
+      s"quantileBuckets must be 0 (linear) or a power of two in [2, 65536], got $quantileBuckets")
     val v = currentVersion.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version under $tableRoot"))
     val partCols = partitionColumns(v)
@@ -1318,23 +1334,51 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     val bytes = names.map(n => hfs.getFileStatus(new Path(dataDir, n)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val snap = readVersion(v)
-    val boundAggs = columns.flatMap(c => Seq(
-      org.apache.spark.sql.functions.min(col(c).cast("double")),
-      org.apache.spark.sql.functions.max(col(c).cast("double"))))
-    val bounds = snap.agg(boundAggs.head, boundAggs.tail: _*).head()
     val k = columns.size
-    val scaled = columns.zipWithIndex.map { case (c, j) =>
-      val (mn, mx) = (bounds.get(2 * j), bounds.get(2 * j + 1))
-      if (mn == null || mx == null || mn == mx) lit(0L)
-      else {
-        val lo = mn.asInstanceOf[Double]
-        val span = mx.asInstanceOf[Double] - lo
-        org.apache.spark.sql.functions.coalesce(
-          org.apache.spark.sql.functions.floor(
-            (col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0)), lit(0L))
+    val (scaled, bits) =
+      if (quantileBuckets == 0) {
+        val boundAggs = columns.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(col(c).cast("double")),
+          org.apache.spark.sql.functions.max(col(c).cast("double"))))
+        val bounds = snap.agg(boundAggs.head, boundAggs.tail: _*).head()
+        (columns.zipWithIndex.map { case (c, j) =>
+          val (mn, mx) = (bounds.get(2 * j), bounds.get(2 * j + 1))
+          if (mn == null || mx == null || mn == mx) lit(0L)
+          else {
+            val lo = mn.asInstanceOf[Double]
+            val span = mx.asInstanceOf[Double] - lo
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.floor(
+                (col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0)), lit(0L))
+          }
+        }, 16)
+      } else {
+        import org.apache.spark.sql.functions.{aggregate, array, floor, when}
+        val b = java.lang.Integer.numberOfTrailingZeros(quantileBuckets)
+        val probs = (1 until quantileBuckets).map(_.toDouble / quantileBuckets).toArray
+        (columns.map { c =>
+          // per-column equi-depth cutpoints (approx, one pass per column
+          // over the numeric projection; nulls and non-castables excluded
+          // and bucketed to 0)
+          val cuts = snap.select(col(c).cast("double").as("_graft_q"))
+            .na.drop().stat
+            .approxQuantile("_graft_q", probs, 0.25 / quantileBuckets)
+            .distinct.sorted
+          if (cuts.isEmpty) lit(0L)
+          else {
+            val raw = aggregate(array(cuts.map(lit(_)).toIndexedSeq: _*), lit(0L),
+              (acc, cut) => acc + when(col(c).cast("double") > cut, 1L).otherwise(0L))
+            // the sketch may return far fewer distinct cutpoints than
+            // requested (few distinct values, coarse error): stretch the
+            // observed bucket range over the FULL bit width, or the top
+            // interleave bits would sit constant and the dimension would
+            // not participate in the file split
+            floor(raw * lit(((1L << b) - 1).toDouble) / lit(cuts.length.toDouble))
+              .cast("long")
+          }
+        }, b)
       }
-    }
-    val zval = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+    val zval = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       scaled.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
         a.bitwiseOR(org.apache.spark.sql.functions.shiftleft(
           org.apache.spark.sql.functions.shiftright(c, i).bitwiseAND(lit(1L)),

@@ -176,12 +176,46 @@ object CatalogSql {
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_val"))
   }
 
+  /** Metadata-only column rename + drop as an oracle key: customer
+    * lands in a catalog table, `c_name` RENAMEs to `cust_name` and
+    * `c_mktsegment` DROPs — both pure sidecar operations, the ORIGINAL
+    * data files untouched (TableCatalogSpec pins that) — then plain SQL
+    * filters and aggregates THROUGH the renamed column. Values must
+    * equal the raw table under the original names: the logical→physical
+    * mapping may never change what a query returns, only what columns
+    * are called.
+    */
+  private def renameMapping(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s, d)
+    val src = graft.Tables.customer(s, d)
+    val fresh = try {
+      val df = s.table("graft.tpch.cust_renamed")
+      df.columns.contains("cust_name") && !df.columns.contains("c_mktsegment") &&
+        df.count() == src.count()
+    } catch { case _: Exception => false }
+    if (!fresh) {
+      s.sql("DROP TABLE IF EXISTS graft.tpch.cust_renamed")
+      SqlSurface.registerViews(s, d, Seq("customer"))
+      s.sql("CREATE TABLE graft.tpch.cust_renamed AS SELECT * FROM customer")
+      s.sql("ALTER TABLE graft.tpch.cust_renamed RENAME COLUMN c_name TO cust_name")
+      s.sql("ALTER TABLE graft.tpch.cust_renamed DROP COLUMN c_mktsegment"): Unit
+    }
+    s.sql(
+      """SELECT c_nationkey, count(*) AS n_cust, min(cust_name) AS first_name,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM graft.tpch.cust_renamed
+        |WHERE cust_name LIKE '%5'
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_catalog_table" -> sqlCatalogTable _,
     "q_part_pruned" -> partPruned _,
     "stream_table_tail" -> streamTableTail _,
     "q_time_travel" -> timeTravel _,
     "q_cdf_feed" -> cdfFeed _,
+    "q_rename_mapping" -> renameMapping _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -212,5 +246,12 @@ object CatalogSql {
         |       min(event_id) AS min_id, max(event_id) AS max_id,
         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
         |FROM events WHERE event_id % 2 = 1""".stripMargin,
+    "q_rename_mapping" ->
+      """SELECT c_nationkey, count(*) AS n_cust, min(c_name) AS first_name,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |WHERE c_name LIKE '%5'
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
   )
 }

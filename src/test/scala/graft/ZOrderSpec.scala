@@ -79,6 +79,56 @@ class ZOrderSpec extends AnyFunSuite {
     assert(pruned.sameElements(brute))
   }
 
+  test("quantile z-order keeps pruning on a skewed dimension that linear scaling collapses") {
+    // one huge outlier stretches x's range to 1e9: under LINEAR 16-bit
+    // scaling every normal value (< 100) lands in bucket 0, the z-value
+    // carries no x information, and an x-range read opens ~every file.
+    // EQUI-DEPTH buckets are the documented escape hatch: boundaries
+    // follow x's own quantiles, so the normal values spread and prune.
+    def skewed() = spark.range(0, 20000).select(
+      // multiplier decorrelates x from y (plain id % 100 would make x a
+      // function of y and every y-slab file x-narrow by accident)
+      when(col("id") < 19990, pmod(col("id") * 1103515245L + 12345L, lit(100L)))
+        .otherwise(1000000000L).as("x"),
+      (col("id") % 500).as("y"),
+      col("id").as("payload"))
+
+    def build(quantileBuckets: Int): CommitLog = {
+      val log = new CommitLog(spark, freshRoot())
+      log.commit(skewed(), replace = false)
+      val bytes = log.filePaths(log.currentVersion.get)
+        .map(p => new java.io.File(new java.net.URI(p).getPath).length).sum
+      log.optimizeZOrder(Seq("x", "y"), math.max(1L, bytes / 16),
+        quantileBuckets = quantileBuckets)
+      log
+    }
+
+    val expected = skewed().filter(col("x").between(10L, 19L)).count()
+
+    val linear = build(0)
+    val linearRead = linear.readBetween("x", 10L, 19L)
+    assert(linearRead.count() == expected)  // correctness never degrades
+    val linearTotal = linear.currentFileCount
+    assert(linearRead.inputFiles.length >= linearTotal - 1,
+      s"precondition: linear scaling collapses under the outlier " +
+        s"(${linearRead.inputFiles.length} of $linearTotal)")
+
+    val quant = build(256)
+    val quantRead = quant.readBetween("x", 10L, 19L)
+    assert(quantRead.count() == expected)
+    // z-order gives x every OTHER bit, so a 10%-of-values range selects
+    // roughly half the z-prefix space — the honest bound is strictly
+    // better than the linear collapse (which opened every file), with
+    // margin, not a 1-D-clustering-grade skip
+    assert(quantRead.inputFiles.length * 3 < quant.currentFileCount * 2,
+      s"equi-depth buckets must keep the skewed dimension prunable " +
+        s"(${quantRead.inputFiles.length} of ${quant.currentFileCount})")
+    // and the non-skewed dimension still prunes too (it is z-ordered)
+    val yRead = quant.readBetween("y", 0L, 49L)
+    assert(yRead.count() == skewed().filter(col("y").between(0L, 49L)).count())
+    assert(yRead.inputFiles.length < quant.currentFileCount)
+  }
+
   test("CALL graft.system.optimize with a column list Z-orders through the catalog") {
     val wh = java.nio.file.Files.createTempDirectory("graft_zcat").toString
     spark.conf.set("spark.sql.catalog.zc", "graft.catalog.GraftTableCatalog")
