@@ -665,9 +665,11 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * (the partitioned twin of [[commit]]). Appends require the head's
     * partition spec to match; a replace may change it. The spec rides
     * the manifest as a `#partition:` header, carried across appends and
-    * MoR deletes; the CoW mutators that would flatten the layout refuse
-    * on partitioned tables ([[requireUnpartitioned]]) — their partitioned
-    * tier is MoR delete + [[rewriteDeletes]] (partition-aware) +
+    * MoR deletes. Keyed CoW mutators ([[merge]]/[[deleteKeys]]) are
+    * partition-aware — they restage touched files under their subdirs;
+    * the predicate CoW paths that would flatten the layout refuse
+    * ([[requireUnpartitioned]]) — their partitioned tier is MoR delete +
+    * [[rewriteDeletes]] (partition-aware) +
     * re-`commitPartitioned(replace = true)` maintenance.
     */
   def commitPartitioned(df: DataFrame, partitionCols: Seq[String],
@@ -803,6 +805,28 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       s"commitStaged: lost the version race 50 times under $tableRoot")
   }
 
+  /** Partitioned twin of [[commitStaged]] for the SQL row-level rewrite:
+    * Spark's V2 parquet batch write stages FLAT files (it cannot lay out
+    * hive dirs), so the staged rows are read back and re-staged under
+    * `partitionCols` subdirs before the replace publishes. Costs one
+    * extra write of the post-merge rows — the price of keeping the
+    * partition layout (and its pruning) through SQL MERGE/UPDATE instead
+    * of refusing; the file-pruned single-write path is the DataFrame
+    * plane ([[merge]]). An empty stage is a legal truncate-to-empty
+    * (the schema comes from the current head).
+    */
+  def commitStagedPartitioned(stageDir: String, partitionCols: Seq[String]): Long = {
+    val stage = new Path(stageDir)
+    val hasParts = hfs.exists(stage) && hfs.listStatus(stage)
+      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val df =
+      if (hasParts) spark.read.parquet(stage.toString)
+      else read().where(org.apache.spark.sql.functions.lit(false))
+    val ver = commitPartitioned(df, partitionCols, replace = true)
+    hfs.delete(stage, true)
+    ver
+  }
+
   /** Publish version `v` with exactly these manifest lines, through the
     * store's conditional create. False = lost the race; the caller
     * re-reads the head and retries. No rename of the manifest name is
@@ -862,7 +886,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   }
 
   private def findTouched(lines: Seq[String], stats: Map[String, Map[String, ColStats]],
-      keys: DataFrame, keyCol: String, refineCap: Int = touchRefineCap): Set[String] = {
+      keys: DataFrame, keyCol: String, refineCap: Int = touchRefineCap,
+      partTypes: Map[String, String] = Map.empty): Set[String] = {
     val bounds = keys.agg(org.apache.spark.sql.functions.min(keyCol),
       org.apache.spark.sql.functions.max(keyCol)).head()
     if (bounds.isNullAt(0)) Set.empty
@@ -874,13 +899,24 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         }
       if (candidates.isEmpty) Set.empty
       else if (candidates.length > refineCap) candidates.toSet
-      else collectNames(
-        spark.read.option("mergeSchema", "true")
-          .parquet(candidates.map(n => new Path(dataDir, n).toString): _*)
-          .withColumn("_graft_file", input_file_name())
-          .join(keys, Seq(keyCol), "semi"),
-        "_graft_file", "findTouched")
-        .map(_.split('/').last)
+      else {
+        // the refine scan yields LEAF paths (input_file metadata); on a
+        // hive-partitioned pool the manifest names carry subdirs, so map
+        // leaves back (leaves are uuid-unique across partition subdirs).
+        // basePath keeps partition columns readable when keyCol IS one,
+        // and the castParts pin makes their type match the key frame's
+        // instead of drifting with path inference over the read set.
+        val byLeaf = candidates.map(n => leafOf(n) -> n).toMap
+        collectNames(
+          castParts(spark.read.option("mergeSchema", "true")
+            .option("basePath", dataDir.toString)
+            .parquet(candidates.map(n => new Path(dataDir, n).toString): _*),
+            partTypes)
+            .withColumn("_graft_file", input_file_name())
+            .join(keys, Seq(keyCol), "semi"),
+          "_graft_file", "findTouched")
+          .flatMap(p => byLeaf.get(leafOf(p)))
+      }
     }
   }
 
@@ -1000,7 +1036,11 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * are found in two steps: footer-stats range overlap first (no I/O),
     * then an exact semi-join over just the candidate files — so a merge
     * into a range-clustered table costs O(files touched), not O(table),
-    * which is what makes daily upserts viable at 100 TB.
+    * which is what makes daily upserts viable at 100 TB. On a
+    * hive-partitioned table the rewrite restages under the partition
+    * subdirs (layout and `#partition` header survive); when the merge
+    * key is a partition column, the partition-value stats prune the
+    * touched set to exactly the hit partitions before any I/O.
     *
     * Concurrency: optimistic — the merge is computed against a head
     * snapshot and published at head+1; if another writer lands first, the
@@ -1015,25 +1055,32 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
         s"no committed version under $tableRoot"))
       val lines = manifestLines(v)
-      requireUnpartitioned("merge", v, lines)
+      val partCols = partitionColsOf(lines)
+      val partTypes = partTypesOf(lines)
       val cols = readVersion(v).columns.toSeq
       require(updates.columns.toSet == cols.toSet,
         s"merge: updates schema ${updates.columns.toSeq} != table schema $cols")
       val keys = updates.select(keyCol).distinct()
-      val touched = findTouched(lines, fileStats(v), keys, keyCol)
+      val touched = findTouched(lines, fileStats(v), keys, keyCol, partTypes = partTypes)
       val keptLines = lines.filterNot(l => touched(l.split('\t').head))
       val merged =
         if (touched.isEmpty) updates.select(cols.map(col): _*)
         // tombstones apply BEFORE the key anti-join: a MoR-deleted row
         // must not resurrect through the rewrite
-        else readFiles(touched.toSeq.sorted, dvFrame(v))
+        else readFiles(touched.toSeq.sorted, dvFrame(v), partTypes)
           .join(keys, Seq(keyCol), "left_anti")
           .select(cols.map(col): _*)
           .unionByName(updates.select(cols.map(col): _*))
       // pool the rewrite, then publish at exactly v+1: losing the race
       // means the snapshot we merged against is stale, so recompute (the
-      // orphaned pool files age out under vacuum's in-flight guard)
-      val newLines = stageToPool(merged, "merge")
+      // orphaned pool files age out under vacuum's in-flight guard).
+      // A hive-partitioned head restages under its partition subdirs
+      // (the #partition header rides keptLines), so an upsert into one
+      // partition rewrites only that partition's touched files and the
+      // layout survives — no flatten, no full-table rewrite.
+      val newLines =
+        if (partCols.isEmpty) stageToPool(merged, "merge")
+        else stagePartitioned(merged, partCols, "merge")
       beforePublish(attempt, v + 1)
       if (publish(v + 1, keptLines ++ newLines)) return v + 1
       attempt += 1
@@ -1056,16 +1103,20 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
         s"no committed version under $tableRoot"))
       val lines = manifestLines(v)
-      requireUnpartitioned("deleteKeys", v, lines)
+      val partCols = partitionColsOf(lines)
+      val partTypes = partTypesOf(lines)
       val cols = readVersion(v).columns.toSeq
       val keys = keys0.select(keyCol).distinct()
-      val touched = findTouched(lines, fileStats(v), keys, keyCol)
+      val touched = findTouched(lines, fileStats(v), keys, keyCol, partTypes = partTypes)
       if (touched.isEmpty) return v
       val keptLines = lines.filterNot(l => touched(l.split('\t').head))
-      val survivors = readFiles(touched.toSeq.sorted, dvFrame(v))
+      val survivors = readFiles(touched.toSeq.sorted, dvFrame(v), partTypes)
         .join(keys, Seq(keyCol), "left_anti")
         .select(cols.map(col): _*)
-      val newLines = stageToPool(survivors, "delete")
+      // partitioned survivors restage under their subdirs (see merge)
+      val newLines =
+        if (partCols.isEmpty) stageToPool(survivors, "delete")
+        else stagePartitioned(survivors, partCols, "delete")
       beforePublish(attempt, v + 1)
       if (publish(v + 1, keptLines ++ newLines)) return v + 1
       attempt += 1

@@ -44,10 +44,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * nothing bespoke in the hot path. Writes are manifest commits
   * (append / truncate-replace); `DELETE WHERE` is the predicate CoW of
   * [[CommitLog.rewriteWhere]], rewriting only files that contain
-  * matching rows. MERGE stays on the DataFrame API ([[CommitLog.merge]])
-  * — Spark's row-level-operation rewrite demands a native V2 batch
-  * write, which would re-implement the parquet writer for no new
-  * semantics.
+  * matching rows (merge-on-read tombstones on partitioned tables). SQL
+  * MERGE/UPDATE ride Spark's group-based row-level rewrite through the
+  * V2 batch write; on a hive-partitioned table the staged rows are
+  * re-staged under the partition subdirs so the layout and its pruning
+  * survive — the file-pruned single-write upsert is the DataFrame plane
+  * ([[CommitLog.merge]], itself partition-aware).
   */
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
@@ -590,19 +592,6 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
     if (hasDeletes) throw new IllegalStateException(
       s"$tableName carries merge-on-read deletion vectors; fold them in " +
         "before SQL MERGE/UPDATE: CALL <catalog>.system.rewrite_deletes")
-    // the group-based rewrite stages FLAT files and replaces the table —
-    // on a hive-partitioned pool that silently drops the layout, so refuse
-    // MERGE/UPDATE up front. DELETE must be allowed to ANALYZE through
-    // this path (Spark rewrites DeleteFromTable row-level first and only
-    // falls back to SupportsDelete.deleteWhere — our MoR tier — at
-    // optimization when the predicate translates to filters); its
-    // group-based WRITE is refused below for the untranslatable remainder.
-    if (partCols.nonEmpty &&
-        info.command() != org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
-      throw new UnsupportedOperationException(
-        s"$tableName is hive-partitioned; SQL MERGE/UPDATE would flatten the " +
-          "layout. Use DELETE (merge-on-read) + INSERT, or rebuild with " +
-          "INSERT OVERWRITE")
     // the group-based rewrite stages files under the QUERY's (logical)
     // names — on a column-mapped table that silently forks the physical
     // naming, so refuse MERGE/UPDATE until the mapping is materialized
@@ -633,15 +622,6 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
             new WriteBuilder {
               override def build(): Write = new Write {
                 override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
-                  // reaching the group WRITE on a partitioned table means
-                  // the DELETE predicate did not translate to filters
-                  // (subquery etc.) — the flat replace would drop the
-                  // layout, so refuse with the workable alternatives
-                  if (partCols.nonEmpty) throw new UnsupportedOperationException(
-                    s"$tableName is hive-partitioned and this DELETE's " +
-                      "predicate is not filter-expressible; use a filter " +
-                      "predicate (merge-on-read DELETE) or rebuild with " +
-                      "INSERT OVERWRITE")
                   if (hasRenames) throw new UnsupportedOperationException(
                     s"$tableName has renamed columns and this DELETE's " +
                       "predicate is not filter-expressible; use a filter " +
@@ -667,7 +647,14 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
                     override def commit(
                         messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
                       delegate.commit(messages)
-                      log.commitStaged(stage, replace = true): Unit
+                      // partitioned tables re-stage the (flat) staged rows
+                      // under their partition subdirs so the layout — and
+                      // every later scan's partition pruning — survives
+                      // the SQL rewrite; unpartitioned pools publish the
+                      // staged files directly
+                      if (partCols.nonEmpty)
+                        log.commitStagedPartitioned(stage, partCols): Unit
+                      else log.commitStaged(stage, replace = true): Unit
                     }
                     override def abort(
                         messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =

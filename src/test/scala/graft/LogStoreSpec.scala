@@ -87,7 +87,11 @@ class LogStoreSpec extends AnyFunSuite {
         catch { case t: Throwable => failures.add(t): Unit })
     }
     threads.foreach(_.start())
-    threads.foreach(_.join(120000))
+    // generous: 8 concurrent Spark write jobs can crawl when the full
+    // suite saturates the box — a premature join turns load into a
+    // spurious missing-version failure
+    threads.foreach(_.join(600000))
+    assert(threads.forall(!_.isAlive), "a racing commit is still running after 10 min")
     assert(failures.isEmpty, s"commit threw: ${failures.peek()}")
     import scala.jdk.CollectionConverters._
     assert(versions.asScala.toSeq.sorted == (1L to 8L),
@@ -108,7 +112,8 @@ class LogStoreSpec extends AnyFunSuite {
         versions.add(logWith(root, store).commit(Seq(i).toDF("k"), replace = false)): Unit)
     }
     threads.foreach(_.start())
-    threads.foreach(_.join(120000))
+    threads.foreach(_.join(600000))
+    assert(threads.forall(!_.isAlive), "a racing commit is still running after 10 min")
     import scala.jdk.CollectionConverters._
     // both writers believe they committed v2 — the defining symptom
     assert(versions.asScala.toSeq == Seq(2L, 2L),

@@ -7,7 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Partitioned commit-log tables through the SQL front door:
   * `CREATE TABLE ... PARTITIONED BY`, INSERT routing to the hive layout,
   * partition-pruned scans (planned-file assertion), the MoR DELETE tier,
-  * and loud refusals where the CoW plane would flatten the layout.
+  * and SQL UPDATE/MERGE rewrites that keep the hive layout (staged rows
+  * re-partitioned before the replace publishes).
   */
 class PartitionedCatalogSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -75,19 +76,34 @@ class PartitionedCatalogSpec extends AnyFunSuite {
     assert(log.partitionColumns(v) == Seq("cat"))
   }
 
-  test("MERGE/UPDATE refuse on partitioned tables; INSERT OVERWRITE re-lays out") {
+  test("SQL UPDATE and MERGE keep the hive layout and pruning; INSERT OVERWRITE re-lays out") {
     spark.sql("CREATE TABLE gp.db.pm (k BIGINT, cat STRING) PARTITIONED BY (cat)")
     spark.sql("INSERT INTO gp.db.pm SELECT id, concat('c', id % 2) FROM range(0, 10)")
-    val e = intercept[Exception] {
-      spark.sql("UPDATE gp.db.pm SET k = k + 1 WHERE k = 1")
-    }
-    val msg = Iterator.iterate[Throwable](e)(_.getCause)
-      .takeWhile(_ != null).map(String.valueOf(_)).mkString(" | ")
-    assert(msg.contains("hive-partitioned"), msg)
+    val log = new graft.catalog.CommitLog(spark, s"$warehouse/db/pm")
+
+    spark.sql("UPDATE gp.db.pm SET k = k + 100 WHERE k = 1")
+    assert(spark.sql("SELECT count(*) FROM gp.db.pm WHERE k = 101").as[Long].head() == 1)
+    assert(spark.sql("SELECT count(*) FROM gp.db.pm").as[Long].head() == 10)
+    assert(log.partitionColumns(log.currentVersion.get) == Seq("cat"))
+    assert(log.files(log.currentVersion.get).forall(_.startsWith("cat=")),
+      log.files(log.currentVersion.get).take(3))
+
+    // MERGE: one matched update (k=0 hops to c1), one not-matched insert
+    Seq((0L, "c1"), (42L, "c0")).toDF("k", "cat").createOrReplaceTempView("pm_src")
+    spark.sql("""MERGE INTO gp.db.pm t USING pm_src s ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET t.cat = s.cat
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT count(*) FROM gp.db.pm").as[Long].head() == 11)
+    assert(spark.sql("SELECT cat FROM gp.db.pm WHERE k = 0").as[String].head() == "c1")
+    assert(log.partitionColumns(log.currentVersion.get) == Seq("cat"))
+
+    // the planned scan still opens only the hit partition after the rewrite
+    val files = plannedFiles(spark.sql("SELECT k FROM gp.db.pm WHERE cat = 'c1'"))
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("cat%3Dc1") || f.contains("cat=c1")), files.take(3))
 
     spark.sql("INSERT OVERWRITE gp.db.pm SELECT id, concat('c', id % 2) FROM range(0, 4)")
     assert(spark.sql("SELECT count(*) FROM gp.db.pm").as[Long].head() == 4)
-    val log = new graft.catalog.CommitLog(spark, s"$warehouse/db/pm")
     assert(log.partitionColumns(log.currentVersion.get) == Seq("cat"))
   }
 

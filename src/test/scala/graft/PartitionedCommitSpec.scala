@@ -9,8 +9,10 @@ import graft.catalog.CommitLog
 /** Hive-partitioned commit-log tables: `#partition:` spec in the
   * manifest, `c=v` directory layout on write, EXACT partition pruning in
   * readWhere (file-count assertions, like ZOrderSpec), the MoR delete
-  * tier with a partition-aware fold, and loud refusals from the CoW
-  * mutators that would flatten the layout.
+  * tier with a partition-aware fold, partition-aware keyed CoW
+  * (merge/deleteKeys restage under the subdirs, untouched files carry
+  * by name), and loud refusals from the predicate CoW paths that would
+  * flatten the layout.
   */
 class PartitionedCommitSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -97,16 +99,10 @@ class PartitionedCommitSpec extends AnyFunSuite {
       catFiles("cat=cat0").length)
   }
 
-  test("CoW mutators refuse on partitioned tables; compact re-lays out per spec") {
+  test("predicate CoW refuses on partitioned tables; compact re-lays out per spec") {
     val root = tmp("graft_part_guard")
     val log = new CommitLog(spark, root)
     log.commitPartitioned(sample(1, 100), Seq("cat"), replace = true)
-    assert(intercept[IllegalArgumentException] {
-      log.merge(sample(1, 5), "k")
-    }.getMessage.contains("hive-partitioned"))
-    assert(intercept[IllegalArgumentException] {
-      log.deleteKeys(Seq(1L).toDF("k"), "k")
-    }.getMessage.contains("hive-partitioned"))
     assert(intercept[IllegalArgumentException] {
       log.deleteWhere(col("k") === 1L)
     }.getMessage.contains("hive-partitioned"))
@@ -122,6 +118,60 @@ class PartitionedCommitSpec extends AnyFunSuite {
     assert(log.partitionColumns(log.currentVersion.get) == Seq("cat"))
     assert(log.read().count() == 100)
     assert(now <= was)
+  }
+
+  test("partition-aware merge: only containing files rewrite, layout and pruning survive") {
+    val root = tmp("graft_part_merge")
+    val log = new CommitLog(spark, root)
+    log.commitPartitioned(sample(1, 400), Seq("cat"), replace = true)
+    val before = log.files(log.currentVersion.get)
+
+    // k=1 lives in cat1; k=401 is a brand-new key that also lands in cat1
+    val ups = Seq((1L, "V1", "cat1"), (401L, "V401", "cat1")).toDF("k", "v", "cat")
+    log.merge(ups, "k")
+    val v2 = log.currentVersion.get
+    assert(log.partitionColumns(v2) == Seq("cat"))
+    val after = log.files(v2)
+    assert(after.forall(_.startsWith("cat=")), after.take(3))
+    // every file not holding k=1 is carried by NAME — the O(touched) claim
+    val carried = before.filter(after.contains)
+    assert(carried.nonEmpty && (before.toSet -- carried).forall(_.startsWith("cat=cat1")),
+      s"only cat1 files may rewrite; rewrote ${(before.toSet -- carried).take(3)}")
+
+    val r = log.read()
+    assert(r.count() == 401)
+    assert(r.filter($"k" === 1L).select("v").as[String].head() == "V1")
+    assert(r.filter($"k" === 401L).select("cat").as[String].head() == "cat1")
+
+    // pruning stays exact after the partitioned rewrite
+    val catFiles = after.groupBy(_.split('/').head)
+    assert(log.readBetween("cat", "cat2", "cat2").inputFiles.length ==
+      catFiles("cat=cat2").length)
+  }
+
+  test("partition-aware deleteKeys; keying on the partition column prunes to its dirs") {
+    val root = tmp("graft_part_del")
+    val log = new CommitLog(spark, root)
+    log.commitPartitioned(sample(1, 200), Seq("cat"), replace = true)
+    val before = log.files(log.currentVersion.get)
+
+    // data-column key: only files containing the keys rewrite
+    log.deleteKeys(Seq(2L, 6L).toDF("k"), "k")
+    val afterK = log.files(log.currentVersion.get)
+    assert(log.read().count() == 198)
+    assert(log.read().filter($"k".isin(2L, 6L)).isEmpty)
+    assert((before.toSet -- afterK).forall(_.startsWith("cat=cat2")),
+      "k=2,6 live in cat2; no other partition's file may rewrite")
+
+    // partition-column key: value stats prune to exactly that partition,
+    // whose survivors are empty — the whole directory leaves the manifest
+    log.deleteKeys(Seq("cat3").toDF("cat"), "cat")
+    val afterP = log.files(log.currentVersion.get)
+    assert(afterP.forall(!_.startsWith("cat=cat3")))
+    assert(afterK.filterNot(_.startsWith("cat=cat3")).forall(afterP.contains),
+      "every non-cat3 file must carry by name")
+    assert(log.read().count() == 198 - 50)
+    assert(log.partitionColumns(log.currentVersion.get) == Seq("cat"))
   }
 
   test("vacuum walks partition subdirs: replaced nested files are collected") {
