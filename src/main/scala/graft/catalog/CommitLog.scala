@@ -367,13 +367,30 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     else Some(spark.read.parquet(names.map(n => new Path(dataDir, n).toString): _*)
       .select(DvKeys.map(col): _*))
 
+  /** Manifest names are dataDir-relative, EXCEPT shallow-clone lines,
+    * which are absolute references into the source's pool
+    * ([[cloneFrom]]); `Path(dataDir, n)` resolves both.
+    */
+  private def isAbsoluteName(n: String): Boolean =
+    n.startsWith("/") || n.contains("://")
+
+  /** Parquet reader for pool files: basePath (hive partition-column
+    * rehydration) only when every name is dataDir-relative — an
+    * absolute shallow-clone reference lives outside this table's root,
+    * where a basePath that is not an ancestor is a hard error (clones
+    * are always unpartitioned, so basePath is a no-op for them anyway).
+    */
+  private def poolReader(names: Seq[String]): org.apache.spark.sql.DataFrameReader = {
+    val r = spark.read.option("mergeSchema", "true")
+    if (names.exists(isAbsoluteName)) r else r.option("basePath", dataDir.toString)
+  }
+
   /** Data-file read annotated with tombstone join keys: each row carries
     * its pool file LEAF name and its stable row position within that
     * file (leaves are uuid-unique across partition subdirs).
     */
   private def withPos(names: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .option("basePath", dataDir.toString)
+    poolReader(names)
       .parquet(names.map(n => new Path(dataDir, n).toString): _*)
       .select(col("*"),
         org.apache.spark.sql.functions.substring_index(
@@ -419,14 +436,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   private def readFiles(names: Seq[String], dv: Option[DataFrame],
       partTypes: Map[String, String] = Map.empty): DataFrame = {
     val base = dv match {
-      case None => spark.read.option("mergeSchema", "true")
-        // basePath keeps hive-layout partition columns in the schema
-        // (and is a no-op for flat pool files)
-        .option("basePath", dataDir.toString)
+      case None => poolReader(names)
         .parquet(names.map(n => new Path(dataDir, n).toString): _*)
       case Some(d) =>
-        val dataCols = spark.read.option("mergeSchema", "true")
-          .option("basePath", dataDir.toString)
+        val dataCols = poolReader(names)
           .parquet(names.map(n => new Path(dataDir, n).toString): _*).columns.toSeq
         withPos(names).join(d, DvKeys, "left_anti")
           .select(dataCols.map(col): _*)
@@ -805,6 +818,54 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       s"commitStaged: lost the version race 50 times under $tableRoot")
   }
 
+  /** Zero-copy SHALLOW CLONE: publish this (empty) table's v1 as a
+    * manifest whose file lines reference the SOURCE's pool files by
+    * ABSOLUTE path, stats tags carried verbatim — no data moves, the
+    * clone costs one manifest write regardless of table size (the
+    * experiment-branch primitive at 100 TB). Absolute names resolve at
+    * every read site because `Path(parent, child)` yields the child
+    * when the child is absolute; the clone's own writers pool into its
+    * OWN data dir, so the clone diverges naturally — a keyed CoW merge
+    * rewrites a touched source file into the clone's pool and carries
+    * the rest by absolute name, and [[compact]] is the full
+    * materializer (after it, no line references the source). Vacuum on
+    * the CLONE never touches source files (it walks only its own pool);
+    * vacuum on the SOURCE does not know about clone references — the
+    * same caveat the Delta/Iceberg shallow-clone contracts document —
+    * so materialize (compact) before aggressive source vacuums.
+    *
+    * Refusals: a hive-partitioned source (partition rehydration needs a
+    * single `basePath`, which absolute cross-root names break — CTAS /
+    * INSERT OVERWRITE materializes instead) and a source carrying MoR
+    * tombstones (fold with `rewrite_deletes` first; cloning DV lines
+    * would alias tombstones across roots). The clone target must be
+    * uncommitted.
+    */
+  def cloneFrom(srcRoot: String): Long = {
+    require(currentVersion.isEmpty,
+      s"cloneFrom: target $tableRoot already has commits")
+    val src = new CommitLog(spark, srcRoot)
+    val v = src.currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+      s"cloneFrom: no committed version under $srcRoot"))
+    require(src.partitionColumns(v).isEmpty,
+      s"cloneFrom: $srcRoot is hive-partitioned; shallow clone cannot span " +
+        "partition roots — materialize with CTAS / INSERT OVERWRITE")
+    require(src.dvFiles(v).isEmpty,
+      s"cloneFrom: $srcRoot carries merge-on-read deletion vectors; fold " +
+        "them first: CALL <catalog>.system.rewrite_deletes")
+    val srcData = new Path(srcRoot, "data")
+    val absLines = src.manifestLines(v)
+      .filterNot(l => l.startsWith("#") || l.startsWith("-"))
+      .map { l =>
+        val i = l.indexOf('\t')
+        val (name, rest) = if (i < 0) (l, "") else (l.substring(0, i), l.substring(i))
+        s"${new Path(srcData, name)}$rest"
+      }
+    if (!publish(1, absLines)) throw new java.io.IOException(
+      s"cloneFrom: lost the v1 race under $tableRoot")
+    1L
+  }
+
   /** Partitioned twin of [[commitStaged]] for the SQL row-level rewrite:
     * Spark's V2 parquet batch write stages FLAT files (it cannot lay out
     * hive dirs), so the staged rows are read back and re-staged under
@@ -908,8 +969,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         // instead of drifting with path inference over the read set.
         val byLeaf = candidates.map(n => leafOf(n) -> n).toMap
         collectNames(
-          castParts(spark.read.option("mergeSchema", "true")
-            .option("basePath", dataDir.toString)
+          castParts(poolReader(candidates)
             .parquet(candidates.map(n => new Path(dataDir, n).toString): _*),
             partTypes)
             .withColumn("_graft_file", input_file_name())

@@ -18,6 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.restore('db.t', 3)
   *   CALL graft.system.export_delta('db.t', '/path/delta')
   *   CALL graft.system.import_delta('/path/delta', 'db.t')
+  *   CALL graft.system.clone('db.t', 'db.t_branch')
   * }}}
   *
   * Each returns a one-row summary (a [[LocalScan]] — driver-local; the
@@ -28,7 +29,7 @@ private[catalog] object GraftProcedures {
   val names: Seq[String] =
     Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta",
       "export_iceberg", "import_iceberg", "rewrite_deletes", "history",
-      "materialize_mapping", "analyze")
+      "materialize_mapping", "analyze", "clone")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -43,6 +44,7 @@ private[catalog] object GraftProcedures {
     case "history"         => new History(cat)
     case "materialize_mapping" => new MaterializeMapping(cat)
     case "analyze"         => new Analyze(cat)
+    case "clone"           => new Clone(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
   }
@@ -153,6 +155,31 @@ private[catalog] object GraftProcedures {
       val (v, nCols) = log.analyze()
       result(new StructType().add("version", LongType)
         .add("columns_analyzed", IntegerType), v, nCols)
+    }
+  }
+
+  private final class Clone(cat: GraftTableCatalog)
+    extends Proc("clone", Seq(in("source", StringType), in("target", StringType))) {
+    override def description(): String =
+      "zero-copy shallow clone: the target's v1 references the source's " +
+        "pool files by absolute path (no data moves); compact materializes"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val srcRoot = cat.rootOf(input.getUTF8String(0).toString)
+      val dstRoot = cat.rootForCreate(input.getUTF8String(1).toString)
+      val fs = HadoopFs.fs(cat.sparkSession, dstRoot)
+      val log = new CommitLog(cat.sparkSession, dstRoot)
+      val v = log.cloneFrom(srcRoot)
+      // schema / column-mapping sidecars ride along so the clone reads
+      // and evolves exactly like its source (renamed columns included)
+      for (side <- Seq("_schema.json", "_colmeta.json")) {
+        val from = new org.apache.hadoop.fs.Path(srcRoot, side)
+        if (fs.exists(from))
+          org.apache.hadoop.fs.FileUtil.copy(fs, from, fs,
+            new org.apache.hadoop.fs.Path(dstRoot, side), false,
+            cat.sparkSession.sparkContext.hadoopConfiguration): Unit
+      }
+      result(new StructType().add("version", LongType)
+        .add("files_referenced", IntegerType), v, log.files(v).length)
     }
   }
 
