@@ -830,9 +830,13 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * the rest by absolute name, and [[compact]] is the full
     * materializer (after it, no line references the source). Vacuum on
     * the CLONE never touches source files (it walks only its own pool);
-    * vacuum on the SOURCE does not know about clone references — the
-    * same caveat the Delta/Iceberg shallow-clone contracts document —
-    * so materialize (compact) before aggressive source vacuums.
+    * vacuum on the SOURCE is clone-aware — cloning registers an atomic
+    * marker under each referenced root's `_clones/`, and [[vacuum]]
+    * keeps files any registered clone's retained versions still
+    * reference ([[cloneLiveNames]]) — so a source vacuum cannot break a
+    * live branch (the caveat the Delta/Iceberg shallow-clone contracts
+    * leave open). Markers self-clean once the branch is dropped or
+    * fully materialized (compact + branch vacuum).
     *
     * Refusals: a hive-partitioned source (partition rehydration needs a
     * single `basePath`, which absolute cross-root names break — CTAS /
@@ -841,12 +845,18 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * would alias tombstones across roots). The clone target must be
     * uncommitted.
     */
-  def cloneFrom(srcRoot: String): Long = {
+  def cloneFrom(srcRoot: String, versionAsOf: Option[Long] = None): Long = {
     require(currentVersion.isEmpty,
       s"cloneFrom: target $tableRoot already has commits")
     val src = new CommitLog(spark, srcRoot)
-    val v = src.currentVersion.getOrElse(throw new java.io.FileNotFoundException(
-      s"cloneFrom: no committed version under $srcRoot"))
+    // time-travel clone: branch off any RETAINED source version — the
+    // clone pins that snapshot's files, immune to later source commits
+    val v = versionAsOf.getOrElse(
+      src.currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+        s"cloneFrom: no committed version under $srcRoot")))
+    require(src.committedVersions.contains(v),
+      s"cloneFrom: version $v is not retained under $srcRoot " +
+        s"(have: ${src.committedVersions.sorted.mkString(", ")})")
     require(src.partitionColumns(v).isEmpty,
       s"cloneFrom: $srcRoot is hive-partitioned; shallow clone cannot span " +
         "partition roots — materialize with CTAS / INSERT OVERWRITE")
@@ -861,9 +871,72 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         val (name, rest) = if (i < 0) (l, "") else (l.substring(0, i), l.substring(i))
         s"${new Path(srcData, name)}$rest"
       }
-    if (!publish(1, absLines)) throw new java.io.IOException(
+    // provenance header (inert to every reader — only #partition/#txn
+    // carry semantics): names the branch point for forensics
+    if (!publish(1, s"#clone:$srcRoot@$v" +: absLines)) throw new java.io.IOException(
       s"cloneFrom: lost the v1 race under $tableRoot")
+    // register this clone at EVERY root it references (clone-of-clone
+    // lines can point past the immediate source at the original pool),
+    // so those roots' vacuums keep referenced files live — one atomic
+    // marker file per (root, clone), no shared mutable registry
+    absLines.iterator.flatMap(l => dataRootOf(l.split('\t').head))
+      .map(r => r.stripSuffix("/data")).toSet[String]
+      .foreach(registerCloneAt(_, tableRoot))
     1L
+  }
+
+  /** Data-dir root of an absolute pool reference (None for this table's
+    * own relative names): the path up to and including its `/data`
+    * segment. Partition values escape `/` (%2F), so the LAST `/data/`
+    * is unambiguous.
+    */
+  private def dataRootOf(n: String): Option[String] =
+    if (!isAbsoluteName(n)) None
+    else {
+      val i = n.lastIndexOf("/data/")
+      if (i < 0) None else Some(n.substring(0, i + 5))
+    }
+
+  /** Drop an atomic clone marker under `srcRoot/_clones/` naming
+    * `cloneRoot` — the registry [[vacuum]] consults to keep files a
+    * live clone still references out of the dead set. One file per
+    * clone, create-only: concurrent clones never contend.
+    */
+  private def registerCloneAt(srcRoot: String, cloneRoot: String): Unit = {
+    val dir = new Path(srcRoot, "_clones")
+    hfs.mkdirs(dir)
+    val name = java.net.URLEncoder.encode(cloneRoot, "UTF-8")
+    val marker = new Path(dir, name)
+    if (!hfs.exists(marker))
+      LogStore.write(hfs, marker, cloneRoot.getBytes("UTF-8"))
+  }
+
+  /** Relative names of THIS table's pool files still referenced by ANY
+    * retained version of a registered clone (not just its head — the
+    * clone's own time travel must survive a source vacuum). Markers
+    * whose clone root has vanished (branch dropped) or no longer
+    * references this table anywhere (materialized via compact, old
+    * versions vacuumed) are deregistered on the way — the registry is
+    * self-cleaning, O(live clones × their retained versions) manifest
+    * reads, all driver-side metadata.
+    */
+  private def cloneLiveNames(): Set[String] = {
+    val dir = new Path(tableRoot, "_clones")
+    if (!hfs.exists(dir)) return Set.empty
+    val myData = dataDir.toString
+    val live = scala.collection.mutable.Set.empty[String]
+    hfs.listStatus(dir).foreach { m =>
+      val cloneRoot = java.net.URLDecoder.decode(m.getPath.getName, "UTF-8")
+      val clone = new CommitLog(spark, cloneRoot)
+      val refs = clone.committedVersions.flatMap(clone.manifestLines)
+        .filterNot(l => l.startsWith("#") || l.startsWith("-"))
+        .map(_.split('\t').head)
+        .filter(n => isAbsoluteName(n) && n.startsWith(myData + "/"))
+        .map(_.stripPrefix(myData + "/"))
+      if (refs.isEmpty) hfs.delete(m.getPath, false): Unit
+      else live ++= refs
+    }
+    live.toSet
   }
 
   /** Partitioned twin of [[commitStaged]] for the SQL row-level rewrite:
@@ -1616,8 +1689,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         "would fail on restart once its version is gone. Pass a smaller " +
         "minVersionAgeMs (0 forces) only when no consumer can lag that far.")
     // deletion-vector files are pool files too: collecting a referenced
-    // DV would resurrect its tombstoned rows
-    val live = keep.flatMap(v => files(v) ++ dvFiles(v)).toSet
+    // DV would resurrect its tombstoned rows. Files a registered shallow
+    // clone still references join the live set ([[cloneLiveNames]]) —
+    // a source vacuum must not break an unmaterialized branch.
+    val live = keep.flatMap(v => files(v) ++ dvFiles(v)).toSet ++ cloneLiveNames()
     // delete manifests FIRST so no reader can resolve a version whose
     // files are about to go
     drop.foreach(v => hfs.delete(manifestPath(v), false))
@@ -1796,27 +1871,64 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   /** File count of the current manifest (compaction bookkeeping). */
   def currentFileCount: Int = currentVersion.map(files(_).length).getOrElse(0)
 
-  /** Versioned small-file compaction: rewrite the head snapshot into
-    * `ceil(bytes / targetFileBytes)` pool files as a NEW version (replace
-    * commit; `coalesce`, no shuffle). Unlike the in-place directory-swap
-    * compact, a reader holding any retained version keeps reading exactly
-    * its snapshot throughout — the maintenance op and the query plane
-    * never race. Returns (filesBefore, filesAfter).
+  /** Versioned INCREMENTAL small-file compaction: bin-pack only the
+    * files smaller than `targetFileBytes` (plus any shallow-clone
+    * absolute references — compact is the clone materializer) into
+    * `ceil(packedBytes / targetFileBytes)` pool files as a NEW version,
+    * carrying every already-right-sized file by name — so a daily
+    * compact on a 100 TB table costs O(small files since last compact),
+    * not O(table), and converges: a second run with no new small files
+    * is a no-op. A snapshot carrying merge-on-read tombstones takes the
+    * full fold-and-rewrite instead (the read applies the DVs, the
+    * replace retires them — incremental carry would have to keep DV
+    * lines correct across a partial rewrite for no maintenance gain).
+    * Readers holding any retained version keep reading exactly their
+    * snapshot throughout. Returns (filesBefore, filesAfter).
     */
-  def compact(targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val v = currentVersion.getOrElse(
-      throw new java.io.FileNotFoundException(s"no committed version under $tableRoot"))
-    val names = files(v)
-    val partCols = partitionColumns(v)
-    if (partCols.nonEmpty) {
-      // partitioned compaction: re-lay the snapshot out under the SAME
-      // spec (one output chain per partition via the hive writer)
-      commitPartitioned(readVersion(v), partCols, replace = true)
-      return (names.length, currentFileCount)
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024,
+      maxAttempts: Int = 5): (Int, Int) = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = currentVersion.getOrElse(
+        throw new java.io.FileNotFoundException(s"no committed version under $tableRoot"))
+      val lines = manifestLines(v)
+      val names = files(v)
+      val partCols = partitionColsOf(lines)
+      if (dvNamesOf(lines).nonEmpty) {
+        // tombstoned snapshot: full rewrite, which also folds the DVs
+        if (partCols.nonEmpty)
+          commitPartitioned(readVersion(v), partCols, replace = true)
+        else {
+          val bytes = names.map(n => hfs.getFileStatus(new Path(dataDir, n)).getLen).sum
+          val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+          commit(readVersion(v).coalesce(nOut), replace = true)
+        }
+        return (names.length, currentFileCount)
+      }
+      val sized = names.map(n => (n, hfs.getFileStatus(new Path(dataDir, n)).getLen))
+      val pack = sized.collect {
+        case (n, b) if b < targetFileBytes || isAbsoluteName(n) => n
+      }
+      // one lone small file and nothing to materialize: packing it would
+      // rewrite bytes for zero file-count gain
+      if (pack.isEmpty || (pack.length == 1 && !isAbsoluteName(pack.head)))
+        return (names.length, names.length)
+      val packSet = pack.toSet
+      val packBytes = sized.collect { case (n, b) if packSet(n) => b }.sum
+      val nOut = math.max(1, math.ceil(packBytes.toDouble / targetFileBytes).toInt)
+      val keptLines = lines.filterNot(l => packSet(l.split('\t').head))
+      val newLines =
+        if (partCols.isEmpty)
+          stageToPool(readFiles(pack.sorted, None).coalesce(nOut), "compact")
+        else stagePartitioned(
+          readFiles(pack.sorted, None, partTypesOf(lines))
+            .repartition(nOut, partCols.map(col): _*),
+          partCols, "compact")
+      beforePublish(attempt, v + 1)
+      if (publish(v + 1, keptLines ++ newLines)) return (names.length, currentFileCount)
+      attempt += 1
     }
-    val bytes = names.map(n => hfs.getFileStatus(new Path(dataDir, n)).getLen).sum
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    commit(readVersion(v).coalesce(nOut), replace = true)
-    (names.length, currentFileCount)
+    throw new java.io.IOException(
+      s"compact: lost the head race $maxAttempts times under $tableRoot")
   }
 }

@@ -209,7 +209,33 @@ object CatalogSql {
         |ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** Zero-copy shallow clone as an oracle key: customer lands in a
+    * catalog table, `CALL graft.system.clone` branches it (ONE manifest
+    * write, no data files copied — CloneSpec pins the zero-copy
+    * property), and plain SQL through the BRANCH must equal the raw
+    * table: a clone is bit-identical to its source until a writer
+    * diverges it.
+    */
+  private def cloneShallow(s: SparkSession, d: String): DataFrame = {
+    ensureTables(s, d)
+    val fresh =
+      try s.sql("SELECT count(*) FROM graft.tpch.customer_branch").head().getLong(0) ==
+        s.sql("SELECT count(*) FROM graft.tpch.customer").head().getLong(0)
+      catch { case _: Exception => false }
+    if (!fresh) {
+      s.sql("DROP TABLE IF EXISTS graft.tpch.customer_branch")
+      s.sql("CALL graft.system.clone('tpch.customer', 'tpch.customer_branch')"): Unit
+    }
+    s.sql(
+      """SELECT c_nationkey, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM graft.tpch.customer_branch
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clone_shallow" -> cloneShallow _,
     "q_sql_catalog_table" -> sqlCatalogTable _,
     "q_part_pruned" -> partPruned _,
     "stream_table_tail" -> streamTableTail _,
@@ -219,6 +245,12 @@ object CatalogSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_clone_shallow" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q_sql_catalog_table" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal

@@ -175,6 +175,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(log.read().as[Long].collect().sorted.toSeq == (1L to 12L))
   }
 
+  test("commit log: compact is incremental — right-sized files carry by name, reruns no-op") {
+    val root = freshRoot() + "/t"
+    val log = new graft.catalog.CommitLog(spark, root)
+    log.commit((1L to 2000L).toDF("k").coalesce(1), replace = true)
+    val bigName = log.files(log.currentVersion.get).head
+    for (i <- 2001L to 2005L)
+      log.commit(Seq(i).toDF("k").coalesce(1), replace = false)
+    val bigBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(root, "data", bigName))
+
+    // target = the big file's size: everything smaller bin-packs, the
+    // big file itself is carried into the new manifest BY NAME
+    val (was, now) = log.compact(targetFileBytes = bigBytes)
+    assert(was == 6 && now == 2, s"($was, $now)")
+    val head = log.currentVersion.get
+    assert(log.files(head).contains(bigName), "right-sized file must carry by name")
+    assert(log.read().as[Long].collect().sorted.toSeq == (1L to 2005L))
+
+    // converged: a second run finds one lone small file and publishes nothing
+    assert(log.compact(targetFileBytes = bigBytes) == (2, 2))
+    assert(log.currentVersion.get == head, "no-op compact must not commit a version")
+  }
+
   test("commit log: losing the version race retries with the same pooled names") {
     val root = freshRoot() + "/t"
     val log = new graft.catalog.CommitLog(spark, root)

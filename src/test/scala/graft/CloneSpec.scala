@@ -105,6 +105,51 @@ class CloneSpec extends AnyFunSuite {
     assert(dst.read().count() == 100)
   }
 
+  test("source vacuum keeps files a live clone references; full materialization frees them") {
+    val srcRoot = tmp("graft_clone_vac_src")
+    val src = new CommitLog(spark, srcRoot)
+    src.commit(sample(1, 100), replace = true)              // v1 — the cloned files
+    val dst = new CommitLog(spark, tmp("graft_clone_vac_dst"))
+    dst.cloneFrom(srcRoot)
+
+    // the source replaces its content: v1's files are unreferenced BY THE
+    // SOURCE but still referenced by the clone — an aggressive vacuum
+    // must keep them live (the registry, not luck)
+    src.commit(sample(201, 300), replace = true)            // v2
+    val (_, collected) = src.vacuum(keepVersions = 1, minFileAgeMs = 0, minVersionAgeMs = 0)
+    assert(collected == 0, s"clone-referenced files were collected ($collected)")
+    assert(dst.read().count() == 100, "the clone must survive a source vacuum")
+
+    // full materialization = compact (pull rows local) + branch vacuum
+    // (drop the absolute-referencing clone versions); then the source
+    // vacuum finally collects and the registry self-cleans
+    dst.compact()
+    dst.vacuum(keepVersions = 1, minFileAgeMs = 0, minVersionAgeMs = 0)
+    val (_, collected2) = src.vacuum(keepVersions = 1, minFileAgeMs = 0, minVersionAgeMs = 0)
+    assert(collected2 >= 1, "materialized clone must release the source's files")
+    assert(dst.read().count() == 100)
+    assert(src.read().count() == 100)
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(srcRoot, "_clones"))
+      .iterator().hasNext, "registry must self-clean once nothing is referenced")
+  }
+
+  test("time-travel clone pins a historical snapshot, immune to later source commits") {
+    val srcRoot = tmp("graft_clone_tt_src")
+    val src = new CommitLog(spark, srcRoot)
+    src.commit(sample(1, 100), replace = true)          // v1
+    src.commit(sample(101, 150), replace = false)       // v2
+
+    val dst = new CommitLog(spark, tmp("graft_clone_tt_dst"))
+    dst.cloneFrom(srcRoot, versionAsOf = Some(1L))
+    assert(dst.read().count() == 100)
+    src.commit(sample(151, 160), replace = false)       // later source growth
+    assert(dst.read().count() == 100, "the clone must pin its snapshot")
+
+    assert(intercept[IllegalArgumentException] {
+      new CommitLog(spark, tmp("graft_clone_tt_bad")).cloneFrom(srcRoot, Some(99L))
+    }.getMessage.contains("not retained"))
+  }
+
   test("refusals: partitioned source, tombstoned source, non-empty target") {
     val partRoot = tmp("graft_clone_part")
     val part = new CommitLog(spark, partRoot)
