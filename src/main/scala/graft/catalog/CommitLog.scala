@@ -678,12 +678,14 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * (the partitioned twin of [[commit]]). Appends require the head's
     * partition spec to match; a replace may change it. The spec rides
     * the manifest as a `#partition:` header, carried across appends and
-    * MoR deletes. Keyed CoW mutators ([[merge]]/[[deleteKeys]]) are
-    * partition-aware — they restage touched files under their subdirs;
-    * the predicate CoW paths that would flatten the layout refuse
-    * ([[requireUnpartitioned]]) — their partitioned tier is MoR delete +
-    * [[rewriteDeletes]] (partition-aware) +
-    * re-`commitPartitioned(replace = true)` maintenance.
+    * MoR deletes. The CoW mutators ([[merge]]/[[deleteKeys]]/
+    * [[rewriteWhere]]) are all partition-aware — touched files restage
+    * under their subdirs, untouched files carry by name; the delete
+    * TIER of choice on partitioned tables remains MoR
+    * ([[deleteWhereMoR]], O(rows)) with [[rewriteDeletes]] as the
+    * partition-aware fold. Only flat APPENDS refuse
+    * ([[requireUnpartitioned]]) — mixing layouts is a correctness
+    * error.
     */
   def commitPartitioned(df: DataFrame, partitionCols: Seq[String],
       replace: Boolean, txn: Option[String] = None): Long = {
@@ -1277,34 +1279,43 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
         s"no committed version under $tableRoot"))
       val lines = manifestLines(v)
-      requireUnpartitioned("rewriteWhere", v, lines)
+      val partCols = partitionColsOf(lines)
+      val partTypes = partTypesOf(lines)
       val names = files(v)
       val dv = dvFrame(v)
       // discovery runs over the VISIBLE snapshot: a file whose only
       // matching rows are already tombstoned is not touched (no rewrite).
       // Discovery yields LEAF names (what input-file metadata exposes);
-      // they normalize to manifest names, exactly (leaves are uuid-unique)
+      // they normalize to manifest names, exactly (leaves are uuid-unique).
+      // castParts pins partition-column types so a predicate on a string
+      // partition column compares lexically, matching the stats tier.
       val touchedLeaves: Set[String] =
         if (names.isEmpty) Set.empty
         else collectNames(
-          dv.fold(withPos(names))(d => withPos(names).join(d, DvKeys, "left_anti"))
+          castParts(dv.fold(withPos(names))(d =>
+            withPos(names).join(d, DvKeys, "left_anti")), partTypes)
             .filter(cond),
           DvKeys.head, "rewriteWhere")
       val touched = names.filter(n => touchedLeaves(leafOf(n))).toSet
       if (touched.isEmpty && extra.isEmpty) return v
       val keptLines = lines.filterNot(l =>
         !l.startsWith("#") && !l.startsWith("-") && touched(l.split('\t').head))
+      // partitioned snapshots restage survivors and extras UNDER their
+      // `c=v` subdirs — predicate CoW keeps the layout like merge does
+      def stage(df: DataFrame): Seq[String] =
+        if (partCols.isEmpty) stageToPool(df, "rewriteWhere")
+        else stagePartitioned(df, partCols, "rewriteWhere")
       val survivorLines =
         if (touched.isEmpty) Seq.empty
         else {
           val cols = readVersion(v).columns.toSeq
-          val survivors = readFiles(touched.toSeq.sorted, dv)
+          val survivors = readFiles(touched.toSeq.sorted, dv, partTypes)
             // SQL DELETE semantics: rows where the predicate is NULL survive
             .filter(!coalesce(cond, lit(false)))
             .select(cols.map(col): _*)
-          stageToPool(survivors, "rewriteWhere")
+          stage(survivors)
         }
-      val extraLines = extra.map(stageToPool(_, "rewriteWhere")).getOrElse(Seq.empty)
+      val extraLines = extra.map(stage).getOrElse(Seq.empty)
       beforePublish(attempt, v + 1)
       if (publish(v + 1, keptLines ++ survivorLines ++ extraLines)) return v + 1
       attempt += 1

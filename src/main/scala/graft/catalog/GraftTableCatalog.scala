@@ -549,8 +549,8 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
                     log.commitPartitioned(data, partCols, replace = true): Unit
                   else log.commit(data, replace = true): Unit
                 } else log.rewriteWhere(c, Some(data)): Unit
-                // (filter-overwrite on a partitioned table refuses inside
-                // rewriteWhere — the CoW tier would flatten the layout)
+                // (rewriteWhere is partition-aware: a filter-overwrite on
+                // a partitioned table restages under the hive subdirs)
               }
             }
           }

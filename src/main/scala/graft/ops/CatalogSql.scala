@@ -234,7 +234,71 @@ object CatalogSql {
         |ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** File-pruned CoW MERGE as an oracle key: orders lands as keys with
+    * `o_orderkey % 3 != 0`, then an upsert batch of every even key
+    * (price bumped by 10000) — matched rows update, new keys insert.
+    * The post-merge table must equal the closed-form oracle: keys where
+    * `%3 != 0 OR %2 == 0`, price bumped exactly on the even ones.
+    * CatalogSpec/PartitionedCommitSpec pin the O(touched-files) plan
+    * property; this key pins the VALUES.
+    */
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_merge"
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val expected = src.filter(col("o_orderkey") % 3 =!= 0 || col("o_orderkey") % 2 === 0)
+      .count()
+    val fresh =
+      try log.read().count() == expected
+      catch { case _: Exception => false }
+    if (!fresh) {
+      log.commit(src.filter(col("o_orderkey") % 3 =!= 0), replace = true)
+      log.merge(
+        src.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 10000.0),
+        "o_orderkey"): Unit
+    }
+    log.read().agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      sum(col("o_custkey")).as("sum_cust"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
+  /** Predicate copy-on-write DELETE as an oracle key: the complement
+    * SELECT is the whole contract — `DELETE WHERE p` followed by a read
+    * must equal `WHERE NOT p` (with SQL null semantics) on the raw
+    * table. Only files containing a match were rewritten (spec-pinned);
+    * the key pins the surviving VALUES.
+    */
+  private def deleteWhereCow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_del"
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val expected = src.filter(!(col("o_orderstatus") === "F" &&
+      col("o_totalprice") > 100000.0)).count()
+    val fresh =
+      try log.read().count() == expected
+      catch { case _: Exception => false }
+    if (!fresh) {
+      log.commit(src, replace = true)
+      log.deleteWhere(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0): Unit
+    }
+    log.read().agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> mergeUpsert _,
+    "q_delete_where" -> deleteWhereCow _,
     "q_clone_shallow" -> cloneShallow _,
     "q_sql_catalog_table" -> sqlCatalogTable _,
     "q_part_pruned" -> partPruned _,
@@ -245,6 +309,20 @@ object CatalogSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(CAST(CASE WHEN o_orderkey % 2 = 0
+        |                          THEN o_totalprice + 10000.0
+        |                          ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0""".stripMargin,
+    "q_delete_where" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 100000.0)""".stripMargin,
     "q_clone_shallow" ->
       """SELECT c_nationkey, count(*) AS n_cust,
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal

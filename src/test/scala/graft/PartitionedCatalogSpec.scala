@@ -107,6 +107,25 @@ class PartitionedCatalogSpec extends AnyFunSuite {
     assert(log.partitionColumns(log.currentVersion.get) == Seq("cat"))
   }
 
+  test("static partition INSERT OVERWRITE rewrites only that partition") {
+    spark.sql("CREATE TABLE gp.db.po (k BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO gp.db.po SELECT id, concat('c', id % 2) FROM range(0, 10)")
+    val log = new graft.catalog.CommitLog(spark, s"$warehouse/db/po")
+    val before = log.files(log.currentVersion.get)
+
+    spark.sql("INSERT OVERWRITE gp.db.po PARTITION (cat = 'c1') " +
+      "SELECT id + 100 AS k FROM range(0, 3)")
+    assert(spark.sql("SELECT count(*) FROM gp.db.po WHERE cat = 'c0'").as[Long].head() == 5,
+      "the untouched partition must keep its rows")
+    assert(spark.sql("SELECT k FROM gp.db.po WHERE cat = 'c1' ORDER BY k")
+      .as[Long].collect().toSeq == Seq(100L, 101L, 102L))
+    val after = log.files(log.currentVersion.get)
+    assert(after.forall(_.startsWith("cat=")))
+    assert(before.filter(_.startsWith("cat=c0")).forall(after.contains),
+      "c0's files must carry by name through a c1 overwrite")
+    assert(log.partitionColumns(log.currentVersion.get) == Seq("cat"))
+  }
+
   test("CALL history lists versions newest-first with counts and partition spec") {
     spark.sql("CREATE TABLE gp.db.ph (k BIGINT, cat STRING) PARTITIONED BY (cat)")
     spark.sql("INSERT INTO gp.db.ph SELECT id, concat('c', id % 2) FROM range(0, 10)")

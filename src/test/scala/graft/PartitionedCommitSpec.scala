@@ -99,13 +99,20 @@ class PartitionedCommitSpec extends AnyFunSuite {
       catFiles("cat=cat0").length)
   }
 
-  test("predicate CoW refuses on partitioned tables; compact re-lays out per spec") {
+  test("predicate CoW keeps the layout on partitioned tables; compact re-lays out per spec") {
     val root = tmp("graft_part_guard")
     val log = new CommitLog(spark, root)
     log.commitPartitioned(sample(1, 100), Seq("cat"), replace = true)
-    assert(intercept[IllegalArgumentException] {
-      log.deleteWhere(col("k") === 1L)
-    }.getMessage.contains("hive-partitioned"))
+    val beforeDel = log.files(log.currentVersion.get)
+    // k=1 lives in cat1 — only that partition's containing file rewrites
+    log.deleteWhere(col("k") === 1L)
+    val afterDel = log.files(log.currentVersion.get)
+    assert(log.read().count() == 99)
+    assert(log.read().filter($"k" === 1L).isEmpty)
+    assert(afterDel.forall(_.startsWith("cat=")))
+    assert((beforeDel.toSet -- afterDel).forall(_.startsWith("cat=cat1")),
+      "predicate CoW may only rewrite the partition containing the match")
+    assert(log.partitionColumns(log.currentVersion.get) == Seq("cat"))
     // clustering a PARTITION column is refused (constant per dir);
     // clustering a data column is partition-local and allowed (below)
     assert(intercept[IllegalArgumentException] {
@@ -116,7 +123,7 @@ class PartitionedCommitSpec extends AnyFunSuite {
     val (was, now) = log.compact()
     assert(was == before)
     assert(log.partitionColumns(log.currentVersion.get) == Seq("cat"))
-    assert(log.read().count() == 100)
+    assert(log.read().count() == 99)
     assert(now <= was)
   }
 
