@@ -68,11 +68,13 @@ object Bench {
         }
       java.nio.file.Files.write(out,
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      println(short)
       // stderr copy: survives even if a logger re-wraps stdout
       System.err.println(short)
     } else println(full)  // dev runs are few keys; full detail fits stdout
     spark.stop()
+    // the ONE stdout summary line, emitted after spark.stop() so no
+    // shutdown logging can interleave after it — a driver that takes
+    // either the last line or the only JSON line parses the same record
     if (only.isEmpty) println(short)
   }
 }

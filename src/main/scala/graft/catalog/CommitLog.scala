@@ -412,9 +412,15 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     if (cols.isEmpty) Map.empty
     else {
       val stats = fileStatsOf(lines)
-      cols.flatMap(c =>
-        stats.valuesIterator.flatMap(_.get(c).map(_.tpe)).take(1).toSeq
-          .headOption.orElse(Some("string")).map(c -> _)).toMap
+      cols.map { c =>
+        // legacy manifests (pre schema-typed bounds) tagged each file by
+        // the VALUE's lexical shape, so one column can carry mixed tags
+        // ("2" → long beside "abc" → string). Any disagreement means the
+        // column cannot be numeric: resolve to string, never first-wins —
+        // a bigint cast would silently NULL the non-numeric partitions.
+        val tags = stats.valuesIterator.flatMap(_.get(c).map(_.tpe)).toSet
+        c -> (if (tags.size == 1) tags.head else "string")
+      }.toMap
     }
   }
 
@@ -693,9 +699,14 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       currentVersion.foreach { v => if (txns(v).contains(id)) return v }
     }
     currentVersion.filter(_ => !replace).foreach { v =>
-      val existing = partitionColumns(v)
-      require(existing.isEmpty || existing == partitionCols,
-        s"commitPartitioned: head is partitioned by $existing, append by $partitionCols " +
+      val prevLines = manifestLines(v)
+      val existing = partitionColsOf(prevLines)
+      // an empty-spec head is only appendable when it holds NO data
+      // files: hive subdir lines over flat lines mix directory depths
+      require(existing == partitionCols ||
+          (existing.isEmpty && dataNamesOf(prevLines).isEmpty),
+        s"commitPartitioned: head is ${if (existing.isEmpty) "flat"
+          else s"partitioned by $existing"}, append by $partitionCols " +
           "would mix layouts (replace=true may change the spec)")
     }
     val newLines = stagePartitioned(df, partitionCols, "commitPartitioned")
@@ -717,9 +728,14 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       // the partitioned mirror of that discipline)
       if (!replace) {
         val headCols = partitionColsOf(prev)
-        require(headCols.isEmpty || headCols == partitionCols,
-          s"commitPartitioned: head is now partitioned by $headCols (changed " +
-            s"by a concurrent commit); append by $partitionCols would mix layouts")
+        // same rule as the entry check: a racer that replaced the table
+        // FLAT (empty spec, data lines present) must also refuse — an
+        // empty spec alone is only safe over an empty table
+        require(headCols == partitionCols ||
+            (headCols.isEmpty && dataNamesOf(prev).isEmpty),
+          s"commitPartitioned: head layout changed by a concurrent commit " +
+            s"(now ${if (headCols.isEmpty) "flat" else s"partitioned by $headCols"}); " +
+            s"append by $partitionCols would mix layouts")
       }
       val carried =
         if (replace) prev.filter(_.startsWith("#txn:"))
@@ -873,17 +889,28 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         val (name, rest) = if (i < 0) (l, "") else (l.substring(0, i), l.substring(i))
         s"${new Path(srcData, name)}$rest"
       }
+    // register this clone at EVERY root it references (clone-of-clone
+    // lines can point past the immediate source at the original pool),
+    // so those roots' vacuums keep referenced files live — one atomic
+    // marker file per (root, clone), no shared mutable registry.
+    // Markers land BEFORE the manifest publishes: a crash in between
+    // leaves an unreferenced marker that self-cleans on the source's
+    // next vacuum, whereas the reverse order would leave a published,
+    // readable clone that one source vacuum permanently breaks.
+    absLines.iterator.flatMap(l => dataRootOf(l.split('\t').head))
+      .map(r => r.stripSuffix("/data")).toSet[String]
+      .foreach(registerCloneAt(_, tableRoot))
     // provenance header (inert to every reader — only #partition/#txn
     // carry semantics): names the branch point for forensics
     if (!publish(1, s"#clone:$srcRoot@$v" +: absLines)) throw new java.io.IOException(
       s"cloneFrom: lost the v1 race under $tableRoot")
-    // register this clone at EVERY root it references (clone-of-clone
-    // lines can point past the immediate source at the original pool),
-    // so those roots' vacuums keep referenced files live — one atomic
-    // marker file per (root, clone), no shared mutable registry
-    absLines.iterator.flatMap(l => dataRootOf(l.split('\t').head))
-      .map(r => r.stripSuffix("/data")).toSet[String]
-      .foreach(registerCloneAt(_, tableRoot))
+    // a concurrent source vacuum may have dropped a time-travel target
+    // version while this clone was in flight (the head always survives
+    // keepVersions >= 1); fail loudly rather than hand back a branch
+    // whose files may already be collected
+    if (!src.committedVersions.contains(v)) throw new java.io.IOException(
+      s"cloneFrom: source version $v of $srcRoot was vacuumed mid-clone; " +
+        "the branch may reference collected files — re-clone from a retained version")
     1L
   }
 
@@ -922,10 +949,13 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * self-cleaning, O(live clones × their retained versions) manifest
     * reads, all driver-side metadata.
     */
-  private def cloneLiveNames(): Set[String] = {
+  private def cloneLiveNames(markerCleanCutoff: Long): Set[String] = {
     val dir = new Path(tableRoot, "_clones")
     if (!hfs.exists(dir)) return Set.empty
-    val myData = dataDir.toString
+    // scheme-insensitive comparison: a clone spelled "file:/wh/t" and a
+    // vacuum constructed with "/wh/t" are the same table — raw string
+    // prefix would silently deregister a live branch
+    val myData = dataDir.toUri.getPath
     val live = scala.collection.mutable.Set.empty[String]
     hfs.listStatus(dir).foreach { m =>
       val cloneRoot = java.net.URLDecoder.decode(m.getPath.getName, "UTF-8")
@@ -933,10 +963,18 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val refs = clone.committedVersions.flatMap(clone.manifestLines)
         .filterNot(l => l.startsWith("#") || l.startsWith("-"))
         .map(_.split('\t').head)
-        .filter(n => isAbsoluteName(n) && n.startsWith(myData + "/"))
+        .filter(isAbsoluteName)
+        .map(n => new Path(n).toUri.getPath)
+        .filter(_.startsWith(myData + "/"))
         .map(_.stripPrefix(myData + "/"))
-      if (refs.isEmpty) hfs.delete(m.getPath, false): Unit
-      else live ++= refs
+      // a marker with no references is stale (dropped or materialized
+      // branch) — UNLESS it is young: cloneFrom registers BEFORE its v1
+      // publishes, so an in-flight clone's marker must survive the scan
+      // (same in-flight guard as the pool-file collection)
+      if (refs.isEmpty) {
+        if (m.getModificationTime <= markerCleanCutoff)
+          hfs.delete(m.getPath, false): Unit
+      } else live ++= refs
     }
     live.toSet
   }
@@ -1699,15 +1737,16 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         "A streaming consumer whose checkpoint still points inside this window " +
         "would fail on restart once its version is gone. Pass a smaller " +
         "minVersionAgeMs (0 forces) only when no consumer can lag that far.")
+    val cutoff = System.currentTimeMillis() - minFileAgeMs
     // deletion-vector files are pool files too: collecting a referenced
     // DV would resurrect its tombstoned rows. Files a registered shallow
     // clone still references join the live set ([[cloneLiveNames]]) —
-    // a source vacuum must not break an unmaterialized branch.
-    val live = keep.flatMap(v => files(v) ++ dvFiles(v)).toSet ++ cloneLiveNames()
+    // a source vacuum must not break an unmaterialized branch; young
+    // empty markers (in-flight clones) survive under the same cutoff.
+    val live = keep.flatMap(v => files(v) ++ dvFiles(v)).toSet ++ cloneLiveNames(cutoff)
     // delete manifests FIRST so no reader can resolve a version whose
     // files are about to go
     drop.foreach(v => hfs.delete(manifestPath(v), false))
-    val cutoff = System.currentTimeMillis() - minFileAgeMs
     // recursive walk: partitioned pools nest files under c=v subdirs,
     // and liveness is keyed by the dataDir-relative name
     val dead: Seq[Path] =
@@ -1917,13 +1956,19 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         return (names.length, currentFileCount)
       }
       val sized = names.map(n => (n, hfs.getFileStatus(new Path(dataDir, n)).getLen))
-      val pack = sized.collect {
+      val candidates = sized.collect {
         case (n, b) if b < targetFileBytes || isAbsoluteName(n) => n
       }
-      // one lone small file and nothing to materialize: packing it would
-      // rewrite bytes for zero file-count gain
-      if (pack.isEmpty || (pack.length == 1 && !isAbsoluteName(pack.head)))
-        return (names.length, names.length)
+      // convergence: a LONE small file in its partition (or the whole
+      // flat pool) cannot be packed with anything — rewriting it gains
+      // no file count and would make every maintenance run a rewrite.
+      // Absolute (clone) references always pack: materializing is the
+      // point even when the partition holds just one.
+      val pack = candidates.groupBy(n =>
+          n.split('/').dropRight(1).mkString("/")).values
+        .filter(g => g.length > 1 || g.exists(isAbsoluteName))
+        .flatten.toSeq
+      if (pack.isEmpty) return (names.length, names.length)
       val packSet = pack.toSet
       val packBytes = sized.collect { case (n, b) if packSet(n) => b }.sum
       val nOut = math.max(1, math.ceil(packBytes.toDouble / targetFileBytes).toInt)

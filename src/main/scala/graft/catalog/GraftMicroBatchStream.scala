@@ -162,18 +162,27 @@ private[graft] final class GraftMicroBatchStream(
         if (spec != log.partitionColumns(e)) cachedFactory = None
       }
     }
+    plannedEnd = Some(e)
     val added = log.files(e).filterNot(before)
     if (added.isEmpty) Array.empty
     else parquetBatch(added.map(n => new Path(dataDir, n).toString))
       .planInputPartitions()
   }
 
+  /** Batch-end version of the most recently planned batch: the factory
+    * must be built against THIS snapshot, not the head — a backlogged
+    * stream replaying an old range on a table whose spec later changed
+    * would otherwise pair head-schema readers with old-layout splits.
+    */
+  @volatile private var plannedEnd: Option[Long] = None
+
   /** The factory's read/partition schemas come from its OWN file index,
     * so it must see a representative file set: a hive-partitioned pool
     * needs the factory to infer the same partition schema the planning
     * batch embedded in its FilePartitions (an empty list would silently
-    * drop the partition columns from every row). The head snapshot's
-    * list is that representative set, and the factory is built ONCE per
+    * drop the partition columns from every row). The planned batch's
+    * END-version list is that representative set (the head only before
+    * any planning), and the factory is built ONCE per
     * stream, not per micro-batch: the reader factory is file-list
     * independent (it reads whatever FilePartition it is handed, with
     * types pinned by the table schema), and rebuilding it each trigger
@@ -190,8 +199,12 @@ private[graft] final class GraftMicroBatchStream(
     cachedFactory match {
       case Some((_, f)) => f
       case None =>
-        val spec = log.currentVersion.map(log.partitionColumns).getOrElse(Seq.empty)
-        val f = parquetBatch(log.currentVersion.map(log.filePaths).getOrElse(Seq.empty))
+        // build against the version the current batch was PLANNED for
+        // (falling back to the head before any planning): a backlogged
+        // replay across a later spec change must see the old layout
+        val v = plannedEnd.orElse(log.currentVersion)
+        val spec = v.map(log.partitionColumns).getOrElse(Seq.empty)
+        val f = parquetBatch(v.map(log.filePaths).getOrElse(Seq.empty))
           .createReaderFactory()
         cachedFactory = Some((spec, f))
         f

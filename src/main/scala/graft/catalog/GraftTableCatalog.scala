@@ -485,7 +485,7 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
     }
     new org.apache.spark.sql.GraftForwardingScanBuilder(inner,
       _ => new GraftMicroBatchStream(spark, tableName, root, streamSchema, scanOptions),
-      exactStats, batchRefusal)
+      exactStats, batchRefusal, totalCols = schema.fields.length)
   }
 
   private sealed trait WriteMode

@@ -28,7 +28,8 @@ final class GraftForwardingScanBuilder(
     delegate: ParquetScanBuilder,
     stream: String => MicroBatchStream,
     exactStats: () => Option[GraftExactStats] = () => None,
-    batchRefusal: Option[String] = None)
+    batchRefusal: Option[String] = None,
+    totalCols: Int = 0)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -39,12 +40,23 @@ final class GraftForwardingScanBuilder(
   // matches the whole-snapshot statistics — fall back to the delegate's
   // listing-based estimate instead of over-reporting
   private var narrowed = false
+  // column pruning keeps the exact ROW count but shrinks bytes — scale
+  // proportionally so a 2-column projection of a wide table still
+  // broadcasts when it truly fits
+  private var colRatio = 1.0
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    if (totalCols > 0 && requiredSchema.fields.length < totalCols)
+      colRatio = math.max(1, requiredSchema.fields.length).toDouble / totalCols
     delegate.pruneColumns(requiredSchema)
+  }
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val post = delegate.pushFilters(filters)
-    if (delegate.pushedFilters.nonEmpty) narrowed = true
+    // pushedFilters only reports DATA filters routed into parquet;
+    // partition filters are consumed silently (post loses them), yet
+    // they prune the scan's output just the same — both must narrow,
+    // or a partition-pruned scan reports whole-snapshot exact stats
+    if (delegate.pushedFilters.nonEmpty || post.size != filters.size) narrowed = true
     post
   }
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
@@ -60,7 +72,10 @@ final class GraftForwardingScanBuilder(
     delegate.pushVariantExtractions(extractions)
 
   override def build(): Scan = new GraftStreamableScan(delegate.build(), stream,
-    if (narrowed) None else exactStats(), batchRefusal)
+    if (narrowed) None
+    else exactStats().map(s => s.copy(sizeInBytes =
+      math.max(1L, (s.sizeInBytes * colRatio).toLong))),
+    batchRefusal)
 }
 
 /** Scan wrapper: batch reads delegate untouched; streaming reads get the

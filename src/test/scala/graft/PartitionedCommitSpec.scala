@@ -72,6 +72,13 @@ class PartitionedCommitSpec extends AnyFunSuite {
     // replace back to flat is legal and drops the spec
     log.commit(sample(1, 10).drop("cat"), replace = true)
     assert(log.partitionColumns(log.currentVersion.get).isEmpty)
+
+    // ...and the reverse mix also refuses: a partitioned APPEND over a
+    // non-empty flat head would nest hive subdirs beside flat files
+    val mixBack = intercept[IllegalArgumentException] {
+      log.commitPartitioned(sample(11, 20), Seq("cat"), replace = false)
+    }
+    assert(mixBack.getMessage.contains("mix layouts"), mixBack.getMessage)
   }
 
   test("MoR delete + partition-aware rewriteDeletes keep the layout") {
