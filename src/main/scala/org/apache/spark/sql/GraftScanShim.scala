@@ -52,11 +52,7 @@ final class GraftForwardingScanBuilder(
   }
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val post = delegate.pushFilters(filters)
-    // pushedFilters only reports DATA filters routed into parquet;
-    // partition filters are consumed silently (post loses them), yet
-    // they prune the scan's output just the same — both must narrow,
-    // or a partition-pruned scan reports whole-snapshot exact stats
-    if (delegate.pushedFilters.nonEmpty || post.size != filters.size) narrowed = true
+    if (delegate.pushedFilters.nonEmpty) narrowed = true
     post
   }
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
@@ -71,11 +67,33 @@ final class GraftForwardingScanBuilder(
       extractions: Array[VariantExtraction]): Array[Boolean] =
     delegate.pushVariantExtractions(extractions)
 
-  override def build(): Scan = new GraftStreamableScan(delegate.build(), stream,
-    if (narrowed) None
-    else exactStats().map(s => s.copy(sizeInBytes =
-      math.max(1L, (s.sizeInBytes * colRatio).toLong))),
-    batchRefusal)
+  override def build(): Scan = {
+    val built = delegate.build()
+    val stats =
+      if (narrowed) None   // data-filter pushdown: selectivity unknown
+      else {
+        val scaled = exactStats().map(s => s.copy(sizeInBytes =
+          math.max(1L, (s.sizeInBytes * colRatio).toLong)))
+        built match {
+          // partition filters never appear in pushedFilters (the file
+          // index consumes them) and the stock FileScan estimate uses
+          // the UNPRUNED index total — list the pruned files instead,
+          // so a one-partition read of a year-partitioned dim still
+          // broadcasts. Row count drops to unknown (bytes are exact per
+          // file; rows per partition are not tracked here).
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan
+              if f.partitionFilters.nonEmpty =>
+            val prunedBytes = f.fileIndex
+              .listFiles(f.partitionFilters, f.dataFilters)
+              .iterator.flatMap(_.files).map(_.getLen).sum
+            scaled.map(s => s.copy(
+              sizeInBytes = math.max(1L, (prunedBytes * colRatio).toLong),
+              numRows = None))
+          case _ => scaled
+        }
+      }
+    new GraftStreamableScan(built, stream, stats, batchRefusal)
+  }
 }
 
 /** Scan wrapper: batch reads delegate untouched; streaming reads get the

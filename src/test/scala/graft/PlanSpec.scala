@@ -451,6 +451,40 @@ class PlanSpec extends AnyFunSuite {
       s"no shuffle join belongs in this star:\n$p")
   }
 
+  test("exact stats narrow under partition filters and scale under projection") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_stats_wh").toString
+    spark.conf.set("spark.sql.catalog.swh", classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.swh.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS swh.db")
+    spark.sql("CREATE TABLE swh.db.pt (k BIGINT, pad STRING, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO swh.db.pt SELECT id, repeat('x', 100), " +
+      "concat('c', id % 4) FROM range(0, 4000)")
+
+    def scanBytes(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collectLeaves().head.stats.sizeInBytes
+
+    // whole-snapshot scan: exact manifest bytes, exact rows
+    val full = spark.table("swh.db.pt")
+    val log = new graft.catalog.CommitLog(spark, s"$warehouse/db/pt")
+    val (exactBytes, exactRows) = log.snapshotStats(log.currentVersion.get)
+    assert(scanBytes(full) == BigInt(exactBytes))
+    assert(full.queryExecution.optimizedPlan.stats.rowCount
+      .contains(BigInt(exactRows.get)))
+
+    // a PARTITION filter is consumed by pushdown without appearing in
+    // pushedFilters, and the stock FileScan estimate totals the UNPRUNED
+    // index — the shim must report the pruned partitions' bytes (~1/4)
+    val pruned = full.filter(org.apache.spark.sql.functions.col("cat") === "c1")
+    assert(scanBytes(pruned) * 2 < BigInt(exactBytes),
+      s"partition-pruned scan must report pruned bytes: ${scanBytes(pruned)} vs $exactBytes")
+
+    // a narrow projection keeps the exact row count but scales bytes —
+    // a 1-of-3-column read of a wide table must look broadcastable
+    val projected = full.select("k")
+    assert(scanBytes(projected) < BigInt(exactBytes),
+      s"projected scan must scale bytes: ${scanBytes(projected)} vs $exactBytes")
+  }
+
   test("q_win_interpolate: both fill frames reuse one sort (no exchange between windows)") {
     // wPrev and wNext share (event_type, h) ordering; Spark must plan
     // Window←Project←Window←Sort — a second Sort/Exchange between the two
