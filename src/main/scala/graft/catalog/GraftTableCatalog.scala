@@ -485,7 +485,13 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
     }
     new org.apache.spark.sql.GraftForwardingScanBuilder(inner,
       _ => new GraftMicroBatchStream(spark, tableName, root, streamSchema, scanOptions),
-      exactStats, batchRefusal, totalCols = schema.fields.length)
+      exactStats, batchRefusal, totalCols = schema.fields.length,
+      // storage-partitioned-join handshake: a hive-partitioned table's
+      // scan reports identity key-grouping (engaged only under
+      // spark.sql.sources.v2.bucketing.enabled) so co-partitioned joins
+      // and partition-keyed aggregations plan shuffle-free; renamed
+      // tables stand down (their batch path is rewritten at analysis)
+      keyedSession = if (partCols.nonEmpty && !hasRenames) Some(spark) else None)
   }
 
   private sealed trait WriteMode

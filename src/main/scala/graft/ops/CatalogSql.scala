@@ -296,7 +296,67 @@ object CatalogSql {
       sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
   }
 
+  /** Storage-partitioned join as an oracle key: customer and supplier
+    * land in commit-log tables hive-partitioned ON THE JOIN COLUMN
+    * (nationkey), and the join runs under
+    * `spark.sql.sources.v2.bucketing.enabled` — the graft scan reports
+    * `KeyGroupedPartitioning` so Spark plans the join AND the group-by
+    * with ZERO shuffle exchanges (StoragePartitionedJoinSpec pins the
+    * plan shape; this key pins the VALUES against the plain raw-table
+    * join). At 100 TB this is the bucketed-join layout contract: a
+    * fact-fact join laid out on its key pays no exchange at read time.
+    * The conf is scoped to this computation (materialized eagerly) so
+    * the rest of the suite keeps stock scan planning.
+    */
+  private def joinSpj(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s, d)
+    SqlSurface.registerViews(s, d, Seq("customer", "supplier"))
+    def ensurePart(t: String, srcView: String, cols: Seq[String], partCol: String): Unit = {
+      val fresh =
+        try s.sql(s"SELECT count(*) FROM graft.tpch.$t").head().getLong(0) ==
+          s.table(srcView).count()
+        catch { case _: Exception => false }
+      if (!fresh) {
+        s.sql(s"DROP TABLE IF EXISTS graft.tpch.$t")
+        val ddlCols = s.table(srcView).select(cols.map(org.apache.spark.sql.functions.col): _*)
+          .schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        s.sql(s"CREATE TABLE graft.tpch.$t ($ddlCols) PARTITIONED BY ($partCol)")
+        s.sql(s"INSERT INTO graft.tpch.$t SELECT ${cols.mkString(", ")} FROM $srcView"): Unit
+      }
+    }
+    ensurePart("cust_by_nation", "customer",
+      Seq("c_custkey", "c_acctbal", "c_nationkey"), "c_nationkey")
+    ensurePart("supp_by_nation", "supplier",
+      Seq("s_suppkey", "s_acctbal", "s_nationkey"), "s_nationkey")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) =>
+      k -> (try Some(s.conf.get(k)) catch { case _: Exception => None })
+    }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val df = s.sql(
+        """SELECT c_nationkey AS nk, count(*) AS n_pairs,
+          |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) +
+          |                CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          |FROM graft.tpch.cust_by_nation c
+          |JOIN graft.tpch.supp_by_nation s ON c.c_nationkey = s.s_nationkey
+          |GROUP BY c_nationkey
+          |ORDER BY nk""".stripMargin)
+      // materialize under the scoped conf: the caller executes the
+      // returned frame later, when the conf is already restored
+      val rows = df.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_spj" -> joinSpj _,
     "q_merge_upsert" -> mergeUpsert _,
     "q_delete_where" -> deleteWhereCow _,
     "q_clone_shallow" -> cloneShallow _,
@@ -309,6 +369,14 @@ object CatalogSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_spj" ->
+      """SELECT c_nationkey AS nk, count(*) AS n_pairs,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) +
+        |                CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN supplier ON c_nationkey = s_nationkey
+        |GROUP BY c_nationkey
+        |ORDER BY nk""".stripMargin,
     "q_merge_upsert" ->
       """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,

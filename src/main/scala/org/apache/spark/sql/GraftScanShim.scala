@@ -1,11 +1,18 @@
 package org.apache.spark.sql
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, SupportsReportStatistics, Statistics, VariantExtraction}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, SupportsReportPartitioning, SupportsReportStatistics, Statistics, VariantExtraction}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning => ConnectorKeyGroupedPartitioning, Partitioning => ConnectorPartitioning, UnknownPartitioning => ConnectorUnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.execution.PartitionedFileUtil
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.FileScan
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.StructType
 
@@ -29,7 +36,8 @@ final class GraftForwardingScanBuilder(
     stream: String => MicroBatchStream,
     exactStats: () => Option[GraftExactStats] = () => None,
     batchRefusal: Option[String] = None,
-    totalCols: Int = 0)
+    totalCols: Int = 0,
+    keyedSession: Option[SparkSession] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -40,6 +48,10 @@ final class GraftForwardingScanBuilder(
   // matches the whole-snapshot statistics — fall back to the delegate's
   // listing-based estimate instead of over-reporting
   private var narrowed = false
+  // a pushed aggregate turns the scan's rows into per-footer aggregate
+  // rows — splitting files or reporting key-grouped row partitioning
+  // over them would be wrong, so the keyed batch stands down
+  private var aggPushed = false
   // column pruning keeps the exact ROW count but shrinks bytes — scale
   // proportionally so a 2-column projection of a wide table still
   // broadcasts when it truly fits
@@ -58,7 +70,7 @@ final class GraftForwardingScanBuilder(
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     val pushed = delegate.pushAggregation(aggregation)
-    if (pushed) narrowed = true
+    if (pushed) { narrowed = true; aggPushed = true }
     pushed
   }
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
@@ -92,8 +104,57 @@ final class GraftForwardingScanBuilder(
           case _ => scaled
         }
       }
-    new GraftStreamableScan(built, stream, stats, batchRefusal)
+    new GraftStreamableScan(built, stream, stats, batchRefusal,
+      keyed = if (aggPushed) None else keyedSession)
   }
+}
+
+/** A [[FilePartition]] that also names the hive-partition value every row
+  * in it carries — the V2 storage-partitioned-join handshake
+  * ([[HasPartitionKey]]). Extending FilePartition (rather than wrapping)
+  * keeps the stock parquet [[PartitionReaderFactory]] binary-compatible:
+  * it pattern-matches on FilePartition and reads these untouched.
+  */
+final class GraftKeyedFilePartition(
+    idx: Int, fileArr: Array[PartitionedFile], key: InternalRow)
+  extends FilePartition(idx, fileArr) with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+/** Batch planner that groups a hive-partitioned file scan's splits BY
+  * PARTITION VALUE and tags each split group with its key, instead of
+  * bin-packing splits across partition directories the way the stock
+  * [[FileScan]] does. With `spark.sql.sources.v2.bucketing.enabled=true`
+  * Spark's `EnsureRequirements` then recognizes two graft tables
+  * partitioned on the same columns as co-partitioned and plans their
+  * join — and any aggregation keyed on the partition columns — WITHOUT a
+  * shuffle (`KeyGroupedShuffleSpec` compatibility), the V2 equivalent of
+  * a bucketed join: at 100 TB this deletes the dominant exchange of a
+  * fact-fact join that was laid out for it. Row bytes still flow through
+  * the delegate's vectorized reader factory; only the task grouping
+  * changes. Splitting within a partition stays allowed (same-key splits
+  * are re-merged per key by Spark's grouping), so a giant partition does
+  * not lose within-partition read parallelism on non-join scans.
+  */
+final class GraftKeyedBatch(fs: FileScan, spark: SparkSession) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dirs = fs.fileIndex.listFiles(fs.partitionFilters, fs.dataFilters)
+    val maxSplit = FilePartition.maxSplitBytes(spark, dirs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    dirs.foreach { dir =>
+      val key = dir.values.copy()
+      val splits = dir.files.flatMap { f =>
+        PartitionedFileUtil.splitFiles(f, f.getPath, isSplitable = true,
+          maxSplit, key)
+      }.sortBy(-_.length)
+      FilePartition.getFilePartitions(spark, splits, maxSplit).foreach { fp =>
+        out += new GraftKeyedFilePartition(out.length, fp.files, key)
+      }
+    }
+    out.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    fs.createReaderFactory()
 }
 
 /** Scan wrapper: batch reads delegate untouched; streaming reads get the
@@ -107,17 +168,46 @@ final class GraftForwardingScanBuilder(
   */
 final class GraftStreamableScan(delegate: Scan, stream: String => MicroBatchStream,
     exact: Option[GraftExactStats] = None,
-    batchRefusal: Option[String] = None)
-  extends Scan with SupportsReportStatistics {
+    batchRefusal: Option[String] = None,
+    keyed: Option[SparkSession] = None)
+  extends Scan with SupportsReportStatistics with SupportsReportPartitioning {
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = delegate.description()
+
+  /** The keyed (storage-partitioned-join) path engages only for a
+    * hive-partitioned file scan in a session that opted into V2
+    * bucketing — with the conf off, the stock bin-packed planning is
+    * kept so scan parallelism is never silently reduced to the
+    * partition count.
+    */
+  private def keyedScan: Option[(FileScan, SparkSession)] = keyed.collect {
+    case sp if SQLConf.get.v2BucketingEnabled => delegate match {
+      case f: FileScan if f.fileIndex.partitionSchema.nonEmpty => (f, sp)
+      case _ => null
+    }
+  }.filter(_ != null)
+
+  override def outputPartitioning(): ConnectorPartitioning = keyedScan match {
+    case Some((f, _)) =>
+      val dirs = f.fileIndex.listFiles(f.partitionFilters, f.dataFilters)
+      if (dirs.isEmpty) new ConnectorUnknownPartitioning(0)
+      else new ConnectorKeyGroupedPartitioning(
+        f.fileIndex.partitionSchema.map(c => Expressions.identity(c.name))
+          .toArray[org.apache.spark.sql.connector.expressions.Expression],
+        dirs.length)
+    case None => new ConnectorUnknownPartitioning(0)
+  }
+
   // a batch refusal set by the table means binding THIS raw scan would
   // return wrong rows (e.g. renamed columns with no rewrite rule in the
   // session) — streaming is unaffected because the micro-batch stream
   // does its own (physical-schema) planning
   override def toBatch: Batch = {
     batchRefusal.foreach(msg => throw new IllegalStateException(msg))
-    delegate.toBatch
+    keyedScan match {
+      case Some((f, sp)) => new GraftKeyedBatch(f, sp)
+      case None => delegate.toBatch
+    }
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     stream(checkpointLocation)
