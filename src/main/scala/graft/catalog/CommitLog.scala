@@ -1876,6 +1876,167 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     }
   }
 
+  /** Per-file Bloom-filter index on `column`: one pass over the current
+    * snapshot aggregates a Bloom filter of `xxhash64(column)` PER POOL
+    * FILE (Spark's own `BloomFilterAggregate`, codegen-hashed, filters
+    * serialized only at shuffle edges), written as a parquet index table
+    * under `_index/bloom/<column>/v<version>/` plus a tiny `_meta.json`
+    * pinning the column's type. Footer min/max stats prune RANGES well
+    * only on clustered data; a point lookup on a high-cardinality,
+    * unclustered column (every file's [min,max] spans the key space)
+    * prunes nothing — the Bloom index answers exactly that: at 100 TB a
+    * `key = x` lookup touches the handful of files whose filter fires
+    * instead of every file. Pool files are immutable, so an index row
+    * stays valid as long as its file is referenced by ANY version —
+    * carried files keep their filters across commits; files added after
+    * the build are simply unindexed (conservatively scanned) until the
+    * next build. Filters are sized by the LARGEST file's manifest row
+    * count at `fpp` (small files get a lower effective fpp — wasted
+    * bytes, never wrong answers). Returns (indexedVersion, filesIndexed).
+    */
+  def buildBloomIndex(column: String, fpp: Double = 0.01): (Long, Int) = {
+    require(fpp > 0 && fpp < 1, s"buildBloomIndex: fpp $fpp out of (0,1)")
+    val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+      s"buildBloomIndex: no committed version under $tableRoot"))
+    val lines = manifestLines(v)
+    val names = dataNamesOf(lines)
+    require(names.nonEmpty, s"buildBloomIndex: $tableRoot is empty")
+    val dt = readVersion(v).schema.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(
+        s"buildBloomIndex: no column `$column` in $tableRoot")).dataType
+    val perFileRows = lines.iterator
+      .filterNot(l => l.startsWith("#") || l.startsWith("-"))
+      .flatMap { l =>
+        val p = l.split('\t'); if (p.length > 1) lineMeta(p(1))._1 else None
+      }.toSeq
+    val numItems = math.max(1024L,
+      if (perFileRows.nonEmpty) perFileRows.max else 1000000L)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(numItems, fpp)
+    // (qualified path → manifest name) as a broadcastable frame: the
+    // mapping must survive partition subdirs and absolute clone
+    // references, and the names list is already manifest-resident
+    val qualified = hfs.makeQualified(dataDir).toString
+    import spark.implicits._
+    val nameOf = names.map { n =>
+      val p = new Path(dataDir, n)
+      hfs.makeQualified(p).toString -> n
+    }.toDF("path", "name")
+    val hashed = org.apache.spark.sql.functions.xxhash64(col(s"`$column`"))
+    val bloomAgg = org.apache.spark.sql.GraftSqlShim.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.GraftSqlShim.expression(hashed),
+        org.apache.spark.sql.catalyst.expressions.Literal(numItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+    val index = poolReader(names)
+      .parquet(names.map(n => new Path(dataDir, n).toString): _*)
+      .select(col("_metadata.file_path").as("path"), col(s"`$column`"))
+      .groupBy(col("path"))
+      .agg(bloomAgg.as("bf"))
+      .join(org.apache.spark.sql.functions.broadcast(nameOf), "path")
+      .select(col("name"), col("bf"))
+    val idxRoot = new Path(tableRoot, s"_index/bloom/$column")
+    val idxDir = new Path(idxRoot, s"v$v")
+    index.write.mode("overwrite").parquet(idxDir.toString)
+    import org.json4s.JsonDSL._
+    LogStore.write(hfs, new Path(idxDir, "_meta.json"),
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+        ("version" -> v) ~ ("type" -> dt.sql) ~ ("fpp" -> fpp)))
+        .getBytes(StandardCharsets.UTF_8))
+    // retire superseded builds (newest index serves every snapshot:
+    // files are immutable, unknown files scan conservatively)
+    if (hfs.exists(idxRoot)) hfs.listStatus(idxRoot).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong != v)
+        hfs.delete(st.getPath, true)
+    }
+    (v, names.length)
+  }
+
+  /** Newest Bloom index for `column`: (builtVersion, columnTypeDDL,
+    * index directory), or None if never built.
+    */
+  private def bloomIndexFor(column: String): Option[(Long, String, Path)] = {
+    val idxRoot = new Path(tableRoot, s"_index/bloom/$column")
+    if (!hfs.exists(idxRoot)) return None
+    val vs = hfs.listStatus(idxRoot).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && n.drop(1).nonEmpty &&
+        n.drop(1).forall(_.isDigit) => n.drop(1).toLong
+    }
+    if (vs.isEmpty) None
+    else {
+      val best = vs.max
+      val dir = new Path(idxRoot, s"v$best")
+      val metaPath = new Path(dir, "_meta.json")
+      if (!hfs.exists(metaPath)) None
+      else {
+        val in = hfs.open(metaPath)
+        val body = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          new String(out.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+        org.json4s.jackson.JsonMethods.parse(body) match {
+          case org.json4s.JObject(fields) =>
+            fields.toMap.get("type").collect {
+              case org.json4s.JString(t) => (best, t, dir)
+            }
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** Bloom-indexed point-lookup read: rows of the current version where
+    * every `(column, value)` predicate holds, scanning only the pool
+    * files that BOTH the footer min/max stats and (when an index exists)
+    * the per-file Bloom filters admit. The Bloom probe itself is a
+    * distributed job over the index table — filter bytes never
+    * centralize on the driver; only (file, verdict) booleans do, O(files)
+    * like the manifest read that is already resident. Unindexed files
+    * (added after the last build, or never indexed) scan conservatively;
+    * answers are exact either way because the row filter always applies.
+    */
+  def readEquals(preds: Seq[(String, Any)]): DataFrame = {
+    require(preds.nonEmpty, "readEquals: at least one (column, value)")
+    val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+      s"no committed version under $tableRoot"))
+    val lines = manifestLines(v)
+    val stats = fileStatsOf(lines)
+    val names = dataNamesOf(lines)
+    val rowPred = preds.map { case (c, x) => col(s"`$c`") === lit(x) }
+      .reduce(_ && _)
+    if (names.isEmpty) return readVersion(v)
+    var candidates = names.filter { n =>
+      preds.forall { case (c, x) =>
+        stats.get(n).flatMap(_.get(c)).forall(_.overlaps(x, x))
+      }
+    }
+    preds.foreach { case (c, x) =>
+      if (candidates.nonEmpty) bloomIndexFor(c).foreach { case (_, ddl, dir) =>
+        val dt = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+        // hash the probe value EXACTLY as the build hashed the column:
+        // xxhash64 over the column's own type (an int and a long hash
+        // differently — the cast is the correctness seam)
+        val hash = spark.range(1)
+          .select(org.apache.spark.sql.functions.xxhash64(lit(x).cast(dt)))
+          .head().getLong(0)
+        val might = org.apache.spark.sql.functions.udf { (bf: Array[Byte]) =>
+          org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bf)).mightContainLong(hash)
+        }
+        val verdicts = spark.read.parquet(dir.toString)
+          .select(col("name"), might(col("bf")).as("pass"))
+          .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+        candidates = candidates.filter(n => verdicts.getOrElse(n, true))
+      }
+    }
+    if (candidates.isEmpty) readVersion(v).filter(rowPred).limit(0)
+    else readFiles(candidates, dvFrameOf(dvNamesOf(lines)), partTypesOf(lines))
+      .filter(rowPred)
+  }
+
   /** Test seam: runs just before each publish attempt, letting a spec
     * inject a racing writer's manifest deterministically. */
   protected def beforePublish(attempt: Int, v: Long): Unit = ()

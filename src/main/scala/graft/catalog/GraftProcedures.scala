@@ -29,7 +29,7 @@ private[catalog] object GraftProcedures {
   val names: Seq[String] =
     Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta",
       "export_iceberg", "import_iceberg", "rewrite_deletes", "history",
-      "materialize_mapping", "analyze", "clone")
+      "materialize_mapping", "analyze", "clone", "build_bloom_index")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -45,6 +45,7 @@ private[catalog] object GraftProcedures {
     case "materialize_mapping" => new MaterializeMapping(cat)
     case "analyze"         => new Analyze(cat)
     case "clone"           => new Clone(cat)
+    case "build_bloom_index" => new BuildBloomIndex(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
   }
@@ -155,6 +156,21 @@ private[catalog] object GraftProcedures {
       val (v, nCols) = log.analyze()
       result(new StructType().add("version", LongType)
         .add("columns_analyzed", IntegerType), v, nCols)
+    }
+  }
+
+  private final class BuildBloomIndex(cat: GraftTableCatalog)
+    extends Proc("build_bloom_index", Seq(in("table", StringType),
+      in("column", StringType))) {
+    override def description(): String =
+      "build a per-file Bloom filter index on a column for point-lookup " +
+        "file skipping (CommitLog.readEquals); carried files keep their " +
+        "filters across commits, later-added files scan conservatively"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val (v, n) = log.buildBloomIndex(input.getUTF8String(1).toString)
+      result(new StructType().add("version", LongType)
+        .add("files_indexed", IntegerType), v, n)
     }
   }
 

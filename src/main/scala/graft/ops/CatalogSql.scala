@@ -355,7 +355,39 @@ object CatalogSql {
     }
   }
 
+  /** Bloom-indexed point lookup as an oracle key: orders lands striped
+    * across files (round-robin, so every file's o_custkey [min,max]
+    * spans the key space and footer stats prune NOTHING),
+    * `buildBloomIndex` indexes the lookup column, and `readEquals`
+    * scans only the files whose per-file Bloom filter fires
+    * (BloomIndexSpec pins the file-skipping and zero-false-negative
+    * contracts; this key pins the VALUES against the raw-table filter).
+    * The 100 TB shape: a needle lookup on an unclustered high-
+    * cardinality column costs O(matching files), not O(table).
+    */
+  private def pointLookupBloom(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_bloom"
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val fresh =
+      try log.read().count() == src.count()
+      catch { case _: Exception => false }
+    if (!fresh) {
+      log.commit(src.repartition(8), replace = true)
+      log.buildBloomIndex("o_custkey"): Unit
+    }
+    val key = src.agg(max("o_custkey")).head().get(0)
+    log.readEquals(Seq("o_custkey" -> key)).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_point_lookup_bloom" -> pointLookupBloom _,
     "q_join_spj" -> joinSpj _,
     "q_merge_upsert" -> mergeUpsert _,
     "q_delete_where" -> deleteWhereCow _,
@@ -369,6 +401,11 @@ object CatalogSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_point_lookup_bloom" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey = (SELECT max(o_custkey) FROM orders)""".stripMargin,
     "q_join_spj" ->
       """SELECT c_nationkey AS nk, count(*) AS n_pairs,
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) +

@@ -1,0 +1,128 @@
+package graft
+
+import graft.catalog.CommitLog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-file Bloom-filter point-lookup index: build over a snapshot,
+  * probe with `readEquals`, and pin the contracts that matter at scale —
+  * zero false negatives (every present key's rows come back exactly),
+  * real file-skipping on a high-cardinality unclustered column (footer
+  * min/max alone cannot prune it), absent keys short-circuit, carried
+  * files keep their filters across later commits, and unindexed new
+  * files scan conservatively instead of silently dropping rows.
+  */
+class BloomIndexSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_bloom").toString
+
+  /** 8 files, ids striped so every file's [min,max] spans ~the whole key
+    * space — the layout where footer stats prune nothing and only a
+    * content index helps.
+    */
+  private def stripedTable(root: String, n: Int = 4000): CommitLog = {
+    val log = new CommitLog(spark, root)
+    val df = spark.range(0, n).select(
+      $"id".as("k"),
+      ($"id" % 97).as("bucket"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("u"), $"id").as("tag"))
+      .repartition(8)   // round-robin: every file spans the id range
+    log.commit(df, replace = true)
+    log
+  }
+
+  test("build + probe: present keys return exact rows, fewer files scanned") {
+    val log = stripedTable(tmp())
+    val (v, filesIndexed) = log.buildBloomIndex("k")
+    assert(v == 1L && filesIndexed == 8)
+
+    // footer stats alone cannot prune a striped layout; the bloom index
+    // must cut the scan to ~1 file (fpp 1% on 8 files)
+    var pruned = 0
+    (0L until 200L by 29L).foreach { key =>
+      val q = log.readEquals(Seq("k" -> key))
+      val got = q.collect()
+      assert(got.length == 1, s"key $key")
+      assert(got.head.getAs[String]("tag") == s"u$key")
+      val pf = q.inputFiles.length
+      if (pf < 8) pruned += 1
+      assert(pf >= 1)
+    }
+    assert(pruned >= 5, s"bloom should prune most striped lookups, pruned=$pruned")
+  }
+
+  test("absent key: no file admits it, read short-circuits to zero rows") {
+    val log = stripedTable(tmp())
+    log.buildBloomIndex("k")
+    val out = log.readEquals(Seq("k" -> 999999L))
+    assert(out.count() == 0)
+  }
+
+  test("string column index hashes by the column's own type") {
+    val log = stripedTable(tmp())
+    log.buildBloomIndex("tag")
+    val got = log.readEquals(Seq("tag" -> "u1234")).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("k") == 1234L)
+    assert(log.readEquals(Seq("tag" -> "nope")).count() == 0)
+  }
+
+  test("carried files keep filters; files added after the build scan conservatively") {
+    val root = tmp()
+    val log = stripedTable(root)
+    log.buildBloomIndex("k")
+    // append NEW rows (unindexed file): lookups on them must still work
+    log.commit(Seq((100000L, 3L, "late")).toDF("k", "bucket", "tag"), replace = false)
+    val late = log.readEquals(Seq("k" -> 100000L)).collect()
+    assert(late.length == 1 && late.head.getAs[String]("tag") == "late")
+    // old keys still prune: only indexed files that might contain + the
+    // one unindexed file are scanned
+    val old = log.readEquals(Seq("k" -> 77L))
+    assert(old.count() == 1)
+    assert(old.inputFiles.length < 9, s"expected pruning, got ${old.inputFiles.length}")
+  }
+
+  test("multi-predicate readEquals prunes on each indexed column") {
+    val log = stripedTable(tmp())
+    log.buildBloomIndex("k")
+    log.buildBloomIndex("tag")
+    val got = log.readEquals(Seq("k" -> 55L, "tag" -> "u55")).collect()
+    assert(got.length == 1)
+    assert(log.readEquals(Seq("k" -> 55L, "tag" -> "u54")).count() == 0)
+  }
+
+  test("rebuild retires the superseded index directory") {
+    val root = tmp()
+    val log = stripedTable(root)
+    log.buildBloomIndex("k")
+    log.commit(Seq((200000L, 1L, "x2")).toDF("k", "bucket", "tag"), replace = false)
+    val (v2, n2) = log.buildBloomIndex("k")
+    assert(v2 == 2L && n2 == 9)
+    val idxRoot = new java.io.File(s"$root/_index/bloom/k")
+    val dirs = idxRoot.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("v2"), dirs.toString)
+  }
+
+  test("CALL graft.system.build_bloom_index works through the catalog") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_bloomwh").toString
+    spark.conf.set("spark.sql.catalog.gb", classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gb.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gb.db")
+    spark.sql("CREATE TABLE gb.db.bt AS SELECT id AS k, id % 5 AS b FROM range(0, 100)")
+    val row = spark.sql("CALL gb.system.build_bloom_index('db.bt', 'k')").head()
+    assert(row.getLong(0) == 1L && row.getInt(1) >= 1)
+    val log = new CommitLog(spark, s"$warehouse/db/bt")
+    assert(log.readEquals(Seq("k" -> 42L)).count() == 1)
+  }
+
+  test("tombstoned rows never resurrect through an indexed read") {
+    val root = tmp()
+    val log = stripedTable(root)
+    log.buildBloomIndex("k")
+    log.deleteWhereMoR(org.apache.spark.sql.functions.col("k") === 77L)
+    assert(log.readEquals(Seq("k" -> 77L)).count() == 0)
+    assert(log.readEquals(Seq("k" -> 78L)).count() == 1)
+  }
+}
