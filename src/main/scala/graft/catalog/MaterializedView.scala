@@ -1,0 +1,175 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained aggregate materialized view over a
+  * commit-log table, driven by the change data feed.
+  *
+  * The view is `SELECT groupCols, count(*), sum(col)… GROUP BY groupCols`
+  * restricted to ADDITIVE aggregates (count + exact-decimal sums; avg
+  * derives as sum/count), because additivity is what makes a refresh cost
+  * O(changes), never O(table): [[refresh]] reads
+  * [[CommitLog.changesBetween]] from the last refreshed version to the
+  * source head, aggregates the delta with inserts weighted +1 and
+  * deletes −1, unions it with the current view state, and re-aggregates —
+  * one group-keyed shuffle over (view groups + changed groups). Groups
+  * whose live row count reaches zero drop out of the view. At 100 TB this
+  * is the rollup-maintenance contract the streaming twin
+  * (`Ingest.maintainRollup`) provides for append streams, generalized to
+  * the FULL mutation plane: CoW rewrites, MoR deletion vectors, RESTORE —
+  * anything the change feed can express — while staying a batch-callable
+  * library object whose cursor survives restarts (the `_mv.json` sidecar
+  * records source root, definition, and refreshed version).
+  *
+  * Sums are accumulated as DECIMAL(38,6) so refresh order can never
+  * change a result by float re-association — the same exactness
+  * discipline the oracle keys use.
+  *
+  * Reference grounding: the framework's registry topology fans one
+  * source into downstream consumers that each maintain derived state
+  * (`cft/sourceSystem.yaml:29-63`); this is that consumer realized as an
+  * incremental aggregate.
+  */
+final class MaterializedView private (
+    spark: SparkSession,
+    val mvRoot: String,
+    val srcRoot: String,
+    groupCols: Seq[String],
+    sumCols: Seq[(String, String)]) {
+
+  private val log = new CommitLog(spark, mvRoot)
+  private val srcLog = new CommitLog(spark, srcRoot)
+
+  /** Last source version folded into the view. */
+  def refreshedVersion: Long = MaterializedView.readState(spark, mvRoot)._4
+
+  /** The view's current content: groupCols, `cnt`, then one exact-decimal
+    * sum per requested column under its alias.
+    */
+  def read(): DataFrame = log.read()
+
+  private def aggregated(rows: DataFrame, signed: Boolean): DataFrame = {
+    val w = if (signed)
+      when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    else lit(1L)
+    val sums = sumCols.map { case (c, as) =>
+      sum(col(s"`$c`").cast("decimal(38,6)") * w).as(as)
+    }
+    rows.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(sum(w).as("cnt"), sums: _*)
+  }
+
+  /** Fold source changes since the last refresh into the view. Returns
+    * (sourceVersionNow, changeRowsProcessed) — (v, 0) when already
+    * current. The delta pass is O(changed files); the fold is one
+    * group-keyed shuffle over view-state ∪ delta-groups.
+    */
+  def refresh(): (Long, Long) = {
+    val from = refreshedVersion
+    val head = srcLog.currentVersion.getOrElse(
+      throw new java.io.FileNotFoundException(s"source $srcRoot has no commits"))
+    if (head == from) return (head, 0L)
+    require(head > from, s"source $srcRoot went backwards ($from -> $head); " +
+      "rebuild the view with MaterializedView.create")
+    val delta = srcLog.changesBetween(from, head)
+    val deltaN = delta.count()
+    val folded = aggregated(delta, signed = true)
+      .unionByName(read())
+      .groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sumCols.map { case (_, as) => sum(col(s"`$as`")).as(as) }: _*)
+      .filter(col("cnt") > 0)
+    log.commit(folded, replace = true)
+    MaterializedView.writeState(spark, mvRoot, srcRoot, groupCols, sumCols, head)
+    (head, deltaN)
+  }
+}
+
+object MaterializedView {
+
+  /** Define + fully compute the view at the source's current version. */
+  def create(spark: SparkSession, mvRoot: String, srcRoot: String,
+      groupCols: Seq[String], sumCols: Seq[(String, String)]): MaterializedView = {
+    require(groupCols.nonEmpty, "materialized view needs group columns")
+    require(sumCols.map(_._2).distinct.length == sumCols.length &&
+      !sumCols.map(_._2).contains("cnt"),
+      "sum aliases must be distinct and not named cnt")
+    val srcLog = new CommitLog(spark, srcRoot)
+    val v = srcLog.currentVersion.getOrElse(
+      throw new java.io.FileNotFoundException(s"source $srcRoot has no commits"))
+    val mv = new MaterializedView(spark, mvRoot, srcRoot, groupCols, sumCols)
+    val sums = sumCols.map { case (c, as) =>
+      sum(col(s"`$c`").cast("decimal(38,6)")).as(as)
+    }
+    val full = srcLog.readVersion(v)
+      .groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("cnt"), sums: _*)
+    mv.log.commit(full, replace = true)
+    writeState(spark, mvRoot, srcRoot, groupCols, sumCols, v)
+    mv
+  }
+
+  /** Re-open an existing view from its sidecar (restart path). */
+  def open(spark: SparkSession, mvRoot: String): MaterializedView = {
+    val (src, groups, sums, _) = readState(spark, mvRoot)
+    new MaterializedView(spark, mvRoot, src, groups, sums)
+  }
+
+  def exists(spark: SparkSession, mvRoot: String): Boolean =
+    HadoopFs.fs(spark, mvRoot).exists(new Path(mvRoot, "_mv.json"))
+
+  private def writeState(spark: SparkSession, mvRoot: String, srcRoot: String,
+      groupCols: Seq[String], sumCols: Seq[(String, String)], v: Long): Unit = {
+    import org.json4s.JsonDSL._
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("src" -> srcRoot) ~ ("groups" -> groupCols) ~
+          ("sums" -> sumCols.map { case (c, as) => ("col" -> c) ~ ("as" -> as) }) ~
+          ("version" -> v)))
+    LogStore.write(HadoopFs.fs(spark, mvRoot), new Path(mvRoot, "_mv.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def readState(spark: SparkSession,
+      mvRoot: String): (String, Seq[String], Seq[(String, String)], Long) = {
+    val fs = HadoopFs.fs(spark, mvRoot)
+    val p = new Path(mvRoot, "_mv.json")
+    if (!fs.exists(p)) throw new java.io.FileNotFoundException(
+      s"no materialized view under $mvRoot (missing _mv.json)")
+    val in = fs.open(p)
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    org.json4s.jackson.JsonMethods.parse(body) match {
+      case org.json4s.JObject(fields) =>
+        val m = fields.toMap
+        val src = m.get("src").collect { case org.json4s.JString(s) => s }
+          .getOrElse(throw new IllegalStateException(s"corrupt _mv.json at $mvRoot"))
+        val groups = m.get("groups") match {
+          case Some(org.json4s.JArray(xs)) => xs.collect { case org.json4s.JString(s) => s }
+          case _ => Seq.empty
+        }
+        val sums = m.get("sums") match {
+          case Some(org.json4s.JArray(xs)) => xs.collect {
+            case org.json4s.JObject(f) =>
+              val fm = f.toMap
+              (fm.get("col"), fm.get("as")) match {
+                case (Some(org.json4s.JString(c)), Some(org.json4s.JString(a))) => c -> a
+                case _ => throw new IllegalStateException(s"corrupt _mv.json at $mvRoot")
+              }
+          }
+          case _ => Seq.empty
+        }
+        val v = m.get("version").collect { case org.json4s.JInt(n) => n.toLong }
+          .getOrElse(throw new IllegalStateException(s"corrupt _mv.json at $mvRoot"))
+        (src, groups, sums, v)
+      case _ => throw new IllegalStateException(s"corrupt _mv.json at $mvRoot")
+    }
+  }
+}

@@ -386,7 +386,37 @@ object CatalogSql {
       sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
   }
 
+  /** Incremental materialized-view maintenance as an oracle key: orders
+    * lands in a commit-log table, an aggregate view (count + exact sum
+    * by o_orderpriority) is created, then the source mutates — an
+    * append of every `%3 == 0` order and a CoW delete of every
+    * `%7 == 0` key — and ONE change-feed refresh folds both in. The
+    * refreshed view must equal the closed-form recompute over the
+    * mutated source (MaterializedViewSpec pins O(changes) maintenance,
+    * MoR/merge/restart paths; this key pins the VALUES against DuckDB).
+    */
+  private def mvIncremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = warehouseFor(d) + "_mut"
+    val srcRoot = base + "/orders_mv_src"
+    val mvRoot = base + "/orders_mv"
+    val srcLog = new graft.catalog.CommitLog(s, srcRoot)
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    srcLog.commit(src, replace = true)
+    val mv = graft.catalog.MaterializedView.create(s, mvRoot, srcRoot,
+      Seq("o_orderpriority"), Seq("o_totalprice" -> "sum_price"))
+    srcLog.commit(src.filter(col("o_orderkey") % 3 === 0), replace = false)
+    srcLog.deleteWhere(col("o_orderkey") % 7 === 0)
+    mv.refresh()
+    mv.read()
+      .select(col("o_orderpriority"), col("cnt").as("n_rows"),
+        col("sum_price").cast("decimal(18,2)").cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mv_incremental" -> mvIncremental _,
     "q_point_lookup_bloom" -> pointLookupBloom _,
     "q_join_spj" -> joinSpj _,
     "q_merge_upsert" -> mergeUpsert _,
@@ -401,6 +431,15 @@ object CatalogSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mv_incremental" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+        |FROM (SELECT * FROM orders
+        |      UNION ALL
+        |      SELECT * FROM orders WHERE o_orderkey % 3 = 0) t
+        |WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_point_lookup_bloom" ->
       """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
