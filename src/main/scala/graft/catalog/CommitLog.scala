@@ -647,7 +647,21 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     require(missing.isEmpty, s"$op: partition columns $missing not in ${df.columns.toSeq}")
     val colType = partColTypes(df, partitionCols)
     val stage = new Path(tmpDir, java.util.UUID.randomUUID().toString)
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+    // Optimized write (opt-in): without it, EVERY writing task opens a
+    // file in EVERY partition value it holds — at 1000 tasks × 1000
+    // partition values that is 10^6 near-empty files per commit, the
+    // classic partitioned-ingest failure. The pre-shuffle clusters rows
+    // by partition value first (one exchange), collapsing the count to
+    // ~one file per value. Deliberately opt-in: clustering by partition
+    // value serializes each value into one task, which is the wrong
+    // trade for skewed values or few-partition writes — and the default
+    // keeps file counts byte-identical for existing callers.
+    val toStage =
+      if (spark.conf.getOption("spark.graft.optimizedWrite.enabled")
+          .exists(_.toBoolean))
+        df.repartition(partitionCols.map(c => col(s"`$c`")): _*)
+      else df
+    toStage.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
       .parquet(stage.toString)
     val stageUri = stage.toUri.getPath
     val it = hfs.listFiles(stage, true)

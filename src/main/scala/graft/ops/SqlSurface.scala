@@ -75,13 +75,48 @@ object SqlSurface {
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE` → `UnionLoopExec`): an
+    * integer spine over the full nation-key domain LEFT-joined to
+    * customer — the gap-filling shape (every key appears, zero-customer
+    * nations included) that window/date-gap queries need a generator
+    * for. Each recursion step is one bounded micro-plan; the loop's
+    * depth here is the key domain, never the data volume, so the shape
+    * is scale-free.
+    */
+  private def sqlRecursive(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d, Seq("customer"))
+    s.sql(
+      """WITH RECURSIVE spine(nk) AS (
+        |  SELECT 0
+        |  UNION ALL
+        |  SELECT nk + 1 FROM spine WHERE nk < 24
+        |)
+        |SELECT spine.nk, count(c_custkey) AS n_cust,
+        |       coalesce(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_bal
+        |FROM spine LEFT JOIN customer ON c_nationkey = spine.nk
+        |GROUP BY spine.nk
+        |ORDER BY spine.nk""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_recursive"     -> sqlRecursive _,
     "q_sql_lateral"       -> sqlLateral _,
     "q_sql_ship_priority" -> sqlShipPriority _,
     "q_sql_subqueries"    -> sqlSubqueries _,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_recursive" ->
+      """WITH RECURSIVE spine(nk) AS (
+        |  SELECT 0
+        |  UNION ALL
+        |  SELECT nk + 1 FROM spine WHERE nk < 24
+        |)
+        |SELECT spine.nk, count(c_custkey) AS n_cust,
+        |       coalesce(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS sum_bal
+        |FROM spine LEFT JOIN customer ON c_nationkey = spine.nk
+        |GROUP BY spine.nk
+        |ORDER BY spine.nk""".stripMargin,
     "q_sql_lateral" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer c,

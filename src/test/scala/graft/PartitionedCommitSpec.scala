@@ -15,6 +15,28 @@ import graft.catalog.CommitLog
   * flatten the layout.
   */
 class PartitionedCommitSpec extends AnyFunSuite {
+
+  test("optimized write collapses per-partition file counts; default keeps task layout") {
+    import SparkTestSession._
+    import spark.implicits._
+    val df = spark.range(0, 400)
+      .select(($"id" % 4).cast("string").as("c"), $"id".as("k"))
+      .repartition(8)   // 8 writing tasks, each holding all 4 values
+    def fileCount(root: String): Int = {
+      val log = new graft.catalog.CommitLog(spark, root)
+      log.commitPartitioned(df, Seq("c"), replace = true)
+      log.files(log.currentVersion.get).length
+    }
+    val defaultCount = fileCount(
+      java.nio.file.Files.createTempDirectory("graft_ow_off").toString)
+    assert(defaultCount > 4, s"default task layout writes per-task files: $defaultCount")
+    spark.conf.set("spark.graft.optimizedWrite.enabled", "true")
+    try {
+      val optimized = fileCount(
+        java.nio.file.Files.createTempDirectory("graft_ow_on").toString)
+      assert(optimized == 4, s"optimized write must land one file per value: $optimized")
+    } finally spark.conf.unset("spark.graft.optimizedWrite.enabled")
+  }
   import SparkTestSession._
   import spark.implicits._
 
