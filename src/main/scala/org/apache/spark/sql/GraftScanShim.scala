@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, SupportsReportPartitioning, SupportsReportStatistics, Statistics, VariantExtraction}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering, Statistics, VariantExtraction}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning => ConnectorKeyGroupedPartitioning, Partitioning => ConnectorPartitioning, UnknownPartitioning => ConnectorUnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.execution.PartitionedFileUtil
@@ -166,13 +166,61 @@ final class GraftKeyedBatch(fs: FileScan, spark: SparkSession) extends Batch {
   * compressed-bytes guesses; a filtered/aggregated scan falls back to
   * the delegate's post-pruning estimate.
   */
-final class GraftStreamableScan(delegate: Scan, stream: String => MicroBatchStream,
+final class GraftStreamableScan(private var delegate: Scan,
+    stream: String => MicroBatchStream,
     exact: Option[GraftExactStats] = None,
     batchRefusal: Option[String] = None,
     keyed: Option[SparkSession] = None)
-  extends Scan with SupportsReportStatistics with SupportsReportPartitioning {
+  extends Scan with SupportsReportStatistics with SupportsReportPartitioning
+  with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = delegate.description()
+
+  /** Dynamic partition pruning for commit-log tables. Spark's stock V2
+    * parquet scan implements no runtime-filtering interface, so a
+    * hive-partitioned V2 table would scan EVERY partition of a fact
+    * table joined to a filtered dim — the exact case DPP exists for (at
+    * 100 TB, the difference between reading 3 partitions and 3000).
+    * Declaring the partition columns filterable makes the
+    * `PartitionPruning` rule plant a dynamic IN-subquery on the join
+    * key; at execution [[filter]] receives the materialized key set and
+    * folds it into the delegate ParquetScan's partition filters (the
+    * file index consumes them as directory-level pruning), after which
+    * Spark re-plans input partitions against the pruned listing.
+    * Non-IN/EQ or non-partition predicates are ignored — pruning may
+    * only ever narrow the file list, never change semantics.
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    delegate match {
+      case f: FileScan if f.fileIndex.partitionSchema.nonEmpty =>
+        f.fileIndex.partitionSchema.map(c =>
+          org.apache.spark.sql.connector.expressions.FieldReference.column(c.name)).toArray
+      case _ => Array.empty
+    }
+
+  override def filter(predicates: Array[Predicate]): Unit = delegate match {
+    case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal}
+      import org.apache.spark.sql.connector.expressions.{LiteralValue, NamedReference}
+      val partSchema = p.fileIndex.partitionSchema
+      def attr(ref: NamedReference) =
+        partSchema.find(_.name == ref.fieldNames.last)
+          .map(f => AttributeReference(f.name, f.dataType, nullable = true)())
+      val exprs = predicates.toSeq.flatMap { pr =>
+        (pr.name, pr.children.toSeq) match {
+          case ("IN", (ref: NamedReference) +: rest)
+              if rest.nonEmpty && rest.forall(_.isInstanceOf[LiteralValue[_]]) =>
+            attr(ref).map(a => In(a,
+              rest.map { case lv: LiteralValue[_] => Literal(lv.value, lv.dataType) }))
+          case ("=", Seq(ref: NamedReference, lv: LiteralValue[_])) =>
+            attr(ref).map(a => EqualTo(a, Literal(lv.value, lv.dataType)))
+          case _ => None
+        }
+      }
+      if (exprs.nonEmpty)
+        delegate = p.copy(partitionFilters = p.partitionFilters ++ exprs)
+    case _ => ()
+  }
 
   /** The keyed (storage-partitioned-join) path engages only for a
     * hive-partitioned file scan in a session that opted into V2

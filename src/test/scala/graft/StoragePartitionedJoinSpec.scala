@@ -116,6 +116,44 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning fires on a partitioned catalog fact table") {
+    spark.sql("CREATE TABLE gs.db.dim (cat STRING, flag INT)")
+    spark.sql("INSERT INTO gs.db.dim VALUES " +
+      (0 until 8).map(i => s"('c$i', ${i % 4})").mkString(", "))
+    val q =
+      """SELECT count(*) AS n FROM gs.db.fa a
+        |JOIN gs.db.dim d ON a.cat = d.cat
+        |WHERE d.flag = 1""".stripMargin
+    // AQE off for plan introspection only: the executed node instances
+    // stay in queryExecution.executedPlan so the post-execution file
+    // list is inspectable (DPP itself fires in both modes)
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(q)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("dynamicpruning"),
+        s"DPP subquery must plant on the fact scan:\n$p")
+      // collect() executes THIS queryExecution (head() would execute a
+      // cloned limit-plan, leaving these nodes unexecuted for inspection)
+      assert(df.collect().head.getLong(0) == 300L)   // cats c1,c5 → 150 rows each
+      // execution-time proof: the fact scan planned ONLY the 2 matching
+      // partitions' files (filter() folded the runtime key set in)
+      val factFiles = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if !b.output.map(_.name).contains("flag") => b
+      }.flatMap(_.inputRDD.partitions.toSeq.flatMap {
+        case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          dp.inputPartitions.toSeq.flatMap {
+            case fp: FilePartition => fp.files.map(_.urlEncodedPath).toSeq
+            case _ => Seq.empty[String]
+          }
+        case _ => Seq.empty[String]
+      })
+      assert(factFiles.nonEmpty)
+      assert(factFiles.forall(f => f.contains("cat=c1") || f.contains("cat%3Dc1") ||
+        f.contains("cat=c5") || f.contains("cat%3Dc5")),
+        s"DPP should leave only c1/c5 files: ${factFiles.take(4)}")
+    }
+  }
+
   test("every row of a keyed split group carries the group's partition key") {
     spjOn {
       // distinct (spark_partition_id → cat) must be 1:1 when the scan is
