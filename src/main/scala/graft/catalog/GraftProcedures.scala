@@ -29,7 +29,8 @@ private[catalog] object GraftProcedures {
   val names: Seq[String] =
     Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta",
       "export_iceberg", "import_iceberg", "rewrite_deletes", "history",
-      "materialize_mapping", "analyze", "clone", "build_bloom_index")
+      "materialize_mapping", "analyze", "clone", "build_bloom_index",
+      "create_mv", "refresh_mv")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -46,6 +47,8 @@ private[catalog] object GraftProcedures {
     case "analyze"         => new Analyze(cat)
     case "clone"           => new Clone(cat)
     case "build_bloom_index" => new BuildBloomIndex(cat)
+    case "create_mv"       => new CreateMv(cat)
+    case "refresh_mv"      => new RefreshMv(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
   }
@@ -171,6 +174,50 @@ private[catalog] object GraftProcedures {
       val (v, n) = log.buildBloomIndex(input.getUTF8String(1).toString)
       result(new StructType().add("version", LongType)
         .add("files_indexed", IntegerType), v, n)
+    }
+  }
+
+  /** `CALL graft.system.create_mv('db.src', 'db.mv', 'grp1,grp2',
+    * 'col:alias,col2:alias2')` — define + fully compute an incremental
+    * aggregate view ([[MaterializedView]]); `refresh_mv` folds source
+    * changes in at O(changes) via the change data feed.
+    */
+  private final class CreateMv(cat: GraftTableCatalog)
+    extends Proc("create_mv", Seq(in("source", StringType), in("target", StringType),
+      in("group_cols", StringType), in("sums", StringType))) {
+    override def description(): String =
+      "define + fully compute an incrementally-maintainable aggregate view " +
+        "(count + exact-decimal sums by group); refresh_mv folds source " +
+        "changes in at O(changes) via the change data feed"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val srcRoot = cat.rootOf(input.getUTF8String(0).toString)
+      val mvRoot = cat.rootForCreate(input.getUTF8String(1).toString)
+      val groups = input.getUTF8String(2).toString.split(',').map(_.trim).toSeq
+        .filter(_.nonEmpty)
+      val sums = input.getUTF8String(3).toString.split(',').map(_.trim).toSeq
+        .filter(_.nonEmpty).map { s =>
+          s.split(':') match {
+            case Array(c, a) => c.trim -> a.trim
+            case _ => throw new IllegalArgumentException(
+              s"create_mv: sums entries are 'col:alias', got '$s'")
+          }
+        }
+      val mv = MaterializedView.create(cat.sparkSession, mvRoot, srcRoot, groups, sums)
+      result(new StructType().add("version", LongType), mv.refreshedVersion)
+    }
+  }
+
+  private final class RefreshMv(cat: GraftTableCatalog)
+    extends Proc("refresh_mv", Seq(in("view", StringType))) {
+    override def description(): String =
+      "fold source-table changes since the last refresh into a " +
+        "create_mv view via the change data feed (O(changes), never O(table))"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val mv = MaterializedView.open(cat.sparkSession,
+        cat.rootOf(input.getUTF8String(0).toString))
+      val (v, n) = mv.refresh()
+      result(new StructType().add("source_version", LongType)
+        .add("change_rows", LongType), v, n)
     }
   }
 

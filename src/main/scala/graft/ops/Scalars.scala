@@ -189,7 +189,28 @@ object Scalars {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy("event_type")
 
+  /** Spark 4 VARIANT type: `parse_json` into the binary variant
+    * encoding, typed path extraction with `variant_get`, and
+    * `is_variant_null` — the semi-structured column discipline that
+    * replaces string re-parsing per access (the variant encoding parses
+    * ONCE; every extraction is a binary walk, and variant-typed parquet
+    * columns support shredded pushdown, which the graft scan builder
+    * already forwards). Values must equal the string-path JSON oracle.
+    */
+  private def variantFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .select(
+        expr("variant_get(v, '$.k', 'int')").as("k"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        col("value"))
+      .groupBy(col("k"), col("k_str"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_val"))
+      .orderBy("k")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_variant_funcs" -> variantFuncs _,
     "q_str_funcs"    -> strFuncs _,
     "q_date_funcs"   -> dateFuncs _,
     "q_math_funcs"   -> mathFuncs _,
@@ -203,6 +224,14 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_variant_funcs" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY k""".stripMargin,
     "q_str_funcs" ->
       """SELECT p_partkey,
         |  p_brand || ':' || p_name AS branded,

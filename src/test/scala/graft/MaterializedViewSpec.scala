@@ -104,6 +104,26 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(MaterializedView.open(spark, mvRoot).refresh()._2 == 0L)
   }
 
+  test("CALL create_mv / refresh_mv drive the view through the catalog") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_mvwh").toString
+    spark.conf.set("spark.sql.catalog.gm", classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gm.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gm.db")
+    spark.sql("CREATE TABLE gm.db.src AS " +
+      "SELECT id AS k, concat('g', id % 3) AS grp, CAST(id AS DOUBLE) AS x FROM range(0, 90)")
+    val created = spark.sql(
+      "CALL gm.system.create_mv('db.src', 'db.src_mv', 'grp', 'x:sum_x')").head()
+    assert(created.getLong(0) == 1L)
+    spark.sql("INSERT INTO gm.db.src VALUES (1000, 'g0', 500.0)")
+    val refreshed = spark.sql("CALL gm.system.refresh_mv('db.src_mv')").head()
+    assert(refreshed.getLong(0) == 2L && refreshed.getLong(1) == 1L)
+    val mv = MaterializedView.open(spark, s"$warehouse/db/src_mv")
+    val g0 = mv.read().filter(col("grp") === "g0").head()
+    assert(g0.getAs[Long]("cnt") == 31L)
+    // the view reads through the catalog too (it IS a commit-log table)
+    assert(spark.sql("SELECT count(*) FROM gm.db.src_mv").head().getLong(0) == 3L)
+  }
+
   test("update-in-place (merge) nets out through delete+insert change rows") {
     val (srcLog, srcRoot) = freshSource()
     val mv = MaterializedView.create(spark, tmp("graft_mv"), srcRoot,
