@@ -616,12 +616,23 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
           // must not accept Spark's group-filter pushdown: a pruned file
           // would count as an untouched group whose rows the replace
           // commit then loses. Exposing a bare ScanBuilder (no pushdown
-          // traits) makes the group scan read the full snapshot, which
-          // is exactly what the one-group contract requires.
+          // traits) AND a bare Scan (no runtime-filtering interface —
+          // RowLevelOperationRuntimeGroupFiltering inspects the BUILT
+          // scan, and a partition-pruned rewrite source would drop every
+          // untouched partition from the replace commit) makes the group
+          // scan read the full snapshot, which is exactly what the
+          // one-group contract requires.
           override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
             val inner = GraftTable.this.newScanBuilder(options)
             new ScanBuilder {
-              override def build(): org.apache.spark.sql.connector.read.Scan = inner.build()
+              override def build(): org.apache.spark.sql.connector.read.Scan = {
+                val built = inner.build()
+                new org.apache.spark.sql.connector.read.Scan {
+                  override def readSchema() = built.readSchema()
+                  override def description() = built.description()
+                  override def toBatch = built.toBatch
+                }
+              }
             }
           }
           override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =

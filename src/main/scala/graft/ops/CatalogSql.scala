@@ -415,7 +415,35 @@ object CatalogSql {
       .orderBy("o_orderpriority")
   }
 
+  /** Footer-statistics aggregate pushdown as an oracle key: under
+    * `spark.sql.parquet.aggregatePushdown`, an unfiltered
+    * count/min/max over a catalog table is answered from the parquet
+    * FOOTERS (`PushedAggregation` in the plan — the scan builder
+    * forwards the pushdown; StoragePartitionedJoinSpec pins the plan) —
+    * at 100 TB the difference between a metadata read and a full scan.
+    * Values must equal the raw-table aggregate. Conf scoped to this
+    * computation (materialized eagerly).
+    */
+  private def aggPushdownFooter(s: SparkSession, d: String): DataFrame = {
+    ensureTables(s, d)
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val prev = try Some(s.conf.get(key)) catch { case _: Exception => None }
+    s.conf.set(key, "true")
+    try {
+      val df = s.sql(
+        """SELECT count(*) AS n_rows, min(c_custkey) AS min_key,
+          |       max(c_custkey) AS max_key
+          |FROM graft.tpch.customer""".stripMargin)
+      val rows = df.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_pushdown_footer" -> aggPushdownFooter _,
     "q_mv_incremental" -> mvIncremental _,
     "q_point_lookup_bloom" -> pointLookupBloom _,
     "q_join_spj" -> joinSpj _,
@@ -431,6 +459,10 @@ object CatalogSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_pushdown_footer" ->
+      """SELECT count(*) AS n_rows, min(c_custkey) AS min_key,
+        |       max(c_custkey) AS max_key
+        |FROM customer""".stripMargin,
     "q_mv_incremental" ->
       """SELECT o_orderpriority, count(*) AS n_rows,
         |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price

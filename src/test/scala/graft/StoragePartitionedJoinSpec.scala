@@ -24,15 +24,15 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
   private val warehouse =
     java.nio.file.Files.createTempDirectory("graft_spjwh").toString
 
-  spark.conf.set("spark.sql.catalog.gs", classOf[graft.catalog.GraftTableCatalog].getName)
-  spark.conf.set("spark.sql.catalog.gs.warehouse", warehouse)
-  spark.sql("CREATE NAMESPACE IF NOT EXISTS gs.db")
+  spark.conf.set("spark.sql.catalog.gsp", classOf[graft.catalog.GraftTableCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gsp.warehouse", warehouse)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS gsp.db")
 
-  spark.sql("CREATE TABLE gs.db.fa (k BIGINT, v DOUBLE, cat STRING) PARTITIONED BY (cat)")
-  spark.sql("INSERT INTO gs.db.fa SELECT id, id * 1.5, concat('c', id % 8) FROM range(0, 800)")
-  spark.sql("INSERT INTO gs.db.fa SELECT id, id * 2.5, concat('c', id % 8) FROM range(800, 1200)")
-  spark.sql("CREATE TABLE gs.db.fb (k BIGINT, w DOUBLE, cat STRING) PARTITIONED BY (cat)")
-  spark.sql("INSERT INTO gs.db.fb SELECT id, id * 0.5, concat('c', id % 8) FROM range(0, 640)")
+  spark.sql("CREATE TABLE gsp.db.fa (k BIGINT, v DOUBLE, cat STRING) PARTITIONED BY (cat)")
+  spark.sql("INSERT INTO gsp.db.fa SELECT id, id * 1.5, concat('c', id % 8) FROM range(0, 800)")
+  spark.sql("INSERT INTO gsp.db.fa SELECT id, id * 2.5, concat('c', id % 8) FROM range(800, 1200)")
+  spark.sql("CREATE TABLE gsp.db.fb (k BIGINT, w DOUBLE, cat STRING) PARTITIONED BY (cat)")
+  spark.sql("INSERT INTO gsp.db.fb SELECT id, id * 0.5, concat('c', id % 8) FROM range(0, 640)")
 
   private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
     val prev = pairs.map { case (k, _) =>
@@ -56,7 +56,7 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
 
   private val joinSql =
     """SELECT a.cat, count(*) AS n, CAST(sum(a.v + b.w) AS DECIMAL(18,1)) AS s
-      |FROM gs.db.fa a JOIN gs.db.fb b ON a.cat = b.cat
+      |FROM gsp.db.fa a JOIN gsp.db.fb b ON a.cat = b.cat
       |GROUP BY a.cat ORDER BY a.cat""".stripMargin
 
   test("co-partitioned join plans with ZERO shuffle exchanges under v2 bucketing") {
@@ -78,7 +78,7 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
   test("aggregation keyed on the partition column needs no exchange") {
     spjOn {
       val agg = spark.sql(
-        "SELECT cat, count(*) AS n FROM gs.db.fa GROUP BY cat")
+        "SELECT cat, count(*) AS n FROM gsp.db.fa GROUP BY cat")
       val p = planOf(agg)
       assert(!p.contains("Exchange hashpartitioning"),
         s"partition-keyed aggregation must reuse the key grouping:\n$p")
@@ -98,7 +98,7 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
 
   test("partition pruning composes with the keyed batch") {
     spjOn {
-      val one = spark.sql("SELECT k FROM gs.db.fa WHERE cat = 'c3'")
+      val one = spark.sql("SELECT k FROM gsp.db.fa WHERE cat = 'c3'")
       val files = one.queryExecution.executedPlan
         .collect { case b: BatchScanExec => b }
         .flatMap(_.inputRDD.partitions.toSeq.flatMap {
@@ -117,12 +117,12 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
   }
 
   test("dynamic partition pruning fires on a partitioned catalog fact table") {
-    spark.sql("CREATE TABLE gs.db.dim (cat STRING, flag INT)")
-    spark.sql("INSERT INTO gs.db.dim VALUES " +
+    spark.sql("CREATE TABLE gsp.db.dim (cat STRING, flag INT)")
+    spark.sql("INSERT INTO gsp.db.dim VALUES " +
       (0 until 8).map(i => s"('c$i', ${i % 4})").mkString(", "))
     val q =
-      """SELECT count(*) AS n FROM gs.db.fa a
-        |JOIN gs.db.dim d ON a.cat = d.cat
+      """SELECT count(*) AS n FROM gsp.db.fa a
+        |JOIN gsp.db.dim d ON a.cat = d.cat
         |WHERE d.flag = 1""".stripMargin
     // AQE off for plan introspection only: the executed node instances
     // stay in queryExecution.executedPlan so the post-execution file
@@ -154,12 +154,24 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("footer aggregate pushdown reaches the scan (PushedAggregation in the plan)") {
+    spark.sql("CREATE TABLE gsp.db.flat AS SELECT id AS k, id * 2 AS v FROM range(0, 500)")
+    withConfs("spark.sql.parquet.aggregatePushdown" -> "true") {
+      val df = spark.sql("SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM gsp.db.flat")
+      val p = planOf(df)
+      assert(p.contains("PushedAggregation: [COUNT(*)") ||
+        p.contains("PushedAggregation: [MIN("), s"aggregate not pushed:\n$p")
+      val r = df.collect().head
+      assert(r.getLong(0) == 500L && r.getLong(1) == 0L && r.getLong(2) == 499L)
+    }
+  }
+
   test("every row of a keyed split group carries the group's partition key") {
     spjOn {
       // distinct (spark_partition_id → cat) must be 1:1 when the scan is
       // key-grouped: rows of different partition values never share a task
       import spark.implicits._
-      val pairs = spark.table("gs.db.fa")
+      val pairs = spark.table("gsp.db.fa")
         .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"),
           org.apache.spark.sql.functions.col("cat"))
         .distinct().as[(Int, String)].collect()
