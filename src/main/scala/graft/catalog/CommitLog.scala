@@ -2002,6 +2002,22 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     }
   }
 
+  /** Columns carrying a Bloom point-lookup index, with the version each
+    * index was built at — the DESCRIBE DETAIL surface for [[readEquals]]
+    * consumers (files added after that version scan conservatively).
+    */
+  def bloomIndexedColumns: Seq[(String, Long)] = {
+    val idxBase = new Path(tableRoot, "_index/bloom")
+    if (!hfs.exists(idxBase)) Seq.empty
+    else hfs.listStatus(idxBase).toSeq.flatMap { colDir =>
+      val col = colDir.getPath.getName
+      val vs = hfs.listStatus(colDir.getPath).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.drop(1).nonEmpty &&
+          n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
+      if (vs.isEmpty) None else Some(col -> vs.max)
+    }.sortBy(_._1)
+  }
+
   /** Bloom-indexed point-lookup read: rows of the current version where
     * every `(column, value)` predicate holds, scanning only the pool
     * files that BOTH the footer min/max stats and (when an index exists)

@@ -30,7 +30,7 @@ private[catalog] object GraftProcedures {
     Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta",
       "export_iceberg", "import_iceberg", "rewrite_deletes", "history",
       "materialize_mapping", "analyze", "clone", "build_bloom_index",
-      "create_mv", "refresh_mv")
+      "create_mv", "refresh_mv", "detail")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -48,6 +48,7 @@ private[catalog] object GraftProcedures {
     case "clone"           => new Clone(cat)
     case "build_bloom_index" => new BuildBloomIndex(cat)
     case "create_mv"       => new CreateMv(cat)
+    case "detail"          => new Detail(cat)
     case "refresh_mv"      => new RefreshMv(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
@@ -174,6 +175,35 @@ private[catalog] object GraftProcedures {
       val (v, n) = log.buildBloomIndex(input.getUTF8String(1).toString)
       result(new StructType().add("version", LongType)
         .add("files_indexed", IntegerType), v, n)
+    }
+  }
+
+  /** `CALL graft.system.detail('db.t')` — one-row operational snapshot of
+    * a commit-log table from METADATA only (manifest + sidecars; zero
+    * data-file reads): version, file/tombstone counts, exact bytes,
+    * rows when known, partition spec, ANALYZE version, Bloom-indexed
+    * columns. The DESCRIBE DETAIL surface operators check before
+    * maintenance (compact? vacuum? reindex?).
+    */
+  private final class Detail(cat: GraftTableCatalog)
+    extends Proc("detail", Seq(in("table", StringType))) {
+    override def description(): String =
+      "one-row metadata snapshot: version, files, tombstones, bytes, rows, " +
+        "partition spec, analyze version, bloom-indexed columns"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val v = log.currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+        s"detail: table has no commits"))
+      val (bytes, rows) = log.snapshotStats(v)
+      result(new StructType()
+        .add("version", LongType).add("files", IntegerType)
+        .add("dv_files", IntegerType).add("bytes", LongType)
+        .add("rows", LongType).add("partitioned_by", StringType)
+        .add("analyzed_version", LongType).add("bloom_indexes", StringType),
+        v, log.files(v).length, log.dvFiles(v).length, bytes,
+        rows.getOrElse(-1L), log.partitionColumns(v).mkString(","),
+        log.analyzedStats().map(_._1).getOrElse(-1L),
+        log.bloomIndexedColumns.map { case (c, bv) => s"$c@v$bv" }.mkString(","))
     }
   }
 

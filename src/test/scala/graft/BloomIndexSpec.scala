@@ -117,6 +117,22 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(log.readEquals(Seq("k" -> 42L)).count() == 1)
   }
 
+  test("CALL detail reports the metadata snapshot including bloom indexes") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_dtlwh").toString
+    spark.conf.set("spark.sql.catalog.gdt", classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdt.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdt.db")
+    spark.sql("CREATE TABLE gdt.db.dt AS SELECT id AS k, id % 3 AS b FROM range(0, 300)")
+    spark.sql("CALL gdt.system.build_bloom_index('db.dt', 'k')").collect()
+    val r = spark.sql("CALL gdt.system.detail('db.dt')").head()
+    assert(r.getLong(0) == 1L)                       // version
+    assert(r.getInt(1) >= 1 && r.getInt(2) == 0)     // files, dv_files
+    assert(r.getLong(3) > 0L && r.getLong(4) == 300L) // bytes, rows
+    assert(r.getString(5) == "")                     // unpartitioned
+    assert(r.getLong(6) == -1L)                      // never analyzed
+    assert(r.getString(7) == "k@v1", r.getString(7)) // bloom index
+  }
+
   test("tombstoned rows never resurrect through an indexed read") {
     val root = tmp()
     val log = stripedTable(root)
