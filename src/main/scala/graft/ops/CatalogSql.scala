@@ -442,7 +442,48 @@ object CatalogSql {
     }
   }
 
+  /** Dynamic partition pruning as an oracle key: orders lands
+    * hive-partitioned by status, a tiny dim selects ONE status via a
+    * non-partition predicate, and the join runs with DPP active (the
+    * scan's `SupportsRuntimeV2Filtering` folds the dim's materialized
+    * key set into the partition filters at execution —
+    * StoragePartitionedJoinSpec pins the planted subquery and the
+    * pruned file list). This key pins the VALUES through the
+    * runtime-pruned read: a pruning bug here means silently missing
+    * rows, exactly what an oracle hash-match catches.
+    */
+  private def joinDpp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ensureCatalog(s, d)
+    SqlSurface.registerViews(s, d, Seq("orders"))
+    val t = "orders_by_status"
+    val fresh =
+      try s.sql(s"SELECT count(*) FROM graft.tpch.$t").head().getLong(0) ==
+        s.table("orders").count()
+      catch { case _: Exception => false }
+    if (!fresh) {
+      s.sql(s"DROP TABLE IF EXISTS graft.tpch.$t")
+      val ddlCols = s.table("orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      s.sql(s"CREATE TABLE graft.tpch.$t ($ddlCols) PARTITIONED BY (o_orderstatus)")
+      s.sql(s"INSERT INTO graft.tpch.$t " +
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders"): Unit
+    }
+    s.table("orders").select(col("o_orderstatus").as("status")).distinct()
+      .withColumn("flag", when(col("status") === "F", 1).otherwise(0))
+      .createOrReplaceTempView("status_dim")
+    s.sql(
+      s"""SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+         |       max(o_orderkey) AS max_key,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM graft.tpch.$t o
+         |JOIN status_dim d ON o.o_orderstatus = d.status
+         |WHERE d.flag = 1""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_dpp" -> joinDpp _,
     "q_agg_pushdown_footer" -> aggPushdownFooter _,
     "q_mv_incremental" -> mvIncremental _,
     "q_point_lookup_bloom" -> pointLookupBloom _,
@@ -459,6 +500,12 @@ object CatalogSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_dpp" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderstatus = 'F'""".stripMargin,
     "q_agg_pushdown_footer" ->
       """SELECT count(*) AS n_rows, min(c_custkey) AS min_key,
         |       max(c_custkey) AS max_key
