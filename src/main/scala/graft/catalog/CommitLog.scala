@@ -488,6 +488,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val manifest = carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines
       beforePublish(attempt, v)
       if (publish(v, manifest)) return v
+      racePause(attempt, v)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -527,6 +528,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val carried = manifestLines(head).filter(_.startsWith("#txn:"))
       beforePublish(attempt, head + 1)
       if (publish(head + 1, carried ++ dataLines)) return head + 1
+      racePause(attempt, head + 1)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -757,6 +759,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val manifest = header +: (carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines)
       beforePublish(attempt, v)
       if (publish(v, manifest)) return v
+      racePause(attempt, v)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -802,6 +805,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
       beforePublish(attempt, v)
       if (publish(v, carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines)) return v
+      racePause(attempt, v)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -844,6 +848,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
       beforePublish(attempt, v)
       if (publish(v, carried ++ newLines)) return v
+      racePause(attempt, v)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -1270,6 +1275,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         else stagePartitioned(merged, partCols, "merge")
       beforePublish(attempt, v + 1)
       if (publish(v + 1, keptLines ++ newLines)) return v + 1
+      racePause(attempt, v + 1)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -1306,6 +1312,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         else stagePartitioned(survivors, partCols, "delete")
       beforePublish(attempt, v + 1)
       if (publish(v + 1, keptLines ++ newLines)) return v + 1
+      racePause(attempt, v + 1)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -1370,6 +1377,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val extraLines = extra.map(stage).getOrElse(Seq.empty)
       beforePublish(attempt, v + 1)
       if (publish(v + 1, keptLines ++ survivorLines ++ extraLines)) return v + 1
+      racePause(attempt, v + 1)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -1412,6 +1420,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (staged.isEmpty) return v
       beforePublish(attempt, v + 1)
       if (publish(v + 1, manifestLines(v) ++ staged.map("-" + _))) return v + 1
+      racePause(attempt, v + 1)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -1448,6 +1457,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (staged.isEmpty) return v
       beforePublish(attempt, v + 1)
       if (publish(v + 1, manifestLines(v) ++ staged.map("-" + _))) return v + 1
+      racePause(attempt, v + 1)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -1494,6 +1504,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         else stageToPool(readFiles(touched.toSeq.sorted, Some(dv)), "rewriteDeletes")
       beforePublish(attempt, v + 1)
       if (publish(v + 1, keptLines ++ survivorLines)) return (dvN.length, touched.size)
+      racePause(attempt, v + 1)
       attempt += 1
     }
     throw new java.io.IOException(
@@ -2067,6 +2078,20 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       .filter(rowPred)
   }
 
+
+  /** Post-lost-race pause: back off briefly while the version this
+    * writer just raced for is STILL unpublished — the claim-holder is
+    * mid-materialization (conditional-PUT stores claim first, write
+    * after). Without a pause the whole retry budget can burn in
+    * microseconds of spinning while the holder is descheduled; with it
+    * the budget spans seconds of REAL contention. No pause when the
+    * head already moved past the target — that loss is progress and the
+    * retry should recompute immediately.
+    */
+  private def racePause(attempt: Int, targeted: Long): Unit =
+    if (currentVersion.getOrElse(0L) < targeted)
+      Thread.sleep(math.min(100L, 1L << math.min(attempt, 7)))
+
   /** Test seam: runs just before each publish attempt, letting a spec
     * inject a racing writer's manifest deterministically. */
   protected def beforePublish(attempt: Int, v: Long): Unit = ()
@@ -2173,6 +2198,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           partCols, "compact")
       beforePublish(attempt, v + 1)
       if (publish(v + 1, keptLines ++ newLines)) return (names.length, currentFileCount)
+      racePause(attempt, v + 1)
       attempt += 1
     }
     throw new java.io.IOException(
