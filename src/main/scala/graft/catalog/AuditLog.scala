@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * (`query_string` as map<string,string>, `payload` as a JSON string —
   * SURVEY §1.3). Appends are append commits (no rewrite of prior events —
   * the hot path stays O(batch)); the guarded status correction is a
-  * join-free conditional projection committed as a replace version, so an
-  * auditor reading the log mid-correction keeps a consistent snapshot.
+  * predicate copy-on-write commit touching only the files that hold the
+  * keyed row, so an auditor reading the log mid-correction keeps a
+  * consistent snapshot and a racing append is never lost.
   */
 class AuditLog(spark: SparkSession, root: String) {
 
@@ -46,14 +47,18 @@ class AuditLog(spark: SparkSession, root: String) {
   def events: DataFrame = log.read()
 
   /** R2: conditional status update — only rows whose key exists change
-    * (`attribute_exists` guard, lambda_function.py:39).
+    * (`attribute_exists` guard, lambda_function.py:39). Predicate CoW
+    * ([[CommitLog.updateWhere]]): only the files holding the keyed row
+    * are rewritten — O(files touched), not O(table) — and a concurrent
+    * [[append]] that wins a version mid-update survives, because each
+    * retry re-pins the new head and carries its files forward (the old
+    * whole-table replace staged a stale snapshot and erased the racer).
     */
   def setStatus(requestId: String, methodName: String, status: String): Unit = {
-    val updated = events.withColumn("status",
-      when(col("aws_request_id") === requestId &&
-        col("method_name") === methodName, lit(status))
-        .otherwise(col("status")))
-    log.commit(updated, replace = true): Unit
+    log.updateWhere(
+      col("aws_request_id") === requestId &&
+        col("method_name") === methodName,
+      Seq("status" -> lit(status))): Unit
   }
 
   /** R3: point lookup by the composite key. */

@@ -1388,6 +1388,75 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   def deleteWhere(cond: org.apache.spark.sql.Column, maxAttempts: Int = 5): Long =
     rewriteWhere(cond, None, maxAttempts)
 
+  /** `UPDATE ... SET col = expr ... WHERE cond` as a predicate CoW
+    * commit: only the files containing a matching row are rewritten —
+    * matched rows re-stage with the set-expressions applied, the other
+    * rows of touched files copy through byte-identical, and every
+    * untouched file is carried by name. O(files touched), never
+    * O(table): the tier a point update against a large append-mostly
+    * table (an audit-log status correction) needs, vs. a whole-table
+    * replace that rewrites every byte for one row.
+    *
+    * Race-safe by construction: each attempt pins the CURRENT head,
+    * re-discovers touched files against it, and publishes head+1 with
+    * the untouched names carried forward — so an append that wins a
+    * version mid-update is re-read and survives the retry (a replace
+    * commit, by contrast, stages the stale snapshot once and erases the
+    * racer on retry). All set-expressions evaluate against the ORIGINAL
+    * row (simultaneous-assignment SQL UPDATE semantics), and a NULL
+    * predicate leaves the row unchanged. A no-match update returns the
+    * current version without committing.
+    */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, when}
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed version under $tableRoot"))
+      val lines = manifestLines(v)
+      val partCols = partitionColsOf(lines)
+      val partTypes = partTypesOf(lines)
+      val names = files(v)
+      val dv = dvFrame(v)
+      // discovery over the VISIBLE snapshot, as in rewriteWhere: a file
+      // whose only matching rows are tombstoned is not rewritten.
+      val touchedLeaves: Set[String] =
+        if (names.isEmpty) Set.empty
+        else collectNames(
+          castParts(dv.fold(withPos(names))(d =>
+            withPos(names).join(d, DvKeys, "left_anti")), partTypes)
+            .filter(cond),
+          DvKeys.head, "updateWhere")
+      val touched = names.filter(n => touchedLeaves(leafOf(n))).toSet
+      if (touched.isEmpty) return v
+      val keptLines = lines.filterNot(l =>
+        !l.startsWith("#") && !l.startsWith("-") && touched(l.split('\t').head))
+      val cols = readVersion(v).columns.toSeq
+      val matched = coalesce(cond, lit(false))
+      val setMap = sets.toMap
+      // one pass over touched files: every column's new value is chosen
+      // against the pre-update row, so SET a=b, b=a swaps correctly
+      val rewritten = readFiles(touched.toSeq.sorted, dv, partTypes)
+        .select(cols.map { c =>
+          setMap.get(c) match {
+            case Some(e) => when(matched, e).otherwise(col(c)).as(c)
+            case None    => col(c)
+          }
+        }: _*)
+      val stagedLines =
+        if (partCols.isEmpty) stageToPool(rewritten, "updateWhere")
+        else stagePartitioned(rewritten, partCols, "updateWhere")
+      beforePublish(attempt, v + 1)
+      if (publish(v + 1, keptLines ++ stagedLines)) return v + 1
+      racePause(attempt, v + 1)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"updateWhere: lost the head race $maxAttempts times under $tableRoot")
+  }
+
   /** Merge-on-read DELETE: record (file, position) tombstones for every
     * visible row matching `cond` — NO data file is rewritten. The write
     * cost is O(rows deleted), not O(files touched × file size), which is

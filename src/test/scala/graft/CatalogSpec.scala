@@ -748,4 +748,45 @@ class CatalogSpec extends AnyFunSuite {
     log.setStatus("req-404", "create", "failed")
     assert(log.events.filter(col("status") === "failed").count() == 1)
   }
+
+  test("audit log: setStatus is CoW — untouched file carried, racing append survives") {
+    val root = freshRoot() + "/audit"
+    val plain = new AuditLog(spark, root)
+    plain.append("req-1", "create", "fn", Map("t" -> "c"), """{"k":1}""")
+    plain.append("req-2", "read", "fn", Map("t" -> "r"), """{"k":2}""")
+    val cl = new graft.catalog.CommitLog(spark, root)
+    val fileA = cl.files(1L).toSet            // holds req-1 (the updated key)
+    val fileB = cl.files(2L).toSet -- fileA   // holds req-2 (untouched)
+    assert(fileA.nonEmpty && fileB.nonEmpty)
+    // two-writer race: just before setStatus's first publish, a concurrent
+    // append wins the targeted version — the retry must not erase it
+    @volatile var injected = false
+    val racing = new AuditLog(spark, root) {
+      override protected def newLog(): graft.catalog.CommitLog =
+        new graft.catalog.CommitLog(spark, root) {
+          override protected def beforePublish(attempt: Int, v: Long): Unit =
+            if (!injected) {
+              injected = true
+              new AuditLog(spark, root).append("req-3", "update", "fn",
+                Map("t" -> "u"), """{"k":3}""")
+            }
+        }
+    }
+    racing.setStatus("req-1", "create", "failed")
+    assert(injected)
+    val st = plain.events.select("aws_request_id", "status")
+      .as[(String, String)].collect().toMap
+    assert(st == Map("req-1" -> "failed", "req-2" -> "success",
+      "req-3" -> "success"),
+      "both the racing append and the status update must survive")
+    // CoW, not replace: v3 = racer's append, v4 = the retried update;
+    // the untouched file is carried by name, the touched one is not
+    val head = cl.currentVersion.get
+    assert(head == 4L, s"expected lost-race retry to land v4, got v$head")
+    val afterFiles = cl.files(head).toSet
+    assert((fileB -- afterFiles).isEmpty,
+      "untouched audit file must be carried by name, not rewritten")
+    assert((fileA & afterFiles).isEmpty,
+      "the touched file must have been replaced by the CoW rewrite")
+  }
 }
