@@ -466,7 +466,19 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * redelivered batches become no-ops with no crash window, because the
     * marker and the data land in one atomic manifest publish.
     */
-  def commit(df: DataFrame, replace: Boolean, txn: Option[String]): Long = {
+  def commit(df: DataFrame, replace: Boolean, txn: Option[String]): Long =
+    commit(df, replace, txn, None)
+
+  /** Commit carrying an additional `#<key>:<value>` manifest header,
+    * recorded ATOMICALLY with the content in the same manifest publish; a
+    * previous header under the same key is superseded, not accumulated.
+    * This is the cursor plane for derived state whose progress marker
+    * must never be observable apart from the state itself (e.g. a
+    * materialized view's last-folded source version): a crash can leave
+    * the pair only wholly-published or wholly-absent.
+    */
+  def commit(df: DataFrame, replace: Boolean, txn: Option[String],
+      header: Option[(String, String)]): Long = {
     txn.foreach { id =>
       currentVersion.foreach { v => if (txns(v).contains(id)) return v }
     }
@@ -484,8 +496,12 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         if (prev.contains(s"#txn:$id")) return v - 1  // lost race to our own id's writer
       }
       if (!replace) requireUnpartitioned("commit(append)", v, prev)
-      val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
-      val manifest = carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines
+      val carried0 = if (replace) prev.filter(_.startsWith("#txn:")) else prev
+      val carried = header.fold(carried0) { case (k, _) =>
+        carried0.filterNot(_.startsWith(s"#$k:"))
+      }
+      val manifest = carried ++ txn.map(id => s"#txn:$id").toSeq ++
+        header.map { case (k, hv) => s"#$k:$hv" }.toSeq ++ newLines
       beforePublish(attempt, v)
       if (publish(v, manifest)) return v
       racePause(attempt, v)
@@ -494,6 +510,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     throw new java.io.IOException(
       s"commit: lost the version race 50 times under $tableRoot")
   }
+
+  /** The value of a version's `#<key>:` manifest header, if present. */
+  def headerOf(v: Long, key: String): Option[String] =
+    manifestLines(v).find(_.startsWith(s"#$key:")).map(_.stripPrefix(s"#$key:"))
 
   /** RESTORE (rollback): make the head's content equal an earlier
     * version's, published as a NEW commit whose manifest re-references
@@ -2010,7 +2030,6 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     // (qualified path → manifest name) as a broadcastable frame: the
     // mapping must survive partition subdirs and absolute clone
     // references, and the names list is already manifest-resident
-    val qualified = hfs.makeQualified(dataDir).toString
     import spark.implicits._
     val nameOf = names.map { n =>
       val p = new Path(dataDir, n)
@@ -2125,21 +2144,29 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     }
     preds.foreach { case (c, x) =>
       if (candidates.nonEmpty) bloomIndexFor(c).foreach { case (_, ddl, dir) =>
-        val dt = org.apache.spark.sql.types.DataType.fromDDL(ddl)
-        // hash the probe value EXACTLY as the build hashed the column:
-        // xxhash64 over the column's own type (an int and a long hash
-        // differently — the cast is the correctness seam)
-        val hash = spark.range(1)
-          .select(org.apache.spark.sql.functions.xxhash64(lit(x).cast(dt)))
-          .head().getLong(0)
-        val might = org.apache.spark.sql.functions.udf { (bf: Array[Byte]) =>
-          org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(bf)).mightContainLong(hash)
+        try {
+          val dt = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+          // hash the probe value EXACTLY as the build hashed the column:
+          // xxhash64 over the column's own type (an int and a long hash
+          // differently — the cast is the correctness seam)
+          val hash = spark.range(1)
+            .select(org.apache.spark.sql.functions.xxhash64(lit(x).cast(dt)))
+            .head().getLong(0)
+          val might = org.apache.spark.sql.functions.udf { (bf: Array[Byte]) =>
+            org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(bf)).mightContainLong(hash)
+          }
+          val verdicts = spark.read.parquet(dir.toString)
+            .select(col("name"), might(col("bf")).as("pass"))
+            .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+          candidates = candidates.filter(n => verdicts.getOrElse(n, true))
+        } catch {
+          // the resolved index dir can race away mid-probe (a concurrent
+          // rebuild retires superseded versions): any probe failure
+          // degrades to "no index" — the conservative scan the design
+          // guarantees — never to an error or a wrong answer
+          case scala.util.control.NonFatal(_) => ()
         }
-        val verdicts = spark.read.parquet(dir.toString)
-          .select(col("name"), might(col("bf")).as("pass"))
-          .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-        candidates = candidates.filter(n => verdicts.getOrElse(n, true))
       }
     }
     if (candidates.isEmpty) readVersion(v).filter(rowPred).limit(0)

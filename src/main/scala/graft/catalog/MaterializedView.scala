@@ -44,8 +44,17 @@ final class MaterializedView private (
   private val log = new CommitLog(spark, mvRoot)
   private val srcLog = new CommitLog(spark, srcRoot)
 
-  /** Last source version folded into the view. */
-  def refreshedVersion: Long = MaterializedView.readState(spark, mvRoot)._4
+  /** Last source version folded into the view. The cursor of record is
+    * the `#mvsrc:` header on the VIEW TABLE'S OWN head manifest —
+    * published in the same atomic manifest as the folded state, so a
+    * crash between fold and cursor write cannot exist and a re-opened
+    * view can never re-fold an already-folded change window (silent
+    * double counting). The `_mv.json` sidecar's version is an
+    * informational fallback only (pre-header views).
+    */
+  def refreshedVersion: Long =
+    log.currentVersion.flatMap(v => log.headerOf(v, "mvsrc")).map(_.toLong)
+      .getOrElse(MaterializedView.readState(spark, mvRoot)._4)
 
   /** The view's current content: groupCols, `cnt`, then one exact-decimal
     * sum per requested column under its alias.
@@ -83,7 +92,10 @@ final class MaterializedView private (
       .agg(sum(col("cnt")).as("cnt"),
         sumCols.map { case (_, as) => sum(col(s"`$as`")).as(as) }: _*)
       .filter(col("cnt") > 0)
-    log.commit(folded, replace = true)
+    // state + cursor land in ONE manifest publish (#mvsrc header): the
+    // fold and its progress marker are atomic, so neither a crash here
+    // nor a concurrent refresh can double-fold the change window
+    log.commit(folded, replace = true, None, Some("mvsrc" -> head.toString))
     MaterializedView.writeState(spark, mvRoot, srcRoot, groupCols, sumCols, head)
     (head, deltaN)
   }
@@ -108,7 +120,7 @@ object MaterializedView {
     val full = srcLog.readVersion(v)
       .groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("cnt"), sums: _*)
-    mv.log.commit(full, replace = true)
+    mv.log.commit(full, replace = true, None, Some("mvsrc" -> v.toString))
     writeState(spark, mvRoot, srcRoot, groupCols, sumCols, v)
     mv
   }

@@ -328,16 +328,11 @@ object CatalogSql {
       Seq("c_custkey", "c_acctbal", "c_nationkey"), "c_nationkey")
     ensurePart("supp_by_nation", "supplier",
       Seq("s_suppkey", "s_acctbal", "s_nationkey"), "s_nationkey")
-    val confs = Seq(
+    withIsolatedConfs(s, d, Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.map { case (k, _) =>
-      k -> (try Some(s.conf.get(k)) catch { case _: Exception => None })
-    }
-    confs.foreach { case (k, v) => s.conf.set(k, v) }
-    try {
-      val df = s.sql(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")) { s2 =>
+      s2.sql(
         """SELECT c_nationkey AS nk, count(*) AS n_pairs,
           |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) +
           |                CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
@@ -345,14 +340,24 @@ object CatalogSql {
           |JOIN graft.tpch.supp_by_nation s ON c.c_nationkey = s.s_nationkey
           |GROUP BY c_nationkey
           |ORDER BY nk""".stripMargin)
-      // materialize under the scoped conf: the caller executes the
-      // returned frame later, when the conf is already restored
-      val rows = df.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-    } finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
     }
+  }
+
+  /** Run `f` against a FORKED session carrying `confs`: its own SQLConf
+    * and catalog instances over the shared SparkContext, so a query
+    * planned concurrently on the caller's session can never observe the
+    * altered confs (no set/restore window on shared state). The result
+    * is materialized inside the fork and re-hosted on the caller's
+    * session, so executing the returned frame later uses stock planning.
+    */
+  private def withIsolatedConfs(s: SparkSession, d: String,
+      confs: Seq[(String, String)])(f: SparkSession => DataFrame): DataFrame = {
+    val s2 = s.newSession()
+    confs.foreach { case (k, v) => s2.conf.set(k, v) }
+    ensureCatalog(s2, d)
+    val df = f(s2)
+    val rows = df.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   /** Bloom-indexed point lookup as an oracle key: orders lands striped
@@ -426,19 +431,12 @@ object CatalogSql {
     */
   private def aggPushdownFooter(s: SparkSession, d: String): DataFrame = {
     ensureTables(s, d)
-    val key = "spark.sql.parquet.aggregatePushdown"
-    val prev = try Some(s.conf.get(key)) catch { case _: Exception => None }
-    s.conf.set(key, "true")
-    try {
-      val df = s.sql(
+    withIsolatedConfs(s, d,
+      Seq("spark.sql.parquet.aggregatePushdown" -> "true")) { s2 =>
+      s2.sql(
         """SELECT count(*) AS n_rows, min(c_custkey) AS min_key,
           |       max(c_custkey) AS max_key
           |FROM graft.tpch.customer""".stripMargin)
-      val rows = df.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-    } finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
     }
   }
 

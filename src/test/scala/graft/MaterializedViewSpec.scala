@@ -124,6 +124,33 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gm.db.src_mv").head().getLong(0) == 3L)
   }
 
+  test("cursor is atomic with the fold: a lost sidecar write never double-folds") {
+    val (srcLog, srcRoot) = freshSource()
+    val mvRoot = tmp("graft_mv")
+    MaterializedView.create(spark, mvRoot, srcRoot, Seq("grp"), Seq("x" -> "sum_x"))
+    srcLog.commit(Seq((2000L, "g0", 7.0)).toDF("k", "grp", "x"), replace = false)
+    val mv = MaterializedView.open(spark, mvRoot)
+    mv.refresh()
+    val good = viewState(mv)
+    // simulate the crash window the sidecar had: the fold committed but
+    // the _mv.json cursor write was lost (roll it back to version 1)
+    val fs = graft.catalog.HadoopFs.fs(spark, mvRoot)
+    val p = new org.apache.hadoop.fs.Path(mvRoot, "_mv.json")
+    val body = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val rolledBack = body.replaceAll("\"version\":\\d+", "\"version\":1")
+    assert(rolledBack != body)
+    graft.catalog.LogStore.write(fs, p, rolledBack.getBytes("UTF-8"))
+    // a re-opened view trusts the #mvsrc header in its own commit, not
+    // the stale sidecar: refresh is a no-op, counts do not double
+    val reopened = MaterializedView.open(spark, mvRoot)
+    assert(reopened.refreshedVersion == srcLog.currentVersion.get)
+    assert(reopened.refresh()._2 == 0L)
+    assert(viewState(reopened) == good)
+  }
+
   test("update-in-place (merge) nets out through delete+insert change rows") {
     val (srcLog, srcRoot) = freshSource()
     val mv = MaterializedView.create(spark, tmp("graft_mv"), srcRoot,
