@@ -832,6 +832,57 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       s"commitPooledFiles: lost the version race 50 times under $tableRoot")
   }
 
+  /** Import externally-produced parquet files WITH row-level deletes in
+    * ONE atomic commit: each source file pools byte-identical under a
+    * fresh name, and its deleted row indices land as native MoR
+    * `(file, pos)` tombstones in the SAME manifest — the commit-log
+    * spelling of an imported format's deletion vectors (Delta DVs map
+    * here 1:1, [[DeltaInterop.importDelta]]). No data file is decoded
+    * or rewritten: cost is O(bytes copied) + O(rows deleted), vs. the
+    * O(table) re-encode a materializing import pays — and no
+    * intermediate version ever shows the deleted rows resurrected.
+    * Reads apply the tombstones exactly as [[deleteWhereMoR]]'s
+    * ([[readFiles]] anti-join); [[rewriteDeletes]]/[[compact]] fold
+    * them away later. Zero-row source files are skipped (with their
+    * deletes) like every other pooling path.
+    */
+  def commitFilesWithDeletes(srcs: Seq[(Path, Seq[Long])], replace: Boolean): Long = {
+    require(srcs.nonEmpty, "commitFilesWithDeletes: no source files")
+    import spark.implicits._
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    hfs.mkdirs(dataDir)
+    hfs.mkdirs(commitsDir)
+    val pooled = srcs.zipWithIndex.flatMap { case ((src, dels), i) =>
+      val srcFs = HadoopFs.fs(spark, src.toString)
+      val name = f"$uuid-part$i%05d.parquet"
+      val dst = new Path(dataDir, name)
+      if (!org.apache.hadoop.fs.FileUtil.copy(srcFs, src, hfs, dst, false, hfs.getConf))
+        throw new java.io.IOException(s"commitFilesWithDeletes: copy of $src failed")
+      val (rows, st) = footerInfo(dst)
+      if (rows == 0L) { hfs.delete(dst, false); None }
+      else Some((s"$name\t${statsJson(st, rows, hfs.getFileStatus(dst).getLen)}",
+        dels.map(p => (name, p))))
+    }
+    val dataLines = pooled.map(_._1)
+    val tombs = pooled.flatMap(_._2)
+    val tombLines =
+      if (tombs.isEmpty) Seq.empty
+      else stageToPool(tombs.toDF(DvKeys: _*), "importDeletes").map("-" + _)
+    var attempt = 0
+    while (attempt < 50) {
+      val v = currentVersion.getOrElse(0L) + 1
+      val prev = currentVersion.map(manifestLines).getOrElse(Seq.empty)
+      if (!replace) requireUnpartitioned("commitFilesWithDeletes(append)", v, prev)
+      val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
+      beforePublish(attempt, v)
+      if (publish(v, carried ++ dataLines ++ tombLines)) return v
+      racePause(attempt, v)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"commitFilesWithDeletes: lost the version race 50 times under $tableRoot")
+  }
+
   /** The copy-on-write mutators stage FLAT pool files; on a partitioned
     * head that would mix directory depths under `data/` and break
     * partition inference. They refuse loudly instead of corrupting the

@@ -37,10 +37,42 @@ object DeltaInterop {
 
   private case class Meta(schema: StructType, partitionCols: Seq[String])
 
+  /** A deletion-vector descriptor from an `add` action (public protocol,
+    * PROTOCOL.md "Deletion Vector Descriptor Schema"): where the
+    * serialized RoaringBitmapArray of deleted row indices lives —
+    * on-disk relative with a Z85 UUID name (`u`), on-disk absolute
+    * (`p`), or Z85 inline (`i`).
+    */
+  private case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+      offset: Option[Int], sizeInBytes: Int, cardinality: Long) {
+
+    /** Absolute path of the on-disk DV file; None when inline. */
+    def filePath(table: Path): Option[Path] = storageType match {
+      case "p" => Some(new Path(pathOrInlineDv))
+      case "u" =>
+        // <random prefix><20-char Z85 of the 16-byte UUID> →
+        // <table>/<prefix>/deletion_vector_<uuid>.bin
+        val (prefix, enc) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
+        val bb = java.nio.ByteBuffer.wrap(Z85.decode(enc))
+        val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+        val dir = if (prefix.isEmpty) table else new Path(table, prefix)
+        Some(new Path(dir, s"deletion_vector_$uuid.bin"))
+      case "i" => None
+      case other =>
+        refuse(s"deletionVectors storageType '$other'", "add action")
+    }
+  }
+
+  /** One live data file: relative path, partition values, and the
+    * deletion vector masking its rows (if any).
+    */
+  private case class FileEntry(path: String, partValues: Map[String, Option[String]],
+      dv: Option[DvDescriptor])
+
   /** One replayed snapshot: table schema, partition columns, and the
     * live data files with their partition values.
     */
-  private case class Snapshot(meta: Meta, files: Seq[(String, Map[String, Option[String]])])
+  private case class Snapshot(meta: Meta, files: Seq[FileEntry])
 
   private def logDir(table: String) = new Path(table, "_delta_log")
 
@@ -71,19 +103,88 @@ object DeltaInterop {
 
   /** Reader features this replay actually honors. Everything else must
     * refuse BY NAME: silently replaying a table whose reader contract we
-    * don't implement returns wrong rows (a deletion-vector table would
-    * resurrect deleted rows). `timestampNtz` only gates a TYPE the Spark
-    * parquet reader handles natively; `columnMapping` is implemented in
-    * [[readDelta]] via the fields' physical names.
+    * don't implement returns wrong rows. `timestampNtz` only gates a
+    * TYPE the Spark parquet reader handles natively; `columnMapping` is
+    * implemented in [[readDelta]] via the fields' physical names;
+    * `deletionVectors` decodes per the public bitmap format
+    * ([[dvRowIndices]]) and maps onto the commit log's own MoR
+    * tombstones on import.
     */
-  private val SupportedReaderFeatures = Set("timestampNtz", "columnMapping")
+  private val SupportedReaderFeatures =
+    Set("timestampNtz", "columnMapping", "deletionVectors")
 
   private def refuse(feature: String, where: String): Nothing =
     throw new UnsupportedOperationException(
       s"importDelta: table uses the Delta reader feature '$feature' ($where), " +
         "which this replay does not implement — importing would return wrong " +
-        "rows. Rewrite the table without the feature (e.g. REORG TABLE ... " +
-        "APPLY (PURGE) for deletion vectors) and re-export, then import.")
+        "rows. Rewrite the table without the feature and re-export, then import.")
+
+  private def parseDv(node: JsonNode): DvDescriptor = DvDescriptor(
+    node.get("storageType").asText,
+    node.get("pathOrInlineDv").asText,
+    Option(node.get("offset")).filterNot(_.isNull).map(_.asInt),
+    node.get("sizeInBytes").asInt,
+    node.get("cardinality").asLong)
+
+  /** Magic number opening a serialized RoaringBitmapArray in the
+    * protocol's "portable" format (little-endian throughout).
+    */
+  private val RoaringArrayMagic = 1681511377
+
+  /** Decode one deletion vector to its deleted row indices. On-disk DVs
+    * (`u`/`p`) live at `offset` in their `.bin` file as
+    * `[size:int BE][portable RoaringBitmapArray][crc32:int BE]`; inline
+    * DVs (`i`) are the Z85-encoded portable bytes. The portable layout:
+    * magic, long bitmap count, then per 32-bit bucket a little-endian
+    * int key and a standard portable RoaringBitmap; a row index is
+    * `key << 32 | value`. Bitmap bytes are KB-scale compressed metadata
+    * — this is a driver-side decode on the same plane as the log replay
+    * itself, never row data.
+    */
+  private def dvRowIndices(spark: SparkSession, table: Path,
+      d: DvDescriptor): Array[Long] = {
+    val data: Array[Byte] = d.filePath(table) match {
+      case None => Z85.decode(d.pathOrInlineDv).take(d.sizeInBytes)
+      case Some(p) =>
+        val fs = HadoopFs.fs(spark, p.toString)
+        val in = fs.open(p)
+        try {
+          in.seek(d.offset.getOrElse(1).toLong)
+          val size = in.readInt()
+          require(size == d.sizeInBytes,
+            s"deletion vector at $p: stored size $size != descriptor ${d.sizeInBytes}")
+          val buf = new Array[Byte](size)
+          in.readFully(buf)
+          val crc = in.readInt()
+          val c = new java.util.zip.CRC32()
+          c.update(buf)
+          require(crc == c.getValue.toInt, s"deletion vector at $p: checksum mismatch")
+          buf
+        } finally in.close()
+    }
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    require(magic == RoaringArrayMagic,
+      s"deletion vector: bad RoaringBitmapArray magic $magic")
+    val n = bb.getLong
+    val out = Array.newBuilder[Long]
+    var i = 0L
+    while (i < n) {
+      val key = bb.getInt.toLong
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      rb.deserialize(bb)
+      // deserialize(ByteBuffer) leaves the buffer position unchanged
+      bb.position(bb.position() + rb.serializedSizeInBytes())
+      rb.forEach(new org.roaringbitmap.IntConsumer {
+        def accept(v: Int): Unit = out += (key << 32) | (v.toLong & 0xFFFFFFFFL)
+      })
+      i += 1
+    }
+    val res = out.result()
+    require(res.length.toLong == d.cardinality,
+      s"deletion vector: decoded ${res.length} rows, descriptor says ${d.cardinality}")
+    res
+  }
 
   private def checkProtocol(p: JsonNode): Unit = {
     val feats = Option(p.get("readerFeatures"))
@@ -115,7 +216,7 @@ object DeltaInterop {
       }
 
     var meta: Option[Meta] = None
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Option[String]]]
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
 
     cpVersion.foreach { v =>
       // checkpoint parquet: one row per action, nested structs; driver
@@ -127,19 +228,20 @@ object DeltaInterop {
           case Some(st: StructType) => st.fieldNames.toSeq
           case _ => Seq.empty
         }
-      // feature guards mirror the JSON replay: a checkpoint can be the
-      // ONLY place these actions survive (the commits they rode in may
-      // be below the checkpoint horizon)
+      // feature guard mirrors the JSON replay: a checkpoint can be the
+      // ONLY place the protocol action survives (the commit it rode in
+      // may be below the checkpoint horizon)
       if (structFields("protocol").contains("readerFeatures") &&
           cpDf.selectExpr("protocol.readerFeatures AS rf").filter("rf IS NOT NULL")
             .collect().exists(r => r.getSeq[String](0)
               .exists(f => !SupportedReaderFeatures.contains(f))))
         refuse("readerFeatures (checkpoint)", "protocol readerFeatures")
-      if (structFields("add").contains("deletionVector") &&
-          cpDf.selectExpr("add.deletionVector AS dv").filter("dv IS NOT NULL").count() > 0)
-        refuse("deletionVectors", "checkpoint add action")
+      val hasDv = structFields("add").contains("deletionVector")
+      val dvExpr =
+        if (hasDv) "add.deletionVector AS add_dv"
+        else "CAST(NULL AS STRING) AS add_dv"
       val rows = cpDf
-        .selectExpr("add.path AS add_path", "add.partitionValues AS add_pv",
+        .selectExpr("add.path AS add_path", "add.partitionValues AS add_pv", dvExpr,
           "metaData.schemaString AS schema_string", "metaData.partitionColumns AS part_cols")
         .collect()
       rows.foreach { r =>
@@ -152,7 +254,20 @@ object DeltaInterop {
         if (!r.isNullAt(r.fieldIndex("add_path"))) {
           val pv = Option(r.getMap[String, String](r.fieldIndex("add_pv")))
             .map(_.toMap.map { case (k, v2) => k -> Option(v2) }).getOrElse(Map.empty)
-          live(r.getString(r.fieldIndex("add_path"))) = pv
+          val dv =
+            if (!hasDv || r.isNullAt(r.fieldIndex("add_dv"))) None
+            else {
+              val dr = r.getStruct(r.fieldIndex("add_dv"))
+              def opt(f: String): Option[Int] =
+                if (dr.schema.fieldNames.contains(f) && !dr.isNullAt(dr.fieldIndex(f)))
+                  Some(dr.getInt(dr.fieldIndex(f)))
+                else None
+              Some(DvDescriptor(dr.getAs[String]("storageType"),
+                dr.getAs[String]("pathOrInlineDv"), opt("offset"),
+                dr.getAs[Int]("sizeInBytes"), dr.getAs[Long]("cardinality")))
+            }
+          val path = r.getString(r.fieldIndex("add_path"))
+          live(path) = FileEntry(path, pv, dv)
         }
       }
     }
@@ -173,6 +288,11 @@ object DeltaInterop {
         org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
         new String(out.toByteArray, StandardCharsets.UTF_8)
       } finally in.close()
+      // within one commit an add takes precedence over a remove of the
+      // same path (the protocol's DV-update shape is remove+add of the
+      // SAME file with a new descriptor, in either order)
+      val commitAdds = scala.collection.mutable.Set.empty[String]
+      val commitRemoves = scala.collection.mutable.Set.empty[String]
       body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
         val action = mapper.readTree(line)
         if (action.has("protocol")) checkProtocol(action.get("protocol"))
@@ -180,19 +300,22 @@ object DeltaInterop {
           meta = Some(parseMeta(action.get("metaData")))
         } else if (action.has("add")) {
           val a = action.get("add")
-          // a DV-bearing add can appear even below reader version 3 in
-          // the wild; never rely on the protocol action alone
-          if (a.hasNonNull("deletionVector")) refuse("deletionVectors", "add action")
-          live(a.get("path").asText) = partValues(a)
+          val path = a.get("path").asText
+          val dv =
+            if (a.hasNonNull("deletionVector")) Some(parseDv(a.get("deletionVector")))
+            else None
+          live(path) = FileEntry(path, partValues(a), dv)
+          commitAdds += path
         } else if (action.has("remove")) {
-          live.remove(action.get("remove").get("path").asText): Unit
+          commitRemoves += action.get("remove").get("path").asText
         }
         // txn/commitInfo actions carry no file-set state here
       }
+      (commitRemoves -- commitAdds).foreach(p => live.remove(p): Unit)
     }
 
     Snapshot(meta.getOrElse(throw new IllegalStateException(
-      s"Delta log under $table has no metaData action")), live.toSeq)
+      s"Delta log under $table has no metaData action")), live.values.toSeq)
   }
 
   /** Read a Delta table (optionally `VERSION AS OF`) into a DataFrame:
@@ -223,13 +346,34 @@ object DeltaInterop {
     if (snap.files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         outSchema)
+    val tablePath = new Path(table)
     // group files by partition tuple; each group scans as one parquet
     // read with its partition values rehydrated as typed literals, then
     // the groups union — group count = partition count (metadata-scale)
-    val byPart = snap.files.groupBy(_._2).toSeq
+    val byPart = snap.files.groupBy(_.partValues).toSeq
     val frames = byPart.map { case (pv, files) =>
-      val paths = files.map { case (rel, _) => new Path(table, rel).toString }
-      val base = spark.read.schema(dataSchema).parquet(paths: _*)
+      val paths = files.map(f => new Path(table, f.path).toString)
+      val base0 = spark.read.schema(dataSchema).parquet(paths: _*)
+      // deletion vectors: mask each file's deleted row indices via a
+      // broadcast anti-join on (file leaf, row position) — the same
+      // shape the commit log's own MoR tombstone read uses. Delta file
+      // names are UUID-unique, so the leaf identifies the file.
+      val deleted: Seq[(String, Long)] = files.flatMap(f => f.dv.toSeq.flatMap(d =>
+        dvRowIndices(spark, tablePath, d).map(ix =>
+          new Path(f.path).getName -> ix)))
+      val base = if (deleted.isEmpty) base0 else {
+        import org.apache.spark.sql.functions.{broadcast, element_at, split}
+        val delDf = spark.createDataFrame(
+          deleted.map { case (n, p) => org.apache.spark.sql.Row(n, p) }.asJava,
+          StructType(Seq(
+            StructField("_dv_leaf", org.apache.spark.sql.types.StringType),
+            StructField("_dv_pos", org.apache.spark.sql.types.LongType))))
+        base0
+          .withColumn("_dv_leaf", element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("_dv_pos", col("_metadata.row_index"))
+          .join(broadcast(delDf), Seq("_dv_leaf", "_dv_pos"), "left_anti")
+          .drop("_dv_leaf", "_dv_pos")
+      }
       partCols.foldLeft(base) { (df, c) =>
         val tpe = snap.meta.schema(c).dataType
         val v = pv.get(phys(c)).orElse(pv.get(c)).flatten.orNull
@@ -240,10 +384,34 @@ object DeltaInterop {
     frames.reduce(_.unionByName(_))
   }
 
-  /** Import a Delta table into a [[CommitLog]] table (one commit). */
+  /** Import a Delta table into a [[CommitLog]] table (one commit).
+    *
+    * Flat, unmapped tables take the byte-copy path: every live parquet
+    * file pools UNCHANGED and any deletion vector translates 1:1 into
+    * the commit log's own native MoR `(file, pos)` tombstones, landing
+    * atomically with the files ([[CommitLog.commitFilesWithDeletes]]).
+    * That keeps the import O(bytes copied) — no decode, no re-encode,
+    * no shuffle — and preserves the source's merge-on-read economics: a
+    * 100 TB DV-bearing table imports without rewriting a single data
+    * file. Partitioned or column-mapped tables materialize through
+    * [[readDelta]] instead (their data files don't contain the
+    * partition column / logical names, so a byte-copy would be wrong).
+    */
   def importDelta(spark: SparkSession, deltaTable: String, commitRoot: String,
-      replace: Boolean = true): Long =
-    new CommitLog(spark, commitRoot).commit(readDelta(spark, deltaTable), replace = replace)
+      replace: Boolean = true): Long = {
+    val snap = snapshot(spark, deltaTable, None)
+    val mapped = snap.meta.schema.exists(_.metadata.contains(PhysicalNameKey))
+    if (snap.meta.partitionCols.isEmpty && !mapped && snap.files.nonEmpty) {
+      val tablePath = new Path(deltaTable)
+      val srcs = snap.files.map { f =>
+        (new Path(tablePath, f.path),
+          f.dv.map(d => dvRowIndices(spark, tablePath, d).toSeq).getOrElse(Seq.empty))
+      }
+      new CommitLog(spark, commitRoot).commitFilesWithDeletes(srcs, replace = replace)
+    } else
+      new CommitLog(spark, commitRoot).commit(readDelta(spark, deltaTable),
+        replace = replace)
+  }
 
   /** Export the head of a [[CommitLog]] table as a minimal Delta table:
     * data files copied byte-identical (no recompute, no shuffle), one

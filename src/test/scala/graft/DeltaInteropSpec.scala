@@ -132,22 +132,131 @@ class DeltaInteropSpec extends AnyFunSuite {
       Set((1L, "c0"), (2L, "c1"), (3L, "c0")))
   }
 
+  /** Serialize deleted row indices as the protocol's "portable"
+    * RoaringBitmapArray: LE magic, LE long bucket count, then per
+    * 32-bit bucket an LE key + a standard portable RoaringBitmap.
+    */
+  private def portableDv(rows: Seq[Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    def leInt(v: Int): Unit = {
+      dos.write(v & 0xff); dos.write((v >> 8) & 0xff)
+      dos.write((v >> 16) & 0xff); dos.write((v >>> 24) & 0xff)
+    }
+    leInt(1681511377)
+    val byKey = rows.groupBy(r => (r >>> 32).toInt).toSeq.sortBy(_._1)
+    var n = byKey.size.toLong
+    for (_ <- 0 until 8) { dos.write((n & 0xff).toInt); n >>= 8 }
+    byKey.foreach { case (key, vs) =>
+      leInt(key)
+      org.roaringbitmap.RoaringBitmap
+        .bitmapOf(vs.map(v => (v & 0xFFFFFFFFL).toInt).sorted: _*)
+        .serialize(dos)
+    }
+    dos.flush()
+    bos.toByteArray
+  }
+
+  /** Write a `.bin` DV file (version byte, then at offset 1:
+    * [size BE][data][crc32 BE]) and return (offset, sizeInBytes).
+    */
+  private def writeDvFile(path: Path, data: Array[Byte]): (Int, Int) = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeByte(1)
+    dos.writeInt(data.length)
+    dos.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    dos.writeInt(crc.getValue.toInt)
+    dos.flush()
+    fs.mkdirs(path.getParent)
+    LogStore.write(fs, path, bos.toByteArray)
+    (1, data.length)
+  }
+
+  private def dvAdd(path: String, dvJson: String) =
+    s"""{"add":{"path":"$path","partitionValues":{},"size":1,""" +
+      s""""modificationTime":1,"dataChange":true,"deletionVector":$dvJson}}"""
+
+  test("deletion vectors: u/i storage decode, masked reads, native-tombstone import") {
+    import org.apache.spark.sql.types._
+    val table = freshDir()
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    // three files with KNOWN row order (local Seq → one input partition)
+    writeFile(table, "f1.parquet",
+      (0L until 10L).map(i => (i, s"a$i")).toDF("k", "v"))
+    writeFile(table, "f2.parquet",
+      (10L until 15L).map(i => (i, s"a$i")).toDF("k", "v"))
+    writeFile(table, "f3.parquet",
+      (20L until 25L).map(i => (i, s"a$i")).toDF("k", "v"))
+    // f1: on-disk DV, storageType "u" (prefix + Z85 uuid), deletes rows 1,3,7
+    val uuid = java.util.UUID.randomUUID()
+    val uuidBytes = java.nio.ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits).array
+    val (off1, size1) = writeDvFile(
+      new Path(table, s"ab/deletion_vector_$uuid.bin"), portableDv(Seq(1L, 3L, 7L)))
+    val dv1 = s"""{"storageType":"u","pathOrInlineDv":"ab${graft.catalog.Z85.encode(uuidBytes)}",""" +
+      s""""offset":$off1,"sizeInBytes":$size1,"cardinality":3}"""
+    // f2: inline DV (Z85 of the portable bytes), deletes row 0 (k=10)
+    val inline = portableDv(Seq(0L))
+    val dv2 = s"""{"storageType":"i","pathOrInlineDv":"${graft.catalog.Z85.encode(inline)}",""" +
+      s""""sizeInBytes":${inline.length},"cardinality":1}"""
+    writeLog(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaData(schema.json),
+      dvAdd("f1.parquet", dv1), dvAdd("f2.parquet", dv2), add("f3.parquet")))
+    val expected = ((0L until 10L).toSet -- Set(1L, 3L, 7L)) ++
+      (11L until 15L) ++ (20L until 25L)
+    // the DV-masked read
+    assert(DeltaInterop.readDelta(spark, table)
+      .select("k").as[Long].collect().toSet == expected)
+    // import: files byte-copied, DVs land as native MoR tombstones —
+    // NOT a materializing rewrite
+    val imported = freshDir() + "/t"
+    val v = DeltaInterop.importDelta(spark, table, imported)
+    val log = new CommitLog(spark, imported)
+    assert(log.files(v).length == 3, "all three data files must pool byte-copied")
+    assert(log.dvFiles(v).nonEmpty, "DVs must import as native MoR tombstones")
+    assert(log.read().select("k").as[Long].collect().toSet == expected)
+    // round trip: export (materializes because tombstones exist) re-reads
+    val dest = freshDir() + "/delta"
+    DeltaInterop.exportDelta(spark, imported, dest)
+    assert(DeltaInterop.readDelta(spark, dest)
+      .select("k").as[Long].collect().toSet == expected)
+  }
+
+  test("deletion vectors: DV update (remove+add of the same file) and storageType p") {
+    import org.apache.spark.sql.types._
+    val table = freshDir()
+    val schema = StructType(Seq(StructField("k", LongType)))
+    writeFile(table, "f1.parquet", (0L until 6L).map(i => Tuple1(i)).toDF("k"))
+    writeLog(table, 0L, Seq(protocol, metaData(schema.json), add("f1.parquet")))
+    // commit 1: delete k=2 — remove BEFORE the re-add (add must win)
+    val binA = freshDir() + "/dvA.bin"
+    val (offA, sizeA) = writeDvFile(new Path(binA), portableDv(Seq(2L)))
+    writeLog(table, 1L, Seq(remove("f1.parquet"), dvAdd("f1.parquet",
+      s"""{"storageType":"p","pathOrInlineDv":"$binA","offset":$offA,""" +
+        s""""sizeInBytes":$sizeA,"cardinality":1}""")))
+    assert(DeltaInterop.readDelta(spark, table).as[Long].collect().toSet ==
+      Set(0L, 1L, 3L, 4L, 5L))
+    // commit 2: DV grows to {2,4} — add BEFORE remove this time
+    val binB = freshDir() + "/dvB.bin"
+    val (offB, sizeB) = writeDvFile(new Path(binB), portableDv(Seq(2L, 4L)))
+    writeLog(table, 2L, Seq(dvAdd("f1.parquet",
+      s"""{"storageType":"p","pathOrInlineDv":"$binB","offset":$offB,""" +
+        s""""sizeInBytes":$sizeB,"cardinality":2}"""), remove("f1.parquet")))
+    assert(DeltaInterop.readDelta(spark, table).as[Long].collect().toSet ==
+      Set(0L, 1L, 3L, 5L))
+    // time travel still sees the older DV state
+    assert(DeltaInterop.readDelta(spark, table, Some(1L)).as[Long].collect().toSet ==
+      Set(0L, 1L, 3L, 4L, 5L))
+  }
+
   test("modern-feature tables refuse loudly by feature name") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("k", LongType)))
-
-    // deletion vectors: DV-bearing add action
-    val dvTable = freshDir()
-    writeFile(dvTable, "f1.parquet", Seq(1L).toDF("k"))
-    writeLog(dvTable, 0L, Seq(protocol, metaData(schema.json),
-      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,""" +
-        """"modificationTime":0,"dataChange":true,""" +
-        """"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,""" +
-        """"sizeInBytes":40,"cardinality":2}}}"""))
-    val dv = intercept[UnsupportedOperationException] {
-      DeltaInterop.readDelta(spark, dvTable)
-    }
-    assert(dv.getMessage.contains("deletionVectors"), dv.getMessage)
 
     // column mapping (mode=name) READS: files store the physical name,
     // the schema's physicalName metadata binds it to the logical column
