@@ -136,20 +136,29 @@ class AssetCatalog(spark: SparkSession, root: String) {
   }
 
   /** Dual-region posture (reference config/globalConfig.json:4-5 carries a
-    * primary + secondary region): replicate every registry table under
-    * `root` into `secondaryRoot` as a replace commit on the replica's own
-    * commit log, so a replica reader always sees a complete version —
-    * never a half-written copy. Returns the table names replicated.
-    *
-    * At scale each table replicates independently (per-table commit =
-    * per-table parallel copy job); the registry tables are small dims, so
-    * this is metadata-cheap next to the data-plane replication it models.
+    * primary + secondary region): sync every registry table under `root`
+    * into `secondaryRoot` INCREMENTALLY ([[CommitLog.replicateFrom]]) —
+    * only pool files the replica lacks copy, the source head's manifest
+    * republishes atomically with a `#repsrc` cursor, and an in-sync table
+    * costs one metadata read. A replica reader always sees a complete
+    * version, never a half-written copy; at 100 TB a sync ships
+    * O(changed bytes), never O(table). Schema/column-mapping sidecars
+    * ride along so the replica reads and evolves exactly like the
+    * primary. Returns the table names in sync after the call.
     */
   def replicate(secondaryRoot: String): Seq[String] = {
     val tables = listTables
+    val hfs = HadoopFs.fs(spark, root)
     tables.foreach { t =>
-      new CommitLog(spark, s"$secondaryRoot/$t")
-        .commit(readTable(t), replace = true)
+      new CommitLog(spark, s"$secondaryRoot/$t").replicateFrom(log(t)): Unit
+      for (side <- Seq("_schema.json", "_colmeta.json")) {
+        val from = new Path(path(t), side)
+        if (hfs.exists(from))
+          org.apache.hadoop.fs.FileUtil.copy(hfs, from,
+            HadoopFs.fs(spark, secondaryRoot),
+            new Path(s"$secondaryRoot/$t", side), false,
+            spark.sparkContext.hadoopConfiguration): Unit
+      }
     }
     tables
   }

@@ -883,6 +883,67 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       s"commitFilesWithDeletes: lost the version race 50 times under $tableRoot")
   }
 
+  /** Incremental physical replication from `src` (this log is the
+    * replica): copy ONLY the pool files the replica does not already
+    * hold, then publish the source head's manifest as the replica's
+    * next version carrying a `#repsrc:<srcVersion>` cursor header. Pool
+    * names are uuid-unique and files immutable, so presence-by-name IS
+    * the diff — a sync ships O(changed bytes + changed files), never
+    * O(table): carried files are already in the replica's pool from
+    * earlier syncs, and the cursor short-circuits an in-sync pair to a
+    * metadata read. Manifest semantics (partition headers, MoR
+    * tombstone lines, txn memory, per-file stats) carry verbatim, so
+    * the replica is byte-equivalent, layout included. Absolute pool
+    * references (shallow clones) are localized: the file copies into
+    * the replica's own pool and the line rewrites to the relative name,
+    * so a replica never depends on the primary region's storage. A
+    * partial copy (crash, or the primary vacuuming a superseded file
+    * mid-sync) is self-healing — nothing publishes until every
+    * referenced file is present, and the next sync re-copies only
+    * what's missing. Returns the new replica version, or None when
+    * already in sync.
+    */
+  def replicateFrom(src: CommitLog): Option[Long] = {
+    val head = src.currentVersion.getOrElse(return None)
+    val cursor = currentVersion.flatMap(v => headerOf(v, "repsrc")).map(_.toLong)
+    if (cursor.contains(head)) return None
+    val lines = src.manifestLines(head)
+    def isAbs(n: String) = n.startsWith("/") || n.contains("://")
+    hfs.mkdirs(dataDir)
+    hfs.mkdirs(commitsDir)
+    val outLines = lines.map { l =>
+      if (l.startsWith("#")) l
+      else {
+        val tomb = l.startsWith("-")
+        val body = if (tomb) l.drop(1) else l
+        val parts = body.split('\t')
+        val n = parts(0)
+        val local = if (isAbs(n)) leafOf(n) else n
+        val dst = new Path(dataDir, local)
+        if (!hfs.exists(dst)) {
+          val sp = if (isAbs(n)) new Path(n) else new Path(src.dataDir, n)
+          if (local.contains('/')) hfs.mkdirs(dst.getParent)
+          if (!org.apache.hadoop.fs.FileUtil.copy(src.hfs, sp, hfs, dst, false,
+              hfs.getConf))
+            throw new java.io.IOException(s"replicateFrom: copy of $n failed")
+        }
+        val rebuilt = (local +: parts.drop(1).toSeq).mkString("\t")
+        if (tomb) "-" + rebuilt else rebuilt
+      }
+    }
+    val base = outLines.filterNot(_.startsWith("#repsrc:"))
+    var attempt = 0
+    while (attempt < 50) {
+      val v = currentVersion.getOrElse(0L) + 1
+      beforePublish(attempt, v)
+      if (publish(v, s"#repsrc:$head" +: base)) return Some(v)
+      racePause(attempt, v)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"replicateFrom: lost the version race 50 times under $tableRoot")
+  }
+
   /** The copy-on-write mutators stage FLAT pool files; on a partitioned
     * head that would mix directory depths under `data/` and break
     * partition inference. They refuse loudly instead of corrupting the

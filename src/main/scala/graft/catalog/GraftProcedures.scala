@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Table-maintenance plane as SQL `CALL` procedures (`graft.system.*`) —
@@ -30,7 +30,7 @@ private[catalog] object GraftProcedures {
     Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta",
       "export_iceberg", "import_iceberg", "rewrite_deletes", "history",
       "materialize_mapping", "analyze", "clone", "build_bloom_index",
-      "create_mv", "refresh_mv", "detail")
+      "create_mv", "refresh_mv", "detail", "replicate")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -50,6 +50,7 @@ private[catalog] object GraftProcedures {
     case "create_mv"       => new CreateMv(cat)
     case "detail"          => new Detail(cat)
     case "refresh_mv"      => new RefreshMv(cat)
+    case "replicate"       => new Replicate(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
   }
@@ -248,6 +249,40 @@ private[catalog] object GraftProcedures {
       val (v, n) = mv.refresh()
       result(new StructType().add("source_version", LongType)
         .add("change_rows", LongType), v, n)
+    }
+  }
+
+  /** `CALL graft.system.replicate('db.src', 'db.replica')` — one
+    * incremental sync ([[CommitLog.replicateFrom]]): copy only pool
+    * files the replica lacks, republish the source head's manifest with
+    * a `#repsrc` cursor. Returns (source_version, replica_version,
+    * in_sync_already) — an already-current pair is a metadata no-op.
+    */
+  private final class Replicate(cat: GraftTableCatalog)
+    extends Proc("replicate", Seq(in("source", StringType), in("target", StringType))) {
+    override def description(): String =
+      "incremental physical replication: copy only the pool files the " +
+        "replica lacks, republish the source head's manifest atomically " +
+        "(O(changed bytes), never O(table); idempotent when in sync)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val srcRoot = cat.rootOf(input.getUTF8String(0).toString)
+      val dstRoot = cat.rootForCreate(input.getUTF8String(1).toString)
+      val src = new CommitLog(cat.sparkSession, srcRoot)
+      val replica = new CommitLog(cat.sparkSession, dstRoot)
+      val synced = replica.replicateFrom(src)
+      val fs = HadoopFs.fs(cat.sparkSession, dstRoot)
+      for (side <- Seq("_schema.json", "_colmeta.json")) {
+        val from = new org.apache.hadoop.fs.Path(srcRoot, side)
+        if (fs.exists(from))
+          org.apache.hadoop.fs.FileUtil.copy(fs, from, fs,
+            new org.apache.hadoop.fs.Path(dstRoot, side), false,
+            cat.sparkSession.sparkContext.hadoopConfiguration): Unit
+      }
+      result(new StructType().add("source_version", LongType)
+        .add("replica_version", LongType).add("in_sync_already", BooleanType),
+        src.currentVersion.getOrElse(-1L),
+        synced.orElse(replica.currentVersion).getOrElse(-1L),
+        synced.isEmpty)
     }
   }
 

@@ -480,7 +480,42 @@ object CatalogSql {
          |WHERE d.flag = 1""".stripMargin)
   }
 
+  /** Incremental cross-region replication as an oracle key: orders lands
+    * in a catalog table (the "primary region"), a bootstrap
+    * `CALL graft.system.replicate` creates the replica, the primary
+    * then mutates (append of every %3==0 order, SQL DELETE of every
+    * %7==0 key), and a second sync ships ONLY the pool files the
+    * replica lacks ([[graft.catalog.CommitLog.replicateFrom]];
+    * CatalogSpec pins the changed-files-only copy and the in-sync
+    * no-op). The values read FROM THE REPLICA must equal the
+    * closed-form recompute over the mutated primary — a replication bug
+    * here is rows silently missing in the DR region, exactly what an
+    * oracle hash-match catches. The 100 TB shape: a sync is O(changed
+    * bytes + one manifest), never O(table).
+    */
+  private def replicaParity(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s, d)
+    SqlSurface.registerViews(s, d, Seq("orders"))
+    s.sql("DROP TABLE IF EXISTS graft.tpch.orders_rep_src")
+    s.sql("DROP TABLE IF EXISTS graft.tpch.orders_replica")
+    s.sql("CREATE TABLE graft.tpch.orders_rep_src AS " +
+      "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders")
+    s.sql("CALL graft.system.replicate('tpch.orders_rep_src', 'tpch.orders_replica')")
+    s.sql("INSERT INTO graft.tpch.orders_rep_src " +
+      "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders " +
+      "WHERE o_orderkey % 3 = 0")
+    s.sql("DELETE FROM graft.tpch.orders_rep_src WHERE o_orderkey % 7 = 0")
+    s.sql("CALL graft.system.replicate('tpch.orders_rep_src', 'tpch.orders_replica')")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft.tpch.orders_replica
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_replica_parity" -> replicaParity _,
     "q_join_dpp" -> joinDpp _,
     "q_agg_pushdown_footer" -> aggPushdownFooter _,
     "q_mv_incremental" -> mvIncremental _,
@@ -498,6 +533,15 @@ object CatalogSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_replica_parity" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (SELECT * FROM orders
+        |      UNION ALL
+        |      SELECT * FROM orders WHERE o_orderkey % 3 = 0) t
+        |WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_join_dpp" ->
       """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
         |       max(o_orderkey) AS max_key,

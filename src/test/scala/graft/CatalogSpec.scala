@@ -104,6 +104,45 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.replicaParity(secondary, "source_system"))
   }
 
+  test("replicateFrom ships only the files the replica lacks; in-sync is a no-op") {
+    import graft.catalog.CommitLog
+    val primary = new CommitLog(spark, freshRoot() + "/p")
+    for (lo <- Seq(0L, 100L, 200L))
+      primary.commit(spark.range(lo, lo + 100).toDF("k").coalesce(1), replace = false)
+    val replicaRoot = freshRoot() + "/r"
+    val replica = new CommitLog(spark, replicaRoot)
+    val rfs = graft.catalog.HadoopFs.fs(spark, replicaRoot)
+    def poolCount: Int = {
+      val d = new org.apache.hadoop.fs.Path(replicaRoot, "data")
+      if (!rfs.exists(d)) 0 else rfs.listStatus(d).count(_.isFile)
+    }
+    // bootstrap: all 3 files copy; replica reads to parity
+    assert(replica.replicateFrom(primary).contains(1L))
+    assert(poolCount == 3)
+    assert(replica.read().as[Long].collect().sorted.toSeq == (0L until 300L))
+    // in sync: cursor short-circuits, nothing copies, nothing publishes
+    assert(replica.replicateFrom(primary).isEmpty)
+    assert(replica.currentVersion.contains(1L) && poolCount == 3)
+    // primary appends one file: the sync copies EXACTLY one more
+    primary.commit(spark.range(300L, 310L).toDF("k").coalesce(1), replace = false)
+    assert(replica.replicateFrom(primary).contains(2L))
+    assert(poolCount == 4, s"incremental sync must copy only the new file, pool=$poolCount")
+    // CoW delete rewrites one file: only the rewritten survivor copies
+    primary.deleteWhere(col("k") === 5L)
+    val before = poolCount
+    assert(replica.replicateFrom(primary).contains(3L))
+    assert(poolCount == before + 1,
+      s"CoW sync must copy only the rewritten file, pool=$poolCount vs $before")
+    assert(replica.read().as[Long].collect().sorted.toSeq ==
+      ((0L until 310L).filterNot(_ == 5L)))
+    // MoR tombstones replicate as tombstones (no data rewrite either side)
+    primary.deleteWhereMoR(col("k") === 7L)
+    assert(replica.replicateFrom(primary).contains(4L))
+    assert(replica.dvFiles(4L).nonEmpty, "tombstone file must ride the manifest")
+    assert(replica.read().as[Long].collect().sorted.toSeq ==
+      ((0L until 310L).filterNot(k => k == 5L || k == 7L)))
+  }
+
   test("compact narrows many small files to few, preserving every row") {
     val cat = new AssetCatalog(spark, freshRoot())
     // 40 tiny single-row appends → 40+ small parquet files
