@@ -80,6 +80,30 @@ class AssetCatalog(spark: SparkSession, root: String) {
     log(table).commit(batch, replace = false): Unit
   }
 
+  /** R1 + R18 ATOMICALLY: the entity append and its audit event land in
+    * ONE cross-table transaction ([[CrossTableTxn.commitAll]]) — a crash
+    * between the two writes is never observable: either both rows are
+    * visible or neither is. (The reference issues them as two unguarded
+    * calls, lambda_function.py:32 then :67 — an observable gap this
+    * closes.) Validation matches [[create]].
+    */
+  def createAudited[T: org.apache.spark.sql.Encoder](table: String, keyCol: String,
+      rows: Dataset[T], audit: AuditLog, requestId: String, methodName: String,
+      payloadJson: String = "{}"): Unit = {
+    val batch = rows.toDF()
+    require(batch.select(keyCol).distinct().count() == batch.count(),
+      s"create: duplicate keys within the batch for $table")
+    if (exists(table)) {
+      val dup = readTable(table).select(keyCol)
+        .join(batch.select(keyCol), Seq(keyCol), "inner").limit(1).count()
+      require(dup == 0, s"create: key already exists in $table")
+    }
+    CrossTableTxn.commitAll(spark, s"$root/_xtxn", Seq(
+      (log(table), batch, false),
+      (audit.commitLog, audit.eventFrame(requestId, methodName,
+        s"$table-api", Map("tasktype" -> methodName), payloadJson), false))): Unit
+  }
+
   /** R3: point lookup by key — a pushed-down predicate scan. */
   def read(table: String, keyCol: String, key: Long): DataFrame =
     readTable(table).filter(col(keyCol) === key)

@@ -33,15 +33,29 @@ class AuditLog(spark: SparkSession, root: String) {
     */
   def append(requestId: String, methodName: String, functionName: String,
       queryString: Map[String, String], payloadJson: String): Unit = {
+    log.commit(eventFrame(requestId, methodName, functionName, queryString,
+      payloadJson), replace = false): Unit
+  }
+
+  /** The single-event frame [[append]] commits — exposed so a
+    * cross-table transaction can land it atomically with its entity
+    * write (R18, [[AssetCatalog.createAudited]]).
+    */
+  def eventFrame(requestId: String, methodName: String, functionName: String,
+      queryString: Map[String, String], payloadJson: String): DataFrame = {
     import spark.implicits._
-    val row = Seq((requestId, methodName, functionName, queryString,
+    Seq((requestId, methodName, functionName, queryString,
       payloadJson, "synchronous"))
       .toDF("aws_request_id", "method_name", "function_name",
         "query_string", "payload", "api_call_type")
       .withColumn("modified_ts", date_trunc("second", current_timestamp()))
       .withColumn("status", lit("success"))
-    log.commit(row, replace = false): Unit
   }
+
+  /** The underlying commit log — the handle a cross-table transaction
+    * coordinates with ([[CrossTableTxn.commitAll]]).
+    */
+  private[catalog] def commitLog: CommitLog = log
 
   /** Snapshot read of the current audit log version. */
   def events: DataFrame = log.read()

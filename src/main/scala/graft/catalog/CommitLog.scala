@@ -188,6 +188,23 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * parse unchanged — those files are simply never pruned.
     */
   private def manifestLines(v: Long): Seq[String] = {
+    if (v <= 0L) return Seq.empty
+    val lines = rawManifestLines(v)
+    lines.find(_.startsWith("#xtxn:")) match {
+      case None => lines
+      case Some(h) =>
+        // a cross-table-transaction version is visible only once its
+        // single decision file says commit; an aborted (or
+        // reader-force-aborted) version is an empty no-op whose
+        // effective content is the previous version's ([[CrossTableTxn]])
+        val decisionUri = h.stripPrefix("#xtxn:").split('\t').last
+        if (CrossTableTxn.resolve(spark, decisionUri))
+          lines.filterNot(_.startsWith("#xtxn:"))
+        else manifestLines(v - 1)
+    }
+  }
+
+  private def rawManifestLines(v: Long): Seq[String] = {
     onMetaAccess("open")
     val in = hfs.open(manifestPath(v))
     val body = try {
@@ -196,6 +213,32 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
     body.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Stage `df` and publish it as a PENDING next version of a
+    * cross-table transaction ([[CrossTableTxn]]): the manifest carries
+    * `#xtxn:<id>\t<decisionUri>`, so the content is invisible until the
+    * transaction's one decision file commits, and an aborted version
+    * resolves to the previous version's content. Claims its version
+    * through the ordinary optimistic head race — concurrent
+    * single-table commits are never blocked and never lost.
+    */
+  private[graft] def publishPending(df: DataFrame, id: String,
+      decisionUri: String, replace: Boolean, maxAttempts: Int = 50): Long = {
+    val newLines = stageToPool(df, "xtxn")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = currentVersion.getOrElse(0L) + 1
+      val prev = currentVersion.map(manifestLines).getOrElse(Seq.empty)
+      if (!replace) requireUnpartitioned("publishPending(append)", v, prev)
+      val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
+      beforePublish(attempt, v)
+      if (publish(v, s"#xtxn:$id\t$decisionUri" +: (carried ++ newLines))) return v
+      racePause(attempt, v)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"publishPending: lost the version race $maxAttempts times under $tableRoot")
   }
 
   /** Line-type partitions of one already-read manifest — every caller
