@@ -1,0 +1,135 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted approximate-nearest-neighbor index over a commit-log
+  * table's embedding column: trained k-means centroids
+  * ([[graft.ops.KMeansIvf]]) plus the per-vector cluster assignments,
+  * stored as a versioned sidecar
+  * `_index/ann/<column>/v<version>/{centroids,assignments}` +
+  * `_meta.json` — the same pattern as the per-file Bloom index
+  * ([[CommitLog.buildBloomIndex]]), so a probe in a LATER session reads
+  * the trained structure instead of re-training.
+  *
+  * Scale posture (100 TB): training cost is paid once per build; the
+  * probe is a broadcast centroid ranking (k rows) + an assignments
+  * semi-join on the probed cluster ids + cosine top-k over ~nprobe/k of
+  * the corpus — never an all-pairs scan. Vectors committed AFTER the
+  * build are absent from the assignments table and are scanned
+  * UNCONDITIONALLY (conservative: recall on new vectors is exact at the
+  * price of scanning just the unindexed tail, which the next build
+  * folds in). Superseded index versions retire on build; a probe that
+  * loses that race degrades by re-resolving, never by wrong answers
+  * (the sidecar is re-listed per probe).
+  */
+object AnnIndex {
+
+  private def idxRoot(root: String, column: String) =
+    new Path(root, s"_index/ann/$column")
+
+  /** Train on the CURRENT snapshot and persist. Returns
+    * (snapshotVersion, k). Deterministic given the table content (seed
+    * init in [[graft.ops.KMeansIvf.train]]).
+    */
+  def build(spark: SparkSession, root: String, column: String, idCol: String,
+      k: Int, iters: Int): (Long, Int) = {
+    val log = new CommitLog(spark, root)
+    val v = log.currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+      s"buildAnnIndex: no committed version under $root"))
+    val vectors = log.readVersion(v)
+      .select(col(idCol).cast("long").as("vec_id"), col(column).as("embedding"))
+    val (cents, _) = graft.ops.KMeansIvf.train(spark, vectors, k, iters)
+    val assigns = graft.ops.KMeansIvf.assign(vectors, cents)
+      .select(col("vec_id"), col("c_id"))
+    val fs = HadoopFs.fs(spark, root)
+    val base = idxRoot(root, column)
+    val dir = new Path(base, s"v$v")
+    cents.write.mode("overwrite").parquet(new Path(dir, "centroids").toString)
+    assigns.write.mode("overwrite").parquet(new Path(dir, "assignments").toString)
+    import org.json4s.JsonDSL._
+    LogStore.write(fs, new Path(dir, "_meta.json"),
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+        ("version" -> v) ~ ("k" -> k) ~ ("iters" -> iters) ~ ("id_col" -> idCol)))
+        .getBytes(StandardCharsets.UTF_8))
+    // retire superseded builds (newest serves every snapshot: vectors
+    // missing from it scan conservatively, see probe)
+    if (fs.exists(base)) fs.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong != v)
+        fs.delete(st.getPath, true): Unit
+    }
+    (v, k)
+  }
+
+  /** Newest persisted index: (builtVersion, centroids, assignments). */
+  def load(spark: SparkSession, root: String, column: String)
+      : Option[(Long, DataFrame, DataFrame)] = {
+    val fs = HadoopFs.fs(spark, root)
+    val base = idxRoot(root, column)
+    if (!fs.exists(base)) return None
+    val vs = fs.listStatus(base).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && n.drop(1).nonEmpty &&
+        n.drop(1).forall(_.isDigit) => n.drop(1).toLong
+    }
+    if (vs.isEmpty) None
+    else {
+      val dir = new Path(base, s"v${vs.max}")
+      if (!fs.exists(new Path(dir, "_meta.json"))) None
+      else Some((vs.max,
+        spark.read.parquet(new Path(dir, "centroids").toString),
+        spark.read.parquet(new Path(dir, "assignments").toString)))
+    }
+  }
+
+  /** Cross-session IVF probe against the persisted index: cosine top-k
+    * of the CURRENT snapshot's vectors nearest the anchor, searching
+    * the `nprobe` clusters whose trained centroids are L2-closest to
+    * the anchor, plus every vector the index has no assignment for
+    * (committed after the build — scanned unconditionally, so a stale
+    * index can hide distance-ranked candidates but never new data).
+    * `nprobe >= k` recovers exact brute force.
+    */
+  def probe(spark: SparkSession, root: String, column: String, idCol: String,
+      anchorId: Long, nprobe: Int, topk: Int): DataFrame =
+    probeCandidates(spark, root, column, idCol, anchorId, nprobe)
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(topk)
+
+  /** The probe's scored candidate set before the top-k cut — every
+    * vector in a probed cluster (or unindexed) with its anchor cosine.
+    */
+  def probeCandidates(spark: SparkSession, root: String, column: String,
+      idCol: String, anchorId: Long, nprobe: Int): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val (_, cents, assigns) = load(spark, root, column).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"annProbe: no persisted index under $root for `$column` — " +
+          "CALL graft.system.build_ann_index first"))
+    val log = new CommitLog(spark, root)
+    val vectors = log.read()
+      .select(col(idCol).cast("long").as("vec_id"), col(column).as("embedding"))
+    val anchor = vectors.filter(col("vec_id") === anchorId)
+      .select(col("embedding").as("a_emb"))
+    val probed = anchor.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        expr("graft_vec_dot(a_emb, a_emb)") + expr("graft_vec_dot(c_emb, c_emb)")
+          - lit(2.0) * expr("graft_vec_dot(a_emb, c_emb)"))
+      .orderBy(col("d2").asc, col("c_id").asc)
+      .limit(nprobe)
+      .select(col("c_id"))
+    val indexed = vectors.join(assigns, Seq("vec_id"))
+      .join(broadcast(probed), Seq("c_id"))
+      .select(col("vec_id"), col("embedding"))
+    val unindexed = vectors
+      .join(assigns.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    indexed.unionByName(unindexed)
+      .filter(col("vec_id") =!= anchorId)
+      .crossJoin(broadcast(anchor))
+      .withColumn("cosine", expr("graft_vec_cosine(embedding, a_emb)"))
+      .select(col("vec_id"), col("cosine"))
+  }
+}

@@ -30,7 +30,7 @@ private[catalog] object GraftProcedures {
     Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta",
       "export_iceberg", "import_iceberg", "rewrite_deletes", "history",
       "materialize_mapping", "analyze", "clone", "build_bloom_index",
-      "create_mv", "refresh_mv", "detail", "replicate")
+      "create_mv", "refresh_mv", "detail", "replicate", "build_ann_index")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -51,6 +51,7 @@ private[catalog] object GraftProcedures {
     case "detail"          => new Detail(cat)
     case "refresh_mv"      => new RefreshMv(cat)
     case "replicate"       => new Replicate(cat)
+    case "build_ann_index" => new BuildAnnIndex(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
   }
@@ -249,6 +250,30 @@ private[catalog] object GraftProcedures {
       val (v, n) = mv.refresh()
       result(new StructType().add("source_version", LongType)
         .add("change_rows", LongType), v, n)
+    }
+  }
+
+  /** `CALL graft.system.build_ann_index('db.t', 'embedding', 'vec_id',
+    * 8, 5)` — train k-means IVF on the embedding column and persist
+    * centroids + assignments as an `_index/ann/` sidecar
+    * ([[AnnIndex.build]]), so probes in LATER sessions reuse the
+    * trained structure instead of re-training; later-added vectors
+    * scan conservatively until the next build.
+    */
+  private final class BuildAnnIndex(cat: GraftTableCatalog)
+    extends Proc("build_ann_index", Seq(in("table", StringType),
+      in("column", StringType), in("id_col", StringType),
+      in("k", IntegerType), in("iters", IntegerType))) {
+    override def description(): String =
+      "train k-means IVF over an embedding column and persist " +
+        "centroids + assignments under _index/ann for cross-session probes"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (v, k) = AnnIndex.build(cat.sparkSession,
+        cat.rootOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+        input.getInt(3), input.getInt(4))
+      result(new StructType().add("indexed_version", LongType)
+        .add("k", IntegerType), v, k)
     }
   }
 

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{AnnIndex, CommitLog}
+
+/** Persisted k-means IVF index (`_index/ann/` sidecar): a probe in a
+  * later session must reuse the trained centroids + assignments from
+  * disk, be EXACT at nprobe = k, stay conservative on vectors committed
+  * after the build, and retire superseded builds.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_ann").toString + "/t"
+
+  /** 120 deterministic dim-8 float vectors with mild cluster structure. */
+  private def vectors(n: Int = 120): DataFrame =
+    spark.range(0, n).select(
+      $"id".as("vec_id"),
+      expr("transform(sequence(0, 7), j -> " +
+        "CAST(pmod(id * (j + 3), 17) + 5 * pmod(id, 4) AS FLOAT))").as("embedding"))
+
+  private def topIds(df: DataFrame): Seq[Long] =
+    df.select("vec_id").as[Long].collect().toSeq
+
+  test("probe at nprobe = k equals brute force, reloaded purely from disk") {
+    val root = freshRoot()
+    val log = new CommitLog(spark, root)
+    log.commit(vectors(), replace = true)
+    val (v, k) = AnnIndex.build(spark, root, "embedding", "vec_id", k = 6, iters = 3)
+    assert(v == 1L && k == 6)
+    // "another session": nothing held in memory — probe resolves the
+    // sidecar from disk on every call
+    val got = topIds(AnnIndex.probe(spark, root, "embedding", "vec_id",
+      anchorId = 3L, nprobe = 6, topk = 10))
+    val truth = topIds(graft.ops.KMeansIvf.bruteForce(spark,
+      log.read().select(col("vec_id"), col("embedding")), 3L, 10))
+    assert(got == truth, s"nprobe=k must be exact: $got vs $truth")
+    // small nprobe returns a subset-quality result: all real ids, k known
+    val approx = topIds(AnnIndex.probe(spark, root, "embedding", "vec_id",
+      3L, nprobe = 2, topk = 10))
+    assert(approx.size == 10 && approx.forall(id => id >= 0 && id < 120))
+    assert((approx.toSet & truth.toSet).nonEmpty)
+  }
+
+  test("vectors committed after the build are scanned conservatively") {
+    val root = freshRoot()
+    val log = new CommitLog(spark, root)
+    log.commit(vectors(), replace = true)
+    AnnIndex.build(spark, root, "embedding", "vec_id", k = 6, iters = 2)
+    // append a NEW vector identical to the anchor's embedding — absent
+    // from the assignments, it must still surface (cosine = 1.0) even
+    // at nprobe = 1
+    val anchorEmb = log.read().filter(col("vec_id") === 3L)
+      .select("embedding").as[Seq[Float]].head()
+    log.commit(Seq((999L, anchorEmb)).toDF("vec_id", "embedding"), replace = false)
+    val top = AnnIndex.probe(spark, root, "embedding", "vec_id",
+      3L, nprobe = 1, topk = 3)
+      .as[(Long, Double)].collect()
+    val twin = top.find(_._1 == 999L)
+    assert(twin.exists(t => math.abs(t._2 - 1.0) < 1e-6),
+      s"later-added twin vector must surface at cosine 1.0 despite being " +
+        s"absent from the index: ${top.toSeq}")
+  }
+
+  test("rebuild retires the superseded index version") {
+    val root = freshRoot()
+    val log = new CommitLog(spark, root)
+    log.commit(vectors(60), replace = true)
+    AnnIndex.build(spark, root, "embedding", "vec_id", k = 4, iters = 2)
+    log.commit(vectors(90), replace = true)
+    val (v2, _) = AnnIndex.build(spark, root, "embedding", "vec_id", k = 4, iters = 2)
+    assert(v2 == 2L)
+    val fs = graft.catalog.HadoopFs.fs(spark, root)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_index/ann/embedding"))
+      .map(_.getPath.getName).toSeq
+    assert(dirs == Seq("v2"), s"old build must retire: $dirs")
+    assert(AnnIndex.load(spark, root, "embedding").map(_._1).contains(2L))
+  }
+}
