@@ -374,6 +374,14 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
 
   private val log = new CommitLog(spark, root)
 
+  /** Filesystem root of this table — the key the MV-rewrite rule joins
+    * against the source recorded in a view's sidecar. */
+  private[graft] def tableRoot: String = root
+
+  /** Whether this handle reads a pinned (time-travel) snapshot — such a
+    * read must never rewrite onto a view maintained at the HEAD. */
+  private[graft] def isPinned: Boolean = pinned.isDefined
+
   override def name(): String = tableName
 
   /** Whether this snapshot carries merge-on-read tombstones. Stable for

@@ -103,6 +103,47 @@ final class MaterializedView private (
 
 object MaterializedView {
 
+  /** MV roots registered against a source root — the `_mvs.json`
+    * sidecar ON THE SOURCE, maintained by [[create]], that lets the
+    * query-rewrite rule ([[graft.plans.RewriteToMaterializedView]])
+    * discover candidate views in O(1) metadata instead of scanning a
+    * namespace. Entries whose view no longer exists are skipped by the
+    * consumer (dropping a view needs no source-side cleanup).
+    */
+  def registered(spark: SparkSession, srcRoot: String): Seq[String] = {
+    val fs = HadoopFs.fs(spark, srcRoot)
+    val p = new Path(srcRoot, "_mvs.json")
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    org.json4s.jackson.JsonMethods.parse(body) match {
+      case org.json4s.JArray(xs) => xs.collect { case org.json4s.JString(s) => s }
+      case _ => Seq.empty
+    }
+  }
+
+  private def register(spark: SparkSession, srcRoot: String, mvRoot: String): Unit = {
+    val cur = registered(spark, srcRoot)
+    if (!cur.contains(mvRoot)) {
+      import org.json4s.JsonDSL._
+      LogStore.write(HadoopFs.fs(spark, srcRoot), new Path(srcRoot, "_mvs.json"),
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(cur :+ mvRoot))
+          .getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** A view's definition: (srcRoot, groupCols, sumCols). */
+  def definition(spark: SparkSession, mvRoot: String)
+      : (String, Seq[String], Seq[(String, String)]) = {
+    val (src, groups, sums, _) = readState(spark, mvRoot)
+    (src, groups, sums)
+  }
+
   /** Define + fully compute the view at the source's current version. */
   def create(spark: SparkSession, mvRoot: String, srcRoot: String,
       groupCols: Seq[String], sumCols: Seq[(String, String)]): MaterializedView = {
@@ -122,6 +163,7 @@ object MaterializedView {
       .agg(count(lit(1)).as("cnt"), sums: _*)
     mv.log.commit(full, replace = true, None, Some("mvsrc" -> v.toString))
     writeState(spark, mvRoot, srcRoot, groupCols, sumCols, v)
+    register(spark, srcRoot, mvRoot)
     mv
   }
 

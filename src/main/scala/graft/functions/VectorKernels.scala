@@ -240,5 +240,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // merge-on-read correctness for the SQL catalog: tombstone-bearing
     // snapshots read through the DV anti-join, not the raw file scan
     ext.injectResolutionRule(session => new graft.plans.ApplyDeletionVectors(session))
+    // matching aggregates over a catalog table plan onto their FRESH
+    // materialized view instead of the base scan (|groups| rows vs a
+    // full fact scan); fires only under exact-match + freshness guards
+    ext.injectOptimizerRule(session => new graft.plans.RewriteToMaterializedView(session))
   }
 }

@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+
+import graft.catalog.{CommitLog, GraftTable, MaterializedView}
+
+/** Optimizer rule planning a matching aggregate over a catalog table
+  * onto its incrementally-maintained materialized view
+  * ([[graft.catalog.MaterializedView]]) instead of the base scan — the
+  * payoff of MV maintenance: at 100 TB a
+  * `GROUP BY k` rollup the view already holds answers from
+  * |groups| rows instead of a full fact scan.
+  *
+  * A rewrite fires only when EVERY box is ticked; anything else keeps
+  * the stock plan (correct by construction — the view is an
+  * optimization, never a semantic dependency):
+  *
+  *  - the aggregate's child is a bare (optionally attribute-projected)
+  *    un-pinned [[GraftTable]] relation — time-travel reads never
+  *    rewrite onto a head-maintained view;
+  *  - the grouping keys are plain columns equal (as a set) to the
+  *    view's group columns;
+  *  - every output is a group column, `count(*)` (the view's `cnt`), or
+  *    `sum(col)` over an EXACT-typed column (integer/decimal) the view
+  *    maintains — float sums are order-dependent, so rewriting them
+  *    could change the last ulp vs. the direct plan and is refused;
+  *    no DISTINCT, no FILTER clauses;
+  *  - the view is FRESH: its `#mvsrc` cursor equals the source's
+  *    current version (staleness check is two metadata reads). A view
+  *    behind its source simply doesn't match — refresh and the next
+  *    query plans onto it.
+  *
+  * The substituted subtree keeps the aggregate's output ExprIds (alias
+  * projection over the view's scan), so parent operators are untouched.
+  * Discovery is O(1) metadata: the source root's `_mvs.json` sidecar
+  * lists candidate views. Disable with
+  * `spark.graft.mv.rewrite.enabled=false`.
+  */
+class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (spark.conf.get("spark.graft.mv.rewrite.enabled", "true") != "true") return plan
+    plan.transformUp {
+      case agg @ Aggregate(groupings, aggExprs, child, _) =>
+        rewrite(groupings, aggExprs, child).getOrElse(agg)
+    }
+  }
+
+  /** The bare table under optional attribute-only projections. */
+  private def baseTable(plan: LogicalPlan): Option[GraftTable] = plan match {
+    case DataSourceV2Relation(t: GraftTable, _, _, _, _, _) if !t.isPinned => Some(t)
+    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      baseTable(child)
+    case _ => None
+  }
+
+  private def exactSummable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+
+  private def rewrite(groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val table = baseTable(child).getOrElse(return None)
+    val root = table.tableRoot
+    val groupAttrs = groupings.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val candidates = MaterializedView.registered(spark, root)
+    if (candidates.isEmpty) return None
+    val head = new CommitLog(spark, root).currentVersion.getOrElse(return None)
+    candidates.view.flatMap { mvRoot =>
+      tryView(mvRoot, root, head, groupAttrs, aggExprs)
+    }.headOption
+  }
+
+  private def tryView(mvRoot: String, root: String, head: Long,
+      groupAttrs: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
+    if (!MaterializedView.exists(spark, mvRoot)) return None
+    val (src, groups, sums) =
+      try MaterializedView.definition(spark, mvRoot)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (src != root) return None
+    if (groupAttrs.map(_.name).toSet != groups.toSet) return None
+    val mv = MaterializedView.open(spark, mvRoot)
+    if (mv.refreshedVersion != head) return None // stale — refresh first
+    val sumAlias = sums.toMap
+    val mvPlan = mv.read().queryExecution.analyzed
+    val mvByName = mvPlan.output.map(a => a.name -> a).toMap
+    def as(e: Expression, o: NamedExpression): NamedExpression = {
+      val cast = if (e.dataType == o.dataType) e else Cast(e, o.dataType)
+      Alias(cast, o.name)(exprId = o.exprId)
+    }
+    val projections: Seq[NamedExpression] = aggExprs.map {
+      case a: AttributeReference if groups.contains(a.name) =>
+        as(mvByName(a.name), a)
+      case al @ Alias(a: AttributeReference, _) if groups.contains(a.name) =>
+        as(mvByName(a.name), al)
+      case al @ Alias(
+          AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _), _) =>
+        as(mvByName("cnt"), al)
+      case al @ Alias(AggregateExpression(s: Sum, Complete, false, None, _), _) =>
+        s.child match {
+          case a: AttributeReference
+              if sumAlias.contains(a.name) && exactSummable(a.dataType) =>
+            as(mvByName(sumAlias(a.name)), al)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    Some(Project(projections, mvPlan))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The materialized-view QUERY-REWRITE rule
+  * ([[graft.plans.RewriteToMaterializedView]]): a matching, exact-typed
+  * aggregate over a catalog table must plan onto its FRESH view (no
+  * Aggregate left in the optimized plan) with values identical to the
+  * direct plan; staleness, float sums, and shape mismatches must keep
+  * the stock plan.
+  */
+class MvRewriteSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_mvr_wh").toString
+  spark.conf.set("spark.sql.catalog.gmr",
+    classOf[graft.catalog.GraftTableCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gmr.warehouse", warehouse)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS gmr.db")
+
+  private def aggCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.size
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def withRewriteOff[T](f: => T): T = {
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try f finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+  }
+
+  test("fresh view: aggregate plans onto the MV with value parity") {
+    spark.sql("CREATE TABLE gmr.db.fact AS SELECT id AS k, " +
+      "concat('g', id % 5) AS grp, id * 3 AS x, CAST(id AS DOUBLE) AS fx " +
+      "FROM range(0, 1000)")
+    spark.sql("CALL gmr.system.create_mv('db.fact', 'db.fact_mv', 'grp', 'x:sum_x')")
+    val q = "SELECT grp, count(*) AS n, sum(x) AS sx FROM gmr.db.fact GROUP BY grp"
+    val rewritten = spark.sql(q)
+    assert(aggCount(rewritten) == 0,
+      s"expected MV rewrite, plan:\n${rewritten.queryExecution.optimizedPlan}")
+    // optimize INSIDE the conf scope — plans are lazy
+    val (directAggs, directRows) =
+      withRewriteOff { val d = spark.sql(q); (aggCount(d), rows(d)) }
+    assert(directAggs == 1, "conf off must keep the stock aggregate")
+    assert(rows(rewritten) == directRows, "rewritten values must equal direct")
+  }
+
+  test("stale view keeps the stock plan; refresh restores the rewrite") {
+    spark.sql("CREATE TABLE gmr.db.fact2 AS SELECT id AS k, " +
+      "concat('g', id % 3) AS grp, id AS x FROM range(0, 300)")
+    spark.sql("CALL gmr.system.create_mv('db.fact2', 'db.fact2_mv', 'grp', 'x:sum_x')")
+    val q = "SELECT grp, count(*) AS n, sum(x) AS sx FROM gmr.db.fact2 GROUP BY grp"
+    assert(aggCount(spark.sql(q)) == 0)
+    spark.sql("INSERT INTO gmr.db.fact2 VALUES (9999, 'g0', 777)")
+    val stale = spark.sql(q)
+    assert(aggCount(stale) == 1, "stale view must NOT serve the query")
+    // and the un-rewritten read sees the new row
+    assert(stale.collect().map(_.getLong(1)).sum == 301L)
+    spark.sql("CALL gmr.system.refresh_mv('db.fact2_mv')")
+    val again = spark.sql(q)
+    assert(aggCount(again) == 0, "refreshed view must serve the query again")
+    val directRows = withRewriteOff(rows(spark.sql(q)))
+    assert(rows(again) == directRows)
+  }
+
+  test("float sums, extra aggregates, and other groupings keep the stock plan") {
+    // double-typed sum: order-dependent — never rewritten
+    assert(aggCount(spark.sql(
+      "SELECT grp, sum(fx) AS s FROM gmr.db.fact GROUP BY grp")) == 1)
+    // aggregate the view does not maintain
+    assert(aggCount(spark.sql(
+      "SELECT grp, max(x) AS m FROM gmr.db.fact GROUP BY grp")) == 1)
+    // different grouping key
+    assert(aggCount(spark.sql(
+      "SELECT k, count(*) AS n FROM gmr.db.fact GROUP BY k")) == 1)
+    // count(col) is null-sensitive, not the view's cnt
+    assert(aggCount(spark.sql(
+      "SELECT grp, count(x) AS n FROM gmr.db.fact GROUP BY grp")) == 1)
+  }
+}
