@@ -1204,7 +1204,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   private def publish(v: Long, lines: Seq[String]): Boolean = {
     hfs.mkdirs(commitsDir)
     val won = store.putIfAbsent(manifestPath(v), LogStore.lines(lines))
-    if (won) writeHeadHint(v)   // best-effort; stale-low is self-healing
+    if (won) {
+      writeHeadHint(v)   // best-effort; stale-low is self-healing
+      maintainBloomIndexes(v, lines)
+    }
     won
   }
 
@@ -2182,28 +2185,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (perFileRows.nonEmpty) perFileRows.max else 1000000L)
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(numItems, fpp)
-    // (qualified path → manifest name) as a broadcastable frame: the
-    // mapping must survive partition subdirs and absolute clone
-    // references, and the names list is already manifest-resident
-    import spark.implicits._
-    val nameOf = names.map { n =>
-      val p = new Path(dataDir, n)
-      hfs.makeQualified(p).toString -> n
-    }.toDF("path", "name")
-    val hashed = org.apache.spark.sql.functions.xxhash64(col(s"`$column`"))
-    val bloomAgg = org.apache.spark.sql.GraftSqlShim.column(
-      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        org.apache.spark.sql.GraftSqlShim.expression(hashed),
-        org.apache.spark.sql.catalyst.expressions.Literal(numItems),
-        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
-        .toAggregateExpression())
-    val index = poolReader(names)
-      .parquet(names.map(n => new Path(dataDir, n).toString): _*)
-      .select(col("_metadata.file_path").as("path"), col(s"`$column`"))
-      .groupBy(col("path"))
-      .agg(bloomAgg.as("bf"))
-      .join(org.apache.spark.sql.functions.broadcast(nameOf), "path")
-      .select(col("name"), col("bf"))
+    val index = bloomEntries(column, names, numItems, numBits)
     val idxRoot = new Path(tableRoot, s"_index/bloom/$column")
     val idxDir = new Path(idxRoot, s"v$v")
     index.write.mode("overwrite").parquet(idxDir.toString)
@@ -2222,10 +2204,86 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     (v, names.length)
   }
 
-  /** Newest Bloom index for `column`: (builtVersion, columnTypeDDL,
+  /** One (name, bf) row per pool file in `names`: Spark's own
+    * `BloomFilterAggregate` of `xxhash64(column)` grouped by file —
+    * shared by the full build and the per-commit incremental maintain.
+    * The (qualified path → manifest name) mapping rides as a
+    * broadcastable frame: it must survive partition subdirs, and the
+    * names list is already manifest-resident.
+    */
+  private def bloomEntries(column: String, names: Seq[String],
+      numItems: Long, numBits: Long): DataFrame = {
+    import spark.implicits._
+    val nameOf = names.map { n =>
+      val p = new Path(dataDir, n)
+      hfs.makeQualified(p).toString -> n
+    }.toDF("path", "name")
+    val hashed = org.apache.spark.sql.functions.xxhash64(col(s"`$column`"))
+    val bloomAgg = org.apache.spark.sql.GraftSqlShim.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.GraftSqlShim.expression(hashed),
+        org.apache.spark.sql.catalyst.expressions.Literal(numItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+    poolReader(names)
+      .parquet(names.map(n => new Path(dataDir, n).toString): _*)
+      .select(col("_metadata.file_path").as("path"), col(s"`$column`"))
+      .groupBy(col("path"))
+      .agg(bloomAgg.as("bf"))
+      .join(org.apache.spark.sql.functions.broadcast(nameOf), "path")
+      .select(col("name"), col("bf"))
+  }
+
+  /** Best-effort incremental index maintenance after a successful
+    * publish: the commit's NEW pool files (vs. the previous manifest)
+    * get their per-file Bloom filters APPENDED into every live
+    * `_index/bloom/<col>` dir, so point lookups keep pruning new data
+    * without a manual rebuild — previously every post-build commit
+    * degraded its files to conservative scans. Cost: one pass over the
+    * new files per indexed column, paid only by tables whose owner
+    * opted into an index (and skippable via
+    * `spark.graft.bloomIndex.autoMaintain=false`). STRICTLY best
+    * effort: the commit already stands, and any failure (schema drift,
+    * a concurrent rebuild retiring the dir) leaves the new files
+    * conservatively scanned — never a wrong answer, by the
+    * unknown-file-scans contract of [[readEquals]].
+    */
+  private def maintainBloomIndexes(v: Long, lines: Seq[String]): Unit = {
+    try {
+      if (spark.conf.get("spark.graft.bloomIndex.autoMaintain", "true") != "true") return
+      val base = new Path(tableRoot, "_index/bloom")
+      if (!hfs.exists(base)) return
+      val prev =
+        if (v <= 1) Set.empty[String]
+        else dataNamesOf(rawManifestLines(v - 1)).toSet
+      val newLines = lines
+        .filterNot(l => l.startsWith("#") || l.startsWith("-"))
+        .filterNot(l => prev(l.split('\t').head))
+      val newNames = newLines.map(_.split('\t').head)
+        .filterNot(n => n.startsWith("/") || n.contains("://"))
+      if (newNames.isEmpty) return
+      val rowsOf = newLines.flatMap { l =>
+        val p = l.split('\t'); if (p.length > 1) lineMeta(p(1))._1 else None
+      }
+      val numItems = math.max(1024L, if (rowsOf.nonEmpty) rowsOf.max else 1000000L)
+      hfs.listStatus(base).map(_.getPath.getName).foreach { column =>
+        bloomIndexFor(column).foreach { case (_, _, fpp, dir) =>
+          val numBits = org.apache.spark.util.sketch.BloomFilter
+            .optimalNumOfBits(numItems, fpp)
+          // appended parts ride the SAME index dir (the probe reads the
+          // dir wholesale); filters may be sized differently per batch —
+          // each file's filter is probed independently, so that's fine
+          bloomEntries(column, newNames, numItems, numBits)
+            .write.mode("append").parquet(dir.toString)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Newest Bloom index for `column`: (builtVersion, columnTypeDDL, fpp,
     * index directory), or None if never built.
     */
-  private def bloomIndexFor(column: String): Option[(Long, String, Path)] = {
+  private def bloomIndexFor(column: String): Option[(Long, String, Double, Path)] = {
     val idxRoot = new Path(tableRoot, s"_index/bloom/$column")
     if (!hfs.exists(idxRoot)) return None
     val vs = hfs.listStatus(idxRoot).toSeq.map(_.getPath.getName).collect {
@@ -2247,8 +2305,13 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         } finally in.close()
         org.json4s.jackson.JsonMethods.parse(body) match {
           case org.json4s.JObject(fields) =>
-            fields.toMap.get("type").collect {
-              case org.json4s.JString(t) => (best, t, dir)
+            val m = fields.toMap
+            val fpp = m.get("fpp").collect {
+              case org.json4s.JDouble(x) => x
+              case org.json4s.JDecimal(x) => x.toDouble
+            }.getOrElse(0.01)
+            m.get("type").collect {
+              case org.json4s.JString(t) => (best, t, fpp, dir)
             }
           case _ => None
         }
@@ -2298,7 +2361,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       }
     }
     preds.foreach { case (c, x) =>
-      if (candidates.nonEmpty) bloomIndexFor(c).foreach { case (_, ddl, dir) =>
+      if (candidates.nonEmpty) bloomIndexFor(c).foreach { case (_, ddl, _, dir) =>
         try {
           val dt = org.apache.spark.sql.types.DataType.fromDDL(ddl)
           // hash the probe value EXACTLY as the build hashed the column:

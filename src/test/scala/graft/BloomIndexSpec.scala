@@ -73,15 +73,44 @@ class BloomIndexSpec extends AnyFunSuite {
     val root = tmp()
     val log = stripedTable(root)
     log.buildBloomIndex("k")
-    // append NEW rows (unindexed file): lookups on them must still work
-    log.commit(Seq((100000L, 3L, "late")).toDF("k", "bucket", "tag"), replace = false)
-    val late = log.readEquals(Seq("k" -> 100000L)).collect()
-    assert(late.length == 1 && late.head.getAs[String]("tag") == "late")
-    // old keys still prune: only indexed files that might contain + the
-    // one unindexed file are scanned
-    val old = log.readEquals(Seq("k" -> 77L))
-    assert(old.count() == 1)
-    assert(old.inputFiles.length < 9, s"expected pruning, got ${old.inputFiles.length}")
+    // auto-maintain OFF: this test pins the CONSERVATIVE fallback the
+    // whole design guarantees for unindexed files
+    spark.conf.set("spark.graft.bloomIndex.autoMaintain", "false")
+    try {
+      // append NEW rows (unindexed file): lookups on them must still work
+      log.commit(Seq((100000L, 3L, "late")).toDF("k", "bucket", "tag"), replace = false)
+      val late = log.readEquals(Seq("k" -> 100000L)).collect()
+      assert(late.length == 1 && late.head.getAs[String]("tag") == "late")
+      // old keys still prune: only indexed files that might contain + the
+      // one unindexed file are scanned
+      val old = log.readEquals(Seq("k" -> 77L))
+      assert(old.count() == 1)
+      assert(old.inputFiles.length < 9, s"expected pruning, got ${old.inputFiles.length}")
+    } finally spark.conf.unset("spark.graft.bloomIndex.autoMaintain")
+  }
+
+  test("auto-maintain: post-build commits index their new files at commit time") {
+    val root = tmp()
+    val log = stripedTable(root)
+    log.buildBloomIndex("k")
+    // a striped append AFTER the build — its files get filters appended
+    // into the live index dir by the commit itself (no rebuild)
+    log.commit(spark.range(50000, 54000).select(
+      $"id".as("k"), ($"id" % 97).as("bucket"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("u"), $"id").as("tag"))
+      .repartition(4), replace = false)
+    // a key in the NEW batch prunes instead of scanning all 12 files
+    val fresh = log.readEquals(Seq("k" -> 50017L))
+    assert(fresh.collect().map(_.getAs[String]("tag")).toSeq == Seq("u50017"))
+    assert(fresh.inputFiles.length < 6,
+      s"maintained filters must prune new files too: ${fresh.inputFiles.length}")
+    // zero false negatives across old AND new batches
+    ((0L until 4000L by 997L) ++ (50000L until 54000L by 991L)).foreach { key =>
+      assert(log.readEquals(Seq("k" -> key)).count() == 1, s"key $key")
+    }
+    // absent keys still short-circuit through both filter generations
+    assert(log.readEquals(Seq("k" -> 999999L)).count() == 0)
   }
 
   test("multi-predicate readEquals prunes on each indexed column") {
