@@ -37,6 +37,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * lookup, and vacuum ages an aborted transaction's staged files out
   * like any orphan (its manifest resolves to the prior content, so the
   * files are unreferenced).
+  *
+  * Decision-file LIFECYCLE: a `commit` decision is load-bearing for as
+  * long as ANY manifest carries its `#xtxn` header — deleting it would
+  * make a later cold reader grace-wait and force abort, silently
+  * erasing committed content. Decision files are therefore permanent
+  * transaction tombstones (tens of bytes each, one per transaction, in
+  * a caller-chosen coordinator dir); they become collectable only once
+  * every referencing manifest has itself been vacuumed. An `abort`
+  * decision is re-derivable (a reader finding it absent re-forces
+  * abort), but is kept for the same audit economy.
   */
 object CrossTableTxn {
 

@@ -547,7 +547,36 @@ object CatalogSql {
       .limit(10)
   }
 
+  /** Predicate copy-on-write UPDATE as an oracle key
+    * ([[graft.catalog.CommitLog.updateWhere]], round 10 — the engine
+    * behind the audit log's O(files touched) status correction): orders
+    * lands in a commit-log table, one `UPDATE ... SET o_orderpriority =
+    * '9-UPDATED' WHERE status = 'F' AND price > 100000` rewrites ONLY
+    * the files holding a matching row (untouched files carry by name —
+    * CatalogSpec pins that plus the two-writer race), and the
+    * post-update rollup must equal the CASE-expression recompute over
+    * the raw table. The 100 TB shape: a selective update costs the
+    * touched files, never a table rewrite.
+    */
+  private def updateWhereCow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_upd"
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    // fresh base each run — the mutation below must apply exactly once
+    log.commit(src.repartition(8), replace = true)
+    log.updateWhere(
+      col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0,
+      Seq("o_orderpriority" -> lit("9-UPDATED")))
+    log.read().groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_update_where" -> updateWhereCow _,
     "q_ann_ivf_persisted" -> annIvfPersisted _,
     "q_replica_parity" -> replicaParity _,
     "q_join_dpp" -> joinDpp _,
@@ -567,6 +596,14 @@ object CatalogSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_update_where" ->
+      """SELECT CASE WHEN o_orderstatus = 'F' AND o_totalprice > 100000.0
+        |            THEN '9-UPDATED' ELSE o_orderpriority END AS o_orderpriority,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_ann_ivf_persisted" ->
       """WITH a AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
         |s AS (

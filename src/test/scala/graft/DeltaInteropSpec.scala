@@ -10,6 +10,12 @@ import graft.catalog.{CommitLog, DeltaInterop, HadoopFs, LogStore}
 case class CpAdd(path: String, partitionValues: Map[String, String])
 case class CpMeta(schemaString: String, partitionColumns: Seq[String])
 case class CpRow(add: Option[CpAdd], metaData: Option[CpMeta])
+// DV-bearing variant: add.deletionVector as the protocol's struct
+case class CpDv(storageType: String, pathOrInlineDv: String,
+    offset: Option[Int], sizeInBytes: Int, cardinality: Long)
+case class CpAddDv(path: String, partitionValues: Map[String, String],
+    deletionVector: Option[CpDv])
+case class CpRowDv(add: Option[CpAddDv], metaData: Option[CpMeta])
 
 /** Interop with the open Delta format, tested against hand-written logs
   * that follow the PUBLIC protocol spec (delta.io PROTOCOL.md) — the
@@ -252,6 +258,38 @@ class DeltaInteropSpec extends AnyFunSuite {
     // time travel still sees the older DV state
     assert(DeltaInterop.readDelta(spark, table, Some(1L)).as[Long].collect().toSet ==
       Set(0L, 1L, 3L, 4L, 5L))
+  }
+
+  test("deletion vectors survive in a checkpoint: the DV-bearing add replays") {
+    val table = freshDir()
+    val schema = Seq((1L, "a")).toDF("k", "v").schema
+    writeFile(table, "f1.parquet",
+      (0L until 6L).map(i => (i, s"a$i")).toDF("k", "v"))
+    // the ONLY record of f1's DV is the checkpoint (its commit vacuumed)
+    val inline = portableDv(Seq(1L, 4L))
+    val cpStage = s"$table/.cp_stage"
+    Seq(
+      CpRowDv(None, Some(CpMeta(schema.json, Seq.empty))),
+      CpRowDv(Some(CpAddDv("f1.parquet", Map.empty,
+        Some(CpDv("i", graft.catalog.Z85.encode(inline), None,
+          inline.length, 2L)))), None),
+    ).toDF().coalesce(1).write.mode("overwrite").parquet(cpStage)
+    val part = fs.listStatus(new Path(cpStage))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.mkdirs(new Path(table, "_delta_log"))
+    if (!fs.rename(part, new Path(table, f"_delta_log/${1L}%020d.checkpoint.parquet")))
+      throw new java.io.IOException("checkpoint stage")
+    fs.delete(new Path(cpStage), true)
+    LogStore.write(fs, new Path(table, "_delta_log/_last_checkpoint"),
+      """{"version":1,"size":2}""".getBytes("UTF-8"))
+    assert(DeltaInterop.readDelta(spark, table).select("k").as[Long]
+      .collect().toSet == Set(0L, 2L, 3L, 5L))
+    // and the native-tombstone import path decodes the checkpointed DV too
+    val imported = freshDir() + "/t"
+    DeltaInterop.importDelta(spark, table, imported)
+    val log = new CommitLog(spark, imported)
+    assert(log.dvFiles(log.currentVersion.get).nonEmpty)
+    assert(log.read().select("k").as[Long].collect().toSet == Set(0L, 2L, 3L, 5L))
   }
 
   test("modern-feature tables refuse loudly by feature name") {
