@@ -890,32 +890,60 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * deletes) like every other pooling path.
     */
   def commitFilesWithDeletes(srcs: Seq[(Path, Seq[Long])], replace: Boolean): Long = {
-    require(srcs.nonEmpty, "commitFilesWithDeletes: no source files")
+    import spark.implicits._
+    val pairs = srcs.flatMap { case (p, dels) =>
+      dels.map(x => (p.toUri.getPath, x))
+    }
+    commitCopiedWithTombstones(srcs.map(_._1),
+      if (pairs.isEmpty) None else Some(pairs.toDF("_graft_src", "_graft_del_pos")),
+      replace)
+  }
+
+  /** Core of the tombstone-carrying import: pool `srcs` byte-identical
+    * and map `tombs` — rows of `(_graft_src: scheme-stripped source
+    * path, _graft_del_pos: row index)` — through the copy's name
+    * assignment into native MoR tombstones, staged DISTRIBUTED in the
+    * same atomic publish. The DataFrame shape is what lets an imported
+    * format's delete files (Iceberg position deletes can be
+    * arbitrarily large) flow executor-side; only the file-name mapping
+    * (one row per file) is driver-resident and broadcast.
+    */
+  private[graft] def commitCopiedWithTombstones(srcs: Seq[Path],
+      tombs: Option[DataFrame], replace: Boolean): Long = {
+    require(srcs.nonEmpty, "commitCopiedWithTombstones: no source files")
     import spark.implicits._
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     hfs.mkdirs(dataDir)
     hfs.mkdirs(commitsDir)
-    val pooled = srcs.zipWithIndex.flatMap { case ((src, dels), i) =>
+    val pooled = srcs.zipWithIndex.flatMap { case (src, i) =>
       val srcFs = HadoopFs.fs(spark, src.toString)
       val name = f"$uuid-part$i%05d.parquet"
       val dst = new Path(dataDir, name)
       if (!org.apache.hadoop.fs.FileUtil.copy(srcFs, src, hfs, dst, false, hfs.getConf))
-        throw new java.io.IOException(s"commitFilesWithDeletes: copy of $src failed")
+        throw new java.io.IOException(s"commitCopiedWithTombstones: copy of $src failed")
       val (rows, st) = footerInfo(dst)
       if (rows == 0L) { hfs.delete(dst, false); None }
-      else Some((s"$name\t${statsJson(st, rows, hfs.getFileStatus(dst).getLen)}",
-        dels.map(p => (name, p))))
+      else Some((src.toUri.getPath, name,
+        s"$name\t${statsJson(st, rows, hfs.getFileStatus(dst).getLen)}"))
     }
-    val dataLines = pooled.map(_._1)
-    val tombs = pooled.flatMap(_._2)
-    val tombLines =
-      if (tombs.isEmpty) Seq.empty
-      else stageToPool(tombs.toDF(DvKeys: _*), "importDeletes").map("-" + _)
+    val dataLines = pooled.map(_._3)
+    val tombLines = tombs match {
+      case None => Seq.empty
+      case Some(t) =>
+        val mapDf = pooled.map { case (srcNorm, name, _) => (srcNorm, name) }
+          .toDF("_graft_src", DvKeys.head)
+        val keyed = t
+          .join(org.apache.spark.sql.functions.broadcast(mapDf), Seq("_graft_src"))
+          .select(col(DvKeys.head),
+            col("_graft_del_pos").cast("long").as(DvKeys.last))
+        val staged = stageToPool(keyed, "importDeletes")
+        staged.map("-" + _)
+    }
     var attempt = 0
     while (attempt < 50) {
       val v = currentVersion.getOrElse(0L) + 1
       val prev = currentVersion.map(manifestLines).getOrElse(Seq.empty)
-      if (!replace) requireUnpartitioned("commitFilesWithDeletes(append)", v, prev)
+      if (!replace) requireUnpartitioned("commitCopiedWithTombstones(append)", v, prev)
       val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
       beforePublish(attempt, v)
       if (publish(v, carried ++ dataLines ++ tombLines)) return v
@@ -923,7 +951,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       attempt += 1
     }
     throw new java.io.IOException(
-      s"commitFilesWithDeletes: lost the version race 50 times under $tableRoot")
+      s"commitCopiedWithTombstones: lost the version race 50 times under $tableRoot")
   }
 
   /** Incremental physical replication from `src` (this log is the

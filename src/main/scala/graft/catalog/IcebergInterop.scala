@@ -174,12 +174,13 @@ object IcebergInterop {
     fs.mkdirs(metaDir)
     val srcFs = HadoopFs.fs(spark, commitRoot)
 
-    // same posture as the Delta export: byte-copy when clean AND flat;
-    // materialize the visible snapshot when tombstones exist or the pool
-    // is hive-partitioned (partition values live in the path, not the
-    // file bytes — a byte-copy would silently drop the column)
+    // byte-copy whenever the pool is flat — merge-on-read tombstones
+    // now export AS the v2 format's own position deletes (below), so
+    // only a hive-partitioned pool (partition values live in the path,
+    // not the file bytes) pays the materializing write
+    val flat = log.partitionColumns(v).isEmpty
     val names: Seq[String] =
-      if (log.dvFiles(v).isEmpty && log.partitionColumns(v).isEmpty) {
+      if (flat) {
         val ns = log.files(v)
         ns.foreach { n =>
           val src = new Path(new Path(commitRoot, "data"), n)
@@ -200,6 +201,52 @@ object IcebergInterop {
         }
         fs.delete(stage, true)
         moved.toSeq
+      }
+
+    // native MoR tombstones → ONE v2 position-delete parquet
+    // (file_path, pos with the spec's reserved field ids 2147483546 /
+    // 2147483545, sorted by (file_path, pos) as the spec requires),
+    // referenced from a content=deletes manifest. The byte-copy above
+    // stays valid: no data file is rewritten to export a deleted row.
+    // Returns (delete file name, tombstone count) when tombstones exist.
+    val deleteFileInfo: Option[(String, Long)] =
+      if (!flat || log.dvFiles(v).isEmpty) None
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col}
+        import spark.implicits._
+        val pathOf = names.map(n => n -> new Path(dataDir, n).toString)
+          .toDF("_graft_del_file", "file_path_full")
+        val tomb = spark.read.parquet(log.dvFiles(v).map(n =>
+            new Path(new Path(commitRoot, "data"), n).toString): _*)
+          .join(broadcast(pathOf), Seq("_graft_del_file"))
+          .select(
+            col("file_path_full").as("file_path",
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong("parquet.field.id", 2147483546L).build()),
+            col("_graft_del_pos").cast("long").as("pos",
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong("parquet.field.id", 2147483545L).build()))
+          .orderBy("file_path", "pos")
+          .coalesce(1)
+        val stage = new Path(destPath, "_graft_delete_stage")
+        tomb.write.mode("overwrite").parquet(stage.toString)
+        val part = fs.listStatus(stage)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath).headOption
+        val out = part.flatMap { p =>
+          val delName = s"${java.util.UUID.randomUUID().toString}-deletes.parquet"
+          if (!fs.rename(p, new Path(dataDir, delName)))
+            throw new java.io.IOException("exportIceberg: move of delete file failed")
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(dataDir, delName), fs.getConf))
+          val count = try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+            finally reader.close()
+          // tombstones all referencing dropped files net to zero deletes
+          if (count == 0L) { fs.delete(new Path(dataDir, delName), false); None }
+          else Some((delName, count))
+        }
+        fs.delete(stage, true)
+        out
       }
 
     val now = System.currentTimeMillis()
@@ -282,6 +329,44 @@ object IcebergInterop {
     }
     val manifestLen = fs.getFileStatus(manifestPath).getLen
 
+    // ---- delete manifest (content=deletes), when tombstones exported -----
+    // position deletes at the SAME sequence number apply to these data
+    // files per the spec (only EQUALITY deletes need a strictly lower
+    // data sequence), so one snapshot carries both manifests at seq 1
+    val deleteManifest: Option[(Path, Long, Long)] =
+      deleteFileInfo.map { case (delName, count) =>
+        val mName = s"$uuid-m1.avro"
+        val mPath = new Path(metaDir, mName)
+        val writer = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](manifestEntrySchema))
+        writer.setMeta("schema", schemaJson)
+        writer.setMeta("schema-id", "0")
+        writer.setMeta("partition-spec", "[]")
+        writer.setMeta("partition-spec-id", "0")
+        writer.setMeta("format-version", "2")
+        writer.setMeta("content", "deletes")
+        val out = fs.create(mPath, true)
+        writer.create(manifestEntrySchema, out)
+        val df = new GenericData.Record(
+          manifestEntrySchema.getField("data_file").schema())
+        df.put("content", 1)                         // POSITION_DELETES
+        df.put("file_path", new Path(dataDir, delName).toString)
+        df.put("file_format", "PARQUET")
+        df.put("partition", partitionRecord)
+        df.put("record_count", count)
+        df.put("file_size_in_bytes",
+          fs.getFileStatus(new Path(dataDir, delName)).getLen)
+        val entry = new GenericData.Record(manifestEntrySchema)
+        entry.put("status", 1)                       // ADDED
+        entry.put("snapshot_id", snapshotId)
+        entry.put("sequence_number", 1L)
+        entry.put("file_sequence_number", 1L)
+        entry.put("data_file", df)
+        writer.append(entry)
+        writer.close()
+        (mPath, fs.getFileStatus(mPath).getLen, count)
+      }
+
     // ---- manifest list ---------------------------------------------------
     val listName = s"snap-$snapshotId-1-$uuid.avro"
     val listPath = new Path(metaDir, listName)
@@ -306,6 +391,23 @@ object IcebergInterop {
       mf.put("existing_rows_count", 0L)
       mf.put("deleted_rows_count", 0L)
       writer.append(mf)
+      deleteManifest.foreach { case (mPath, mLen, count) =>
+        val dm = new GenericData.Record(manifestFileSchema)
+        dm.put("manifest_path", mPath.toString)
+        dm.put("manifest_length", mLen)
+        dm.put("partition_spec_id", 0)
+        dm.put("content", 1)                         // DELETES
+        dm.put("sequence_number", 1L)
+        dm.put("min_sequence_number", 1L)
+        dm.put("added_snapshot_id", snapshotId)
+        dm.put("added_files_count", 1)
+        dm.put("existing_files_count", 0)
+        dm.put("deleted_files_count", 0)
+        dm.put("added_rows_count", count)
+        dm.put("existing_rows_count", 0L)
+        dm.put("deleted_rows_count", 0L)
+        writer.append(dm)
+      }
       writer.close()
     }
 
@@ -391,10 +493,33 @@ object IcebergInterop {
     * would additionally need the spec's partition JSON → column mapping
     * (out of scope until an asset arrives shaped that way).
     */
+  /** Scheme prefix of a path URI (`file://`, `s3a://`, `file:` …) —
+    * stripped before comparing a delete file's recorded `file_path`
+    * against `_metadata.file_path`, whose scheme spelling differs by
+    * reader.
+    */
+  private val SchemeRx = "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?"
+
   def readIceberg(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
-    val files = readFileList(spark, table)
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val (files, deleteFiles) = readFileLists(spark, table)
     require(files.nonEmpty, s"Iceberg table $table has no live data files")
-    val raw = spark.read.parquet(files: _*)
+    val raw0 = spark.read.parquet(files: _*)
+    // v2 position deletes: anti-join each data row's (path, row index)
+    // against the delete files — the same MoR shape the commit log's own
+    // tombstone read uses. Delete-file volume is the delete volume, so
+    // the join stays executor-side (no driver materialization).
+    val raw = if (deleteFiles.isEmpty) raw0 else {
+      val dels = spark.read.parquet(deleteFiles: _*)
+        .select(regexp_replace(col("file_path"), SchemeRx, "").as("_ice_path"),
+          col("pos").cast("long").as("_ice_pos"))
+      raw0
+        .withColumn("_ice_path",
+          regexp_replace(col("_metadata.file_path"), SchemeRx, ""))
+        .withColumn("_ice_pos", col("_metadata.row_index"))
+        .join(dels, Seq("_ice_path", "_ice_pos"), "left_anti")
+        .drop("_ice_path", "_ice_pos")
+    }
     val metadata = loadMetadata(spark, table)
     val mappingJson = Option(metadata.get("properties"))
       .flatMap(p => Option(p.get("schema.name-mapping.default"))).map(_.asText)
@@ -424,11 +549,33 @@ object IcebergInterop {
 
   /** Import an Iceberg table's current snapshot into a [[CommitLog]]
     * table (one commit) — the inbound half of the interop, mirroring
-    * [[DeltaInterop.importDelta]].
+    * [[DeltaInterop.importDelta]]. Unmapped tables take the byte-copy
+    * path: data files pool unchanged and v2 position deletes translate
+    * into native MoR `(file, pos)` tombstones in the same atomic commit
+    * ([[CommitLog.commitCopiedWithTombstones]]) — O(bytes copied), no
+    * decode/re-encode, with the delete rows flowing executor-side
+    * (position-delete files can be arbitrarily large). Name-mapped
+    * tables materialize through [[readIceberg]] (their file columns
+    * carry physical names the commit log would surface raw).
     */
   def importIceberg(spark: SparkSession, icebergTable: String, commitRoot: String,
-      replace: Boolean = true): Long =
-    new CommitLog(spark, commitRoot).commit(readIceberg(spark, icebergTable), replace)
+      replace: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val (dataFiles, deleteFiles) = readFileLists(spark, icebergTable)
+    val metadata = loadMetadata(spark, icebergTable)
+    val mapped = Option(metadata.get("properties"))
+      .flatMap(p => Option(p.get("schema.name-mapping.default"))).isDefined
+    if (!mapped && dataFiles.nonEmpty) {
+      val tombs =
+        if (deleteFiles.isEmpty) None
+        else Some(spark.read.parquet(deleteFiles: _*)
+          .select(regexp_replace(col("file_path"), SchemeRx, "").as("_graft_src"),
+            col("pos").cast("long").as("_graft_del_pos")))
+      new CommitLog(spark, commitRoot).commitCopiedWithTombstones(
+        dataFiles.map(new Path(_)), tombs, replace)
+    } else
+      new CommitLog(spark, commitRoot).commit(readIceberg(spark, icebergTable), replace)
+  }
 
   /** Resolve an exported table's CURRENT data-file paths the way an
     * Iceberg reader does: version hint → metadata JSON → current
@@ -454,7 +601,16 @@ object IcebergInterop {
     mapper.readTree(slurp(new Path(metaDir, s"v$hint.metadata.json")))
   }
 
-  def readFileList(spark: SparkSession, table: String): Seq[String] = {
+  def readFileList(spark: SparkSession, table: String): Seq[String] =
+    readFileLists(spark, table)._1
+
+  /** Live `(data files, position-delete files)` of the current
+    * snapshot. A `data_file.content` of 0 is data, 1 a position-delete
+    * file (v2 merge-on-read); 2 (equality deletes) refuses loudly —
+    * silently ignoring a delete tier would resurrect deleted rows.
+    */
+  private[graft] def readFileLists(spark: SparkSession,
+      table: String): (Seq[String], Seq[String]) = {
     val fs = HadoopFs.fs(spark, table)
     def slurp(p: Path): Array[Byte] = {
       val in = fs.open(p)
@@ -483,11 +639,26 @@ object IcebergInterop {
     }
     val manifests = avroRecords(new Path(snap.get("manifest-list").asText))
       .map(_.get("manifest_path").toString)
-    manifests.flatMap { mp =>
-      avroRecords(new Path(mp)).collect {
-        case e if e.get("status").asInstanceOf[Int] != 2 =>   // not DELETED
-          e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
+    val data = Seq.newBuilder[String]
+    val dels = Seq.newBuilder[String]
+    manifests.foreach { mp =>
+      avroRecords(new Path(mp)).foreach { e =>
+        if (e.get("status").asInstanceOf[Int] != 2) {   // not DELETED
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val content = Option(df.get("content"))
+            .map(_.asInstanceOf[Int]).getOrElse(0)
+          val path = df.get("file_path").toString
+          content match {
+            case 0 => data += path
+            case 1 => dels += path
+            case other => throw new UnsupportedOperationException(
+              s"readIceberg: $table carries a delete tier this reader does not " +
+                s"implement (data_file.content=$other — equality deletes). " +
+                "Compact the table to fold deletes in, then re-read.")
+          }
+        }
       }
     }
+    (data.result(), dels.result())
   }
 }

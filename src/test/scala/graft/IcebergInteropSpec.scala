@@ -45,7 +45,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(meta.contains("\"main\""))
   }
 
-  test("merge-on-read tombstones materialize: no deleted row leaks into the export") {
+  test("merge-on-read tombstones export as v2 position deletes: no rewrite, no leak") {
     import org.apache.spark.sql.functions.col
     val root = tmp("graft_ice_mor")
     val log = new CommitLog(spark, root)
@@ -54,9 +54,27 @@ class IcebergInteropSpec extends AnyFunSuite {
 
     val dest = tmp("graft_ice_mor_dst")
     IcebergInterop.exportIceberg(spark, root, dest)
+    // NO materialization: the exported data files are the pool bytes
     val listed = IcebergInterop.readFileList(spark, dest)
-    val rows = spark.read.parquet(listed: _*).as[(Long, String)].collect().toSet
-    assert(rows.map(_._1) == (4L to 10L).toSet, rows)
+    assert(listed.map(_.split('/').last).toSet ==
+      log.files(log.currentVersion.get).toSet,
+      "MoR export must byte-copy the data files, not rewrite them")
+    // the deletes ride the format's own position-delete tier: the raw
+    // data files still hold all 10 rows, the format-level read masks 3
+    assert(spark.read.parquet(listed: _*).count() == 10)
+    assert(IcebergInterop.readIceberg(spark, dest)
+      .select("k").as[Long].collect().toSet == (4L to 10L).toSet)
+    // and the delete tier imports back as native MoR tombstones
+    val imported = tmp("graft_ice_mor_imp") + "/t"
+    IcebergInterop.importIceberg(spark, dest, imported)
+    val ilog = new CommitLog(spark, imported)
+    assert(ilog.dvFiles(ilog.currentVersion.get).nonEmpty,
+      "position deletes must import as native tombstones, not a rewrite")
+    assert(ilog.read().select("k").as[Long].collect().toSet == (4L to 10L).toSet)
+    // fold-in proves the tombstones are real: rewriteDeletes drops them
+    ilog.rewriteDeletes()
+    assert(ilog.dvFiles(ilog.currentVersion.get).isEmpty)
+    assert(ilog.read().select("k").as[Long].collect().toSet == (4L to 10L).toSet)
   }
 
   test("CALL export_iceberg / import_iceberg round a table through the open format") {
