@@ -186,6 +186,30 @@ object DeltaInterop {
     res
   }
 
+  /** Serialize deleted row indices as the protocol's portable
+    * RoaringBitmapArray — the writer-side inverse of [[dvRowIndices]].
+    */
+  private def portableBitmap(rows: Seq[Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    def leInt(v: Int): Unit = {
+      dos.write(v & 0xff); dos.write((v >> 8) & 0xff)
+      dos.write((v >> 16) & 0xff); dos.write((v >>> 24) & 0xff)
+    }
+    leInt(RoaringArrayMagic)
+    val byKey = rows.groupBy(r => (r >>> 32).toInt).toSeq.sortBy(_._1)
+    var n = byKey.size.toLong
+    for (_ <- 0 until 8) { dos.write((n & 0xff).toInt); n >>= 8 }
+    byKey.foreach { case (key, vs) =>
+      leInt(key)
+      org.roaringbitmap.RoaringBitmap
+        .bitmapOf(vs.map(x => (x & 0xFFFFFFFFL).toInt).sorted: _*)
+        .serialize(dos)
+    }
+    dos.flush()
+    bos.toByteArray
+  }
+
   private def checkProtocol(p: JsonNode): Unit = {
     val feats = Option(p.get("readerFeatures"))
       .map(_.elements().asScala.map(_.asText).toSet).getOrElse(Set.empty)
@@ -415,8 +439,14 @@ object DeltaInterop {
 
   /** Export the head of a [[CommitLog]] table as a minimal Delta table:
     * data files copied byte-identical (no recompute, no shuffle), one
-    * version-0 commit listing them. Any Delta reader ≥ protocol (1,2)
-    * accepts the result.
+    * version-0 commit listing them. Native MoR tombstones export as the
+    * protocol's own DELETION VECTORS (a `deletion_vector_<uuid>.bin` of
+    * portable bitmaps, storageType-"u" descriptors on the adds,
+    * reader/writer features raised accordingly), so a tombstone-bearing
+    * table leaves WITHOUT rewriting a single data file; only
+    * hive-partitioned pools materialize (their partition column lives
+    * in the path, not the file bytes). Clean flat tables keep the
+    * minimal (1,2) protocol any Delta reader accepts.
     */
   def exportDelta(spark: SparkSession, commitRoot: String, dest: String): Int = {
     val log = new CommitLog(spark, commitRoot)
@@ -427,10 +457,12 @@ object DeltaInterop {
     val destPath = new Path(dest)
     fs.mkdirs(destPath)
     val srcFs = HadoopFs.fs(spark, commitRoot)
+    val flat = log.partitionColumns(v).isEmpty
     val names: Seq[String] =
-      if (log.dvFiles(v).isEmpty && log.partitionColumns(v).isEmpty) {
-        // no tombstones, flat layout: pool files ARE the table bytes —
-        // copy, don't recompute
+      if (flat) {
+        // flat layout: pool files ARE the table bytes — copy, don't
+        // recompute (merge-on-read tombstones export as the format's
+        // own deletion vectors below, so they no longer force a rewrite)
         val ns = log.files(v)
         ns.foreach { n =>
           val src = new Path(new Path(commitRoot, "data"), n)
@@ -439,9 +471,7 @@ object DeltaInterop {
         }
         ns
       } else {
-        // merge-on-read tombstones don't exist in the Delta dialect we
-        // emit (a byte-copy would resurrect deleted rows), and a
-        // hive-partitioned pool's files don't CONTAIN the partition
+        // a hive-partitioned pool's files don't CONTAIN the partition
         // column (it lives in the path — a byte-copy would silently
         // drop it): materialize the visible snapshot instead (one
         // distributed write; partition columns become data columns)
@@ -457,6 +487,53 @@ object DeltaInterop {
         }
         fs.delete(stage, true)
         moved.toSeq
+      }
+
+    // native MoR tombstones → the protocol's own deletion vectors: one
+    // `deletion_vector_<uuid>.bin` holding a portable RoaringBitmapArray
+    // per tombstoned file ([version:1][per DV: size BE, data, crc32 BE]),
+    // each add action carrying its storageType "u" descriptor. Bitmap
+    // assembly is per-file metadata (roaring bytes are KB-scale — the
+    // same plane real Delta writers build DVs on); per-file positions
+    // aggregate executor-side and only the compressed groups collect.
+    val dvOf: Map[String, (String, Int, Int, Long)] =
+      if (!flat || log.dvFiles(v).isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, collect_list}
+        val nameSet = names.toSet
+        val grouped = spark.read.parquet(log.dvFiles(v).map(n =>
+            new Path(new Path(commitRoot, "data"), n).toString): _*)
+          .groupBy(col("_graft_del_file"))
+          .agg(collect_list(col("_graft_del_pos")).as("ps"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1))
+          .filter { case (n, ps) => nameSet.contains(n) && ps.nonEmpty }
+          .sortBy(_._1)
+        if (grouped.isEmpty) Map.empty
+        else {
+          val uuid = java.util.UUID.randomUUID()
+          val uuidBytes = java.nio.ByteBuffer.allocate(16)
+            .putLong(uuid.getMostSignificantBits)
+            .putLong(uuid.getLeastSignificantBits).array
+          val enc = Z85.encode(uuidBytes)
+          val bos = new java.io.ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(bos)
+          dos.writeByte(1)
+          val entries = grouped.map { case (n, ps) =>
+            val data = portableBitmap(ps.sorted)
+            val offset = bos.size()
+            dos.writeInt(data.length)
+            dos.write(data)
+            val crc = new java.util.zip.CRC32()
+            crc.update(data)
+            dos.writeInt(crc.getValue.toInt)
+            n -> ((enc, offset, data.length, ps.length.toLong))
+          }
+          dos.flush()
+          LogStore.write(fs, new Path(destPath, s"deletion_vector_$uuid.bin"),
+            bos.toByteArray)
+          entries.toMap
+        }
       }
     def esc(s: String): String = mapper.writeValueAsString(s)
     // a declared-schema sidecar with column renames exports as a
@@ -502,6 +579,19 @@ object DeltaInterop {
           // columnMapping's protocol floor per the public spec
           """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
       }
+    // exporting deletion vectors raises the protocol floor to reader
+    // features — by the spec's design, so a reader that can't apply DVs
+    // refuses instead of resurrecting rows
+    val protocolFinal =
+      if (dvOf.isEmpty) protocol
+      else {
+        val feats =
+          (if (renames.isEmpty) Seq("deletionVectors")
+           else Seq("columnMapping", "deletionVectors"))
+            .map(f => s""""$f"""").mkString(",")
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":[$feats],"writerFeatures":[$feats]}}"""
+      }
     val metaData =
       s"""{"metaData":{"id":${esc(java.util.UUID.randomUUID().toString)},""" +
         s""""format":{"provider":"parquet","options":{}},""" +
@@ -509,12 +599,17 @@ object DeltaInterop {
         s""""partitionColumns":[],"configuration":$configJson}}"""
     val adds = names.map { n =>
       val st = fs.getFileStatus(new Path(destPath, n))
+      val dvJson = dvOf.get(n).map { case (enc, off, size, card) =>
+        s""","deletionVector":{"storageType":"u","pathOrInlineDv":${esc(enc)},""" +
+          s""""offset":$off,"sizeInBytes":$size,"cardinality":$card}"""
+      }.getOrElse("")
       s"""{"add":{"path":${esc(n)},"partitionValues":{},"size":${st.getLen},""" +
-        s""""modificationTime":${st.getModificationTime},"dataChange":true}}"""
+        s""""modificationTime":${st.getModificationTime},"dataChange":true$dvJson}}"""
     }
     fs.mkdirs(logDir(dest))
     LogStore.write(fs, new Path(logDir(dest), f"${0L}%020d.json"),
-      ((protocol +: metaData +: adds).mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      ((protocolFinal +: metaData +: adds).mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
     names.length
   }
 }

@@ -160,7 +160,7 @@ class DeletionVectorSpec extends AnyFunSuite {
       ((100L to 200L).toSet -- (120L to 130L)).toSeq.sorted)
   }
 
-  test("delta export of a tombstoned table materializes the visible rows") {
+  test("delta export of a tombstoned table keeps only the visible rows readable") {
     val root = freshRoot()
     val log = seeded(root)
     log.deleteWhereMoR(col("k") > 250)

@@ -348,6 +348,40 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(DeltaInterop.readDelta(spark, ntzTable).as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("native tombstones export as deletion vectors: byte-copy out, tombstones back") {
+    import org.apache.spark.sql.functions.col
+    val commitRoot = freshDir() + "/t"
+    val log = new CommitLog(spark, commitRoot)
+    log.commit((1L to 12L).map(k => (k, s"v$k")).toDF("k", "v").repartition(3),
+      replace = true)
+    log.deleteWhereMoR(col("k") % 4 === 0)
+    val expected = (1L to 12L).filterNot(_ % 4 == 0).toSet
+    val dest = freshDir() + "/delta"
+    DeltaInterop.exportDelta(spark, commitRoot, dest)
+    // data files byte-copied under their pool names — NO materialization
+    val exported = fs.listStatus(new Path(dest))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    assert(exported == log.files(log.currentVersion.get).toSet,
+      "MoR export must byte-copy the pool files, not rewrite them")
+    // the log carries the DV tier: feature-gated protocol, "u" descriptor,
+    // and the .bin payload on disk
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dest, "_delta_log", f"${0L}%020d.json")), "UTF-8")
+    assert(body.contains("\"deletionVectors\"") && body.contains("\"storageType\":\"u\""))
+    assert(fs.listStatus(new Path(dest))
+      .exists(_.getPath.getName.startsWith("deletion_vector_")))
+    // format-level read masks the tombstoned rows
+    assert(DeltaInterop.readDelta(spark, dest)
+      .select("k").as[Long].collect().toSet == expected)
+    // and the DV imports back as native MoR tombstones (byte-copy again)
+    val imported = freshDir() + "/t2"
+    DeltaInterop.importDelta(spark, dest, imported)
+    val ilog = new CommitLog(spark, imported)
+    assert(ilog.dvFiles(ilog.currentVersion.get).nonEmpty)
+    assert(ilog.read().select("k").as[Long].collect().toSet == expected)
+  }
+
   test("export → read back → import: rows and schema survive both directions") {
     val commitRoot = freshDir() + "/t"
     val log = new CommitLog(spark, commitRoot)
