@@ -500,17 +500,76 @@ object IcebergInterop {
     */
   private val SchemeRx = "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?"
 
+  /** `(file path sans scheme, row position)` of every row the EQUALITY
+    * delete tier kills: per equality-field group, a semi-join of the
+    * data rows against the delete rows under the spec's rule — values
+    * null-safe-equal AND the data file's sequence number STRICTLY below
+    * the delete file's. One extra pass over the data files, paid only
+    * by tables that actually carry equality deletes (Flink-CDC-style
+    * writers); the matching itself is executor-side. Name-mapped tables
+    * refuse (the id → file-column indirection would need per-file
+    * resolution).
+    */
+  private def equalityDeletedPositions(spark: SparkSession,
+      metadata: com.fasterxml.jackson.databind.JsonNode,
+      data: Seq[IceFile], eqDel: Seq[IceFile],
+      table: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+    import spark.implicits._
+    val mapped = Option(metadata.get("properties"))
+      .flatMap(p => Option(p.get("schema.name-mapping.default"))).isDefined
+    if (mapped) throw new UnsupportedOperationException(
+      s"readIceberg: equality deletes on the name-mapped table $table are " +
+        "not implemented — compact the table to fold deletes in, then re-read.")
+    val schemaId = metadata.get("current-schema-id").asInt
+    val cur = metadata.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt == schemaId)
+      .getOrElse(throw new IllegalStateException(
+        s"current schema $schemaId missing from $table metadata"))
+    val nameOf = cur.get("fields").elements().asScala
+      .map(f => f.get("id").asInt -> f.get("name").asText).toMap
+    val seqDf = data.map(f => (f.path.replaceFirst(SchemeRx, ""), f.seq))
+      .toDF("_ice_fpath", "_ice_fseq")
+    val base = spark.read.parquet(data.map(_.path): _*)
+      .withColumn("_ice_fpath",
+        regexp_replace(col("_metadata.file_path"), SchemeRx, ""))
+      .withColumn("_ice_pos", col("_metadata.row_index"))
+      .join(broadcast(seqDf), Seq("_ice_fpath"))
+    eqDel.groupBy(_.equalityIds.sorted).toSeq
+      .map { case (ids, dfs) =>
+        require(ids.nonEmpty,
+          s"readIceberg: equality delete with no equality_ids in $table")
+        val cols = ids.map(id => nameOf.getOrElse(id,
+          throw new IllegalStateException(
+            s"equality id $id not in the current schema of $table")))
+        val dels = dfs.map(d => spark.read.parquet(d.path)
+            .select(cols.map(c => col(s"`$c`").as(s"_ice_d_$c")): _*)
+            .withColumn("_ice_dseq", lit(d.seq)))
+          .reduce(_.unionByName(_))
+        val cond = cols.map(c => col(s"`$c`") <=> col(s"_ice_d_$c"))
+          .reduce(_ && _) && col("_ice_fseq") < col("_ice_dseq")
+        base.join(dels, cond, "left_semi")
+          .select(col("_ice_fpath"), col("_ice_pos"))
+      }
+      .reduce(_.unionByName(_))
+      .distinct()
+  }
+
   def readIceberg(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
-    val (files, deleteFiles) = readFileLists(spark, table)
-    require(files.nonEmpty, s"Iceberg table $table has no live data files")
-    val raw0 = spark.read.parquet(files: _*)
+    val resolved = resolveFiles(spark, table)
+    val dataF = resolved.filter(_.content == 0)
+    val posDel = resolved.filter(_.content == 1)
+    val eqDel = resolved.filter(_.content == 2)
+    require(dataF.nonEmpty, s"Iceberg table $table has no live data files")
+    val metadata = loadMetadata(spark, table)
+    val raw0 = spark.read.parquet(dataF.map(_.path): _*)
     // v2 position deletes: anti-join each data row's (path, row index)
     // against the delete files — the same MoR shape the commit log's own
     // tombstone read uses. Delete-file volume is the delete volume, so
     // the join stays executor-side (no driver materialization).
-    val raw = if (deleteFiles.isEmpty) raw0 else {
-      val dels = spark.read.parquet(deleteFiles: _*)
+    val afterPos = if (posDel.isEmpty) raw0 else {
+      val dels = spark.read.parquet(posDel.map(_.path): _*)
         .select(regexp_replace(col("file_path"), SchemeRx, "").as("_ice_path"),
           col("pos").cast("long").as("_ice_pos"))
       raw0
@@ -520,7 +579,18 @@ object IcebergInterop {
         .join(dels, Seq("_ice_path", "_ice_pos"), "left_anti")
         .drop("_ice_path", "_ice_pos")
     }
-    val metadata = loadMetadata(spark, table)
+    // v2 equality deletes: resolved to (file, position) once, shared
+    // with the import path
+    val raw = if (eqDel.isEmpty) afterPos else {
+      val eqPos = equalityDeletedPositions(spark, metadata, dataF, eqDel, table)
+        .withColumnRenamed("_ice_fpath", "_ice_path")
+      afterPos
+        .withColumn("_ice_path",
+          regexp_replace(col("_metadata.file_path"), SchemeRx, ""))
+        .withColumn("_ice_pos", col("_metadata.row_index"))
+        .join(eqPos, Seq("_ice_path", "_ice_pos"), "left_anti")
+        .drop("_ice_path", "_ice_pos")
+    }
     val mappingJson = Option(metadata.get("properties"))
       .flatMap(p => Option(p.get("schema.name-mapping.default"))).map(_.asText)
     mappingJson match {
@@ -550,29 +620,46 @@ object IcebergInterop {
   /** Import an Iceberg table's current snapshot into a [[CommitLog]]
     * table (one commit) — the inbound half of the interop, mirroring
     * [[DeltaInterop.importDelta]]. Unmapped tables take the byte-copy
-    * path: data files pool unchanged and v2 position deletes translate
+    * path: data files pool unchanged and BOTH v2 delete tiers translate
     * into native MoR `(file, pos)` tombstones in the same atomic commit
-    * ([[CommitLog.commitCopiedWithTombstones]]) — O(bytes copied), no
+    * ([[CommitLog.commitCopiedWithTombstones]]) — position deletes map
+    * directly, equality deletes resolve to positions with one data scan
+    * ([[equalityDeletedPositions]]) — O(bytes copied + one scan), no
     * decode/re-encode, with the delete rows flowing executor-side
-    * (position-delete files can be arbitrarily large). Name-mapped
-    * tables materialize through [[readIceberg]] (their file columns
-    * carry physical names the commit log would surface raw).
+    * (delete files can be arbitrarily large). Name-mapped tables
+    * materialize through [[readIceberg]] (their file columns carry
+    * physical names the commit log would surface raw).
     */
   def importIceberg(spark: SparkSession, icebergTable: String, commitRoot: String,
       replace: Boolean = true): Long = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
-    val (dataFiles, deleteFiles) = readFileLists(spark, icebergTable)
+    val resolved = resolveFiles(spark, icebergTable)
+    val dataF = resolved.filter(_.content == 0)
+    val posDel = resolved.filter(_.content == 1)
+    val eqDel = resolved.filter(_.content == 2)
     val metadata = loadMetadata(spark, icebergTable)
     val mapped = Option(metadata.get("properties"))
       .flatMap(p => Option(p.get("schema.name-mapping.default"))).isDefined
-    if (!mapped && dataFiles.nonEmpty) {
-      val tombs =
-        if (deleteFiles.isEmpty) None
-        else Some(spark.read.parquet(deleteFiles: _*)
+    if (!mapped && dataF.nonEmpty) {
+      val posTombs =
+        if (posDel.isEmpty) None
+        else Some(spark.read.parquet(posDel.map(_.path): _*)
           .select(regexp_replace(col("file_path"), SchemeRx, "").as("_graft_src"),
             col("pos").cast("long").as("_graft_del_pos")))
+      // equality deletes RESOLVE to positions at import time (one scan),
+      // then ride the same native tombstone plane as position deletes —
+      // the imported table needs no equality machinery ever again
+      val eqTombs =
+        if (eqDel.isEmpty) None
+        else Some(equalityDeletedPositions(spark, metadata, dataF, eqDel, icebergTable)
+          .select(col("_ice_fpath").as("_graft_src"),
+            col("_ice_pos").cast("long").as("_graft_del_pos")))
+      val tombs = (posTombs, eqTombs) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b).distinct())
+        case (a, b) => a.orElse(b)
+      }
       new CommitLog(spark, commitRoot).commitCopiedWithTombstones(
-        dataFiles.map(new Path(_)), tombs, replace)
+        dataF.map(f => new Path(f.path)), tombs, replace)
     } else
       new CommitLog(spark, commitRoot).commit(readIceberg(spark, icebergTable), replace)
   }
@@ -602,15 +689,29 @@ object IcebergInterop {
   }
 
   def readFileList(spark: SparkSession, table: String): Seq[String] =
-    readFileLists(spark, table)._1
+    resolveFiles(spark, table).collect { case f if f.content == 0 => f.path }
 
-  /** Live `(data files, position-delete files)` of the current
-    * snapshot. A `data_file.content` of 0 is data, 1 a position-delete
-    * file (v2 merge-on-read); 2 (equality deletes) refuses loudly —
-    * silently ignoring a delete tier would resurrect deleted rows.
+  /** Live `(data files, position-delete files)` of the current snapshot
+    * (equality-delete files are resolved separately by [[readIceberg]]).
     */
   private[graft] def readFileLists(spark: SparkSession,
       table: String): (Seq[String], Seq[String]) = {
+    val fs0 = resolveFiles(spark, table)
+    (fs0.collect { case f if f.content == 0 => f.path },
+      fs0.collect { case f if f.content == 1 => f.path })
+  }
+
+  /** One live file of the current snapshot: data (content 0), position
+    * deletes (1), or equality deletes (2, with the equality field ids);
+    * `seq` is the entry's data sequence number (inherited from its
+    * manifest when the entry carries none — the spec's inheritance
+    * rule), which gates which data files an equality delete applies to.
+    */
+  private[graft] case class IceFile(path: String, seq: Long, content: Int,
+      equalityIds: Seq[Int])
+
+  private[graft] def resolveFiles(spark: SparkSession,
+      table: String): Seq[IceFile] = {
     val fs = HadoopFs.fs(spark, table)
     def slurp(p: Path): Array[Byte] = {
       val in = fs.open(p)
@@ -638,27 +739,27 @@ object IcebergInterop {
       } finally { tmp.delete(): Unit }
     }
     val manifests = avroRecords(new Path(snap.get("manifest-list").asText))
-      .map(_.get("manifest_path").toString)
-    val data = Seq.newBuilder[String]
-    val dels = Seq.newBuilder[String]
-    manifests.foreach { mp =>
-      avroRecords(new Path(mp)).foreach { e =>
-        if (e.get("status").asInstanceOf[Int] != 2) {   // not DELETED
+      .map(m => (m.get("manifest_path").toString,
+        Option(m.get("sequence_number")).map(_.asInstanceOf[Long]).getOrElse(1L)))
+    manifests.flatMap { case (mp, mseq) =>
+      avroRecords(new Path(mp)).flatMap { e =>
+        if (e.get("status").asInstanceOf[Int] == 2) None   // DELETED
+        else {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val content = Option(df.get("content"))
             .map(_.asInstanceOf[Int]).getOrElse(0)
-          val path = df.get("file_path").toString
-          content match {
-            case 0 => data += path
-            case 1 => dels += path
-            case other => throw new UnsupportedOperationException(
-              s"readIceberg: $table carries a delete tier this reader does not " +
-                s"implement (data_file.content=$other — equality deletes). " +
-                "Compact the table to fold deletes in, then re-read.")
-          }
+          val seq = Option(e.get("sequence_number"))
+            .map(_.asInstanceOf[Long]).getOrElse(mseq)
+          val eqIds =
+            if (df.getSchema.getField("equality_ids") == null) Seq.empty[Int]
+            else Option(df.get("equality_ids")) match {
+              case Some(c: java.util.Collection[_]) =>
+                c.asScala.toSeq.map(_.asInstanceOf[Int])
+              case _ => Seq.empty[Int]
+            }
+          Some(IceFile(df.get("file_path").toString, seq, content, eqIds))
         }
       }
     }
-    (data.result(), dels.result())
   }
 }

@@ -77,6 +77,157 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(ilog.read().select("k").as[Long].collect().toSet == (4L to 10L).toSet)
   }
 
+  test("equality deletes apply by sequence number and import as position tombstones") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import org.apache.hadoop.fs.Path
+    val fs = graft.catalog.HadoopFs.fs(spark, "/tmp")
+
+    // a clean export: data manifest at sequence 1
+    val root = tmp("graft_ice_eq_src")
+    val log = new CommitLog(spark, root)
+    log.commit((1L to 10L).map(k => (k, s"g${k % 3}")).toDF("k", "grp"),
+      replace = true)
+    val dest = tmp("graft_ice_eq_dst")
+    IcebergInterop.exportIceberg(spark, root, dest)
+
+    // two equality-delete files on column k (schema field id 1):
+    // seq 2 (applies: data seq 1 < 2) and seq 1 (must NOT apply — the
+    // spec requires the data sequence be STRICTLY lower)
+    def writeDelete(name: String, ks: Seq[Long]): String = {
+      val stage = s"$dest/.eq_stage"
+      ks.map(Tuple1(_)).toDF("k").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = fs.listStatus(new Path(stage))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).head.getPath
+      val dst = new Path(s"$dest/data/$name")
+      if (!fs.rename(part, dst)) throw new java.io.IOException(s"stage $name")
+      fs.delete(new Path(stage), true)
+      dst.toString
+    }
+    val eq2 = writeDelete("eq-seq2.parquet", Seq(3L, 4L, 8L))
+    val eq1 = writeDelete("eq-seq1.parquet", Seq(5L))
+
+    // delete manifest with explicit sequence numbers + equality_ids
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"file_sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
+        |]}}]}""".stripMargin)
+    val metaDir = new Path(dest, "metadata")
+    val m1Path = new Path(metaDir, "eq-m1.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      val out = fs.create(m1Path, true)
+      w.create(entrySchema, out)
+      def entry(path: String, seq: Long, count: Long): GenericRecord = {
+        val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+        df.put("content", 2)                       // EQUALITY_DELETES
+        df.put("file_path", path)
+        df.put("file_format", "PARQUET")
+        df.put("record_count", count)
+        df.put("file_size_in_bytes", 1L)
+        val idsSchema = entrySchema.getField("data_file").schema()
+          .getField("equality_ids").schema().getTypes.get(1)
+        df.put("equality_ids", new GenericData.Array[Integer](idsSchema,
+          java.util.List.of(Integer.valueOf(1))))
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1)
+        e.put("snapshot_id", 1L)
+        e.put("sequence_number", seq)
+        e.put("file_sequence_number", seq)
+        e.put("data_file", df)
+        e
+      }
+      w.append(entry(eq2, 2L, 3L))
+      w.append(entry(eq1, 1L, 1L))
+      w.close()
+    }
+
+    // new manifest list = old entries (reread generically) + the delete
+    // manifest; new metadata v2 points at it; hint advances
+    def slurpJson(p: Path): com.fasterxml.jackson.databind.node.ObjectNode = {
+      val in = fs.open(p)
+      val body = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        out.toByteArray
+      } finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    }
+    val meta1 = slurpJson(new Path(metaDir, "v1.metadata.json"))
+    val snap = meta1.get("snapshots").elements().next()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val oldListPath = new Path(snap.get("manifest-list").asText)
+    val tmpAvro = java.io.File.createTempFile("graft_eq_list", ".avro")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(oldListPath.toUri.getPath),
+      tmpAvro.toPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val listReader = new DataFileReader[GenericRecord](tmpAvro,
+      new GenericDatumReader[GenericRecord]())
+    val listSchema: Schema = listReader.getSchema
+    val oldRecs: List[GenericRecord] = {
+      import scala.jdk.CollectionConverters._
+      try listReader.iterator().asScala.toList finally listReader.close()
+    }
+    val newListPath = new Path(metaDir, "snap-eq-2.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      val out = fs.create(newListPath, true)
+      w.create(listSchema, out)
+      oldRecs.foreach(w.append)
+      val dm = new GenericData.Record(listSchema)
+      dm.put("manifest_path", m1Path.toString)
+      dm.put("manifest_length", fs.getFileStatus(m1Path).getLen)
+      dm.put("partition_spec_id", 0)
+      dm.put("content", 1)
+      dm.put("sequence_number", 2L)
+      dm.put("min_sequence_number", 1L)
+      dm.put("added_snapshot_id", snap.get("snapshot-id").asLong)
+      dm.put("added_files_count", 2)
+      dm.put("existing_files_count", 0)
+      dm.put("deleted_files_count", 0)
+      dm.put("added_rows_count", 4L)
+      dm.put("existing_rows_count", 0L)
+      dm.put("deleted_rows_count", 0L)
+      w.append(dm)
+      w.close()
+    }
+    snap.put("manifest-list", newListPath.toString): Unit
+    meta1.put("last-sequence-number", 2L): Unit
+    graft.catalog.LogStore.write(fs, new Path(metaDir, "v2.metadata.json"),
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .writerWithDefaultPrettyPrinter().writeValueAsBytes(meta1))
+    graft.catalog.LogStore.write(fs, new Path(metaDir, "version-hint.text"),
+      "2".getBytes("UTF-8"))
+
+    // seq-2 deletes apply (3,4,8 gone); the seq-1 delete of k=5 does NOT
+    // (data files are at seq 1 — not strictly lower)
+    val expected = (1L to 10L).toSet -- Set(3L, 4L, 8L)
+    assert(IcebergInterop.readIceberg(spark, dest)
+      .select("k").as[Long].collect().toSet == expected)
+    // import: byte-copy + equality deletes resolved to native tombstones
+    val imported = tmp("graft_ice_eq_imp") + "/t"
+    IcebergInterop.importIceberg(spark, dest, imported)
+    val ilog = new CommitLog(spark, imported)
+    assert(ilog.dvFiles(ilog.currentVersion.get).nonEmpty,
+      "equality deletes must import as native position tombstones")
+    assert(ilog.read().select("k").as[Long].collect().toSet == expected)
+    tmpAvro.delete(): Unit
+  }
+
   test("CALL export_iceberg / import_iceberg round a table through the open format") {
     val warehouse = tmp("graft_ice_wh")
     spark.conf.set("spark.sql.catalog.gi", classOf[graft.catalog.GraftTableCatalog].getName)
