@@ -65,6 +65,23 @@ object AnnIndex {
     (v, k)
   }
 
+  /** Columns carrying a persisted ANN index, with the snapshot version
+    * each was built at — the DESCRIBE DETAIL surface (vectors committed
+    * after that version scan conservatively until the next build).
+    */
+  def indexedColumns(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val fs = HadoopFs.fs(spark, root)
+    val base = new Path(root, "_index/ann")
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.flatMap { colDir =>
+      val c = colDir.getPath.getName
+      val vs = fs.listStatus(colDir.getPath).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.drop(1).nonEmpty &&
+          n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
+      if (vs.isEmpty) None else Some(c -> vs.max)
+    }.sortBy(_._1)
+  }
+
   /** Newest persisted index: (builtVersion, centroids, assignments). */
   def load(spark: SparkSession, root: String, column: String)
       : Option[(Long, DataFrame, DataFrame)] = {

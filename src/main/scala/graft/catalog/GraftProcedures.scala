@@ -191,9 +191,10 @@ private[catalog] object GraftProcedures {
     extends Proc("detail", Seq(in("table", StringType))) {
     override def description(): String =
       "one-row metadata snapshot: version, files, tombstones, bytes, rows, " +
-        "partition spec, analyze version, bloom-indexed columns"
+        "partition spec, analyze version, bloom- and ann-indexed columns"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val root = cat.rootOf(input.getUTF8String(0).toString)
+      val log = new CommitLog(cat.sparkSession, root)
       val v = log.currentVersion.getOrElse(throw new java.io.FileNotFoundException(
         s"detail: table has no commits"))
       val (bytes, rows) = log.snapshotStats(v)
@@ -201,11 +202,14 @@ private[catalog] object GraftProcedures {
         .add("version", LongType).add("files", IntegerType)
         .add("dv_files", IntegerType).add("bytes", LongType)
         .add("rows", LongType).add("partitioned_by", StringType)
-        .add("analyzed_version", LongType).add("bloom_indexes", StringType),
+        .add("analyzed_version", LongType).add("bloom_indexes", StringType)
+        .add("ann_indexes", StringType),
         v, log.files(v).length, log.dvFiles(v).length, bytes,
         rows.getOrElse(-1L), log.partitionColumns(v).mkString(","),
         log.analyzedStats().map(_._1).getOrElse(-1L),
-        log.bloomIndexedColumns.map { case (c, bv) => s"$c@v$bv" }.mkString(","))
+        log.bloomIndexedColumns.map { case (c, bv) => s"$c@v$bv" }.mkString(","),
+        AnnIndex.indexedColumns(cat.sparkSession, root)
+          .map { case (c, av) => s"$c@v$av" }.mkString(","))
     }
   }
 

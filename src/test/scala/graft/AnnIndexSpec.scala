@@ -68,6 +68,26 @@ class AnnIndexSpec extends AnyFunSuite {
         s"absent from the index: ${top.toSeq}")
   }
 
+  test("CALL build_ann_index persists through the catalog; detail reports it") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_annwh").toString
+    spark.conf.set("spark.sql.catalog.gann",
+      classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gann.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gann.db")
+    spark.sql("CREATE TABLE gann.db.emb AS SELECT id AS vec_id, " +
+      "transform(sequence(0, 7), j -> CAST(pmod(id * (j + 3), 17) AS FLOAT)) " +
+      "AS embedding FROM range(0, 100)")
+    val r = spark.sql(
+      "CALL gann.system.build_ann_index('db.emb', 'embedding', 'vec_id', 4, 2)").head()
+    assert(r.getLong(0) == 1L && r.getInt(1) == 4)
+    val d = spark.sql("CALL gann.system.detail('db.emb')").head()
+    assert(d.getString(8) == "embedding@v1", d.getString(8))
+    // the persisted index probes across "sessions" (pure disk reload)
+    val got = AnnIndex.probe(spark, s"$warehouse/db/emb", "embedding", "vec_id",
+      anchorId = 7L, nprobe = 4, topk = 5)
+    assert(got.count() == 5)
+  }
+
   test("rebuild retires the superseded index version") {
     val root = freshRoot()
     val log = new CommitLog(spark, root)

@@ -160,6 +160,7 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(r.getString(5) == "")                     // unpartitioned
     assert(r.getLong(6) == -1L)                      // never analyzed
     assert(r.getString(7) == "k@v1", r.getString(7)) // bloom index
+    assert(r.getString(8) == "")                     // no ann index
   }
 
   test("tombstoned rows never resurrect through an indexed read") {
