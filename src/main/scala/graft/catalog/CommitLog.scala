@@ -225,13 +225,14 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     */
   private[graft] def publishPending(df: DataFrame, id: String,
       decisionUri: String, replace: Boolean, maxAttempts: Int = 50): Long = {
+    enforceConstraints(df, checkConstraints, "xtxn")
     val newLines = stageToPool(df, "xtxn")
     var attempt = 0
     while (attempt < maxAttempts) {
       val v = currentVersion.getOrElse(0L) + 1
       val prev = currentVersion.map(manifestLines).getOrElse(Seq.empty)
       if (!replace) requireUnpartitioned("publishPending(append)", v, prev)
-      val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
+      val carried = if (replace) replaceCarried(prev) else prev
       beforePublish(attempt, v)
       if (publish(v, s"#xtxn:$id\t$decisionUri" +: (carried ++ newLines))) return v
       racePause(attempt, v)
@@ -324,6 +325,271 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   def txns(v: Long): Set[String] =
     manifestLines(v).filter(_.startsWith("#txn:"))
       .map(_.stripPrefix("#txn:")).toSet
+
+  // ---- CHECK constraints ---------------------------------------------------
+
+  /** CHECK constraints in force at a version (`#check:` header: compact
+    * JSON object, name -> SQL boolean expression). Constraints are table
+    * METADATA, not data: appends carry the header forward with the raw
+    * lines, and every replace/compaction/rewrite re-adds it alongside the
+    * `#txn:` memory ([[replaceCarried]]). RESTORE reverts the set with
+    * the rest of the restored version's manifest — the rollback target's
+    * constraints are what its data was admitted under. Grounding: the
+    * reference gates every write behind gateway request validation
+    * (swagger:26-27 validator, SURVEY.md §2.1 R12); this is the
+    * lakehouse-native form — declared once, enforced on the write path.
+    */
+  def checkConstraints(v: Long): Map[String, String] = checkOf(manifestLines(v))
+
+  /** Head constraints; empty for an uncommitted table. */
+  def checkConstraints: Map[String, String] =
+    currentVersion.map(checkConstraints).getOrElse(Map.empty)
+
+  private def checkOf(lines: Seq[String]): Map[String, String] =
+    lines.find(_.startsWith("#check:")).map { l =>
+      org.json4s.jackson.JsonMethods.parse(l.stripPrefix("#check:")) match {
+        case org.json4s.JObject(fs) =>
+          fs.collect { case (k, org.json4s.JString(s)) => k -> s }.toMap
+        case _ => Map.empty[String, String]
+      }
+    }.getOrElse(Map.empty)
+
+  private def checkHeader(cs: Map[String, String]): String =
+    "#check:" + org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JObject(cs.toList.sortBy(_._1).map {
+          case (k, s) => k -> org.json4s.JString(s) })))
+
+  /** Headers that must outlive a replace/compaction: applied-batch
+    * memory (`#txn:`), declared CHECK constraints (`#check:`), and the
+    * declared clustering spec (`#cluster:`). Everything else (partition
+    * spec, cursors, clone provenance) is re-derived or re-declared by
+    * the rewriting operation itself.
+    */
+  private def replaceCarried(prev: Seq[String]): Seq[String] =
+    prev.filter(l => l.startsWith("#txn:") || l.startsWith("#check:") ||
+      l.startsWith("#cluster:"))
+
+  // ---- declared clustering -------------------------------------------------
+
+  /** Clustering columns declared at a version (`#cluster:` header, JSON
+    * array). Clustering is a LAYOUT hint, not semantics: when declared,
+    * every data-writing path range-partitions + sorts incoming batches
+    * on these columns before staging, so each pool file carries a tight,
+    * pairwise-disjoint footer min/max range and every future range/point
+    * read prunes to O(matching files) — the liquid-clustering posture:
+    * declared once on the table, honored by writes and maintenance, no
+    * manual `optimizeBy` needed to keep layout. Values are never
+    * affected; a batch missing a clustering column stages unsorted
+    * (conservative, still correct).
+    */
+  def clusteringColumns(v: Long): Seq[String] = clusterOf(manifestLines(v))
+
+  /** Head clustering spec; empty for an uncommitted or undeclared table. */
+  def clusteringColumns: Seq[String] =
+    currentVersion.map(clusteringColumns).getOrElse(Seq.empty)
+
+  private def clusterOf(lines: Seq[String]): Seq[String] =
+    lines.find(_.startsWith("#cluster:")).map { l =>
+      org.json4s.jackson.JsonMethods.parse(l.stripPrefix("#cluster:")) match {
+        case org.json4s.JArray(vs) =>
+          vs.collect { case org.json4s.JString(s) => s }
+        case _ => Seq.empty[String]
+      }
+    }.getOrElse(Seq.empty)
+
+  private def clusterHeader(cols: Seq[String]): String =
+    "#cluster:" + org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JArray(cols.toList.map(org.json4s.JString(_)))))
+
+  /** Declare (or with `Seq.empty` clear) the table's clustering columns:
+    * a metadata-only commit publishing the `#cluster:` header. Legal on
+    * a table with NO commits yet (publishes a header-only v1), so the
+    * layout contract can be in force from the very first data commit.
+    * Existing files are NOT rewritten — `compact()`/`optimize` converge
+    * them; new writes cluster immediately.
+    */
+  def setClustering(cols: Seq[String]): Long = {
+    require(cols.distinct == cols, s"setClustering: duplicate columns in $cols")
+    var attempt = 0
+    while (attempt < 50) {
+      val vOpt = currentVersion
+      val prev = vOpt.map(manifestLines).getOrElse(Seq.empty)
+      val partCols = partitionColsOf(prev)
+      val overlap = cols.filter(partCols.contains)
+      require(overlap.isEmpty,
+        s"setClustering: $overlap are partition columns — constant within " +
+          "every file already, clustering them is a no-op by construction")
+      if (cols.nonEmpty && dataNamesOf(prev).nonEmpty) {
+        val have = readVersion(vOpt.get).columns.toSet
+        val missing = cols.filterNot(have)
+        require(missing.isEmpty,
+          s"setClustering: unknown column(s) $missing (have: ${have.toSeq.sorted})")
+      }
+      val v = vOpt.getOrElse(0L)
+      hfs.mkdirs(commitsDir)
+      val lines = prev.filterNot(_.startsWith("#cluster:"))
+      val manifest = if (cols.isEmpty) lines else clusterHeader(cols) +: lines
+      beforePublish(attempt, v + 1)
+      if (publish(v + 1, manifest)) return v + 1
+      racePause(attempt, v + 1)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"setClustering: lost the version race 50 times under $tableRoot")
+  }
+
+  /** Apply the declared clustering layout to an outgoing batch: range-
+    * repartition on (partition cols ++ clustering cols) — disjoint
+    * ranges across tasks by construction — then sort within each task,
+    * so hive partition splitting keeps per-file clustering-column runs
+    * contiguous and footer bounds tight. A batch missing any clustering
+    * column (schema evolution) stages as-is: layout is best-effort,
+    * correctness never depends on it.
+    */
+  private def clustered(df: DataFrame, partCols: Seq[String] = Seq.empty,
+      numParts: Option[Int] = None): DataFrame = {
+    val declared = clusteringColumns
+    val have = df.columns.toSet
+    if (declared.isEmpty || !declared.forall(have)) return df
+    val keys = (partCols.filter(have) ++ declared).map(col)
+    // default: UNPINNED range shuffle, so AQE sizes the output files to
+    // the batch (a small append → few files, a bulk load → many) — the
+    // small-file-hygiene behavior a 100 TB table wants. A pinned count
+    // (spark.graft.clusteredWrite.partitions, or the caller's explicit
+    // nOut in compact) bypasses AQE coalescing for callers that need a
+    // deterministic file fan-out.
+    val pinned = numParts.orElse {
+      val c = spark.conf.get("spark.graft.clusteredWrite.partitions", "0").toInt
+      if (c > 0) Some(c) else None
+    }
+    val ranged = pinned match {
+      case Some(n) => df.repartitionByRange(n, keys: _*)
+      case None    => df.repartitionByRange(keys: _*)
+    }
+    ranged.sortWithinPartitions(keys: _*)
+  }
+
+  /** Declare a CHECK constraint: existing data must already satisfy it
+    * (one pushed-down scan of the head snapshot), then a metadata-only
+    * commit publishes the updated `#check:` header atomically with the
+    * unchanged content lines — so the constraint and the proof that the
+    * table meets it land together or not at all. From then on every
+    * write path validates O(batch) — incoming rows only, never the
+    * table. Violation = the expression evaluates to FALSE; NULL passes
+    * (SQL-standard CHECK, so `c > 0` admits NULL rows — declare
+    * `c IS NOT NULL` separately to reject them). Losing a head race
+    * re-validates against the new head, so a row appended mid-call is
+    * never grandfathered in unchecked.
+    */
+  def addConstraint(name: String, exprSql: String): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"addConstraint: bad constraint name '$name'")
+    spark.sessionState.sqlParser.parseExpression(exprSql) // fail-fast syntax
+    var attempt = 0
+    while (attempt < 50) {
+      val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+        s"addConstraint: no committed version under $tableRoot"))
+      val existing = checkConstraints(v)
+      require(!existing.contains(name),
+        s"addConstraint: constraint '$name' already exists " +
+          s"(${existing(name)}) — drop it first to redefine")
+      val bad = readVersion(v).filter(violates(exprSql)).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"addConstraint: $bad existing row(s) violate '$name' ($exprSql) " +
+          s"under $tableRoot")
+      val lines = manifestLines(v).filterNot(_.startsWith("#check:"))
+      beforePublish(attempt, v + 1)
+      if (publish(v + 1, checkHeader(existing + (name -> exprSql)) +: lines))
+        return v + 1
+      racePause(attempt, v + 1)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"addConstraint: lost the version race 50 times under $tableRoot")
+  }
+
+  /** Remove a declared constraint (metadata-only commit; loud on an
+    * unknown name — silently "dropping" a typo would leave the real
+    * constraint enforcing).
+    */
+  def dropConstraint(name: String): Long = {
+    var attempt = 0
+    while (attempt < 50) {
+      val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+        s"dropConstraint: no committed version under $tableRoot"))
+      val existing = checkConstraints(v)
+      require(existing.contains(name),
+        s"dropConstraint: no constraint named '$name' " +
+          s"(have: ${existing.keys.toSeq.sorted.mkString(", ")})")
+      val rest = existing - name
+      val lines = manifestLines(v).filterNot(_.startsWith("#check:"))
+      val manifest = if (rest.isEmpty) lines else checkHeader(rest) +: lines
+      beforePublish(attempt, v + 1)
+      if (publish(v + 1, manifest)) return v + 1
+      racePause(attempt, v + 1)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"dropConstraint: lost the version race 50 times under $tableRoot")
+  }
+
+  /** Violation predicate: NOT coalesce(expr, TRUE) — FALSE rows only. */
+  private def violates(exprSql: String): org.apache.spark.sql.Column =
+    !org.apache.spark.sql.functions.coalesce(
+      org.apache.spark.sql.functions.expr(exprSql).cast("boolean"), lit(true))
+
+  /** Reject `df` when any row violates a constraint in `cs`. One
+    * aggregate pass counts violations for EVERY constraint (the error
+    * names them all, not just the first); the 3-row sample is gathered
+    * only on the failure path. Columns the batch lacks (schema-evolution
+    * appends) are padded as typed NULLs from the head schema before
+    * evaluation — NULL passes, matching what the padded rows will read
+    * back as. O(batch), never O(table), and zero cost when the table
+    * declares no constraints.
+    */
+  private def enforceConstraints(df: DataFrame, cs: Map[String, String],
+      op: String): Unit = {
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.{sum, when}
+    val have = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val padded = currentVersion.map(readVersion(_).schema.fields.toSeq)
+      .getOrElse(Seq.empty)
+      .filterNot(f => have(f.name.toLowerCase(java.util.Locale.ROOT)))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val named = cs.toSeq.sortBy(_._1)
+    val aggs = named.map { case (_, e) =>
+      sum(when(violates(e), 1L).otherwise(0L)) }
+    val counts = padded.agg(aggs.head, aggs.tail: _*).head()
+    val broken = named.zipWithIndex.collect {
+      case ((n, e), i) if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
+        (n, e, counts.getLong(i))
+    }
+    if (broken.nonEmpty) {
+      val (_, firstExpr, _) = broken.head
+      val sample = padded.filter(violates(firstExpr)).limit(3).collect()
+        .mkString("; ")
+      throw new IllegalStateException(
+        s"$op: CHECK constraint violation — " +
+          broken.map { case (n, e, c) => s"'$n' ($e): $c row(s)" }
+            .mkString(", ") + s"; sample [$sample]")
+    }
+  }
+
+  /** File-path twin of [[enforceConstraints]] for the staged/pooled
+    * write paths (SQL row-level rewrites, streaming epochs): reads the
+    * about-to-be-committed parquet once — and only when the table
+    * declares constraints at all.
+    */
+  private def enforceConstraintsOnPaths(paths: Seq[Path],
+      cs: Map[String, String], op: String): Unit = {
+    if (cs.isEmpty || paths.isEmpty) return
+    enforceConstraints(
+      spark.read.option("mergeSchema", "true")
+        .parquet(paths.map(_.toString): _*),
+      cs, op)
+  }
 
   // ---- footer statistics -------------------------------------------------
 
@@ -525,7 +791,11 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     txn.foreach { id =>
       currentVersion.foreach { v => if (txns(v).contains(id)) return v }
     }
-    val newLines = stageToPool(df, "commit")
+    // validate BEFORE staging (a rejected batch leaves no pool litter);
+    // re-validated in the race loop if the constraint set moved under us
+    var validatedCs = checkConstraints
+    enforceConstraints(df, validatedCs, "commit")
+    val newLines = stageToPool(clustered(df), "commit")
     // race for the head version: stage a manifest for head+1, atomic
     // rename into place; the loser re-reads the head and retries with
     // the SAME pooled file names (carried-over lines keep their stats)
@@ -539,7 +809,11 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         if (prev.contains(s"#txn:$id")) return v - 1  // lost race to our own id's writer
       }
       if (!replace) requireUnpartitioned("commit(append)", v, prev)
-      val carried0 = if (replace) prev.filter(_.startsWith("#txn:")) else prev
+      val curCs = checkOf(prev)
+      if (curCs != validatedCs) { // constraint DDL won a race: re-validate
+        enforceConstraints(df, curCs, "commit"); validatedCs = curCs
+      }
+      val carried0 = if (replace) replaceCarried(prev) else prev
       val carried = header.fold(carried0) { case (k, _) =>
         carried0.filterNot(_.startsWith(s"#$k:"))
       }
@@ -788,7 +1062,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           else s"partitioned by $existing"}, append by $partitionCols " +
           "would mix layouts (replace=true may change the spec)")
     }
-    val newLines = stagePartitioned(df, partitionCols, "commitPartitioned")
+    var validatedCs = checkConstraints
+    enforceConstraints(df, validatedCs, "commitPartitioned")
+    val newLines = stagePartitioned(clustered(df, partitionCols),
+      partitionCols, "commitPartitioned")
     val header = "#partition:" + org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
         org.json4s.JArray(partitionCols.map(org.json4s.JString(_)).toList)))
@@ -816,8 +1093,12 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
             s"(now ${if (headCols.isEmpty) "flat" else s"partitioned by $headCols"}); " +
             s"append by $partitionCols would mix layouts")
       }
+      val curCs = checkOf(prev)
+      if (curCs != validatedCs) {
+        enforceConstraints(df, curCs, "commitPartitioned"); validatedCs = curCs
+      }
       val carried =
-        if (replace) prev.filter(_.startsWith("#txn:"))
+        if (replace) replaceCarried(prev)
         else prev.filterNot(_.startsWith("#partition:"))
       val manifest = header +: (carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines)
       beforePublish(attempt, v)
@@ -845,6 +1126,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       currentVersion.foreach { v => if (txns(v).contains(id)) return v }
     }
     if (paths.isEmpty && !replace) return currentVersion.getOrElse(0L)
+    // validate BEFORE the pool move: a rejected epoch leaves its files
+    // where the writer staged them (the stage dir ages out), not in the
+    // pool masquerading as committable content
+    enforceConstraintsOnPaths(paths, checkConstraints, "commitPooledFiles")
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     hfs.mkdirs(dataDir)
     hfs.mkdirs(commitsDir)
@@ -865,7 +1150,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         if (prev.contains(s"#txn:$id")) return v - 1
       }
       if (!replace) requireUnpartitioned("commitPooledFiles(append)", v, prev)
-      val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
+      val carried = if (replace) replaceCarried(prev) else prev
       beforePublish(attempt, v)
       if (publish(v, carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines)) return v
       racePause(attempt, v)
@@ -944,7 +1229,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val v = currentVersion.getOrElse(0L) + 1
       val prev = currentVersion.map(manifestLines).getOrElse(Seq.empty)
       if (!replace) requireUnpartitioned("commitCopiedWithTombstones(append)", v, prev)
-      val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
+      val carried = if (replace) replaceCarried(prev) else prev
       beforePublish(attempt, v)
       if (publish(v, carried ++ dataLines ++ tombLines)) return v
       racePause(attempt, v)
@@ -1043,12 +1328,15 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     */
   def commitStaged(stageDir: String, replace: Boolean): Long = {
     val newLines = poolFromStage(new Path(stageDir), "commitStaged")
+    enforceConstraintsOnPaths(
+      newLines.map(l => new Path(dataDir, l.split('\t').head)),
+      checkConstraints, "commitStaged")
     var attempt = 0
     while (attempt < 50) {
       val v = currentVersion.getOrElse(0L) + 1
       val prev = currentVersion.map(manifestLines).getOrElse(Seq.empty)
       if (!replace) requireUnpartitioned("commitStaged(append)", v, prev)
-      val carried = if (replace) prev.filter(_.startsWith("#txn:")) else prev
+      val carried = if (replace) replaceCarried(prev) else prev
       beforePublish(attempt, v)
       if (publish(v, carried ++ newLines)) return v
       racePause(attempt, v)
@@ -1448,6 +1736,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   def merge(updates: DataFrame, keyCol: String, maxAttempts: Int = 5): Long = {
     require(updates.select(keyCol).distinct().count() == updates.count(),
       s"merge: duplicate keys in the updates batch")
+    var validatedCs: Map[String, String] = null
     var attempt = 0
     while (attempt < maxAttempts) {
       val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
@@ -1458,6 +1747,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val cols = readVersion(v).columns.toSeq
       require(updates.columns.toSet == cols.toSet,
         s"merge: updates schema ${updates.columns.toSeq} != table schema $cols")
+      val curCs = checkOf(lines)
+      if (curCs != validatedCs) { // only the incoming rows can newly violate
+        enforceConstraints(updates, curCs, "merge"); validatedCs = curCs
+      }
       val keys = updates.select(keyCol).distinct()
       val touched = findTouched(lines, fileStats(v), keys, keyCol, partTypes = partTypes)
       val keptLines = lines.filterNot(l => touched(l.split('\t').head))
@@ -1580,6 +1873,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
             .select(cols.map(col): _*)
           stage(survivors)
         }
+      // survivors cannot newly violate; only the injected rows can
+      extra.foreach(enforceConstraints(_, checkOf(lines), "rewriteWhere"))
       val extraLines = extra.map(stage).getOrElse(Seq.empty)
       beforePublish(attempt, v + 1)
       if (publish(v + 1, keptLines ++ survivorLines ++ extraLines)) return v + 1
@@ -1651,6 +1946,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
             case None    => col(c)
           }
         }: _*)
+      // validate the rewrite output (only SET rows can newly violate,
+      // but the pass is O(touched files) either way — and zero when the
+      // table declares no constraints)
+      enforceConstraints(rewritten, checkOf(lines), "updateWhere")
       val stagedLines =
         if (partCols.isEmpty) stageToPool(rewritten, "updateWhere")
         else stagePartitioned(rewritten, partCols, "updateWhere")
@@ -2531,13 +2830,23 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val packBytes = sized.collect { case (n, b) if packSet(n) => b }.sum
       val nOut = math.max(1, math.ceil(packBytes.toDouble / targetFileBytes).toInt)
       val keptLines = lines.filterNot(l => packSet(l.split('\t').head))
+      // declared clustering: the pack rewrite is the convergence point —
+      // files written before the declaration (or restaged by CoW ops)
+      // come out range-clustered here
+      val hasCluster = clusterOf(lines).nonEmpty
       val newLines =
-        if (partCols.isEmpty)
-          stageToPool(readFiles(pack.sorted, None).coalesce(nOut), "compact")
-        else stagePartitioned(
-          readFiles(pack.sorted, None, partTypesOf(lines))
-            .repartition(nOut, partCols.map(col): _*),
-          partCols, "compact")
+        if (partCols.isEmpty) {
+          val packed = readFiles(pack.sorted, None)
+          stageToPool(
+            if (hasCluster) clustered(packed, numParts = Some(nOut))
+            else packed.coalesce(nOut), "compact")
+        } else {
+          val packed = readFiles(pack.sorted, None, partTypesOf(lines))
+          stagePartitioned(
+            if (hasCluster) clustered(packed, partCols, Some(nOut))
+            else packed.repartition(nOut, partCols.map(col): _*),
+            partCols, "compact")
+        }
       beforePublish(attempt, v + 1)
       if (publish(v + 1, keptLines ++ newLines)) return (names.length, currentFileCount)
       racePause(attempt, v + 1)

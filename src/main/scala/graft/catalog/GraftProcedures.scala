@@ -30,7 +30,8 @@ private[catalog] object GraftProcedures {
     Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta",
       "export_iceberg", "import_iceberg", "rewrite_deletes", "history",
       "materialize_mapping", "analyze", "clone", "build_bloom_index",
-      "create_mv", "refresh_mv", "detail", "replicate", "build_ann_index")
+      "create_mv", "refresh_mv", "detail", "replicate", "build_ann_index",
+      "add_constraint", "drop_constraint", "set_clustering")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -52,6 +53,9 @@ private[catalog] object GraftProcedures {
     case "refresh_mv"      => new RefreshMv(cat)
     case "replicate"       => new Replicate(cat)
     case "build_ann_index" => new BuildAnnIndex(cat)
+    case "add_constraint"  => new AddConstraint(cat)
+    case "drop_constraint" => new DropConstraint(cat)
+    case "set_clustering"  => new SetClustering(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
   }
@@ -108,10 +112,41 @@ private[catalog] object GraftProcedures {
         "range-clusters, a comma-separated list Z-orders"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
-      val cols = input.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty)
+      val named = input.getUTF8String(1).toString.split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      // empty cluster_by falls back to the table's DECLARED clustering
+      // (set_clustering) — `CALL optimize('db.t', '')` is the standing
+      // maintenance call that needs no per-invocation column knowledge
+      val cols = if (named.nonEmpty) named else log.clusteringColumns
+      require(cols.nonEmpty,
+        "optimize: no cluster_by given and the table declares no " +
+          "clustering (CALL graft.system.set_clustering first)")
       val (before, after) =
-        if (cols.length > 1) log.optimizeZOrder(cols.toSeq) else log.optimizeBy(cols.head)
+        if (cols.length > 1) log.optimizeZOrder(cols) else log.optimizeBy(cols.head)
       result(rewriteSchema, before, after)
+    }
+  }
+
+  /** `CALL graft.system.set_clustering('db.t', 'k1,k2')` — declare the
+    * table's clustering columns ([[CommitLog.setClustering]]): every
+    * later write range-clusters its batch so footer stats prune range
+    * and point reads; compact/optimize converge pre-declaration files.
+    * Empty string clears the declaration.
+    */
+  private final class SetClustering(cat: GraftTableCatalog)
+    extends Proc("set_clustering", Seq(in("table", StringType),
+      in("cluster_by", StringType))) {
+    override def description(): String =
+      "declare clustering columns: writes range-cluster incoming batches " +
+        "(tight disjoint footer ranges → file skipping), maintenance " +
+        "converges old files; '' clears"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val cols = input.getUTF8String(1).toString.split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val v = log.setClustering(cols)
+      result(new StructType().add("version", LongType)
+        .add("clustered_by", StringType), v, cols.mkString(","))
     }
   }
 
@@ -203,13 +238,17 @@ private[catalog] object GraftProcedures {
         .add("dv_files", IntegerType).add("bytes", LongType)
         .add("rows", LongType).add("partitioned_by", StringType)
         .add("analyzed_version", LongType).add("bloom_indexes", StringType)
-        .add("ann_indexes", StringType),
+        .add("ann_indexes", StringType).add("check_constraints", StringType)
+        .add("clustered_by", StringType),
         v, log.files(v).length, log.dvFiles(v).length, bytes,
         rows.getOrElse(-1L), log.partitionColumns(v).mkString(","),
         log.analyzedStats().map(_._1).getOrElse(-1L),
         log.bloomIndexedColumns.map { case (c, bv) => s"$c@v$bv" }.mkString(","),
         AnnIndex.indexedColumns(cat.sparkSession, root)
-          .map { case (c, av) => s"$c@v$av" }.mkString(","))
+          .map { case (c, av) => s"$c@v$av" }.mkString(","),
+        log.checkConstraints(v).toSeq.sortBy(_._1)
+          .map { case (n, e) => s"$n: $e" }.mkString("; "),
+        log.clusteringColumns(v).mkString(","))
     }
   }
 
@@ -312,6 +351,42 @@ private[catalog] object GraftProcedures {
         src.currentVersion.getOrElse(-1L),
         synced.orElse(replica.currentVersion).getOrElse(-1L),
         synced.isEmpty)
+    }
+  }
+
+  /** `CALL graft.system.add_constraint('db.t', 'qty_pos', 'qty > 0')` —
+    * declare a CHECK constraint ([[CommitLog.addConstraint]]): one
+    * pushed-down scan proves the head already satisfies it, then a
+    * metadata-only commit publishes the `#check:` header; every later
+    * write validates O(batch). SQL-standard NULL semantics (NULL passes).
+    */
+  private final class AddConstraint(cat: GraftTableCatalog)
+    extends Proc("add_constraint", Seq(in("table", StringType),
+      in("name", StringType), in("expr", StringType))) {
+    override def description(): String =
+      "declare a CHECK constraint: existing data is verified once, then " +
+        "every write path validates incoming rows O(batch); violating " +
+        "batches are rejected whole (NULL passes, per SQL CHECK)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val v = log.addConstraint(input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString)
+      result(new StructType().add("version", LongType)
+        .add("constraints", IntegerType), v, log.checkConstraints.size)
+    }
+  }
+
+  private final class DropConstraint(cat: GraftTableCatalog)
+    extends Proc("drop_constraint", Seq(in("table", StringType),
+      in("name", StringType))) {
+    override def description(): String =
+      "remove a declared CHECK constraint (metadata-only commit; loud on " +
+        "an unknown name)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val v = log.dropConstraint(input.getUTF8String(1).toString)
+      result(new StructType().add("version", LongType)
+        .add("constraints", IntegerType), v, log.checkConstraints.size)
     }
   }
 

@@ -575,7 +575,90 @@ object CatalogSql {
       .orderBy("o_orderpriority")
   }
 
+  /** CHECK-constraint write gating as an oracle key
+    * ([[graft.catalog.CommitLog.addConstraint]], round 10): orders lands
+    * in a commit-log table, `price_pos: o_totalprice > 0` is declared
+    * (one pushed-down head scan proves it, then a metadata-only commit),
+    * a deliberately violating batch (every `%3` order, price negated)
+    * must bounce WHOLE, and a clean batch (every `%5` order) must land.
+    * The rollup equals raw-orders ∪ the `%5` slice — if enforcement
+    * ever admits the poisoned batch the hash mismatches, and if it
+    * wrongly rejects the clean batch the counts fall short. The 100 TB
+    * shape: validation is O(incoming batch) against a header the
+    * manifest already carries — the table is never rescanned.
+    */
+  private def checkConstraintGate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_check"
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // fresh base each run (the replace carries a prior run's #check header)
+    log.commit(src.repartition(8), replace = true)
+    if (!log.checkConstraints.contains("price_pos"))
+      log.addConstraint("price_pos", "o_totalprice > 0"): Unit
+    val poisoned = src.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", -col("o_totalprice"))
+    val rejected =
+      try { log.commit(poisoned, replace = false); false }
+      catch { case _: IllegalStateException => true }
+    // only proceed when the gate held — a silent admit (or a missed
+    // reject) leaves the rollup provably wrong vs the oracle
+    if (rejected)
+      log.commit(src.filter(col("o_orderkey") % 5 === 0), replace = false)
+    log.read().groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Declared clustering as an ORACLE key (round 10,
+    * [[graft.catalog.CommitLog.setClustering]]): the table declares
+    * `CLUSTER BY o_custkey` BEFORE any data lands (a header-only v1),
+    * then a deliberately shuffled replace commit must come out
+    * range-clustered — every pool file a tight, pairwise-disjoint
+    * custkey range — and a selective `readWhere` range rollup must
+    * hash-match the plain-filter recompute THROUGH the pruned read (a
+    * layout bug that drops or double-reads a file is exactly what the
+    * oracle catches; ClusteringSpec pins the disjointness, compact
+    * convergence, partitioned and SQL surfaces). The 100 TB shape:
+    * clustering is a standing table property the write path maintains —
+    * not a manual OPTIMIZE someone has to remember — so range/point
+    * queries stay O(matching files) as data arrives.
+    */
+  private def clusterPruned(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_clustered"
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val fresh =
+      try log.clusteringColumns == Seq("o_custkey") &&
+        log.read().count() == src.count()
+      catch { case _: Exception => false }
+    if (!fresh) {
+      if (log.clusteringColumns != Seq("o_custkey")) {
+        if (log.clusteringColumns.nonEmpty) log.setClustering(Seq.empty): Unit
+        log.setClustering(Seq("o_custkey")): Unit
+      }
+      // pin the fan-out so the clustered layout is multi-file even at
+      // bench SFs (AQE would coalesce the small shuffle to one file and
+      // the pruned read would be vacuous); graft-only conf, restored
+      s.conf.set("spark.graft.clusteredWrite.partitions", "8")
+      try log.commit(src.repartition(8), replace = true)
+      finally s.conf.unset("spark.graft.clusteredWrite.partitions")
+    }
+    val hi = src.agg(max("o_custkey")).head().getLong(0) / 10
+    log.readWhere(Seq(("o_custkey", 0L, hi)))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_pruned" -> clusterPruned _,
+    "q_check_constraint" -> checkConstraintGate _,
     "q_update_where" -> updateWhereCow _,
     "q_ann_ivf_persisted" -> annIvfPersisted _,
     "q_replica_parity" -> replicaParity _,
@@ -596,6 +679,20 @@ object CatalogSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cluster_pruned" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey BETWEEN 0 AND (SELECT max(o_custkey) // 10 FROM orders)""".stripMargin,
+    "q_check_constraint" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (SELECT * FROM orders
+        |      UNION ALL
+        |      SELECT * FROM orders WHERE o_orderkey % 5 = 0) t
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_update_where" ->
       """SELECT CASE WHEN o_orderstatus = 'F' AND o_totalprice > 100000.0
         |            THEN '9-UPDATED' ELSE o_orderpriority END AS o_orderpriority,
