@@ -40,7 +40,8 @@ private[graft] object ColStats {
 
 /** One row of [[CommitLog.history]]: a retained version's metadata. */
 case class CommitInfo(version: Long, committedAtMs: Long, dataFiles: Int,
-    dvFiles: Int, txnCount: Int, partitionColumns: Seq[String])
+    dvFiles: Int, txnCount: Int, partitionColumns: Seq[String],
+    operation: String = "")
 
 object CommitLog {
   /** Default vacuum retention floor for committed VERSIONS (the streaming-
@@ -234,7 +235,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (!replace) requireUnpartitioned("publishPending(append)", v, prev)
       val carried = if (replace) replaceCarried(prev) else prev
       beforePublish(attempt, v)
-      if (publish(v, s"#xtxn:$id\t$decisionUri" +: (carried ++ newLines))) return v
+      if (publish(v, stamped("xtxn",
+        s"#xtxn:$id\t$decisionUri" +: (carried ++ newLines)))) return v
       racePause(attempt, v)
       attempt += 1
     }
@@ -370,6 +372,24 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     prev.filter(l => l.startsWith("#txn:") || l.startsWith("#check:") ||
       l.startsWith("#cluster:"))
 
+  // ---- operation tags ------------------------------------------------------
+
+  /** What operation published a version (`#op:` header), empty for
+    * manifests that predate the tag. Inert to every reader — pure
+    * DESCRIBE HISTORY provenance.
+    */
+  def operation(v: Long): String = opOf(manifestLines(v)).getOrElse("")
+
+  private def opOf(lines: Seq[String]): Option[String] =
+    lines.find(_.startsWith("#op:")).map(_.stripPrefix("#op:"))
+
+  /** Tag a manifest-to-publish with its operation, dropping any stale
+    * tag carried from the previous version (each `#op:` describes ITS
+    * commit only).
+    */
+  private def stamped(op: String, lines: Seq[String]): Seq[String] =
+    s"#op:$op" +: lines.filterNot(_.startsWith("#op:"))
+
   // ---- declared clustering -------------------------------------------------
 
   /** Clustering columns declared at a version (`#cluster:` header, JSON
@@ -432,7 +452,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val lines = prev.filterNot(_.startsWith("#cluster:"))
       val manifest = if (cols.isEmpty) lines else clusterHeader(cols) +: lines
       beforePublish(attempt, v + 1)
-      if (publish(v + 1, manifest)) return v + 1
+      if (publish(v + 1, stamped("set_clustering", manifest))) return v + 1
       racePause(attempt, v + 1)
       attempt += 1
     }
@@ -489,19 +509,27 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     spark.sessionState.sqlParser.parseExpression(exprSql) // fail-fast syntax
     var attempt = 0
     while (attempt < 50) {
-      val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
-        s"addConstraint: no committed version under $tableRoot"))
-      val existing = checkConstraints(v)
+      // legal on a table with NO commits yet (header-only v1) — the SQL
+      // front door declares constraints right after CREATE TABLE, before
+      // the first byte lands
+      val vOpt = currentVersion
+      val prev = vOpt.map(manifestLines).getOrElse(Seq.empty)
+      val existing = checkOf(prev)
       require(!existing.contains(name),
         s"addConstraint: constraint '$name' already exists " +
           s"(${existing(name)}) — drop it first to redefine")
-      val bad = readVersion(v).filter(violates(exprSql)).count()
-      if (bad > 0) throw new IllegalStateException(
-        s"addConstraint: $bad existing row(s) violate '$name' ($exprSql) " +
-          s"under $tableRoot")
-      val lines = manifestLines(v).filterNot(_.startsWith("#check:"))
+      if (dataNamesOf(prev).nonEmpty) {
+        val bad = readVersion(vOpt.get).filter(violates(exprSql)).count()
+        if (bad > 0) throw new IllegalStateException(
+          s"addConstraint: $bad existing row(s) violate '$name' ($exprSql) " +
+            s"under $tableRoot")
+      }
+      val v = vOpt.getOrElse(0L)
+      hfs.mkdirs(commitsDir)
+      val lines = prev.filterNot(_.startsWith("#check:"))
       beforePublish(attempt, v + 1)
-      if (publish(v + 1, checkHeader(existing + (name -> exprSql)) +: lines))
+      if (publish(v + 1, stamped("add_constraint",
+          checkHeader(existing + (name -> exprSql)) +: lines)))
         return v + 1
       racePause(attempt, v + 1)
       attempt += 1
@@ -527,7 +555,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val lines = manifestLines(v).filterNot(_.startsWith("#check:"))
       val manifest = if (rest.isEmpty) lines else checkHeader(rest) +: lines
       beforePublish(attempt, v + 1)
-      if (publish(v + 1, manifest)) return v + 1
+      if (publish(v + 1, stamped("drop_constraint", manifest))) return v + 1
       racePause(attempt, v + 1)
       attempt += 1
     }
@@ -819,8 +847,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       }
       val manifest = carried ++ txn.map(id => s"#txn:$id").toSeq ++
         header.map { case (k, hv) => s"#$k:$hv" }.toSeq ++ newLines
+      val opName = header.collect { case ("op", hv) => hv }
+        .getOrElse(if (replace) "replace" else "append")
       beforePublish(attempt, v)
-      if (publish(v, manifest)) return v
+      if (publish(v, stamped(opName, manifest))) return v
       racePause(attempt, v)
       attempt += 1
     }
@@ -864,7 +894,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         s"restore: empty commit log under $tableRoot"))
       val carried = manifestLines(head).filter(_.startsWith("#txn:"))
       beforePublish(attempt, head + 1)
-      if (publish(head + 1, carried ++ dataLines)) return head + 1
+      if (publish(head + 1, stamped("restore", carried ++ dataLines)))
+        return head + 1
       racePause(attempt, head + 1)
       attempt += 1
     }
@@ -1047,7 +1078,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * error.
     */
   def commitPartitioned(df: DataFrame, partitionCols: Seq[String],
-      replace: Boolean, txn: Option[String] = None): Long = {
+      replace: Boolean, txn: Option[String] = None,
+      op: Option[String] = None): Long = {
     txn.foreach { id =>
       currentVersion.foreach { v => if (txns(v).contains(id)) return v }
     }
@@ -1102,7 +1134,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         else prev.filterNot(_.startsWith("#partition:"))
       val manifest = header +: (carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines)
       beforePublish(attempt, v)
-      if (publish(v, manifest)) return v
+      if (publish(v, stamped(
+        op.getOrElse(if (replace) "replace" else "append"), manifest))) return v
       racePause(attempt, v)
       attempt += 1
     }
@@ -1152,7 +1185,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (!replace) requireUnpartitioned("commitPooledFiles(append)", v, prev)
       val carried = if (replace) replaceCarried(prev) else prev
       beforePublish(attempt, v)
-      if (publish(v, carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines)) return v
+      if (publish(v, stamped(if (replace) "replace" else "append",
+        carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines))) return v
       racePause(attempt, v)
       attempt += 1
     }
@@ -1231,7 +1265,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (!replace) requireUnpartitioned("commitCopiedWithTombstones(append)", v, prev)
       val carried = if (replace) replaceCarried(prev) else prev
       beforePublish(attempt, v)
-      if (publish(v, carried ++ dataLines ++ tombLines)) return v
+      if (publish(v, stamped("import",
+        carried ++ dataLines ++ tombLines))) return v
       racePause(attempt, v)
       attempt += 1
     }
@@ -1292,7 +1327,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     while (attempt < 50) {
       val v = currentVersion.getOrElse(0L) + 1
       beforePublish(attempt, v)
-      if (publish(v, s"#repsrc:$head" +: base)) return Some(v)
+      if (publish(v, stamped("replicate", s"#repsrc:$head" +: base)))
+        return Some(v)
       racePause(attempt, v)
       attempt += 1
     }
@@ -1338,7 +1374,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (!replace) requireUnpartitioned("commitStaged(append)", v, prev)
       val carried = if (replace) replaceCarried(prev) else prev
       beforePublish(attempt, v)
-      if (publish(v, carried ++ newLines)) return v
+      if (publish(v, stamped(if (replace) "replace" else "append",
+        carried ++ newLines))) return v
       racePause(attempt, v)
       attempt += 1
     }
@@ -1412,7 +1449,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       .foreach(registerCloneAt(_, tableRoot))
     // provenance header (inert to every reader — only #partition/#txn
     // carry semantics): names the branch point for forensics
-    if (!publish(1, s"#clone:$srcRoot@$v" +: absLines)) throw new java.io.IOException(
+    if (!publish(1, stamped("clone",
+        s"#clone:$srcRoot@$v" +: absLines))) throw new java.io.IOException(
       s"cloneFrom: lost the v1 race under $tableRoot")
     // a concurrent source vacuum may have dropped a time-travel target
     // version while this clone was in flight (the head always survives
@@ -1773,7 +1811,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         if (partCols.isEmpty) stageToPool(merged, "merge")
         else stagePartitioned(merged, partCols, "merge")
       beforePublish(attempt, v + 1)
-      if (publish(v + 1, keptLines ++ newLines)) return v + 1
+      if (publish(v + 1, stamped("merge", keptLines ++ newLines))) return v + 1
       racePause(attempt, v + 1)
       attempt += 1
     }
@@ -1810,7 +1848,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         if (partCols.isEmpty) stageToPool(survivors, "delete")
         else stagePartitioned(survivors, partCols, "delete")
       beforePublish(attempt, v + 1)
-      if (publish(v + 1, keptLines ++ newLines)) return v + 1
+      if (publish(v + 1, stamped("delete", keptLines ++ newLines))) return v + 1
       racePause(attempt, v + 1)
       attempt += 1
     }
@@ -1830,7 +1868,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * files are carried by name; `#` headers (txn memory) survive.
     */
   def rewriteWhere(cond: org.apache.spark.sql.Column, extra: Option[DataFrame],
-      maxAttempts: Int = 5): Long = {
+      maxAttempts: Int = 5, op: String = "rewrite"): Long = {
     import org.apache.spark.sql.functions.coalesce
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1877,7 +1915,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       extra.foreach(enforceConstraints(_, checkOf(lines), "rewriteWhere"))
       val extraLines = extra.map(stage).getOrElse(Seq.empty)
       beforePublish(attempt, v + 1)
-      if (publish(v + 1, keptLines ++ survivorLines ++ extraLines)) return v + 1
+      if (publish(v + 1, stamped(op,
+        keptLines ++ survivorLines ++ extraLines))) return v + 1
       racePause(attempt, v + 1)
       attempt += 1
     }
@@ -1887,7 +1926,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
 
   /** `DELETE FROM ... WHERE cond` as a predicate CoW commit. */
   def deleteWhere(cond: org.apache.spark.sql.Column, maxAttempts: Int = 5): Long =
-    rewriteWhere(cond, None, maxAttempts)
+    rewriteWhere(cond, None, maxAttempts, op = "delete")
 
   /** `UPDATE ... SET col = expr ... WHERE cond` as a predicate CoW
     * commit: only the files containing a matching row are rewritten —
@@ -1954,7 +1993,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         if (partCols.isEmpty) stageToPool(rewritten, "updateWhere")
         else stagePartitioned(rewritten, partCols, "updateWhere")
       beforePublish(attempt, v + 1)
-      if (publish(v + 1, keptLines ++ stagedLines)) return v + 1
+      if (publish(v + 1, stamped("update", keptLines ++ stagedLines))) return v + 1
       racePause(attempt, v + 1)
       attempt += 1
     }
@@ -1993,7 +2032,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val staged = stageToPool(tombs, "deleteWhereMoR")
       if (staged.isEmpty) return v
       beforePublish(attempt, v + 1)
-      if (publish(v + 1, manifestLines(v) ++ staged.map("-" + _))) return v + 1
+      if (publish(v + 1, stamped("delete_mor",
+        manifestLines(v) ++ staged.map("-" + _)))) return v + 1
       racePause(attempt, v + 1)
       attempt += 1
     }
@@ -2030,7 +2070,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val staged = stageToPool(tombs, "deleteKeysMoR")
       if (staged.isEmpty) return v
       beforePublish(attempt, v + 1)
-      if (publish(v + 1, manifestLines(v) ++ staged.map("-" + _))) return v + 1
+      if (publish(v + 1, stamped("delete_mor",
+        manifestLines(v) ++ staged.map("-" + _)))) return v + 1
       racePause(attempt, v + 1)
       attempt += 1
     }
@@ -2077,7 +2118,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
             partTypesOf(lines)), partCols, "rewriteDeletes")
         else stageToPool(readFiles(touched.toSeq.sorted, Some(dv)), "rewriteDeletes")
       beforePublish(attempt, v + 1)
-      if (publish(v + 1, keptLines ++ survivorLines)) return (dvN.length, touched.size)
+      if (publish(v + 1, stamped("rewrite_deletes",
+        keptLines ++ survivorLines))) return (dvN.length, touched.size)
       racePause(attempt, v + 1)
       attempt += 1
     }
@@ -2113,8 +2155,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     val clustered = readVersion(v)
       .repartitionByRange(nOut, keys: _*)
       .sortWithinPartitions(keys: _*)
-    if (partCols.isEmpty) commit(clustered, replace = true)
-    else commitPartitioned(clustered, partCols, replace = true)
+    if (partCols.isEmpty)
+      commit(clustered, replace = true, None, Some("op" -> "optimize"))
+    else commitPartitioned(clustered, partCols, replace = true,
+      op = Some("optimize"))
     (names.length, currentFileCount)
   }
 
@@ -2227,8 +2271,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       .repartitionByRange(nOut, keys: _*)
       .sortWithinPartitions(keys: _*)
       .drop("_graft_z")
-    if (partCols.isEmpty) commit(clustered, replace = true)
-    else commitPartitioned(clustered, partCols, replace = true)
+    if (partCols.isEmpty)
+      commit(clustered, replace = true, None, Some("op" -> "optimize"))
+    else commitPartitioned(clustered, partCols, replace = true,
+      op = Some("optimize"))
     (names.length, currentFileCount)
   }
 
@@ -2772,7 +2818,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       CommitInfo(v, commitTime(v), dataNamesOf(lines).length,
         dvNamesOf(lines).length,
         lines.count(_.startsWith("#txn:")),
-        partitionColsOf(lines))
+        partitionColsOf(lines),
+        opOf(lines).getOrElse(""))
     }
 
   /** File count of the current manifest (compaction bookkeeping). */
@@ -2804,11 +2851,13 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (dvNamesOf(lines).nonEmpty) {
         // tombstoned snapshot: full rewrite, which also folds the DVs
         if (partCols.nonEmpty)
-          commitPartitioned(readVersion(v), partCols, replace = true)
+          commitPartitioned(readVersion(v), partCols, replace = true,
+            op = Some("compact"))
         else {
           val bytes = names.map(n => hfs.getFileStatus(new Path(dataDir, n)).getLen).sum
           val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-          commit(readVersion(v).coalesce(nOut), replace = true)
+          commit(readVersion(v).coalesce(nOut), replace = true, None,
+            Some("op" -> "compact"))
         }
         return (names.length, currentFileCount)
       }
@@ -2848,7 +2897,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
             partCols, "compact")
         }
       beforePublish(attempt, v + 1)
-      if (publish(v + 1, keptLines ++ newLines)) return (names.length, currentFileCount)
+      if (publish(v + 1, stamped("compact",
+        keptLines ++ newLines))) return (names.length, currentFileCount)
       racePause(attempt, v + 1)
       attempt += 1
     }

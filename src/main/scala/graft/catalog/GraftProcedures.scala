@@ -443,15 +443,17 @@ private[catalog] object GraftProcedures {
   private final class History(cat: GraftTableCatalog)
     extends Proc("history", Seq(in("table", StringType))) {
     override def description(): String =
-      "retained versions newest-first: commit time, file/tombstone/txn counts, partition spec"
+      "retained versions newest-first: operation, commit time, " +
+        "file/tombstone/txn counts, partition spec"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
       resultRows(new StructType()
-        .add("version", LongType).add("committed_at_ms", LongType)
+        .add("version", LongType).add("operation", StringType)
+        .add("committed_at_ms", LongType)
         .add("data_files", IntegerType).add("dv_files", IntegerType)
         .add("txns", IntegerType).add("partitioned_by", StringType),
-        log.history().map(h => Seq[Any](h.version, h.committedAtMs, h.dataFiles,
-          h.dvFiles, h.txnCount, h.partitionColumns.mkString(","))))
+        log.history().map(h => Seq[Any](h.version, h.operation, h.committedAtMs,
+          h.dataFiles, h.dvFiles, h.txnCount, h.partitionColumns.mkString(","))))
     }
   }
 

@@ -133,11 +133,13 @@ class PartitionedCatalogSpec extends AnyFunSuite {
     spark.sql("DELETE FROM gp.db.ph WHERE k = 3")
     val h = spark.sql("CALL gp.system.history('db.ph')").collect()
     assert(h.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))   // newest first
-    assert(h.forall(_.getString(5) == "cat"))
+    assert(h.map(_.getString(1)).toSeq == Seq("delete_mor", "append", "append"),
+      h.map(_.getString(1)).toSeq.toString)                // operation tags
+    assert(h.forall(_.getString(6) == "cat"))
     val head = h.head
-    assert(head.getInt(3) > 0, "head must report the delete's DV file")
-    assert(h.last.getInt(3) == 0)
-    assert(head.getInt(2) >= h.last.getInt(2), "appends accumulate files")
+    assert(head.getInt(4) > 0, "head must report the delete's DV file")
+    assert(h.last.getInt(4) == 0)
+    assert(head.getInt(3) >= h.last.getInt(3), "appends accumulate files")
   }
 
   test("streaming tail of a partitioned catalog table keeps partition columns") {
