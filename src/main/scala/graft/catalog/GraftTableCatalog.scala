@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableCatalogCapability, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
@@ -15,7 +15,7 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** V2 `TableCatalog` plugin putting [[CommitLog]] tables behind catalog
@@ -56,6 +56,15 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** The analyzer gates DEFAULT-valued columns and ALTER TABLE
+    * ADD/DROP CONSTRAINT on these catalog capabilities; both map onto
+    * machinery the engine already owns (schema-sidecar field metadata;
+    * `CommitLog.addConstraint`'s `#check:` header).
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private def spark = SparkSession.active
   private def fs = HadoopFs.fs(spark, warehouse)
@@ -304,7 +313,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         // a re-added name whose physical slot is taken (dropped earlier,
         // or surrendered by a rename) binds to a FRESH physical name —
         // matching by name would resurrect the old column's bytes
-        val field =
+        val field0 =
           if (!reserved.contains(name))
             StructField(name, add.dataType(), nullable = true)
           else {
@@ -313,6 +322,16 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
             ColumnMapping.withPhysical(
               StructField(name, add.dataType(), nullable = true), phys)
           }
+        // ADD COLUMN ... DEFAULT: the default becomes BOTH the fill for
+        // future INSERTs omitting the column (CURRENT_DEFAULT) and the
+        // value pre-existing rows read back (EXISTS_DEFAULT — the parquet
+        // readers substitute it for the column missing from old files)
+        val field = Option(add.defaultValue()).fold(field0) { dv =>
+          field0.copy(metadata = new MetadataBuilder()
+            .withMetadata(field0.metadata)
+            .putString("CURRENT_DEFAULT", dv.getSql)
+            .putString("EXISTS_DEFAULT", dv.getSql).build())
+        }
         schema = StructType(schema.fields :+ field)
       case ren: TableChange.RenameColumn if ren.fieldNames().length == 1 =>
         val old = ren.fieldNames()(0); val nw = ren.newName()
@@ -340,8 +359,44 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         val phys = ColumnMapping.physicalName(schema(name))
         dropped += phys   // reserve forever: data files still carry the bytes
         schema = StructType(schema.fields.filterNot(_.name == name))
+      case upd: TableChange.UpdateColumnDefaultValue if upd.fieldNames().length == 1 =>
+        val name = upd.fieldNames()(0)
+        require(schema.fieldNames.contains(name),
+          s"ALTER COLUMN $name SET DEFAULT: no such column " +
+            s"(have ${schema.fieldNames.toSeq})")
+        val sql = Option(upd.newCurrentDefault()).map(_.getSql)
+          .orElse(Option(upd.newDefaultValue())).filter(_.nonEmpty)
+        schema = StructType(schema.fields.map { f =>
+          if (f.name != name) f
+          else {
+            val mb = new MetadataBuilder().withMetadata(f.metadata)
+            // DROP DEFAULT clears only the INSERT-time fill; an
+            // EXISTS_DEFAULT (from ADD COLUMN ... DEFAULT) must survive,
+            // or rows written before the column existed would silently
+            // flip from the promised default to NULL
+            sql.fold(mb.remove("CURRENT_DEFAULT")) { s =>
+              mb.putString("CURRENT_DEFAULT", s)
+            }
+            f.copy(metadata = mb.build())
+          }
+        })
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            new CommitLog(spark, root.toString)
+              .addConstraint(ck.name(), ck.predicateSql()): Unit
+          case other => throw new UnsupportedOperationException(
+            s"graft enforces CHECK constraints; ${other.toDDL} is not supported " +
+              "(UNIQUE/PK/FK would need global state no single write can verify)")
+        }
+      case dc: TableChange.DropConstraint =>
+        try new CommitLog(spark, root.toString).dropConstraint(dc.name()): Unit
+        catch {
+          case _: IllegalArgumentException if dc.ifExists() => ()
+        }
       case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports top-level ADD/RENAME/DROP COLUMN only, got $other")
+        s"graft ALTER TABLE supports top-level ADD/RENAME/DROP COLUMN, " +
+          s"SET/DROP DEFAULT, and ADD/DROP CONSTRAINT CHECK, got $other")
     }
     ColumnMapping.writeMeta(fs, root, dropped, seq)
     writeSchema(root, schema)
@@ -383,6 +438,20 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
   private[graft] def isPinned: Boolean = pinned.isDefined
 
   override def name(): String = tableName
+
+  /** The table's declared CHECK constraints, surfaced through the V2
+    * constraint API (DESCRIBE and the analyzer see them). They are
+    * reported as enforced+validated: the `#check:` header only ever
+    * lands with a proof scan, and every write path re-validates.
+    */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    log.checkConstraints.toSeq.sortBy(_._1).map { case (n, e) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(e).enforced(true)
+        .validationStatus(
+          org.apache.spark.sql.connector.catalog.constraints.Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   /** Whether this snapshot carries merge-on-read tombstones. Stable for
     * the table handle's lifetime (one analysis pass) — the analyzer rule

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.CommitLog
+
+/** Standard-SQL DDL front doors wired in round 10: `ALTER TABLE ... ADD/
+  * DROP CONSTRAINT ... CHECK` onto the commit log's `#check:` header,
+  * and DEFAULT column values through the V2 catalog capability (INSERTs
+  * omitting the column are filled by the analyzer; `ADD COLUMN ...
+  * DEFAULT` backfills pre-existing rows via EXISTS_DEFAULT at read
+  * time). Unique catalog name per suite: `gdl`.
+  */
+class SqlDdlSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("graft_ddlwh").toString
+    spark.conf.set("spark.sql.catalog.gdl", classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdl.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdl.db")
+    w
+  }
+
+  test("ALTER TABLE ADD CONSTRAINT CHECK gates writes; DROP CONSTRAINT lifts") {
+    warehouse
+    spark.sql("CREATE TABLE gdl.db.c AS SELECT id AS k, id + 1 AS qty FROM range(0, 10)")
+    spark.sql("ALTER TABLE gdl.db.c ADD CONSTRAINT qty_pos CHECK (qty > 0)")
+    val log = new CommitLog(spark, s"$warehouse/db/c")
+    assert(log.checkConstraints == Map("qty_pos" -> "qty > 0"))
+    val ex = intercept[Exception] { spark.sql("INSERT INTO gdl.db.c VALUES (100, -1)") }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("qty_pos")) || mentions(t.getCause))
+    assert(mentions(ex), s"INSERT must hit the named gate: ${ex.getMessage}")
+    assert(spark.table("gdl.db.c").count() == 10)
+    spark.sql("ALTER TABLE gdl.db.c DROP CONSTRAINT qty_pos")
+    assert(log.checkConstraints.isEmpty)
+    spark.sql("INSERT INTO gdl.db.c VALUES (100, -1)")
+    assert(spark.table("gdl.db.c").count() == 11)
+  }
+
+  test("ADD CONSTRAINT on an empty table holds from the first byte") {
+    warehouse
+    spark.sql("CREATE TABLE gdl.db.e (k BIGINT, qty INT)")
+    spark.sql("ALTER TABLE gdl.db.e ADD CONSTRAINT qty_pos CHECK (qty > 0)")
+    intercept[Exception] { spark.sql("INSERT INTO gdl.db.e VALUES (1, -1)") }
+    spark.sql("INSERT INTO gdl.db.e VALUES (1, 1)")
+    assert(spark.table("gdl.db.e").count() == 1)
+  }
+
+  test("ADD CONSTRAINT refuses when existing rows violate") {
+    warehouse
+    spark.sql("CREATE TABLE gdl.db.v AS SELECT id - 5 AS k FROM range(0, 10)")
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE gdl.db.v ADD CONSTRAINT k_pos CHECK (k >= 0)")
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("violate")) || mentions(t.getCause))
+    assert(mentions(ex), s"got: ${ex.getMessage}")
+    assert(new CommitLog(spark, s"$warehouse/db/v").checkConstraints.isEmpty)
+  }
+
+  test("DEFAULT column values: CREATE, INSERT omission, SET/DROP DEFAULT") {
+    warehouse
+    spark.sql("CREATE TABLE gdl.db.d (k BIGINT, status STRING DEFAULT 'NEW')")
+    spark.sql("INSERT INTO gdl.db.d (k) VALUES (1)")
+    spark.sql("INSERT INTO gdl.db.d VALUES (2, DEFAULT)")
+    spark.sql("INSERT INTO gdl.db.d VALUES (3, 'DONE')")
+    assert(spark.sql("SELECT status FROM gdl.db.d ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("NEW", "NEW", "DONE"))
+    spark.sql("ALTER TABLE gdl.db.d ALTER COLUMN status SET DEFAULT 'OPEN'")
+    spark.sql("INSERT INTO gdl.db.d (k) VALUES (4)")
+    assert(spark.sql("SELECT status FROM gdl.db.d WHERE k = 4").head().getString(0) == "OPEN")
+    spark.sql("ALTER TABLE gdl.db.d ALTER COLUMN status DROP DEFAULT")
+    spark.sql("INSERT INTO gdl.db.d (k) VALUES (5)")
+    assert(spark.sql("SELECT status FROM gdl.db.d WHERE k = 5").head().isNullAt(0))
+  }
+
+  test("ADD COLUMN ... DEFAULT backfills pre-existing rows at read time") {
+    warehouse
+    spark.sql("CREATE TABLE gdl.db.b AS SELECT id AS k FROM range(0, 3)")
+    spark.sql("ALTER TABLE gdl.db.b ADD COLUMN tier STRING DEFAULT 'basic'")
+    // old rows (files lack the column) read the exists-default, not NULL
+    assert(spark.sql("SELECT tier FROM gdl.db.b")
+      .collect().map(_.getString(0)).toSeq == Seq.fill(3)("basic"))
+    spark.sql("INSERT INTO gdl.db.b VALUES (10, 'gold')")
+    spark.sql("INSERT INTO gdl.db.b (k) VALUES (11)")
+    assert(spark.sql("SELECT k, tier FROM gdl.db.b ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(0L -> "basic", 1L -> "basic", 2L -> "basic", 10L -> "gold", 11L -> "basic"))
+  }
+
+  test("constraints surface through the V2 table handle") {
+    warehouse
+    spark.sql("CREATE TABLE gdl.db.s AS SELECT id AS k FROM range(0, 5)")
+    spark.sql("ALTER TABLE gdl.db.s ADD CONSTRAINT k_nn CHECK (k IS NOT NULL)")
+    val cat = spark.sessionState.catalogManager.catalog("gdl")
+      .asInstanceOf[graft.catalog.GraftTableCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("db"), "s"))
+    val cs = t.constraints()
+    assert(cs.length == 1 && cs.head.name() == "k_nn" && cs.head.enforced(),
+      cs.mkString(", "))
+  }
+}
