@@ -43,6 +43,14 @@ case class CommitInfo(version: Long, committedAtMs: Long, dataFiles: Int,
     dvFiles: Int, txnCount: Int, partitionColumns: Seq[String],
     operation: String = "")
 
+/** One named ref of [[CommitLog.refs]]: `kind` is `"tag"` (immutable
+  * pointer at a main-table version, pinned against vacuum) or
+  * `"branch"` (a mutable fork whose own commit chain lives under
+  * `_branches/<name>`); `version` is the tagged version (tag) or the
+  * main-table fork point (branch).
+  */
+case class RefInfo(name: String, kind: String, version: Long)
+
 object CommitLog {
   /** Default vacuum retention floor for committed VERSIONS (the streaming-
     * checkpoint handshake): 7 days, the common lakehouse default.
@@ -1527,6 +1535,224 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     live.toSet
   }
 
+  // ---- named refs: tags, branches, write-audit-publish ---------------------
+  //
+  // A ref is one tiny file under `_refs/<name>` holding `kind\tversion`,
+  // published with the same conditional-create primitive as manifests
+  // (concurrent creates of one name: exactly one wins). Tags pin a main
+  // version against vacuum (reference: Iceberg snapshot tags). Branches
+  // are shallow clones under `_branches/<name>` — zero-copy forks whose
+  // writers pool into their own dir, vacuum-safe through the `_clones/`
+  // markers [[cloneFrom]] registers — and [[fastForward]] is the
+  // write-audit-publish close: the branch's state becomes the main head
+  // in one conditional publish, its new files adopted by rename
+  // (metadata-only, O(changed files)), refusing unless main is still at
+  // the fork point.
+
+  private val refsDir = new Path(tableRoot, "_refs")
+  private def branchDir(name: String) = new Path(tableRoot, s"_branches/$name")
+
+  /** Branch roots live INSIDE the table dir (next to `data/`, invisible
+    * to main readers); the catalog needs the path to serve
+    * `VERSION AS OF '<branch>'`.
+    */
+  private[catalog] def branchRootPath(name: String): String =
+    branchDir(name).toString
+
+  // names must be path-safe and never parse as a bare version number
+  // (`VERSION AS OF '7'` must stay numeric time travel)
+  private val RefName = "^[A-Za-z][A-Za-z0-9._-]{0,63}$".r
+  private def requireRefName(name: String): Unit =
+    require(RefName.matches(name),
+      s"ref name '$name' must match ${RefName.regex} (start with a letter)")
+
+  /** All named refs of this table. */
+  def refs: Map[String, RefInfo] =
+    if (!hfs.exists(refsDir)) Map.empty
+    else hfs.listStatus(refsDir).toSeq.flatMap(st => ref(st.getPath.getName))
+      .map(r => r.name -> r).toMap
+
+  /** One named ref, if it exists. */
+  def ref(name: String): Option[RefInfo] = {
+    val p = new Path(refsDir, name)
+    if (!hfs.exists(p)) None
+    else {
+      val in = hfs.open(p)
+      val txt = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      txt.trim.split('\t') match {
+        case Array(kind, v) => Some(RefInfo(name, kind, v.toLong))
+        case _              => None // torn/foreign file: ignore, never explode
+      }
+    }
+  }
+
+  /** Create an immutable tag at `version` (default: head). The tagged
+    * version is pinned: [[vacuum]] keeps it and its files regardless of
+    * `keepVersions` until the tag is dropped.
+    */
+  def createTag(name: String, version: Option[Long] = None): Long = {
+    requireRefName(name)
+    val v = version.getOrElse(currentVersion.getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"createTag: no committed version under $tableRoot")))
+    require(committedVersions.contains(v),
+      s"createTag: version $v is not retained under $tableRoot " +
+        s"(have: ${committedVersions.sorted.mkString(", ")})")
+    hfs.mkdirs(refsDir)
+    if (!store.putIfAbsent(new Path(refsDir, name),
+        s"tag\t$v".getBytes(StandardCharsets.UTF_8)))
+      throw new IllegalArgumentException(
+        s"createTag: ref '$name' already exists under $tableRoot")
+    // a concurrent vacuum may have read refs BEFORE this tag landed and
+    // collected v — fail loudly rather than hand back a dangling tag
+    if (!hfs.exists(manifestPath(v))) {
+      hfs.delete(new Path(refsDir, name), false)
+      throw new java.io.IOException(
+        s"createTag: version $v of $tableRoot was vacuumed mid-create; " +
+          "re-tag a retained version")
+    }
+    v
+  }
+
+  /** Fork a zero-copy branch at `version` (default: head): a shallow
+    * clone under `_branches/<name>` whose writers pool into their own
+    * dir ([[cloneFrom]] semantics and refusals — the main table must be
+    * unpartitioned and DV-free). Main's declared CHECK constraints and
+    * clustering carry onto the branch so audited writes meet the same
+    * contracts they'll be published under.
+    */
+  def createBranch(name: String, version: Option[Long] = None): Long = {
+    requireRefName(name)
+    require(ref(name).isEmpty,
+      s"createBranch: ref '$name' already exists under $tableRoot")
+    val root = branchDir(name)
+    // a crashed create leaves an orphan branch dir with no ref: clear it
+    // so the clone's fresh-target requirement holds
+    if (hfs.exists(root)) hfs.delete(root, true)
+    val v = version.getOrElse(currentVersion.getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"createBranch: no committed version under $tableRoot")))
+    val bl = new CommitLog(spark, root.toString)
+    bl.cloneFrom(tableRoot, Some(v)): Unit
+    // table contracts ride along (one manifest write, no data scan — the
+    // rows already satisfied them on main at the fork point)
+    val hdr = manifestLines(v).filter(l =>
+      l.startsWith("#check:") || l.startsWith("#cluster:"))
+    if (hdr.nonEmpty)
+      bl.publish(2, bl.stamped("clone", hdr ++ bl.manifestLines(1))): Unit
+    hfs.mkdirs(refsDir)
+    if (!store.putIfAbsent(new Path(refsDir, name),
+        s"branch\t$v".getBytes(StandardCharsets.UTF_8))) {
+      hfs.delete(root, true)
+      throw new IllegalArgumentException(
+        s"createBranch: ref '$name' already exists under $tableRoot")
+    }
+    v
+  }
+
+  /** The commit log of a branch — the write handle for the audit stage
+    * of write-audit-publish.
+    */
+  def branchLog(name: String): CommitLog = {
+    val r = ref(name).getOrElse(throw new IllegalArgumentException(
+      s"branchLog: no ref '$name' under $tableRoot"))
+    require(r.kind == "branch", s"branchLog: ref '$name' is a ${r.kind}")
+    new CommitLog(spark, branchDir(name).toString)
+  }
+
+  /** Drop a ref. For a branch the whole fork dir goes too; its
+    * `_clones/` marker on this table self-cleans at the next vacuum.
+    */
+  def dropRef(name: String): Unit = {
+    val r = ref(name).getOrElse(throw new IllegalArgumentException(
+      s"dropRef: no ref '$name' under $tableRoot"))
+    hfs.delete(new Path(refsDir, name), false): Unit
+    if (r.kind == "branch") hfs.delete(branchDir(name), true): Unit
+  }
+
+  /** Publish a branch's state as the main head — the WAP close. Refuses
+    * unless main is still exactly at the branch's fork point (a true
+    * fast-forward; anything else needs a re-branch or a keyed merge).
+    * The branch's own pool files are validated against main's CHECK
+    * constraints (O(new files), never O(table)) and adopted by rename;
+    * unchanged files were main's all along (absolute refs fold back to
+    * relative names). One conditional manifest publish makes the switch
+    * atomic; losing it to a concurrent commit rolls the renames back
+    * and leaves the branch intact. Success consumes the branch.
+    */
+  def fastForward(name: String): Long = {
+    val r = ref(name).getOrElse(throw new IllegalArgumentException(
+      s"fastForward: no ref '$name' under $tableRoot"))
+    require(r.kind == "branch", s"fastForward: ref '$name' is a ${r.kind}")
+    val bl = branchLog(name)
+    val bv = bl.currentVersion.getOrElse(throw new IllegalStateException(
+      s"fastForward: branch '$name' has no commits"))
+    val lines = bl.manifestLines(bv)
+    require(partitionColsOf(lines).isEmpty,
+      s"fastForward: branch '$name' is hive-partitioned; publish cannot " +
+        "span partition roots — materialize with INSERT OVERWRITE instead")
+    require(dvNamesOf(lines).isEmpty,
+      s"fastForward: branch '$name' carries merge-on-read deletion " +
+        "vectors whose tombstones bind to branch-local file names; fold " +
+        "them first: CALL <catalog>.system.rewrite_deletes on the branch")
+    val head = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+      s"fastForward: no committed version under $tableRoot"))
+    if (head != r.version) throw new IllegalStateException(
+      s"fastForward: $tableRoot advanced past the '$name' fork point " +
+        s"(${r.version} -> $head) — not a fast-forward; re-branch from the " +
+        "head or bring the changes over with a keyed merge")
+    val bData = new Path(branchDir(name), "data")
+    val myData = dataDir.toUri.getPath
+    // split the branch's data lines into its OWN pool files (relative
+    // names — the audited new/rewritten data) and references back into
+    // main's pool (absolute — untouched since the fork)
+    val dataLines = lines.filterNot(_.startsWith("#"))
+    val own = dataNamesOf(dataLines).filterNot(isAbsoluteName)
+    enforceConstraintsOnPaths(own.map(n => new Path(bData, n)),
+      checkOf(manifestLines(head)), s"fastForward('$name')")
+    hfs.mkdirs(dataDir)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    def rollback(): Unit = moved.foreach { case (src, dst) => hfs.rename(dst, src) }
+    own.foreach { n =>
+      val (src, dst) = (new Path(bData, n), new Path(dataDir, n))
+      if (!hfs.rename(src, dst)) {
+        rollback()
+        throw new java.io.IOException(
+          s"fastForward: could not adopt $src into $dataDir")
+      }
+      moved += ((src, dst))
+    }
+    val rewritten = dataLines.map { l =>
+      val i = l.indexOf('\t')
+      val (n0, rest) = if (i < 0) (l, "") else (l.substring(0, i), l.substring(i))
+      val p = if (isAbsoluteName(n0)) new Path(n0).toUri.getPath else n0
+      if (isAbsoluteName(n0) && p.startsWith(myData + "/"))
+        p.stripPrefix(myData + "/") + rest
+      else l
+    }
+    // clone-of-clone chains: a line may still point at a THIRD root;
+    // register main there so that root's vacuum keeps the file live
+    dataNamesOf(rewritten).filter(isAbsoluteName)
+      .flatMap(dataRootOf).map(_.stripSuffix("/data")).toSet[String]
+      .foreach(registerCloneAt(_, tableRoot))
+    // standing table contracts stay MAIN's (txn memory, constraints,
+    // clustering); the branch ships data, not DDL
+    val carried = replaceCarried(manifestLines(head))
+    if (!publish(head + 1, stamped("fast_forward", carried ++ rewritten))) {
+      rollback()
+      throw new IllegalStateException(
+        s"fastForward: a concurrent commit advanced $tableRoot past $head " +
+          s"— not a fast-forward anymore; re-branch and retry")
+    }
+    hfs.delete(new Path(refsDir, name), false): Unit
+    hfs.delete(branchDir(name), true): Unit
+    head + 1
+  }
+
   /** Partitioned twin of [[commitStaged]] for the SQL row-level rewrite:
     * Spark's V2 parquet batch write stages FLAT files (it cannot lay out
     * hive dirs), so the staged rows are read back and re-staged under
@@ -2373,7 +2599,15 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
              minVersionAgeMs: Long = CommitLog.DefaultVersionRetentionMs): (Int, Int) = {
     require(keepVersions >= 1, "vacuum must retain at least the head version")
     val versions = committedVersions.sorted
-    val (drop, keep) = versions.splitAt(math.max(0, versions.length - keepVersions))
+    // tagged versions are pinned: a tag is a durable promise that its
+    // snapshot stays readable, so it joins the keep set regardless of
+    // keepVersions (drop the tag to release it)
+    val pinned = refs.valuesIterator.collect {
+      case r if r.kind == "tag" => r.version
+    }.toSet
+    val (drop0, keep0) = versions.splitAt(math.max(0, versions.length - keepVersions))
+    val (kept, drop) = drop0.partition(pinned)
+    val keep = kept ++ keep0
     val horizon = System.currentTimeMillis() - minVersionAgeMs
     val young = drop.filter(v => commitTime(v) > horizon)
     if (young.nonEmpty) throw new IllegalStateException(

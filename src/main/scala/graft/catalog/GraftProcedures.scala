@@ -31,7 +31,8 @@ private[catalog] object GraftProcedures {
       "export_iceberg", "import_iceberg", "rewrite_deletes", "history",
       "materialize_mapping", "analyze", "clone", "build_bloom_index",
       "create_mv", "refresh_mv", "detail", "replicate", "build_ann_index",
-      "add_constraint", "drop_constraint", "set_clustering")
+      "add_constraint", "drop_constraint", "set_clustering",
+      "create_tag", "create_branch", "drop_ref", "fast_forward", "refs")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -56,6 +57,11 @@ private[catalog] object GraftProcedures {
     case "add_constraint"  => new AddConstraint(cat)
     case "drop_constraint" => new DropConstraint(cat)
     case "set_clustering"  => new SetClustering(cat)
+    case "create_tag"      => new CreateTag(cat)
+    case "create_branch"   => new CreateBranch(cat)
+    case "drop_ref"        => new DropRef(cat)
+    case "fast_forward"    => new FastForward(cat)
+    case "refs"            => new Refs(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
   }
@@ -147,6 +153,76 @@ private[catalog] object GraftProcedures {
       val v = log.setClustering(cols)
       result(new StructType().add("version", LongType)
         .add("clustered_by", StringType), v, cols.mkString(","))
+    }
+  }
+
+  private final class CreateTag(cat: GraftTableCatalog)
+    extends Proc("create_tag", Seq(in("table", StringType),
+      in("name", StringType), in("version", LongType))) {
+    override def description(): String =
+      "pin an immutable named tag at a version (<= 0 tags the head); " +
+        "tagged versions survive vacuum until the tag drops; " +
+        "readable via VERSION AS OF '<name>'"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val want = input.getLong(2)
+      val v = log.createTag(input.getUTF8String(1).toString,
+        if (want <= 0L) None else Some(want))
+      result(new StructType().add("version", LongType), v)
+    }
+  }
+
+  private final class CreateBranch(cat: GraftTableCatalog)
+    extends Proc("create_branch", Seq(in("table", StringType),
+      in("name", StringType), in("version", LongType))) {
+    override def description(): String =
+      "fork a zero-copy branch at a version (<= 0 forks the head) for " +
+        "write-audit-publish; read via VERSION AS OF '<name>', publish " +
+        "with fast_forward"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val want = input.getLong(2)
+      val v = log.createBranch(input.getUTF8String(1).toString,
+        if (want <= 0L) None else Some(want))
+      result(new StructType().add("forked_from", LongType), v)
+    }
+  }
+
+  private final class DropRef(cat: GraftTableCatalog)
+    extends Proc("drop_ref", Seq(in("table", StringType), in("name", StringType))) {
+    override def description(): String =
+      "drop a tag or branch (a branch's fork dir goes with it)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val name = input.getUTF8String(1).toString
+      log.dropRef(name)
+      result(new StructType().add("dropped", StringType), name)
+    }
+  }
+
+  private final class FastForward(cat: GraftTableCatalog)
+    extends Proc("fast_forward", Seq(in("table", StringType), in("branch", StringType))) {
+    override def description(): String =
+      "publish a branch's state as the main head (write-audit-publish " +
+        "close): atomic, O(changed files), refuses if main moved past " +
+        "the fork point; consumes the branch"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      val v = log.fastForward(input.getUTF8String(1).toString)
+      result(new StructType().add("version", LongType), v)
+    }
+  }
+
+  private final class Refs(cat: GraftTableCatalog)
+    extends Proc("refs", Seq(in("table", StringType))) {
+    override def description(): String =
+      "list named refs: tags (pinned versions) and branches (fork points)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession, cat.rootOf(input.getUTF8String(0).toString))
+      resultRows(new StructType()
+        .add("name", StringType).add("kind", StringType).add("version", LongType),
+        log.refs.values.toSeq.sortBy(_.name)
+          .map(r => Seq[Any](r.name, r.kind, r.version)))
     }
   }
 

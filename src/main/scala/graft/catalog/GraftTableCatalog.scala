@@ -203,13 +203,30 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       declaredPartitioning(root), None)
   }
 
-  /** `VERSION AS OF v` — the commit log's native time travel. */
+  /** `VERSION AS OF v` — the commit log's native time travel. A
+    * non-numeric version is a named ref: a tag pins the tagged main
+    * version; a branch serves the fork's own head (read-only — branch
+    * writes go through `CommitLog.branchLog` / the WAP procedures).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val root = tableRoot(ident)
     val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft versions are commit numbers; got '$version'")
+      case _: NumberFormatException =>
+        val log = new CommitLog(spark, root.toString)
+        return log.ref(version) match {
+          case Some(r) if r.kind == "tag" =>
+            new GraftTable(spark, fullName(ident), root.toString,
+              declaredSchema(root), declaredPartitioning(root), Some(r.version))
+          case Some(_) => // branch: its own commit chain, unpartitioned
+            new GraftTable(spark, s"${fullName(ident)}@$version",
+              log.branchRootPath(version), declaredSchema(root),
+              Seq.empty[String], None)
+          case None => throw new IllegalArgumentException(
+            s"'$version' is neither a commit number nor a ref (tag/branch) " +
+              s"of ${fullName(ident)} " +
+              s"(refs: ${log.refs.keys.toSeq.sorted.mkString(", ")})")
+        }
     }
     // fail at resolution with the live range, not at scan time with a
     // raw FileNotFoundException from the manifest read

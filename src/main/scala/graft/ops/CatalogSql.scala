@@ -656,7 +656,50 @@ object CatalogSql {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
   }
 
+  /** Write-audit-publish as an oracle key: orders lands in a commit-log
+    * table; a zero-copy branch takes the corrections — DELETE of
+    * high-price rows, then an even-key price bump — while MAIN stays
+    * byte-identical (the audit stage, asserted mid-dance); then
+    * [[graft.catalog.CommitLog.fastForward]] publishes the branch
+    * atomically (one conditional manifest, new files adopted by
+    * rename). The final read must equal plain SQL applying the same
+    * corrections to the raw table. Reference posture: Iceberg
+    * branch/WAP; the engine's branch is `cloneFrom` + `_refs/`.
+    */
+  private def branchWap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_wap"
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val expected = src.filter(col("o_totalprice") <= 200000.0).count()
+    val fresh =
+      try log.read().count() == expected &&
+        log.history().head.operation == "fast_forward"
+      catch { case _: Exception => false }
+    if (!fresh) {
+      log.ref("audit").foreach(_ => log.dropRef("audit"))
+      log.commit(src, replace = true)
+      val baseCount = src.count()
+      log.createBranch("audit"): Unit
+      val br = log.branchLog("audit")
+      br.deleteWhere(col("o_totalprice") > 200000.0): Unit
+      br.updateWhere(col("o_orderkey") % 2 === 0,
+        Seq("o_totalprice" -> (col("o_totalprice") + 5000.0))): Unit
+      // the audit stage's whole point: branch writes never leak to main
+      require(log.read().count() == baseCount,
+        "q_branch_wap: branch writes leaked into main before publish")
+      log.fastForward("audit"): Unit
+    }
+    log.read().agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_branch_wap" -> branchWap _,
     "q_cluster_pruned" -> clusterPruned _,
     "q_check_constraint" -> checkConstraintGate _,
     "q_update_where" -> updateWhereCow _,
@@ -679,6 +722,14 @@ object CatalogSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_branch_wap" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       CAST(sum(CAST(CASE WHEN o_orderkey % 2 = 0
+        |                          THEN o_totalprice + 5000.0
+        |                          ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders
+        |WHERE o_totalprice <= 200000.0""".stripMargin,
     "q_cluster_pruned" ->
       """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
         |       max(o_orderkey) AS max_key,
