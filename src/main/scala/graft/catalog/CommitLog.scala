@@ -51,6 +51,60 @@ case class CommitInfo(version: Long, committedAtMs: Long, dataFiles: Int,
   */
 case class RefInfo(name: String, kind: String, version: Long)
 
+/** One declared hidden-partition transform (reference: Iceberg partition
+  * transforms): rows are laid out by a DERIVED hive partition column
+  * computed from `src`, and the derived column never surfaces through
+  * [[CommitLog.read]]/[[CommitLog.readWhere]] — queries filter on the
+  * SOURCE column and pruning happens through the transform. `kind` is
+  * `year|month|day|hour` (zero-padded date renderings, so lexicographic
+  * order IS chronological and range predicates prune), `bucket` (xxhash64
+  * mod `arg`; equality/IN prune), or `truncate` (width-`arg` prefix /
+  * floor-to-multiple; monotone, ranges prune). `srcType` is the source
+  * column's DDL type — the probe side casts literals with it so probe
+  * hashing/formatting matches the write side exactly.
+  */
+case class PartitionTransform(kind: String, src: String, srcType: String,
+    arg: Long) {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.{functions => F}
+
+  def derivedName: String = kind match {
+    case "bucket" | "truncate" => s"_p_${kind}_${arg}_$src"
+    case k                     => s"_p_${k}_$src"
+  }
+
+  /** Human spec form, the declaration-equality key across commits. */
+  def spec: String = kind match {
+    case "bucket" | "truncate" => s"$kind($arg, $src)"
+    case k                     => s"$k($src)"
+  }
+
+  private def numericSrc: Boolean =
+    Set("TINYINT", "SMALLINT", "INT", "BIGINT")(srcType.toUpperCase)
+
+  /** The derived partition value of a source-column expression. */
+  def derive(c: Column): Column = kind match {
+    case "year"     => F.date_format(c, "yyyy")
+    case "month"    => F.date_format(c, "yyyy-MM")
+    case "day"      => F.date_format(c, "yyyy-MM-dd")
+    case "hour"     => F.date_format(c, "yyyy-MM-dd-HH")
+    case "bucket"   => F.pmod(F.xxhash64(c), F.lit(arg))
+    case "truncate" =>
+      if (numericSrc) c - F.pmod(c, F.lit(arg)) else F.substring(c, 1, arg.toInt)
+    case other => throw new IllegalArgumentException(
+      s"unknown partition transform kind '$other'")
+  }
+
+  /** Order-preserving transforms admit range pruning; bucket admits only
+    * equality/IN.
+    */
+  def monotone: Boolean = kind != "bucket"
+
+  /** Manifest stats type tag of the derived column. */
+  def derivedTpe: String =
+    if (kind == "bucket" || (kind == "truncate" && numericSrc)) "long" else "string"
+}
+
 object CommitLog {
   /** Default vacuum retention floor for committed VERSIONS (the streaming-
     * checkpoint handshake): 7 days, the common lakehouse default.
@@ -678,8 +732,14 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * to that version's immutable pool files, so later commits (or a
     * concurrent compact/replicate) cannot change or tear what it reads.
     */
-  def read(): DataFrame = readVersion(currentVersion.getOrElse(
-    throw new java.io.FileNotFoundException(s"no committed version under $tableRoot")))
+  def read(): DataFrame = {
+    val df = readVersion(currentVersion.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $tableRoot")))
+    // hidden-partition transforms: the derived `_p_*` layout columns are
+    // internal — the public snapshot never shows them
+    val hidden = partitionTransforms.map(_.derivedName).filter(df.columns.contains)
+    if (hidden.isEmpty) df else df.drop(hidden: _*)
+  }
 
   def readVersion(v: Long): DataFrame = {
     val lines = manifestLines(v)   // one parse serves data AND dv names
@@ -1535,6 +1595,298 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     live.toSet
   }
 
+  // ---- hidden partition transforms -----------------------------------------
+  //
+  // Iceberg-style hidden partitioning on the commit log: a declared
+  // transform (`_ptspec.json` sidecar) derives a `_p_*` hive partition
+  // column at write time, [[read]] hides it, and [[readWhere]] prunes
+  // FILES from predicates on the SOURCE column — the user never knows
+  // the layout exists. Pruning rides the manifest's per-file stats
+  // (partition values land as exact min=max bounds at stage time), so
+  // it is pure driver-side metadata: zero file opens for skipped files.
+
+  private val ptspecFile = new Path(tableRoot, "_ptspec.json")
+
+  private val TransformRe = "^\\s*([A-Za-z]+)\\s*\\(([^)]*)\\)\\s*$".r
+
+  /** Parse `"days(ts)"` / `"bucket(8, k)"` / `"truncate(4, name)"`
+    * against a schema (the source type is recorded so probes cast
+    * literals exactly as the write derived).
+    */
+  private def parseTransform(df: DataFrame, s: String): PartitionTransform =
+    parseTransformOn(df.schema, s)
+
+  private def parseTransformOn(schema: org.apache.spark.sql.types.StructType,
+      s: String): PartitionTransform =
+    s match {
+      case TransformRe(kind0, args) =>
+        val kind = kind0.toLowerCase(java.util.Locale.ROOT).stripSuffix("s")
+        val parts = args.split(",").map(_.trim).filter(_.nonEmpty)
+        def typed(src: String): String = {
+          require(schema.fieldNames.contains(src),
+            s"partition transform '$s': no column '$src' in ${schema.fieldNames.toSeq}")
+          schema(src).dataType.sql
+        }
+        kind match {
+          case "year" | "month" | "day" | "hour" =>
+            require(parts.length == 1, s"$kind takes one column, got '$s'")
+            val t = PartitionTransform(kind, parts(0), typed(parts(0)), 0L)
+            require(Set("DATE", "TIMESTAMP", "TIMESTAMP_NTZ")(t.srcType.toUpperCase),
+              s"$kind needs a date/timestamp column; '${t.src}' is ${t.srcType}")
+            t
+          case "bucket" | "truncate" =>
+            require(parts.length == 2 && parts(0).forall(_.isDigit) &&
+              parts(0).toLong > 0,
+              s"$kind takes (positive count, column), got '$s'")
+            PartitionTransform(kind, parts(1), typed(parts(1)), parts(0).toLong)
+          case other => throw new IllegalArgumentException(
+            s"unknown partition transform '$other' in '$s' " +
+              "(have: years months days hours bucket truncate)")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse partition transform '$s' (want kind(args))")
+    }
+
+  /** Declared hidden-partition transforms, empty when the table is not
+    * transform-partitioned.
+    */
+  def partitionTransforms: Seq[PartitionTransform] = {
+    if (!hfs.exists(ptspecFile)) return Seq.empty
+    val in = hfs.open(ptspecFile)
+    val txt = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    org.json4s.jackson.JsonMethods.parse(txt) match {
+      case org.json4s.JArray(items) => items.map { j =>
+        implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+        PartitionTransform(
+          (j \ "kind").extract[String], (j \ "src").extract[String],
+          (j \ "srcType").extract[String], (j \ "arg").extract[Long])
+      }
+      case _ => Seq.empty
+    }
+  }
+
+  private def writePtspec(ts: Seq[PartitionTransform]): Unit = {
+    import org.json4s.JsonDSL._
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(ts.map(t =>
+        ("kind" -> t.kind) ~ ("src" -> t.src) ~ ("srcType" -> t.srcType) ~
+          ("arg" -> t.arg))))
+    LogStore.write(hfs, ptspecFile, json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Declare hidden-partition transforms for a (possibly still empty)
+    * table from its schema — the catalog's `CREATE TABLE ...
+    * PARTITIONED BY (months(c), bucket(8, k))` seam. Writes land through
+    * [[commitTransformed]]; reads hide the layout.
+    */
+  def declareTransforms(schema: org.apache.spark.sql.types.StructType,
+      specs: Seq[String]): Seq[PartitionTransform] = {
+    require(specs.nonEmpty, "declareTransforms: empty transform list")
+    val parsed = specs.map(parseTransformOn(schema, _))
+    writePtspec(parsed)
+    parsed
+  }
+
+  /** Transform twin of [[commitStagedPartitioned]] for the SQL row-level
+    * rewrite on a hidden-partitioned table: the flat staged rows are
+    * re-derived and re-laid-out under the declared transforms, so the
+    * layout (and every later read's pruning) survives SQL MERGE/UPDATE.
+    */
+  def commitStagedTransformed(stageDir: String): Long = {
+    val ts = partitionTransforms
+    require(ts.nonEmpty, s"commitStagedTransformed: no declared transforms " +
+      s"under $tableRoot")
+    val stage = new Path(stageDir)
+    val hasParts = hfs.exists(stage) && hfs.listStatus(stage)
+      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val df0 =
+      if (hasParts) spark.read.parquet(stage.toString)
+      else read().where(org.apache.spark.sql.functions.lit(false))
+    val names = ts.map(_.derivedName)
+    val df = applyTransforms(df0).repartition(names.map(n => col(s"`$n`")): _*)
+    val ver = commitPartitioned(df, names, replace = true)
+    hfs.delete(stage, true)
+    ver
+  }
+
+  /** (Re)compute every declared derived column whose source is present —
+    * the recompute seam keeping [[merge]]/[[updateWhere]] layout-correct
+    * when a write touches a transform's source column (a stale derived
+    * value would land rows in the wrong partition and silently corrupt
+    * pruning).
+    */
+  private def applyTransforms(df: DataFrame): DataFrame = {
+    val ts = partitionTransforms
+    ts.filter(t => df.columns.contains(t.src))
+      .foldLeft(df)((d, t) => d.withColumn(t.derivedName, t.derive(col(s"`${t.src}`"))))
+  }
+
+  /** Commit `df` hidden-partitioned by `specs` (e.g. `Seq("days(ts)",
+    * "bucket(16, user_id)")`). The first commit declares the layout;
+    * appends must redeclare the same specs (a different layout needs
+    * `replace = true`, which re-lays-out wholesale). The derived `_p_*`
+    * columns are internal: [[read]]/[[readWhere]] hide them.
+    */
+  def commitTransformed(df: DataFrame, specs: Seq[String], replace: Boolean,
+      txn: Option[String] = None): Long = {
+    require(specs.nonEmpty, "commitTransformed: empty transform list")
+    val parsed = specs.map(parseTransform(df, _))
+    val existing = partitionTransforms
+    if (existing.nonEmpty && !replace)
+      require(existing.map(_.spec) == parsed.map(_.spec),
+        s"commitTransformed(append): declared layout is " +
+          s"${existing.map(_.spec).mkString(", ")}; got " +
+          s"${parsed.map(_.spec).mkString(", ")} — appends must match " +
+          "(replace=true re-lays-out)")
+    writePtspec(parsed)
+    val derived = parsed.foldLeft(df)((d, t) =>
+      d.withColumn(t.derivedName, t.derive(col(s"`${t.src}`"))))
+    // cluster by the derived values before the partitioned write: without
+    // it every task opens a file in every partition value it holds — at
+    // 1000 tasks × 1000 values that is 10^6 near-empty files per commit.
+    // Transforms are DESIGNED to bound value counts (buckets hash-balance,
+    // time grains batch), so one exchange for ~one file per value is the
+    // right default here, unlike raw commitPartitioned's opt-in.
+    val names = parsed.map(_.derivedName)
+    commitPartitioned(derived.repartition(names.map(n => col(s"`$n`")): _*),
+      names, replace, txn)
+  }
+
+  /** Split a predicate into conjuncts (`Or`/`Not` stay whole: they never
+    * prune, the row filter handles them).
+    */
+  private def conjunctsOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  private def attNameOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(a.name)
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  /** Derived-value rendering of a foldable probe expression, cast
+    * through the RECORDED source type so hashing/formatting matches the
+    * write side byte-for-byte (the correctness seam — an int and a long
+    * hash differently). One 1-row local job per bound: driver-side
+    * metadata cost, never touches the table.
+    */
+  private def derivedOf(t: PartitionTransform,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = {
+    val row = spark.range(1)
+      .select(t.derive(org.apache.spark.sql.GraftSqlShim.column(e)
+        .cast(t.srcType)).cast("string").as("d"))
+      .head()
+    if (row.isNullAt(0)) None else Option(row.getString(0))
+  }
+
+  /** File names of the current version surviving transform pruning for
+    * `cond` — the observability seam the specs pin file-skip counts on.
+    */
+  private[graft] def prunedCandidates(cond: org.apache.spark.sql.Column)
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.{expressions => E}
+    val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+      s"no committed version under $tableRoot"))
+    val lines = manifestLines(v)
+    val names = dataNamesOf(lines)
+    val specs = partitionTransforms
+    if (names.isEmpty || specs.isEmpty) return names
+    val stats = fileStatsOf(lines)
+    // a Spark-4 Column is a ColumnNode tree, not a catalyst expression:
+    // resolve it the honest way — analyze a Filter over this snapshot
+    // and lift the RESOLVED condition (attributes bound, literals
+    // type-coerced/foldable) out of the plan. Driver-side, no execution.
+    val resolved = readVersion(v).filter(cond).queryExecution.analyzed
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    if (resolved.isEmpty) return names
+    // the literal side is any sub-expression the optimizer could fold
+    // (Literal, Cast(Literal), arithmetic over them)
+    def isLit(e: E.Expression): Boolean = e.foldable
+    val conj = conjunctsOf(resolved.get)
+    var candidates = names
+    specs.foreach { t =>
+      // (lo, hi) bounds on the DERIVED value, None = unbounded side
+      val bounds: Seq[(Option[String], Option[String])] = conj.flatMap {
+        case E.EqualTo(a, l) if attNameOf(a).contains(t.src) && isLit(l) =>
+          derivedOf(t, l).map(d => (Some(d), Some(d)))
+        case E.EqualTo(l, a) if attNameOf(a).contains(t.src) && isLit(l) =>
+          derivedOf(t, l).map(d => (Some(d), Some(d)))
+        case E.EqualNullSafe(a, l) if attNameOf(a).contains(t.src) && isLit(l) =>
+          derivedOf(t, l).map(d => (Some(d), Some(d)))
+        case E.In(a, vs) if attNameOf(a).contains(t.src) && vs.forall(isLit) =>
+          val ds = vs.map(derivedOf(t, _))
+          if (ds.exists(_.isEmpty) || ds.isEmpty) None
+          else {
+            // range over the derived values: loose for bucket but always
+            // correct (overlaps is a per-file interval test)
+            val sorted = ds.flatten.sortWith(ColStats.cmp(t.derivedTpe, _, _) < 0)
+            Some((Some(sorted.head), Some(sorted.last)))
+          }
+        case E.GreaterThanOrEqual(a, l) if attNameOf(a).contains(t.src) &&
+            isLit(l) && t.monotone => derivedOf(t, l).map(d => (Some(d), None))
+        case E.GreaterThan(a, l) if attNameOf(a).contains(t.src) &&
+            isLit(l) && t.monotone => derivedOf(t, l).map(d => (Some(d), None))
+        case E.LessThanOrEqual(a, l) if attNameOf(a).contains(t.src) &&
+            isLit(l) && t.monotone => derivedOf(t, l).map(d => (None, Some(d)))
+        case E.LessThan(a, l) if attNameOf(a).contains(t.src) &&
+            isLit(l) && t.monotone => derivedOf(t, l).map(d => (None, Some(d)))
+        // reversed comparisons: lit OP col flips the bound side
+        case E.GreaterThanOrEqual(l, a) if attNameOf(a).contains(t.src) &&
+            isLit(l) && t.monotone => derivedOf(t, l).map(d => (None, Some(d)))
+        case E.GreaterThan(l, a) if attNameOf(a).contains(t.src) &&
+            isLit(l) && t.monotone => derivedOf(t, l).map(d => (None, Some(d)))
+        case E.LessThanOrEqual(l, a) if attNameOf(a).contains(t.src) &&
+            isLit(l) && t.monotone => derivedOf(t, l).map(d => (Some(d), None))
+        case E.LessThan(l, a) if attNameOf(a).contains(t.src) &&
+            isLit(l) && t.monotone => derivedOf(t, l).map(d => (Some(d), None))
+        case _ => None
+      }
+      bounds.foreach { case (lo, hi) =>
+        candidates = candidates.filter { n =>
+          stats.get(n).flatMap(_.get(t.derivedName)).forall { s =>
+            lo.forall(b => ColStats.cmp(s.tpe, s.max, b) >= 0) &&
+              hi.forall(b => ColStats.cmp(s.tpe, s.min, b) <= 0)
+          }
+        }
+      }
+    }
+    candidates
+  }
+
+  /** Filtered snapshot read with hidden-partition pruning: predicates on
+    * transform SOURCE columns skip whole files via the manifest's
+    * derived-value bounds (equality/IN through bucket; ranges through
+    * the order-preserving transforms), then `cond` applies exactly
+    * row-wise. On a non-transformed table this is just `read().filter`.
+    */
+  def readWhere(cond: org.apache.spark.sql.Column): DataFrame = {
+    val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+      s"no committed version under $tableRoot"))
+    val lines = manifestLines(v)
+    val specs = partitionTransforms
+    def hide(df: DataFrame): DataFrame = {
+      val hidden = specs.map(_.derivedName).filter(df.columns.contains)
+      if (hidden.isEmpty) df else df.drop(hidden: _*)
+    }
+    if (specs.isEmpty || dataNamesOf(lines).isEmpty)
+      return hide(readVersion(v).filter(cond))
+    val candidates = prunedCandidates(cond)
+    if (candidates.isEmpty) hide(readVersion(v).filter(cond).limit(0))
+    else hide(readFiles(candidates, dvFrameOf(dvNamesOf(lines)),
+      partTypesOf(lines)).filter(cond))
+  }
+
   // ---- named refs: tags, branches, write-audit-publish ---------------------
   //
   // A ref is one tiny file under `_refs/<name>` holding `kind\tversion`,
@@ -1769,7 +2121,12 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val df =
       if (hasParts) spark.read.parquet(stage.toString)
-      else read().where(org.apache.spark.sql.functions.lit(false))
+      // readVersion, not read(): a transform-partitioned head must keep
+      // its derived layout columns through the empty-truncate restage
+      else readVersion(currentVersion.getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"commitStagedPartitioned: no committed version under $tableRoot")))
+        .where(org.apache.spark.sql.functions.lit(false))
     val ver = commitPartitioned(df, partitionCols, replace = true)
     hfs.delete(stage, true)
     ver
@@ -1997,7 +2354,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * whole merge recomputes against the new head (lost work is bounded by
     * the touched-file rewrite). Updates must carry the table's schema.
     */
-  def merge(updates: DataFrame, keyCol: String, maxAttempts: Int = 5): Long = {
+  def merge(updates0: DataFrame, keyCol: String, maxAttempts: Int = 5): Long = {
+    // hidden-partition transforms: derive the layout columns for the
+    // incoming rows — callers hand SOURCE columns only, never `_p_*`
+    val updates = applyTransforms(updates0)
     require(updates.select(keyCol).distinct().count() == updates.count(),
       s"merge: duplicate keys in the updates batch")
     var validatedCs: Map[String, String] = null
@@ -2139,7 +2499,9 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         }
       // survivors cannot newly violate; only the injected rows can
       extra.foreach(enforceConstraints(_, checkOf(lines), "rewriteWhere"))
-      val extraLines = extra.map(stage).getOrElse(Seq.empty)
+      // injected rows on a transform-partitioned table carry SOURCE
+      // columns only — derive their layout columns before staging
+      val extraLines = extra.map(e => stage(applyTransforms(e))).getOrElse(Seq.empty)
       beforePublish(attempt, v + 1)
       if (publish(v + 1, stamped(op,
         keptLines ++ survivorLines ++ extraLines))) return v + 1
@@ -2215,9 +2577,13 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       // but the pass is O(touched files) either way — and zero when the
       // table declares no constraints)
       enforceConstraints(rewritten, checkOf(lines), "updateWhere")
+      // a SET on a hidden-partition transform's SOURCE column must
+      // re-derive the layout column, or the row stays filed under its
+      // old partition and pruning silently goes wrong
+      val relaid = applyTransforms(rewritten)
       val stagedLines =
-        if (partCols.isEmpty) stageToPool(rewritten, "updateWhere")
-        else stagePartitioned(rewritten, partCols, "updateWhere")
+        if (partCols.isEmpty) stageToPool(relaid, "updateWhere")
+        else stagePartitioned(relaid, partCols, "updateWhere")
       beforePublish(attempt, v + 1)
       if (publish(v + 1, stamped("update", keptLines ++ stagedLines))) return v + 1
       racePause(attempt, v + 1)

@@ -302,7 +302,8 @@ private[catalog] object GraftProcedures {
     extends Proc("detail", Seq(in("table", StringType))) {
     override def description(): String =
       "one-row metadata snapshot: version, files, tombstones, bytes, rows, " +
-        "partition spec, analyze version, bloom- and ann-indexed columns"
+        "partition spec, analyze version, bloom- and ann-indexed columns, " +
+        "constraints, clustering, partition transforms, refs"
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val root = cat.rootOf(input.getUTF8String(0).toString)
       val log = new CommitLog(cat.sparkSession, root)
@@ -315,7 +316,8 @@ private[catalog] object GraftProcedures {
         .add("rows", LongType).add("partitioned_by", StringType)
         .add("analyzed_version", LongType).add("bloom_indexes", StringType)
         .add("ann_indexes", StringType).add("check_constraints", StringType)
-        .add("clustered_by", StringType),
+        .add("clustered_by", StringType).add("partition_transforms", StringType)
+        .add("refs", StringType),
         v, log.files(v).length, log.dvFiles(v).length, bytes,
         rows.getOrElse(-1L), log.partitionColumns(v).mkString(","),
         log.analyzedStats().map(_._1).getOrElse(-1L),
@@ -324,7 +326,10 @@ private[catalog] object GraftProcedures {
           .map { case (c, av) => s"$c@v$av" }.mkString(","),
         log.checkConstraints(v).toSeq.sortBy(_._1)
           .map { case (n, e) => s"$n: $e" }.mkString("; "),
-        log.clusteringColumns(v).mkString(","))
+        log.clusteringColumns(v).mkString(","),
+        log.partitionTransforms.map(_.spec).mkString(","),
+        log.refs.values.toSeq.sortBy(_.name)
+          .map(r => s"${r.name}(${r.kind}@${r.version})").mkString(","))
     }
   }
 

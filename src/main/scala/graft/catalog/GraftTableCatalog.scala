@@ -266,9 +266,14 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     if (!fs.exists(f)) {
       // no sidecar (table written via CommitLog.commitPartitioned outside
       // the catalog): the manifest #partition header is authoritative —
-      // resolving flat would NULL every partition column (r8 advice)
+      // resolving flat would NULL every partition column (r8 advice).
+      // EXCEPT a transform-partitioned table: its header names the
+      // DERIVED `_p_*` layout columns, which are not table columns — the
+      // table is logically unpartitioned (the transforms plane derives
+      // on write and hides on read)
       val log = new CommitLog(spark, root.toString)
-      log.currentVersion.map(log.partitionColumns).getOrElse(Seq.empty)
+      if (log.partitionTransforms.nonEmpty) Seq.empty
+      else log.currentVersion.map(log.partitionColumns).getOrElse(Seq.empty)
     } else {
       val in = fs.open(f)
       val body = try {
@@ -287,21 +292,38 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (!namespaceExists(ident.namespace())) throw new NoSuchNamespaceException(ident.namespace())
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    // PARTITIONED BY (col, ...) — identity transforms only (hive layout);
-    // bucket/temporal transforms stay the optimizeBy/Z-order plane
-    val partCols = partitions.toSeq.map { t =>
-      if (t.name == "identity" && t.references.length == 1)
-        t.references.head.fieldNames.mkString(".")
-      else throw new UnsupportedOperationException(
-        s"graft tables support identity PARTITIONED BY columns " +
-          s"(got $t); range/multi-dim clustering is optimizeBy / " +
-          "CALL <catalog>.system.zorder")
+    // PARTITIONED BY (col, ...) — identity transforms give the hive
+    // layout; years/months/days/hours/bucket/truncate become HIDDEN
+    // partition transforms (`_ptspec.json`, derived `_p_*` layout,
+    // [[CommitLog.commitTransformed]] writes, reads never see them).
+    // Mixing the two planes in one table is refused.
+    val (identities, transforms) = partitions.toSeq.partition(_.name == "identity")
+    require(identities.isEmpty || transforms.isEmpty,
+      s"PARTITIONED BY mixes identity columns and transforms " +
+        s"(${partitions.mkString(", ")}) — pick one plane per table")
+    val transformSpecs = transforms.map { t =>
+      import org.apache.spark.sql.connector.expressions.{Literal => VLiteral, NamedReference}
+      val refs = t.arguments.toSeq.collect {
+        case r: NamedReference => r.fieldNames.mkString(".") }
+      val lits = t.arguments.toSeq.collect {
+        case l: VLiteral[_] => String.valueOf(l.value) }
+      (t.name.toLowerCase(java.util.Locale.ROOT), refs, lits) match {
+        case (k @ ("years" | "months" | "days" | "hours" |
+            "year" | "month" | "day" | "hour"), Seq(c), Seq()) => s"$k($c)"
+        case (k @ ("bucket" | "truncate"), Seq(c), Seq(n)) => s"$k($n, $c)"
+        case _ => throw new UnsupportedOperationException(
+          s"unsupported partition transform $t (have: identity, " +
+            "years/months/days/hours(col), bucket(n, col), truncate(w, col))")
+      }
     }
+    val partCols = identities.map(_.references.head.fieldNames.mkString("."))
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in schema ${schema.fieldNames.toSeq}"))
     val root = tableRoot(ident)
     fs.mkdirs(root)
     writeSchema(root, schema)
+    if (transformSpecs.nonEmpty)
+      new CommitLog(spark, root.toString).declareTransforms(schema, transformSpecs): Unit
     if (partCols.nonEmpty) {
       val json = org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.render(
@@ -516,8 +538,21 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
   override def properties(): util.Map[String, String] =
     Map("location" -> root, "provider" -> "graft").asJava
 
-  override def partitioning(): Array[Transform] =
-    partCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (partCols.nonEmpty) partCols.map(Expressions.identity).toArray
+    else log.partitionTransforms.map { t =>
+      t.kind match {
+        case "year"   => Expressions.years(t.src)
+        case "month"  => Expressions.months(t.src)
+        case "day"    => Expressions.days(t.src)
+        case "hour"   => Expressions.hours(t.src)
+        case "bucket" => Expressions.bucket(t.arg.toInt, t.src)
+        case _ => Expressions.apply(t.kind,
+          Expressions.literal(t.arg), Expressions.column(t.src))
+      }
+    }.toArray
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // with the DV analyzer rule installed ([[graft.plans.ApplyDeletionVectors]]
@@ -636,12 +671,19 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
               // resolved to table column order, so the rename is positional
               val data =
                 if (hasRenames) ColumnMapping.toPhysical(data0, schema) else data0
+              // hidden-partition transforms: route through the deriving
+              // commit so the declared layout holds on every SQL INSERT
+              lazy val tspecs = log.partitionTransforms.map(_.spec)
               mode match {
               case AppendMode if partCols.nonEmpty =>
                 log.commitPartitioned(data, partCols, replace = false): Unit
+              case AppendMode if tspecs.nonEmpty =>
+                log.commitTransformed(data, tspecs, replace = false): Unit
               case AppendMode        => log.commit(data, replace = false): Unit
               case TruncateMode if partCols.nonEmpty =>
                 log.commitPartitioned(data, partCols, replace = true): Unit
+              case TruncateMode if tspecs.nonEmpty =>
+                log.commitTransformed(data, tspecs, replace = true): Unit
               case TruncateMode      => log.commit(data, replace = true): Unit
               case OverwriteMode(c)  =>
                 if (log.currentVersion.isEmpty) {
@@ -765,6 +807,10 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
                       // staged files directly
                       if (partCols.nonEmpty)
                         log.commitStagedPartitioned(stage, partCols): Unit
+                      else if (log.partitionTransforms.nonEmpty)
+                        // re-derive + re-lay-out: the hidden layout (and
+                        // its pruning) survives SQL MERGE/UPDATE
+                        log.commitStagedTransformed(stage): Unit
                       else log.commitStaged(stage, replace = true): Unit
                     }
                     override def abort(

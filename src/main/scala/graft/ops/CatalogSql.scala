@@ -698,7 +698,45 @@ object CatalogSql {
       sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
   }
 
+  /** Hidden partition transforms as an oracle key: orders lands
+    * transform-partitioned by `months(o_orderdate)` — the derived
+    * layout column never surfaces — and a plain date-range predicate
+    * through [[graft.catalog.CommitLog.readWhere]] must (a) PRUNE files
+    * via the manifest's derived-value bounds (asserted: candidates <
+    * total, the 100 TB contract — skipped files are never opened) and
+    * (b) return exactly what DuckDB computes over the raw table.
+    */
+  private def partTransform(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_tt/orders_ptx"
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val fresh =
+      try log.partitionTransforms.nonEmpty && log.read().count() == src.count()
+      catch { case _: Exception => false }
+    if (!fresh)
+      log.commitTransformed(src, Seq("months(o_orderdate)"), replace = true): Unit
+    // literals cast to the COLUMN's own type (TIMESTAMP vs TIMESTAMP_NTZ
+    // varies with testdata regens): comparing same-typed sides keeps the
+    // analyzer from wrapping the ATTRIBUTE in a cast, which would turn
+    // the transform matcher conservative (correct but zero pruning)
+    val odt = src.schema("o_orderdate").dataType
+    val cond = col("o_orderdate") >= lit("2000-03-01 00:00:00").cast(odt) &&
+      col("o_orderdate") < lit("2000-09-01 00:00:00").cast(odt)
+    val total = log.files(log.currentVersion.get).length
+    val cand = log.prunedCandidates(cond).length
+    require(cand < total,
+      s"q_part_transform: hidden-partition pruning did not engage ($cand of $total)")
+    log.readWhere(cond).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_part_transform" -> partTransform _,
     "q_branch_wap" -> branchWap _,
     "q_cluster_pruned" -> clusterPruned _,
     "q_check_constraint" -> checkConstraintGate _,
@@ -722,6 +760,12 @@ object CatalogSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_part_transform" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-03-01'
+        |  AND o_orderdate < TIMESTAMP '2000-09-01'""".stripMargin,
     "q_branch_wap" ->
       """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |       CAST(sum(CAST(CASE WHEN o_orderkey % 2 = 0

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.CommitLog
+
+/** Hidden partition transforms through the SQL front door:
+  * `CREATE TABLE ... PARTITIONED BY (months(c) / bucket(n, k))` declares
+  * the layout, every INSERT derives it, SELECT never sees the `_p_*`
+  * columns, and SQL UPDATE re-lays the staged rewrite out so pruning
+  * survives. Unique catalog name: `gpt`.
+  */
+class SqlPartitionTransformSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("graft_ptwh").toString
+    spark.conf.set("spark.sql.catalog.gpt", classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gpt.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gpt.db")
+    w
+  }
+
+  test("CREATE + INSERT + SELECT: layout derived and hidden end-to-end") {
+    warehouse
+    spark.sql("CREATE TABLE gpt.db.ev (k BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (months(ts))")
+    spark.sql("INSERT INTO gpt.db.ev VALUES " +
+      "(1, TIMESTAMP '2024-01-05 10:00:00', 1.0), " +
+      "(2, TIMESTAMP '2024-02-06 10:00:00', 2.0), " +
+      "(3, TIMESTAMP '2024-03-07 10:00:00', 3.0)")
+    assert(spark.table("gpt.db.ev").columns.sorted.toSeq == Seq("k", "ts", "v"),
+      "derived layout column must stay hidden from SQL")
+    val log = new CommitLog(spark, s"$warehouse/db/ev")
+    assert(log.partitionTransforms.map(_.spec) == Seq("month(ts)"))
+    assert(log.files(log.currentVersion.get).exists(_.contains("_p_month_ts=2024-02")),
+      log.files(log.currentVersion.get).toString)
+    // appends keep the layout; a month-range predicate prunes at the log
+    spark.sql("INSERT INTO gpt.db.ev VALUES (4, TIMESTAMP '2024-03-20 10:00:00', 4.0)")
+    val total = log.files(log.currentVersion.get).length
+    val cand = log.prunedCandidates(
+      col("ts") >= lit("2024-03-01 00:00:00").cast("timestamp"))
+    assert(cand.length < total, s"${cand.length} of $total")
+    assert(spark.sql("SELECT sum(v) FROM gpt.db.ev WHERE ts >= TIMESTAMP '2024-03-01'")
+      .head().getDouble(0) == 7.0)
+    // DESCRIBE-honesty: the table reports its transform partitioning
+    val parts = spark.sessionState.catalogManager.catalog("gpt")
+      .asInstanceOf[graft.catalog.GraftTableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "ev"))
+      .partitioning().map(_.toString).toSeq
+    assert(parts == Seq("months(ts)"), parts.toString)
+  }
+
+  test("bucket table: INSERT OVERWRITE re-lays, UPDATE keeps the layout") {
+    warehouse
+    spark.sql("CREATE TABLE gpt.db.bk (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gpt.db.bk SELECT id, CAST(id AS DOUBLE) FROM range(0, 100)")
+    val log = new CommitLog(spark, s"$warehouse/db/bk")
+    assert(log.files(log.currentVersion.get).length == 4)
+    assert(log.prunedCandidates(col("k") === 7L).length == 1)
+    spark.sql("UPDATE gpt.db.bk SET v = -1.0 WHERE k = 7")
+    // the SQL rewrite must re-derive + re-lay-out (still 4 buckets, and
+    // equality still prunes to one file)
+    assert(log.files(log.currentVersion.get).length == 4,
+      log.files(log.currentVersion.get).toString)
+    assert(log.prunedCandidates(col("k") === 7L).length == 1)
+    assert(spark.sql("SELECT v FROM gpt.db.bk WHERE k = 7").head().getDouble(0) == -1.0)
+    assert(spark.table("gpt.db.bk").count() == 100)
+    spark.sql("INSERT OVERWRITE gpt.db.bk SELECT id, 0.5 FROM range(0, 8)")
+    assert(spark.table("gpt.db.bk").count() == 8)
+    assert(!spark.table("gpt.db.bk").columns.exists(_.startsWith("_p_")))
+    // DELETE is predicate CoW: layout survives
+    spark.sql("DELETE FROM gpt.db.bk WHERE k >= 4")
+    assert(spark.table("gpt.db.bk").count() == 4)
+  }
+
+  test("mixing identity and transform partitioning refuses") {
+    warehouse
+    val ex = intercept[Exception] {
+      spark.sql("CREATE TABLE gpt.db.mix (k BIGINT, c STRING, ts TIMESTAMP) " +
+        "PARTITIONED BY (c, months(ts))")
+    }
+    assert(ex.getMessage.contains("one plane"), ex.getMessage)
+  }
+
+  test("CTAS with a transform layout") {
+    warehouse
+    spark.sql("CREATE TABLE gpt.db.ct PARTITIONED BY (truncate(1, s)) AS " +
+      "SELECT CAST(id AS BIGINT) AS k, substr('abcde', CAST(id % 5 AS INT) + 1, 1) AS s " +
+      "FROM range(0, 50)")
+    val log = new CommitLog(spark, s"$warehouse/db/ct")
+    assert(log.partitionTransforms.map(_.spec) == Seq("truncate(1, s)"))
+    assert(log.files(log.currentVersion.get).length == 5)
+    assert(log.prunedCandidates(col("s") === "c").length == 1)
+    assert(spark.sql("SELECT count(*) FROM gpt.db.ct WHERE s = 'c'").head().getLong(0) == 10)
+  }
+}
