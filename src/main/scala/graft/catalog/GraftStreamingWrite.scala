@@ -49,8 +49,30 @@ private[graft] final class GraftStreamingWrite(
     val paths = messages.collect {
       case m: GraftStreamedFile if m.path.nonEmpty => new Path(m.path)
     }.toSeq
-    log.commitPooledFiles(paths, replaceEachEpoch,
-      Some(s"stream-$queryId-$epochId")): Unit
+    val txn = Some(s"stream-$queryId-$epochId")
+    val transforms = log.partitionTransforms
+    if (transforms.nonEmpty) {
+      // hidden-partition transform table: the epoch's flat staged files
+      // are read back, the layout derived, and the batch re-laid-out
+      // under the declared transforms — streaming ingest into a
+      // `days(ts)` table keeps its pruning. Costs one extra read+write
+      // of the EPOCH (micro-batch-sized, never the table); the txn id
+      // still dedups redelivered epochs. An empty append epoch commits
+      // nothing; an empty Complete epoch legally truncates.
+      val spark = org.apache.spark.sql.SparkSession.active
+      if (paths.isEmpty && !replaceEachEpoch) return
+      val batch =
+        if (paths.isEmpty)
+          spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), schema)
+        else spark.read.schema(schema).parquet(paths.map(_.toString): _*)
+      log.commitTransformed(batch, transforms.map(_.spec), replaceEachEpoch,
+        txn): Unit
+      // staged originals were read, not pooled: drop them now rather
+      // than waiting out vacuum's _tmp aging
+      paths.headOption.foreach { h =>
+        h.getFileSystem(new Configuration()).delete(h.getParent, true): Unit
+      }
+    } else log.commitPooledFiles(paths, replaceEachEpoch, txn): Unit
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -85,6 +85,38 @@ class SqlPartitionTransformSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("one plane"), ex.getMessage)
   }
 
+  test("streaming ingest derives and keeps the hidden transform layout") {
+    warehouse
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    spark.sql("CREATE TABLE gpt.db.st (k BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    val in = MemoryStream[(Long, String, Double)](spark)
+    val cp = java.nio.file.Files.createTempDirectory("gpt_cp").toString
+    val q = in.toDF().toDF("k", "ts0", "v")
+      .select(col("k"), to_timestamp(col("ts0")).as("ts"), col("v"))
+      .writeStream.option("checkpointLocation", cp)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .toTable("gpt.db.st")
+    try {
+      in.addData((1L, "2024-03-01 10:00:00", 1.0), (2L, "2024-03-02 10:00:00", 2.0))
+      q.processAllAvailable()
+      in.addData((3L, "2024-03-02 12:00:00", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val log = new CommitLog(spark, s"$warehouse/db/st")
+    assert(spark.table("gpt.db.st").count() == 3)
+    assert(!spark.table("gpt.db.st").columns.exists(_.startsWith("_p_")))
+    val files = log.files(log.currentVersion.get)
+    assert(files.forall(_.contains("_p_day_ts=")), files.toString)
+    val d2 = col("ts") >= lit("2024-03-02 00:00:00").cast("timestamp")
+    assert(log.readWhere(d2).count() == 2)
+    assert(log.prunedCandidates(d2).length < files.length)
+    // per-epoch txn memory still dedups redeliveries
+    assert(log.txns(log.currentVersion.get).exists(_.startsWith("stream-")),
+      log.txns(log.currentVersion.get).toString)
+  }
+
   test("CTAS with a transform layout") {
     warehouse
     spark.sql("CREATE TABLE gpt.db.ct PARTITIONED BY (truncate(1, s)) AS " +
