@@ -1799,7 +1799,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     val lines = manifestLines(v)
     val names = dataNamesOf(lines)
     val specs = partitionTransforms
-    if (names.isEmpty || specs.isEmpty) return names
+    if (names.isEmpty) return names
     val stats = fileStatsOf(lines)
     // a Spark-4 Column is a ColumnNode tree, not a catalyst expression:
     // resolve it the honest way — analyze a Filter over this snapshot
@@ -1861,6 +1861,58 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         }
       }
     }
+    // tier 2: direct per-file footer min/max on ANY column — clustered /
+    // naturally-ordered tables skip files with no transform declared.
+    // The probe value is the RESOLVED literal's internal rendering, which
+    // matches how the manifest stats were tagged (timestamps as micros,
+    // dates as epoch days, strings as UTF-16-comparable text); a
+    // rendering the stat's type tag cannot parse never prunes.
+    def rendered(e: E.Expression): Option[String] =
+      try e.eval(null) match {
+        case null => None
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+        case n @ (_: java.lang.Long | _: java.lang.Integer |
+                  _: java.lang.Short | _: java.lang.Byte |
+                  _: java.lang.Double | _: java.lang.Float) =>
+          Some(String.valueOf(n))
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def safeFor(tpe: String, s: String): Boolean = tpe match {
+      case "long"   => s.matches("-?\\d+")
+      case "double" => s.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")
+      case _        => true
+    }
+    val colBounds: Seq[(String, Option[String], Option[String])] = conj.flatMap {
+      case E.EqualTo(a, l) if attNameOf(a).isDefined && isLit(l) =>
+        rendered(l).map(d => (attNameOf(a).get, Some(d), Some(d)))
+      case E.EqualTo(l, a) if attNameOf(a).isDefined && isLit(l) =>
+        rendered(l).map(d => (attNameOf(a).get, Some(d), Some(d)))
+      case E.GreaterThanOrEqual(a, l) if attNameOf(a).isDefined && isLit(l) =>
+        rendered(l).map(d => (attNameOf(a).get, Some(d), None))
+      case E.GreaterThan(a, l) if attNameOf(a).isDefined && isLit(l) =>
+        rendered(l).map(d => (attNameOf(a).get, Some(d), None))
+      case E.LessThanOrEqual(a, l) if attNameOf(a).isDefined && isLit(l) =>
+        rendered(l).map(d => (attNameOf(a).get, None, Some(d)))
+      case E.LessThan(a, l) if attNameOf(a).isDefined && isLit(l) =>
+        rendered(l).map(d => (attNameOf(a).get, None, Some(d)))
+      case E.GreaterThanOrEqual(l, a) if attNameOf(a).isDefined && isLit(l) =>
+        rendered(l).map(d => (attNameOf(a).get, None, Some(d)))
+      case E.GreaterThan(l, a) if attNameOf(a).isDefined && isLit(l) =>
+        rendered(l).map(d => (attNameOf(a).get, None, Some(d)))
+      case E.LessThanOrEqual(l, a) if attNameOf(a).isDefined && isLit(l) =>
+        rendered(l).map(d => (attNameOf(a).get, Some(d), None))
+      case E.LessThan(l, a) if attNameOf(a).isDefined && isLit(l) =>
+        rendered(l).map(d => (attNameOf(a).get, Some(d), None))
+      case _ => None
+    }
+    colBounds.foreach { case (c, lo, hi) =>
+      candidates = candidates.filter { n =>
+        stats.get(n).flatMap(_.get(c)).forall { s =>
+          lo.forall(b => !safeFor(s.tpe, b) || ColStats.cmp(s.tpe, s.max, b) >= 0) &&
+            hi.forall(b => !safeFor(s.tpe, b) || ColStats.cmp(s.tpe, s.min, b) <= 0)
+        }
+      }
+    }
     candidates
   }
 
@@ -1879,8 +1931,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val hidden = specs.map(_.derivedName).filter(df.columns.contains)
       if (hidden.isEmpty) df else df.drop(hidden: _*)
     }
-    if (specs.isEmpty || dataNamesOf(lines).isEmpty)
-      return hide(readVersion(v).filter(cond))
+    if (dataNamesOf(lines).isEmpty) return hide(readVersion(v).filter(cond))
     val candidates = prunedCandidates(cond)
     if (candidates.isEmpty) hide(readVersion(v).filter(cond).limit(0))
     else hide(readFiles(candidates, dvFrameOf(dvNamesOf(lines)),

@@ -86,6 +86,31 @@ class PartitionTransformSpec extends AnyFunSuite {
       .toSeq == Seq(12L, 17L))
   }
 
+  test("footer-stats tier: readWhere prunes files on ANY column, no transform needed") {
+    val log = new CommitLog(spark, freshRoot("pt_stats"))
+    // four files with disjoint k ranges (range-clustered write)
+    log.commit(spark.range(0, 400)
+      .select(col("id").as("k"), (col("id") * 2).as("v"),
+        concat(lit("u"), format_string("%05d", col("id"))).as("name"))
+      .repartitionByRange(4, col("k")), replace = false)
+    val total = log.files(log.currentVersion.get).length
+    assert(total == 4, s"expected 4 range-clustered files, got $total")
+    assert(log.prunedCandidates(col("k") === 42L).length == 1)
+    assert(log.prunedCandidates(col("k") >= 350L).length == 1)
+    assert(log.prunedCandidates(col("k") >= 100L && col("k") < 200L).length <= 2)
+    assert(log.readWhere(col("k") >= 350L).count() == 50)
+    assert(log.readWhere(col("k") >= 100L && col("k") < 200L).count() == 100)
+    // string bounds prune lexicographically
+    assert(log.prunedCandidates(col("name") >= "u00350").length == 1)
+    assert(log.readWhere(col("name") >= "u00350").count() == 50)
+    // correlated second column prunes as well (v = 2k clusters with k)
+    assert(log.prunedCandidates(col("v") === 84L).length == 1)
+    assert(log.readWhere(col("v") === 84L).select("k").as[Long].head() == 42L)
+    // predicates outside every file's bounds read nothing
+    assert(log.prunedCandidates(col("k") > 1000L).isEmpty)
+    assert(log.readWhere(col("k") > 1000L).count() == 0)
+  }
+
   test("appends must redeclare the layout; replace re-lays-out") {
     val log = new CommitLog(spark, freshRoot("pt_decl"))
     log.commitTransformed(daysDf, Seq("days(ts)"), replace = false)
