@@ -1824,13 +1824,23 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           derivedOf(t, l).map(d => (Some(d), Some(d)))
         case E.EqualNullSafe(a, l) if attNameOf(a).contains(t.src) && isLit(l) =>
           derivedOf(t, l).map(d => (Some(d), Some(d)))
-        case E.In(a, vs) if attNameOf(a).contains(t.src) && vs.forall(isLit) =>
-          val ds = vs.map(derivedOf(t, _))
+        case E.In(a, vs) if attNameOf(a).contains(t.src) && vs.nonEmpty &&
+            vs.forall(isLit) =>
+          // ONE local job derives the whole IN list (a per-element probe
+          // would launch len(IN) driver jobs — the 1000-element IN trap)
+          val ds = spark.range(1)
+            .select(org.apache.spark.sql.functions.explode(
+              org.apache.spark.sql.functions.array(vs.map(x =>
+                org.apache.spark.sql.GraftSqlShim.column(x)
+                  .cast(t.srcType)): _*)).as("x"))
+            .select(t.derive(col("x")).cast("string").as("d"))
+            .collect().map(r => Option(r.getString(0)))
           if (ds.exists(_.isEmpty) || ds.isEmpty) None
           else {
             // range over the derived values: loose for bucket but always
             // correct (overlaps is a per-file interval test)
-            val sorted = ds.flatten.sortWith(ColStats.cmp(t.derivedTpe, _, _) < 0)
+            val sorted = ds.flatten.toSeq
+              .sortWith(ColStats.cmp(t.derivedTpe, _, _) < 0)
             Some((Some(sorted.head), Some(sorted.last)))
           }
         case E.GreaterThanOrEqual(a, l) if attNameOf(a).contains(t.src) &&

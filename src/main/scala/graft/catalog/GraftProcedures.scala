@@ -32,7 +32,8 @@ private[catalog] object GraftProcedures {
       "materialize_mapping", "analyze", "clone", "build_bloom_index",
       "create_mv", "refresh_mv", "detail", "replicate", "build_ann_index",
       "add_constraint", "drop_constraint", "set_clustering",
-      "create_tag", "create_branch", "drop_ref", "fast_forward", "refs")
+      "create_tag", "create_branch", "drop_ref", "fast_forward", "refs",
+      "set_partition_transforms")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -62,6 +63,7 @@ private[catalog] object GraftProcedures {
     case "drop_ref"        => new DropRef(cat)
     case "fast_forward"    => new FastForward(cat)
     case "refs"            => new Refs(cat)
+    case "set_partition_transforms" => new SetPartitionTransforms(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
   }
@@ -153,6 +155,46 @@ private[catalog] object GraftProcedures {
       val v = log.setClustering(cols)
       result(new StructType().add("version", LongType)
         .add("clustered_by", StringType), v, cols.mkString(","))
+    }
+  }
+
+  private final class SetPartitionTransforms(cat: GraftTableCatalog)
+    extends Proc("set_partition_transforms", Seq(in("table", StringType),
+      in("transforms", StringType))) {
+    override def description(): String =
+      "adopt or change a hidden-partition transform layout " +
+        "(comma-separated, e.g. 'days(ts), bucket(16, k)'): ONE explicit " +
+        "re-layout commit rewrites the table under the new spec — " +
+        "partition evolution as a visible O(table) operation, never a " +
+        "silent mixed layout"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = cat.rootOf(input.getUTF8String(0).toString)
+      val log = new CommitLog(cat.sparkSession, root)
+      // an identity-partitioned catalog table declares its layout in the
+      // partition sidecar the catalog write path routes on — switching
+      // planes under it would fork the two declarations
+      val fs = HadoopFs.fs(cat.sparkSession, root)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_partition.json")),
+        "set_partition_transforms: table is identity-partitioned " +
+          "(PARTITIONED BY columns); recreate it with a transform layout instead")
+      // top-level-comma split: 'bucket(2, k), days(ts)' is two specs —
+      // commas inside a transform's parens stay put
+      val raw = input.getUTF8String(1).toString
+      val specs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder; var depth = 0
+      raw.foreach { c =>
+        if (c == ',' && depth == 0) { specs += sb.toString; sb.clear() }
+        else {
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          sb.append(c): Unit
+        }
+      }
+      specs += sb.toString
+      val v = log.commitTransformed(log.read(),
+        specs.map(_.trim).filter(_.nonEmpty).toSeq, replace = true)
+      result(new StructType().add("version", LongType)
+        .add("transforms", StringType),
+        v, log.partitionTransforms.map(_.spec).mkString(","))
     }
   }
 

@@ -76,6 +76,34 @@ class SqlPartitionTransformSpec extends AnyFunSuite {
     assert(spark.table("gpt.db.bk").count() == 4)
   }
 
+  test("CALL set_partition_transforms retrofits and evolves the layout explicitly") {
+    warehouse
+    spark.sql("CREATE TABLE gpt.db.ev2 AS SELECT id AS k, " +
+      "CAST(CONCAT('2024-0', CAST(id % 3 + 1 AS STRING), '-15') AS TIMESTAMP) AS ts " +
+      "FROM range(0, 90)")
+    val log = new CommitLog(spark, s"$warehouse/db/ev2")
+    assert(log.partitionTransforms.isEmpty)
+    // retrofit months(ts) onto the flat table
+    spark.sql("CALL gpt.system.set_partition_transforms('db.ev2', 'months(ts)')")
+    assert(log.partitionTransforms.map(_.spec) == Seq("month(ts)"))
+    assert(log.files(log.currentVersion.get).length == 3)
+    assert(log.prunedCandidates(
+      col("ts") >= lit("2024-03-01 00:00:00").cast("timestamp")).length == 1)
+    assert(spark.table("gpt.db.ev2").count() == 90)
+    // evolve to bucket(2, k): one explicit re-layout, values unchanged
+    spark.sql("CALL gpt.system.set_partition_transforms('db.ev2', 'bucket(2, k)')")
+    assert(log.partitionTransforms.map(_.spec) == Seq("bucket(2, k)"))
+    assert(log.files(log.currentVersion.get).length == 2)
+    assert(spark.table("gpt.db.ev2").count() == 90)
+    assert(log.history().head.operation == "replace")
+    // identity-partitioned tables refuse the plane switch
+    spark.sql("CREATE TABLE gpt.db.idp (k BIGINT, c STRING) PARTITIONED BY (c)")
+    val ex = intercept[Exception] {
+      spark.sql("CALL gpt.system.set_partition_transforms('db.idp', 'bucket(2, k)')")
+    }
+    assert(ex.getMessage.contains("identity-partitioned"), ex.getMessage)
+  }
+
   test("mixing identity and transform partitioning refuses") {
     warehouse
     val ex = intercept[Exception] {
