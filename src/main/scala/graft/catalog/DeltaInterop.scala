@@ -452,7 +452,15 @@ object DeltaInterop {
     val log = new CommitLog(spark, commitRoot)
     val v = log.currentVersion.getOrElse(throw new java.io.FileNotFoundException(
       s"no committed version under $commitRoot"))
-    val schema = log.readVersion(v).schema
+    // hidden-partition transforms: export the LOGICAL table — the
+    // derived `_p_*` layout columns are engine-internal and must not
+    // surface as data columns in a foreign format
+    val hidden = log.partitionTransforms.map(_.derivedName)
+    def visible(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val drop = hidden.filter(df.columns.contains)
+      if (drop.isEmpty) df else df.drop(drop: _*)
+    }
+    val schema = visible(log.readVersion(v)).schema
     val fs = HadoopFs.fs(spark, dest)
     val destPath = new Path(dest)
     fs.mkdirs(destPath)
@@ -476,7 +484,7 @@ object DeltaInterop {
         // drop it): materialize the visible snapshot instead (one
         // distributed write; partition columns become data columns)
         val stage = new Path(destPath, "_graft_export_stage")
-        log.readVersion(v).write.mode("overwrite").parquet(stage.toString)
+        visible(log.readVersion(v)).write.mode("overwrite").parquet(stage.toString)
         val parts = fs.listStatus(stage)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(_.getPath).sortBy(_.getName)

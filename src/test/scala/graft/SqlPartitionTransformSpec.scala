@@ -145,6 +145,27 @@ class SqlPartitionTransformSpec extends AnyFunSuite {
       log.txns(log.currentVersion.get).toString)
   }
 
+  test("Delta/Iceberg export of a transform table ships the LOGICAL schema") {
+    warehouse
+    spark.sql("CREATE TABLE gpt.db.ex (k BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO gpt.db.ex VALUES " +
+      "(1, TIMESTAMP '2024-03-01 10:00:00', 1.0), " +
+      "(2, TIMESTAMP '2024-03-02 10:00:00', 2.0)")
+    val dd = java.nio.file.Files.createTempDirectory("gpt_dexp").toString
+    graft.catalog.DeltaInterop.exportDelta(spark, s"$warehouse/db/ex", dd): Unit
+    val delta = spark.read.parquet(
+      new java.io.File(dd).listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(_.getPath): _*)
+    assert(delta.columns.sorted.toSeq == Seq("k", "ts", "v"), delta.columns.toSeq)
+    assert(delta.count() == 2)
+    val di = java.nio.file.Files.createTempDirectory("gpt_iexp").toString
+    graft.catalog.IcebergInterop.exportIceberg(spark, s"$warehouse/db/ex", di): Unit
+    val ice = spark.read.parquet(s"$di/data")
+    assert(ice.columns.sorted.toSeq == Seq("k", "ts", "v"), ice.columns.toSeq)
+    assert(ice.count() == 2)
+  }
+
   test("CTAS with a transform layout") {
     warehouse
     spark.sql("CREATE TABLE gpt.db.ct PARTITIONED BY (truncate(1, s)) AS " +
