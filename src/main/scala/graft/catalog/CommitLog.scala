@@ -1391,6 +1391,12 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       }
     }
     val base = outLines.filterNot(_.startsWith("#repsrc:"))
+    // a transform-partitioned source's layout declaration rides along —
+    // without it the replica would EXPOSE the hidden `_p_*` columns and
+    // lose its transform pruning
+    if (src.hfs.exists(src.ptspecFile))
+      org.apache.hadoop.fs.FileUtil.copy(src.hfs, src.ptspecFile, hfs,
+        ptspecFile, false, hfs.getConf): Unit
     var attempt = 0
     while (attempt < 50) {
       val v = currentVersion.getOrElse(0L) + 1

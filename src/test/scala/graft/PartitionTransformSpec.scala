@@ -126,6 +126,21 @@ class PartitionTransformSpec extends AnyFunSuite {
     assert(log.read().count() == 6)
   }
 
+  test("replication carries the hidden layout (sidecar + pruning parity)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pt_rep").toString
+    val src = new CommitLog(spark, base + "/src")
+    src.commitTransformed(daysDf, Seq("days(ts)"), replace = false)
+    val rep = new CommitLog(spark, base + "/rep")
+    assert(rep.replicateFrom(src).isDefined)
+    assert(rep.partitionTransforms.map(_.spec) == Seq("day(ts)"))
+    assert(rep.read().columns.sorted.toSeq == Seq("k", "ts", "v"),
+      "replica must hide the layout like the primary")
+    val d2 = col("ts") >= lit("2024-03-04 00:00:00").cast("timestamp")
+    assert(rep.prunedCandidates(d2).length < rep.files(rep.currentVersion.get).length)
+    assert(rep.readWhere(d2).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(5L, 6L))
+  }
+
   test("merge and updateWhere re-derive the layout (rows move partitions)") {
     val log = new CommitLog(spark, freshRoot("pt_mut"))
     log.commitTransformed(daysDf, Seq("days(ts)"), replace = false)
