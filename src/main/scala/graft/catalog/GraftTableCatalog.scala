@@ -339,6 +339,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     val root = tableRoot(ident)
     var schema = declaredSchema(root).getOrElse(loadTable(ident).schema())
     val partCols = declaredPartitioning(root).toSet
+    // a hidden-partition transform records its SOURCE column by name in
+    // `_ptspec.json`: renaming or dropping it would orphan the layout
+    // (future writes crash on the missing column; pruning dies silently)
+    val transformSrcs = new CommitLog(spark, root.toString)
+      .partitionTransforms.map(_.src).toSet
     var (dropped, seq) = ColumnMapping.readMeta(fs, root)
     // physical names EVER used must never rebind to different bytes: live
     // physicals + the dropped registry together are the reserved set
@@ -381,6 +386,9 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         require(!partCols.contains(old),
           s"RENAME COLUMN $old: partition columns name the directory layout " +
             "(c=v paths); rebuild with commitPartitioned(replace) to rename one")
+        require(!transformSrcs.contains(old),
+          s"RENAME COLUMN $old: it is a hidden-partition transform source; " +
+            "re-declare the layout first: CALL <catalog>.system.set_partition_transforms")
         // metadata-only: the field keeps reading/writing its physical name
         schema = StructType(schema.fields.map { f =>
           if (f.name != old) f
@@ -395,6 +403,9 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         require(!partCols.contains(name),
           s"DROP COLUMN $name: partition columns name the directory layout; " +
             "rebuild with commitPartitioned(replace) to drop one")
+        require(!transformSrcs.contains(name),
+          s"DROP COLUMN $name: it is a hidden-partition transform source; " +
+            "re-declare the layout first: CALL <catalog>.system.set_partition_transforms")
         val phys = ColumnMapping.physicalName(schema(name))
         dropped += phys   // reserve forever: data files still carry the bytes
         schema = StructType(schema.fields.filterNot(_.name == name))

@@ -104,6 +104,24 @@ class SqlPartitionTransformSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("identity-partitioned"), ex.getMessage)
   }
 
+  test("ALTER refuses to rename or drop a transform source column") {
+    warehouse
+    spark.sql("CREATE TABLE gpt.db.alt (k BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO gpt.db.alt VALUES (1, TIMESTAMP '2024-03-01 10:00:00', 1.0)")
+    val ex1 = intercept[Exception] {
+      spark.sql("ALTER TABLE gpt.db.alt RENAME COLUMN ts TO event_ts")
+    }
+    assert(ex1.getMessage.contains("transform source"), ex1.getMessage)
+    val ex2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gpt.db.alt DROP COLUMN ts")
+    }
+    assert(ex2.getMessage.contains("transform source"), ex2.getMessage)
+    // non-source columns still evolve freely
+    spark.sql("ALTER TABLE gpt.db.alt RENAME COLUMN v TO value")
+    assert(spark.table("gpt.db.alt").columns.sorted.toSeq == Seq("k", "ts", "value"))
+  }
+
   test("mixing identity and transform partitioning refuses") {
     warehouse
     val ex = intercept[Exception] {
@@ -143,6 +161,24 @@ class SqlPartitionTransformSpec extends AnyFunSuite {
     // per-epoch txn memory still dedups redeliveries
     assert(log.txns(log.currentVersion.get).exists(_.startsWith("stream-")),
       log.txns(log.currentVersion.get).toString)
+  }
+
+  test("streaming tail of a transform table serves the logical schema") {
+    warehouse
+    spark.sql("CREATE TABLE gpt.db.tl (k BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO gpt.db.tl VALUES " +
+      "(1, TIMESTAMP '2024-03-01 10:00:00', 1.0), " +
+      "(2, TIMESTAMP '2024-03-02 10:00:00', 2.0)")
+    val out = java.nio.file.Files.createTempDirectory("gpt_tl_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("gpt_tl_cp").toString
+    val q = spark.readStream.table("gpt.db.tl").writeStream
+      .format("parquet").option("path", out).option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.columns.sorted.toSeq == Seq("k", "ts", "v"), got.columns.toSeq)
+    assert(got.count() == 2)
   }
 
   test("Delta/Iceberg export of a transform table ships the LOGICAL schema") {
