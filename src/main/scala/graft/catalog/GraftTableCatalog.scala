@@ -52,6 +52,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ([[CommitLog.merge]], itself partition-aware).
   */
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
@@ -65,6 +66,22 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** Function catalog: serves the hidden-partition `bucket` function so
+    * Spark's storage-partitioned-join resolution can bind the
+    * `bucket(n, col)` transform two bucket-layout scans report and
+    * recognize them as co-partitioned ([[GraftBucketFunction]]).
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(namespace, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private def spark = SparkSession.active
   private def fs = HadoopFs.fs(spark, warehouse)
@@ -631,7 +648,16 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
       // spark.sql.sources.v2.bucketing.enabled) so co-partitioned joins
       // and partition-keyed aggregations plan shuffle-free; renamed
       // tables stand down (their batch path is rewritten at analysis)
-      keyedSession = if (partCols.nonEmpty && !hasRenames) Some(spark) else None)
+      keyedSession = if (partCols.nonEmpty && !hasRenames) Some(spark) else None,
+      // hidden-bucket twin: a single bucket(n, col) transform layout
+      // reports bucket key-grouping keyed on the layout directory's
+      // bucket id — two tables bucketed alike join with zero exchanges
+      bucketKeyed = log.partitionTransforms match {
+        case Seq(t) if t.kind == "bucket" && !hasRenames &&
+            schema.fieldNames.contains(t.src) =>
+          Some((t.src, t.arg.toInt, spark))
+        case _ => None
+      })
   }
 
   private sealed trait WriteMode

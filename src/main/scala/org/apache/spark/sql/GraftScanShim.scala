@@ -37,7 +37,8 @@ final class GraftForwardingScanBuilder(
     exactStats: () => Option[GraftExactStats] = () => None,
     batchRefusal: Option[String] = None,
     totalCols: Int = 0,
-    keyedSession: Option[SparkSession] = None)
+    keyedSession: Option[SparkSession] = None,
+    bucketKeyed: Option[(String, Int, SparkSession)] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -105,7 +106,8 @@ final class GraftForwardingScanBuilder(
         }
       }
     new GraftStreamableScan(built, stream, stats, batchRefusal,
-      keyed = if (aggPushed) None else keyedSession)
+      keyed = if (aggPushed) None else keyedSession,
+      bucketKeyed = if (aggPushed) None else bucketKeyed)
   }
 }
 
@@ -157,6 +159,44 @@ final class GraftKeyedBatch(fs: FileScan, spark: SparkSession) extends Batch {
     fs.createReaderFactory()
 }
 
+/** Bucket twin of [[GraftKeyedBatch]] for hidden-partition
+  * `bucket(n, col)` tables: split groups are keyed on the BUCKET ID
+  * parsed from each file's `_p_bucket_n_col=<id>/` layout directory
+  * (the scan schema carries no partition columns — the derived column
+  * is engine-internal, so rows read content-only through the stock
+  * parquet factory). With both join sides bucketed on the same key and
+  * count, Spark plans the fact-fact join with zero exchanges — the
+  * Iceberg-style bucket join.
+  */
+final class GraftBucketKeyedBatch(fs: FileScan, spark: SparkSession,
+    src: String, n: Int) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val seg = (java.util.regex.Pattern.quote(s"_p_bucket_${n}_$src=") +
+      "([0-9]+)/").r
+    val dirs = fs.fileIndex.listFiles(fs.partitionFilters, fs.dataFilters)
+    val maxSplit = FilePartition.maxSplitBytes(spark, dirs)
+    val byBucket = dirs.flatMap(_.files).groupBy(f =>
+      seg.findFirstMatchIn(f.getPath.toString).map(_.group(1).toLong))
+    require(!byBucket.contains(None),
+      "GraftBucketKeyedBatch: a file lost its bucket layout segment between " +
+        "planning and batch construction")
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    byBucket.toSeq.sortBy(_._1.get).foreach { case (id, files) =>
+      val key = InternalRow(id.get)
+      val splits = files.flatMap { f =>
+        PartitionedFileUtil.splitFiles(f, f.getPath, isSplitable = true,
+          maxSplit, InternalRow.empty)
+      }.sortBy(-_.length)
+      FilePartition.getFilePartitions(spark, splits, maxSplit).foreach { fp =>
+        out += new GraftKeyedFilePartition(out.length, fp.files, key)
+      }
+    }
+    out.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    fs.createReaderFactory()
+}
+
 /** Scan wrapper: batch reads delegate untouched; streaming reads get the
   * catalog's commit-tailing [[MicroBatchStream]]. Statistics prefer the
   * commit log's EXACT snapshot numbers (manifest row/byte tags + ANALYZE
@@ -170,7 +210,8 @@ final class GraftStreamableScan(private var delegate: Scan,
     stream: String => MicroBatchStream,
     exact: Option[GraftExactStats] = None,
     batchRefusal: Option[String] = None,
-    keyed: Option[SparkSession] = None)
+    keyed: Option[SparkSession] = None,
+    bucketKeyed: Option[(String, Int, SparkSession)] = None)
   extends Scan with SupportsReportStatistics with SupportsReportPartitioning
   with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = delegate.readSchema()
@@ -235,6 +276,34 @@ final class GraftStreamableScan(private var delegate: Scan,
     }
   }.filter(_ != null)
 
+  /** The hidden-bucket SPJ path: a transform-partitioned table's scan
+    * carries no partition schema (the derived `_p_bucket_n_col` column
+    * is engine-internal), so co-location is keyed on the BUCKET ID
+    * parsed from each file's layout directory. Engages only under the
+    * same V2-bucketing opt-in as the identity path; a file missing its
+    * bucket segment stands the whole path down (correct, just shuffled).
+    */
+  private def bucketScan: Option[(FileScan, String, Int, SparkSession)] =
+    bucketKeyed.collect {
+      case (src, n, sp) if SQLConf.get.v2BucketingEnabled => delegate match {
+        case f: FileScan if f.fileIndex.partitionSchema.isEmpty => (f, src, n, sp)
+        case _ => null
+      }
+    }.filter(_ != null)
+
+  /** Distinct bucket ids, or None when there are no files or ANY file
+    * lacks the layout segment (stand down — correct, just shuffled).
+    */
+  private def bucketIdsOf(f: FileScan, src: String, n: Int): Option[Set[Long]] = {
+    val seg = (java.util.regex.Pattern.quote(s"_p_bucket_${n}_$src=") +
+      "([0-9]+)/").r
+    val tagged = f.fileIndex.listFiles(f.partitionFilters, f.dataFilters)
+      .flatMap(_.files)
+      .map(st => seg.findFirstMatchIn(st.getPath.toString).map(_.group(1).toLong))
+    if (tagged.isEmpty || tagged.exists(_.isEmpty)) None
+    else Some(tagged.flatten.toSet)
+  }
+
   override def outputPartitioning(): ConnectorPartitioning = keyedScan match {
     case Some((f, _)) =>
       val dirs = f.fileIndex.listFiles(f.partitionFilters, f.dataFilters)
@@ -243,7 +312,18 @@ final class GraftStreamableScan(private var delegate: Scan,
         f.fileIndex.partitionSchema.map(c => Expressions.identity(c.name))
           .toArray[org.apache.spark.sql.connector.expressions.Expression],
         dirs.length)
-    case None => new ConnectorUnknownPartitioning(0)
+    case None => bucketScan match {
+      case Some((f, src, n, _)) =>
+        bucketIdsOf(f, src, n) match {
+          case Some(ids) if ids.nonEmpty =>
+            new ConnectorKeyGroupedPartitioning(
+              Array[org.apache.spark.sql.connector.expressions.Expression](
+                Expressions.bucket(n, src)),
+              ids.size)
+          case _ => new ConnectorUnknownPartitioning(0)
+        }
+      case None => new ConnectorUnknownPartitioning(0)
+    }
   }
 
   // a batch refusal set by the table means binding THIS raw scan would
@@ -254,7 +334,11 @@ final class GraftStreamableScan(private var delegate: Scan,
     batchRefusal.foreach(msg => throw new IllegalStateException(msg))
     keyedScan match {
       case Some((f, sp)) => new GraftKeyedBatch(f, sp)
-      case None => delegate.toBatch
+      case None => bucketScan match {
+        case Some((f, src, n, sp)) if bucketIdsOf(f, src, n).isDefined =>
+          new GraftBucketKeyedBatch(f, sp, src, n)
+        case _ => delegate.toBatch
+      }
     }
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
