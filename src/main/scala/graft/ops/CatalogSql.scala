@@ -343,6 +343,56 @@ object CatalogSql {
     }
   }
 
+  /** Hidden-bucket storage-partitioned join as an oracle key: orders and
+    * lineitem land in commit-log tables `PARTITIONED BY (bucket(8, key))`
+    * — a hash-transform layout whose derived column never surfaces — and
+    * the fact-fact join on the bucketed key runs under v2 bucketing with
+    * ZERO shuffle exchanges: both scans report `bucket(8, key)`
+    * key-grouping resolved through the catalog's FunctionCatalog
+    * ([[graft.catalog.GraftBucketFunction]]), so Spark recognizes the
+    * sides as co-partitioned (BucketJoinSpec pins the plan shape on its
+    * own tables; this key re-asserts exchange-freeness on the real
+    * tables AND pins the VALUES against DuckDB's plain join). The
+    * 100 TB contract: a fact-fact join laid out on a hash of its key
+    * pays no exchange at read time — the layout the user never sees is
+    * still a join-planning asset.
+    */
+  private def joinSpjBucket(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s, d)
+    SqlSurface.registerViews(s, d, Seq("orders", "lineitem"))
+    def ensureBucketed(t: String, srcView: String, cols: Seq[String], key: String): Unit = {
+      val fresh =
+        try s.sql(s"SELECT count(*) FROM graft.tpch.$t").head().getLong(0) ==
+          s.table(srcView).count()
+        catch { case _: Exception => false }
+      if (!fresh) {
+        s.sql(s"DROP TABLE IF EXISTS graft.tpch.$t")
+        val ddlCols = s.table(srcView).select(cols.map(org.apache.spark.sql.functions.col): _*)
+          .schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        s.sql(s"CREATE TABLE graft.tpch.$t ($ddlCols) PARTITIONED BY (bucket(8, $key))")
+        s.sql(s"INSERT INTO graft.tpch.$t SELECT ${cols.mkString(", ")} FROM $srcView"): Unit
+      }
+    }
+    ensureBucketed("ord_bucket", "orders", Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+    ensureBucketed("li_bucket", "lineitem", Seq("l_orderkey", "l_quantity"), "l_orderkey")
+    withIsolatedConfs(s, d, Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")) { s2 =>
+      val df = s2.sql(
+        """SELECT count(*) AS n_pairs,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM graft.tpch.ord_bucket o
+          |JOIN graft.tpch.li_bucket l ON o.o_orderkey = l.l_orderkey""".stripMargin)
+      val rows = df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      require(!p.contains("Exchange hashpartitioning"),
+        s"q_join_spj_bucket: hidden-bucket SPJ did not engage — join shuffled:\n$p")
+      s2.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    }
+  }
+
   /** Run `f` against a FORKED session carrying `confs`: its own SQLConf
     * and catalog instances over the shared SparkContext, so a query
     * planned concurrently on the caller's session can never observe the
@@ -748,6 +798,7 @@ object CatalogSql {
     "q_mv_incremental" -> mvIncremental _,
     "q_point_lookup_bloom" -> pointLookupBloom _,
     "q_join_spj" -> joinSpj _,
+    "q_join_spj_bucket" -> joinSpjBucket _,
     "q_merge_upsert" -> mergeUpsert _,
     "q_delete_where" -> deleteWhereCow _,
     "q_clone_shallow" -> cloneShallow _,
@@ -848,6 +899,12 @@ object CatalogSql {
         |JOIN supplier ON c_nationkey = s_nationkey
         |GROUP BY c_nationkey
         |ORDER BY nk""".stripMargin,
+    "q_join_spj_bucket" ->
+      """SELECT count(*) AS n_pairs,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders o
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey""".stripMargin,
     "q_merge_upsert" ->
       """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
