@@ -161,4 +161,41 @@ class PartitionTransformSpec extends AnyFunSuite {
     // full-table invariants hold through the mutations
     assert(log.read().count() == 7)
   }
+
+  test("compact preserves the hidden layout and folds MoR tombstones") {
+    val log = new CommitLog(spark, freshRoot("pt_compact"))
+    val df = (1L to 400L).map(i => (i, i * 1.0)).toDF("k", "v")
+    // three small appends per bucket → 12 small files across 4 bucket dirs
+    log.commitTransformed(df.filter(col("k") <= 100L), Seq("bucket(4, k)"),
+      replace = false)
+    log.commitTransformed(df.filter(col("k") > 100L && col("k") <= 250L),
+      Seq("bucket(4, k)"), replace = false)
+    log.commitTransformed(df.filter(col("k") > 250L), Seq("bucket(4, k)"),
+      replace = false)
+    val before = log.files(log.currentVersion.get).length
+    assert(before >= 8, s"expected many small files, got $before")
+    val (was, now) = log.compact()
+    assert(was == before && now < before,
+      s"compact must shrink the file count ($was -> $now)")
+    // layout survives: transforms declared, every file still in a bucket
+    // dir, equality pruning still engages, read still hides _p_*
+    assert(log.partitionTransforms.map(_.spec) == Seq("bucket(4, k)"))
+    assert(log.files(log.currentVersion.get).forall(_.contains("_p_bucket_4_k=")),
+      "compacted files must keep the bucket layout dirs")
+    assert(log.prunedCandidates(col("k") === 42L).length < now)
+    assert(!log.read().columns.exists(_.startsWith("_p_")))
+    assert(log.read().count() == 400)
+    // MoR tombstones: compact's full-rewrite path must fold them and
+    // still come out transform-partitioned
+    log.deleteWhereMoR(col("k") % 10L === 0L): Unit
+    assert(log.read().count() == 360)
+    val (_, after) = log.compact()
+    assert(log.read().count() == 360)
+    assert(log.partitionTransforms.map(_.spec) == Seq("bucket(4, k)"))
+    assert(log.files(log.currentVersion.get).forall(_.contains("_p_bucket_4_k=")),
+      s"DV-fold rewrite must re-derive the bucket layout")
+    assert(log.prunedCandidates(col("k") === 42L).length < after ||
+      after == 1, "equality pruning must survive the DV fold")
+    assert(log.readWhere(col("k") === 42L).select("v").as[Double].head() == 42.0)
+  }
 }
