@@ -77,6 +77,33 @@ class BucketJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("unbucketed side shuffles by the bucket function; bucketed side stays put") {
+    spark.sql("CREATE TABLE gbk.db.plain (k BIGINT, w DOUBLE)")
+    spark.sql("INSERT INTO gbk.db.plain SELECT id, id * 3.0 FROM range(0, 600)")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(
+        """SELECT a.k, a.v, b.w FROM gbk.db.fa a JOIN gbk.db.plain b ON a.k = b.k
+          |ORDER BY a.k""".stripMargin)
+      val rows = df.collect()
+      assert(rows.length == 600)
+      assert(rows.map(r => (r.getLong(0), r.getDouble(2))).take(3).toSeq ==
+        Seq((0L, 0.0), (1L, 3.0), (2L, 6.0)))
+      // the bucketed scan stays put; the plain side is shuffled INTO the
+      // bucket layout by evaluating the catalog's bucket function — the
+      // join itself pays zero hashpartitioning exchanges
+      val p = planOf(df)
+      assert(p.contains(
+        "Exchange keygroupedpartitioning(transformexpression(graft.catalog.GraftBucketFunction"),
+        s"plain side must shuffle by the catalog bucket function:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"neither join side may hash-shuffle:\n$p")
+    }
+  }
+
   test("conf off keeps stock planning and the same values") {
     withConfs(
       "spark.sql.sources.v2.bucketing.enabled" -> "false",
