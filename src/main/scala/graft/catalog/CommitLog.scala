@@ -51,6 +51,14 @@ case class CommitInfo(version: Long, committedAtMs: Long, dataFiles: Int,
   */
 case class RefInfo(name: String, kind: String, version: Long)
 
+/** One data-pool file of a version ([[CommitLog.fileDetails]]): name
+  * relative to `data/` (absolute for shallow-clone references),
+  * `partition` = its layout directory, bytes/rows from manifest tags
+  * (None for pre-tag commits).
+  */
+case class FileDetail(name: String, partition: String,
+    bytes: Option[Long], rows: Option[Long])
+
 /** One declared hidden-partition transform (reference: Iceberg partition
   * transforms): rows are laid out by a DERIVED hive partition column
   * computed from `src`, and the derived column never surfaces through
@@ -342,6 +350,21 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     */
   def fileStats(v: Long): Map[String, Map[String, ColStats]] =
     fileStatsOf(manifestLines(v))
+
+  /** Per-file detail of a retained version — the `t.files` metadata
+    * table's source. Bytes/rows come from the manifest's commit-time
+    * `_b`/`_n` tags (zero filesystem calls — at 100 TB the manifest IS
+    * the file listing); pre-tag lines report unknown. `partition` is
+    * the file's layout directory (hive `c=v` subdirs, including the
+    * hidden `_p_*` transform dirs), empty for flat pools.
+    */
+  def fileDetails(v: Long): Seq[FileDetail] =
+    manifestLines(v).filterNot(l => l.startsWith("#") || l.startsWith("-"))
+      .map { line =>
+        val p = line.split('\t')
+        val (rows, bytes) = if (p.length > 1) lineMeta(p(1)) else (None, None)
+        FileDetail(p(0), p(0).split('/').dropRight(1).mkString("/"), bytes, rows)
+      }
 
   private def fileStatsOf(lines: Seq[String]): Map[String, Map[String, ColStats]] =
     lines.filterNot(l => l.startsWith("#") || l.startsWith("-"))

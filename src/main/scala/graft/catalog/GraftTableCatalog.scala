@@ -214,10 +214,32 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      metadataTable(ident) match {
+        case Some(t) => return t
+        case None    => throw new NoSuchTableException(ident)
+      }
+    }
     val root = tableRoot(ident)
     new GraftTable(spark, fullName(ident), root.toString, declaredSchema(root),
       declaredPartitioning(root), None)
+  }
+
+  /** `<cat>.<db>.<t>.files`-style metadata tables (files / history /
+    * snapshots / refs / partitions): the analyzer hands them to us as
+    * namespace `[db, t]` + name `files`. Real tables only live under
+    * length-1 namespaces, so the suffix space can never shadow one.
+    */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    val ns = ident.namespace()
+    val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (ns.length == 2 && GraftMetadataTable.Kinds.contains(kind)) {
+      val parent = Identifier.of(Array(ns(0)), ns(1))
+      if (tableExists(parent))
+        Some(new GraftMetadataTable(spark,
+          s"${fullName(parent)}.$kind", tableRoot(parent).toString, kind))
+      else None
+    } else None
   }
 
   /** `VERSION AS OF v` — the commit log's native time travel. A

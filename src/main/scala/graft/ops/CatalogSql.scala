@@ -393,6 +393,36 @@ object CatalogSql {
     }
   }
 
+  /** SQL metadata tables as an ORACLE key: orders lands in a catalog
+    * table hive-partitioned by status, and `SELECT ... FROM
+    * graft.tpch.t.partitions` — the Iceberg-style metadata suffix served
+    * by [[graft.catalog.GraftMetadataTable]] straight from the manifest's
+    * commit-time row tags, zero data-file opens — must report EXACTLY the
+    * per-partition row counts DuckDB computes by scanning the data. The
+    * 100 TB contract: table introspection at manifest cost.
+    */
+  private def metaPartitions(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s, d)
+    SqlSurface.registerViews(s, d, Seq("orders"))
+    val t = "orders_meta"
+    val fresh =
+      try s.sql(s"SELECT count(*) FROM graft.tpch.$t").head().getLong(0) ==
+        s.table("orders").count()
+      catch { case _: Exception => false }
+    if (!fresh) {
+      s.sql(s"DROP TABLE IF EXISTS graft.tpch.$t")
+      val ddlCols = s.table("orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      s.sql(s"CREATE TABLE graft.tpch.$t ($ddlCols) PARTITIONED BY (o_orderstatus)")
+      s.sql(s"INSERT INTO graft.tpch.$t " +
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders"): Unit
+    }
+    s.sql(
+      s"""SELECT partition, rows AS n_rows FROM graft.tpch.$t.partitions
+         |ORDER BY partition""".stripMargin)
+  }
+
   /** Run `f` against a FORKED session carrying `confs`: its own SQLConf
     * and catalog instances over the shared SparkContext, so a query
     * planned concurrently on the caller's session can never observe the
@@ -799,6 +829,7 @@ object CatalogSql {
     "q_point_lookup_bloom" -> pointLookupBloom _,
     "q_join_spj" -> joinSpj _,
     "q_join_spj_bucket" -> joinSpjBucket _,
+    "q_meta_partitions" -> metaPartitions _,
     "q_merge_upsert" -> mergeUpsert _,
     "q_delete_where" -> deleteWhereCow _,
     "q_clone_shallow" -> cloneShallow _,
@@ -899,6 +930,10 @@ object CatalogSql {
         |JOIN supplier ON c_nationkey = s_nationkey
         |GROUP BY c_nationkey
         |ORDER BY nk""".stripMargin,
+    "q_meta_partitions" ->
+      """SELECT concat('o_orderstatus=', o_orderstatus) AS "partition",
+        |       count(*) AS n_rows
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_spj_bucket" ->
       """SELECT count(*) AS n_pairs,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
