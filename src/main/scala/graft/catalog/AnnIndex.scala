@@ -82,6 +82,34 @@ object AnnIndex {
     }.sortBy(_._1)
   }
 
+  /** Newest persisted index's metadata: (builtVersion, idCol, version
+    * dir) — what incremental maintenance needs without loading frames.
+    */
+  def metaOf(spark: SparkSession, root: String, column: String)
+      : Option[(Long, String, Path)] = {
+    val fs = HadoopFs.fs(spark, root)
+    val base = idxRoot(root, column)
+    if (!fs.exists(base)) return None
+    val vs = fs.listStatus(base).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && n.drop(1).nonEmpty &&
+        n.drop(1).forall(_.isDigit) => n.drop(1).toLong
+    }
+    if (vs.isEmpty) return None
+    val dir = new Path(base, s"v${vs.max}")
+    val metaPath = new Path(dir, "_meta.json")
+    if (!fs.exists(metaPath)) return None
+    val in = fs.open(metaPath)
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    org.json4s.jackson.JsonMethods.parse(body) \ "id_col" match {
+      case org.json4s.JString(idCol) => Some((vs.max, idCol, dir))
+      case _ => None
+    }
+  }
+
   /** Newest persisted index: (builtVersion, centroids, assignments). */
   def load(spark: SparkSession, root: String, column: String)
       : Option[(Long, DataFrame, DataFrame)] = {

@@ -2234,6 +2234,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     if (won) {
       writeHeadHint(v)   // best-effort; stale-low is self-healing
       maintainBloomIndexes(v, lines)
+      maintainAnnIndexes(v, lines)
     }
     won
   }
@@ -3338,6 +3339,50 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           // each file's filter is probed independently, so that's fine
           bloomEntries(column, newNames, numItems, numBits)
             .write.mode("append").parquet(dir.toString)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Best-effort incremental ANN-index maintenance after a successful
+    * publish (bloom pattern above): the commit's NEW pool files' vectors
+    * are assigned to their nearest TRAINED centroid and appended into
+    * the live `_index/ann/<col>` assignments — so post-build vectors
+    * probe through the index instead of falling to the conservative
+    * unindexed-tail scan. Vectors whose ids are ALREADY assigned (CoW
+    * rewrites re-committing old rows) are left alone — no duplicate
+    * assignments, and an UPDATED vector keeps its original cluster (the
+    * standing approximation until the next full build). Skippable via
+    * `spark.graft.annIndex.autoMaintain=false`; STRICTLY best effort —
+    * any failure leaves the new vectors conservatively scanned, never a
+    * wrong answer.
+    */
+  private def maintainAnnIndexes(v: Long, lines: Seq[String]): Unit = {
+    try {
+      if (spark.conf.get("spark.graft.annIndex.autoMaintain", "true") != "true") return
+      val base = new Path(tableRoot, "_index/ann")
+      if (!hfs.exists(base)) return
+      val prev =
+        if (v <= 1) Set.empty[String]
+        else dataNamesOf(rawManifestLines(v - 1)).toSet
+      val newNames = lines
+        .filterNot(l => l.startsWith("#") || l.startsWith("-"))
+        .map(_.split('\t').head)
+        .filterNot(prev)
+        .filterNot(n => n.startsWith("/") || n.contains("://"))
+      if (newNames.isEmpty) return
+      hfs.listStatus(base).map(_.getPath.getName).foreach { column =>
+        AnnIndex.metaOf(spark, tableRoot, column).foreach { case (_, idCol, dir) =>
+          AnnIndex.load(spark, tableRoot, column).foreach { case (_, cents, assigns) =>
+            val fresh = readFiles(newNames.sorted, None)
+              .select(col(idCol).cast("long").as("vec_id"),
+                col(column).as("embedding"))
+            graft.ops.KMeansIvf.assign(fresh, cents)
+              .select(col("vec_id"), col("c_id"))
+              .join(assigns.select(col("vec_id")), Seq("vec_id"), "left_anti")
+              .write.mode("append")
+              .parquet(new Path(dir, "assignments").toString)
+          }
         }
       }
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -60,11 +60,15 @@ object GraftMetadataTable {
   private def sumOpt(xs: Seq[Option[Long]]): Option[Long] =
     if (xs.exists(_.isEmpty)) None else Some(xs.flatten.sum)
 
-  def rowsOf(spark: SparkSession, root: String, kind: String): Array[InternalRow] = {
+  def rowsOf(spark: SparkSession, root: String, kind: String,
+      atVersion: Option[Long] = None): Array[InternalRow] = {
     val log = new CommitLog(spark, root)
+    // `t.files VERSION AS OF v` — snapshot-pinned file/partition views;
+    // history/snapshots/refs are chain-level and ignore the pin
+    def v: Seq[Long] = atVersion.orElse(log.currentVersion).toSeq
     kind match {
       case "files" =>
-        log.currentVersion.toSeq.flatMap(log.fileDetails).map { f =>
+        v.flatMap(log.fileDetails).map { f =>
           new GenericInternalRow(Array[Any](
             s(f.name), s(f.partition), opt(f.bytes), opt(f.rows)))
         }.toArray
@@ -80,7 +84,7 @@ object GraftMetadataTable {
           new GenericInternalRow(Array[Any](s(r.name), s(r.kind), r.version))
         }.toArray
       case "partitions" =>
-        log.currentVersion.toSeq.flatMap(log.fileDetails)
+        v.flatMap(log.fileDetails)
           .groupBy(_.partition).toSeq.sortBy(_._1).map { case (p, fs) =>
             new GenericInternalRow(Array[Any](
               s(p), fs.length,
@@ -92,7 +96,8 @@ object GraftMetadataTable {
 }
 
 final class GraftMetadataTable(spark: SparkSession, tableName: String,
-    root: String, kind: String) extends Table with SupportsRead {
+    root: String, kind: String, atVersion: Option[Long] = None)
+  extends Table with SupportsRead {
   override def name(): String = tableName
   override def schema(): StructType = GraftMetadataTable.schemaOf(kind)
   override def capabilities(): util.Set[TableCapability] =
@@ -102,7 +107,7 @@ final class GraftMetadataTable(spark: SparkSession, tableName: String,
       override def build(): Scan = new LocalScan {
         // rows materialize at SCAN BUILD (analysis/planning), so the
         // frame serves the manifest state current at query time
-        private val data = GraftMetadataTable.rowsOf(spark, root, kind)
+        private val data = GraftMetadataTable.rowsOf(spark, root, kind, atVersion)
         override def rows(): Array[InternalRow] = data
         override def readSchema(): StructType = schema()
       }

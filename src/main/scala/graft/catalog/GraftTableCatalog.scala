@@ -248,7 +248,25 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     * writes go through `CommitLog.branchLog` / the WAP procedures).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      // `t.files VERSION AS OF v` — metadata suffixes time-travel too
+      // (numeric versions only; files/partitions pin, chain-level views
+      // ignore the pin)
+      metadataTable(ident) match {
+        case Some(_) =>
+          val parent = Identifier.of(Array(ident.namespace()(0)), ident.namespace()(1))
+          val v = try version.toLong catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"metadata table ${fullName(parent)}.${ident.name()} supports " +
+                s"numeric VERSION AS OF only, got '$version'")
+          }
+          return new GraftMetadataTable(spark,
+            s"${fullName(parent)}.${ident.name()}@$v",
+            tableRoot(parent).toString,
+            ident.name().toLowerCase(java.util.Locale.ROOT), Some(v))
+        case None => throw new NoSuchTableException(ident)
+      }
+    }
     val root = tableRoot(ident)
     val v = try version.toLong catch {
       case _: NumberFormatException =>

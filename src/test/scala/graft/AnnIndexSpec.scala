@@ -53,12 +53,18 @@ class AnnIndexSpec extends AnyFunSuite {
     val log = new CommitLog(spark, root)
     log.commit(vectors(), replace = true)
     AnnIndex.build(spark, root, "embedding", "vec_id", k = 6, iters = 2)
-    // append a NEW vector identical to the anchor's embedding — absent
-    // from the assignments, it must still surface (cosine = 1.0) even
-    // at nprobe = 1
+    // append a NEW vector identical to the anchor's embedding with
+    // auto-maintain OFF — absent from the assignments, it must still
+    // surface (cosine = 1.0) even at nprobe = 1
     val anchorEmb = log.read().filter(col("vec_id") === 3L)
       .select("embedding").as[Seq[Float]].head()
-    log.commit(Seq((999L, anchorEmb)).toDF("vec_id", "embedding"), replace = false)
+    spark.conf.set("spark.graft.annIndex.autoMaintain", "false")
+    try log.commit(Seq((999L, anchorEmb)).toDF("vec_id", "embedding"),
+      replace = false): Unit
+    finally spark.conf.unset("spark.graft.annIndex.autoMaintain")
+    assert(!AnnIndex.load(spark, root, "embedding").get._3
+      .select("vec_id").as[Long].collect().contains(999L),
+      "conf off must leave the new vector unindexed")
     val top = AnnIndex.probe(spark, root, "embedding", "vec_id",
       3L, nprobe = 1, topk = 3)
       .as[(Long, Double)].collect()
@@ -66,6 +72,32 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(twin.exists(t => math.abs(t._2 - 1.0) < 1e-6),
       s"later-added twin vector must surface at cosine 1.0 despite being " +
         s"absent from the index: ${top.toSeq}")
+  }
+
+  test("auto-maintain: post-build commits index their vectors at publish") {
+    val root = freshRoot()
+    val log = new CommitLog(spark, root)
+    log.commit(vectors(), replace = true)
+    AnnIndex.build(spark, root, "embedding", "vec_id", k = 6, iters = 2)
+    // append 40 new vectors: publish must assign them to trained
+    // centroids — indexed, not the conservative unindexed tail
+    log.commit(vectors(160).filter(col("vec_id") >= 120L), replace = false)
+    def assigns() = AnnIndex.load(spark, root, "embedding").get._3
+    val ids = assigns().select("vec_id").as[Long].collect().toSet
+    assert((120L until 160L).forall(ids), "new vectors must be assigned")
+    assert(assigns().count() == assigns().select("vec_id").distinct().count(),
+      "no duplicate assignments")
+    // a CoW rewrite re-commits EXISTING rows in new files — left-anti
+    // must keep them from re-assigning (no duplicates)
+    log.deleteWhere(col("vec_id") % 7L === 0L): Unit
+    assert(assigns().count() == assigns().select("vec_id").distinct().count(),
+      "CoW rewrite must not duplicate assignments")
+    // probe parity over the grown, mutated corpus: nprobe = k is exact
+    val got = topIds(AnnIndex.probe(spark, root, "embedding", "vec_id",
+      3L, nprobe = 6, topk = 10))
+    val truth = topIds(graft.ops.KMeansIvf.bruteForce(spark,
+      log.read().select(col("vec_id"), col("embedding")), 3L, 10))
+    assert(got == truth, s"auto-maintained index must stay exact: $got vs $truth")
   }
 
   test("CALL build_ann_index persists through the catalog; detail reports it") {

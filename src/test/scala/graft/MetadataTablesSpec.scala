@@ -92,6 +92,14 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("nope") || e2.getMessage.contains("TABLE_OR_VIEW"))
   }
 
+  test("files time-travels: VERSION AS OF pins the snapshot's file list") {
+    val all = spark.sql("SELECT sum(rows) FROM gmt.db.t.files").head().getLong(0)
+    val v1 = spark.sql("SELECT sum(rows) FROM gmt.db.t.files VERSION AS OF 1")
+      .head().getLong(0)
+    assert(all == 101L && v1 == 100L,
+      s"v1 must show the pre-append snapshot (got head=$all v1=$v1)")
+  }
+
   test("transform table: partitions roll up the hidden _p_* layout") {
     spark.sql("CREATE TABLE gmt.db.bt (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(4, k))")
     spark.sql("INSERT INTO gmt.db.bt SELECT id, id * 1.0 FROM range(0, 400)")
