@@ -500,6 +500,60 @@ object CatalogSql {
       .orderBy("o_orderpriority")
   }
 
+  /** Materialized-view ROLLUP rewrite as an oracle key: a catalog table
+    * carries a view grouped by (o_orderpriority, o_orderstatus); the
+    * query groups by o_orderpriority ONLY — a strict subset — so
+    * [[graft.plans.RewriteToMaterializedView]] must re-aggregate the
+    * view's |groups| rows (count(*) as sum(cnt), sum as sum-of-sums)
+    * instead of scanning the base table. The key PINS the rewrite: it
+    * refuses to answer from a plan that still touches the base table,
+    * so a silent rewrite regression fails the oracle loudly rather
+    * than hiding behind value-identical base-scan results. At 100 TB
+    * this plan reads ~25 rows instead of the fact table.
+    */
+  private def mvRollup(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s, d)
+    SqlSurface.registerViews(s, d, Seq("orders"))
+    val src = "graft.tpch.orders_mv_roll"
+    val view = "graft.tpch.orders_mv_roll_v"
+    val fresh =
+      try s.sql(s"SELECT count(*) FROM $src").head().getLong(0) ==
+        s.table("orders").count()
+      catch { case _: Exception => false }
+    if (!fresh) {
+      s.sql(s"DROP TABLE IF EXISTS $view")
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"CREATE TABLE $src AS SELECT o_orderpriority, o_orderstatus, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders")
+      s.sql("CALL graft.system.create_mv('tpch.orders_mv_roll', " +
+        "'tpch.orders_mv_roll_v', 'o_orderpriority,o_orderstatus', " +
+        "'price:sum_price')"): Unit
+    }
+    val q = s.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_rows,
+         |       CAST(sum(price) AS DOUBLE) AS sum_price
+         |FROM $src
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)
+    val scansBase = q.queryExecution.optimizedPlan.exists {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.table match {
+          case g: graft.catalog.GraftTable => g.tableRoot.endsWith("orders_mv_roll")
+          case _ => false
+        }
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case g: graft.catalog.GraftTable => g.tableRoot.endsWith("orders_mv_roll")
+          case _ => false
+        }
+      case _ => false
+    }
+    require(!scansBase,
+      s"q_mv_rollup: expected the MV rewrite, got a base-table scan:\n" +
+        q.queryExecution.optimizedPlan)
+    q
+  }
+
   /** Footer-statistics aggregate pushdown as an oracle key: under
     * `spark.sql.parquet.aggregatePushdown`, an unfiltered
     * count/min/max over a catalog table is answered from the parquet
@@ -826,6 +880,7 @@ object CatalogSql {
     "q_join_dpp" -> joinDpp _,
     "q_agg_pushdown_footer" -> aggPushdownFooter _,
     "q_mv_incremental" -> mvIncremental _,
+    "q_mv_rollup" -> mvRollup _,
     "q_point_lookup_bloom" -> pointLookupBloom _,
     "q_join_spj" -> joinSpj _,
     "q_join_spj_bucket" -> joinSpjBucket _,
@@ -915,6 +970,12 @@ object CatalogSql {
         |      UNION ALL
         |      SELECT * FROM orders WHERE o_orderkey % 3 = 0) t
         |WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_mv_rollup" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q_point_lookup_bloom" ->

@@ -24,8 +24,13 @@ import graft.catalog.{CommitLog, GraftTable, MaterializedView}
   *  - the aggregate's child is a bare (optionally attribute-projected)
   *    un-pinned [[GraftTable]] relation — time-travel reads never
   *    rewrite onto a head-maintained view;
-  *  - the grouping keys are plain columns equal (as a set) to the
-  *    view's group columns;
+  *  - the grouping keys are plain columns forming a SUBSET of the
+  *    view's group columns: an exact match projects the view straight
+  *    through; a strict subset (down to the empty set — a global
+  *    aggregate) re-aggregates the view's |groups| rows, with
+  *    `count(*)` rolling up as `sum(cnt)` and `sum(x)` as `sum(sum_x)`
+  *    — valid precisely because the view restricts itself to additive
+  *    aggregates;
   *  - every output is a group column, `count(*)` (the view's `cnt`), or
   *    `sum(col)` over an EXACT-typed column (integer/decimal) the view
   *    maintains — float sums are order-dependent, so rewriting them
@@ -91,7 +96,15 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       try MaterializedView.definition(spark, mvRoot)
       catch { case scala.util.control.NonFatal(_) => return None }
     if (src != root) return None
-    if (groupAttrs.map(_.name).toSet != groups.toSet) return None
+    // exact group match serves straight off the view; a STRICT SUBSET
+    // (including the empty set — a global aggregate) re-aggregates the
+    // view's |groups| rows instead of the base table. count(*) rolls up
+    // as sum(cnt); sum(x) as sum(sum_x) — additivity is exactly why the
+    // view maintains only additive aggregates, so the rollup is
+    // value-identical to the direct plan over exact-typed columns.
+    val queryGroups = groupAttrs.map(_.name).toSet
+    if (!queryGroups.subsetOf(groups.toSet)) return None
+    val exact = queryGroups == groups.toSet
     val mv = MaterializedView.open(spark, mvRoot)
     if (mv.refreshedVersion != head) return None // stale — refresh first
     val sumAlias = sums.toMap
@@ -101,23 +114,43 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       val cast = if (e.dataType == o.dataType) e else Cast(e, o.dataType)
       Alias(cast, o.name)(exprId = o.exprId)
     }
+    // an additive view column: passed through on exact match, re-summed
+    // on rollup
+    def fold(e: Expression): Expression =
+      if (exact) e else Sum(e).toAggregateExpression()
+    // the view-column equivalent of one maintained aggregate call, or
+    // None for anything the view cannot serve. A top-level Cast (the
+    // `CAST(sum(x) AS DOUBLE)` SQL shape the analyzer folds INTO the
+    // aggregate list) is peeled and re-applied — with an intermediate
+    // cast to the original aggregate's type so the value path matches
+    // the direct plan's exactly.
+    def serve(e: Expression): Option[Expression] = e match {
+      case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) =>
+        Some(fold(mvByName("cnt")))
+      case ae @ AggregateExpression(s: Sum, Complete, false, None, _) =>
+        s.child match {
+          case a: AttributeReference
+              if sumAlias.contains(a.name) && exactSummable(a.dataType) =>
+            val served = fold(mvByName(sumAlias(a.name)))
+            Some(if (served.dataType == ae.dataType) served
+                 else Cast(served, ae.dataType))
+          case _ => None
+        }
+      case Cast(inner, dt, tz, mode) =>
+        serve(inner).map(new Cast(_, dt, tz, mode))
+      case _ => None
+    }
     val projections: Seq[NamedExpression] = aggExprs.map {
       case a: AttributeReference if groups.contains(a.name) =>
         as(mvByName(a.name), a)
       case al @ Alias(a: AttributeReference, _) if groups.contains(a.name) =>
         as(mvByName(a.name), al)
-      case al @ Alias(
-          AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _), _) =>
-        as(mvByName("cnt"), al)
-      case al @ Alias(AggregateExpression(s: Sum, Complete, false, None, _), _) =>
-        s.child match {
-          case a: AttributeReference
-              if sumAlias.contains(a.name) && exactSummable(a.dataType) =>
-            as(mvByName(sumAlias(a.name)), al)
-          case _ => return None
-        }
+      case al @ Alias(body, _) =>
+        as(serve(body).getOrElse(return None), al)
       case _ => return None
     }
-    Some(Project(projections, mvPlan))
+    if (exact) Some(Project(projections, mvPlan))
+    else Some(Aggregate(
+      groupAttrs.map(a => mvByName(a.name): Expression), projections, mvPlan))
   }
 }

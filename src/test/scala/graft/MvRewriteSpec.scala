@@ -65,6 +65,68 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(rows(again) == directRows)
   }
 
+  /** Every table scanned by the OPTIMIZED plan — catalog relations show
+    * as DataSourceV2ScanRelation (pushdown runs inside the optimizer);
+    * the MV's own path-based read shows as a LogicalRelation over its
+    * root path.
+    */
+  private def scannedRoots(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    def tbl(t: org.apache.spark.sql.connector.catalog.Table): String = t match {
+      case g: graft.catalog.GraftTable => g.tableRoot
+      case t => t.name()
+    }
+    val roots = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        Seq(tbl(r.table))
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        Seq(tbl(s.relation.table))
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten.toSet
+    assert(roots.nonEmpty, s"no scans found:\n${df.queryExecution.optimizedPlan}")
+    roots
+  }
+
+  test("rollup: grouping by a subset re-aggregates the view, not the base") {
+    spark.sql("CREATE TABLE gmr.db.fact3 AS SELECT concat('a', id % 4) AS a, " +
+      "concat('b', id % 7) AS b, id * 2 AS x FROM range(0, 1000)")
+    spark.sql("CALL gmr.system.create_mv('db.fact3', 'db.fact3_mv', 'a,b', 'x:sum_x')")
+    val q = "SELECT a, count(*) AS n, sum(x) AS sx FROM gmr.db.fact3 GROUP BY a"
+    val rolled = spark.sql(q)
+    assert(scannedRoots(rolled).forall(_.contains("fact3_mv")),
+      s"subset grouping must read ONLY the view:\n${rolled.queryExecution.optimizedPlan}")
+    assert(aggCount(rolled) == 1, "rollup keeps one (tiny) re-aggregate")
+    val directRows = withRewriteOff(rows(spark.sql(q)))
+    assert(rows(rolled) == directRows, "rolled-up values must equal direct")
+  }
+
+  test("rollup: a global aggregate folds the whole view") {
+    val q = "SELECT count(*) AS n, sum(x) AS sx FROM gmr.db.fact3"
+    val rolled = spark.sql(q)
+    assert(scannedRoots(rolled).forall(_.contains("fact3_mv")),
+      s"global aggregate must read ONLY the view:\n${rolled.queryExecution.optimizedPlan}")
+    val got = rolled.collect().head
+    assert(got.getLong(0) == 1000L && got.getLong(1) == 999000L,
+      s"rollup parity: $got")
+  }
+
+  test("rollup: stays correct across a mutate + refresh cycle") {
+    spark.sql("DELETE FROM gmr.db.fact3 WHERE b = 'b3'")
+    val q = "SELECT a, count(*) AS n, sum(x) AS sx FROM gmr.db.fact3 GROUP BY a"
+    val stale = spark.sql(q)
+    assert(scannedRoots(stale).exists(r => r.contains("fact3") && !r.contains("fact3_mv")),
+      s"stale view must NOT serve the rollup; scanned=${scannedRoots(stale)}\n" +
+        s"${stale.queryExecution.optimizedPlan}")
+    spark.sql("CALL gmr.system.refresh_mv('db.fact3_mv')")
+    val again = spark.sql(q)
+    assert(scannedRoots(again).forall(_.contains("fact3_mv")))
+    assert(rows(again) == withRewriteOff(rows(spark.sql(q))))
+  }
+
   test("float sums, extra aggregates, and other groupings keep the stock plan") {
     // double-typed sum: order-dependent — never rewritten
     assert(aggCount(spark.sql(
