@@ -808,8 +808,40 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * where a basePath that is not an ancestor is a hard error (clones
     * are always unpartitioned, so basePath is a no-op for them anyway).
     */
+  /** Physical read schema for a type-WIDENED table (`_widen.json` marker
+    * beside the log, written by ALTER COLUMN ... TYPE): old files keep
+    * their narrow physical types, so a merged-schema read would die on
+    * the int-vs-bigint conflict. Passing the declared schema explicitly
+    * lets the parquet readers promote per file (int32→int64,
+    * float→double, decimal widening — native in both the vectorized and
+    * row-based readers). None on never-widened tables: their reads stay
+    * byte-identical to the historical mergeSchema path.
+    */
+  private def widenedReadSchema: Option[org.apache.spark.sql.types.StructType] =
+    try {
+      if (!hfs.exists(new Path(tableRoot, "_widen.json"))) None
+      else {
+        val sf = new Path(tableRoot, "_schema.json")
+        if (!hfs.exists(sf)) None
+        else {
+          val in = hfs.open(sf)
+          val body = try {
+            val out = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+            new String(out.toByteArray, StandardCharsets.UTF_8)
+          } finally in.close()
+          Some(ColumnMapping.physicalSchema(
+            org.apache.spark.sql.types.DataType.fromJson(body)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def poolReader(names: Seq[String]): org.apache.spark.sql.DataFrameReader = {
-    val r = spark.read.option("mergeSchema", "true")
+    val r = widenedReadSchema match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read.option("mergeSchema", "true")
+    }
     if (names.exists(isAbsoluteName)) r else r.option("basePath", dataDir.toString)
   }
 

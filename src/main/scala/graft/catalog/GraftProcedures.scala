@@ -55,6 +55,7 @@ private[catalog] object GraftProcedures {
     case "refresh_mv"      => new RefreshMv(cat)
     case "replicate"       => new Replicate(cat)
     case "build_ann_index" => new BuildAnnIndex(cat)
+    case "drop_index"      => new DropIndex(cat)
     case "add_constraint"  => new AddConstraint(cat)
     case "drop_constraint" => new DropConstraint(cat)
     case "set_clustering"  => new SetClustering(cat)
@@ -443,6 +444,31 @@ private[catalog] object GraftProcedures {
     }
   }
 
+  /** `CALL graft.system.drop_index('db.t', 'bloom', 'col')` — delete a
+    * persisted bloom/ANN index sidecar. Readers degrade to the
+    * conservative unindexed path (never a wrong answer), and the column
+    * becomes eligible for type widening again. Returns whether an index
+    * existed.
+    */
+  private final class DropIndex(cat: GraftTableCatalog)
+    extends Proc("drop_index", Seq(in("table", StringType),
+      in("kind", StringType), in("column", StringType))) {
+    override def description(): String =
+      "drop a persisted bloom/ann index sidecar; reads degrade to the " +
+        "conservative unindexed path"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = cat.rootOf(input.getUTF8String(0).toString)
+      val kind = input.getUTF8String(1).toString.toLowerCase(java.util.Locale.ROOT)
+      require(kind == "bloom" || kind == "ann",
+        s"drop_index: kind must be 'bloom' or 'ann', got '$kind'")
+      val column = input.getUTF8String(2).toString
+      val fs = HadoopFs.fs(cat.sparkSession, root)
+      val dir = new org.apache.hadoop.fs.Path(root, s"_index/$kind/$column")
+      val existed = fs.exists(dir) && fs.delete(dir, true)
+      result(new StructType().add("existed", BooleanType), existed)
+    }
+  }
+
   /** `CALL graft.system.replicate('db.src', 'db.replica')` — one
     * incremental sync ([[CommitLog.replicateFrom]]): copy only pool
     * files the replica lacks, republish the source head's manifest with
@@ -462,7 +488,7 @@ private[catalog] object GraftProcedures {
       val replica = new CommitLog(cat.sparkSession, dstRoot)
       val synced = replica.replicateFrom(src)
       val fs = HadoopFs.fs(cat.sparkSession, dstRoot)
-      for (side <- Seq("_schema.json", "_colmeta.json")) {
+      for (side <- Seq("_schema.json", "_colmeta.json", "_widen.json")) {
         val from = new org.apache.hadoop.fs.Path(srcRoot, side)
         if (fs.exists(from))
           org.apache.hadoop.fs.FileUtil.copy(fs, from, fs,
@@ -526,7 +552,7 @@ private[catalog] object GraftProcedures {
       val v = log.cloneFrom(srcRoot)
       // schema / column-mapping sidecars ride along so the clone reads
       // and evolves exactly like its source (renamed columns included)
-      for (side <- Seq("_schema.json", "_colmeta.json")) {
+      for (side <- Seq("_schema.json", "_colmeta.json", "_widen.json")) {
         val from = new org.apache.hadoop.fs.Path(srcRoot, side)
         if (fs.exists(from))
           org.apache.hadoop.fs.FileUtil.copy(fs, from, fs,

@@ -487,6 +487,46 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
             f.copy(metadata = mb.build())
           }
         })
+      case ut: TableChange.UpdateColumnType if ut.fieldNames().length == 1 =>
+        val name = ut.fieldNames()(0)
+        require(schema.fieldNames.contains(name),
+          s"ALTER COLUMN $name TYPE: no such column (have ${schema.fieldNames.toSeq})")
+        val f = schema(name)
+        val to = ut.newDataType()
+        // widening-only, metadata-only: old files keep their narrow
+        // physical types and the parquet readers promote per file under
+        // the declared schema (int32→int64, float→double, decimal widen —
+        // native in both vectorized and row-based readers). Anything
+        // narrower or cross-family would need a data rewrite.
+        require(GraftTableCatalog.widens(f.dataType, to),
+          s"ALTER COLUMN $name TYPE ${to.sql}: only widening conversions are " +
+            s"metadata-only (${f.dataType.sql} -> ${to.sql} is not; widening = " +
+            "smaller integral -> larger integral, FLOAT -> DOUBLE, or DECIMAL " +
+            "gaining precision without losing scale or integer digits). " +
+            "Rewrite through CTAS for anything else")
+        require(partCols.isEmpty && new CommitLog(spark, root.toString)
+            .partitionTransforms.isEmpty,
+          s"ALTER COLUMN $name TYPE: widening on partitioned/transform-layout " +
+            "tables is not supported yet (the widened read schema would hide " +
+            "the layout columns); rebuild the table to retype")
+        require(!transformSrcs.contains(name),
+          s"ALTER COLUMN $name TYPE: it is a hidden-partition transform source " +
+            "(derived bytes are type-dependent); re-declare the layout first")
+        // a persisted bloom/ANN index hashed the NARROW value bytes: a
+        // widened probe would silently miss — refuse until rebuilt
+        val phys = ColumnMapping.physicalName(f)
+        for (idx <- Seq("bloom", "ann"); n <- Set(name, phys))
+          require(!fs.exists(new Path(root, s"_index/$idx/$n")),
+            s"ALTER COLUMN $name TYPE: a persisted $idx index exists on this " +
+              s"column and was built over the narrow type; drop/rebuild it first " +
+              s"(_index/$idx/$n)")
+        schema = StructType(schema.fields.map { sf =>
+          if (sf.name != name) sf else sf.copy(dataType = to)
+        })
+        // the marker flips this table's library reads from mergeSchema to
+        // the explicit declared schema (CommitLog.widenedReadSchema)
+        LogStore.write(fs, new Path(root, "_widen.json"),
+          s"""{"widened":true}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case ac: TableChange.AddConstraint =>
         ac.constraint() match {
           case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
@@ -522,6 +562,29 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     if (!fs.rename(tableRoot(from), tableRoot(to)))
       throw new java.io.IOException(s"rename $from -> $to failed")
   }
+}
+
+object GraftTableCatalog {
+  import org.apache.spark.sql.types._
+
+  /** Whether `from -> to` is a lossless, parquet-reader-promotable
+    * widening — exactly the conversions both the vectorized and
+    * row-based readers perform natively when the requested schema is
+    * wider than a file's physical type, which is what makes
+    * `ALTER COLUMN ... TYPE` metadata-only here.
+    */
+  private[catalog] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale &&
+          (t.precision > f.precision || t.scale > f.scale)
+      case _ => false
+    }
 }
 
 /** One commit-log table behind the catalog: reads delegate to the built-in
