@@ -500,6 +500,50 @@ object CatalogSql {
       .orderBy("o_orderpriority")
   }
 
+  /** Metadata-only type widening as an oracle key: the table lands with
+    * an INT customer key and a DECIMAL(12,2) price, `ALTER COLUMN ...
+    * TYPE` widens both (BIGINT / DECIMAL(20,3)) WITHOUT rewriting a
+    * byte, and a post-widen sentinel row exercises values only the wide
+    * types can hold. The aggregate then reads a pool that mixes narrow
+    * and wide physical files — the parquet readers promote per file
+    * under the declared schema. At 100 TB this is the difference
+    * between an O(metadata) DDL and an O(table) rewrite when a key
+    * outgrows INT. TypeWideningSpec pins the library plane, refusals,
+    * and index/layout guards; this key pins the VALUES.
+    */
+  private def typeWiden(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s, d)
+    SqlSurface.registerViews(s, d, Seq("orders"))
+    val t = "graft.tpch.orders_widen"
+    val want = s.table("orders").count() + 1
+    // freshness probes the SENTINEL too: the fixture outlives JVMs, so a
+    // count-only check would keep serving a stale sentinel definition
+    val fresh =
+      try {
+        val r = s.sql(s"SELECT count(*), max(cust), CAST(max(price) AS STRING) " +
+          s"FROM $t").head()
+        r.getLong(0) == want && r.getLong(1) == 9000000002L &&
+          r.getString(2) == "123456789012.500"
+      } catch { case _: Exception => false }
+    if (!fresh) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t AS SELECT o_orderkey, " +
+        "CAST(o_custkey AS INT) AS cust, " +
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS price, o_orderpriority " +
+        "FROM orders")
+      s.sql(s"ALTER TABLE $t ALTER COLUMN cust TYPE BIGINT")
+      s.sql(s"ALTER TABLE $t ALTER COLUMN price TYPE DECIMAL(20,3)")
+      s.sql(s"INSERT INTO $t VALUES " +
+        "(9000000001, 9000000002, 123456789012.500, '0-SENTINEL')"): Unit
+    }
+    s.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_rows, min(cust) AS min_cust,
+         |       max(cust) AS max_cust, CAST(sum(price) AS DOUBLE) AS sum_price
+         |FROM $t
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Materialized-view ROLLUP rewrite as an oracle key: a catalog table
     * carries a view grouped by (o_orderpriority, o_orderstatus); the
     * query groups by o_orderpriority ONLY — a strict subset — so
@@ -881,6 +925,7 @@ object CatalogSql {
     "q_agg_pushdown_footer" -> aggPushdownFooter _,
     "q_mv_incremental" -> mvIncremental _,
     "q_mv_rollup" -> mvRollup _,
+    "q_type_widen" -> typeWiden _,
     "q_point_lookup_bloom" -> pointLookupBloom _,
     "q_join_spj" -> joinSpj _,
     "q_join_spj_bucket" -> joinSpjBucket _,
@@ -970,6 +1015,17 @@ object CatalogSql {
         |      UNION ALL
         |      SELECT * FROM orders WHERE o_orderkey % 3 = 0) t
         |WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_type_widen" ->
+      """SELECT o_orderpriority, count(*) AS n_rows, min(cust) AS min_cust,
+        |       max(cust) AS max_cust, CAST(sum(price) AS DOUBLE) AS sum_price
+        |FROM (SELECT o_orderpriority, CAST(o_custkey AS BIGINT) AS cust,
+        |             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(20,3)) AS price
+        |      FROM orders
+        |      UNION ALL
+        |      SELECT '0-SENTINEL', 9000000002,
+        |             CAST(123456789012.500 AS DECIMAL(20,3))) t
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q_mv_rollup" ->

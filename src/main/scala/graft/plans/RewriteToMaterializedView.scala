@@ -21,9 +21,12 @@ import graft.catalog.{CommitLog, GraftTable, MaterializedView}
   * the stock plan (correct by construction — the view is an
   * optimization, never a semantic dependency):
   *
-  *  - the aggregate's child is a bare (optionally attribute-projected)
-  *    un-pinned [[GraftTable]] relation — time-travel reads never
-  *    rewrite onto a head-maintained view;
+  *  - the aggregate's child is an un-pinned [[GraftTable]] relation
+  *    under (optionally) attribute-only projections and deterministic,
+  *    subquery-free filters whose references are all view GROUP columns
+  *    (those commute with the aggregate, so the predicate re-applies to
+  *    the view's rows verbatim) — time-travel reads never rewrite onto
+  *    a head-maintained view;
   *  - the grouping keys are plain columns forming a SUBSET of the
   *    view's group columns: an exact match projects the view straight
   *    through; a strict subset (down to the empty set — a global
@@ -57,13 +60,25 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** The bare table under optional attribute-only projections. */
-  private def baseTable(plan: LogicalPlan): Option[GraftTable] = plan match {
-    case DataSourceV2Relation(t: GraftTable, _, _, _, _, _) if !t.isPinned => Some(t)
-    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      baseTable(child)
-    case _ => None
-  }
+  /** The bare table under optional attribute-only projections and
+    * deterministic, subquery-free filters, plus the filter conditions
+    * collected on the way down. A filter whose references are all GROUP
+    * columns commutes with the aggregate, so the query can still serve
+    * from the view with the same predicate applied to the view's rows
+    * (checked against the view's group set in [[tryView]]).
+    */
+  private def baseTable(plan: LogicalPlan): Option[(GraftTable, Seq[Expression])] =
+    plan match {
+      case DataSourceV2Relation(t: GraftTable, _, _, _, _, _) if !t.isPinned =>
+        Some((t, Nil))
+      case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        baseTable(child)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child)
+          if cond.deterministic && !cond.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) =>
+        baseTable(child).map { case (t, cs) => (t, cond +: cs) }
+      case _ => None
+    }
 
   private def exactSummable(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
@@ -74,7 +89,7 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    val table = baseTable(child).getOrElse(return None)
+    val (table, conds) = baseTable(child).getOrElse(return None)
     val root = table.tableRoot
     val groupAttrs = groupings.map {
       case a: AttributeReference => a
@@ -84,13 +99,14 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
     if (candidates.isEmpty) return None
     val head = new CommitLog(spark, root).currentVersion.getOrElse(return None)
     candidates.view.flatMap { mvRoot =>
-      tryView(mvRoot, root, head, groupAttrs, aggExprs)
+      tryView(mvRoot, root, head, groupAttrs, aggExprs, conds)
     }.headOption
   }
 
   private def tryView(mvRoot: String, root: String, head: Long,
       groupAttrs: Seq[AttributeReference],
-      aggExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
+      aggExprs: Seq[NamedExpression],
+      conds: Seq[Expression]): Option[LogicalPlan] = {
     if (!MaterializedView.exists(spark, mvRoot)) return None
     val (src, groups, sums) =
       try MaterializedView.definition(spark, mvRoot)
@@ -104,6 +120,11 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
     // value-identical to the direct plan over exact-typed columns.
     val queryGroups = groupAttrs.map(_.name).toSet
     if (!queryGroups.subsetOf(groups.toSet)) return None
+    // collected filters must reference GROUP columns only — those
+    // commute with the aggregate, so the same predicate over the view's
+    // group values selects exactly the groups the direct plan would keep
+    if (!conds.forall(_.references.forall(a => groups.contains(a.name))))
+      return None
     val exact = queryGroups == groups.toSet
     val mv = MaterializedView.open(spark, mvRoot)
     if (mv.refreshedVersion != head) return None // stale — refresh first
@@ -149,8 +170,16 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
         as(serve(body).getOrElse(return None), al)
       case _ => return None
     }
-    if (exact) Some(Project(projections, mvPlan))
+    // group-column filters rebind to the view's attributes (same names,
+    // same types) and apply UNDER the projection/re-aggregation
+    val base: LogicalPlan =
+      if (conds.isEmpty) mvPlan
+      else org.apache.spark.sql.catalyst.plans.logical.Filter(
+        conds.map(_.transform {
+          case a: AttributeReference => mvByName(a.name)
+        }).reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)), mvPlan)
+    if (exact) Some(Project(projections, base))
     else Some(Aggregate(
-      groupAttrs.map(a => mvByName(a.name): Expression), projections, mvPlan))
+      groupAttrs.map(a => mvByName(a.name): Expression), projections, base))
   }
 }

@@ -127,6 +127,31 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(rows(again) == withRewriteOff(rows(spark.sql(q))))
   }
 
+  test("filters on group columns still serve from the view; others don't") {
+    // exact grouping + group-column predicate: rewrite, predicate applied
+    // to the view's rows
+    val qf = "SELECT a, b, count(*) AS n, sum(x) AS sx FROM gmr.db.fact3 " +
+      "WHERE b IN ('b1', 'b4') GROUP BY a, b"
+    val filtered = spark.sql(qf)
+    assert(scannedRoots(filtered).forall(_.contains("fact3_mv")),
+      s"group-column filter must still serve from the view:\n" +
+        s"${filtered.queryExecution.optimizedPlan}")
+    assert(rows(filtered) == withRewriteOff(rows(spark.sql(qf))))
+    // rollup + filter: subset grouping under a group-column predicate
+    val qr = "SELECT a, count(*) AS n, sum(x) AS sx FROM gmr.db.fact3 " +
+      "WHERE b <> 'b2' GROUP BY a"
+    val rolled = spark.sql(qr)
+    assert(scannedRoots(rolled).forall(_.contains("fact3_mv")),
+      s"filtered rollup must serve from the view:\n" +
+        s"${rolled.queryExecution.optimizedPlan}")
+    assert(rows(rolled) == withRewriteOff(rows(spark.sql(qr))))
+    // predicate on a NON-group column: the view cannot serve it
+    val qx = "SELECT a, count(*) AS n FROM gmr.db.fact3 WHERE x > 10 GROUP BY a"
+    assert(scannedRoots(spark.sql(qx)).exists(r =>
+      r.contains("fact3") && !r.contains("fact3_mv")),
+      "non-group-column filter must keep the stock plan")
+  }
+
   test("float sums, extra aggregates, and other groupings keep the stock plan") {
     // double-typed sum: order-dependent — never rewritten
     assert(aggCount(spark.sql(
