@@ -465,7 +465,12 @@ object DeltaInterop {
     val destPath = new Path(dest)
     fs.mkdirs(destPath)
     val srcFs = HadoopFs.fs(spark, commitRoot)
-    val flat = log.partitionColumns(v).isEmpty
+    // a type-WIDENED table byte-copied would pair narrow physical files
+    // with the wide exported schema — plain Delta readers without the
+    // typeWidening feature would refuse or misread, so widened tables
+    // pay the materializing write (files land wide, schema honest)
+    val widened = srcFs.exists(new Path(commitRoot, "_widen.json"))
+    val flat = log.partitionColumns(v).isEmpty && !widened
     val names: Seq[String] =
       if (flat) {
         // flat layout: pool files ARE the table bytes — copy, don't

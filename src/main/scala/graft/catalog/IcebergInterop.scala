@@ -184,8 +184,11 @@ object IcebergInterop {
     // byte-copy whenever the pool is flat — merge-on-read tombstones
     // now export AS the v2 format's own position deletes (below), so
     // only a hive-partitioned pool (partition values live in the path,
-    // not the file bytes) pays the materializing write
-    val flat = log.partitionColumns(v).isEmpty
+    // not the file bytes) or a type-WIDENED one (narrow physical files
+    // under the wide schema would need the reader's type-promotion
+    // support) pays the materializing write
+    val flat = log.partitionColumns(v).isEmpty &&
+      !srcFs.exists(new Path(commitRoot, "_widen.json"))
     val names: Seq[String] =
       if (flat) {
         val ns = log.files(v)

@@ -120,6 +120,25 @@ class TypeWideningSpec extends AnyFunSuite {
       .head().getBoolean(0), "second drop must report nothing existed")
   }
 
+  test("exports materialize widened tables: foreign files are physically wide") {
+    // gtw.db.w (first test) holds a MIXED narrow/wide pool — a byte-copy
+    // export would hand plain Delta/Iceberg readers int32 files under a
+    // BIGINT schema; the widen marker must force materialization instead
+    val base = java.nio.file.Files.createTempDirectory("graft_twexp").toString
+    for ((proc, dataSub) <- Seq("export_delta" -> "", "export_iceberg" -> "data")) {
+      val dest = s"$base/$proc"
+      spark.sql(s"CALL gtw.system.$proc('db.w', '$dest')")
+      val dir = new java.io.File(if (dataSub.isEmpty) dest else s"$dest/$dataSub")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty, s"$proc exported no parquet under $dir")
+      for (f <- files) {
+        val sch = spark.read.parquet(f.getAbsolutePath).schema
+        assert(sch("k").dataType == LongType,
+          s"$proc/${f.getName}: physical k must be wide, got ${sch("k").dataType}")
+      }
+    }
+  }
+
   test("time travel reads pre-widen snapshots under the head schema") {
     spark.sql("CREATE TABLE gtw.db.t (k INT)")
     spark.sql("INSERT INTO gtw.db.t VALUES (7)")
