@@ -214,11 +214,46 @@ object Dedup {
     }
   }
 
+  /** Exact repeated-substring detection — the suffix-array dedup family
+    * (flag verbatim spans shared across documents, not whole-doc or
+    * near-dup similarity) realized Spark-scale: stride-20 40-char
+    * windows hash with md5; a window hash held by ≥2 DISTINCT docs
+    * marks a verbatim cross-document span; each doc reports its window
+    * count, repeated-window count, and repeated fraction. Never
+    * all-pairs and never a suffix sort: one explode + two hash
+    * aggregations + one equi-join on the window hash, so at 100 TB the
+    * shuffle carries (doc_id, 32-byte hash) pairs and stride/width tune
+    * recall vs bytes exactly like the published pipelines' minimum
+    * match length. Runs UNBOUNDED over `documents` — this is the
+    * production shape, not a bounded semantics demo.
+    */
+  private def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val windows = documents(s, d)
+      .filter(length(col("text")) >= 40)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 39, 20), " +
+          "i -> md5(substring(text, i, 40)))")).as("h"))
+    Caching.withCached(windows) { sh =>
+      val rep = sh.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("h"), lit(1L).as("r"))
+      sh.join(rep, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(coalesce(col("r"), lit(0L))).as("n_repeated"))
+        .withColumn("rep_frac",
+          round(col("n_repeated").cast("double") / col("n_windows"), 3))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash"       -> dedupMinhash _,
     "q_dedup_simhash"       -> dedupSimhash _,
     "q_dedup_clusters"      -> dedupClusters _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "q_dedup_substring"     -> dedupSubstring _,
   )
 
   /** Shared DuckDB CTEs computing the SimHash fingerprints (the portable
@@ -291,6 +326,16 @@ object Dedup {
          |SELECT c.doc_id, c.rep, s.csize
          |FROM comp c JOIN sz s ON c.rep = s.rep
          |ORDER BY c.doc_id""".stripMargin,
+    "q_dedup_substring" ->
+      """WITH sh AS (
+        |  SELECT doc_id, md5(substr(text, i, 40)) AS h
+        |  FROM documents, UNNEST(range(1, length(text) - 38, 20)) AS u(i)
+        |  WHERE length(text) >= 40),
+        |rep AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, count(*) AS n_windows,
+        |       CAST(sum(CASE WHEN h IN (SELECT h FROM rep) THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+        |       round(sum(CASE WHEN h IN (SELECT h FROM rep) THEN 1 ELSE 0 END) / count(*), 3) AS rep_frac
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS t
