@@ -175,7 +175,7 @@ class AssetCatalog(spark: SparkSession, root: String) {
     val hfs = HadoopFs.fs(spark, root)
     tables.foreach { t =>
       new CommitLog(spark, s"$secondaryRoot/$t").replicateFrom(log(t)): Unit
-      for (side <- Seq("_schema.json", "_colmeta.json", "_widen.json")) {
+      for (side <- Seq("_schema.json", "_colmeta.json", "_widen.json", "_props.json")) {
         val from = new Path(path(t), side)
         if (hfs.exists(from))
           org.apache.hadoop.fs.FileUtil.copy(hfs, from,

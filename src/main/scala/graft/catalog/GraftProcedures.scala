@@ -31,7 +31,7 @@ private[catalog] object GraftProcedures {
       "export_iceberg", "import_iceberg", "rewrite_deletes", "history",
       "materialize_mapping", "analyze", "clone", "build_bloom_index",
       "create_mv", "refresh_mv", "detail", "replicate", "build_ann_index",
-      "add_constraint", "drop_constraint", "set_clustering",
+      "drop_index", "add_constraint", "drop_constraint", "set_clustering",
       "create_tag", "create_branch", "drop_ref", "fast_forward", "refs",
       "set_partition_transforms")
 
@@ -488,7 +488,7 @@ private[catalog] object GraftProcedures {
       val replica = new CommitLog(cat.sparkSession, dstRoot)
       val synced = replica.replicateFrom(src)
       val fs = HadoopFs.fs(cat.sparkSession, dstRoot)
-      for (side <- Seq("_schema.json", "_colmeta.json", "_widen.json")) {
+      for (side <- Seq("_schema.json", "_colmeta.json", "_widen.json", "_props.json")) {
         val from = new org.apache.hadoop.fs.Path(srcRoot, side)
         if (fs.exists(from))
           org.apache.hadoop.fs.FileUtil.copy(fs, from, fs,
@@ -552,7 +552,7 @@ private[catalog] object GraftProcedures {
       val v = log.cloneFrom(srcRoot)
       // schema / column-mapping sidecars ride along so the clone reads
       // and evolves exactly like its source (renamed columns included)
-      for (side <- Seq("_schema.json", "_colmeta.json", "_widen.json")) {
+      for (side <- Seq("_schema.json", "_colmeta.json", "_widen.json", "_props.json")) {
         val from = new org.apache.hadoop.fs.Path(srcRoot, side)
         if (fs.exists(from))
           org.apache.hadoop.fs.FileUtil.copy(fs, from, fs,

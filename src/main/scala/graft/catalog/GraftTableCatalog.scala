@@ -213,6 +213,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     LogStore.write(fs, schemaFile(root),
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** User table properties (`TBLPROPERTIES`) — a `_props.json` sidecar
+    * beside the log, shipped with replication and shallow clones like
+    * the schema/column-mapping sidecars.
+    */
+  private[catalog] def writeProps(root: Path, props: Map[String, String]): Unit =
+    LogStore.write(fs, new Path(root, "_props.json"),
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JObject(props.toList.sortBy(_._1).map {
+            case (k, v) => k -> org.json4s.JString(v)
+          }))).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) {
       metadataTable(ident) match {
@@ -379,6 +391,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     val root = tableRoot(ident)
     fs.mkdirs(root)
     writeSchema(root, schema)
+    // TBLPROPERTIES: keep the user's keys, drop the engine-/Spark-
+    // injected ones (they derive from the catalog, not the sidecar)
+    val userProps = properties.asScala.toMap --
+      Seq("provider", "location", "owner", "external", "is_managed_location")
+    if (userProps.nonEmpty) writeProps(root, userProps)
     if (transformSpecs.nonEmpty)
       new CommitLog(spark, root.toString).declareTransforms(schema, transformSpecs): Unit
     if (partCols.nonEmpty) {
@@ -527,6 +544,13 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         // the explicit declared schema (CommitLog.widenedReadSchema)
         LogStore.write(fs, new Path(root, "_widen.json"),
           s"""{"widened":true}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case sp: TableChange.SetProperty =>
+        writeProps(root,
+          GraftTableCatalog.readProps(spark, root.toString) +
+            (sp.property() -> sp.value()))
+      case rp: TableChange.RemoveProperty =>
+        writeProps(root,
+          GraftTableCatalog.readProps(spark, root.toString) - rp.property())
       case ac: TableChange.AddConstraint =>
         ac.constraint() match {
           case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
@@ -566,6 +590,28 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
 
 object GraftTableCatalog {
   import org.apache.spark.sql.types._
+
+  /** Stored `TBLPROPERTIES` for a table root (`_props.json`), or empty —
+    * read lazily at `properties()` time so a handle never caches stale
+    * values across an ALTER.
+    */
+  private[catalog] def readProps(spark: SparkSession, root: String): Map[String, String] = {
+    val fs = HadoopFs.fs(spark, root)
+    val f = new Path(root, "_props.json")
+    if (!fs.exists(f)) return Map.empty
+    val in = fs.open(f)
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    org.json4s.jackson.JsonMethods.parse(body) match {
+      case org.json4s.JObject(fields) => fields.collect {
+        case (k, org.json4s.JString(v)) => k -> v
+      }.toMap
+      case _ => Map.empty
+    }
+  }
 
   /** Whether `from -> to` is a lossless, parquet-reader-promotable
     * widening — exactly the conversions both the vectorized and
@@ -667,7 +713,8 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] =
-    Map("location" -> root, "provider" -> "graft").asJava
+    (GraftTableCatalog.readProps(spark, root) ++
+      Map("location" -> root, "provider" -> "graft")).asJava
 
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions

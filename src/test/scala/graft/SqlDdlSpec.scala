@@ -102,4 +102,28 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(cs.length == 1 && cs.head.name() == "k_nn" && cs.head.enforced(),
       cs.mkString(", "))
   }
+
+  test("TBLPROPERTIES: create captures, SHOW reads, SET/UNSET mutate") {
+    warehouse
+    spark.sql("CREATE TABLE gdl.db.p (k BIGINT) " +
+      "TBLPROPERTIES ('team' = 'data', 'tier' = 'gold')")
+    def props(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES gdl.db.p").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("team").contains("data"), props().toString)
+    assert(props().get("tier").contains("gold"))
+    spark.sql("ALTER TABLE gdl.db.p SET TBLPROPERTIES ('tier' = 'silver', 'ttl' = '30d')")
+    assert(props().get("tier").contains("silver") && props().get("ttl").contains("30d"))
+    spark.sql("ALTER TABLE gdl.db.p UNSET TBLPROPERTIES ('team')")
+    assert(!props().contains("team"), props().toString)
+    // engine-derived keys stay present on the handle (SHOW filters
+    // reserved keys), never shadowed by the sidecar
+    val cat = spark.sessionState.catalogManager.catalog("gdl")
+      .asInstanceOf[graft.catalog.GraftTableCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("db"), "p"))
+    assert(t.properties().get("provider") == "graft")
+    assert(t.properties().get("location") != null)
+    assert(t.properties().get("tier") == "silver")
+  }
 }
