@@ -652,6 +652,7 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
   /** Whether this handle reads a pinned (time-travel) snapshot — such a
     * read must never rewrite onto a view maintained at the HEAD. */
   private[graft] def isPinned: Boolean = pinned.isDefined
+  private[graft] def pinnedVersion: Option[Long] = pinned
 
   override def name(): String = tableName
 

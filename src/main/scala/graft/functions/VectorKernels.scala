@@ -244,5 +244,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // materialized view instead of the base scan (|groups| rows vs a
     // full fact scan); fires only under exact-match + freshness guards
     ext.injectOptimizerRule(session => new graft.plans.RewriteToMaterializedView(session))
+    ext.injectOptimizerRule(session => new graft.plans.CountStarFromManifest(session))
   }
 }

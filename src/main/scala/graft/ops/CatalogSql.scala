@@ -500,6 +500,26 @@ object CatalogSql {
       .orderBy("o_orderpriority")
   }
 
+  /** Metadata-only `count(*)` as an oracle key
+    * ([[graft.plans.CountStarFromManifest]]): the bare unfiltered count
+    * over a catalog table must answer from the manifest's per-file row
+    * tags — the key REFUSES a plan that still scans, so a silent
+    * rewrite regression fails the oracle loudly. At 100 TB this is one
+    * manifest read vs a full-table pass.
+    */
+  private def countStarMeta(s: SparkSession, d: String): DataFrame = {
+    ensureTables(s, d)
+    val q = s.sql("SELECT count(*) AS n_rows FROM graft.tpch.customer")
+    val scans = q.queryExecution.optimizedPlan.exists {
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _ => false
+    }
+    require(!scans, "q_count_star_meta: expected the manifest-stats " +
+      s"rewrite, got a scan:\n${q.queryExecution.optimizedPlan}")
+    q
+  }
+
   /** Metadata-only type widening as an oracle key: the table lands with
     * an INT customer key and a DECIMAL(12,2) price, `ALTER COLUMN ...
     * TYPE` widens both (BIGINT / DECIMAL(20,3)) WITHOUT rewriting a
@@ -926,6 +946,7 @@ object CatalogSql {
     "q_mv_incremental" -> mvIncremental _,
     "q_mv_rollup" -> mvRollup _,
     "q_type_widen" -> typeWiden _,
+    "q_count_star_meta" -> countStarMeta _,
     "q_point_lookup_bloom" -> pointLookupBloom _,
     "q_join_spj" -> joinSpj _,
     "q_join_spj_bucket" -> joinSpjBucket _,
@@ -1017,6 +1038,8 @@ object CatalogSql {
         |WHERE o_orderkey % 7 <> 0
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_count_star_meta" ->
+      "SELECT count(*) AS n_rows FROM customer",
     "q_type_widen" ->
       """SELECT o_orderpriority, count(*) AS n_rows, min(cust) AS min_cust,
         |       max(cust) AS max_cust, CAST(sum(price) AS DOUBLE) AS sum_price

@@ -152,6 +152,19 @@ class MvRewriteSpec extends AnyFunSuite {
       "non-group-column filter must keep the stock plan")
   }
 
+  test("HAVING applies above the rewritten aggregate") {
+    // fact group sums are 298500 + 600*i for grp g_i — the threshold
+    // keeps exactly g2, g3, g4
+    val q = "SELECT grp, sum(x) AS sx FROM gmr.db.fact GROUP BY grp " +
+      "HAVING sum(x) > 299650"
+    val df = spark.sql(q)
+    assert(aggCount(df) == 0,
+      s"HAVING must not block the rewrite:\n${df.queryExecution.optimizedPlan}")
+    val got = df.collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("g2", "g3", "g4"), s"HAVING must filter the view rows: $got")
+    assert(rows(df) == withRewriteOff(rows(spark.sql(q))))
+  }
+
   test("float sums, extra aggregates, and other groupings keep the stock plan") {
     // double-typed sum: order-dependent — never rewritten
     assert(aggCount(spark.sql(
