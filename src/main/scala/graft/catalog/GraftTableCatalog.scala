@@ -544,6 +544,34 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         // the explicit declared schema (CommitLog.widenedReadSchema)
         LogStore.write(fs, new Path(root, "_widen.json"),
           s"""{"widened":true}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case un: TableChange.UpdateColumnNullability if un.fieldNames().length == 1 =>
+        val name = un.fieldNames()(0)
+        require(schema.fieldNames.contains(name),
+          s"ALTER COLUMN $name SET/DROP NOT NULL: no such column " +
+            s"(have ${schema.fieldNames.toSeq})")
+        // NOT NULL rides the constraint plane: SET runs the same
+        // proof scan addConstraint always runs (existing NULLs refuse
+        // the DDL) and leaves a standing write gate; DROP lifts it
+        val log = new CommitLog(spark, root.toString)
+        val cname = s"${name}_not_null"
+        if (!un.nullable()) log.addConstraint(cname, s"`$name` IS NOT NULL"): Unit
+        else {
+          try log.dropConstraint(cname): Unit
+          catch { case _: IllegalArgumentException => () }
+        }
+        schema = StructType(schema.fields.map { f =>
+          if (f.name != name) f else f.copy(nullable = un.nullable())
+        })
+      case uc: TableChange.UpdateColumnComment if uc.fieldNames().length == 1 =>
+        val name = uc.fieldNames()(0)
+        require(schema.fieldNames.contains(name),
+          s"ALTER COLUMN $name COMMENT: no such column " +
+            s"(have ${schema.fieldNames.toSeq})")
+        schema = StructType(schema.fields.map { f =>
+          if (f.name != name) f
+          else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putString("comment", uc.newComment()).build())
+        })
       case sp: TableChange.SetProperty =>
         writeProps(root,
           GraftTableCatalog.readProps(spark, root.toString) +

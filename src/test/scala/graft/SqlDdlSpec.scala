@@ -103,6 +103,52 @@ class SqlDdlSpec extends AnyFunSuite {
       cs.mkString(", "))
   }
 
+  test("column nullability rides the constraint plane") {
+    warehouse
+    spark.sql("CREATE TABLE gdl.db.nn (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gdl.db.nn VALUES (1, 10), (2, NULL)")
+    // Spark's analyzer refuses `ALTER COLUMN ... SET NOT NULL` for V2
+    // catalogs outright, so SET goes through the catalog API (the same
+    // TableChange Spark would send); the proof scan refuses over an
+    // existing NULL
+    val cat = spark.sessionState.catalogManager.catalog("gdl")
+      .asInstanceOf[graft.catalog.GraftTableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "nn")
+    def setNotNull(): Unit = cat.alterTable(ident,
+      org.apache.spark.sql.connector.catalog.TableChange
+        .updateColumnNullability(Array("v"), false)): Unit
+    def mentions(t: Throwable, s: String): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains(s)) ||
+        mentions(t.getCause, s))
+    val ex = intercept[Exception] { setNotNull() }
+    assert(mentions(ex, "v_not_null"),
+      s"SET NOT NULL over an existing NULL must refuse: ${ex.getMessage}")
+    spark.sql("DELETE FROM gdl.db.nn WHERE v IS NULL")
+    setNotNull()
+    assert(!spark.table("gdl.db.nn").schema("v").nullable)
+    val ex2 = intercept[Exception] {
+      spark.sql("INSERT INTO gdl.db.nn VALUES (3, NULL)")
+    }
+    // the declared non-nullable schema makes Spark's own writer assert
+    // fire first (NOT_NULL_ASSERT_VIOLATION); the constraint is the
+    // backstop for library-plane commits
+    assert(mentions(ex2, "v_not_null") || mentions(ex2, "NOT_NULL"),
+      s"NOT NULL must gate writes: ${ex2.getMessage}")
+    // DROP NOT NULL does flow through plain SQL
+    spark.sql("ALTER TABLE gdl.db.nn ALTER COLUMN v DROP NOT NULL")
+    spark.sql("INSERT INTO gdl.db.nn VALUES (3, NULL)")
+    assert(spark.table("gdl.db.nn").count() == 2)
+  }
+
+  test("ALTER COLUMN COMMENT lands in DESCRIBE") {
+    warehouse
+    spark.sql("CREATE TABLE gdl.db.cm (k BIGINT, qty BIGINT)")
+    spark.sql("ALTER TABLE gdl.db.cm ALTER COLUMN qty COMMENT 'units ordered'")
+    val d = spark.sql("DESCRIBE TABLE gdl.db.cm").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(d.get("qty").contains("units ordered"), d.toString)
+  }
+
   test("TBLPROPERTIES: create captures, SHOW reads, SET/UNSET mutate") {
     warehouse
     spark.sql("CREATE TABLE gdl.db.p (k BIGINT) " +
