@@ -2403,6 +2403,25 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     (bytes, if (rowsKnown) Some(rows) else None)
   }
 
+  /** Exact snapshot-wide bounds of `column` from the manifest's per-file
+    * footer stats, or None unless EVERY data file of version `v` carries
+    * a bound for it and the snapshot has no merge-on-read tombstones (a
+    * DV could delete the extreme row). A file whose footer omitted the
+    * bound — all-NULL column, pre-stats commit, foreign import — makes
+    * the whole answer None: metadata answers are exact or absent, never
+    * a guess.
+    */
+  private[graft] def snapshotBounds(v: Long, column: String): Option[ColStats] = {
+    val lines = manifestLines(v)
+    if (dvNamesOf(lines).nonEmpty) return None
+    val names = dataNamesOf(lines)
+    if (names.isEmpty) return None
+    val stats = fileStatsOf(lines)
+    val bounds = names.map(n => stats.get(n).flatMap(_.get(column)))
+    if (bounds.exists(_.isEmpty)) return None
+    Some(bounds.flatten.reduce(ColStats.widen))
+  }
+
   private def parseStats(json: String): Map[String, ColStats] =
     org.json4s.jackson.JsonMethods.parse(json) match {
       case org.json4s.JObject(fields) => fields.collect {

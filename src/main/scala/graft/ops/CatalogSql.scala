@@ -520,6 +520,26 @@ object CatalogSql {
     q
   }
 
+  /** Metadata-only min/max as an oracle key: snapshot-wide bounds of an
+    * integral key answer from the manifest's per-file footer stats
+    * (`CommitLog.snapshotBounds` — exact or absent, never a guess), so
+    * the whole count/min/max row costs one manifest read. Refuses a
+    * scanning plan like its count(*) sibling.
+    */
+  private def minmaxMeta(s: SparkSession, d: String): DataFrame = {
+    ensureTables(s, d)
+    val q = s.sql("SELECT count(*) AS n_rows, min(c_custkey) AS min_key, " +
+      "max(c_custkey) AS max_key FROM graft.tpch.customer")
+    val scans = q.queryExecution.optimizedPlan.exists {
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _ => false
+    }
+    require(!scans, "q_minmax_meta: expected the manifest-bounds " +
+      s"rewrite, got a scan:\n${q.queryExecution.optimizedPlan}")
+    q
+  }
+
   /** Metadata-only type widening as an oracle key: the table lands with
     * an INT customer key and a DECIMAL(12,2) price, `ALTER COLUMN ...
     * TYPE` widens both (BIGINT / DECIMAL(20,3)) WITHOUT rewriting a
@@ -629,8 +649,12 @@ object CatalogSql {
     */
   private def aggPushdownFooter(s: SparkSession, d: String): DataFrame = {
     ensureTables(s, d)
+    // the manifest-stats rewrite (q_count_star_meta) would otherwise
+    // answer this without ANY scan — disabled here because this key
+    // demonstrates Spark's own FOOTER pushdown plan
     withIsolatedConfs(s, d,
-      Seq("spark.sql.parquet.aggregatePushdown" -> "true")) { s2 =>
+      Seq("spark.sql.parquet.aggregatePushdown" -> "true",
+        "spark.graft.countStar.enabled" -> "false")) { s2 =>
       s2.sql(
         """SELECT count(*) AS n_rows, min(c_custkey) AS min_key,
           |       max(c_custkey) AS max_key
@@ -947,6 +971,7 @@ object CatalogSql {
     "q_mv_rollup" -> mvRollup _,
     "q_type_widen" -> typeWiden _,
     "q_count_star_meta" -> countStarMeta _,
+    "q_minmax_meta" -> minmaxMeta _,
     "q_point_lookup_bloom" -> pointLookupBloom _,
     "q_join_spj" -> joinSpj _,
     "q_join_spj_bucket" -> joinSpjBucket _,
@@ -1040,6 +1065,10 @@ object CatalogSql {
         |ORDER BY o_orderpriority""".stripMargin,
     "q_count_star_meta" ->
       "SELECT count(*) AS n_rows FROM customer",
+    "q_minmax_meta" ->
+      """SELECT count(*) AS n_rows, min(c_custkey) AS min_key,
+        |       max(c_custkey) AS max_key
+        |FROM customer""".stripMargin,
     "q_type_widen" ->
       """SELECT o_orderpriority, count(*) AS n_rows, min(cust) AS min_cust,
         |       max(cust) AS max_cust, CAST(sum(price) AS DOUBLE) AS sum_price

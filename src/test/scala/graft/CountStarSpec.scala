@@ -51,16 +51,36 @@ class CountStarSpec extends AnyFunSuite {
     assert(metadataOnly(v1))
   }
 
-  test("filters, grouping, count(col), and extra aggregates decline") {
+  test("min/max on integral columns answer from the manifest bounds") {
+    val q = spark.sql(
+      "SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM gcs.db.t")
+    assert(metadataOnly(q),
+      s"count+min+max must be metadata-only:\n${q.queryExecution.optimizedPlan}")
+    val r = q.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((901L, 0L, 9999L)), r.toString)
+    // value parity with the scanning plan
+    spark.conf.set("spark.graft.countStar.enabled", "false")
+    val direct = try spark.sql(
+      "SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM gcs.db.t").head()
+    finally spark.conf.set("spark.graft.countStar.enabled", "true")
+    assert(direct.toString == r.toString)
+  }
+
+  test("filters, grouping, count(col), and non-integral bounds decline") {
+    spark.sql("CREATE TABLE gcs.db.s AS " +
+      "SELECT id AS k, concat('v', id) AS name, id * 1.5 AS f FROM range(0, 50)")
     for (q <- Seq(
         "SELECT count(*) FROM gcs.db.t WHERE k > 10",
         "SELECT m, count(*) FROM gcs.db.t GROUP BY m",
         "SELECT count(k) FROM gcs.db.t",
-        "SELECT count(*), max(k) FROM gcs.db.t")) {
+        "SELECT count(*), sum(k) FROM gcs.db.t",
+        "SELECT min(name) FROM gcs.db.s",  // string bounds can truncate
+        "SELECT max(f) FROM gcs.db.s")) {  // double bounds have NaN edges
       assert(!metadataOnly(spark.sql(q)), s"must keep the scanning plan: $q")
     }
     // and the declined plans still answer correctly
     assert(spark.sql("SELECT count(k) FROM gcs.db.t").head().getLong(0) == 901L)
+    assert(spark.sql("SELECT min(name) FROM gcs.db.s").head().getString(0) == "v0")
   }
 
   test("merge-on-read tombstones disqualify the stats; the scan stays exact") {

@@ -156,7 +156,10 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
 
   test("footer aggregate pushdown reaches the scan (PushedAggregation in the plan)") {
     spark.sql("CREATE TABLE gsp.db.flat AS SELECT id AS k, id * 2 AS v FROM range(0, 500)")
-    withConfs("spark.sql.parquet.aggregatePushdown" -> "true") {
+    withConfs("spark.sql.parquet.aggregatePushdown" -> "true",
+        // the manifest-stats rewrite would answer without any scan;
+        // this test pins Spark's FOOTER pushdown specifically
+        "spark.graft.countStar.enabled" -> "false") {
       val df = spark.sql("SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM gsp.db.flat")
       val p = planOf(df)
       assert(p.contains("PushedAggregation: [COUNT(*)") ||
