@@ -657,6 +657,12 @@ object GraftTableCatalog {
         t.scale >= f.scale &&
           t.precision - t.scale >= f.precision - f.scale &&
           (t.precision > f.precision || t.scale > f.scale)
+      // integral → decimal with enough integer digits for the whole
+      // source range (parquet readers promote INT32/INT64 to decimal)
+      case (ByteType, t: DecimalType)    => t.precision - t.scale >= 3
+      case (ShortType, t: DecimalType)   => t.precision - t.scale >= 5
+      case (IntegerType, t: DecimalType) => t.precision - t.scale >= 10
+      case (LongType, t: DecimalType)    => t.precision - t.scale >= 19
       case _ => false
     }
 }

@@ -120,6 +120,28 @@ class TypeWideningSpec extends AnyFunSuite {
       .head().getBoolean(0), "second drop must report nothing existed")
   }
 
+  test("integral -> decimal widens when the integer digits fit") {
+    spark.sql("CREATE TABLE gtw.db.d (k INT)")
+    spark.sql("INSERT INTO gtw.db.d VALUES (7)")
+    spark.sql("ALTER TABLE gtw.db.d ALTER COLUMN k TYPE DECIMAL(14,2)")
+    spark.sql("INSERT INTO gtw.db.d VALUES (123456789012.25)")
+    val got = spark.table("gtw.db.d").orderBy("k").collect()
+      .map(_.getDecimal(0).toPlainString).toSeq
+    assert(got == Seq("7.00", "123456789012.25"), got.toString)
+    assert(new CommitLog(spark, s"$warehouse/db/d").read()
+      .schema("k").dataType == DecimalType(14, 2))
+    // not enough integer digits for the full INT range: refuse
+    spark.sql("CREATE TABLE gtw.db.d2 (k INT)")
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE gtw.db.d2 ALTER COLUMN k TYPE DECIMAL(9,0)")
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(m =>
+        m.contains("widening") || m.contains("NOT_SUPPORTED_CHANGE_COLUMN")) ||
+        mentions(t.getCause))
+    assert(mentions(ex), s"INT -> DECIMAL(9,0) must refuse: ${ex.getMessage}")
+  }
+
   test("exports materialize widened tables: foreign files are physically wide") {
     // gtw.db.w (first test) holds a MIXED narrow/wide pool — a byte-copy
     // export would hand plain Delta/Iceberg readers int32 files under a
