@@ -1285,7 +1285,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     // validate BEFORE the pool move: a rejected epoch leaves its files
     // where the writer staged them (the stage dir ages out), not in the
     // pool masquerading as committable content
-    enforceConstraintsOnPaths(paths, checkConstraints, "commitPooledFiles")
+    var validatedCs = checkConstraints
+    enforceConstraintsOnPaths(paths, validatedCs, "commitPooledFiles")
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     hfs.mkdirs(dataDir)
     hfs.mkdirs(commitsDir)
@@ -1298,6 +1299,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           throw new java.io.IOException(s"commitPooledFiles: could not move $src")
         s"$name\t${statsJson(st, rows, len)}"
       }
+    val pooledPaths = newLines.map(l => new Path(dataDir, l.split('\t').head))
     var attempt = 0
     while (attempt < 50) {
       val v = currentVersion.getOrElse(0L) + 1
@@ -1306,6 +1308,11 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         if (prev.contains(s"#txn:$id")) return v - 1
       }
       if (!replace) requireUnpartitioned("commitPooledFiles(append)", v, prev)
+      val curCs = checkOf(prev)
+      if (curCs != validatedCs) { // constraint DDL won a race: re-validate
+        enforceConstraintsOnPaths(pooledPaths, curCs, "commitPooledFiles")
+        validatedCs = curCs
+      }
       val carried = if (replace) replaceCarried(prev) else prev
       beforePublish(attempt, v)
       if (publish(v, stamped(if (replace) "replace" else "append",
@@ -1354,6 +1361,32 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       tombs: Option[DataFrame], replace: Boolean): Long = {
     require(srcs.nonEmpty, "commitCopiedWithTombstones: no source files")
     import spark.implicits._
+    // CHECK constraints validate the LIVE rows of the import — tombstoned
+    // rows never surface, so a deleted violator cannot fail the batch.
+    // Validation reads the SOURCE files (pre-copy: a rejected import
+    // leaves no pool litter) and re-runs inside the race loop if the
+    // constraint set moved under us, like commit()/commitStaged.
+    def liveRows: DataFrame = {
+      val base = spark.read.option("mergeSchema", "true")
+        .parquet(srcs.map(_.toString): _*)
+      tombs match {
+        case None => base
+        case Some(t) =>
+          base
+            .withColumn("_graft_src", org.apache.spark.sql.functions
+              .regexp_replace(col("_metadata.file_path"),
+                HadoopFs.UriPrefixRx, ""))
+            .withColumn("_graft_del_pos", col("_metadata.row_index"))
+            .join(t.select(col("_graft_src"),
+              col("_graft_del_pos").cast("long").as("_graft_del_pos")),
+              Seq("_graft_src", "_graft_del_pos"), "left_anti")
+            .drop("_graft_src", "_graft_del_pos")
+      }
+    }
+    var validatedCs = checkConstraints
+    def validate(cs: Map[String, String]): Unit =
+      if (cs.nonEmpty) enforceConstraints(liveRows, cs, "commitCopiedWithTombstones")
+    validate(validatedCs)
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     hfs.mkdirs(dataDir)
     hfs.mkdirs(commitsDir)
@@ -1386,6 +1419,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val v = currentVersion.getOrElse(0L) + 1
       val prev = currentVersion.map(manifestLines).getOrElse(Seq.empty)
       if (!replace) requireUnpartitioned("commitCopiedWithTombstones(append)", v, prev)
+      val curCs = checkOf(prev)
+      if (curCs != validatedCs) { // constraint DDL won a race: re-validate
+        validate(curCs); validatedCs = curCs
+      }
       val carried = if (replace) replaceCarried(prev) else prev
       beforePublish(attempt, v)
       if (publish(v, stamped("import",
@@ -1493,14 +1530,19 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     */
   def commitStaged(stageDir: String, replace: Boolean): Long = {
     val newLines = poolFromStage(new Path(stageDir), "commitStaged")
-    enforceConstraintsOnPaths(
-      newLines.map(l => new Path(dataDir, l.split('\t').head)),
-      checkConstraints, "commitStaged")
+    val newPaths = newLines.map(l => new Path(dataDir, l.split('\t').head))
+    var validatedCs = checkConstraints
+    enforceConstraintsOnPaths(newPaths, validatedCs, "commitStaged")
     var attempt = 0
     while (attempt < 50) {
       val v = currentVersion.getOrElse(0L) + 1
       val prev = currentVersion.map(manifestLines).getOrElse(Seq.empty)
       if (!replace) requireUnpartitioned("commitStaged(append)", v, prev)
+      val curCs = checkOf(prev)
+      if (curCs != validatedCs) { // constraint DDL won a race: re-validate
+        enforceConstraintsOnPaths(newPaths, curCs, "commitStaged")
+        validatedCs = curCs
+      }
       val carried = if (replace) replaceCarried(prev) else prev
       beforePublish(attempt, v)
       if (publish(v, stamped(if (replace) "replace" else "append",
@@ -1803,7 +1845,6 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           s"${existing.map(_.spec).mkString(", ")}; got " +
           s"${parsed.map(_.spec).mkString(", ")} — appends must match " +
           "(replace=true re-lays-out)")
-    writePtspec(parsed)
     val derived = parsed.foldLeft(df)((d, t) =>
       d.withColumn(t.derivedName, t.derive(col(s"`${t.src}`"))))
     // cluster by the derived values before the partitioned write: without
@@ -1813,8 +1854,16 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     // time grains batch), so one exchange for ~one file per value is the
     // right default here, unlike raw commitPartitioned's opt-in.
     val names = parsed.map(_.derivedName)
-    commitPartitioned(derived.repartition(names.map(n => col(s"`$n`")): _*),
+    val ver = commitPartitioned(derived.repartition(names.map(n => col(s"`$n`")): _*),
       names, replace, txn)
+    // the layout declaration lands only AFTER the data publish succeeds:
+    // the commit path derives from `parsed` directly and never consults
+    // the sidecar, and writing it first would — on a failed or crashed
+    // commit — leave the NEW spec declared over OLD-layout data, leaking
+    // the previous layout's `_p_*` columns into every read (the sidecar
+    // drop-list would name only the new derived columns)
+    writePtspec(parsed)
+    ver
   }
 
   /** Split a predicate into conjuncts (`Or`/`Not` stay whole: they never
@@ -2104,28 +2153,97 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     require(ref(name).isEmpty,
       s"createBranch: ref '$name' already exists under $tableRoot")
     val root = branchDir(name)
-    // a crashed create leaves an orphan branch dir with no ref: clear it
-    // so the clone's fresh-target requirement holds
-    if (hfs.exists(root)) hfs.delete(root, true)
+    // Each create clones into its OWN `.tmp-*` dir and only touches the
+    // shared branch dir AFTER winning the atomic ref: the old in-place
+    // clone raced destructively — creator B's pre-clean of branchDir
+    // could wipe creator A's in-flight clone, and the putIfAbsent
+    // loser's cleanup deleted the winner's just-registered dir, leaving
+    // a ref on a missing root. Crashed creators' tmp dirs age out below.
+    sweepBranchTmp()
     val v = version.getOrElse(currentVersion.getOrElse(
       throw new java.io.FileNotFoundException(
         s"createBranch: no committed version under $tableRoot")))
-    val bl = new CommitLog(spark, root.toString)
-    bl.cloneFrom(tableRoot, Some(v)): Unit
-    // table contracts ride along (one manifest write, no data scan — the
-    // rows already satisfied them on main at the fork point)
-    val hdr = manifestLines(v).filter(l =>
-      l.startsWith("#check:") || l.startsWith("#cluster:"))
-    if (hdr.nonEmpty)
-      bl.publish(2, bl.stamped("clone", hdr ++ bl.manifestLines(1))): Unit
+    // every pool root the fork will reference (same derivation as
+    // cloneFrom's marker registration) — needed to move/retire the
+    // vacuum-protection markers when the tmp clone renames into place
+    val srcData = new Path(tableRoot, "data")
+    val roots = manifestLines(v)
+      .filterNot(l => l.startsWith("#") || l.startsWith("-"))
+      .map { l =>
+        val n = l.split('\t').head
+        if (isAbsoluteName(n)) n else new Path(srcData, n).toString
+      }
+      .flatMap(dataRootOf).map(_.stripSuffix("/data")).toSet
+    val tmp = new Path(tableRoot,
+      s"_branches/.tmp-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+    val bl = new CommitLog(spark, tmp.toString)
+    def dropTmp(): Unit = {
+      roots.foreach(deregisterCloneAt(_, tmp.toString))
+      hfs.delete(tmp, true): Unit
+    }
+    try {
+      bl.cloneFrom(tableRoot, Some(v)): Unit
+      // table contracts ride along (one manifest write, no data scan — the
+      // rows already satisfied them on main at the fork point)
+      val hdr = manifestLines(v).filter(l =>
+        l.startsWith("#check:") || l.startsWith("#cluster:"))
+      if (hdr.nonEmpty)
+        bl.publish(2, bl.stamped("clone", hdr ++ bl.manifestLines(1))): Unit
+    } catch { case e: Throwable => dropTmp(); throw e }
     hfs.mkdirs(refsDir)
     if (!store.putIfAbsent(new Path(refsDir, name),
         s"branch\t$v".getBytes(StandardCharsets.UTF_8))) {
-      hfs.delete(root, true)
+      dropTmp()
       throw new IllegalArgumentException(
         s"createBranch: ref '$name' already exists under $tableRoot")
     }
+    // Holding the ref, the final root is exclusively ours. Final-root
+    // markers land BEFORE the rename so vacuum protection never lapses
+    // (the tmp markers still resolve until the swap completes); a
+    // ref-less orphan dir from a crashed creator clears here, under the
+    // ref, where no live create can be inside it.
+    roots.foreach(registerCloneAt(_, root.toString))
+    if (hfs.exists(root)) hfs.delete(root, true)
+    if (!hfs.rename(tmp, root)) {
+      roots.foreach(deregisterCloneAt(_, root.toString))
+      dropTmp()
+      hfs.delete(new Path(refsDir, name), false): Unit
+      throw new java.io.IOException(
+        s"createBranch: could not move $tmp into place as $root")
+    }
+    roots.foreach(deregisterCloneAt(_, tmp.toString))
     v
+  }
+
+  /** Remove `.tmp-*` branch-clone dirs older than an hour (a live
+    * [[createBranch]] completes in seconds; an aged tmp is a crashed
+    * creator), retiring the clone markers they registered.
+    */
+  private def sweepBranchTmp(): Unit = {
+    val dir = new Path(tableRoot, "_branches")
+    if (!hfs.exists(dir)) return
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    hfs.listStatus(dir).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".tmp-") &&
+          st.getModificationTime <= cutoff) {
+        val dead = new CommitLog(spark, st.getPath.toString)
+        dead.currentVersion.foreach { dv =>
+          dead.manifestLines(dv)
+            .filterNot(l => l.startsWith("#") || l.startsWith("-"))
+            .flatMap(l => dataRootOf(l.split('\t').head))
+            .map(_.stripSuffix("/data")).toSet[String]
+            .foreach(deregisterCloneAt(_, st.getPath.toString))
+        }
+        hfs.delete(st.getPath, true): Unit
+      }
+    }
+  }
+
+  /** Retire one clone marker — the inverse of [[registerCloneAt]]. */
+  private def deregisterCloneAt(srcRoot: String, cloneRoot: String): Unit = {
+    val marker = new Path(new Path(srcRoot, "_clones"),
+      java.net.URLEncoder.encode(cloneRoot, "UTF-8"))
+    hfs.delete(marker, false): Unit
   }
 
   /** The commit log of a branch — the write handle for the audit stage

@@ -503,12 +503,21 @@ object IcebergInterop {
     * would additionally need the spec's partition JSON → column mapping
     * (out of scope until an asset arrives shaped that way).
     */
-  /** Scheme prefix of a path URI (`file://`, `s3a://`, `file:` …) —
-    * stripped before comparing a delete file's recorded `file_path`
-    * against `_metadata.file_path`, whose scheme spelling differs by
-    * reader.
+  /** Scheme AND authority prefix of a path URI (`file://`, `s3a://bucket`,
+    * `hdfs://nn:8020`, `file:` …) — stripped before comparing a delete
+    * file's recorded `file_path` against `_metadata.file_path` (whose
+    * scheme spelling differs by reader), and before joining either
+    * against [[CommitLog.commitCopiedWithTombstones]]'s pooled-file map,
+    * which keys by `Path.toUri.getPath`. `getPath` drops the authority,
+    * so the column-side normalization MUST drop it too: Iceberg metadata
+    * on S3A/HDFS records fully-qualified URIs (`s3a://bucket/key`), and
+    * a scheme-only strip would leave `bucket/key` vs `/key` — every
+    * tombstone silently unmatched. All files of one table share one
+    * filesystem, so dropping the authority cannot alias two files.
+    * IcebergInteropSpec pins the regex ≡ `new Path(_).toUri.getPath`
+    * on authority-bearing URIs.
     */
-  private val SchemeRx = "^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?"
+  private[graft] val SchemeRx = HadoopFs.UriPrefixRx
 
   /** `(file path sans scheme, row position)` of every row the EQUALITY
     * delete tier kills: per equality-field group, a semi-join of the

@@ -203,4 +203,60 @@ class ConstraintSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("qty_pos") && ex.getMessage.contains("tag_nn"))
   }
+
+  test("constraint DDL landing mid-commitStaged re-validates the staged files") {
+    val root = tmp()
+    val plain = new CommitLog(spark, root)
+    plain.commit(Seq((1L, 5)).toDF("k", "qty"), replace = false)
+    val racer = new CommitLog(spark, root) {
+      private var fired = false
+      override protected def beforePublish(attempt: Int, v: Long): Unit =
+        if (!fired) { fired = true; plain.addConstraint("qty_pos", "qty > 0"): Unit }
+    }
+    val stage = racer.newStageDir("spec")
+    Seq((2L, -9)).toDF("k", "qty").write.parquet(stage)
+    val ex = intercept[IllegalStateException] {
+      racer.commitStaged(stage, replace = false)
+    }
+    assert(ex.getMessage.contains("qty_pos"),
+      s"staged batch must re-validate against the new head: ${ex.getMessage}")
+    assert(plain.read().count() == 1, "violating staged batch must not land")
+  }
+
+  /** One source parquet file on local disk, returned as a Hadoop Path. */
+  private def oneSrcFile(df: org.apache.spark.sql.DataFrame): org.apache.hadoop.fs.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cimp").toString
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    new org.apache.hadoop.fs.Path(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath)
+  }
+
+  test("tombstone import validates LIVE rows only: a deleted violator passes") {
+    val log = new CommitLog(spark, tmp())
+    log.commit(Seq((1L, 5)).toDF("k", "qty"), replace = false)
+    log.addConstraint("qty_pos", "qty > 0")
+    // row index 1 = (3, -1): the ONLY violator arrives pre-tombstoned
+    val src = oneSrcFile(Seq((2L, 7), (3L, -1)).toDF("k", "qty"))
+    log.commitFilesWithDeletes(Seq((src, Seq(1L))), replace = false)
+    assert(log.read().count() == 2, "live rows land; the dead violator cannot gate")
+    assert(log.read().where("qty < 0").count() == 0)
+  }
+
+  test("constraint DDL landing mid-tombstone-import re-validates the live rows") {
+    val root = tmp()
+    val plain = new CommitLog(spark, root)
+    plain.commit(Seq((1L, 5)).toDF("k", "qty"), replace = false)
+    val racer = new CommitLog(spark, root) {
+      private var fired = false
+      override protected def beforePublish(attempt: Int, v: Long): Unit =
+        if (!fired) { fired = true; plain.addConstraint("qty_pos", "qty > 0"): Unit }
+    }
+    val src = oneSrcFile(Seq((2L, 7), (3L, -1)).toDF("k", "qty"))
+    val ex = intercept[IllegalStateException] {
+      racer.commitFilesWithDeletes(Seq((src, Seq.empty)), replace = false)
+    }
+    assert(ex.getMessage.contains("qty_pos"),
+      s"imported batch must re-validate against the new head: ${ex.getMessage}")
+    assert(plain.read().count() == 1, "violating import must not land")
+  }
 }

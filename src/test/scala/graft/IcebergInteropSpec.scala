@@ -303,4 +303,24 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(meta.contains("list") && meta.contains("element-id"), meta)
     assert(IcebergInterop.readFileList(spark, dest).nonEmpty)
   }
+
+  test("URI normalization strips authority: column regex ≡ Path.toUri.getPath") {
+    // Iceberg metadata on S3A/HDFS records fully-qualified URIs with an
+    // authority (bucket, namenode); the pooled-file map in
+    // commitCopiedWithTombstones keys by Path.toUri.getPath, which drops
+    // it. The column-side regex MUST agree on every spelling or the
+    // tombstone join silently matches nothing and deletes resurrect.
+    val cases = Seq(
+      "s3a://bucket/wh/t/data/f.parquet",
+      "hdfs://nn:8020/wh/t/data/f.parquet",
+      "file:///wh/t/data/f.parquet",
+      "file:/wh/t/data/f.parquet",
+      "/wh/t/data/f.parquet")
+    cases.foreach { u =>
+      val stripped = u.replaceFirst(IcebergInterop.SchemeRx, "")
+      val getPath = new org.apache.hadoop.fs.Path(u).toUri.getPath
+      assert(stripped == getPath, s"'$u': regex '$stripped' != getPath '$getPath'")
+      assert(stripped == "/wh/t/data/f.parquet", stripped)
+    }
+  }
 }

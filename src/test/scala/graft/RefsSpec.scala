@@ -180,4 +180,42 @@ class RefsSpec extends AnyFunSuite {
     spark.sql("CALL gref.system.drop_ref('db.t', 'launch')")
     assert(new CommitLog(spark, s"$w/db/t").refs.isEmpty)
   }
+
+  test("concurrent createBranch of one name: one winner, intact branch, no litter") {
+    val root = freshRoot("refs_race")
+    new CommitLog(spark, root)
+      .commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), replace = false)
+    // Two independent creators race the same name. Each clones into its
+    // OWN tmp dir, so neither can wipe the other's in-flight files; the
+    // atomic ref decides, the loser's cleanup touches only its tmp.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def attempt() = pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+      def call(): Option[Throwable] = {
+        gate.await()
+        try { new CommitLog(spark, root).createBranch("audit"): Unit; None }
+        catch { case t: Throwable => Some(t) }
+      }
+    })
+    val (f1, f2) = (attempt(), attempt())
+    gate.countDown()
+    val failures = Seq(f1.get(), f2.get()).flatten
+    pool.shutdown()
+    assert(failures.size == 1, s"exactly one creator must win; failures: $failures")
+    assert(failures.head.isInstanceOf[IllegalArgumentException], failures.head.toString)
+    val log = new CommitLog(spark, root)
+    assert(log.refs("audit").kind == "branch")
+    assert(log.branchLog("audit").read().count() == 2,
+      "the winner's branch must be complete — no ref on a missing/torn root")
+    // the loser cleaned its tmp clone and markers; only the branch remains
+    val names = graft.catalog.HadoopFs.fs(spark, root)
+      .listStatus(new Path(root, "_branches")).map(_.getPath.getName).toSeq
+    assert(names == Seq("audit"), s"no .tmp litter may remain: $names")
+    // winner's vacuum-protection marker names the FINAL root, not its tmp
+    val markers = graft.catalog.HadoopFs.fs(spark, root)
+      .listStatus(new Path(root, "_clones"))
+      .map(m => java.net.URLDecoder.decode(m.getPath.getName, "UTF-8")).toSeq
+    assert(markers.exists(_.endsWith("_branches/audit")), markers.toString)
+    assert(!markers.exists(_.contains(".tmp-")), markers.toString)
+  }
 }
