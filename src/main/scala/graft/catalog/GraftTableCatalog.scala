@@ -956,15 +956,18 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
     if (hasDeletes) throw new IllegalStateException(
       s"$tableName carries merge-on-read deletion vectors; fold them in " +
         "before SQL MERGE/UPDATE: CALL <catalog>.system.rewrite_deletes")
-    // the group-based rewrite stages files under the QUERY's (logical)
-    // names — on a column-mapped table that silently forks the physical
-    // naming, so refuse MERGE/UPDATE until the mapping is materialized
-    // (DELETE still analyzes through here and lands on deleteWhere)
-    if (hasRenames &&
-        info.command() != org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+    // Column-mapped FLAT tables run the rewrite natively: the group scan
+    // plans under the PHYSICAL schema and reports logical names (rows
+    // bind positionally), and the write stages files under physical
+    // names — the mapping survives MERGE/UPDATE with zero materialization.
+    // A renamed PARTITIONED/transformed layout still refuses: its
+    // re-staging (hive subdirs, transform re-derivation) would need the
+    // layout re-derived through the mapping.
+    if (hasRenames && (partCols.nonEmpty || log.partitionTransforms.nonEmpty))
       throw new UnsupportedOperationException(
-        s"$tableName has renamed columns; SQL MERGE/UPDATE would stage files " +
-          "under the old logical names. Materialize the mapping first: " +
+        s"$tableName has renamed columns over a partitioned layout; SQL " +
+          "row-level operations cannot re-stage it under the mapping. " +
+          "Materialize the mapping first: " +
           "CALL <catalog>.system.materialize_mapping")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
@@ -981,12 +984,26 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
           // scan read the full snapshot, which is exactly what the
           // one-group contract requires.
           override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-            val inner = GraftTable.this.newScanBuilder(options)
+            // column-mapped tables plan the group scan directly under
+            // the PHYSICAL schema (what the files store) and report the
+            // LOGICAL schema upward — same arity and types, so the rows
+            // bind positionally to the command's resolved attributes,
+            // exactly how the streaming read handles the mapping. The
+            // plain path delegates to the table's own builder.
+            val inner: ScanBuilder =
+              if (!hasRenames) GraftTable.this.newScanBuilder(options)
+              else {
+                val paths = log.currentVersion.map(log.filePaths).getOrElse(Seq.empty)
+                ParquetTable(tableName, spark, options, paths,
+                  Some(ColumnMapping.physicalSchema(schema)),
+                  classOf[ParquetFileFormat]).newScanBuilder(options)
+              }
             new ScanBuilder {
               override def build(): org.apache.spark.sql.connector.read.Scan = {
                 val built = inner.build()
                 new org.apache.spark.sql.connector.read.Scan {
-                  override def readSchema() = built.readSchema()
+                  override def readSchema() =
+                    if (hasRenames) schema else built.readSchema()
                   override def description() = built.description()
                   override def toBatch = built.toBatch
                 }
@@ -997,15 +1014,28 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
             new WriteBuilder {
               override def build(): Write = new Write {
                 override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
-                  if (hasRenames) throw new UnsupportedOperationException(
-                    s"$tableName has renamed columns and this DELETE's " +
-                      "predicate is not filter-expressible; use a filter " +
-                      "predicate or materialize the mapping first: " +
-                      "CALL <catalog>.system.materialize_mapping")
                   val stage = log.newStageDir("rlo")
+                  // column-mapped tables stage under PHYSICAL names:
+                  // the delegate writer is handed the physical twin of
+                  // the (logical, table-order) write schema — a
+                  // positional rename of the FILE schema only, the rows
+                  // pass through untouched
+                  val fileSchema =
+                    if (!hasRenames) winfo.schema()
+                    else StructType(winfo.schema().fields.map(f =>
+                      StructField(physicalOf(f.name), f.dataType, f.nullable)))
+                  val fileInfo: LogicalWriteInfo =
+                    if (!hasRenames) winfo
+                    else new LogicalWriteInfo {
+                      override def options() = winfo.options()
+                      override def queryId() = winfo.queryId()
+                      override def schema() = fileSchema
+                      override def rowIdSchema() = winfo.rowIdSchema()
+                      override def metadataSchema() = winfo.metadataSchema()
+                    }
                   val delegate = ParquetTable("graft-rlo-stage", spark, winfo.options(),
-                    Seq(stage), Some(winfo.schema()), classOf[ParquetFileFormat])
-                    .newWriteBuilder(winfo).build().toBatch
+                    Seq(stage), Some(fileSchema), classOf[ParquetFileFormat])
+                    .newWriteBuilder(fileInfo).build().toBatch
                   new org.apache.spark.sql.connector.write.BatchWrite {
                     // the file commit protocol arbitrates its own task
                     // commits; advertising the default (coordinator on)
@@ -1018,7 +1048,7 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
                     override def createBatchWriterFactory(
                         pinfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo) =
                       new OperationStrippingWriterFactory(
-                        delegate.createBatchWriterFactory(pinfo), winfo.schema())
+                        delegate.createBatchWriterFactory(pinfo), fileSchema)
                     override def commit(
                         messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
                       delegate.commit(messages)

@@ -209,6 +209,49 @@ object CatalogSql {
         |ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** SQL MERGE + UPDATE through a column-mapped (renamed) table as an
+    * oracle key: customer lands in a catalog table, `c_acctbal` RENAMEs
+    * to `bal` (metadata-only), then MERGE and UPDATE run THROUGH the new
+    * name with zero materialization — the group-based rewrite plans its
+    * scan under the physical schema and stages files back under physical
+    * names (TableCatalogSpec pins the physical naming survives). Values
+    * must equal the closed-form oracle over the raw table: the mapping
+    * may never change what a mutation writes, only what columns are
+    * called.
+    */
+  private def renameMerge(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ensureCatalog(s, d)
+    val src = graft.Tables.customer(s, d)
+    val fresh = try {
+      val t = s.table("graft.tpch.cust_rm")
+      t.columns.contains("bal") && t.count() == src.count() &&
+        t.filter(col("c_custkey") === 10L).select(col("bal").cast("double"))
+          .head().getDouble(0) ==
+        src.filter(col("c_custkey") === 10L)
+          .select(col("c_acctbal").cast("double")).head().getDouble(0) + 1000.0
+    } catch { case _: Exception => false }
+    if (!fresh) {
+      s.sql("DROP TABLE IF EXISTS graft.tpch.cust_rm")
+      SqlSurface.registerViews(s, d, Seq("customer"))
+      s.sql("""CREATE TABLE graft.tpch.cust_rm AS
+               SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer""")
+      s.sql("ALTER TABLE graft.tpch.cust_rm RENAME COLUMN c_acctbal TO bal")
+      s.sql("""MERGE INTO graft.tpch.cust_rm t
+               USING (SELECT c_custkey, c_acctbal AS bal FROM customer
+                      WHERE c_custkey % 10 = 0) s
+               ON t.c_custkey = s.c_custkey
+               WHEN MATCHED THEN UPDATE SET bal = s.bal + 1000.0""")
+      s.sql("UPDATE graft.tpch.cust_rm SET bal = 0.0 WHERE c_custkey % 97 = 0"): Unit
+    }
+    s.sql(
+      """SELECT c_nationkey, count(*) AS n_cust,
+        |       CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM graft.tpch.cust_rm
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+  }
+
   /** Zero-copy shallow clone as an oracle key: customer lands in a
     * catalog table, `CALL graft.system.clone` branches it (ONE manifest
     * write, no data files copied — CloneSpec pins the zero-copy
@@ -985,6 +1028,7 @@ object CatalogSql {
     "q_time_travel" -> timeTravel _,
     "q_cdf_feed" -> cdfFeed _,
     "q_rename_mapping" -> renameMapping _,
+    "q_rename_merge" -> renameMerge _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1161,6 +1205,15 @@ object CatalogSql {
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer
         |WHERE c_name LIKE '%5'
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "q_rename_merge" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+        |       CAST(sum(CAST(CASE WHEN c_custkey % 97 = 0 THEN 0.0
+        |                          WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
+        |                          ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_bal
+        |FROM customer
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
   )

@@ -170,17 +170,38 @@ class TableCatalogSpec extends AnyFunSuite {
       Seq((1L, None), (2L, Some(1.25))))
   }
 
-  test("rename: MERGE refuses, Delta export carries column mapping; materialize clears") {
+  test("rename: MERGE/UPDATE/DELETE run through the mapping, layout intact") {
     spark.sql("CREATE TABLE g.db.matm (k BIGINT, v STRING)")
     spark.sql("INSERT INTO g.db.matm VALUES (1, 'a'), (2, 'b')")
     spark.sql("ALTER TABLE g.db.matm RENAME COLUMN v TO w")
 
-    // MERGE refuses with the escape hatch named
-    val merge = intercept[Exception] {
-      spark.sql("""MERGE INTO g.db.matm t USING (SELECT 1 AS k, 'z' AS w) s
-                   ON t.k = s.k WHEN MATCHED THEN UPDATE SET w = s.w""")
-    }
-    assert(merge.getMessage.contains("materialize_mapping"), merge.getMessage)
+    // MERGE through the NEW name — no materialization: the group scan
+    // plans under the physical schema, the write stages physical names
+    spark.sql("""MERGE INTO g.db.matm t USING (SELECT 1 AS k, 'z' AS w
+                 UNION ALL SELECT 3 AS k, 'c' AS w) s
+                 ON t.k = s.k WHEN MATCHED THEN UPDATE SET w = s.w
+                 WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT k, w FROM g.db.matm ORDER BY k").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "z"), (2L, "b"), (3L, "c")))
+    // UPDATE through the new name
+    spark.sql("UPDATE g.db.matm SET w = concat(w, '!') WHERE k = 2")
+    assert(spark.sql("SELECT w FROM g.db.matm WHERE k = 2").as[String]
+      .collect().toSeq == Seq("b!"))
+    // non-filter-expressible DELETE goes group-based through the same path
+    spark.sql("DELETE FROM g.db.matm WHERE length(w) > 1")
+    assert(spark.sql("SELECT k, w FROM g.db.matm ORDER BY k").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "z"), (3L, "c")))
+
+    // the mapping is INTACT: the rewritten head files still store the
+    // PHYSICAL column name (no silent fork to logical naming)
+    val mlog = new CommitLog(spark, s"$warehouse/db/matm")
+    val headFiles = mlog.files(mlog.currentVersion.get)
+      .map(n => s"$warehouse/db/matm/data/$n")
+    assert(spark.read.parquet(headFiles: _*).columns.toSet == Set("k", "v"),
+      "row-level rewrite must stage under the physical names")
+    // time travel across the rename AND the rewrites still reads
+    assert(spark.sql("SELECT w FROM g.db.matm VERSION AS OF 1 ORDER BY w")
+      .as[String].collect().toSeq == Seq("a", "b"))
 
     // Delta export spells the rename in the open protocol's own words
     // (columnMapping mode=name) over BYTE-COPIED files, and the spec-path
@@ -189,24 +210,31 @@ class TableCatalogSpec extends AnyFunSuite {
     spark.sql(s"CALL g.system.export_delta('db.matm', '$dest')").collect()
     val back = graft.catalog.DeltaInterop.readDelta(spark, dest)
     assert(back.columns.toSet == Set("k", "w"), back.columns.toSeq)
-    assert(back.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    assert(back.as[(Long, String)].collect().toSet == Set((1L, "z"), (3L, "c")))
 
-    // materialize: one replace commit, logical names in the HEAD's files
-    // (pre-materialize pool files keep physical names until vacuumed)
+    // materialize stays available as the fold-down: logical names in the
+    // HEAD's files afterwards
     val row = spark.sql("CALL g.system.materialize_mapping('db.matm')").collect()(0)
     assert(row.getInt(1) == 1, row.toString)   // one renamed column folded
-    val mlog = new CommitLog(spark, s"$warehouse/db/matm")
-    val headFiles = mlog.files(mlog.currentVersion.get)
+    val postFiles = mlog.files(mlog.currentVersion.get)
       .map(n => s"$warehouse/db/matm/data/$n")
-    assert(spark.read.parquet(headFiles: _*).columns.toSet == Set("k", "w"))
+    assert(spark.read.parquet(postFiles: _*).columns.toSet == Set("k", "w"))
     assert(spark.sql("SELECT * FROM g.db.matm ORDER BY k").as[(Long, String)]
-      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
-    // and the previously-refused surfaces work again
-    spark.sql("""MERGE INTO g.db.matm t USING (SELECT 1 AS k, 'z' AS w) s
-                 ON t.k = s.k WHEN MATCHED THEN UPDATE SET w = s.w""")
-    assert(spark.sql("SELECT w FROM g.db.matm WHERE k = 1").as[String]
-      .collect().toSeq == Seq("z"))
-    spark.sql(s"CALL g.system.export_delta('db.matm', '$warehouse/_matm_delta')").collect()
+      .collect().toSeq == Seq((1L, "z"), (3L, "c")))
+  }
+
+  test("rename over a partitioned layout: row-level SQL refuses with the escape hatch") {
+    spark.sql("CREATE TABLE g.db.matp (k BIGINT, v STRING) PARTITIONED BY (p STRING)")
+    spark.sql("INSERT INTO g.db.matp VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    spark.sql("ALTER TABLE g.db.matp RENAME COLUMN v TO w")
+    val merge = intercept[Exception] {
+      spark.sql("""MERGE INTO g.db.matp t USING (SELECT 1 AS k, 'z' AS w) s
+                   ON t.k = s.k WHEN MATCHED THEN UPDATE SET w = s.w""")
+    }
+    assert(merge.getMessage.contains("materialize_mapping"), merge.getMessage)
+    // reads and filter-expressible DELETE still serve
+    assert(spark.sql("SELECT w FROM g.db.matp WHERE k = 1").as[String]
+      .collect().toSeq == Seq("a"))
   }
 
   test("CALL procedures: optimize clusters, vacuum collects, restore rolls back") {
