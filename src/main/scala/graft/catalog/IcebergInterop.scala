@@ -525,9 +525,14 @@ object IcebergInterop {
     * null-safe-equal AND the data file's sequence number STRICTLY below
     * the delete file's. One extra pass over the data files, paid only
     * by tables that actually carry equality deletes (Flink-CDC-style
-    * writers); the matching itself is executor-side. Name-mapped tables
-    * refuse (the id → file-column indirection would need per-file
-    * resolution).
+    * writers); the matching itself is executor-side.
+    *
+    * Name-mapped tables resolve each equality field id through
+    * `schema.name-mapping.default`: the mapping is per-TABLE for flat
+    * schemas, so a field's file column is whichever mapped name (or the
+    * logical name — post-rename writers store it directly) is present —
+    * resolved once against the merged data schema, and per FILE on the
+    * delete side (a delete writer may predate or postdate a rename).
     */
   private def equalityDeletedPositions(spark: SparkSession,
       metadata: com.fasterxml.jackson.databind.JsonNode,
@@ -535,11 +540,6 @@ object IcebergInterop {
       table: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
     import spark.implicits._
-    val mapped = Option(metadata.get("properties"))
-      .flatMap(p => Option(p.get("schema.name-mapping.default"))).isDefined
-    if (mapped) throw new UnsupportedOperationException(
-      s"readIceberg: equality deletes on the name-mapped table $table are " +
-        "not implemented — compact the table to fold deletes in, then re-read.")
     val schemaId = metadata.get("current-schema-id").asInt
     val cur = metadata.get("schemas").elements().asScala
       .find(_.get("schema-id").asInt == schemaId)
@@ -547,25 +547,50 @@ object IcebergInterop {
         s"current schema $schemaId missing from $table metadata"))
     val nameOf = cur.get("fields").elements().asScala
       .map(f => f.get("id").asInt -> f.get("name").asText).toMap
+    // field id → file-column candidates from the name mapping (empty on
+    // unmapped tables, where files store the logical names directly)
+    val mappedNames: Map[Int, Seq[String]] = Option(metadata.get("properties"))
+      .flatMap(p => Option(p.get("schema.name-mapping.default"))).map(_.asText) match {
+      case None => Map.empty
+      case Some(j) => mapper.readTree(j).elements().asScala.map { e =>
+        e.get("field-id").asInt ->
+          e.get("names").elements().asScala.map(_.asText).toSeq
+      }.toMap
+    }
+    def resolve(id: Int, present: Set[String], what: String): String = {
+      val cands = mappedNames.getOrElse(id, Seq.empty) ++ nameOf.get(id).toSeq
+      if (cands.isEmpty) throw new IllegalStateException(
+        s"equality id $id not in the current schema of $table")
+      cands.find(present.contains).getOrElse(throw new IllegalStateException(
+        s"readIceberg: equality id $id resolves to none of " +
+          s"[${cands.mkString(", ")}] in $what of $table"))
+    }
     val seqDf = data.map(f => (f.path.replaceFirst(SchemeRx, ""), f.seq))
       .toDF("_ice_fpath", "_ice_fseq")
-    val base = spark.read.parquet(data.map(_.path): _*)
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(data.map(_.path): _*)
       .withColumn("_ice_fpath",
         regexp_replace(col("_metadata.file_path"), SchemeRx, ""))
       .withColumn("_ice_pos", col("_metadata.row_index"))
       .join(broadcast(seqDf), Seq("_ice_fpath"))
+    val dataPresent = base.columns.toSet
     eqDel.groupBy(_.equalityIds.sorted).toSeq
       .map { case (ids, dfs) =>
         require(ids.nonEmpty,
           s"readIceberg: equality delete with no equality_ids in $table")
-        val cols = ids.map(id => nameOf.getOrElse(id,
-          throw new IllegalStateException(
-            s"equality id $id not in the current schema of $table")))
-        val dels = dfs.map(d => spark.read.parquet(d.path)
-            .select(cols.map(c => col(s"`$c`").as(s"_ice_d_$c")): _*)
-            .withColumn("_ice_dseq", lit(d.seq)))
+        // delete columns alias by FIELD ID (stable across naming drift)
+        val dels = dfs.map { d =>
+            val raw = spark.read.parquet(d.path)
+            val present = raw.columns.toSet
+            raw.select(ids.map(id =>
+                col(s"`${resolve(id, present, s"delete file ${d.path}")}`")
+                  .as(s"_ice_d_$id")): _*)
+              .withColumn("_ice_dseq", lit(d.seq))
+          }
           .reduce(_.unionByName(_))
-        val cond = cols.map(c => col(s"`$c`") <=> col(s"_ice_d_$c"))
+        val cond = ids.map(id =>
+            col(s"`${resolve(id, dataPresent, "the data files")}`") <=>
+              col(s"_ice_d_$id"))
           .reduce(_ && _) && col("_ice_fseq") < col("_ice_dseq")
         base.join(dels, cond, "left_semi")
           .select(col("_ice_fpath"), col("_ice_pos"))
@@ -582,7 +607,15 @@ object IcebergInterop {
     val eqDel = resolved.filter(_.content == 2)
     require(dataF.nonEmpty, s"Iceberg table $table has no live data files")
     val metadata = loadMetadata(spark, table)
+    // (path, row index) of every data row, materialized ONCE on the raw
+    // file relation — `_metadata` is a scan-time pseudo-column, gone
+    // after any projection, so BOTH delete tiers must key off the same
+    // derivation (position+equality together broke the old per-tier
+    // re-derivation; IcebergInteropSpec's name-mapped test pins this)
     val raw0 = spark.read.parquet(dataF.map(_.path): _*)
+      .withColumn("_ice_path",
+        regexp_replace(col("_metadata.file_path"), SchemeRx, ""))
+      .withColumn("_ice_pos", col("_metadata.row_index"))
     // v2 position deletes: anti-join each data row's (path, row index)
     // against the delete files — the same MoR shape the commit log's own
     // tombstone read uses. Delete-file volume is the delete volume, so
@@ -591,25 +624,15 @@ object IcebergInterop {
       val dels = spark.read.parquet(posDel.map(_.path): _*)
         .select(regexp_replace(col("file_path"), SchemeRx, "").as("_ice_path"),
           col("pos").cast("long").as("_ice_pos"))
-      raw0
-        .withColumn("_ice_path",
-          regexp_replace(col("_metadata.file_path"), SchemeRx, ""))
-        .withColumn("_ice_pos", col("_metadata.row_index"))
-        .join(dels, Seq("_ice_path", "_ice_pos"), "left_anti")
-        .drop("_ice_path", "_ice_pos")
+      raw0.join(dels, Seq("_ice_path", "_ice_pos"), "left_anti")
     }
     // v2 equality deletes: resolved to (file, position) once, shared
     // with the import path
-    val raw = if (eqDel.isEmpty) afterPos else {
+    val raw = (if (eqDel.isEmpty) afterPos else {
       val eqPos = equalityDeletedPositions(spark, metadata, dataF, eqDel, table)
         .withColumnRenamed("_ice_fpath", "_ice_path")
-      afterPos
-        .withColumn("_ice_path",
-          regexp_replace(col("_metadata.file_path"), SchemeRx, ""))
-        .withColumn("_ice_pos", col("_metadata.row_index"))
-        .join(eqPos, Seq("_ice_path", "_ice_pos"), "left_anti")
-        .drop("_ice_path", "_ice_pos")
-    }
+      afterPos.join(eqPos, Seq("_ice_path", "_ice_pos"), "left_anti")
+    }).drop("_ice_path", "_ice_pos")
     val mappingJson = Option(metadata.get("properties"))
       .flatMap(p => Option(p.get("schema.name-mapping.default"))).map(_.asText)
     mappingJson match {

@@ -304,6 +304,202 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(IcebergInterop.readFileList(spark, dest).nonEmpty)
   }
 
+  /** One delete-file entry for [[appendDeleteManifest]]: `content` 1 =
+    * position deletes, 2 = equality deletes (ids required).
+    */
+  private case class DelEntry(path: String, content: Int, seq: Long,
+      count: Long, ids: Seq[Int] = Seq.empty)
+
+  /** Surgically append ONE delete manifest to an exported Iceberg table
+    * (new manifest list = old entries + the delete manifest, metadata v2,
+    * hint advanced) — the writer-side machinery the engine deliberately
+    * lacks, needed to FORGE foreign tables carrying v2 delete tiers.
+    */
+  private def appendDeleteManifest(dest: String, entries: Seq[DelEntry]): Unit = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import org.apache.hadoop.fs.Path
+    val fs = graft.catalog.HadoopFs.fs(spark, dest)
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"file_sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
+        |]}}]}""".stripMargin)
+    val metaDir = new Path(dest, "metadata")
+    def slurpJson(p: Path): com.fasterxml.jackson.databind.node.ObjectNode = {
+      val in = fs.open(p)
+      val body = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        out.toByteArray
+      } finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    }
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dest/metadata/version-hint.text")), "UTF-8").trim
+    val meta = slurpJson(new Path(metaDir, s"v$hint.metadata.json"))
+    val snap = meta.get("snapshots").elements().next()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val maxSeq = entries.map(_.seq).max
+    val mPath = new Path(metaDir, s"del-m$maxSeq.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, fs.create(mPath, true))
+      entries.foreach { de =>
+        val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+        df.put("content", de.content)
+        df.put("file_path", de.path)
+        df.put("file_format", "PARQUET")
+        df.put("record_count", de.count)
+        df.put("file_size_in_bytes", 1L)
+        if (de.ids.nonEmpty) {
+          val idsSchema = entrySchema.getField("data_file").schema()
+            .getField("equality_ids").schema().getTypes.get(1)
+          df.put("equality_ids", new GenericData.Array[Integer](idsSchema,
+            java.util.List.of(de.ids.map(Integer.valueOf): _*)))
+        }
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1)
+        e.put("snapshot_id", snap.get("snapshot-id").asLong)
+        e.put("sequence_number", de.seq)
+        e.put("file_sequence_number", de.seq)
+        e.put("data_file", df)
+        w.append(e)
+      }
+      w.close()
+    }
+    val oldListPath = new Path(snap.get("manifest-list").asText)
+    val tmpAvro = java.io.File.createTempFile("graft_eqnm_list", ".avro")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(oldListPath.toUri.getPath),
+      tmpAvro.toPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val listReader = new DataFileReader[GenericRecord](tmpAvro,
+      new GenericDatumReader[GenericRecord]())
+    val listSchema: Schema = listReader.getSchema
+    val oldRecs: List[GenericRecord] = {
+      import scala.jdk.CollectionConverters._
+      try listReader.iterator().asScala.toList finally listReader.close()
+    }
+    val newListPath = new Path(metaDir, s"snap-del-$maxSeq.avro")
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      w.create(listSchema, fs.create(newListPath, true))
+      oldRecs.foreach(w.append)
+      val dm = new GenericData.Record(listSchema)
+      dm.put("manifest_path", mPath.toString)
+      dm.put("manifest_length", fs.getFileStatus(mPath).getLen)
+      dm.put("partition_spec_id", 0)
+      dm.put("content", 1)
+      dm.put("sequence_number", maxSeq)
+      dm.put("min_sequence_number", entries.map(_.seq).min)
+      dm.put("added_snapshot_id", snap.get("snapshot-id").asLong)
+      dm.put("added_files_count", entries.size)
+      dm.put("existing_files_count", 0)
+      dm.put("deleted_files_count", 0)
+      dm.put("added_rows_count", entries.map(_.count).sum)
+      dm.put("existing_rows_count", 0L)
+      dm.put("deleted_rows_count", 0L)
+      w.append(dm)
+      w.close()
+    }
+    snap.put("manifest-list", newListPath.toString): Unit
+    meta.put("last-sequence-number", maxSeq): Unit
+    val next = hint.toInt + 1
+    graft.catalog.LogStore.write(fs, new Path(metaDir, s"v$next.metadata.json"),
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    graft.catalog.LogStore.write(fs, new Path(metaDir, "version-hint.text"),
+      next.toString.getBytes("UTF-8"))
+    tmpAvro.delete(): Unit
+  }
+
+  /** Stage a single-file parquet under the table's data dir. */
+  private def stageParquet(dest: String, name: String,
+      df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.hadoop.fs.Path
+    val fs = graft.catalog.HadoopFs.fs(spark, dest)
+    val stage = s"$dest/.del_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = fs.listStatus(new Path(stage))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).head.getPath
+    val dst = new Path(s"$dest/data/$name")
+    if (!fs.rename(part, dst)) throw new java.io.IOException(s"stage $name")
+    fs.delete(new Path(stage), true)
+    dst.toString
+  }
+
+  test("name-mapped equality AND position deletes resolve through the mapping") {
+    import org.apache.spark.sql.functions.col
+    // a RENAMED table: files store the physical name `v`, the export's
+    // metadata maps field id → [v, label]
+    val warehouse = tmp("graft_ice_eqnm_wh")
+    spark.conf.set("spark.sql.catalog.gieq", classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gieq.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gieq.db")
+    spark.sql("CREATE TABLE gieq.db.eqr (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gieq.db.eqr SELECT id AS k, concat('x', id) AS v " +
+      "FROM range(1, 11)")
+    spark.sql("ALTER TABLE gieq.db.eqr RENAME COLUMN v TO label")
+    val dest = tmp("graft_ice_eqnm_dst")
+    spark.sql(s"CALL gieq.system.export_iceberg('db.eqr', '$dest')").collect()
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dest/metadata/v1.metadata.json")), "UTF-8")
+    assert(body.contains("schema.name-mapping.default"), body.take(400))
+    // the renamed field's id, from the metadata (schema names it `label`)
+    val metaJson = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val fieldId = {
+      import scala.jdk.CollectionConverters._
+      val schemaId = metaJson.get("current-schema-id").asInt
+      metaJson.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt == schemaId).get
+        .get("fields").elements().asScala
+        .find(_.get("name").asText == "label").get.get("id").asInt
+    }
+    // position delete: kill the row k=1 wherever it physically lives
+    val raw = spark.read.parquet(
+      IcebergInterop.readFileList(spark, dest): _*)
+    val (delPath, delPos) = raw
+      .select(col("_metadata.file_path"), col("_metadata.row_index"))
+      .where(col("k") === 1L).as[(String, Long)].head()
+    import spark.implicits._
+    val posFile = stageParquet(dest, "del-pos.parquet",
+      Seq((delPath, delPos)).toDF("file_path", "pos"))
+    // two equality-delete files at seq 2: one under the PHYSICAL file
+    // column name (pre-rename writer), one under the LOGICAL name
+    // (post-rename writer) — the mapping must resolve BOTH spellings
+    val eqPhys = stageParquet(dest, "del-eq-phys.parquet",
+      Seq("x3", "x8").toDF("v"))
+    val eqLog = stageParquet(dest, "del-eq-log.parquet",
+      Seq("x5").toDF("label"))
+    appendDeleteManifest(dest, Seq(
+      DelEntry(posFile, content = 1, seq = 2L, count = 1L),
+      DelEntry(eqPhys, content = 2, seq = 2L, count = 2L, ids = Seq(fieldId)),
+      DelEntry(eqLog, content = 2, seq = 2L, count = 1L, ids = Seq(fieldId))))
+
+    val expected = (2L to 10L).toSet -- Set(3L, 5L, 8L)
+    assert(IcebergInterop.readIceberg(spark, dest)
+      .select("k").as[Long].collect().toSet == expected)
+    // name-mapped import takes the materializing path: logical columns,
+    // deletes folded in
+    val imported = tmp("graft_ice_eqnm_imp") + "/t"
+    IcebergInterop.importIceberg(spark, dest, imported)
+    val ilog = new CommitLog(spark, imported)
+    assert(ilog.read().columns.toSet == Set("k", "label"))
+    assert(ilog.read().select("k").as[Long].collect().toSet == expected)
+  }
+
   test("URI normalization strips authority: column regex ≡ Path.toUri.getPath") {
     // Iceberg metadata on S3A/HDFS records fully-qualified URIs with an
     // authority (bucket, namenode); the pooled-file map in
