@@ -24,15 +24,36 @@ object Bench {
         Tables.customer(spark, sfDir), Tables.orders(spark, sfDir)("o_custkey") ===
           Tables.customer(spark, sfDir)("c_custkey")).count()
     } catch { case _: Throwable => () }
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Normalized physical-plan fingerprint: node names + output column
+    // names down the pre-AQE physical tree. Deliberately EXCLUDES
+    // exprIds, file lists, literals, and stats so it is stable across
+    // fixture rebuilds and data regens — it changes exactly when the
+    // plan SHAPE changes (a join strategy flips, an exchange appears, a
+    // pushdown stops reaching the scan), which is the regression class
+    // the committed floor cannot see from timings alone.
+    def fingerprint(df: org.apache.spark.sql.DataFrame): String =
+      try {
+        val sb = new StringBuilder
+        df.queryExecution.sparkPlan.foreach { n =>
+          sb.append(n.nodeName).append('(')
+            .append(n.output.map(_.name).mkString(",")).append(");")
+        }
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(sb.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+      } catch { case _: Throwable => "" }
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, String) = {
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column (count() would let Catalyst
       // prune the very projections being benchmarked); failures are
       // reported as -1, not a fake fast timing
       try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+        val df = fn(spark, sfDir)
+        df.write.mode("overwrite").format("noop").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        (t, fingerprint(df))   // planned AFTER the timed write — not billed
+      } catch { case _: Throwable => (-1.0, "") }
       finally spark.catalog.clearCache()   // teardown not billed to the query
     }
     // committed per-query floor from the PREVIOUS full run at the same
@@ -41,9 +62,9 @@ object Bench {
     val floorPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"))
-    val floor: Map[String, Double] =
+    val (floor: Map[String, Double], floorPlans: Map[String, String]) =
       try {
-        if (!java.nio.file.Files.exists(floorPath)) Map.empty
+        if (!java.nio.file.Files.exists(floorPath)) (Map.empty, Map.empty)
         else {
           val body = new String(java.nio.file.Files.readAllBytes(floorPath), "UTF-8")
           org.json4s.jackson.JsonMethods.parse(body) match {
@@ -51,29 +72,46 @@ object Bench {
               val m = fields.toMap
               val sameSf = m.get("sf").collect {
                 case org.json4s.JString(s) => s == sfDir }.getOrElse(false)
-              if (!sameSf) Map.empty
-              else m.get("queries") match {
-                case Some(org.json4s.JObject(qs0)) => qs0.collect {
-                  case (k, org.json4s.JDouble(x)) => k -> x
-                  case (k, org.json4s.JDecimal(x)) => k -> x.toDouble
-                  case (k, org.json4s.JInt(x)) => k -> x.toDouble
-                }.toMap
-                case _ => Map.empty
+              if (!sameSf) (Map.empty, Map.empty)
+              else {
+                val qs = m.get("queries") match {
+                  case Some(org.json4s.JObject(qs0)) => qs0.collect {
+                    case (k, org.json4s.JDouble(x)) => k -> x
+                    case (k, org.json4s.JDecimal(x)) => k -> x.toDouble
+                    case (k, org.json4s.JInt(x)) => k -> x.toDouble
+                  }.toMap
+                  case _ => Map.empty[String, Double]
+                }
+                val ps = m.get("plans") match {
+                  case Some(org.json4s.JObject(ps0)) => ps0.collect {
+                    case (k, org.json4s.JString(h)) => k -> h
+                  }.toMap
+                  case _ => Map.empty[String, String]
+                }
+                (qs, ps)
               }
-            case _ => Map.empty
+            case _ => (Map.empty, Map.empty)
           }
         }
-      } catch { case _: Throwable => Map.empty }
+      } catch { case _: Throwable => (Map.empty[String, Double], Map.empty[String, String]) }
     // min of two runs: a single GC pause or co-tenant CPU spike on the
     // shared harness cannot masquerade as a 10x regression (round-2 bench
     // artifact was contention noise; judge-adjudicated)
-    val results = SparkEntry.queries
+    val timedAll = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val a = once(fn); val b = once(fn)
+      val (a, pa) = once(fn); val (b, pb) = once(fn)
       val best = if (a < 0) b else if (b < 0) a else math.min(a, b)
-      name -> math.rint(best * 1000) / 1000   // 3dp: keeps the JSON line short
+      // 3dp: keeps the JSON line short
+      (name, math.rint(best * 1000) / 1000, if (pa.nonEmpty) pa else pb)
     }
+    val results = timedAll.map { case (name, t, _) => name -> t }.toMap
+    val plans = timedAll.collect { case (name, _, p) if p.nonEmpty => name -> p }.toMap
+    // plan-fingerprint regression guard: keys whose normalized physical
+    // plan differs from the committed floor's — a timing drift never
+    // trips this, a strategy regression always does
+    val planChanged = plans.keys.toSeq.sorted
+      .filter(k => floorPlans.get(k).exists(h => h.nonEmpty && h != plans(k)))
     // outlier self-adjudication: two rounds of judge time went to
     // separating cross-boot contention drift from real regressions. Any
     // query whose best-of-two landed >3x its committed floor (and >0.5 s
@@ -86,22 +124,26 @@ object Bench {
       else results.collect {
         case (name, t) if t > 0.5 &&
             floor.get(name).exists(f => f > 0 && t > 3 * f) =>
-          name -> math.rint(once(SparkEntry.queries(name)) * 1000) / 1000
+          name -> math.rint(once(SparkEntry.queries(name))._1 * 1000) / 1000
       }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rts = retimed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val pls = plans.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val pch = planChanged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = math.rint(results.values.filter(_ >= 0).sum * 1000) / 1000
     val n = results.size
     val failed = results.count(_._2 < 0)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$rts,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"retimed":$rts,"plan_changed":$pch,"plans":$pls,"sf":"$sfDir"}"""
     // Truncation-proofing (r02/r03/r06/r07 artifacts all clipped stdout:
     // parsed=null — even the single aggregate line at ~4 KB exceeded the
     // driver's capture window). stdout now carries ONLY a short summary
     // line (total + counts + pointer to the committed file); the full
     // per-query map lives in BENCH_LOCAL.json.
-    val short = s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,"retimed":$rts,"sf":"$sfDir","file":"BENCH_LOCAL.json"}"""
+    val short = s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"failed":$failed,"retimed":$rts,"plan_changed":$pch,"sf":"$sfDir","file":"BENCH_LOCAL.json"}"""
     if (only.isEmpty) {  // a filtered dev run must not clobber the full record
       // path is env-overridable and falls back to the working directory so
       // the bench is runnable outside this container's checkout layout
