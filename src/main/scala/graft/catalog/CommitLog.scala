@@ -3300,41 +3300,101 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   // ---- ANALYZE (optimizer statistics) ------------------------------------
 
   /** ANALYZE: one aggregation pass over the head snapshot harvesting
-    * per-column NDV (HLL approximation) and null counts into
-    * `_stats.json` beside the table — the column-level statistics
+    * per-column NDV (HLL approximation) and null counts — plus, for
+    * numeric columns, EQUI-HEIGHT HISTOGRAMS (33 approx-percentile
+    * endpoints in the same pass, then ONE more pass computing the
+    * per-interval NDVs with the HLL-per-interval aggregate) — into
+    * `_stats.json` beside the table: the column-level statistics
     * cost-based join reordering needs on top of the manifest's exact
-    * row/byte counts. Atomic-typed columns only (complex types carry no
-    * planner-meaningful NDV). The sidecar records the analyzed version;
-    * like every engine's ANALYZE, the numbers go stale as commits land
-    * and remain estimates, never correctness inputs. Returns
-    * (version analyzed, columns analyzed).
+    * row/byte counts. Histograms are what save CBO from the uniform-NDV
+    * assumption on skewed or range-disjoint keys: an NDV-only estimate
+    * of a join between mostly-disjoint key ranges is |a||b|/max(ndv)
+    * while the histogram sees the near-empty overlap (PlanSpec pins the
+    * resulting build-side flip). Atomic-typed columns only (complex
+    * types carry no planner-meaningful NDV). The sidecar records the
+    * analyzed version; like every engine's ANALYZE, the numbers go stale
+    * as commits land and remain estimates, never correctness inputs.
+    * Returns (version analyzed, columns analyzed).
     */
-  def analyze(): (Long, Int) = {
-    import org.apache.spark.sql.functions.{approx_count_distinct, count, sum, when}
+  def analyze(histograms: Boolean = true, histBins: Int = 32): (Long, Int) = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, array, count, max, min, percentile_approx, sum, when}
     val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
       s"analyze: no committed version under $tableRoot"))
     val df = readVersion(v)
-    val cols = {
-      import org.apache.spark.sql.types._
-      df.schema.fields.collect {
-        case f if (f.dataType match {
-          case _: NumericType | StringType | BooleanType | DateType |
-               TimestampType | TimestampNTZType | BinaryType => true
-          case _ => false
-        }) => f.name
-      }.toSeq
-    }
+    import org.apache.spark.sql.types._
+    val cols = df.schema.fields.collect {
+      case f if (f.dataType match {
+        case _: NumericType | StringType | BooleanType | DateType |
+             TimestampType | TimestampNTZType | BinaryType => true
+        case _ => false
+      }) => f.name
+    }.toSeq
+    // numeric columns additionally harvest min/max (always — catalyst's
+    // join estimation treats a missing range on a numeric key as a
+    // NullValueInterval, i.e. DISJOINT, estimating every such join to 0
+    // rows) and, when asked, equi-height histogram endpoints
+    val numCols: Seq[String] = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSeq
+    val histCols: Seq[String] = if (histograms) numCols else Seq.empty
+    val probs = array((0 to histBins).map(i => lit(i.toDouble / histBins)): _*)
     val aggs = cols.flatMap(c => Seq(
       approx_count_distinct(col(s"`$c`")),
-      sum(when(col(s"`$c`").isNull, 1L).otherwise(0L))))
+      sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)))) ++
+      numCols.flatMap(c => Seq(
+        min(col(s"`$c`").cast("double")), max(col(s"`$c`").cast("double")))) ++
+      histCols.map(c =>
+        percentile_approx(col(s"`$c`").cast("double"), probs, lit(10000)))
     val row = df.agg(count(lit(1)), aggs: _*).head()
     val rows = row.getLong(0)
+    val mmBase = 1 + 2 * cols.size
+    val minMax: Map[String, (Double, Double)] = numCols.zipWithIndex.flatMap {
+      case (c, j) =>
+        if (row.isNullAt(mmBase + 2 * j) || row.isNullAt(mmBase + 2 * j + 1)) None
+        else Some(c -> ((row.getDouble(mmBase + 2 * j), row.getDouble(mmBase + 2 * j + 1))))
+    }.toMap
+    val histBase = mmBase + 2 * numCols.size
+    // (col, endpoints) for columns that had any non-null value
+    val histEps: Seq[(String, Seq[Double])] = histCols.zipWithIndex.flatMap {
+      case (c, j) =>
+        if (row.isNullAt(histBase + j)) None
+        else Some(c -> row.getSeq[Double](histBase + j).toSeq)
+    }
+    // pass 2: per-interval NDV for every histogram column, ONE aggregate
+    // (the same HLL-per-interval machinery Spark's own ANALYZE uses)
+    val histNdvs: Map[String, Seq[Long]] =
+      if (histEps.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
+        val nAggs = histEps.map { case (c, eps) =>
+          org.apache.spark.sql.GraftSqlShim.column(
+            new ApproxCountDistinctForIntervals(
+              org.apache.spark.sql.GraftSqlShim.expression(
+                col(s"`$c`").cast("double")),
+              CreateArray(eps.map(Literal(_))), 0.05).toAggregateExpression())
+        }
+        val r2 = df.agg(nAggs.head, nAggs.tail: _*).head()
+        histEps.zipWithIndex.map { case ((c, _), j) =>
+          c -> r2.getSeq[Long](j).toSeq
+        }.toMap
+      }
     import org.json4s._
     import org.json4s.JsonDSL._
     val colFields = cols.zipWithIndex.map { case (c, i) =>
       val ndv = row.getLong(1 + 2 * i)
       val nulls = if (row.isNullAt(2 + 2 * i)) 0L else row.getLong(2 + 2 * i)
-      JField(c, ("ndv" -> ndv) ~ ("nulls" -> nulls))
+      val base0: JObject = ("ndv" -> ndv) ~ ("nulls" -> nulls)
+      val base = minMax.get(c) match {
+        case Some((lo, hi)) => base0 ~ ("min" -> lo) ~ ("max" -> hi)
+        case None => base0
+      }
+      val withHist = histEps.collectFirst { case (`c`, eps) => eps } match {
+        case Some(eps) if histNdvs.contains(c) =>
+          base ~ ("eps" -> eps) ~ ("indv" -> histNdvs(c))
+        case _ => base
+      }
+      JField(c, withHist)
     }.toList
     val json = org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
@@ -3378,6 +3438,104 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           }
         case _ => None
       }
+    }
+  }
+
+  /** Equi-height histograms from the `_stats.json` sidecar, if the last
+    * [[analyze]] harvested them:
+    * (analyzedVersion, col → (binHeight, endpoints, perIntervalNdv)).
+    * Height = non-null rows / bins, the catalyst equi-height contract.
+    */
+  def analyzedHistograms(): Option[(Long, Map[String, (Double, Seq[Double], Seq[Long])])] = {
+    val f = new Path(tableRoot, "_stats.json")
+    if (!hfs.exists(f)) return None
+    val in = hfs.open(f)
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    org.json4s.jackson.JsonMethods.parse(body) match {
+      case org.json4s.JObject(fields) =>
+        val m = fields.toMap
+        for {
+          org.json4s.JInt(v) <- m.get("version")
+          org.json4s.JInt(rows) <- m.get("rows")
+        } yield {
+          val hists = m.get("columns") match {
+            case Some(org.json4s.JObject(cf)) => cf.collect {
+              case (c, org.json4s.JObject(cv)) if cv.exists(_._1 == "eps") =>
+                val cm = cv.toMap
+                val eps = cm.get("eps") match {
+                  case Some(org.json4s.JArray(vs)) => vs.collect {
+                    case org.json4s.JDouble(x) => x
+                    case org.json4s.JInt(x) => x.toDouble
+                    case org.json4s.JDecimal(x) => x.toDouble
+                  }
+                  case _ => Nil
+                }
+                val indv = cm.get("indv") match {
+                  case Some(org.json4s.JArray(vs)) => vs.collect {
+                    case org.json4s.JInt(x) => x.toLong
+                    case org.json4s.JDouble(x) => x.toLong
+                  }
+                  case _ => Nil
+                }
+                val nulls = cm.get("nulls").collect {
+                  case org.json4s.JInt(n) => n.toLong }.getOrElse(0L)
+                val height =
+                  if (indv.isEmpty) 0.0
+                  else (rows.toLong - nulls).toDouble / indv.size
+                c -> ((height, eps: Seq[Double], indv: Seq[Long]))
+            }.filter { case (_, (_, eps, indv)) =>
+              eps.size == indv.size + 1 && indv.nonEmpty }.toMap
+            case _ => Map.empty[String, (Double, Seq[Double], Seq[Long])]
+          }
+          (v.toLong, hists)
+        }
+      case _ => None
+    }
+  }
+
+  /** Numeric-column min/max (as doubles) from `_stats.json`:
+    * (analyzedVersion, col → (min, max)). Served beside NDV so catalyst
+    * range intersection works — a numeric join key with no range is a
+    * NullValueInterval and the whole join estimates to zero.
+    */
+  def analyzedMinMax(): Option[(Long, Map[String, (Double, Double)])] = {
+    val f = new Path(tableRoot, "_stats.json")
+    if (!hfs.exists(f)) return None
+    val in = hfs.open(f)
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    org.json4s.jackson.JsonMethods.parse(body) match {
+      case org.json4s.JObject(fields) =>
+        val m = fields.toMap
+        for (org.json4s.JInt(v) <- m.get("version")) yield {
+          def dbl(j: org.json4s.JValue): Option[Double] = j match {
+            case org.json4s.JDouble(x) => Some(x)
+            case org.json4s.JInt(x) => Some(x.toDouble)
+            case org.json4s.JDecimal(x) => Some(x.toDouble)
+            case _ => None
+          }
+          val mm = m.get("columns") match {
+            case Some(org.json4s.JObject(cf)) => cf.flatMap {
+              case (c, org.json4s.JObject(cv)) =>
+                val cm = cv.toMap
+                for {
+                  lo <- cm.get("min").flatMap(dbl)
+                  hi <- cm.get("max").flatMap(dbl)
+                } yield c -> ((lo, hi))
+              case _ => None
+            }.toMap
+            case _ => Map.empty[String, (Double, Double)]
+          }
+          (v.toLong, mm)
+        }
+      case _ => None
     }
   }
 

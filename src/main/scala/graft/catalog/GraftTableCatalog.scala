@@ -823,7 +823,19 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
         case Some((av, _, m)) if av <= v => m
         case _ => Map.empty[String, (Long, Long)]
       }
-      org.apache.spark.sql.GraftExactStats(bytes, rows, cols)
+      val hists =
+        if (cols.isEmpty) Map.empty[String, (Double, Seq[Double], Seq[Long])]
+        else log.analyzedHistograms() match {
+          case Some((av, h)) if av <= v => h
+          case _ => Map.empty[String, (Double, Seq[Double], Seq[Long])]
+        }
+      val mm =
+        if (cols.isEmpty) Map.empty[String, (Double, Double)]
+        else log.analyzedMinMax() match {
+          case Some((av, x)) if av <= v => x
+          case _ => Map.empty[String, (Double, Double)]
+        }
+      org.apache.spark.sql.GraftExactStats(bytes, rows, cols, hists, mm)
     }
     new org.apache.spark.sql.GraftForwardingScanBuilder(inner,
       _ => new GraftMicroBatchStream(spark, tableName, root, streamSchema, scanOptions),

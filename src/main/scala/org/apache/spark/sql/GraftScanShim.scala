@@ -26,10 +26,13 @@ import org.apache.spark.sql.types.StructType
   */
 /** Snapshot-exact planner statistics for a commit-log table: bytes and
   * rows from the manifest's commit-time tags, per-column NDV/null counts
+  * and equi-height histograms (col → (binHeight, endpoints, binNdvs))
   * from the table's ANALYZE sidecar (empty when never analyzed).
   */
 final case class GraftExactStats(sizeInBytes: Long, numRows: Option[Long],
-    colStats: Map[String, (Long, Long)])
+    colStats: Map[String, (Long, Long)],
+    histograms: Map[String, (Double, Seq[Double], Seq[Long])] = Map.empty,
+    minMax: Map[String, (Double, Double)] = Map.empty)
 
 final class GraftForwardingScanBuilder(
     delegate: ParquetScanBuilder,
@@ -45,10 +48,6 @@ final class GraftForwardingScanBuilder(
   with SupportsPushDownAggregates
   with SupportsPushDownVariantExtractions {
 
-  // once a filter or aggregate is pushed, the scan's output no longer
-  // matches the whole-snapshot statistics — fall back to the delegate's
-  // listing-based estimate instead of over-reporting
-  private var narrowed = false
   // a pushed aggregate turns the scan's rows into per-footer aggregate
   // rows — splitting files or reporting key-grouped row partitioning
   // over them would be wrong, so the keyed batch stands down
@@ -63,15 +62,12 @@ final class GraftForwardingScanBuilder(
       colRatio = math.max(1, requiredSchema.fields.length).toDouble / totalCols
     delegate.pruneColumns(requiredSchema)
   }
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    val post = delegate.pushFilters(filters)
-    if (delegate.pushedFilters.nonEmpty) narrowed = true
-    post
-  }
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    delegate.pushFilters(filters)
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     val pushed = delegate.pushAggregation(aggregation)
-    if (pushed) { narrowed = true; aggPushed = true }
+    if (pushed) aggPushed = true
     pushed
   }
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
@@ -82,8 +78,18 @@ final class GraftForwardingScanBuilder(
 
   override def build(): Scan = {
     val built = delegate.build()
+    // Exact stats are served even under data-filter pushdown: parquet
+    // pushdown is best-effort (row-group granularity), so Spark RETAINS
+    // every pushed predicate in the Filter node above the scan — the
+    // scan's stats must describe its UNFILTERED output and catalyst's
+    // FilterEstimation applies the selectivity exactly once (with the
+    // ANALYZE ndv/histograms when present). Dropping stats here instead
+    // blinded CBO on any join, whose implied isnotnull always pushes.
+    // An aggregate pushdown DOES change the scan's output cardinality
+    // (footer count/min-max returns group rows, not table rows) — table
+    // stats would be nonsense there, so only that case stands down.
     val stats =
-      if (narrowed) None   // data-filter pushdown: selectivity unknown
+      if (aggPushed) None
       else {
         val scaled = exactStats().map(s => s.copy(sizeInBytes =
           math.max(1L, (s.sizeInBytes * colRatio).toLong)))
@@ -359,10 +365,42 @@ final class GraftStreamableScan(private var delegate: Scan,
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
         st.colStats.foreach { case (c, (ndv, nulls)) =>
+          // equi-height histogram, when ANALYZE harvested one — catalyst
+          // join/filter estimation prefers it over the uniform-NDV guess
+          val hist: java.util.Optional[
+              org.apache.spark.sql.connector.read.colstats.Histogram] =
+            st.histograms.get(c) match {
+              case Some((h, eps, ndvs)) => java.util.Optional.of(
+                new org.apache.spark.sql.connector.read.colstats.Histogram {
+                  override def height() = h
+                  override def bins() = Array.tabulate(ndvs.size) { i =>
+                    new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                      override def lo() = eps(i)
+                      override def hi() = eps(i + 1)
+                      override def ndv() = ndvs(i)
+                    }
+                  }
+                })
+              case None => java.util.Optional.empty()
+            }
+          // numeric range as boxed doubles: catalyst's ValueInterval
+          // needs SOME range on numeric keys (absence = NullValueInterval
+          // = "disjoint" = zero-row join estimates), and its toDouble
+          // goes through toString, so a Double serves every numeric type
+          val (mmLo, mmHi) = st.minMax.get(c) match {
+            case Some((lo, hi)) => (
+              java.util.Optional.of(java.lang.Double.valueOf(lo): Object),
+              java.util.Optional.of(java.lang.Double.valueOf(hi): Object))
+            case None =>
+              (java.util.Optional.empty[Object](), java.util.Optional.empty[Object]())
+          }
           m.put(org.apache.spark.sql.connector.expressions.FieldReference.column(c),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
               override def distinctCount() = java.util.OptionalLong.of(ndv)
               override def nullCount() = java.util.OptionalLong.of(nulls)
+              override def min() = mmLo
+              override def max() = mmHi
+              override def histogram() = hist
             })
         }
         m

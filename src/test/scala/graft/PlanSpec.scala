@@ -499,4 +499,82 @@ class PlanSpec extends AnyFunSuite {
     assert(between.nonEmpty && !between.exists(l => l.contains("Sort") || l.contains("Exchange")),
       s"re-sort/shuffle between the two fill windows:\n$p")
   }
+
+  test("ANALYZE histograms fix join estimates the uniform-NDV guess gets wrong") {
+    // Two 400k-row tables with IDENTICAL row counts and key NDVs whose
+    // key RANGES barely overlap (1000 of 400k keys). The uniform-NDV
+    // join estimate is |a|·|b|/max(ndv) ≈ 400k rows — 400× the truth.
+    // Equi-height histograms see the near-empty overlap. CBO runs in an
+    // isolated session (shared-suite conf hygiene).
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_hist_wh").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.hcbo", classOf[graft.catalog.GraftTableCatalog].getName)
+    s.conf.set("spark.sql.catalog.hcbo.warehouse", warehouse)
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    // plan statistics are computed LAZILY under the thread's active
+    // session's SQLConf — pin it to the CBO session for the duration
+    // (restored below; suites sharing the base session are unaffected
+    // because cbo lives only in this session's conf)
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
+    try {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS hcbo.db")
+    import org.apache.spark.sql.functions.{concat, lit, md5}
+    def pad = concat(md5(org.apache.spark.sql.functions.col("id").cast("string")),
+      md5(concat(lit("s"), org.apache.spark.sql.functions.col("id").cast("string"))))
+    s.range(0, 400000).select(org.apache.spark.sql.functions.col("id").as("k"),
+      pad.as("pad")).write.saveAsTable("hcbo.db.ha")
+    s.range(0, 400000).select((org.apache.spark.sql.functions.col("id") + 399000L).as("k"),
+      pad.as("pad")).write.saveAsTable("hcbo.db.hb")
+    s.sql("CALL hcbo.system.analyze('db.ha')").collect()
+    s.sql("CALL hcbo.system.analyze('db.hb')").collect()
+
+    // the histogram itself surfaces in catalyst attributeStats
+    val kStat = s.table("hcbo.db.ha").queryExecution.optimizedPlan.stats
+      .attributeStats.toSeq.find(_._1.name == "k").map(_._2)
+    assert(kStat.exists(_.histogram.isDefined),
+      s"ANALYZE must surface an equi-height histogram on k: $kStat")
+
+    // join-size estimate: histograms ≈ truth (1000 rows), not 400k
+    val est = s.sql(
+      """SELECT * FROM hcbo.db.ha a JOIN hcbo.db.hb b ON a.k = b.k""")
+      .queryExecution.optimizedPlan.stats.rowCount
+    assert(est.exists(_ < BigInt(40000)),
+      s"histogram estimate must see the near-empty range overlap: $est")
+
+    // control: same tables analyzed WITHOUT histograms — the NDV-uniform
+    // estimate is ~|a| and wrong by two orders of magnitude
+    new graft.catalog.CommitLog(s, s"$warehouse/db/ha").analyze(histograms = false)
+    new graft.catalog.CommitLog(s, s"$warehouse/db/hb").analyze(histograms = false)
+    s.catalog.refreshTable("hcbo.db.ha"); s.catalog.refreshTable("hcbo.db.hb")
+    val estNdv = s.sql(
+      """SELECT * FROM hcbo.db.ha a JOIN hcbo.db.hb b ON a.k = b.k""")
+      .queryExecution.optimizedPlan.stats.rowCount
+    assert(estNdv.exists(_ > BigInt(100000)),
+      s"NDV-uniform control must overestimate the disjoint join: $estNdv")
+
+    // the estimate flips a real planning decision: with histograms the
+    // tiny join result broadcasts into the second join; without, the
+    // 400k-row guess forces a shuffle join
+    val q =
+      """SELECT count(*) AS n FROM hcbo.db.ha a
+        |JOIN hcbo.db.hb b ON a.k = b.k
+        |JOIN hcbo.db.hb c ON a.pad = c.pad""".stripMargin
+    val pNdv = s.sql(q).queryExecution.executedPlan.toString
+    assert(pNdv.contains("SortMergeJoin [pad"),
+      s"the NDV-only 400k-row guess must keep the pad join a shuffle join:\n$pNdv")
+    s.sql("CALL hcbo.system.analyze('db.ha')").collect()
+    s.sql("CALL hcbo.system.analyze('db.hb')").collect()
+    s.catalog.refreshTable("hcbo.db.ha"); s.catalog.refreshTable("hcbo.db.hb")
+    val pHist = s.sql(q).queryExecution.executedPlan.toString
+    assert(pHist.contains("BroadcastHashJoin [pad") && !pHist.contains("SortMergeJoin [pad"),
+      s"histogram estimate must broadcast the tiny first-join result " +
+        s"into the pad join:\n$pHist")
+    } finally {
+      prevActive match {
+        case Some(p) => org.apache.spark.sql.SparkSession.setActiveSession(p)
+        case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+      }
+    }
+  }
 }
