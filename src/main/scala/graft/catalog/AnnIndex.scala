@@ -50,10 +50,16 @@ object AnnIndex {
     val dir = new Path(base, s"v$v")
     cents.write.mode("overwrite").parquet(new Path(dir, "centroids").toString)
     assigns.write.mode("overwrite").parquet(new Path(dir, "assignments").toString)
+    // the drift baseline: how many vectors the TRAINING saw (footer-only
+    // count of what was just written — no recompute). Auto-maintain
+    // appends post-build assignments; the assigned-vs-built ratio is the
+    // staleness metric ([[staleness]]).
+    val builtCount = spark.read.parquet(new Path(dir, "assignments").toString).count()
     import org.json4s.JsonDSL._
     LogStore.write(fs, new Path(dir, "_meta.json"),
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
-        ("version" -> v) ~ ("k" -> k) ~ ("iters" -> iters) ~ ("id_col" -> idCol)))
+        ("version" -> v) ~ ("k" -> k) ~ ("iters" -> iters) ~ ("id_col" -> idCol) ~
+          ("count" -> builtCount)))
         .getBytes(StandardCharsets.UTF_8))
     // retire superseded builds (newest serves every snapshot: vectors
     // missing from it scan conservatively, see probe)
@@ -82,11 +88,11 @@ object AnnIndex {
     }.sortBy(_._1)
   }
 
-  /** Newest persisted index's metadata: (builtVersion, idCol, version
-    * dir) — what incremental maintenance needs without loading frames.
+  /** Newest persisted index's raw metadata: (builtVersion, version dir,
+    * parsed `_meta.json`).
     */
-  def metaOf(spark: SparkSession, root: String, column: String)
-      : Option[(Long, String, Path)] = {
+  private def metaJson(spark: SparkSession, root: String, column: String)
+      : Option[(Long, Path, org.json4s.JValue)] = {
     val fs = HadoopFs.fs(spark, root)
     val base = idxRoot(root, column)
     if (!fs.exists(base)) return None
@@ -104,11 +110,58 @@ object AnnIndex {
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
-    org.json4s.jackson.JsonMethods.parse(body) \ "id_col" match {
-      case org.json4s.JString(idCol) => Some((vs.max, idCol, dir))
-      case _ => None
-    }
+    Some((vs.max, dir, org.json4s.jackson.JsonMethods.parse(body)))
   }
+
+  /** Newest persisted index's metadata: (builtVersion, idCol, version
+    * dir) — what incremental maintenance needs without loading frames.
+    */
+  def metaOf(spark: SparkSession, root: String, column: String)
+      : Option[(Long, String, Path)] =
+    metaJson(spark, root, column).flatMap { case (v, dir, j) =>
+      j \ "id_col" match {
+        case org.json4s.JString(idCol) => Some((v, idCol, dir))
+        case _ => None
+      }
+    }
+
+  /** The build parameters of the newest index: (k, iters, idCol) — what
+    * an automatic retrain re-uses.
+    */
+  def paramsOf(spark: SparkSession, root: String, column: String)
+      : Option[(Int, Int, String)] =
+    metaJson(spark, root, column).flatMap { case (_, _, j) =>
+      (j \ "k", j \ "iters", j \ "id_col") match {
+        case (org.json4s.JInt(k), org.json4s.JInt(it), org.json4s.JString(id)) =>
+          Some((k.toInt, it.toInt, id))
+        case _ => None
+      }
+    }
+
+  /** Index staleness: post-build assignment growth over the trained
+    * baseline, `(assigned now − assigned at build) / assigned at build`.
+    * 0.0 on a fresh index; None when no index exists (or a pre-metric
+    * build carries no baseline). Correctness never depends on this —
+    * tail vectors assign to the FROZEN centroids (or scan
+    * conservatively), so answers stay right; what decays is RECALL per
+    * nprobe, because frozen centroids stop describing a drifted corpus.
+    * Past `spark.graft.annIndex.staleRatio` (default 0.5) auto-maintain
+    * retrains at publish (opt out: `spark.graft.annIndex.autoRetrain`);
+    * the cost amortizes — a 0.5 threshold retrains at most once per
+    * 1.5× corpus growth.
+    */
+  def staleness(spark: SparkSession, root: String, column: String)
+      : Option[Double] =
+    metaJson(spark, root, column).flatMap { case (_, dir, j) =>
+      j \ "count" match {
+        case org.json4s.JInt(built) =>
+          val total = spark.read
+            .parquet(new Path(dir, "assignments").toString).count()
+          Some(math.max(0L, total - built.toLong).toDouble /
+            math.max(1L, built.toLong))
+        case _ => None
+      }
+    }
 
   /** Newest persisted index: (builtVersion, centroids, assignments). */
   def load(spark: SparkSession, root: String, column: String)

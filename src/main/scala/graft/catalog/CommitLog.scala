@@ -3711,6 +3711,20 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
               .parquet(new Path(dir, "assignments").toString)
           }
         }
+        // drift policy: once post-build vectors outgrow the trained
+        // baseline past the threshold, the FROZEN centroids no longer
+        // describe the corpus and per-nprobe recall decays silently —
+        // retrain here, at publish, with the same (k, iters). Amortized:
+        // a 0.5 threshold retrains at most once per 1.5× growth. Opt
+        // out via conf; `detail` still reports the ratio either way.
+        val staleRatio =
+          spark.conf.get("spark.graft.annIndex.staleRatio", "0.5").toDouble
+        if (spark.conf.get("spark.graft.annIndex.autoRetrain", "true") == "true" &&
+            AnnIndex.staleness(spark, tableRoot, column).exists(_ > staleRatio))
+          AnnIndex.paramsOf(spark, tableRoot, column).foreach {
+            case (k, iters, idCol) =>
+              AnnIndex.build(spark, tableRoot, column, idCol, k, iters): Unit
+          }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
   }

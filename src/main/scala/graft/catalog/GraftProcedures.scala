@@ -366,7 +366,13 @@ private[catalog] object GraftProcedures {
         log.analyzedStats().map(_._1).getOrElse(-1L),
         log.bloomIndexedColumns.map { case (c, bv) => s"$c@v$bv" }.mkString(","),
         AnnIndex.indexedColumns(cat.sparkSession, root)
-          .map { case (c, av) => s"$c@v$av" }.mkString(","),
+          .map { case (c, av) =>
+            // drift ratio rides the report — the staleness signal a
+            // reader acts on (rebuild_ann_index / auto-retrain conf)
+            val drift = AnnIndex.staleness(cat.sparkSession, root, c).getOrElse(0.0)
+            if (drift > 0.0) s"$c@v$av(drift ${math.rint(drift * 100) / 100})"
+            else s"$c@v$av"
+          }.mkString(","),
         log.checkConstraints(v).toSeq.sortBy(_._1)
           .map { case (n, e) => s"$n: $e" }.mkString("; "),
         log.clusteringColumns(v).mkString(","),

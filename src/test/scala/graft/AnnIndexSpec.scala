@@ -114,10 +114,67 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(r.getLong(0) == 1L && r.getInt(1) == 4)
     val d = spark.sql("CALL gann.system.detail('db.emb')").head()
     assert(d.getString(8) == "embedding@v1", d.getString(8))
+    // a sub-threshold post-build wave: the index keeps serving (no
+    // retrain at 0.3 < 0.5) and detail REPORTS the drift ratio
+    spark.sql("INSERT INTO gann.db.emb SELECT id AS vec_id, " +
+      "transform(sequence(0, 7), j -> CAST(pmod(id * (j + 3), 17) AS FLOAT)) " +
+      "AS embedding FROM range(100, 130)")
+    val d2 = spark.sql("CALL gann.system.detail('db.emb')").head()
+    assert(d2.getString(8) == "embedding@v1(drift 0.3)", d2.getString(8))
     // the persisted index probes across "sessions" (pure disk reload)
     val got = AnnIndex.probe(spark, s"$warehouse/db/emb", "embedding", "vec_id",
       anchorId = 7L, nprobe = 4, topk = 5)
     assert(got.count() == 5)
+  }
+
+  /** Deterministic dim-8 vectors from a DIRECTIONALLY distinct family
+    * (mass on dims 0-1, noise elsewhere) — far from the original build
+    * in both L2 (k-means space) and cosine (probe metric).
+    */
+  private def shiftedVectors(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).select(
+      $"id".as("vec_id"),
+      expr("transform(sequence(0, 7), j -> CAST(CASE WHEN j < 2 " +
+        "THEN 200 + pmod(id * (j + 5), 13) " +
+        "ELSE pmod(id * (j + 5), 3) END AS FLOAT))").as("embedding"))
+
+  test("drift policy: a post-build wave flips staleness; auto-retrain restores recall") {
+    val root = freshRoot()
+    val log = new CommitLog(spark, root)
+    // ids 0 and 68 are all-zero vectors (cosine NaN, which Spark orders
+    // above every number) — degenerate for a recall comparison, out
+    log.commit(vectors(100).filter("vec_id NOT IN (0, 68)"), replace = true)
+    AnnIndex.build(spark, root, "embedding", "vec_id", k = 4, iters = 3)
+    assert(AnnIndex.staleness(spark, root, "embedding").contains(0.0))
+
+    // a wave from a SHIFTED distribution with retrain OFF: auto-maintain
+    // assigns it to the frozen centroids and the index goes stale
+    spark.conf.set("spark.graft.annIndex.autoRetrain", "false")
+    try {
+      log.commit(shiftedVectors(1000, 1080), replace = false)
+      val stale = AnnIndex.staleness(spark, root, "embedding").get
+      assert(stale > 0.5, s"80 post-build vectors on a 98-vector build: $stale")
+      assert(AnnIndex.load(spark, root, "embedding").map(_._1).contains(1L),
+        "retrain off: the frozen build must still serve")
+
+      // retrain ON: the next publish crosses the threshold and rebuilds
+      // at the new head with the original (k, iters)
+      spark.conf.set("spark.graft.annIndex.autoRetrain", "true")
+      log.commit(shiftedVectors(1080, 1100), replace = false)
+      assert(AnnIndex.staleness(spark, root, "embedding").contains(0.0),
+        "auto-retrain must reset the drift baseline")
+      assert(AnnIndex.load(spark, root, "embedding").map(_._1)
+        .contains(log.currentVersion.get), "index must be rebuilt at the head")
+
+      // the retrained centroids OWN the shifted region: a small-nprobe
+      // probe anchored there now returns the exact top-k
+      val got = topIds(AnnIndex.probe(spark, root, "embedding", "vec_id",
+        anchorId = 1005L, nprobe = 2, topk = 5))
+      val truth = topIds(graft.ops.KMeansIvf.bruteForce(spark,
+        log.read().select(col("vec_id"), col("embedding")), 1005L, 5))
+      assert(got == truth,
+        s"retrained index must place centroids in the shifted region: $got vs $truth")
+    } finally spark.conf.unset("spark.graft.annIndex.autoRetrain")
   }
 
   test("rebuild retires the superseded index version") {
