@@ -30,7 +30,8 @@ private[catalog] object GraftProcedures {
     Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta",
       "export_iceberg", "import_iceberg", "rewrite_deletes", "history",
       "materialize_mapping", "analyze", "clone", "build_bloom_index",
-      "create_mv", "refresh_mv", "detail", "replicate", "build_ann_index",
+      "create_mv", "create_mv_join", "refresh_mv", "detail", "replicate",
+      "build_ann_index",
       "drop_index", "add_constraint", "drop_constraint", "set_clustering",
       "create_tag", "create_branch", "drop_ref", "fast_forward", "refs",
       "set_partition_transforms")
@@ -51,6 +52,7 @@ private[catalog] object GraftProcedures {
     case "clone"           => new Clone(cat)
     case "build_bloom_index" => new BuildBloomIndex(cat)
     case "create_mv"       => new CreateMv(cat)
+    case "create_mv_join"  => new CreateMvJoin(cat)
     case "detail"          => new Detail(cat)
     case "refresh_mv"      => new RefreshMv(cat)
     case "replicate"       => new Replicate(cat)
@@ -408,6 +410,43 @@ private[catalog] object GraftProcedures {
           }
         }
       val mv = MaterializedView.create(cat.sparkSession, mvRoot, srcRoot, groups, sums)
+      result(new StructType().add("version", LongType), mv.refreshedVersion)
+    }
+  }
+
+  /** `CALL graft.system.create_mv_join('db.fact', 'db.dim', 'db.mv',
+    * 'fact_fk', 'dim_pk', 'grp1,grp2', 'col:alias')` — a dim-join
+    * aggregate view (`fact JOIN dim ON fact_fk = dim_pk`, grouped,
+    * additive aggregates): the q_supplier_revenue shape maintained
+    * incrementally off the FACT change feed; a moved dim triggers one
+    * full recompute at the next refresh.
+    */
+  private final class CreateMvJoin(cat: GraftTableCatalog)
+    extends Proc("create_mv_join", Seq(in("source", StringType), in("dim", StringType),
+      in("target", StringType), in("fact_key", StringType), in("dim_key", StringType),
+      in("group_cols", StringType), in("sums", StringType))) {
+    override def description(): String =
+      "define + fully compute a dim-join aggregate view (fact JOIN dim, " +
+        "count + exact-decimal sums by group), incrementally maintained " +
+        "off the fact table's change feed"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val srcRoot = cat.rootOf(input.getUTF8String(0).toString)
+      val dimRoot = cat.rootOf(input.getUTF8String(1).toString)
+      val mvRoot = cat.rootForCreate(input.getUTF8String(2).toString)
+      val fk = input.getUTF8String(3).toString
+      val dk = input.getUTF8String(4).toString
+      val groups = input.getUTF8String(5).toString.split(',').map(_.trim).toSeq
+        .filter(_.nonEmpty)
+      val sums = input.getUTF8String(6).toString.split(',').map(_.trim).toSeq
+        .filter(_.nonEmpty).map { s =>
+          s.split(':') match {
+            case Array(c, a) => c.trim -> a.trim
+            case _ => throw new IllegalArgumentException(
+              s"create_mv_join: sums entries are 'col:alias', got '$s'")
+          }
+        }
+      val mv = MaterializedView.create(cat.sparkSession, mvRoot, srcRoot,
+        groups, sums, Some((dimRoot, fk, dk)))
       result(new StructType().add("version", LongType), mv.refreshedVersion)
     }
   }

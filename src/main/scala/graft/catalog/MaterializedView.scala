@@ -39,10 +39,21 @@ final class MaterializedView private (
     val mvRoot: String,
     val srcRoot: String,
     groupCols: Seq[String],
-    sumCols: Seq[(String, String)]) {
+    sumCols: Seq[(String, String)],
+    /** Dim-join views: (dimRoot, factKey, dimKey) — the view is
+      * `fact JOIN dim ON fact.factKey = dim.dimKey` aggregated. The FACT
+      * side refreshes incrementally off its change feed (delta rows
+      * join the dim, then fold signed, exactly the single-table path);
+      * the DIM side carries a version cursor — a moved dim invalidates
+      * every folded group, so [[refresh]] falls back to ONE full
+      * recompute and re-pins the cursor (dims are small and slow-moving;
+      * the fact plane keeps O(changes) refreshes).
+      */
+    val join: Option[(String, String, String)] = None) {
 
   private val log = new CommitLog(spark, mvRoot)
   private val srcLog = new CommitLog(spark, srcRoot)
+  private val dimLog = join.map { case (d, _, _) => new CommitLog(spark, d) }
 
   /** Last source version folded into the view. The cursor of record is
     * the `#mvsrc:` header on the VIEW TABLE'S OWN head manifest —
@@ -54,7 +65,13 @@ final class MaterializedView private (
     */
   def refreshedVersion: Long =
     log.currentVersion.flatMap(v => log.headerOf(v, "mvsrc")).map(_.toLong)
-      .getOrElse(MaterializedView.readState(spark, mvRoot)._4)
+      .getOrElse(MaterializedView.readState(spark, mvRoot).version)
+
+  /** Join views: the dim version the folded state was computed against
+    * (informational sidecar cursor — a mismatch only ever triggers a
+    * full recompute, never a wrong fold). -1 on single-table views.
+    */
+  def dimVersion: Long = MaterializedView.readState(spark, mvRoot).dimVersion
 
   /** The view's current content: groupCols, `cnt`, then one exact-decimal
     * sum per requested column under its alias.
@@ -72,21 +89,45 @@ final class MaterializedView private (
       .agg(sum(w).as("cnt"), sums: _*)
   }
 
+  /** Fact rows (or fact change rows) extended with the dim — identity on
+    * single-table views. The inner equi-join preserves the fact side's
+    * `_change_type`, so a joined delta folds signed exactly like a
+    * single-table delta.
+    */
+  private def joined(factRows: DataFrame): DataFrame = join match {
+    case None => factRows
+    case Some((_, fk, dk)) =>
+      factRows.join(dimLog.get.read(),
+        col(s"`$fk`") === col(s"`$dk`"), "inner")
+  }
+
   /** Fold source changes since the last refresh into the view. Returns
     * (sourceVersionNow, changeRowsProcessed) — (v, 0) when already
     * current. The delta pass is O(changed files); the fold is one
-    * group-keyed shuffle over view-state ∪ delta-groups.
+    * group-keyed shuffle over view-state ∪ delta-groups. A join view
+    * whose DIM moved since the last fold recomputes fully instead
+    * (every folded group may be invalid) and re-pins the dim cursor.
     */
   def refresh(): (Long, Long) = {
     val from = refreshedVersion
     val head = srcLog.currentVersion.getOrElse(
       throw new java.io.FileNotFoundException(s"source $srcRoot has no commits"))
+    val dimHead = dimLog.map(_.currentVersion.getOrElse(
+      throw new java.io.FileNotFoundException("join dim has no commits")))
+    if (join.isDefined && dimHead.exists(_ != dimVersion)) {
+      // dim moved: one full recompute, then incremental resumes
+      val full = aggregated(joined(srcLog.readVersion(head)), signed = false)
+      log.commit(full, replace = true, None, Some("mvsrc" -> head.toString))
+      MaterializedView.writeState(spark, mvRoot, srcRoot, groupCols, sumCols,
+        head, join, dimHead.getOrElse(-1L))
+      return (head, srcLog.readVersion(head).count())
+    }
     if (head == from) return (head, 0L)
     require(head > from, s"source $srcRoot went backwards ($from -> $head); " +
       "rebuild the view with MaterializedView.create")
     val delta = srcLog.changesBetween(from, head)
     val deltaN = delta.count()
-    val folded = aggregated(delta, signed = true)
+    val folded = aggregated(joined(delta), signed = true)
       .unionByName(read())
       .groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(sum(col("cnt")).as("cnt"),
@@ -96,7 +137,8 @@ final class MaterializedView private (
     // fold and its progress marker are atomic, so neither a crash here
     // nor a concurrent refresh can double-fold the change window
     log.commit(folded, replace = true, None, Some("mvsrc" -> head.toString))
-    MaterializedView.writeState(spark, mvRoot, srcRoot, groupCols, sumCols, head)
+    MaterializedView.writeState(spark, mvRoot, srcRoot, groupCols, sumCols,
+      head, join, dimVersion)
     (head, deltaN)
   }
 }
@@ -137,16 +179,23 @@ object MaterializedView {
     }
   }
 
-  /** A view's definition: (srcRoot, groupCols, sumCols). */
+  /** A view's definition: (srcRoot, groupCols, sumCols, joinSpec). */
   def definition(spark: SparkSession, mvRoot: String)
-      : (String, Seq[String], Seq[(String, String)]) = {
-    val (src, groups, sums, _) = readState(spark, mvRoot)
-    (src, groups, sums)
+      : (String, Seq[String], Seq[(String, String)], Option[(String, String, String)]) = {
+    val st = readState(spark, mvRoot)
+    (st.src, st.groups, st.sums, st.join)
   }
 
-  /** Define + fully compute the view at the source's current version. */
+  /** Define + fully compute the view at the source's current version.
+    * `join = Some((dimRoot, factKey, dimKey))` defines a dim-join view:
+    * `srcRoot JOIN dimRoot ON factKey = dimKey` aggregated — the
+    * q_supplier_revenue shape maintained incrementally off the FACT
+    * feed. The key names must differ and no dim column may collide with
+    * a fact column (the join keeps both relations' columns).
+    */
   def create(spark: SparkSession, mvRoot: String, srcRoot: String,
-      groupCols: Seq[String], sumCols: Seq[(String, String)]): MaterializedView = {
+      groupCols: Seq[String], sumCols: Seq[(String, String)],
+      join: Option[(String, String, String)] = None): MaterializedView = {
     require(groupCols.nonEmpty, "materialized view needs group columns")
     require(sumCols.map(_._2).distinct.length == sumCols.length &&
       !sumCols.map(_._2).contains("cnt"),
@@ -154,42 +203,61 @@ object MaterializedView {
     val srcLog = new CommitLog(spark, srcRoot)
     val v = srcLog.currentVersion.getOrElse(
       throw new java.io.FileNotFoundException(s"source $srcRoot has no commits"))
-    val mv = new MaterializedView(spark, mvRoot, srcRoot, groupCols, sumCols)
+    val dimV = join.map { case (d, fk, dk) =>
+      require(fk != dk, s"join keys must differ ($fk = $dk); alias one side")
+      val dl = new CommitLog(spark, d)
+      val overlap = dl.read().columns.toSet & srcLog.readVersion(v).columns.toSet
+      require(overlap.isEmpty,
+        s"dim columns collide with fact columns: ${overlap.mkString(", ")}")
+      dl.currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+        s"join dim $d has no commits"))
+    }
+    val mv = new MaterializedView(spark, mvRoot, srcRoot, groupCols, sumCols, join)
     val sums = sumCols.map { case (c, as) =>
       sum(col(s"`$c`").cast("decimal(38,6)")).as(as)
     }
-    val full = srcLog.readVersion(v)
+    val full = mv.joined(srcLog.readVersion(v))
       .groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("cnt"), sums: _*)
     mv.log.commit(full, replace = true, None, Some("mvsrc" -> v.toString))
-    writeState(spark, mvRoot, srcRoot, groupCols, sumCols, v)
+    writeState(spark, mvRoot, srcRoot, groupCols, sumCols, v, join,
+      dimV.getOrElse(-1L))
     register(spark, srcRoot, mvRoot)
     mv
   }
 
   /** Re-open an existing view from its sidecar (restart path). */
   def open(spark: SparkSession, mvRoot: String): MaterializedView = {
-    val (src, groups, sums, _) = readState(spark, mvRoot)
-    new MaterializedView(spark, mvRoot, src, groups, sums)
+    val st = readState(spark, mvRoot)
+    new MaterializedView(spark, mvRoot, st.src, st.groups, st.sums, st.join)
   }
 
   def exists(spark: SparkSession, mvRoot: String): Boolean =
     HadoopFs.fs(spark, mvRoot).exists(new Path(mvRoot, "_mv.json"))
 
+  private[catalog] case class MvState(src: String, groups: Seq[String],
+      sums: Seq[(String, String)], version: Long,
+      join: Option[(String, String, String)], dimVersion: Long)
+
   private def writeState(spark: SparkSession, mvRoot: String, srcRoot: String,
-      groupCols: Seq[String], sumCols: Seq[(String, String)], v: Long): Unit = {
+      groupCols: Seq[String], sumCols: Seq[(String, String)], v: Long,
+      join: Option[(String, String, String)] = None, dimV: Long = -1L): Unit = {
     import org.json4s.JsonDSL._
+    val base =
+      ("src" -> srcRoot) ~ ("groups" -> groupCols) ~
+        ("sums" -> sumCols.map { case (c, as) => ("col" -> c) ~ ("as" -> as) }) ~
+        ("version" -> v)
     val json = org.json4s.jackson.JsonMethods.compact(
-      org.json4s.jackson.JsonMethods.render(
-        ("src" -> srcRoot) ~ ("groups" -> groupCols) ~
-          ("sums" -> sumCols.map { case (c, as) => ("col" -> c) ~ ("as" -> as) }) ~
-          ("version" -> v)))
+      org.json4s.jackson.JsonMethods.render(join match {
+        case Some((d, fk, dk)) =>
+          base ~ ("dim" -> d) ~ ("fkey" -> fk) ~ ("dkey" -> dk) ~ ("dimv" -> dimV)
+        case None => base
+      }))
     LogStore.write(HadoopFs.fs(spark, mvRoot), new Path(mvRoot, "_mv.json"),
       json.getBytes(StandardCharsets.UTF_8))
   }
 
-  private def readState(spark: SparkSession,
-      mvRoot: String): (String, Seq[String], Seq[(String, String)], Long) = {
+  private[catalog] def readState(spark: SparkSession, mvRoot: String): MvState = {
     val fs = HadoopFs.fs(spark, mvRoot)
     val p = new Path(mvRoot, "_mv.json")
     if (!fs.exists(p)) throw new java.io.FileNotFoundException(
@@ -203,7 +271,8 @@ object MaterializedView {
     org.json4s.jackson.JsonMethods.parse(body) match {
       case org.json4s.JObject(fields) =>
         val m = fields.toMap
-        val src = m.get("src").collect { case org.json4s.JString(s) => s }
+        def str(k: String) = m.get(k).collect { case org.json4s.JString(s) => s }
+        val src = str("src")
           .getOrElse(throw new IllegalStateException(s"corrupt _mv.json at $mvRoot"))
         val groups = m.get("groups") match {
           case Some(org.json4s.JArray(xs)) => xs.collect { case org.json4s.JString(s) => s }
@@ -222,7 +291,13 @@ object MaterializedView {
         }
         val v = m.get("version").collect { case org.json4s.JInt(n) => n.toLong }
           .getOrElse(throw new IllegalStateException(s"corrupt _mv.json at $mvRoot"))
-        (src, groups, sums, v)
+        val join = (str("dim"), str("fkey"), str("dkey")) match {
+          case (Some(d), Some(fk), Some(dk)) => Some((d, fk, dk))
+          case _ => None
+        }
+        val dimV = m.get("dimv").collect { case org.json4s.JInt(n) => n.toLong }
+          .getOrElse(-1L)
+        MvState(src, groups, sums, v, join, dimV)
       case _ => throw new IllegalStateException(s"corrupt _mv.json at $mvRoot")
     }
   }

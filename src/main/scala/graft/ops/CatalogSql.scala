@@ -638,6 +638,61 @@ object CatalogSql {
     * than hiding behind value-identical base-scan results. At 100 TB
     * this plan reads ~25 rows instead of the fact table.
     */
+  /** Dim-join materialized-view rewrite as an oracle key: lineitem's
+    * (suppkey, price) joins supplier's (suppkey, nationkey) in a
+    * `create_mv_join` view grouped by nation; the SAME join-aggregate in
+    * SQL must plan onto the view — REFUSING any base fact scan — and its
+    * values must equal the raw-table join oracle. At 100 TB this is the
+    * star-schema rollup answered from |nations| view rows instead of a
+    * fact-dim join over the full corpus.
+    */
+  private def mvJoin(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s, d)
+    SqlSurface.registerViews(s, d, Seq("lineitem", "supplier"))
+    val fact = "graft.tpch.li_mvj"
+    val dim = "graft.tpch.supp_mvj"
+    val view = "graft.tpch.li_mvj_v"
+    val fresh =
+      try s.sql(s"SELECT count(*) FROM $fact").head().getLong(0) ==
+          s.table("lineitem").count() &&
+        s.sql(s"SELECT count(*) FROM $view").head().getLong(0) > 0
+      catch { case _: Exception => false }
+    if (!fresh) {
+      s.sql(s"DROP TABLE IF EXISTS $view")
+      s.sql(s"DROP TABLE IF EXISTS $fact")
+      s.sql(s"DROP TABLE IF EXISTS $dim")
+      s.sql(s"CREATE TABLE $fact AS SELECT l_suppkey, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem")
+      s.sql(s"CREATE TABLE $dim AS SELECT s_suppkey, s_nationkey FROM supplier")
+      s.sql("CALL graft.system.create_mv_join('tpch.li_mvj', 'tpch.supp_mvj', " +
+        "'tpch.li_mvj_v', 'l_suppkey', 's_suppkey', 's_nationkey', " +
+        "'price:sum_price')"): Unit
+    }
+    val q = s.sql(
+      s"""SELECT s_nationkey, count(*) AS n_rows,
+         |       CAST(sum(price) AS DOUBLE) AS sum_price
+         |FROM $fact f JOIN $dim d ON f.l_suppkey = d.s_suppkey
+         |GROUP BY s_nationkey
+         |ORDER BY s_nationkey""".stripMargin)
+    val scansBase = q.queryExecution.optimizedPlan.exists {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.table match {
+          case g: graft.catalog.GraftTable => g.tableRoot.endsWith("li_mvj")
+          case _ => false
+        }
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case g: graft.catalog.GraftTable => g.tableRoot.endsWith("li_mvj")
+          case _ => false
+        }
+      case _ => false
+    }
+    require(!scansBase,
+      s"q_mv_join: expected the join-MV rewrite, got a base fact scan:\n" +
+        q.queryExecution.optimizedPlan)
+    q
+  }
+
   private def mvRollup(s: SparkSession, d: String): DataFrame = {
     ensureCatalog(s, d)
     SqlSurface.registerViews(s, d, Seq("orders"))
@@ -1012,6 +1067,7 @@ object CatalogSql {
     "q_agg_pushdown_footer" -> aggPushdownFooter _,
     "q_mv_incremental" -> mvIncremental _,
     "q_mv_rollup" -> mvRollup _,
+    "q_mv_join" -> mvJoin _,
     "q_type_widen" -> typeWiden _,
     "q_count_star_meta" -> countStarMeta _,
     "q_minmax_meta" -> minmaxMeta _,
@@ -1207,6 +1263,13 @@ object CatalogSql {
         |WHERE c_name LIKE '%5'
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "q_mv_join" ->
+      """SELECT s_nationkey, count(*) AS n_rows,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
     "q_rename_merge" ->
       """SELECT c_nationkey, count(*) AS n_cust,
         |       CAST(sum(CAST(CASE WHEN c_custkey % 97 = 0 THEN 0.0

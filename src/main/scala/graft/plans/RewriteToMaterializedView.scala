@@ -87,20 +87,100 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** An INNER equi-join of two catalog tables under optional attribute
+    * projections and group-commuting filters (above the join or on
+    * either side) — the dim-join view's query shape. Returns the two
+    * tables with the join-key attribute name RESOLVED to its side
+    * (left-table key first) and all collected filter conditions.
+    */
+  private def baseJoin(plan: LogicalPlan)
+      : Option[(GraftTable, GraftTable, String, String, Seq[Expression])] =
+    plan match {
+      case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        baseJoin(child)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child)
+          if cond.deterministic && !cond.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) =>
+        baseJoin(child).map { case (l, r, lk, rk, cs) => (l, r, lk, rk, cond +: cs) }
+      case org.apache.spark.sql.catalyst.plans.logical.Join(l, r,
+          org.apache.spark.sql.catalyst.plans.Inner,
+          Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: AttributeReference, b: AttributeReference)), _) =>
+        for {
+          (lt, lcs) <- baseTable(l)
+          (rt, rcs) <- baseTable(r)
+          (lk, rk) <-
+            if (l.outputSet.contains(a) && r.outputSet.contains(b)) Some((a, b))
+            else if (l.outputSet.contains(b) && r.outputSet.contains(a)) Some((b, a))
+            else None
+        } yield (lt, rt, lk.name, rk.name, lcs ++ rcs)
+      case _ => None
+    }
+
   private def rewrite(groupings: Seq[Expression], aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    val (table, conds) = baseTable(child).getOrElse(return None)
-    val root = table.tableRoot
     val groupAttrs = groupings.map {
       case a: AttributeReference => a
       case _ => return None
     }
-    val candidates = MaterializedView.registered(spark, root)
-    if (candidates.isEmpty) return None
-    val head = new CommitLog(spark, root).currentVersion.getOrElse(return None)
-    candidates.view.flatMap { mvRoot =>
-      tryView(mvRoot, root, head, groupAttrs, aggExprs, conds)
-    }.headOption
+    baseTable(child) match {
+      case Some((table, conds)) =>
+        val root = table.tableRoot
+        val candidates = MaterializedView.registered(spark, root)
+        if (candidates.isEmpty) return None
+        val head = new CommitLog(spark, root).currentVersion.getOrElse(return None)
+        candidates.view.flatMap { mvRoot =>
+          tryView(mvRoot, root, head, groupAttrs, aggExprs, conds)
+        }.headOption
+      case None => baseJoin(child) match {
+        case Some((lt, rt, lk, rk, conds)) =>
+          val candidates = (MaterializedView.registered(spark, lt.tableRoot) ++
+            MaterializedView.registered(spark, rt.tableRoot)).distinct
+          candidates.view.flatMap { mvRoot =>
+            tryJoinView(mvRoot, lt, rt, lk, rk, groupAttrs, aggExprs, conds)
+          }.headOption
+        case None => None
+      }
+    }
+  }
+
+  /** Join-view match: the query's inner equi-join must BE the view's
+    * definition (fact/dim roots and key names, either orientation), the
+    * view fresh against BOTH sides' heads — then the serve/fold logic is
+    * exactly the single-table one (the view's rows are join rows).
+    */
+  private def tryJoinView(mvRoot: String, lt: GraftTable, rt: GraftTable,
+      lk: String, rk: String, groupAttrs: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression], conds: Seq[Expression]): Option[LogicalPlan] = {
+    if (!MaterializedView.exists(spark, mvRoot)) return None
+    val (src, groups, sums, join) =
+      try MaterializedView.definition(spark, mvRoot)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val (dimRoot, fk, dk) = join.getOrElse(return None)
+    val oriented =
+      (lt.tableRoot == src && rt.tableRoot == dimRoot && lk == fk && rk == dk) ||
+        (rt.tableRoot == src && lt.tableRoot == dimRoot && rk == fk && lk == dk)
+    if (!oriented) return None
+    val factHead = new CommitLog(spark, src).currentVersion.getOrElse(return None)
+    val dimHead = new CommitLog(spark, dimRoot).currentVersion.getOrElse(return None)
+    val mv = MaterializedView.open(spark, mvRoot)
+    if (mv.refreshedVersion != factHead || mv.dimVersion != dimHead) return None
+    // the optimizer infers `isnotnull(<join key>)` on both sides of an
+    // inner equi-join; those are IMPLIED by the join itself (the view's
+    // rows already exclude null keys), so they drop rather than block.
+    // Everything else must commute (group-column references only).
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val keyNames = Set(lk, rk)
+    val real = conds.flatMap(conjuncts).filterNot {
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference) =>
+        keyNames.contains(a.name)
+      case _ => false
+    }
+    planOnView(mv, groups, sums, groupAttrs, aggExprs, real)
   }
 
   private def tryView(mvRoot: String, root: String, head: Long,
@@ -108,16 +188,28 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression],
       conds: Seq[Expression]): Option[LogicalPlan] = {
     if (!MaterializedView.exists(spark, mvRoot)) return None
-    val (src, groups, sums) =
+    val (src, groups, sums, join) =
       try MaterializedView.definition(spark, mvRoot)
       catch { case scala.util.control.NonFatal(_) => return None }
-    if (src != root) return None
-    // exact group match serves straight off the view; a STRICT SUBSET
-    // (including the empty set — a global aggregate) re-aggregates the
-    // view's |groups| rows instead of the base table. count(*) rolls up
-    // as sum(cnt); sum(x) as sum(sum_x) — additivity is exactly why the
-    // view maintains only additive aggregates, so the rollup is
-    // value-identical to the direct plan over exact-typed columns.
+    if (src != root || join.isDefined) return None
+    val mv = MaterializedView.open(spark, mvRoot)
+    if (mv.refreshedVersion != head) return None // stale — refresh first
+    planOnView(mv, groups, sums, groupAttrs, aggExprs, conds)
+  }
+
+  /** The serve/fold core shared by single-table and join views (callers
+    * have already matched the definition and checked freshness).
+    *
+    * Exact group match serves straight off the view; a STRICT SUBSET
+    * (including the empty set — a global aggregate) re-aggregates the
+    * view's |groups| rows instead of the base table. count(*) rolls up
+    * as sum(cnt); sum(x) as sum(sum_x) — additivity is exactly why the
+    * view maintains only additive aggregates, so the rollup is
+    * value-identical to the direct plan over exact-typed columns.
+    */
+  private def planOnView(mv: MaterializedView, groups: Seq[String],
+      sums: Seq[(String, String)], groupAttrs: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression], conds: Seq[Expression]): Option[LogicalPlan] = {
     val queryGroups = groupAttrs.map(_.name).toSet
     if (!queryGroups.subsetOf(groups.toSet)) return None
     // collected filters must reference GROUP columns only — those
@@ -126,8 +218,6 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!conds.forall(_.references.forall(a => groups.contains(a.name))))
       return None
     val exact = queryGroups == groups.toSet
-    val mv = MaterializedView.open(spark, mvRoot)
-    if (mv.refreshedVersion != head) return None // stale — refresh first
     val sumAlias = sums.toMap
     val mvPlan = mv.read().queryExecution.analyzed
     val mvByName = mvPlan.output.map(a => a.name -> a).toMap

@@ -179,4 +179,63 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(aggCount(spark.sql(
       "SELECT grp, count(x) AS n FROM gmr.db.fact GROUP BY grp")) == 1)
   }
+
+  test("join view: the fact-dim join-aggregate plans onto the MV, both orientations") {
+    spark.sql("CREATE TABLE gmr.db.jf AS SELECT id AS fk, id * 2 AS amt " +
+      "FROM range(0, 1000)")
+    spark.sql("CREATE TABLE gmr.db.jd AS SELECT id AS pk, " +
+      "concat('n', id % 7) AS nat FROM range(0, 50)")
+    spark.sql("CALL gmr.system.create_mv_join('db.jf', 'db.jd', 'db.jf_mv', " +
+      "'fk', 'pk', 'nat', 'amt:sum_amt')")
+    val q = "SELECT nat, count(*) AS n, sum(amt) AS sa FROM gmr.db.jf f " +
+      "JOIN gmr.db.jd d ON f.fk = d.pk GROUP BY nat"
+    val rewritten = spark.sql(q)
+    assert(aggCount(rewritten) == 0,
+      s"expected join-MV rewrite, plan:\n${rewritten.queryExecution.optimizedPlan}")
+    assert(rows(rewritten) == withRewriteOff(rows(spark.sql(q))),
+      "join-MV rewrite must be value-identical to the direct join plan")
+    // swapped sides match the same view
+    val q2 = "SELECT nat, count(*) AS n, sum(amt) AS sa FROM gmr.db.jd d " +
+      "JOIN gmr.db.jf f ON d.pk = f.fk GROUP BY nat"
+    assert(aggCount(spark.sql(q2)) == 0,
+      s"swapped orientation must also rewrite:\n${spark.sql(q2).queryExecution.optimizedPlan}")
+    // a global rollup over the join re-aggregates the view's rows
+    val g = spark.sql("SELECT count(*) AS n, sum(amt) AS sa FROM gmr.db.jf f " +
+      "JOIN gmr.db.jd d ON f.fk = d.pk")
+    // no leaf may be a catalog-table scan (the view reads as a raw
+    // parquet relation) — the base fact AND dim scans are both gone
+    assert(g.queryExecution.optimizedPlan.collectLeaves().forall {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        !r.relation.table.isInstanceOf[graft.catalog.GraftTable]
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        !r.table.isInstanceOf[graft.catalog.GraftTable]
+      case _ => true
+    }, s"global join rollup must read only the view:\n${g.queryExecution.optimizedPlan}")
+    assert(rows(g) == withRewriteOff(rows(spark.sql(
+      "SELECT count(*) AS n, sum(amt) AS sa FROM gmr.db.jf f " +
+        "JOIN gmr.db.jd d ON f.fk = d.pk"))))
+  }
+
+  test("join view: fact appends refresh incrementally; a dim change recomputes") {
+    val q = "SELECT nat, count(*) AS n, sum(amt) AS sa FROM gmr.db.jf f " +
+      "JOIN gmr.db.jd d ON f.fk = d.pk GROUP BY nat"
+    // fact moves: stale view keeps the stock join plan until refresh
+    spark.sql("INSERT INTO gmr.db.jf VALUES (3, 1000), (999999, 5)")
+    assert(aggCount(spark.sql(q)) == 1, "stale view must keep the stock plan")
+    val r = spark.sql("CALL gmr.system.refresh_mv('db.jf_mv')").head()
+    assert(r.getLong(1) == 2L, s"incremental refresh folds 2 change rows: $r")
+    assert(aggCount(spark.sql(q)) == 0, "refresh must restore the rewrite")
+    assert(rows(spark.sql(q)) == withRewriteOff(rows(spark.sql(q))),
+      "post-refresh view must match the direct plan (dangling fk joins nothing)")
+    // dim moves: stale again; refresh recomputes FULLY and re-pins both cursors
+    spark.sql("INSERT INTO gmr.db.jd VALUES (999999, 'n_new')")
+    assert(aggCount(spark.sql(q)) == 1, "a moved dim must invalidate the rewrite")
+    spark.sql("CALL gmr.system.refresh_mv('db.jf_mv')").collect()
+    assert(aggCount(spark.sql(q)) == 0, "dim-change refresh must restore the rewrite")
+    val got = rows(spark.sql(q))
+    assert(got == withRewriteOff(rows(spark.sql(q))),
+      s"full recompute must fold the new dim row (fk 999999 now joins): $got")
+    assert(spark.sql(q).collect().exists(_.getString(0) == "n_new"),
+      "the new dim group must appear after the recompute")
+  }
 }
