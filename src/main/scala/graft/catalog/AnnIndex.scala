@@ -61,12 +61,18 @@ object AnnIndex {
         ("version" -> v) ~ ("k" -> k) ~ ("iters" -> iters) ~ ("id_col" -> idCol) ~
           ("count" -> builtCount)))
         .getBytes(StandardCharsets.UTF_8))
-    // retire superseded builds (newest serves every snapshot: vectors
-    // missing from it scan conservatively, see probe)
+    // superseded builds retire via VACUUM, not here: a probe that
+    // already resolved the old version dir keeps serving through the
+    // rebuild — this build only MARKS old dirs (newest serves every new
+    // probe via vs.max), and vacuum collects marked dirs past its
+    // in-flight age guard
     if (fs.exists(base)) fs.listStatus(base).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong != v)
-        fs.delete(st.getPath, true): Unit
+      if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong != v) {
+        val marker = new Path(st.getPath, "_superseded")
+        if (!fs.exists(marker))
+          LogStore.write(fs, marker, "retired".getBytes(StandardCharsets.UTF_8))
+      }
     }
     (v, k)
   }

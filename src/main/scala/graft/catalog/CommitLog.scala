@@ -3294,7 +3294,26 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         if (hfs.delete(entry.getPath, true)) tmpDead += files
       }
     }
-    (drop.length, dead.length + tmpDead)
+    // superseded index builds (bloom/ANN) retire HERE, not at rebuild:
+    // the rebuild marks them `_superseded` and the same in-flight age
+    // guard keeps a mid-probe reader's version dir alive through the
+    // swap — closing the probe-during-rebuild race without a window
+    var idxDead = 0
+    val idxBase = new Path(tableRoot, "_index")
+    if (hfs.exists(idxBase)) hfs.listStatus(idxBase).foreach { kind =>
+      if (kind.isDirectory) hfs.listStatus(kind.getPath).foreach { colDir =>
+        if (colDir.isDirectory) hfs.listStatus(colDir.getPath).foreach { vd =>
+          val marker = new Path(vd.getPath, "_superseded")
+          if (vd.isDirectory && hfs.exists(marker) &&
+              hfs.getFileStatus(marker).getModificationTime <= cutoff) {
+            val it = hfs.listFiles(vd.getPath, true); var n = 0
+            while (it.hasNext) { it.next(); n += 1 }
+            if (hfs.delete(vd.getPath, true)) idxDead += n
+          }
+        }
+      }
+    }
+    (drop.length, dead.length + tmpDead + idxDead)
   }
 
   // ---- ANALYZE (optimizer statistics) ------------------------------------
@@ -3585,12 +3604,17 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
         ("version" -> v) ~ ("type" -> dt.sql) ~ ("fpp" -> fpp)))
         .getBytes(StandardCharsets.UTF_8))
-    // retire superseded builds (newest index serves every snapshot:
-    // files are immutable, unknown files scan conservatively)
+    // superseded builds retire via VACUUM, not here: a probe that
+    // already resolved the old version dir keeps index-grade pruning
+    // through the rebuild — the rebuild only MARKS old dirs, and vacuum
+    // collects marked dirs past the same in-flight age guard as _tmp
     if (hfs.exists(idxRoot)) hfs.listStatus(idxRoot).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong != v)
-        hfs.delete(st.getPath, true)
+      if (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong != v) {
+        val marker = new Path(st.getPath, "_superseded")
+        if (!hfs.exists(marker))
+          LogStore.write(hfs, marker, "retired".getBytes(StandardCharsets.UTF_8))
+      }
     }
     (v, names.length)
   }

@@ -177,7 +177,7 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.annIndex.autoRetrain")
   }
 
-  test("rebuild retires the superseded index version") {
+  test("rebuild marks the superseded index; vacuum retires it; probes never lapse") {
     val root = freshRoot()
     val log = new CommitLog(spark, root)
     log.commit(vectors(60), replace = true)
@@ -186,9 +186,21 @@ class AnnIndexSpec extends AnyFunSuite {
     val (v2, _) = AnnIndex.build(spark, root, "embedding", "vec_id", k = 4, iters = 2)
     assert(v2 == 2L)
     val fs = graft.catalog.HadoopFs.fs(spark, root)
-    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_index/ann/embedding"))
-      .map(_.getPath.getName).toSeq
-    assert(dirs == Seq("v2"), s"old build must retire: $dirs")
-    assert(AnnIndex.load(spark, root, "embedding").map(_._1).contains(2L))
+    def dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_index/ann/embedding"))
+      .map(_.getPath.getName).toSeq.sorted
+    // the rebuild does NOT delete the old build — a probe that already
+    // resolved v1 keeps serving through the swap; v1 is only marked
+    assert(dirs == Seq("v1", "v2"), s"old build must stay until vacuum: $dirs")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+      "_index/ann/embedding/v1/_superseded")))
+    assert(AnnIndex.load(spark, root, "embedding").map(_._1).contains(2L),
+      "new probes resolve the newest build")
+    assert(AnnIndex.probe(spark, root, "embedding", "vec_id",
+      3L, nprobe = 4, topk = 5).count() == 5)
+    // vacuum past the age guard collects the marked dir, keeps v2
+    log.vacuum(keepVersions = 1, minFileAgeMs = 0L, minVersionAgeMs = 0L): Unit
+    assert(dirs == Seq("v2"), s"vacuum must retire the marked build: $dirs")
+    assert(AnnIndex.probe(spark, root, "embedding", "vec_id",
+      3L, nprobe = 4, topk = 5).count() == 5)
   }
 }

@@ -122,16 +122,27 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(log.readEquals(Seq("k" -> 55L, "tag" -> "u54")).count() == 0)
   }
 
-  test("rebuild retires the superseded index directory") {
+  test("rebuild marks the superseded index; vacuum retires it; probes never lapse") {
     val root = tmp()
     val log = stripedTable(root)
     log.buildBloomIndex("k")
     log.commit(Seq((200000L, 1L, "x2")).toDF("k", "bucket", "tag"), replace = false)
     val (v2, n2) = log.buildBloomIndex("k")
     assert(v2 == 2L && n2 == 9)
+    // the rebuild does NOT delete the old build — a concurrent probe that
+    // already resolved v1 keeps index-grade pruning through the swap; v1
+    // only carries the retirement marker
     val idxRoot = new java.io.File(s"$root/_index/bloom/k")
-    val dirs = idxRoot.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    def dirs = idxRoot.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("v1", "v2"), dirs.toString)
+    assert(new java.io.File(s"$root/_index/bloom/k/v1/_superseded").exists())
+    assert(!new java.io.File(s"$root/_index/bloom/k/v2/_superseded").exists())
+    // new probes serve from v2 and still prune
+    assert(log.readEquals(Seq("k" -> 200000L)).count() == 1)
+    // vacuum past the age guard collects the marked dir, keeps v2
+    log.vacuum(keepVersions = 1, minFileAgeMs = 0L, minVersionAgeMs = 0L): Unit
     assert(dirs == Set("v2"), dirs.toString)
+    assert(log.readEquals(Seq("k" -> 200000L)).count() == 1)
   }
 
   test("CALL graft.system.build_bloom_index works through the catalog") {
