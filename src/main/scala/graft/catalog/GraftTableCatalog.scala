@@ -968,19 +968,14 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
     if (hasDeletes) throw new IllegalStateException(
       s"$tableName carries merge-on-read deletion vectors; fold them in " +
         "before SQL MERGE/UPDATE: CALL <catalog>.system.rewrite_deletes")
-    // Column-mapped FLAT tables run the rewrite natively: the group scan
+    // Column-mapped tables run the rewrite natively: the group scan
     // plans under the PHYSICAL schema and reports logical names (rows
     // bind positionally), and the write stages files under physical
-    // names — the mapping survives MERGE/UPDATE with zero materialization.
-    // A renamed PARTITIONED/transformed layout still refuses: its
-    // re-staging (hive subdirs, transform re-derivation) would need the
-    // layout re-derived through the mapping.
-    if (hasRenames && (partCols.nonEmpty || log.partitionTransforms.nonEmpty))
-      throw new UnsupportedOperationException(
-        s"$tableName has renamed columns over a partitioned layout; SQL " +
-          "row-level operations cannot re-stage it under the mapping. " +
-          "Materialize the mapping first: " +
-          "CALL <catalog>.system.materialize_mapping")
+    // names — the mapping survives MERGE/UPDATE with zero
+    // materialization. Partitioned and transform-partitioned layouts
+    // compose safely because ALTER refuses to rename partition columns
+    // and transform sources, so the re-staging names (hive subdir
+    // columns, transform derivation sources) are never mapped.
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
         new org.apache.spark.sql.connector.write.RowLevelOperation {
@@ -1006,9 +1001,16 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
               if (!hasRenames) GraftTable.this.newScanBuilder(options)
               else {
                 val paths = log.currentVersion.map(log.filePaths).getOrElse(Seq.empty)
-                ParquetTable(tableName, spark, options, paths,
+                // hive-partitioned pools nest files under c=v dirs:
+                // basePath rehydrates the partition columns (their names
+                // are never mapped — ALTER refuses renaming them)
+                val scanOptions =
+                  if (partCols.isEmpty) options
+                  else new CaseInsensitiveStringMap((options.asScala ++
+                    Map("basePath" -> new Path(root, "data").toString)).asJava)
+                ParquetTable(tableName, spark, scanOptions, paths,
                   Some(ColumnMapping.physicalSchema(schema)),
-                  classOf[ParquetFileFormat]).newScanBuilder(options)
+                  classOf[ParquetFileFormat]).newScanBuilder(scanOptions)
               }
             new ScanBuilder {
               override def build(): org.apache.spark.sql.connector.read.Scan = {

@@ -104,6 +104,30 @@ class SqlPartitionTransformSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("identity-partitioned"), ex.getMessage)
   }
 
+  test("renamed non-source column: UPDATE/MERGE keep the hidden layout") {
+    warehouse
+    spark.sql("CREATE TABLE gpt.db.rbk (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gpt.db.rbk SELECT id, CAST(id AS DOUBLE) FROM range(0, 100)")
+    // the transform SOURCE can never rename (ALTER refuses), so a rename
+    // of any other column composes with the row-level re-derivation
+    spark.sql("ALTER TABLE gpt.db.rbk RENAME COLUMN v TO amount")
+    spark.sql("UPDATE gpt.db.rbk SET amount = -1.0 WHERE k = 7")
+    val log = new CommitLog(spark, s"$warehouse/db/rbk")
+    assert(log.files(log.currentVersion.get).length == 4,
+      log.files(log.currentVersion.get).toString)
+    assert(log.prunedCandidates(col("k") === 7L).length == 1,
+      "bucket pruning must survive the renamed rewrite")
+    assert(spark.sql("SELECT amount FROM gpt.db.rbk WHERE k = 7")
+      .head().getDouble(0) == -1.0)
+    assert(spark.table("gpt.db.rbk").count() == 100)
+    // files still store the PHYSICAL name (no silent materialization)
+    val cols = spark.read.parquet(
+      log.files(log.currentVersion.get).map(n => s"$warehouse/db/rbk/data/$n"): _*)
+      .columns.toSet
+    assert(cols.contains("v") && !cols.contains("amount"), cols.toString)
+  }
+
   test("ALTER refuses to rename or drop a transform source column") {
     warehouse
     spark.sql("CREATE TABLE gpt.db.alt (k BIGINT, ts TIMESTAMP, v DOUBLE) " +

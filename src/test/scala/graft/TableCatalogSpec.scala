@@ -223,18 +223,34 @@ class TableCatalogSpec extends AnyFunSuite {
       .collect().toSeq == Seq((1L, "z"), (3L, "c")))
   }
 
-  test("rename over a partitioned layout: row-level SQL refuses with the escape hatch") {
+  test("rename over a partitioned layout: MERGE/UPDATE re-stage it, layout intact") {
     spark.sql("CREATE TABLE g.db.matp (k BIGINT, v STRING) PARTITIONED BY (p STRING)")
-    spark.sql("INSERT INTO g.db.matp VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    spark.sql("INSERT INTO g.db.matp VALUES (1, 'a', 'x'), (2, 'b', 'y'), (3, 'c', 'x')")
     spark.sql("ALTER TABLE g.db.matp RENAME COLUMN v TO w")
-    val merge = intercept[Exception] {
-      spark.sql("""MERGE INTO g.db.matp t USING (SELECT 1 AS k, 'z' AS w) s
-                   ON t.k = s.k WHEN MATCHED THEN UPDATE SET w = s.w""")
+    // the partition column can never be renamed (ALTER refuses), so the
+    // re-staging names are safe and the rewrite composes with the layout
+    spark.sql("""MERGE INTO g.db.matp t USING (SELECT 1 AS k, 'z' AS w) s
+                 ON t.k = s.k WHEN MATCHED THEN UPDATE SET w = s.w""")
+    spark.sql("UPDATE g.db.matp SET w = concat(w, '!') WHERE k = 2")
+    assert(spark.sql("SELECT k, w, p FROM g.db.matp ORDER BY k")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "z", "x"), (2L, "b!", "y"), (3L, "c", "x")))
+    // the hive layout SURVIVED the rewrites: files still nest under p=v
+    // subdirs and store the PHYSICAL column name
+    val mlog = new CommitLog(spark, s"$warehouse/db/matp")
+    val files = mlog.files(mlog.currentVersion.get)
+    assert(files.nonEmpty && files.forall(_.contains("p=")),
+      s"rewrite must re-stage under the partition dirs: ${files.toSeq}")
+    assert(spark.read.parquet(files.map(n => s"$warehouse/db/matp/data/$n"): _*)
+      .columns.toSet == Set("k", "v"),
+      "row-level rewrite must stage under the physical names")
+    // partition pruning still engages through the catalog read
+    assert(spark.sql("SELECT count(*) FROM g.db.matp WHERE p = 'x'")
+      .head().getLong(0) == 2L)
+    val renameP = intercept[Exception] {
+      spark.sql("ALTER TABLE g.db.matp RENAME COLUMN p TO q")
     }
-    assert(merge.getMessage.contains("materialize_mapping"), merge.getMessage)
-    // reads and filter-expressible DELETE still serve
-    assert(spark.sql("SELECT w FROM g.db.matp WHERE k = 1").as[String]
-      .collect().toSeq == Seq("a"))
+    assert(renameP.getMessage.contains("partition columns"), renameP.getMessage)
   }
 
   test("CALL procedures: optimize clusters, vacuum collects, restore rolls back") {
