@@ -97,10 +97,17 @@ object Bench {
     // min of two runs: a single GC pause or co-tenant CPU spike on the
     // shared harness cannot masquerade as a 10x regression (round-2 bench
     // artifact was contention noise; judge-adjudicated)
+    // min of N runs (default 2: one GC pause or co-tenant spike cannot
+    // masquerade as a regression). SPARK_GRAFT_BENCH_RUNS=1 gives the
+    // single-pass mode big scale-proof runs use (at sf10 a second pass
+    // doubles an hours-long sweep for noise-rejection the per-key
+    // ratios don't need — outliers re-time individually anyway).
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val timedAll = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val (a, pa) = once(fn); val (b, pb) = once(fn)
+      val (a, pa) = once(fn)
+      val (b, pb) = if (runs > 1) once(fn) else (a, pa)
       val best = if (a < 0) b else if (b < 0) a else math.min(a, b)
       // 3dp: keeps the JSON line short
       (name, math.rint(best * 1000) / 1000, if (pa.nonEmpty) pa else pb)
