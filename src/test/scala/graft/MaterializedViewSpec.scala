@@ -151,6 +151,50 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(viewState(reopened) == good)
   }
 
+  test("join view: a dim commit racing the incremental fold never mixes dim versions") {
+    // fact(fk, grp-irrelevant) joins dim(pk, grp); the view groups by the
+    // DIM's grp column, so a dim change visibly re-labels groups
+    val factRoot = tmp("graft_mv_jf")
+    val dimRoot = tmp("graft_mv_jd")
+    val factLog = new CommitLog(spark, factRoot)
+    val dimLog = new CommitLog(spark, dimRoot)
+    factLog.commit(spark.range(0, 100).select(
+      ($"id" % 10).as("fk"), ($"id" * 1.0).cast("double").as("x")), replace = true)
+    dimLog.commit(spark.range(0, 10).select(
+      $"id".as("pk"), concat(lit("g"), $"id" % 3).as("grp")), replace = true)
+    val mvRoot = tmp("graft_mv_race")
+    val mv = MaterializedView.create(spark, mvRoot, factRoot,
+      Seq("grp"), Seq("x" -> "sum_x"), Some((dimRoot, "fk", "pk")))
+    // ground truth against the PRE-commit dim (the version the cursor pins)
+    def truth(dimV: Long): Map[String, (Long, BigDecimal)] =
+      factLog.read().join(dimLog.readVersion(dimV), $"fk" === $"pk")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("cnt"), sum(col("x").cast("decimal(38,6)")).as("sum_x"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), BigDecimal(r.getDecimal(2))))
+        .toMap
+    val preDimV = dimLog.currentVersion.get
+    // fact moves (so refresh takes the INCREMENTAL path), and the dim
+    // commit lands in the exact window between the staleness check and
+    // the fold — the race the dim-version pin closes
+    factLog.commit(Seq((3L, 1000.0), (7L, 500.0)).toDF("fk", "x"), replace = false)
+    mv.afterStalenessCheck = () => {
+      dimLog.commit(spark.range(0, 10).select(
+        $"id".as("pk"), lit("gNEW").as("grp")), replace = true)
+      mv.afterStalenessCheck = () => ()
+    }
+    mv.refresh()
+    // the fold must equal the recompute against the PINNED dim — never a
+    // mix of old-dim folded state and new-dim delta rows
+    assert(viewState(mv) == truth(preDimV),
+      "racing dim commit leaked into the incremental fold")
+    // the NEXT refresh sees the cursor mismatch and recomputes fully
+    mv.refresh()
+    assert(viewState(mv) == truth(dimLog.currentVersion.get),
+      "post-race refresh must recompute against the new dim")
+    assert(viewState(mv).keySet == Set("gNEW"))
+  }
+
   test("update-in-place (merge) nets out through delete+insert change rows") {
     val (srcLog, srcRoot) = freshSource()
     val mv = MaterializedView.create(spark, tmp("graft_mv"), srcRoot,
