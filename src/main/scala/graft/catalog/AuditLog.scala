@@ -61,18 +61,32 @@ class AuditLog(spark: SparkSession, root: String) {
   def events: DataFrame = log.read()
 
   /** R2: conditional status update — only rows whose key exists change
-    * (`attribute_exists` guard, lambda_function.py:39). Predicate CoW
-    * ([[CommitLog.updateWhere]]): only the files holding the keyed row
-    * are rewritten — O(files touched), not O(table) — and a concurrent
-    * [[append]] that wins a version mid-update survives, because each
-    * retry re-pins the new head and carries its files forward (the old
-    * whole-table replace staged a stale snapshot and erased the racer).
+    * (`attribute_exists` guard, lambda_function.py:39). Two tiers:
+    *
+    *  - `mor = false` (default): predicate CoW
+    *    ([[CommitLog.updateWhere]]) — only the files holding the keyed
+    *    row are rewritten, O(files touched).
+    *  - `mor = true`: merge-on-read update vectors
+    *    ([[CommitLog.updateWhereMoR]]) — the old positions tombstone and
+    *    the corrected rows append in one atomic commit, O(rows changed)
+    *    in bytes written. The tier for the reference's actual workload
+    *    shape (one status correction per API call against an
+    *    ever-growing log): at 100 TB, CoW pays a full file rewrite per
+    *    touched row; MoR pays two tiny pool files, and
+    *    [[CommitLog.rewriteDeletes]] folds the debt on maintenance.
+    *
+    * Either way a concurrent [[append]] that wins a version mid-update
+    * survives, because each retry re-pins the new head and carries its
+    * files forward (the old whole-table replace staged a stale snapshot
+    * and erased the racer).
     */
-  def setStatus(requestId: String, methodName: String, status: String): Unit = {
-    log.updateWhere(
-      col("aws_request_id") === requestId &&
-        col("method_name") === methodName,
-      Seq("status" -> lit(status))): Unit
+  def setStatus(requestId: String, methodName: String, status: String,
+      mor: Boolean = false): Unit = {
+    val cond = col("aws_request_id") === requestId &&
+      col("method_name") === methodName
+    val sets = Seq("status" -> lit(status))
+    if (mor) log.updateWhereMoR(cond, sets): Unit
+    else log.updateWhere(cond, sets): Unit
   }
 
   /** R3: point lookup by the composite key. */

@@ -756,16 +756,19 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * concurrent compact/replicate) cannot change or tear what it reads.
     */
   def read(): DataFrame = {
-    val df = readVersion(currentVersion.getOrElse(
-      throw new java.io.FileNotFoundException(s"no committed version under $tableRoot")))
+    val v = currentVersion.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version under $tableRoot"))
+    val lines = manifestLines(v)   // ONE manifest read serves rows,
+    val df = readLines(lines)      // dv names, AND the transform spec
     // hidden-partition transforms: the derived `_p_*` layout columns are
     // internal — the public snapshot never shows them
-    val hidden = partitionTransforms.map(_.derivedName).filter(df.columns.contains)
+    val hidden = transformsFor(lines).map(_.derivedName).filter(df.columns.contains)
     if (hidden.isEmpty) df else df.drop(hidden: _*)
   }
 
-  def readVersion(v: Long): DataFrame = {
-    val lines = manifestLines(v)   // one parse serves data AND dv names
+  def readVersion(v: Long): DataFrame = readLines(manifestLines(v))
+
+  private def readLines(lines: Seq[String]): DataFrame = {
     val names = dataNamesOf(lines)
     if (names.isEmpty) {
       // a rewrite can legally commit an empty table (e.g. delete-all);
@@ -1202,7 +1205,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     */
   def commitPartitioned(df: DataFrame, partitionCols: Seq[String],
       replace: Boolean, txn: Option[String] = None,
-      op: Option[String] = None): Long = {
+      op: Option[String] = None,
+      extraHeader: Option[String] = None): Long = {
     txn.foreach { id =>
       currentVersion.foreach { v => if (txns(v).contains(id)) return v }
     }
@@ -1252,10 +1256,19 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (curCs != validatedCs) {
         enforceConstraints(df, curCs, "commitPartitioned"); validatedCs = curCs
       }
-      val carried =
+      val carried0 =
         if (replace) replaceCarried(prev)
         else prev.filterNot(_.startsWith("#partition:"))
-      val manifest = header +: (carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines)
+      // an extra header (e.g. #ptspec:) supersedes its prior same-key
+      // line — it rides the SAME atomic publish as the data it describes
+      val carried = extraHeader match {
+        case Some(h) =>
+          val key = h.takeWhile(_ != ':') + ":"
+          carried0.filterNot(_.startsWith(key))
+        case None => carried0
+      }
+      val manifest = header +: (extraHeader.toSeq ++ carried ++
+        txn.map(id => s"#txn:$id").toSeq ++ newLines)
       beforePublish(attempt, v)
       if (publish(v, stamped(
         op.getOrElse(if (replace) "replace" else "append"), manifest))) return v
@@ -1752,15 +1765,40 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
 
   /** Declared hidden-partition transforms, empty when the table is not
     * transform-partitioned.
+    *
+    * The spec of record is the HEAD MANIFEST's `#ptspec:` header — it
+    * lands in the same atomic publish as the (re-)laid-out data
+    * ([[commitTransformed]]), so spec and layout can never disagree,
+    * even across a crash mid-commit on a transform REPLACE. The
+    * `_ptspec.json` sidecar is a write-behind cache and the pre-header
+    * format's home: consulted only when no header exists at the head.
     */
-  def partitionTransforms: Seq[PartitionTransform] = {
-    if (!hfs.exists(ptspecFile)) return Seq.empty
-    val in = hfs.open(ptspecFile)
-    val txt = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
+  def partitionTransforms: Seq[PartitionTransform] =
+    transformsFor(
+      try currentVersion.map(manifestLines).getOrElse(Seq.empty)
+      catch { case scala.util.control.NonFatal(_) => Seq.empty })
+
+  /** Transform spec for a manifest already in hand — callers on the read
+    * path pass their own lines, so the spec costs ZERO extra metadata
+    * reads (head discovery stays O(1) reads).
+    */
+  private def transformsFor(lines: Seq[String]): Seq[PartitionTransform] =
+    lines.find(_.startsWith("#ptspec:")) match {
+      case Some(l) => parsePtspecJson(l.stripPrefix("#ptspec:"))
+      case None =>
+        if (!hfs.exists(ptspecFile)) Seq.empty
+        else {
+          val in = hfs.open(ptspecFile)
+          val txt = try {
+            val out = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+            new String(out.toByteArray, StandardCharsets.UTF_8)
+          } finally in.close()
+          parsePtspecJson(txt)
+        }
+    }
+
+  private def parsePtspecJson(txt: String): Seq[PartitionTransform] =
     org.json4s.jackson.JsonMethods.parse(txt) match {
       case org.json4s.JArray(items) => items.map { j =>
         implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
@@ -1770,16 +1808,17 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       }
       case _ => Seq.empty
     }
-  }
 
-  private def writePtspec(ts: Seq[PartitionTransform]): Unit = {
+  private def ptspecJson(ts: Seq[PartitionTransform]): String = {
     import org.json4s.JsonDSL._
-    val json = org.json4s.jackson.JsonMethods.compact(
+    org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(ts.map(t =>
         ("kind" -> t.kind) ~ ("src" -> t.src) ~ ("srcType" -> t.srcType) ~
           ("arg" -> t.arg))))
-    LogStore.write(hfs, ptspecFile, json.getBytes(StandardCharsets.UTF_8))
   }
+
+  private def writePtspec(ts: Seq[PartitionTransform]): Unit =
+    LogStore.write(hfs, ptspecFile, ptspecJson(ts).getBytes(StandardCharsets.UTF_8))
 
   /** Declare hidden-partition transforms for a (possibly still empty)
     * table from its schema — the catalog's `CREATE TABLE ...
@@ -1811,7 +1850,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       else read().where(org.apache.spark.sql.functions.lit(false))
     val names = ts.map(_.derivedName)
     val df = applyTransforms(df0).repartition(names.map(n => col(s"`$n`")): _*)
-    val ver = commitPartitioned(df, names, replace = true)
+    val ver = commitPartitioned(df, names, replace = true,
+      extraHeader = Some("#ptspec:" + ptspecJson(ts)))
     hfs.delete(stage, true)
     ver
   }
@@ -1854,14 +1894,17 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     // time grains batch), so one exchange for ~one file per value is the
     // right default here, unlike raw commitPartitioned's opt-in.
     val names = parsed.map(_.derivedName)
+    // the spec rides the SAME atomic manifest publish as the laid-out
+    // data (`#ptspec:` header): spec and layout can never disagree, even
+    // across a crash mid-replace — a reader of the new head sees the new
+    // spec, a reader of the old head the old one
     val ver = commitPartitioned(derived.repartition(names.map(n => col(s"`$n`")): _*),
-      names, replace, txn)
-    // the layout declaration lands only AFTER the data publish succeeds:
-    // the commit path derives from `parsed` directly and never consults
-    // the sidecar, and writing it first would — on a failed or crashed
-    // commit — leave the NEW spec declared over OLD-layout data, leaking
-    // the previous layout's `_p_*` columns into every read (the sidecar
-    // drop-list would name only the new derived columns)
+      names, replace, txn,
+      extraHeader = Some("#ptspec:" + ptspecJson(parsed)))
+    // sidecar = write-behind cache (pre-header readers + cheap probes);
+    // written only AFTER the data publish succeeds, so a failed commit
+    // can never leave a NEW spec declared over OLD-layout data — and if
+    // THIS write crashes, the header above is still the spec of record
     writePtspec(parsed)
     ver
   }
@@ -1908,7 +1951,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       s"no committed version under $tableRoot"))
     val lines = manifestLines(v)
     val names = dataNamesOf(lines)
-    val specs = partitionTransforms
+    val specs = transformsFor(lines)
     if (names.isEmpty) return names
     val stats = fileStatsOf(lines)
     // a Spark-4 Column is a ColumnNode tree, not a catalyst expression:
@@ -2046,7 +2089,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
       s"no committed version under $tableRoot"))
     val lines = manifestLines(v)
-    val specs = partitionTransforms
+    val specs = transformsFor(lines)
     def hide(df: DataFrame): DataFrame = {
       val hidden = specs.map(_.derivedName).filter(df.columns.contains)
       if (hidden.isEmpty) df else df.drop(hidden: _*)
@@ -2248,12 +2291,29 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
 
   /** The commit log of a branch — the write handle for the audit stage
     * of write-audit-publish.
+    *
+    * [[createBranch]] registers the ref (the atomic name claim) BEFORE
+    * renaming its fully-built tmp clone into the branch root, so a
+    * reader racing the create can resolve the ref a beat before the
+    * root exists — a seconds-bounded transient (the clone is already
+    * complete; only the rename is pending). Tolerate it here with a
+    * brief bounded wait instead of failing a read that is about to be
+    * valid; a root still missing after the wait is a real orphan
+    * (crashed creator) and errors loudly.
     */
   def branchLog(name: String): CommitLog = {
     val r = ref(name).getOrElse(throw new IllegalArgumentException(
       s"branchLog: no ref '$name' under $tableRoot"))
     require(r.kind == "branch", s"branchLog: ref '$name' is a ${r.kind}")
-    new CommitLog(spark, branchDir(name).toString)
+    val root = branchDir(name)
+    var waited = 0L
+    while (!hfs.exists(root) && waited < 5000L) {
+      Thread.sleep(100L); waited += 100L
+    }
+    if (!hfs.exists(root)) throw new IllegalStateException(
+      s"branchLog: ref '$name' exists but its root $root does not — " +
+        "a crashed create left an orphan ref; drop the ref and re-create")
+    new CommitLog(spark, root.toString)
   }
 
   /** Drop a ref. For a branch the whole fork dir goes too; its
@@ -2853,6 +2913,75 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       s"updateWhere: lost the head race $maxAttempts times under $tableRoot")
   }
 
+  /** Merge-on-read UPDATE (update vectors): tombstone the old positions
+    * of every visible row matching `cond` AND append the updated copies,
+    * in ONE atomic commit — no data file is rewritten. Write cost is
+    * O(rows updated) (one pooled file of updated rows + one
+    * deletion-vector file), not O(files touched × file size): the tier
+    * frequent small updates against a 100 TB table need (the audit-log
+    * status-correction pattern), where copy-on-write ([[updateWhere]])
+    * rewrites a 128 MB file to change one row. This is the Delta/Iceberg
+    * DV + re-insert shape composed from the engine's existing planes:
+    * the tombstones ride the [[deleteWhereMoR]] read path, the appended
+    * rows are ordinary pool files, and the single manifest publish keeps
+    * delete+insert atomic — a reader sees the old rows or the new rows,
+    * never both, never neither.
+    *
+    * Set-expressions evaluate against the ORIGINAL row (simultaneous-
+    * assignment UPDATE semantics); matching runs against the VISIBLE
+    * snapshot, so re-updating a tombstoned row writes nothing. CHECK
+    * constraints validate the updated rows; hidden-partition transforms
+    * re-derive their layout columns; a SET on a partition column re-files
+    * the row under its new partition directory. The read debt folds
+    * through the same maintenance ops as MoR deletes
+    * ([[rewriteDeletes]] / [[compact]] / [[optimizeBy]]). A no-match
+    * update returns the current version without committing. Same
+    * optimistic head+1 publish as [[merge]].
+    */
+  def updateWhereMoR(cond: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.coalesce
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed version under $tableRoot"))
+      val lines = manifestLines(v)
+      val partCols = partitionColsOf(lines)
+      val partTypes = partTypesOf(lines)
+      val names = files(v)
+      if (names.isEmpty) return v
+      val visible = dvFrame(v).fold(withPos(names))(d =>
+        withPos(names).join(d, DvKeys, "left_anti"))
+      // matched rows carry their (file, pos) keys AND their data columns:
+      // one frame feeds both the tombstones and the updated copies (the
+      // deterministic filter + stable row_index make the two passes agree)
+      val matched = castParts(visible, partTypes).filter(coalesce(cond, lit(false)))
+      val dvStaged = stageToPool(matched.select(DvKeys.map(col): _*), "updateWhereMoR")
+      if (dvStaged.isEmpty) return v
+      val cols = readVersion(v).columns.toSeq
+      val setMap = sets.toMap
+      val updated = matched.select(cols.map { c =>
+        setMap.get(c) match {
+          case Some(e) => e.as(c)
+          case None    => col(s"`$c`")
+        }
+      }: _*)
+      enforceConstraints(updated, checkOf(lines), "updateWhereMoR")
+      val relaid = applyTransforms(updated)
+      val dataStaged =
+        if (partCols.isEmpty) stageToPool(relaid, "updateWhereMoR")
+        else stagePartitioned(relaid, partCols, "updateWhereMoR")
+      beforePublish(attempt, v + 1)
+      if (publish(v + 1, stamped("update_mor",
+        lines ++ dataStaged ++ dvStaged.map("-" + _)))) return v + 1
+      racePause(attempt, v + 1)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"updateWhereMoR: lost the head race $maxAttempts times under $tableRoot")
+  }
+
   /** Merge-on-read DELETE: record (file, position) tombstones for every
     * visible row matching `cond` — NO data file is rewritten. The write
     * cost is O(rows deleted), not O(files touched × file size), which is
@@ -3320,9 +3449,12 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
 
   /** ANALYZE: one aggregation pass over the head snapshot harvesting
     * per-column NDV (HLL approximation) and null counts — plus, for
-    * numeric columns, EQUI-HEIGHT HISTOGRAMS (33 approx-percentile
+    * numeric AND date columns (dates through their epoch-day double
+    * encoding), EQUI-HEIGHT HISTOGRAMS (33 approx-percentile
     * endpoints in the same pass, then ONE more pass computing the
-    * per-interval NDVs with the HLL-per-interval aggregate) — into
+    * per-interval NDVs with the HLL-per-interval aggregate), and for
+    * string columns lexicographic bounds + a count-min frequency
+    * sketch — into
     * `_stats.json` beside the table: the column-level statistics
     * cost-based join reordering needs on top of the manifest's exact
     * row/byte counts. Histograms are what save CBO from the uniform-NDV
@@ -3336,7 +3468,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * Returns (version analyzed, columns analyzed).
     */
   def analyze(histograms: Boolean = true, histBins: Int = 32): (Long, Int) = {
-    import org.apache.spark.sql.functions.{approx_count_distinct, array, count, max, min, percentile_approx, sum, when}
+    import org.apache.spark.sql.functions.{approx_count_distinct, array, count, count_min_sketch, max, min, percentile_approx, sum, unix_date, when}
     val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
       s"analyze: no committed version under $tableRoot"))
     val df = readVersion(v)
@@ -3348,31 +3480,63 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         case _ => false
       }) => f.name
     }.toSeq
-    // numeric columns additionally harvest min/max (always — catalyst's
-    // join estimation treats a missing range on a numeric key as a
-    // NullValueInterval, i.e. DISJOINT, estimating every such join to 0
-    // rows) and, when asked, equi-height histogram endpoints
+    // numeric AND date columns additionally harvest min/max (always —
+    // catalyst's join estimation treats a missing range on a
+    // range-comparable key as a NullValueInterval, i.e. DISJOINT,
+    // estimating every such join to 0 rows) and, when asked, equi-height
+    // histogram endpoints. Dates ride the numeric path through their
+    // EPOCH-DAY double encoding (unix_date) — exactly the internal
+    // representation catalyst's ValueInterval/histogram math runs
+    // DateType estimation on, so o_orderdate-style partition/join keys
+    // get real range intersection instead of the uniform-NDV guess.
     val numCols: Seq[String] = df.schema.fields.collect {
       case f if f.dataType.isInstanceOf[NumericType] => f.name
     }.toSeq
-    val histCols: Seq[String] = if (histograms) numCols else Seq.empty
+    val dateCols: Seq[String] = df.schema.fields.collect {
+      case f if f.dataType == DateType => f.name
+    }.toSeq
+    val rangeCols: Seq[String] = numCols ++ dateCols
+    def asDouble(c: String): org.apache.spark.sql.Column =
+      if (dateCols.contains(c)) unix_date(col(s"`$c`")).cast("double")
+      else col(s"`$c`").cast("double")
+    // string columns harvest lexicographic bounds + a count-min frequency
+    // sketch (the registry/status-string shape: NDV says how many
+    // distinct values, the sketch says how OFTEN each one occurs —
+    // equality-selectivity ground truth on skewed string keys). Bounds
+    // and sketch live in the sidecar only; catalyst's ValueInterval does
+    // not range-compare strings, so nothing nonsensical is served to it.
+    val strCols: Seq[String] = df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }.toSeq
+    val histCols: Seq[String] = if (histograms) rangeCols else Seq.empty
     val probs = array((0 to histBins).map(i => lit(i.toDouble / histBins)): _*)
     val aggs = cols.flatMap(c => Seq(
       approx_count_distinct(col(s"`$c`")),
       sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)))) ++
-      numCols.flatMap(c => Seq(
-        min(col(s"`$c`").cast("double")), max(col(s"`$c`").cast("double")))) ++
-      histCols.map(c =>
-        percentile_approx(col(s"`$c`").cast("double"), probs, lit(10000)))
+      rangeCols.flatMap(c => Seq(min(asDouble(c)), max(asDouble(c)))) ++
+      histCols.map(c => percentile_approx(asDouble(c), probs, lit(10000))) ++
+      strCols.flatMap(c => Seq(
+        min(col(s"`$c`")), max(col(s"`$c`")),
+        count_min_sketch(col(s"`$c`"), lit(0.01d), lit(0.99d), lit(42)))) // ~10 KB/col
     val row = df.agg(count(lit(1)), aggs: _*).head()
     val rows = row.getLong(0)
     val mmBase = 1 + 2 * cols.size
-    val minMax: Map[String, (Double, Double)] = numCols.zipWithIndex.flatMap {
+    val minMax: Map[String, (Double, Double)] = rangeCols.zipWithIndex.flatMap {
       case (c, j) =>
         if (row.isNullAt(mmBase + 2 * j) || row.isNullAt(mmBase + 2 * j + 1)) None
         else Some(c -> ((row.getDouble(mmBase + 2 * j), row.getDouble(mmBase + 2 * j + 1))))
     }.toMap
-    val histBase = mmBase + 2 * numCols.size
+    val histBase = mmBase + 2 * rangeCols.size
+    val strBase = histBase + histCols.size
+    // (col → (min, max, base64 count-min sketch)) for non-all-null strings
+    val strStats: Map[String, (String, String, String)] =
+      strCols.zipWithIndex.flatMap { case (c, j) =>
+        val b = strBase + 3 * j
+        if (row.isNullAt(b) || row.isNullAt(b + 1)) None
+        else Some(c -> ((row.getString(b), row.getString(b + 1),
+          java.util.Base64.getEncoder.encodeToString(
+            row.getAs[Array[Byte]](b + 2)))))
+      }.toMap
     // (col, endpoints) for columns that had any non-null value
     val histEps: Seq[(String, Seq[Double])] = histCols.zipWithIndex.flatMap {
       case (c, j) =>
@@ -3389,8 +3553,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         val nAggs = histEps.map { case (c, eps) =>
           org.apache.spark.sql.GraftSqlShim.column(
             new ApproxCountDistinctForIntervals(
-              org.apache.spark.sql.GraftSqlShim.expression(
-                col(s"`$c`").cast("double")),
+              org.apache.spark.sql.GraftSqlShim.expression(asDouble(c)),
               CreateArray(eps.map(Literal(_))), 0.05).toAggregateExpression())
         }
         val r2 = df.agg(nAggs.head, nAggs.tail: _*).head()
@@ -3413,7 +3576,12 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           base ~ ("eps" -> eps) ~ ("indv" -> histNdvs(c))
         case _ => base
       }
-      JField(c, withHist)
+      val withStr = strStats.get(c) match {
+        case Some((lo, hi, cms)) =>
+          withHist ~ ("smin" -> lo) ~ ("smax" -> hi) ~ ("cms" -> cms)
+        case None => withHist
+      }
+      JField(c, withStr)
     }.toList
     val json = org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
@@ -3553,6 +3721,48 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
             case _ => Map.empty[String, (Double, Double)]
           }
           (v.toLong, mm)
+        }
+      case _ => None
+    }
+  }
+
+  /** String-column statistics from `_stats.json`: (analyzedVersion,
+    * col → (lexicographic min, max, count-min frequency sketch)). The
+    * sketch answers `estimateCount(value)` within ~1% of rows at 99%
+    * confidence — per-value equality selectivity on skewed string keys
+    * (status codes, registry ids), which NDV alone cannot express.
+    */
+  def analyzedStringStats(): Option[(Long,
+      Map[String, (String, String, org.apache.spark.util.sketch.CountMinSketch)])] = {
+    val f = new Path(tableRoot, "_stats.json")
+    if (!hfs.exists(f)) return None
+    val in = hfs.open(f)
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    org.json4s.jackson.JsonMethods.parse(body) match {
+      case org.json4s.JObject(fields) =>
+        val m = fields.toMap
+        for (org.json4s.JInt(v) <- m.get("version")) yield {
+          val ss = m.get("columns") match {
+            case Some(org.json4s.JObject(cf)) => cf.flatMap {
+              case (c, org.json4s.JObject(cv)) =>
+                val cm = cv.toMap
+                def str(k: String) = cm.get(k).collect {
+                  case org.json4s.JString(s) => s }
+                for (lo <- str("smin"); hi <- str("smax"); b64 <- str("cms"))
+                  yield c -> ((lo, hi,
+                    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+                      new java.io.ByteArrayInputStream(
+                        java.util.Base64.getDecoder.decode(b64)))))
+              case _ => None
+            }.toMap
+            case _ =>
+              Map.empty[String, (String, String, org.apache.spark.util.sketch.CountMinSketch)]
+          }
+          (v.toLong, ss)
         }
       case _ => None
     }

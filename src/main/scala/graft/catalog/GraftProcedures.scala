@@ -30,7 +30,7 @@ private[catalog] object GraftProcedures {
     Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta",
       "export_iceberg", "import_iceberg", "rewrite_deletes", "history",
       "materialize_mapping", "analyze", "clone", "build_bloom_index",
-      "create_mv", "create_mv_join", "refresh_mv", "detail", "replicate",
+      "create_mv", "create_mv_join", "create_mv_star", "refresh_mv", "detail", "replicate",
       "build_ann_index",
       "drop_index", "add_constraint", "drop_constraint", "set_clustering",
       "create_tag", "create_branch", "drop_ref", "fast_forward", "refs",
@@ -53,6 +53,7 @@ private[catalog] object GraftProcedures {
     case "build_bloom_index" => new BuildBloomIndex(cat)
     case "create_mv"       => new CreateMv(cat)
     case "create_mv_join"  => new CreateMvJoin(cat)
+    case "create_mv_star"  => new CreateMvStar(cat)
     case "detail"          => new Detail(cat)
     case "refresh_mv"      => new RefreshMv(cat)
     case "replicate"       => new Replicate(cat)
@@ -446,7 +447,49 @@ private[catalog] object GraftProcedures {
           }
         }
       val mv = MaterializedView.create(cat.sparkSession, mvRoot, srcRoot,
-        groups, sums, Some((dimRoot, fk, dk)))
+        groups, sums, Seq((dimRoot, fk, dk)))
+      result(new StructType().add("version", LongType), mv.refreshedVersion)
+    }
+  }
+
+  /** `CALL graft.system.create_mv_star('db.fact', 'db.mv',
+    * 'db.dim1:fk1:dk1;db.dim2:fk2:dk2', 'grp1,grp2', 'col:alias')` — an
+    * N-dimension star aggregate view (`fact JOIN dim_1 ... JOIN dim_n`,
+    * grouped, additive aggregates): the q_join_multiway / TPC-H Q5 shape
+    * maintained incrementally off the FACT change feed; any moved dim
+    * triggers one full recompute at the next refresh.
+    */
+  private final class CreateMvStar(cat: GraftTableCatalog)
+    extends Proc("create_mv_star", Seq(in("source", StringType),
+      in("target", StringType), in("dims", StringType),
+      in("group_cols", StringType), in("sums", StringType))) {
+    override def description(): String =
+      "define + fully compute an N-dim star aggregate view (fact JOIN " +
+        "dims, count + exact-decimal sums by group), incrementally " +
+        "maintained off the fact table's change feed"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val srcRoot = cat.rootOf(input.getUTF8String(0).toString)
+      val mvRoot = cat.rootForCreate(input.getUTF8String(1).toString)
+      val joins = input.getUTF8String(2).toString.split(';').map(_.trim).toSeq
+        .filter(_.nonEmpty).map { s =>
+          s.split(':') match {
+            case Array(d, fk, dk) => (cat.rootOf(d.trim), fk.trim, dk.trim)
+            case _ => throw new IllegalArgumentException(
+              s"create_mv_star: dims entries are 'db.dim:fact_key:dim_key', got '$s'")
+          }
+        }
+      val groups = input.getUTF8String(3).toString.split(',').map(_.trim).toSeq
+        .filter(_.nonEmpty)
+      val sums = input.getUTF8String(4).toString.split(',').map(_.trim).toSeq
+        .filter(_.nonEmpty).map { s =>
+          s.split(':') match {
+            case Array(c, a) => c.trim -> a.trim
+            case _ => throw new IllegalArgumentException(
+              s"create_mv_star: sums entries are 'col:alias', got '$s'")
+          }
+        }
+      val mv = MaterializedView.create(cat.sparkSession, mvRoot, srcRoot,
+        groups, sums, joins)
       result(new StructType().add("version", LongType), mv.refreshedVersion)
     }
   }

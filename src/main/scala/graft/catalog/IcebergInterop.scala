@@ -588,9 +588,24 @@ object IcebergInterop {
               .withColumn("_ice_dseq", lit(d.seq))
           }
           .reduce(_.unionByName(_))
-        val cond = ids.map(id =>
-            col(s"`${resolve(id, dataPresent, "the data files")}`") <=>
-              col(s"_ice_d_$id"))
+        // data files spanning a rename surface BOTH the old and the new
+        // physical column through mergeSchema, each file populating
+        // exactly one (the other reads NULL there) — so the data side
+        // compares against coalesce() of EVERY present candidate, never
+        // the first-present pick, or rows in the other naming era fail
+        // the <=> match and silently escape their delete. Safe because
+        // an Iceberg name mapping keeps names unique per level: two
+        // field ids cannot claim the same file column.
+        def dataSide(id: Int): org.apache.spark.sql.Column = {
+          val cands = (mappedNames.getOrElse(id, Seq.empty) ++ nameOf.get(id).toSeq)
+            .distinct.filter(dataPresent.contains)
+          if (cands.isEmpty) throw new IllegalStateException(
+            s"readIceberg: equality id $id resolves to no column of " +
+              s"the data files of $table")
+          if (cands.size == 1) col(s"`${cands.head}`")
+          else org.apache.spark.sql.functions.coalesce(cands.map(c => col(s"`$c`")): _*)
+        }
+        val cond = ids.map(id => dataSide(id) <=> col(s"_ice_d_$id"))
           .reduce(_ && _) && col("_ice_fseq") < col("_ice_dseq")
         base.join(dels, cond, "left_semi")
           .select(col("_ice_fpath"), col("_ice_pos"))
@@ -612,7 +627,12 @@ object IcebergInterop {
     // after any projection, so BOTH delete tiers must key off the same
     // derivation (position+equality together broke the old per-tier
     // re-derivation; IcebergInteropSpec's name-mapped test pins this)
-    val raw0 = spark.read.parquet(dataF.map(_.path): _*)
+    // mergeSchema: data files spanning a rename store different physical
+    // column names per era — first-file schema inference would silently
+    // drop the other era's column (the name-mapping projection below
+    // coalesces the candidates back into one logical column)
+    val raw0 = spark.read.option("mergeSchema", "true")
+      .parquet(dataF.map(_.path): _*)
       .withColumn("_ice_path",
         regexp_replace(col("_metadata.file_path"), SchemeRx, ""))
       .withColumn("_ice_pos", col("_metadata.row_index"))
@@ -646,14 +666,24 @@ object IcebergInterop {
             s"current schema $schemaId missing from $table metadata"))
         val logicalOf = cur.get("fields").elements().asScala
           .map(f => f.get("id").asInt -> f.get("name").asText).toMap
-        // file column → field id → logical name
+        // file columns → field id → logical name; rename-spanning data
+        // sets surface several candidate columns per field (one era
+        // each), so the logical column coalesces ALL present candidates
+        // — a first-present pick read NULL for every other-era row
         val present = raw.columns.toSet
         val cols = mapper.readTree(j).elements().asScala.flatMap { e =>
           val id = e.get("field-id").asInt
-          e.get("names").elements().asScala.map(_.asText)
-            .find(present.contains)
-            .flatMap(fileCol => logicalOf.get(id).map(l =>
-              org.apache.spark.sql.functions.col(s"`$fileCol`").as(l)))
+          val cands = e.get("names").elements().asScala.map(_.asText)
+            .filter(present.contains).toSeq
+          if (cands.isEmpty) None
+          else logicalOf.get(id).map { l =>
+            val c =
+              if (cands.size == 1)
+                org.apache.spark.sql.functions.col(s"`${cands.head}`")
+              else org.apache.spark.sql.functions.coalesce(
+                cands.map(n => org.apache.spark.sql.functions.col(s"`$n`")): _*)
+            c.as(l)
+          }
         }.toSeq
         raw.select(cols: _*)
     }

@@ -40,20 +40,21 @@ final class MaterializedView private (
     val srcRoot: String,
     groupCols: Seq[String],
     sumCols: Seq[(String, String)],
-    /** Dim-join views: (dimRoot, factKey, dimKey) — the view is
-      * `fact JOIN dim ON fact.factKey = dim.dimKey` aggregated. The FACT
-      * side refreshes incrementally off its change feed (delta rows
-      * join the dim, then fold signed, exactly the single-table path);
-      * the DIM side carries a version cursor — a moved dim invalidates
-      * every folded group, so [[refresh]] falls back to ONE full
-      * recompute and re-pins the cursor (dims are small and slow-moving;
-      * the fact plane keeps O(changes) refreshes).
+    /** Star-join views: one (dimRoot, factKey, dimKey) per dimension —
+      * the view is `fact JOIN dim_1 ON fk_1 = dk_1 ... JOIN dim_n`
+      * aggregated (the TPC-H Q5 / q_join_multiway star). The FACT side
+      * refreshes incrementally off its change feed (delta rows join the
+      * dims, then fold signed, exactly the single-table path); each DIM
+      * carries a version cursor — a moved dim invalidates every folded
+      * group, so [[refresh]] falls back to ONE full recompute and
+      * re-pins the cursors (dims are small and slow-moving; the fact
+      * plane keeps O(changes) refreshes). Empty = single-table view.
       */
-    val join: Option[(String, String, String)] = None) {
+    val joins: Seq[(String, String, String)] = Nil) {
 
   private val log = new CommitLog(spark, mvRoot)
   private val srcLog = new CommitLog(spark, srcRoot)
-  private val dimLog = join.map { case (d, _, _) => new CommitLog(spark, d) }
+  private val dimLogs = joins.map { case (d, _, _) => new CommitLog(spark, d) }
 
   /** Last source version folded into the view. The cursor of record is
     * the `#mvsrc:` header on the VIEW TABLE'S OWN head manifest —
@@ -67,11 +68,12 @@ final class MaterializedView private (
     log.currentVersion.flatMap(v => log.headerOf(v, "mvsrc")).map(_.toLong)
       .getOrElse(MaterializedView.readState(spark, mvRoot).version)
 
-  /** Join views: the dim version the folded state was computed against
-    * (informational sidecar cursor — a mismatch only ever triggers a
-    * full recompute, never a wrong fold). -1 on single-table views.
+  /** Join views: the per-dim versions the folded state was computed
+    * against, aligned with [[joins]] (informational sidecar cursors — a
+    * mismatch only ever triggers a full recompute, never a wrong fold).
+    * Empty on single-table views.
     */
-  def dimVersion: Long = MaterializedView.readState(spark, mvRoot).dimVersion
+  def dimVersions: Seq[Long] = MaterializedView.readState(spark, mvRoot).dimVersions
 
   /** The view's current content: groupCols, `cnt`, then one exact-decimal
     * sum per requested column under its alias.
@@ -101,15 +103,14 @@ final class MaterializedView private (
     * mixed-dim view — the fold equals the pre-dim-commit recompute and
     * the NEXT refresh's cursor mismatch recomputes against the new dim.
     */
-  private def joined(factRows: DataFrame, dimV: Option[Long]): DataFrame = join match {
-    case None => factRows
-    case Some((_, fk, dk)) =>
-      val dim = dimV.filter(_ >= 0) match {
-        case Some(v) => dimLog.get.readVersion(v)
-        case None    => dimLog.get.read()
+  private def joined(factRows: DataFrame, dimVs: Seq[Long]): DataFrame =
+    joins.zipWithIndex.foldLeft(factRows) { case (acc, ((_, fk, dk), i)) =>
+      val dim = dimVs.lift(i).filter(_ >= 0) match {
+        case Some(dv) => dimLogs(i).readVersion(dv)
+        case None     => dimLogs(i).read()
       }
-      factRows.join(dim, col(s"`$fk`") === col(s"`$dk`"), "inner")
-  }
+      acc.join(dim, col(s"`$fk`") === col(s"`$dk`"), "inner")
+    }
 
   /** Test seam: invoked after refresh()'s dim-staleness check and before
     * the incremental fold reads anything — the window the dim-version pin
@@ -128,16 +129,17 @@ final class MaterializedView private (
     val from = refreshedVersion
     val head = srcLog.currentVersion.getOrElse(
       throw new java.io.FileNotFoundException(s"source $srcRoot has no commits"))
-    val dimHead = dimLog.map(_.currentVersion.getOrElse(
+    val dimHeads = dimLogs.map(_.currentVersion.getOrElse(
       throw new java.io.FileNotFoundException("join dim has no commits")))
-    if (join.isDefined && dimHead.exists(_ != dimVersion)) {
-      // dim moved: one full recompute PINNED to the dim version the check
-      // observed (a later dim commit invalidates this one too — the next
-      // refresh's cursor mismatch catches it), then incremental resumes
-      val full = aggregated(joined(srcLog.readVersion(head), dimHead), signed = false)
+    if (joins.nonEmpty && dimHeads != dimVersions) {
+      // a dim moved: one full recompute PINNED to the dim versions the
+      // check observed (a later dim commit invalidates this one too —
+      // the next refresh's cursor mismatch catches it), then
+      // incremental resumes
+      val full = aggregated(joined(srcLog.readVersion(head), dimHeads), signed = false)
       log.commit(full, replace = true, None, Some("mvsrc" -> head.toString))
       MaterializedView.writeState(spark, mvRoot, srcRoot, groupCols, sumCols,
-        head, join, dimHead.getOrElse(-1L))
+        head, joins, dimHeads)
       return (head, srcLog.readVersion(head).count())
     }
     if (head == from) return (head, 0L)
@@ -146,8 +148,8 @@ final class MaterializedView private (
     afterStalenessCheck()
     val delta = srcLog.changesBetween(from, head)
     val deltaN = delta.count()
-    // the fold joins the dim AS OF the cursor, matching the folded state
-    val folded = aggregated(joined(delta, Some(dimVersion)), signed = true)
+    // the fold joins every dim AS OF its cursor, matching the folded state
+    val folded = aggregated(joined(delta, dimVersions), signed = true)
       .unionByName(read())
       .groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(sum(col("cnt")).as("cnt"),
@@ -158,7 +160,7 @@ final class MaterializedView private (
     // nor a concurrent refresh can double-fold the change window
     log.commit(folded, replace = true, None, Some("mvsrc" -> head.toString))
     MaterializedView.writeState(spark, mvRoot, srcRoot, groupCols, sumCols,
-      head, join, dimVersion)
+      head, joins, dimVersions)
     (head, deltaN)
   }
 }
@@ -199,23 +201,25 @@ object MaterializedView {
     }
   }
 
-  /** A view's definition: (srcRoot, groupCols, sumCols, joinSpec). */
+  /** A view's definition: (srcRoot, groupCols, sumCols, joinSpecs). */
   def definition(spark: SparkSession, mvRoot: String)
-      : (String, Seq[String], Seq[(String, String)], Option[(String, String, String)]) = {
+      : (String, Seq[String], Seq[(String, String)], Seq[(String, String, String)]) = {
     val st = readState(spark, mvRoot)
-    (st.src, st.groups, st.sums, st.join)
+    (st.src, st.groups, st.sums, st.joins)
   }
 
   /** Define + fully compute the view at the source's current version.
-    * `join = Some((dimRoot, factKey, dimKey))` defines a dim-join view:
-    * `srcRoot JOIN dimRoot ON factKey = dimKey` aggregated — the
-    * q_supplier_revenue shape maintained incrementally off the FACT
-    * feed. The key names must differ and no dim column may collide with
-    * a fact column (the join keeps both relations' columns).
+    * Each `joins` entry `(dimRoot, factKey, dimKey)` adds one star
+    * dimension: `srcRoot JOIN dim_1 ON fk_1 = dk_1 ... JOIN dim_n`
+    * aggregated — the q_supplier_revenue shape (one dim) up to the
+    * q_join_multiway star (N dims), maintained incrementally off the
+    * FACT feed. Key names must differ within each spec and no column may
+    * collide across the fact and every dim (the join keeps all
+    * relations' columns).
     */
   def create(spark: SparkSession, mvRoot: String, srcRoot: String,
       groupCols: Seq[String], sumCols: Seq[(String, String)],
-      join: Option[(String, String, String)] = None): MaterializedView = {
+      joins: Seq[(String, String, String)] = Nil): MaterializedView = {
     require(groupCols.nonEmpty, "materialized view needs group columns")
     require(sumCols.map(_._2).distinct.length == sumCols.length &&
       !sumCols.map(_._2).contains("cnt"),
@@ -223,25 +227,26 @@ object MaterializedView {
     val srcLog = new CommitLog(spark, srcRoot)
     val v = srcLog.currentVersion.getOrElse(
       throw new java.io.FileNotFoundException(s"source $srcRoot has no commits"))
-    val dimV = join.map { case (d, fk, dk) =>
+    var seenCols = srcLog.readVersion(v).columns.toSet
+    val dimVs = joins.map { case (d, fk, dk) =>
       require(fk != dk, s"join keys must differ ($fk = $dk); alias one side")
       val dl = new CommitLog(spark, d)
-      val overlap = dl.read().columns.toSet & srcLog.readVersion(v).columns.toSet
+      val overlap = dl.read().columns.toSet & seenCols
       require(overlap.isEmpty,
-        s"dim columns collide with fact columns: ${overlap.mkString(", ")}")
+        s"dim $d columns collide with fact/earlier-dim columns: ${overlap.mkString(", ")}")
+      seenCols ++= dl.read().columns.toSet
       dl.currentVersion.getOrElse(throw new java.io.FileNotFoundException(
         s"join dim $d has no commits"))
     }
-    val mv = new MaterializedView(spark, mvRoot, srcRoot, groupCols, sumCols, join)
+    val mv = new MaterializedView(spark, mvRoot, srcRoot, groupCols, sumCols, joins)
     val sums = sumCols.map { case (c, as) =>
       sum(col(s"`$c`").cast("decimal(38,6)")).as(as)
     }
-    val full = mv.joined(srcLog.readVersion(v), dimV)
+    val full = mv.joined(srcLog.readVersion(v), dimVs)
       .groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("cnt"), sums: _*)
     mv.log.commit(full, replace = true, None, Some("mvsrc" -> v.toString))
-    writeState(spark, mvRoot, srcRoot, groupCols, sumCols, v, join,
-      dimV.getOrElse(-1L))
+    writeState(spark, mvRoot, srcRoot, groupCols, sumCols, v, joins, dimVs)
     register(spark, srcRoot, mvRoot)
     mv
   }
@@ -249,7 +254,7 @@ object MaterializedView {
   /** Re-open an existing view from its sidecar (restart path). */
   def open(spark: SparkSession, mvRoot: String): MaterializedView = {
     val st = readState(spark, mvRoot)
-    new MaterializedView(spark, mvRoot, st.src, st.groups, st.sums, st.join)
+    new MaterializedView(spark, mvRoot, st.src, st.groups, st.sums, st.joins)
   }
 
   def exists(spark: SparkSession, mvRoot: String): Boolean =
@@ -257,22 +262,24 @@ object MaterializedView {
 
   private[catalog] case class MvState(src: String, groups: Seq[String],
       sums: Seq[(String, String)], version: Long,
-      join: Option[(String, String, String)], dimVersion: Long)
+      joins: Seq[(String, String, String)], dimVersions: Seq[Long])
 
   private def writeState(spark: SparkSession, mvRoot: String, srcRoot: String,
       groupCols: Seq[String], sumCols: Seq[(String, String)], v: Long,
-      join: Option[(String, String, String)] = None, dimV: Long = -1L): Unit = {
+      joins: Seq[(String, String, String)] = Nil,
+      dimVs: Seq[Long] = Nil): Unit = {
     import org.json4s.JsonDSL._
     val base =
       ("src" -> srcRoot) ~ ("groups" -> groupCols) ~
         ("sums" -> sumCols.map { case (c, as) => ("col" -> c) ~ ("as" -> as) }) ~
         ("version" -> v)
     val json = org.json4s.jackson.JsonMethods.compact(
-      org.json4s.jackson.JsonMethods.render(join match {
-        case Some((d, fk, dk)) =>
-          base ~ ("dim" -> d) ~ ("fkey" -> fk) ~ ("dkey" -> dk) ~ ("dimv" -> dimV)
-        case None => base
-      }))
+      org.json4s.jackson.JsonMethods.render(
+        if (joins.isEmpty) base
+        else base ~ ("dims" -> joins.zipWithIndex.map { case ((d, fk, dk), i) =>
+          ("dim" -> d) ~ ("fkey" -> fk) ~ ("dkey" -> dk) ~
+            ("dimv" -> dimVs.lift(i).getOrElse(-1L))
+        })))
     LogStore.write(HadoopFs.fs(spark, mvRoot), new Path(mvRoot, "_mv.json"),
       json.getBytes(StandardCharsets.UTF_8))
   }
@@ -311,13 +318,32 @@ object MaterializedView {
         }
         val v = m.get("version").collect { case org.json4s.JInt(n) => n.toLong }
           .getOrElse(throw new IllegalStateException(s"corrupt _mv.json at $mvRoot"))
-        val join = (str("dim"), str("fkey"), str("dkey")) match {
-          case (Some(d), Some(fk), Some(dk)) => Some((d, fk, dk))
-          case _ => None
+        // star format: "dims" array; legacy single-dim views wrote flat
+        // "dim"/"fkey"/"dkey"/"dimv" fields — read both
+        val (joins, dimVs) = m.get("dims") match {
+          case Some(org.json4s.JArray(ds)) =>
+            val parsed = ds.collect { case org.json4s.JObject(f) =>
+              val fm = f.toMap
+              def s(k: String) = fm.get(k).collect { case org.json4s.JString(x) => x }
+              (s("dim"), s("fkey"), s("dkey")) match {
+                case (Some(d), Some(fk), Some(dk)) =>
+                  ((d, fk, dk),
+                    fm.get("dimv").collect { case org.json4s.JInt(n) => n.toLong }
+                      .getOrElse(-1L))
+                case _ => throw new IllegalStateException(
+                  s"corrupt _mv.json dims at $mvRoot")
+              }
+            }
+            (parsed.map(_._1), parsed.map(_._2))
+          case _ => (str("dim"), str("fkey"), str("dkey")) match {
+            case (Some(d), Some(fk), Some(dk)) =>
+              (Seq((d, fk, dk)),
+                Seq(m.get("dimv").collect { case org.json4s.JInt(n) => n.toLong }
+                  .getOrElse(-1L)))
+            case _ => (Nil, Nil)
+          }
         }
-        val dimV = m.get("dimv").collect { case org.json4s.JInt(n) => n.toLong }
-          .getOrElse(-1L)
-        MvState(src, groups, sums, v, join, dimV)
+        MvState(src, groups, sums, v, joins, dimVs)
       case _ => throw new IllegalStateException(s"corrupt _mv.json at $mvRoot")
     }
   }

@@ -50,7 +50,7 @@ object CatalogSql {
       // LOADS as query time)
       val fresh =
         try s.sql(s"SELECT count(*) FROM graft.tpch.$t").head().getLong(0) ==
-          s.table(t).count()
+          sourceCount(s, d, t)
         catch { case _: Exception => false }
       if (!fresh) {
         s.sql(s"DROP TABLE IF EXISTS graft.tpch.$t")
@@ -480,7 +480,7 @@ object CatalogSql {
     val t = "orders_meta"
     val fresh =
       try s.sql(s"SELECT count(*) FROM graft.tpch.$t").head().getLong(0) ==
-        s.table("orders").count()
+        sourceCount(s, d, "orders")
       catch { case _: Exception => false }
     if (!fresh) {
       s.sql(s"DROP TABLE IF EXISTS graft.tpch.$t")
@@ -628,7 +628,7 @@ object CatalogSql {
     ensureCatalog(s, d)
     SqlSurface.registerViews(s, d, Seq("orders"))
     val t = "graft.tpch.orders_widen"
-    val want = s.table("orders").count() + 1
+    val want = sourceCount(s, d, "orders") + 1
     // freshness probes the SENTINEL too: the fixture outlives JVMs, so a
     // count-only check would keep serving a stale sentinel definition
     val fresh =
@@ -684,7 +684,7 @@ object CatalogSql {
     val view = "graft.tpch.li_mvj_v"
     val fresh =
       try s.sql(s"SELECT count(*) FROM $fact").head().getLong(0) ==
-          s.table("lineitem").count() &&
+          sourceCount(s, d, "lineitem") &&
         s.sql(s"SELECT count(*) FROM $view").head().getLong(0) > 0
       catch { case _: Exception => false }
     if (!fresh) {
@@ -723,6 +723,67 @@ object CatalogSql {
     q
   }
 
+  /** N-dim STAR materialized-view rewrite as an oracle key (round 12):
+    * lineitem's (suppkey, partkey, price) joins BOTH supplier (nationkey)
+    * and part (brand) in a `create_mv_star` view grouped by
+    * (s_nationkey, p_brand); the SAME two-dim star aggregate in SQL must
+    * plan onto the view — REFUSING any base fact scan — and its values
+    * must equal the raw three-table join oracle. At 100 TB this is the
+    * TPC-H Q5 shape answered from |nation × brand| view rows instead of
+    * a fact scan joined to two dims.
+    */
+  private def mvStar(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s, d)
+    SqlSurface.registerViews(s, d, Seq("lineitem", "supplier", "part"))
+    val fact = "graft.tpch.li_mvs"
+    val dim1 = "graft.tpch.supp_mvs"
+    val dim2 = "graft.tpch.part_mvs"
+    val view = "graft.tpch.li_mvs_v"
+    val fresh =
+      try s.sql(s"SELECT count(*) FROM $fact").head().getLong(0) ==
+          sourceCount(s, d, "lineitem") &&
+        s.sql(s"SELECT count(*) FROM $view").head().getLong(0) > 0
+      catch { case _: Exception => false }
+    if (!fresh) {
+      s.sql(s"DROP TABLE IF EXISTS $view")
+      s.sql(s"DROP TABLE IF EXISTS $fact")
+      s.sql(s"DROP TABLE IF EXISTS $dim1")
+      s.sql(s"DROP TABLE IF EXISTS $dim2")
+      s.sql(s"CREATE TABLE $fact AS SELECT l_suppkey, l_partkey, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem")
+      s.sql(s"CREATE TABLE $dim1 AS SELECT s_suppkey, s_nationkey FROM supplier")
+      s.sql(s"CREATE TABLE $dim2 AS SELECT p_partkey, p_brand FROM part")
+      s.sql("CALL graft.system.create_mv_star('tpch.li_mvs', 'tpch.li_mvs_v', " +
+        "'tpch.supp_mvs:l_suppkey:s_suppkey;tpch.part_mvs:l_partkey:p_partkey', " +
+        "'s_nationkey,p_brand', 'price:sum_price')"): Unit
+    }
+    val q = s.sql(
+      s"""SELECT s_nationkey, p_brand, count(*) AS n_rows,
+         |       CAST(sum(price) AS DOUBLE) AS sum_price
+         |FROM $fact f
+         |JOIN $dim1 s ON f.l_suppkey = s.s_suppkey
+         |JOIN $dim2 p ON f.l_partkey = p.p_partkey
+         |GROUP BY s_nationkey, p_brand
+         |ORDER BY s_nationkey, p_brand""".stripMargin)
+    val scansBase = q.queryExecution.optimizedPlan.exists {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.table match {
+          case g: graft.catalog.GraftTable => g.tableRoot.endsWith("li_mvs")
+          case _ => false
+        }
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case g: graft.catalog.GraftTable => g.tableRoot.endsWith("li_mvs")
+          case _ => false
+        }
+      case _ => false
+    }
+    require(!scansBase,
+      s"q_mv_star: expected the star-MV rewrite, got a base fact scan:\n" +
+        q.queryExecution.optimizedPlan)
+    q
+  }
+
   private def mvRollup(s: SparkSession, d: String): DataFrame = {
     ensureCatalog(s, d)
     SqlSurface.registerViews(s, d, Seq("orders"))
@@ -730,7 +791,7 @@ object CatalogSql {
     val view = "graft.tpch.orders_mv_roll_v"
     val fresh =
       try s.sql(s"SELECT count(*) FROM $src").head().getLong(0) ==
-        s.table("orders").count()
+        sourceCount(s, d, "orders")
       catch { case _: Exception => false }
     if (!fresh) {
       s.sql(s"DROP TABLE IF EXISTS $view")
@@ -807,7 +868,7 @@ object CatalogSql {
     val t = "orders_by_status"
     val fresh =
       try s.sql(s"SELECT count(*) FROM graft.tpch.$t").head().getLong(0) ==
-        s.table("orders").count()
+        sourceCount(s, d, "orders")
       catch { case _: Exception => false }
     if (!fresh) {
       s.sql(s"DROP TABLE IF EXISTS graft.tpch.$t")
@@ -923,6 +984,43 @@ object CatalogSql {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
       .orderBy("o_orderpriority")
+  }
+
+  /** Merge-on-read UPDATE (update vectors) as an oracle key
+    * ([[graft.catalog.CommitLog.updateWhereMoR]], round 12): the same
+    * selective UPDATE as `q_update_where`, but the old row positions
+    * tombstone and the corrected copies append in ONE commit — zero data
+    * files rewritten, O(rows changed) bytes written. The rollup is first
+    * computed through the MoR read (tombstones applied as the broadcast
+    * anti-join), then [[graft.catalog.CommitLog.rewriteDeletes]] folds
+    * the debt and the post-fold rollup must be IDENTICAL (the key throws
+    * otherwise); both are pinned against DuckDB's CASE-expression
+    * recompute. The 100 TB shape: a hot status-correction stream (the
+    * audit-log pattern) pays two tiny pool files per commit instead of a
+    * 128 MB file rewrite per touched row; maintenance converts the read
+    * debt back into clean scans.
+    */
+  private def updateWhereMor(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_updmor"
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    // fresh base each run — the mutation below must apply exactly once
+    log.commit(src.repartition(8), replace = true)
+    log.updateWhereMoR(
+      col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0,
+      Seq("o_orderpriority" -> lit("9-UPDATED")))
+    def rollup() = log.read().groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+    val morRows = rollup().collect().toSeq
+    log.rewriteDeletes()
+    val folded = rollup()
+    require(folded.collect().toSeq == morRows,
+      "q_update_mor: rewriteDeletes changed the visible rollup")
+    folded
   }
 
   /** CHECK-constraint write gating as an oracle key
@@ -1091,6 +1189,7 @@ object CatalogSql {
     "q_cluster_pruned" -> clusterPruned _,
     "q_check_constraint" -> checkConstraintGate _,
     "q_update_where" -> updateWhereCow _,
+    "q_update_mor" -> updateWhereMor _,
     "q_ann_ivf_persisted" -> annIvfPersisted _,
     "q_replica_parity" -> replicaParity _,
     "q_join_dpp" -> joinDpp _,
@@ -1098,6 +1197,7 @@ object CatalogSql {
     "q_mv_incremental" -> mvIncremental _,
     "q_mv_rollup" -> mvRollup _,
     "q_mv_join" -> mvJoin _,
+    "q_mv_star" -> mvStar _,
     "q_type_widen" -> typeWiden _,
     "q_count_star_meta" -> countStarMeta _,
     "q_minmax_meta" -> minmaxMeta _,
@@ -1156,6 +1256,14 @@ object CatalogSql {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "q_update_where" ->
+      """SELECT CASE WHEN o_orderstatus = 'F' AND o_totalprice > 100000.0
+        |            THEN '9-UPDATED' ELSE o_orderpriority END AS o_orderpriority,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_update_mor" ->
       """SELECT CASE WHEN o_orderstatus = 'F' AND o_totalprice > 100000.0
         |            THEN '9-UPDATED' ELSE o_orderpriority END AS o_orderpriority,
         |       count(*) AS n_rows,
@@ -1309,6 +1417,15 @@ object CatalogSql {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
+    "q_mv_star" ->
+      """SELECT s_nationkey, p_brand, count(*) AS n_rows,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY s_nationkey, p_brand
+        |ORDER BY s_nationkey, p_brand""".stripMargin,
     "q_rename_merge" ->
       """SELECT c_nationkey, count(*) AS n_cust,
         |       CAST(sum(CAST(CASE WHEN c_custkey % 97 = 0 THEN 0.0

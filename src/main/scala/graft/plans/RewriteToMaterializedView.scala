@@ -87,33 +87,44 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  /** An INNER equi-join of two catalog tables under optional attribute
-    * projections and group-commuting filters (above the join or on
-    * either side) — the dim-join view's query shape. Returns the two
-    * tables with the join-key attribute name RESOLVED to its side
-    * (left-table key first) and all collected filter conditions.
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** An INNER equi-join TREE of catalog tables under optional attribute
+    * projections and group-commuting filters (above any join or on any
+    * side) — the star view's query shape, one fact joined to N dims.
+    * Returns the leaf tables with their output sets (for resolving which
+    * side each join-key attribute belongs to), the flattened equi-join
+    * attribute pairs, and all collected filter conditions. Any non-inner
+    * join, non-equi condition, or non-catalog leaf refuses the shape.
     */
-  private def baseJoin(plan: LogicalPlan)
-      : Option[(GraftTable, GraftTable, String, String, Seq[Expression])] =
+  private def baseStar(plan: LogicalPlan): Option[(
+      Seq[(GraftTable, org.apache.spark.sql.catalyst.expressions.AttributeSet)],
+      Seq[(AttributeReference, AttributeReference)],
+      Seq[Expression])] =
     plan match {
+      case DataSourceV2Relation(t: GraftTable, _, _, _, _, _) if !t.isPinned =>
+        Some((Seq((t, plan.outputSet)), Nil, Nil))
       case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-        baseJoin(child)
+        baseStar(child)
       case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child)
           if cond.deterministic && !cond.exists(
             _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) =>
-        baseJoin(child).map { case (l, r, lk, rk, cs) => (l, r, lk, rk, cond +: cs) }
+        baseStar(child).map { case (ts, js, cs) => (ts, js, cond +: cs) }
       case org.apache.spark.sql.catalyst.plans.logical.Join(l, r,
-          org.apache.spark.sql.catalyst.plans.Inner,
-          Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
-            a: AttributeReference, b: AttributeReference)), _) =>
+          org.apache.spark.sql.catalyst.plans.Inner, Some(cond), _) =>
+        val pairs = conjuncts(cond).map {
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+              a: AttributeReference, b: AttributeReference) => (a, b)
+          case _ => return None
+        }
         for {
-          (lt, lcs) <- baseTable(l)
-          (rt, rcs) <- baseTable(r)
-          (lk, rk) <-
-            if (l.outputSet.contains(a) && r.outputSet.contains(b)) Some((a, b))
-            else if (l.outputSet.contains(b) && r.outputSet.contains(a)) Some((b, a))
-            else None
-        } yield (lt, rt, lk.name, rk.name, lcs ++ rcs)
+          (lts, ljs, lcs) <- baseStar(l)
+          (rts, rjs, rcs) <- baseStar(r)
+        } yield (lts ++ rts, ljs ++ rjs ++ pairs, lcs ++ rcs)
       case _ => None
     }
 
@@ -132,49 +143,75 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
         candidates.view.flatMap { mvRoot =>
           tryView(mvRoot, root, head, groupAttrs, aggExprs, conds)
         }.headOption
-      case None => baseJoin(child) match {
-        case Some((lt, rt, lk, rk, conds)) =>
-          val candidates = (MaterializedView.registered(spark, lt.tableRoot) ++
-            MaterializedView.registered(spark, rt.tableRoot)).distinct
+      case None => baseStar(child) match {
+        case Some((leaves, joinPairs, conds)) if leaves.size >= 2 =>
+          val candidates = leaves.flatMap(l =>
+            MaterializedView.registered(spark, l._1.tableRoot)).distinct
           candidates.view.flatMap { mvRoot =>
-            tryJoinView(mvRoot, lt, rt, lk, rk, groupAttrs, aggExprs, conds)
+            tryStarView(mvRoot, leaves, joinPairs, groupAttrs, aggExprs, conds)
           }.headOption
-        case None => None
+        case _ => None
       }
     }
   }
 
-  /** Join-view match: the query's inner equi-join must BE the view's
-    * definition (fact/dim roots and key names, either orientation), the
-    * view fresh against BOTH sides' heads — then the serve/fold logic is
-    * exactly the single-table one (the view's rows are join rows).
+  /** Star-view match: the query's inner equi-join tree must BE the
+    * view's definition — one leaf per relation (the fact + every dim
+    * root), each view join spec matched by exactly one query join pair
+    * connecting the fact's `fk` attribute to that dim's `dk` attribute
+    * (either orientation), NO unmatched join conditions left over — and
+    * the view fresh against the fact head and EVERY dim head. Then the
+    * serve/fold logic is exactly the single-table one (the view's rows
+    * are star-join rows).
     */
-  private def tryJoinView(mvRoot: String, lt: GraftTable, rt: GraftTable,
-      lk: String, rk: String, groupAttrs: Seq[AttributeReference],
+  private def tryStarView(mvRoot: String,
+      leaves: Seq[(GraftTable, org.apache.spark.sql.catalyst.expressions.AttributeSet)],
+      joinPairs: Seq[(AttributeReference, AttributeReference)],
+      groupAttrs: Seq[AttributeReference],
       aggExprs: Seq[NamedExpression], conds: Seq[Expression]): Option[LogicalPlan] = {
     if (!MaterializedView.exists(spark, mvRoot)) return None
-    val (src, groups, sums, join) =
+    val (src, groups, sums, joins) =
       try MaterializedView.definition(spark, mvRoot)
       catch { case scala.util.control.NonFatal(_) => return None }
-    val (dimRoot, fk, dk) = join.getOrElse(return None)
-    val oriented =
-      (lt.tableRoot == src && rt.tableRoot == dimRoot && lk == fk && rk == dk) ||
-        (rt.tableRoot == src && lt.tableRoot == dimRoot && rk == fk && lk == dk)
-    if (!oriented) return None
+    if (joins.isEmpty || leaves.size != joins.size + 1 ||
+      joinPairs.size != joins.size) return None
+    val factIdx = leaves.indexWhere(_._1.tableRoot == src)
+    if (factIdx < 0) return None
+    val factOut = leaves(factIdx)._2
+    // greedily bind each view dim spec to an unused leaf + unused join
+    // pair; the star is a tree, so a valid binding is unique when it
+    // exists (each pair names exactly one fact-side and one dim-side key)
+    var usedLeaves = Set(factIdx)
+    var usedPairs = Set.empty[Int]
+    joins.foreach { case (dimRoot, fk, dk) =>
+      val hit = joinPairs.zipWithIndex.collectFirst {
+        case ((a, b), pi) if !usedPairs(pi) && {
+          def binds(fa: AttributeReference, da: AttributeReference): Option[Int] =
+            if (fa.name == fk && factOut.contains(fa) && da.name == dk)
+              leaves.zipWithIndex.collectFirst {
+                case ((t, out), li) if !usedLeaves(li) &&
+                  t.tableRoot == dimRoot && out.contains(da) => li
+              }
+            else None
+          binds(a, b).orElse(binds(b, a)) match {
+            case Some(li) => usedLeaves += li; usedPairs += pi; true
+            case None => false
+          }
+        } => pi
+      }
+      if (hit.isEmpty) return None
+    }
     val factHead = new CommitLog(spark, src).currentVersion.getOrElse(return None)
-    val dimHead = new CommitLog(spark, dimRoot).currentVersion.getOrElse(return None)
     val mv = MaterializedView.open(spark, mvRoot)
-    if (mv.refreshedVersion != factHead || mv.dimVersion != dimHead) return None
+    if (mv.refreshedVersion != factHead) return None
+    val dimHeads = joins.map { case (d, _, _) =>
+      new CommitLog(spark, d).currentVersion.getOrElse(return None) }
+    if (dimHeads != mv.dimVersions) return None
     // the optimizer infers `isnotnull(<join key>)` on both sides of an
     // inner equi-join; those are IMPLIED by the join itself (the view's
     // rows already exclude null keys), so they drop rather than block.
     // Everything else must commute (group-column references only).
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
-    }
-    val keyNames = Set(lk, rk)
+    val keyNames = joins.flatMap { case (_, fk, dk) => Seq(fk, dk) }.toSet
     val real = conds.flatMap(conjuncts).filterNot {
       case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference) =>
         keyNames.contains(a.name)
@@ -188,10 +225,10 @@ class RewriteToMaterializedView(spark: SparkSession) extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression],
       conds: Seq[Expression]): Option[LogicalPlan] = {
     if (!MaterializedView.exists(spark, mvRoot)) return None
-    val (src, groups, sums, join) =
+    val (src, groups, sums, joins) =
       try MaterializedView.definition(spark, mvRoot)
       catch { case scala.util.control.NonFatal(_) => return None }
-    if (src != root || join.isDefined) return None
+    if (src != root || joins.nonEmpty) return None
     val mv = MaterializedView.open(spark, mvRoot)
     if (mv.refreshedVersion != head) return None // stale — refresh first
     planOnView(mv, groups, sums, groupAttrs, aggExprs, conds)

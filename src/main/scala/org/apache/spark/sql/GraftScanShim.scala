@@ -62,8 +62,16 @@ final class GraftForwardingScanBuilder(
       colRatio = math.max(1, requiredSchema.fields.length).toDouble / totalCols
     delegate.pruneColumns(requiredSchema)
   }
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
-    delegate.pushFilters(filters)
+  // partition filters are CONSUMED by the file index (they appear in
+  // neither pushedFilters nor the returned post-scan set), so a pruned
+  // scan must never report whole-snapshot stats — track the consumption
+  // here rather than trusting the built scan to expose it
+  private var partFiltersConsumed = false
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val postScan = delegate.pushFilters(filters)
+    if (postScan.length < filters.length) partFiltersConsumed = true
+    postScan
+  }
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     val pushed = delegate.pushAggregation(aggregation)
@@ -101,13 +109,16 @@ final class GraftForwardingScanBuilder(
           // broadcasts. Row count drops to unknown (bytes are exact per
           // file; rows per partition are not tracked here).
           case f: org.apache.spark.sql.execution.datasources.v2.FileScan
-              if f.partitionFilters.nonEmpty =>
+              if partFiltersConsumed || f.partitionFilters.nonEmpty =>
             val prunedBytes = f.fileIndex
               .listFiles(f.partitionFilters, f.dataFilters)
               .iterator.flatMap(_.files).map(_.getLen).sum
             scaled.map(s => s.copy(
               sizeInBytes = math.max(1L, (prunedBytes * colRatio).toLong),
               numRows = None))
+          // a consumed partition filter on a non-file scan leaves no way
+          // to re-list the pruned set — stand down rather than inflate
+          case _ if partFiltersConsumed => None
           case _ => scaled
         }
       }

@@ -202,4 +202,72 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM gdv.db.t WHERE k = 60").as[Long].head() == 0L)
     assert(spark.sql("SELECT count(*) AS c FROM gdv.db.t").as[Long].head() == 250L)
   }
+
+  test("MoR update tombstones old positions and appends updated copies in one commit") {
+    val log = seeded(freshRoot())
+    val before = log.files(3L)
+    val v = log.updateWhereMoR(col("k") <= 50, Seq("v" -> (col("v") + 1L)))
+    assert(v == 4L)
+    // O(rows changed) in files written: every pre-update data file is
+    // still referenced BY NAME, plus exactly the appended pool file(s)
+    // and the tombstone DV — never a rewrite of a touched 100-row file
+    assert(before.forall(log.files(v).contains),
+      "MoR update must not rewrite or drop any existing data file")
+    val appended = log.files(v).filterNot(before.contains)
+    assert(appended.nonEmpty && log.dvFiles(v).nonEmpty)
+    // read = simultaneous-assignment UPDATE semantics, old rows invisible
+    val got = log.read().select("k", "v").as[(Long, Long)].collect().toMap
+    assert(got.size == 300)
+    assert((1L to 50L).forall(k => got(k) == k * 10 + 1), s"updated rows wrong")
+    assert((51L to 300L).forall(k => got(k) == k * 10), s"untouched rows changed")
+    // no-match update commits nothing
+    assert(log.updateWhereMoR(col("k") > 10000, Seq("v" -> lit(0L))) == v)
+    // the change feed reports the update as delete+insert of exactly the
+    // matched rows (O(changes), nets correctly in incremental views)
+    val feed = log.changesBetween(3L, v)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    assert(feed == Map("delete" -> 50L, "insert" -> 50L), s"feed wrong: $feed")
+    // maintenance folds the update debt: tombstones gone, values keep
+    log.rewriteDeletes()
+    val head = log.currentVersion.get
+    assert(log.dvFiles(head).isEmpty)
+    val folded = log.read().select("k", "v").as[(Long, Long)].collect().toMap
+    assert(folded == got, "rewriteDeletes changed visible rows")
+  }
+
+  test("MoR update re-applies cleanly over existing tombstones and stacks with MoR delete") {
+    val log = seeded(freshRoot())
+    log.deleteWhereMoR(col("k") <= 20)
+    val v = log.updateWhereMoR(col("k") <= 40, Seq("v" -> lit(-1L)))
+    // rows already tombstoned are NOT resurrected by the update
+    val got = log.read().select("k", "v").as[(Long, Long)].collect().toMap
+    assert(got.size == 280 && !got.contains(1L))
+    assert((21L to 40L).forall(k => got(k) == -1L))
+    assert((41L to 300L).forall(k => got(k) == k * 10))
+    // updating an updated row tombstones the APPENDED copy, not the original
+    log.updateWhereMoR(col("v") === -1L, Seq("v" -> lit(-2L)))
+    val got2 = log.read().select("k", "v").as[(Long, Long)].collect().toMap
+    assert((21L to 40L).forall(k => got2(k) == -2L), s"re-update lost rows")
+    assert(got2.size == 280)
+    assert(v == 5L)
+  }
+
+  test("audit-log status correction over the MoR tier costs O(rows changed) files") {
+    val root = freshRoot()
+    val audit = new graft.catalog.AuditLog(spark, root)
+    (1 to 8).foreach(i => audit.append(s"req_$i", "insert", "fn",
+      Map("a" -> "b"), "{}"))
+    val log = new CommitLog(spark, root)
+    val before = log.files(log.currentVersion.get)
+    audit.setStatus("req_3", "insert", "failed", mor = true)
+    val head = log.currentVersion.get
+    // every one of the 8 appended event files is carried BY NAME — the
+    // correction wrote one tombstone + one corrected-row file
+    assert(before.forall(log.files(head).contains),
+      "MoR status correction must not rewrite any audit event file")
+    assert(log.dvFiles(head).nonEmpty)
+    val got = audit.lookup("req_3", "insert").select("status").as[String].collect()
+    assert(got.toSeq == Seq("failed"))
+    assert(audit.events.count() == 8)
+  }
 }

@@ -500,6 +500,56 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(ilog.read().select("k").as[Long].collect().toSet == expected)
   }
 
+  test("equality deletes reach rows in data files that span a column rename") {
+    import org.apache.spark.sql.functions.col
+    // files written BEFORE a rename store the old physical name `v`;
+    // a post-rename writer stores `label`. The merged data schema shows
+    // BOTH columns; the delete must kill matching rows in EITHER era
+    // (a first-present resolve left the other era's rows NULL there and
+    // resurrected them).
+    val warehouse = tmp("graft_ice_span_wh")
+    spark.conf.set("spark.sql.catalog.gisp", classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gisp.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gisp.db")
+    spark.sql("CREATE TABLE gisp.db.sp (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gisp.db.sp SELECT id AS k, concat('x', id) AS v " +
+      "FROM range(1, 11)")
+    spark.sql("ALTER TABLE gisp.db.sp RENAME COLUMN v TO label")
+    val dest = tmp("graft_ice_span_dst")
+    spark.sql(s"CALL gisp.system.export_iceberg('db.sp', '$dest')").collect()
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dest/metadata/v1.metadata.json")), "UTF-8")
+    val metaJson = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val fieldId = {
+      import scala.jdk.CollectionConverters._
+      val schemaId = metaJson.get("current-schema-id").asInt
+      metaJson.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt == schemaId).get
+        .get("fields").elements().asScala
+        .find(_.get("name").asText == "label").get.get("id").asInt
+    }
+    import spark.implicits._
+    // the post-rename era: a foreign writer lands rows 11..15 under the
+    // CURRENT name `label` (content=0 data file at seq 2)
+    val newEra = stageParquet(dest, "data-newera.parquet",
+      (11L to 15L).map(i => (i, s"x$i")).toDF("k", "label"))
+    // one equality-delete file at seq 3 naming values from BOTH eras
+    val eqDel = stageParquet(dest, "del-eq-span.parquet",
+      Seq("x3", "x12").toDF("label"))
+    appendDeleteManifest(dest, Seq(
+      DelEntry(newEra, content = 0, seq = 2L, count = 5L),
+      DelEntry(eqDel, content = 2, seq = 3L, count = 2L, ids = Seq(fieldId))))
+    val got = IcebergInterop.readIceberg(spark, dest)
+    // both eras' deleted rows are gone...
+    assert(got.select("k").as[Long].collect().toSet ==
+      ((1L to 15L).toSet -- Set(3L, 12L)),
+      "the delete must reach rows in both naming eras")
+    // ...and both eras' VALUES surface under the logical column
+    assert(got.select("label").as[String].collect().toSet ==
+      ((1L to 15L).toSet -- Set(3L, 12L)).map(i => s"x$i"),
+      "rename-spanning reads must coalesce both physical columns")
+  }
+
   test("URI normalization strips authority: column regex ≡ Path.toUri.getPath") {
     // Iceberg metadata on S3A/HDFS records fully-qualified URIs with an
     // authority (bucket, namenode); the pooled-file map in

@@ -164,7 +164,7 @@ class MaterializedViewSpec extends AnyFunSuite {
       $"id".as("pk"), concat(lit("g"), $"id" % 3).as("grp")), replace = true)
     val mvRoot = tmp("graft_mv_race")
     val mv = MaterializedView.create(spark, mvRoot, factRoot,
-      Seq("grp"), Seq("x" -> "sum_x"), Some((dimRoot, "fk", "pk")))
+      Seq("grp"), Seq("x" -> "sum_x"), Seq((dimRoot, "fk", "pk")))
     // ground truth against the PRE-commit dim (the version the cursor pins)
     def truth(dimV: Long): Map[String, (Long, BigDecimal)] =
       factLog.read().join(dimLog.readVersion(dimV), $"fk" === $"pk")

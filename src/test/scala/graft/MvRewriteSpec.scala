@@ -238,4 +238,51 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(spark.sql(q).collect().exists(_.getString(0) == "n_new"),
       "the new dim group must appear after the recompute")
   }
+
+  test("star view: a two-dim star aggregate plans onto the MV with no base scan") {
+    spark.sql("CREATE TABLE gmr.db.sf AS SELECT id % 40 AS k1, id % 7 AS k2, " +
+      "id * 3 AS amt FROM range(0, 2000)")
+    spark.sql("CREATE TABLE gmr.db.sd1 AS SELECT id AS pk1, " +
+      "concat('n', id % 5) AS nat FROM range(0, 40)")
+    spark.sql("CREATE TABLE gmr.db.sd2 AS SELECT id AS pk2, " +
+      "concat('b', id % 3) AS brand FROM range(0, 7)")
+    spark.sql("CALL gmr.system.create_mv_star('db.sf', 'db.sf_mv', " +
+      "'db.sd1:k1:pk1;db.sd2:k2:pk2', 'nat,brand', 'amt:sum_amt')")
+    val q = "SELECT nat, brand, count(*) AS n, sum(amt) AS sa FROM gmr.db.sf f " +
+      "JOIN gmr.db.sd1 d1 ON f.k1 = d1.pk1 " +
+      "JOIN gmr.db.sd2 d2 ON f.k2 = d2.pk2 GROUP BY nat, brand"
+    val rewritten = spark.sql(q)
+    assert(aggCount(rewritten) == 0,
+      s"expected star-MV rewrite, plan:\n${rewritten.queryExecution.optimizedPlan}")
+    assert(rows(rewritten) == withRewriteOff(rows(spark.sql(q))),
+      "star-MV rewrite must be value-identical to the direct star plan")
+    // dim order in the query flipped relative to the view definition
+    val q2 = "SELECT nat, brand, count(*) AS n, sum(amt) AS sa FROM gmr.db.sf f " +
+      "JOIN gmr.db.sd2 d2 ON f.k2 = d2.pk2 " +
+      "JOIN gmr.db.sd1 d1 ON f.k1 = d1.pk1 GROUP BY nat, brand"
+    assert(aggCount(spark.sql(q2)) == 0,
+      s"flipped dim order must also rewrite:\n${spark.sql(q2).queryExecution.optimizedPlan}")
+    // a rollup to one dim's group column re-aggregates the view
+    val g = spark.sql("SELECT nat, count(*) AS n, sum(amt) AS sa FROM gmr.db.sf f " +
+      "JOIN gmr.db.sd1 d1 ON f.k1 = d1.pk1 " +
+      "JOIN gmr.db.sd2 d2 ON f.k2 = d2.pk2 GROUP BY nat")
+    assert(g.queryExecution.optimizedPlan.collectLeaves().forall {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        !r.relation.table.isInstanceOf[graft.catalog.GraftTable]
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        !r.table.isInstanceOf[graft.catalog.GraftTable]
+      case _ => true
+    }, s"star rollup must read only the view:\n${g.queryExecution.optimizedPlan}")
+    assert(rows(g) == withRewriteOff(rows(g)))
+    // a PARTIAL star (one dim missing) must keep the stock plan
+    assert(aggCount(spark.sql("SELECT nat, count(*) AS n FROM gmr.db.sf f " +
+      "JOIN gmr.db.sd1 d1 ON f.k1 = d1.pk1 GROUP BY nat")) == 1,
+      "a one-dim query must not serve from the two-dim star view")
+    // a moved dim invalidates; refresh recomputes and restores the rewrite
+    spark.sql("INSERT INTO gmr.db.sd2 VALUES (99, 'bNEW')")
+    assert(aggCount(spark.sql(q)) == 1, "a moved star dim must invalidate the rewrite")
+    spark.sql("CALL gmr.system.refresh_mv('db.sf_mv')").collect()
+    assert(aggCount(spark.sql(q)) == 0, "refresh must restore the star rewrite")
+    assert(rows(spark.sql(q)) == withRewriteOff(rows(spark.sql(q))))
+  }
 }

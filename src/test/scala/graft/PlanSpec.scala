@@ -577,4 +577,76 @@ class PlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ANALYZE date histograms: disjoint o_orderdate-style ranges fix the join estimate") {
+    // Date keys are the most common lake partition/join columns and ride
+    // the numeric stats path through their epoch-day encoding: two
+    // tables whose date ranges overlap on only 1000 of 200k days must
+    // estimate the join near the truth, not at the uniform-NDV guess.
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_dhist_wh").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.dcbo", classOf[graft.catalog.GraftTableCatalog].getName)
+    s.conf.set("spark.sql.catalog.dcbo.warehouse", warehouse)
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
+    try {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS dcbo.db")
+      s.sql("CREATE TABLE dcbo.db.da AS SELECT date_add(DATE'1970-01-01', " +
+        "CAST(id AS INT)) AS dk, id AS v FROM range(0, 200000)")
+      s.sql("CREATE TABLE dcbo.db.db AS SELECT date_add(DATE'1970-01-01', " +
+        "CAST(id + 199000 AS INT)) AS dk, id AS v FROM range(0, 200000)")
+      s.sql("CALL dcbo.system.analyze('db.da')").collect()
+      s.sql("CALL dcbo.system.analyze('db.db')").collect()
+      // the histogram surfaces on the DATE column in catalyst stats
+      val dStat = s.table("dcbo.db.da").queryExecution.optimizedPlan.stats
+        .attributeStats.toSeq.find(_._1.name == "dk").map(_._2)
+      assert(dStat.exists(_.histogram.isDefined),
+        s"ANALYZE must surface an equi-height histogram on a date key: $dStat")
+      assert(dStat.exists(cs => cs.min.isDefined && cs.max.isDefined),
+        s"date key must carry a range (NullValueInterval = zero-row joins): $dStat")
+      val est = s.sql("SELECT * FROM dcbo.db.da a JOIN dcbo.db.db b ON a.dk = b.dk")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(r => r > 0 && r < BigInt(20000)),
+        s"date histogram must see the near-empty range overlap (truth 1000): $est")
+      // control: NDV+range only (no histograms) — the overlapping-range
+      // uniform estimate is ~|a|, two orders of magnitude over the truth
+      new graft.catalog.CommitLog(s, s"$warehouse/db/da").analyze(histograms = false)
+      new graft.catalog.CommitLog(s, s"$warehouse/db/db").analyze(histograms = false)
+      s.catalog.refreshTable("dcbo.db.da"); s.catalog.refreshTable("dcbo.db.db")
+      val estNdv = s.sql("SELECT * FROM dcbo.db.da a JOIN dcbo.db.db b ON a.dk = b.dk")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(estNdv.exists(_ > BigInt(50000)),
+        s"NDV-uniform control must overestimate the disjoint date join: $estNdv")
+    } finally {
+      prevActive match {
+        case Some(pv) => org.apache.spark.sql.SparkSession.setActiveSession(pv)
+        case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+      }
+    }
+  }
+
+  test("ANALYZE string stats: lexicographic bounds + count-min frequency sketch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_strstats").toString
+    val log = new graft.catalog.CommitLog(spark, root)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit, when, col}
+    // skewed status-string shape: one dominant value + a long tail
+    log.commit(spark.range(0, 10000).select(
+      when(col("id") < 9000, lit("FULFILLED"))
+        .otherwise(concat(lit("rare_"), col("id"))).as("status"),
+      col("id").as("v")), replace = true)
+    log.analyze()
+    val (_, ss) = log.analyzedStringStats().get
+    val (lo, hi, cms) = ss("status")
+    assert(lo == "FULFILLED" && hi.startsWith("rare_9"),
+      s"lexicographic bounds wrong: ($lo, $hi)")
+    val hot = cms.estimateCount("FULFILLED")
+    assert(hot >= 9000 && hot <= 9000 + 200,
+      s"sketch must count the dominant value within eps*n: $hot")
+    assert(cms.estimateCount("rare_9500") <= 200,
+      s"tail value must stay near its true count of 1")
+    // numeric min/max untouched by the string harvest
+    assert(log.analyzedMinMax().get._2("v") == ((0.0, 9999.0)))
+  }
 }
