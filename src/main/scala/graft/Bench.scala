@@ -42,18 +42,24 @@ object Bench {
           .digest(sb.toString.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(12)
       } catch { case _: Throwable => "" }
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, String) = {
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        name: String): (Double, String) = {
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column (count() would let Catalyst
       // prune the very projections being benchmarked); failures are
-      // reported as -1, not a fake fast timing
+      // reported as -1, not a fake fast timing — and NAMED on stderr
+      // (a silent -1 hides a dead SparkContext behind 40 mystery keys;
+      // `graft.ProbeKey <sf> <key>` reproduces one key with the trace)
       try {
         val df = fn(spark, sfDir)
         df.write.mode("overwrite").format("noop").save()
         val t = (System.nanoTime() - t0) / 1e9
         (t, fingerprint(df))   // planned AFTER the timed write — not billed
-      } catch { case _: Throwable => (-1.0, "") }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: " +
+          Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString)
+        (-1.0, "")
+      }
       finally spark.catalog.clearCache()   // teardown not billed to the query
     }
     // committed per-query floor from the PREVIOUS full run at the same
@@ -116,8 +122,8 @@ object Bench {
       SparkEntry.setups.get(name).foreach { su =>
         try su(spark, sfDir) catch { case _: Throwable => () }
       }
-      val (a, pa) = once(fn)
-      val (b, pb) = if (runs > 1) once(fn) else (a, pa)
+      val (a, pa) = once(fn, name)
+      val (b, pb) = if (runs > 1) once(fn, name) else (a, pa)
       val best = if (a < 0) b else if (b < 0) a else math.min(a, b)
       // 3dp: keeps the JSON line short
       (name, math.rint(best * 1000) / 1000, if (pa.nonEmpty) pa else pb)
@@ -141,7 +147,7 @@ object Bench {
       else results.collect {
         case (name, t) if t > 0.5 &&
             floor.get(name).exists(f => f > 0 && t > 3 * f) =>
-          name -> math.rint(once(SparkEntry.queries(name))._1 * 1000) / 1000
+          name -> math.rint(once(SparkEntry.queries(name), name)._1 * 1000) / 1000
       }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

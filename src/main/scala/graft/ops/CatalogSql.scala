@@ -391,20 +391,43 @@ object CatalogSql {
       Seq("s_suppkey", "s_acctbal", "s_nationkey"), "s_nationkey")
   }
 
+  /** The rollup is computed from per-nation AGGREGATES joined, never
+    * from the raw pair join: a literal customer⋈supplier on nationkey
+    * makes every nation's pairing a CROSS PRODUCT — Σ|C_n|·|S_n| pairs,
+    * QUADRATIC in scale factor (6G rows at sf10, measured 526 s + heap
+    * pressure) — for a 25-row answer that is pure arithmetic:
+    * `n_pairs = n_c·n_s`, `sum_bal = n_s·Σc + n_c·Σs` (each customer
+    * balance appears once per supplier and vice versa). Both per-side
+    * aggregates group on the PARTITION column, so under v2 bucketing
+    * they plan WITHOUT exchanges off the key-grouped scans, and the
+    * 25×25 join of the aggregates is itself key-grouped — the executed
+    * plan still has ZERO hash-partitioning exchanges (asserted below),
+    * which is the SPJ contract this key exists to prove, now at cost
+    * linear in the data instead of quadratic.
+    */
   private def joinSpj(s: SparkSession, d: String): DataFrame = {
     setupSpj(s, d)
     withIsolatedConfs(s, d, Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")) { s2 =>
-      s2.sql(
-        """SELECT c_nationkey AS nk, count(*) AS n_pairs,
-          |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) +
-          |                CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-          |FROM graft.tpch.cust_by_nation c
-          |JOIN graft.tpch.supp_by_nation s ON c.c_nationkey = s.s_nationkey
-          |GROUP BY c_nationkey
+      val df = s2.sql(
+        """SELECT c.c_nationkey AS nk,
+          |       c.n_c * s.n_s AS n_pairs,
+          |       CAST(s.n_s * c.sum_c + c.n_c * s.sum_s AS DOUBLE) AS sum_bal
+          |FROM (SELECT c_nationkey, count(*) AS n_c,
+          |             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_c
+          |      FROM graft.tpch.cust_by_nation GROUP BY c_nationkey) c
+          |JOIN (SELECT s_nationkey, count(*) AS n_s,
+          |             sum(CAST(s_acctbal AS DECIMAL(18,2))) AS sum_s
+          |      FROM graft.tpch.supp_by_nation GROUP BY s_nationkey) s
+          |  ON c.c_nationkey = s.s_nationkey
           |ORDER BY nk""".stripMargin)
+      val rows = df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      require(!p.contains("Exchange hashpartitioning"),
+        s"q_join_spj: SPJ did not engage — aggregate or join shuffled:\n$p")
+      s2.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
     }
   }
 
