@@ -264,45 +264,36 @@ object Joins {
     * nullable by NULLIFing one nation; the rollup reports the null-match
     * population beside the regular matches.
     *
-    * Scale design: a literal `<=>` join makes the NULL bucket a CROSS
-    * PRODUCT — every NULLed customer × every NULLed supplier, an
-    * intermediate quadratic in the NULL population (measured 643× on
-    * 100× data at sf10) — for a rollup whose null-group answer is pure
-    * arithmetic. So the null bucket is computed in CLOSED FORM from two
-    * per-side aggregates (count + key-sum over NULL-key rows):
-    * `n_pairs = nc·ns`, `key_sum = ns·Σc + nc·Σs` (each custkey appears
-    * once per null supplier and vice versa), cross-joined as single-row
-    * aggregates and unioned with the plain `=` join that the non-null
-    * bucket reduces to. Values are IDENTICAL to the `<=>` join (same
-    * oracle), but the worst case is now two narrow scans + one
-    * hash-partitioned equi-join — linear where the naive plan was
-    * quadratic.
+    * Scale design: a literal row-level `<=>` join is quadratic TWICE
+    * over — the NULL bucket pairs every NULLed customer with every
+    * NULLed supplier, and each non-null nation is itself an all-pairs
+    * cross product (Σ|C_k|·|S_k| grows with SF², measured 643× and
+    * then 165× on 100× data at sf10) — for a 2-row rollup that is pure
+    * arithmetic per key. So both sides AGGREGATE FIRST (count + key-sum
+    * per nullable key, one narrow scan + hash agg each), the `<=>` join
+    * runs on the |keys|-row aggregates — null-safe matching exercised
+    * exactly where the semantics live, NULL group included, still a
+    * hash-partitionable equi-join to the planner — and the pair
+    * population is recovered in CLOSED FORM: `n_pairs = n_c·n_s`,
+    * `key_sum = n_s·Σc + n_c·Σs` (each custkey appears once per
+    * matching supplier and vice versa), summed per null/non-null
+    * bucket. Values are IDENTICAL to the row-level `<=>` join (same
+    * oracle) at cost LINEAR in the data.
     */
   private def nullsafe(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).select(col("c_custkey"),
       expr("nullif(c_nationkey, 3)").as("ck"))
+      .groupBy(col("ck"))
+      .agg(count(lit(1)).as("n_c"), sum(col("c_custkey")).as("sum_c"))
     val su = supplier(s, d).select(col("s_suppkey"),
       expr("nullif(s_nationkey, 3)").as("sk"))
-    // non-null bucket: <=> on non-null keys IS plain equality
-    val matched = c.join(su, col("ck") === col("sk"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("c_custkey") + col("s_suppkey")).as("key_sum"))
-      .select(lit(false).as("null_key"), col("n_pairs"), col("key_sum"))
-      .filter(col("n_pairs") > 0)
-    // NULL bucket in closed form: all-pairs count and key-sum from one
-    // single-row aggregate per side (no quadratic intermediate)
-    val cn = c.filter(col("ck").isNull)
-      .agg(count(lit(1)).as("nc"),
-        coalesce(sum(col("c_custkey")), lit(0L)).as("sum_c"))
-    val sn = su.filter(col("sk").isNull)
-      .agg(count(lit(1)).as("ns"),
-        coalesce(sum(col("s_suppkey")), lit(0L)).as("sum_s"))
-    val nullBucket = cn.crossJoin(sn)
-      .select(lit(true).as("null_key"),
-        (col("nc") * col("ns")).as("n_pairs"),
-        (col("ns") * col("sum_c") + col("nc") * col("sum_s")).as("key_sum"))
-      .filter(col("n_pairs") > 0)
-    matched.unionAll(nullBucket).orderBy(col("null_key"))
+      .groupBy(col("sk"))
+      .agg(count(lit(1)).as("n_s"), sum(col("s_suppkey")).as("sum_s"))
+    c.join(su, col("ck") <=> col("sk"))
+      .groupBy(col("ck").isNull.as("null_key"))
+      .agg(sum(col("n_c") * col("n_s")).as("n_pairs"),
+        sum(col("n_s") * col("sum_c") + col("n_c") * col("sum_s")).as("key_sum"))
+      .orderBy(col("null_key"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
