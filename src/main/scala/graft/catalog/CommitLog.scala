@@ -3468,7 +3468,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * Returns (version analyzed, columns analyzed).
     */
   def analyze(histograms: Boolean = true, histBins: Int = 32): (Long, Int) = {
-    import org.apache.spark.sql.functions.{approx_count_distinct, array, count, count_min_sketch, max, min, percentile_approx, sum, unix_date, when}
+    import org.apache.spark.sql.functions.{approx_count_distinct, array, count, count_min_sketch, max, min, percentile_approx, sum, unix_date, unix_micros, when}
     val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
       s"analyze: no committed version under $tableRoot"))
     val df = readVersion(v)
@@ -3495,9 +3495,21 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     val dateCols: Seq[String] = df.schema.fields.collect {
       case f if f.dataType == DateType => f.name
     }.toSeq
-    val rangeCols: Seq[String] = numCols ++ dateCols
+    // timestamps encode as EPOCH MICROSECONDS — catalyst's internal
+    // TimestampType representation, which is also how FilterEstimation /
+    // join estimation convert timestamp literals to doubles, so ranges
+    // and histogram endpoints land in the same coordinate system
+    // (seconds-encoded stats would misestimate by 10^6). NTZ casts to
+    // TIMESTAMP first (numerically identical under the engine's fixed
+    // UTC session timezone).
+    val tsCols: Seq[String] = df.schema.fields.collect {
+      case f if f.dataType == TimestampType || f.dataType == TimestampNTZType => f.name
+    }.toSeq
+    val rangeCols: Seq[String] = numCols ++ dateCols ++ tsCols
     def asDouble(c: String): org.apache.spark.sql.Column =
       if (dateCols.contains(c)) unix_date(col(s"`$c`")).cast("double")
+      else if (tsCols.contains(c))
+        unix_micros(col(s"`$c`").cast("timestamp")).cast("double")
       else col(s"`$c`").cast("double")
     // string columns harvest lexicographic bounds + a count-min frequency
     // sketch (the registry/status-string shape: NDV says how many

@@ -363,7 +363,7 @@ private[catalog] object GraftProcedures {
         .add("analyzed_version", LongType).add("bloom_indexes", StringType)
         .add("ann_indexes", StringType).add("check_constraints", StringType)
         .add("clustered_by", StringType).add("partition_transforms", StringType)
-        .add("refs", StringType),
+        .add("refs", StringType).add("string_stats", StringType),
         v, log.files(v).length, log.dvFiles(v).length, bytes,
         rows.getOrElse(-1L), log.partitionColumns(v).mkString(","),
         log.analyzedStats().map(_._1).getOrElse(-1L),
@@ -381,7 +381,14 @@ private[catalog] object GraftProcedures {
         log.clusteringColumns(v).mkString(","),
         log.partitionTransforms.map(_.spec).mkString(","),
         log.refs.values.toSeq.sortBy(_.name)
-          .map(r => s"${r.name}(${r.kind}@${r.version})").mkString(","))
+          .map(r => s"${r.name}(${r.kind}@${r.version})").mkString(","),
+        // ANALYZE's string plane: lexicographic bounds per string column
+        // (the count-min frequency sketch rides the same sidecar —
+        // CommitLog.analyzedStringStats answers per-value counts)
+        log.analyzedStringStats().map(_._2.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi, _)) =>
+            s"$c['${lo.take(12)}'..'${hi.take(12)}']" }.mkString(","))
+          .getOrElse(""))
     }
   }
 

@@ -699,7 +699,7 @@ object CatalogSql {
     * star-schema rollup answered from |nations| view rows instead of a
     * fact-dim join over the full corpus.
     */
-  private def mvJoin(s: SparkSession, d: String): DataFrame = {
+  private def setupMvJoin(s: SparkSession, d: String): Unit = {
     ensureCatalog(s, d)
     SqlSurface.registerViews(s, d, Seq("lineitem", "supplier"))
     val fact = "graft.tpch.li_mvj"
@@ -721,6 +721,12 @@ object CatalogSql {
         "'tpch.li_mvj_v', 'l_suppkey', 's_suppkey', 's_nationkey', " +
         "'price:sum_price')"): Unit
     }
+  }
+
+  private def mvJoin(s: SparkSession, d: String): DataFrame = {
+    setupMvJoin(s, d)
+    val fact = "graft.tpch.li_mvj"
+    val dim = "graft.tpch.supp_mvj"
     val q = s.sql(
       s"""SELECT s_nationkey, count(*) AS n_rows,
          |       CAST(sum(price) AS DOUBLE) AS sum_price
@@ -755,7 +761,7 @@ object CatalogSql {
     * TPC-H Q5 shape answered from |nation × brand| view rows instead of
     * a fact scan joined to two dims.
     */
-  private def mvStar(s: SparkSession, d: String): DataFrame = {
+  private def setupMvStar(s: SparkSession, d: String): Unit = {
     ensureCatalog(s, d)
     SqlSurface.registerViews(s, d, Seq("lineitem", "supplier", "part"))
     val fact = "graft.tpch.li_mvs"
@@ -780,6 +786,13 @@ object CatalogSql {
         "'tpch.supp_mvs:l_suppkey:s_suppkey;tpch.part_mvs:l_partkey:p_partkey', " +
         "'s_nationkey,p_brand', 'price:sum_price')"): Unit
     }
+  }
+
+  private def mvStar(s: SparkSession, d: String): DataFrame = {
+    setupMvStar(s, d)
+    val fact = "graft.tpch.li_mvs"
+    val dim1 = "graft.tpch.supp_mvs"
+    val dim2 = "graft.tpch.part_mvs"
     val q = s.sql(
       s"""SELECT s_nationkey, p_brand, count(*) AS n_rows,
          |       CAST(sum(price) AS DOUBLE) AS sum_price
@@ -1247,6 +1260,8 @@ object CatalogSql {
   val setups: Map[String, (SparkSession, String) => Unit] = Map(
     "q_join_spj" -> setupSpj _,
     "q_join_spj_bucket" -> setupSpjBucket _,
+    "q_mv_join" -> setupMvJoin _,
+    "q_mv_star" -> setupMvStar _,
   )
 
   val oracle: Map[String, String] = Map(

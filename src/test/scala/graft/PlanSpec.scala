@@ -626,6 +626,46 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ANALYZE timestamp ranges ride catalyst's epoch-micros coordinate system") {
+    // the stat min/max for a TimestampType key must be EPOCH MICROS —
+    // catalyst converts timestamp literals/values through their internal
+    // micros representation, so a seconds-encoded stat misestimates by
+    // 10^6. Disjoint hour ranges must estimate the join near zero.
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_tshist_wh").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.tcbo", classOf[graft.catalog.GraftTableCatalog].getName)
+    s.conf.set("spark.sql.catalog.tcbo.warehouse", warehouse)
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
+    try {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS tcbo.db")
+      s.sql("CREATE TABLE tcbo.db.ta AS SELECT timestamp_micros(CAST(id * 1000000 AS BIGINT)) " +
+        "AS tk, id AS v FROM range(0, 100000)")
+      s.sql("CREATE TABLE tcbo.db.tb AS SELECT timestamp_micros(CAST((id + 99000) * 1000000 AS BIGINT)) " +
+        "AS tk, id AS v FROM range(0, 100000)")
+      s.sql("CALL tcbo.system.analyze('db.ta')").collect()
+      s.sql("CALL tcbo.system.analyze('db.tb')").collect()
+      val tStat = s.table("tcbo.db.ta").queryExecution.optimizedPlan.stats
+        .attributeStats.toSeq.find(_._1.name == "tk").map(_._2)
+      assert(tStat.exists(cs => cs.min.isDefined && cs.histogram.isDefined),
+        s"ANALYZE must surface range + histogram on a timestamp key: $tStat")
+      // the served min must be micros-scaled (~0), the max ~1e11 micros —
+      // a seconds encoding would cap at ~2e5 and break interval math
+      assert(tStat.exists(_.max.exists(_.toString.toDouble > 1e10)),
+        s"timestamp stats must be epoch-MICROS-encoded: ${tStat.map(_.max)}")
+      val est = s.sql("SELECT * FROM tcbo.db.ta a JOIN tcbo.db.tb b ON a.tk = b.tk")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(est.exists(r => r > 0 && r < BigInt(10000)),
+        s"timestamp histogram must see the near-empty overlap (truth 1000): $est")
+    } finally {
+      prevActive match {
+        case Some(pv) => org.apache.spark.sql.SparkSession.setActiveSession(pv)
+        case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+      }
+    }
+  }
+
   test("ANALYZE string stats: lexicographic bounds + count-min frequency sketch") {
     val root = java.nio.file.Files.createTempDirectory("graft_strstats").toString
     val log = new graft.catalog.CommitLog(spark, root)
