@@ -28,7 +28,7 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta",
-      "export_iceberg", "import_iceberg", "rewrite_deletes", "history",
+      "export_iceberg", "import_iceberg", "rewrite_deletes", "update_where", "history",
       "materialize_mapping", "analyze", "clone", "build_bloom_index",
       "create_mv", "create_mv_join", "create_mv_star", "refresh_mv", "detail", "replicate",
       "build_ann_index",
@@ -46,6 +46,7 @@ private[catalog] object GraftProcedures {
     case "export_iceberg"  => new ExportIceberg(cat)
     case "import_iceberg"  => new ImportIceberg(cat)
     case "rewrite_deletes" => new RewriteDeletes(cat)
+    case "update_where"    => new UpdateWhere(cat)
     case "history"         => new History(cat)
     case "materialize_mapping" => new MaterializeMapping(cat)
     case "analyze"         => new Analyze(cat)
@@ -656,6 +657,52 @@ private[catalog] object GraftProcedures {
       }
       result(new StructType().add("version", LongType)
         .add("files_referenced", IntegerType), v, log.files(v).length)
+    }
+  }
+
+  /** `CALL graft.system.update_where('db.t', '<predicate>',
+    * 'col = expr; col2 = expr2', 'mor'|'cow')` — the SQL surface of the
+    * tiered UPDATE plane. `cow` rewrites only the touched files
+    * ([[CommitLog.updateWhere]], the default, same engine as SQL
+    * UPDATE's row-level rewrite); `mor` writes update VECTORS
+    * ([[CommitLog.updateWhereMoR]]): old positions tombstone + corrected
+    * copies append in ONE atomic commit — O(rows changed) bytes, the
+    * tier frequent small updates need at 100 TB, folded back by
+    * `rewrite_deletes`. Predicate and set-expressions are Spark SQL
+    * expression strings evaluated against the original row
+    * (simultaneous-assignment semantics); set entries split on ';' so
+    * expressions may contain commas.
+    */
+  private final class UpdateWhere(cat: GraftTableCatalog)
+    extends Proc("update_where", Seq(in("table", StringType),
+      in("predicate", StringType), in("sets", StringType),
+      in("mode", StringType))) {
+    override def description(): String =
+      "tiered UPDATE: mode=cow rewrites touched files; mode=mor writes " +
+        "update vectors (tombstones + corrected copies, one atomic commit, " +
+        "O(rows changed) bytes; rewrite_deletes folds the debt)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession,
+        cat.rootOf(input.getUTF8String(0).toString))
+      val cond = org.apache.spark.sql.functions.expr(
+        input.getUTF8String(1).toString)
+      val sets = input.getUTF8String(2).toString.split(';').map(_.trim).toSeq
+        .filter(_.nonEmpty).map { a =>
+          a.split("=", 2) match {
+            case Array(c, e) if c.trim.nonEmpty && e.trim.nonEmpty =>
+              c.trim -> org.apache.spark.sql.functions.expr(e.trim)
+            case _ => throw new IllegalArgumentException(
+              s"update_where: sets entries are 'col = expression', got '$a'")
+          }
+        }
+      require(sets.nonEmpty, "update_where: empty set list")
+      val v = input.getUTF8String(3).toString.toLowerCase(java.util.Locale.ROOT) match {
+        case "mor" => log.updateWhereMoR(cond, sets)
+        case "cow" => log.updateWhere(cond, sets)
+        case other => throw new IllegalArgumentException(
+          s"update_where: mode is 'cow' or 'mor', got '$other'")
+      }
+      result(new StructType().add("version", LongType), v)
     }
   }
 

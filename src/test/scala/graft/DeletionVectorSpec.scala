@@ -270,4 +270,38 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("failed"))
     assert(audit.events.count() == 8)
   }
+
+  test("CALL update_where drives both UPDATE tiers from the SQL surface") {
+    val warehouse = freshRoot()
+    spark.conf.set("spark.sql.catalog.gupd", classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gupd.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gupd.db")
+    spark.sql("CREATE TABLE gupd.db.u AS SELECT id AS k, id * 10 AS v, " +
+      "concat('s', id % 3) AS tag FROM range(0, 300)")
+    val log = new CommitLog(spark, s"$warehouse/db/u")
+    val before = log.files(log.currentVersion.get)
+    // MoR tier: tombstones + corrected copies, no file rewritten
+    spark.sql("CALL gupd.system.update_where('db.u', 'k < 50 AND tag = ''s0''', " +
+      "'v = v + 1; tag = upper(tag)', 'mor')").collect()
+    val head = log.currentVersion.get
+    assert(before.forall(log.files(head).contains), "mor tier rewrote a file")
+    assert(log.dvFiles(head).nonEmpty)
+    val got = spark.sql("SELECT k, v, tag FROM gupd.db.u ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 300)
+    got.foreach { case (k, v, tag) =>
+      if (k < 50 && k % 3 == 0) assert(v == k * 10 + 1 && tag == "S0", s"row $k wrong")
+      else assert(v == k * 10 && tag == s"s${k % 3}", s"untouched row $k changed")
+    }
+    // CoW tier from the same surface; simultaneous-assignment swap
+    spark.sql("CALL gupd.system.update_where('db.u', 'k = 100', " +
+      "'v = k; k = v', 'cow')").collect()
+    val r100 = spark.sql("SELECT k, v FROM gupd.db.u WHERE k = 1000").collect()
+    assert(r100.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1000L, 100L)),
+      "cow tier must apply simultaneous-assignment SET semantics")
+    // the debt folds
+    spark.sql("CALL gupd.system.rewrite_deletes('db.u')").collect()
+    assert(log.dvFiles(log.currentVersion.get).isEmpty)
+    assert(spark.sql("SELECT count(*) FROM gupd.db.u").head().getLong(0) == 300)
+  }
 }
