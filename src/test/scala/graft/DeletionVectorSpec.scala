@@ -304,4 +304,38 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(log.dvFiles(log.currentVersion.get).isEmpty)
     assert(spark.sql("SELECT count(*) FROM gupd.db.u").head().getLong(0) == 300)
   }
+
+  test("MoR update on a hive-partitioned table re-files partition-column SETs") {
+    val root = freshRoot()
+    val log = new CommitLog(spark, root)
+    val df = (1L to 300L).toDF("k")
+      .withColumn("v", col("k") * 10L)
+      .withColumn("grp", concat(lit("g"), col("k") % 3))
+    log.commitPartitioned(df, Seq("grp"), replace = true)
+    val before = log.files(log.currentVersion.get)
+    // SET touches the PARTITION column: corrected copies must land under
+    // their NEW partition directory while old positions tombstone
+    val v = log.updateWhereMoR(col("k") <= 30, Seq("grp" -> lit("gX")))
+    assert(before.forall(log.files(v).contains),
+      "partitioned MoR update must not rewrite any existing data file")
+    val moved = log.files(v).filterNot(before.contains)
+    assert(moved.nonEmpty && moved.forall(_.contains("grp=gX")),
+      s"corrected copies must re-file under the new partition dir: $moved")
+    val got = log.read().select("k", "grp").as[(Long, String)].collect().toMap
+    assert(got.size == 300)
+    assert((1L to 30L).forall(k => got(k) == "gX"))
+    assert((31L to 300L).forall(k => got(k) == s"g${k % 3}"))
+    // equivalence: the CoW tier over an identical table yields the same
+    // snapshot, and folding the MoR debt converges them byte-for-byte
+    val root2 = freshRoot()
+    val log2 = new CommitLog(spark, root2)
+    log2.commitPartitioned(df, Seq("grp"), replace = true)
+    log2.updateWhere(col("k") <= 30, Seq("grp" -> lit("gX")))
+    def snap(l: CommitLog) = l.read().select("k", "v", "grp")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(snap(log) == snap(log2), "MoR and CoW tiers must agree")
+    log.rewriteDeletes()
+    assert(log.dvFiles(log.currentVersion.get).isEmpty)
+    assert(snap(log) == snap(log2), "the fold must preserve the snapshot")
+  }
 }
