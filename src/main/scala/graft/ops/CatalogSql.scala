@@ -1059,6 +1059,46 @@ object CatalogSql {
     folded
   }
 
+  /** Merge-on-read MERGE as an oracle key
+    * ([[graft.catalog.CommitLog.mergeMoR]], round 13): same data contract
+    * as [[mergeUpsert]] — orders lands with `%3 != 0` keys, an upsert
+    * batch of every even key (price +10000) applies, matched rows update
+    * and new keys insert — but through merge VECTORS: the matched
+    * positions tombstone and the batch appends in ONE commit, zero data
+    * files rewritten. The rollup is computed through the MoR read, then
+    * [[graft.catalog.CommitLog.rewriteDeletes]] folds the debt and the
+    * post-fold rollup must be IDENTICAL (the key throws otherwise); both
+    * are pinned against the same closed-form DuckDB recompute as the CoW
+    * twin. The 100 TB shape: a continuously-applied CDC upsert pays two
+    * small pool files per batch instead of a 128 MB rewrite per touched
+    * file; maintenance converts the read debt back into clean scans.
+    */
+  private def mergeMor(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_mergemor"
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    // fresh base each run — the upsert below must apply exactly once
+    log.commit(src.filter(col("o_orderkey") % 3 =!= 0).repartition(8), replace = true)
+    log.mergeMoR(
+      src.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10000.0),
+      "o_orderkey")
+    def rollup() = log.read().agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      sum(col("o_custkey")).as("sum_cust"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    val morRow = rollup().collect().toSeq
+    log.rewriteDeletes()
+    val folded = rollup()
+    require(folded.collect().toSeq == morRow,
+      "q_merge_mor: rewriteDeletes changed the visible rollup")
+    folded
+  }
+
   /** CHECK-constraint write gating as an oracle key
     * ([[graft.catalog.CommitLog.addConstraint]], round 10): orders lands
     * in a commit-log table, `price_pos: o_totalprice > 0` is declared
@@ -1242,6 +1282,7 @@ object CatalogSql {
     "q_join_spj_bucket" -> joinSpjBucket _,
     "q_meta_partitions" -> metaPartitions _,
     "q_merge_upsert" -> mergeUpsert _,
+    "q_merge_mor" -> mergeMor _,
     "q_delete_where" -> deleteWhereCow _,
     "q_clone_shallow" -> cloneShallow _,
     "q_sql_catalog_table" -> sqlCatalogTable _,
@@ -1395,6 +1436,15 @@ object CatalogSql {
         |FROM orders o
         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey""".stripMargin,
     "q_merge_upsert" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(CAST(CASE WHEN o_orderkey % 2 = 0
+        |                          THEN o_totalprice + 10000.0
+        |                          ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0""".stripMargin,
+    "q_merge_mor" ->
       """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |       CAST(sum(CAST(CASE WHEN o_orderkey % 2 = 0

@@ -19,13 +19,21 @@ import graft.Tables._
   *    100 TB the feed is touched once and both shuffles share the key.
   *  - `q_scd2_ranges` is a single `lead()` window per business key: one
   *    shuffle, O(1) state per row — the standard scalable SCD2 build.
-  *  - `q_join_interval` is interval×interval overlap WITHOUT an equi-key:
-  *    the all-pairs theta join Spark would otherwise plan is replaced by
-  *    month-bin expansion + equi-join on the bin, each overlapping pair
-  *    counted exactly once in the bin of its greatest lower bound (that
-  *    bin is always covered by both intervals, so no distinct needed).
-  *    Bin fan-out is bounded by interval length (≤3 months here), so the
-  *    join stays hash-partitioned at any corpus size.
+  *  - `q_join_interval` is interval×interval overlap WITHOUT an equi-key,
+  *    but its OUTPUT is only the per-order overlap COUNT — so no pair row
+  *    ever needs to exist. Inclusion–exclusion over 1-D ranks:
+  *    `overlap(a) = #{b_lo <= a_hi} − #{b_hi < a_lo}` (every excluded b
+  *    has b_lo <= b_hi < a_lo <= a_hi, so the subtracted set is a subset
+  *    of the first — the two terms never double-count). Each term is a
+  *    lookup into a dense-calendar cumulative histogram of b's interval
+  *    endpoints: b collapses to one hash aggregation over ~2.5k distinct
+  *    dates (calendar-bounded, NOT data-bounded), the cumulative sum runs
+  *    over that tiny dimension, and the result broadcasts onto the
+  *    filtered orders — one narrow map per side, zero pair rows, at any
+  *    corpus size. The month-binned equi-join that previously produced
+  *    the pairs survives as [[intervalJoinBinned]], pinned against this
+  *    arithmetic plan in the test suite so the row-level execution path
+  *    itself stays covered.
   *  - `q_win_interpolate` gap-fills a per-group hourly series and
   *    linearly interpolates missing points: grid generation is a narrow
   *    per-group `sequence` explode (one row per group carries the span),
@@ -81,13 +89,75 @@ object Temporal {
   /** Count, per urgent order (deterministic ~3% key sample), the returned line items
     * whose ship window [l_shipdate, l_shipdate + quantity days] overlaps
     * the order's fulfillment window [o_orderdate, o_orderdate + 14 days].
-    * No equi-key exists between the two interval sets, so the scalable
-    * plan expands each interval to the calendar months it covers and
-    * equi-joins on the month; a pair is counted in exactly one bin — the
-    * month of `greatest(lo_a, lo_b)`, which both intervals cover whenever
-    * they overlap — so no post-join distinct is needed.
+    *
+    * The count is computed WITHOUT materializing a single pair row:
+    * `overlap(a) = #{b: b_lo <= a_hi} − #{b: b_hi < a_lo}` — the second
+    * set is a subset of the first (b_lo <= b_hi < a_lo <= a_hi), so the
+    * subtraction is exact inclusion–exclusion. Both terms are reads of a
+    * cumulative endpoint histogram over a dense calendar whose size is
+    * bounded by the date span (~2.5k days here), never by |B|: b is
+    * collapsed in ONE scan (each row contributes its two endpoints via a
+    * 2-element struct explode) to per-date counts, cumulated with a
+    * single-partition window over the tiny calendar, and broadcast onto
+    * the filtered orders. Orders with zero overlaps are dropped to match
+    * the inner-join oracle.
     */
   private def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val a = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") % 31 === 0)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("a_lo"),
+        date_add(col("o_orderdate").cast("date"), 14).as("a_hi"))
+    val b = lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_shipdate").cast("date").as("b_lo"),
+        date_add(col("l_shipdate").cast("date"),
+          col("l_quantity").cast("int")).as("b_hi"))
+    // one scan of b → per-date endpoint counts (calendar-bounded keyspace)
+    val ends = b
+      .select(explode(array(
+        struct(col("b_lo").as("d"), lit(1L).as("n_lo"), lit(0L).as("n_hi")),
+        struct(col("b_hi").as("d"), lit(0L).as("n_lo"), lit(1L).as("n_hi")))).as("e"))
+      .groupBy(col("e.d").as("d"))
+      .agg(sum(col("e.n_lo")).as("n_lo"), sum(col("e.n_hi")).as("n_hi"))
+    // dense calendar covering every date either cumulative is probed at
+    // (union of the two tiny endpoint sets, one global agg — no join)
+    val span = ends.select(col("d").as("lo"), col("d").as("hi"))
+      .unionAll(a.select(date_sub(col("a_lo"), 1).as("lo"), col("a_hi").as("hi")))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+    // materialized eagerly (it's calendar-sized) so the two broadcast
+    // probes share ONE computation — without it each BroadcastExchange
+    // re-executes the lineitem scan + histogram under its own pruning
+    val cum = span
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+      .join(ends, Seq("d"), "left")
+      .select(col("d"),
+        sum(coalesce(col("n_lo"), lit(0L)))
+          .over(Window.orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_lo_le"),
+        sum(coalesce(col("n_hi"), lit(0L)))
+          .over(Window.orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_hi_le"))
+      .localCheckpoint()
+    a.join(broadcast(cum.as("cl")), col("a_hi") === col("cl.d"))
+      .join(broadcast(cum.as("ch")), date_sub(col("a_lo"), 1) === col("ch.d"))
+      .select(col("o_orderkey"),
+        (col("cl.cum_lo_le") - col("ch.cum_hi_le")).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .orderBy("o_orderkey")
+  }
+
+  /** The retired month-binned pairs plan for the interval overlap —
+    * kept (suite-only, not a bench key) so a genuine row-level
+    * interval-join execution stays pinned against [[intervalJoin]]'s
+    * rank arithmetic. Expands each interval to the calendar months it
+    * covers and equi-joins on the month; a pair lands in exactly one
+    * bin — the month of `greatest(lo_a, lo_b)`, covered by both
+    * intervals whenever they overlap — so no post-join distinct.
+    */
+  private[graft] def intervalJoinBinned(s: SparkSession, d: String): DataFrame = {
     def withBins(df: DataFrame, lo: String, hi: String): DataFrame =
       df.withColumn("bin",
         explode(sequence(trunc(col(lo), "month"), trunc(col(hi), "month"),

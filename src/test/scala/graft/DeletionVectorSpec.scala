@@ -235,6 +235,51 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(folded == got, "rewriteDeletes changed visible rows")
   }
 
+  test("MoR merge tombstones matched keys and appends the batch in one commit") {
+    val log = seeded(freshRoot())
+    val before = log.files(3L)
+    // 21 key updates (40..60) + 20 new-key inserts (301..320), one batch
+    val batch = ((40L to 60L) ++ (301L to 320L)).toDF("k")
+      .withColumn("v", lit(-1L))
+    val v = log.mergeMoR(batch, "k")
+    assert(v == 4L)
+    // O(rows in the batch) in files written: every pre-merge data file is
+    // still referenced BY NAME plus the appended pool file(s) and the
+    // tombstone DV — never a rewrite of a touched file (the CoW tier's cost)
+    assert(before.forall(log.files(v).contains),
+      "MoR merge must not rewrite or drop any existing data file")
+    assert(log.files(v).exists(!before.contains(_)) && log.dvFiles(v).nonEmpty)
+    val got = log.read().select("k", "v").as[(Long, Long)].collect().toMap
+    assert(got.size == 320)
+    assert(((40L to 60L) ++ (301L to 320L)).forall(k => got(k) == -1L),
+      "merged rows wrong")
+    assert(((1L to 39L) ++ (61L to 300L)).forall(k => got(k) == k * 10),
+      "untouched rows changed")
+    // empty batch commits nothing
+    assert(log.mergeMoR(batch.limit(0), "k") == v)
+    // duplicate keys in the batch are rejected whole
+    intercept[IllegalArgumentException] {
+      log.mergeMoR(batch.unionAll(batch.limit(1)), "k")
+    }
+    // the change feed nets the merge as delete of the 21 replaced rows +
+    // insert of all 41 applied rows — no special casing for merge_mor
+    val feed = log.changesBetween(3L, v)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    assert(feed == Map("delete" -> 21L, "insert" -> 41L), s"feed wrong: $feed")
+    // re-merging the same keys tombstones the APPENDED copies, not the originals
+    log.mergeMoR(batch.withColumn("v", lit(-2L)), "k")
+    val got2 = log.read().select("k", "v").as[(Long, Long)].collect().toMap
+    assert(got2.size == 320 &&
+      ((40L to 60L) ++ (301L to 320L)).forall(k => got2(k) == -2L),
+      "re-merge lost or duplicated rows")
+    // maintenance folds the merge debt: tombstones gone, values keep
+    log.rewriteDeletes()
+    val head = log.currentVersion.get
+    assert(log.dvFiles(head).isEmpty)
+    val folded = log.read().select("k", "v").as[(Long, Long)].collect().toMap
+    assert(folded == got2, "rewriteDeletes changed visible rows")
+  }
+
   test("MoR update re-applies cleanly over existing tombstones and stacks with MoR delete") {
     val log = seeded(freshRoot())
     log.deleteWhereMoR(col("k") <= 20)

@@ -388,16 +388,36 @@ class PlanSpec extends AnyFunSuite {
       s"exactly one keyed shuffle (the agg); apply join must reuse/broadcast:\n$p")
   }
 
-  test("q_join_interval: overlap join is an equi-join on the month bin, never a nested loop") {
-    // interval×interval with no natural equi-key: the month-bin expansion
-    // must give the planner a hash key; a BNLJ/cartesian here is the
-    // all-pairs shape that dies at 100×
+  test("q_join_interval: overlap counts come from rank arithmetic — b is aggregated before any join") {
+    // the output is per-order COUNTS, so no pair row may exist: lineitem
+    // must collapse to the endpoint histogram (a hash aggregation) below
+    // every join, and the probes onto orders must broadcast the tiny
+    // cumulative calendar — any pairs-producing plan (month-bin equi-join
+    // included) carries a quadratic-in-density intermediate at 100×
     val p = planStr(q("q_join_interval"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"interval join fell back to all-pairs:\n$p")
-    val joinLine = p.linesIterator.find(l => joinNodes.findFirstIn(l).nonEmpty)
-      .getOrElse(sys.error(s"no join node:\n$p"))
-    assert(joinLine.contains("[bin#"), s"join not keyed on the bin:\n$joinLine")
+    // the histogram is materialized once (calendar-sized localCheckpoint)
+    // before the probe plan is built, so lineitem must not appear under
+    // any join — the only relation rows flowing through a join are orders
+    assert(!p.contains("lineitem"),
+      s"lineitem rows reached the probe join — pairs plan is back:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"cumulative calendar should be the pre-materialized histogram:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"cumulative-calendar probes onto orders must broadcast:\n$p")
+  }
+
+  test("q_join_interval: rank arithmetic matches the retired row-level binned pairs join") {
+    // keeps a genuine row-level interval-join execution pinned: the
+    // month-binned equi-join materializes every overlapping pair and must
+    // produce exactly the counts the closed-form plan derives
+    val fast = q("q_join_interval").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = graft.ops.Temporal.intervalJoinBinned(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.nonEmpty, "interval join returned no rows at test SF")
+    assert(fast.toSeq == pairs.toSeq,
+      s"arithmetic plan diverged from the pairs join: ${fast.toSeq.diff(pairs.toSeq).take(5)}")
   }
 
   test("catalog tables report exact stats; a 5-way join broadcasts every small side unhinted") {
