@@ -142,13 +142,17 @@ private[graft] final class GraftMicroBatchStream(
       if (removed.nonEmpty) throw new IllegalStateException(
         s"streaming $tableName: commits ($s, $e] removed ${removed.size} " +
           "data file(s) (replace / DELETE / compact / optimize). The graft " +
-          "streaming source tails APPEND commits; set ignoreChanges=true to " +
-          "receive only added files (rewritten rows may re-emit), or consume " +
-          "point-in-time diffs via CommitLog.changesBetween.")
+          "streaming source tails APPEND commits; stream the tagged change " +
+          s"feed instead (readStream.table(\"$tableName.changes\")), set " +
+          "ignoreChanges=true to receive only added files (rewritten rows " +
+          "may re-emit), or consume point-in-time diffs via " +
+          "CommitLog.changesBetween.")
       if ((dvAfter -- dvBefore).nonEmpty) throw new IllegalStateException(
         s"streaming $tableName: commits ($s, $e] added merge-on-read " +
           "deletion vectors, which an insert-only stream cannot express. " +
-          "Fold them in (CALL <catalog>.system.rewrite_deletes) or set " +
+          "Stream the tagged change feed instead " +
+          s"(readStream.table(\"$tableName.changes\")), fold them in " +
+          "(CALL <catalog>.system.rewrite_deletes), or set " +
           "ignoreChanges=true to skip delete propagation.")
     }
     // manifest order (stable across the two reads: carried lines precede

@@ -28,7 +28,8 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "compact", "vacuum", "restore", "export_delta", "import_delta",
-      "export_iceberg", "import_iceberg", "rewrite_deletes", "update_where", "history",
+      "export_iceberg", "import_iceberg", "rewrite_deletes", "update_where",
+      "delete_where", "commit_all", "history",
       "materialize_mapping", "analyze", "clone", "build_bloom_index",
       "create_mv", "create_mv_join", "create_mv_star", "refresh_mv", "detail", "replicate",
       "build_ann_index",
@@ -47,6 +48,8 @@ private[catalog] object GraftProcedures {
     case "import_iceberg"  => new ImportIceberg(cat)
     case "rewrite_deletes" => new RewriteDeletes(cat)
     case "update_where"    => new UpdateWhere(cat)
+    case "delete_where"    => new DeleteWhere(cat)
+    case "commit_all"      => new CommitAll(cat)
     case "history"         => new History(cat)
     case "materialize_mapping" => new MaterializeMapping(cat)
     case "analyze"         => new Analyze(cat)
@@ -703,6 +706,87 @@ private[catalog] object GraftProcedures {
           s"update_where: mode is 'cow' or 'mor', got '$other'")
       }
       result(new StructType().add("version", LongType), v)
+    }
+  }
+
+  /** `CALL graft.system.delete_where('db.t', '<predicate>', 'cow'|'mor')`
+    * — the SQL surface of the tiered DELETE plane, parity with
+    * [[UpdateWhere]]. `cow` rewrites only the files containing a match
+    * ([[CommitLog.deleteWhere]], same engine as SQL DELETE's row-level
+    * rewrite); `mor` records (file, position) tombstones
+    * ([[CommitLog.deleteWhereMoR]]) — O(rows deleted) bytes, zero data
+    * files rewritten, the tier frequent small deletes (GDPR erasure
+    * drips, late retractions) need at 100 TB; `rewrite_deletes` folds
+    * the debt.
+    */
+  private final class DeleteWhere(cat: GraftTableCatalog)
+    extends Proc("delete_where", Seq(in("table", StringType),
+      in("predicate", StringType), in("mode", StringType))) {
+    override def description(): String =
+      "tiered DELETE: mode=cow rewrites touched files; mode=mor records " +
+        "position tombstones (O(rows deleted) bytes, one atomic commit; " +
+        "rewrite_deletes folds the debt)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession,
+        cat.rootOf(input.getUTF8String(0).toString))
+      val cond = org.apache.spark.sql.functions.expr(
+        input.getUTF8String(1).toString)
+      val v = input.getUTF8String(2).toString.toLowerCase(java.util.Locale.ROOT) match {
+        case "mor" => log.deleteWhereMoR(cond)
+        case "cow" => log.deleteWhere(cond)
+        case other => throw new IllegalArgumentException(
+          s"delete_where: mode is 'cow' or 'mor', got '$other'")
+      }
+      result(new StructType().add("version", LongType), v)
+    }
+  }
+
+  /** `CALL graft.system.commit_all('db.entity,db.audit', 'v_ent,v_aud',
+    * 'append,append')` — the SQL surface of [[CrossTableTxn.commitAll]]:
+    * each source (a temp view or any readable table) commits into its
+    * target table, and ALL the commits become visible atomically or none
+    * do (presumed-abort 2PC decided by one put-if-absent file under the
+    * first table's `_xtxn/`). This is the reference's R18 shape — entity
+    * row + audit event from one handler — reachable from the SQL front
+    * door like every other write-plane feature. `modes` entries are
+    * `append` or `replace`, one per table (or one value for all).
+    */
+  private final class CommitAll(cat: GraftTableCatalog)
+    extends Proc("commit_all", Seq(in("tables", StringType),
+      in("sources", StringType), in("modes", StringType))) {
+    override def description(): String =
+      "atomic cross-table transaction: commit each source into its table, " +
+        "all visible together or none (CrossTableTxn 2PC; entity+audit shape)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = cat.sparkSession
+      val tables = input.getUTF8String(0).toString.split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val sources = input.getUTF8String(1).toString.split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val modes0 = input.getUTF8String(2).toString.split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      require(tables.nonEmpty && sources.length == tables.length,
+        s"commit_all: ${tables.length} table(s) but ${sources.length} source(s)")
+      val modes =
+        if (modes0.length == 1) Seq.fill(tables.length)(modes0.head)
+        else modes0
+      require(modes.length == tables.length,
+        s"commit_all: ${tables.length} table(s) but ${modes.length} mode(s)")
+      val writes = tables.lazyZip(sources).lazyZip(modes).map { (t, src, m) =>
+        val replace = m.toLowerCase(java.util.Locale.ROOT) match {
+          case "append"  => false
+          case "replace" => true
+          case other => throw new IllegalArgumentException(
+            s"commit_all: mode is 'append' or 'replace', got '$other'")
+        }
+        (new CommitLog(spark, cat.rootOf(t)), spark.table(src), replace)
+      }
+      val coordDir = new org.apache.hadoop.fs.Path(
+        cat.rootOf(tables.head), "_xtxn").toString
+      val vs = CrossTableTxn.commitAll(spark, coordDir, writes)
+      resultRows(new StructType()
+        .add("table", StringType).add("version", LongType),
+        tables.lazyZip(vs).map((t, v) => Seq(t, v)))
     }
   }
 

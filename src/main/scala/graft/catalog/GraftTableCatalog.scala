@@ -245,12 +245,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   private def metadataTable(ident: Identifier): Option[Table] = {
     val ns = ident.namespace()
     val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
-    if (ns.length == 2 && GraftMetadataTable.Kinds.contains(kind)) {
+    if (ns.length == 2 &&
+        (GraftMetadataTable.Kinds.contains(kind) || kind == "changes")) {
       val parent = Identifier.of(Array(ns(0)), ns(1))
-      if (tableExists(parent))
+      if (!tableExists(parent)) None
+      // `<t>.changes` — the streaming change feed (readStream.table),
+      // not a manifest-sized local view like the other suffixes
+      else if (kind == "changes")
+        Some(new GraftChangesTable(spark, s"${fullName(parent)}.changes",
+          tableRoot(parent).toString, loadTable(parent).schema()))
+      else
         Some(new GraftMetadataTable(spark,
           s"${fullName(parent)}.$kind", tableRoot(parent).toString, kind))
-      else None
     } else None
   }
 
@@ -266,6 +272,10 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       // ignore the pin)
       metadataTable(ident) match {
         case Some(_) =>
+          if (ident.name().equalsIgnoreCase("changes"))
+            throw new IllegalArgumentException(
+              "the .changes feed does not time-travel — its offsets ARE " +
+                "commit versions; start a fresh checkpoint instead")
           val parent = Identifier.of(Array(ident.namespace()(0)), ident.namespace()(1))
           val v = try version.toLong catch {
             case _: NumberFormatException => throw new IllegalArgumentException(

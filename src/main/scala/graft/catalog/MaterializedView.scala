@@ -140,7 +140,12 @@ final class MaterializedView private (
       log.commit(full, replace = true, None, Some("mvsrc" -> head.toString))
       MaterializedView.writeState(spark, mvRoot, srcRoot, groupCols, sumCols,
         head, joins, dimHeads)
-      return (head, srcLog.readVersion(head).count())
+      // rows-processed from the manifest's commit-time row tags — the
+      // recompute above already scanned the source once; paying a SECOND
+      // full scan for a return value doubles every dim-move refresh at
+      // 100 TB. −1 when an untagged (pre-tag era) or tombstoned snapshot
+      // leaves the exact count unknowable from metadata.
+      return (head, srcLog.snapshotStats(head)._2.getOrElse(-1L))
     }
     if (head == from) return (head, 0L)
     require(head > from, s"source $srcRoot went backwards ($from -> $head); " +

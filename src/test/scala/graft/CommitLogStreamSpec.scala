@@ -191,6 +191,69 @@ class CommitLogStreamSpec extends AnyFunSuite {
     assert(msg.contains("no longer available") && msg.contains("vacuum"), msg)
   }
 
+  test("change feed streams append + CoW delete + MoR update as tagged batches, exactly-once") {
+    import org.apache.spark.sql.functions.{col, lit}
+    spark.sql("CREATE TABLE gs.db.cdf (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gs.db.cdf VALUES (1, 'a'), (2, 'b')")   // v1
+    val (out, cp) = (tmp("graft_sink"), tmp("graft_cp"))
+
+    // initial load: the full snapshot streams as inserts stamped v1
+    runOnce("gs.db.cdf.changes", out, cp)
+    def rows() = spark.read.parquet(out)
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(rows().toSet == Set((1L, "a", "insert", 1L), (2L, "b", "insert", 1L)),
+      rows().toString)
+
+    // consumer offline: a CoW DELETE (v2) and a MoR UPDATE (v3) land —
+    // exactly the commits the insert-only table tail refuses
+    spark.sql("DELETE FROM gs.db.cdf WHERE k = 1")
+    val log = new graft.catalog.CommitLog(spark, s"$warehouse/db/cdf")
+    log.updateWhereMoR(col("k") === 2L, Seq("v" -> lit("B")))
+
+    // the restarted feed drains BOTH as per-version tagged batches; the
+    // raw rows are CoW-file-granular (an untouched survivor file emits
+    // nothing; a rewritten one re-lists survivors as delete+insert
+    // pairs — the documented contract), so assert the per-version NET
+    runOnce("gs.db.cdf.changes", out, cp)
+    val later = rows().filter(_._4 > 1L)
+    assert(later.groupBy(identity).forall(_._2.size == 1), s"duplicates: $later")
+    def netAt(v: Long) = later.filter(_._4 == v)
+      .groupBy(r => (r._1, r._2)).view.mapValues(g =>
+        g.count(_._3 == "insert") - g.count(_._3 == "delete"))
+      .filter(_._2 != 0).toMap
+    assert(netAt(2L) == Map((1L, "a") -> -1), s"CoW delete net wrong: $later")
+    assert(netAt(3L) == Map((2L, "b") -> -1, (2L, "B") -> 1),
+      s"MoR update net wrong: $later")
+
+    // idle restart emits nothing (exactly-once across the checkpoint)
+    val drained = rows().size
+    runOnce("gs.db.cdf.changes", out, cp)
+    assert(rows().size == drained, rows().toString)
+
+    // replaying inserts minus deletes reconstructs the visible table
+    val net = rows().groupBy(r => (r._1, r._2)).view.mapValues(g =>
+      g.count(_._3 == "insert") - g.count(_._3 == "delete")).toMap
+    val visible = net.collect { case ((k, v), n) if n > 0 => (k, v) }.toSet
+    assert(visible == Set((2L, "B")), net.toString)
+  }
+
+  test("change feed batch read refuses; time travel on .changes refuses") {
+    spark.sql("CREATE TABLE gs.db.cdfb (k BIGINT)")
+    spark.sql("INSERT INTO gs.db.cdfb VALUES (1)")
+    // batch capability is not declared, so Spark refuses at analysis —
+    // point-in-time batch diffs live on CALL table_changes instead
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gs.db.cdfb.changes").collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("does not support batch scan"),
+      e.getMessage)
+    val t = intercept[Exception] {
+      spark.sql("SELECT * FROM gs.db.cdfb.changes VERSION AS OF 1").collect()
+    }
+    assert(String.valueOf(t.getMessage).contains("commit versions"), t.getMessage)
+  }
+
   test("first batch is the full snapshot; version offsets appear in the checkpoint") {
     spark.sql("CREATE TABLE gs.db.snap (k BIGINT)")
     spark.sql("INSERT INTO gs.db.snap VALUES (1)")

@@ -350,6 +350,39 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gupd.db.u").head().getLong(0) == 300)
   }
 
+  test("CALL delete_where drives both DELETE tiers from the SQL surface") {
+    val warehouse = freshRoot()
+    spark.conf.set("spark.sql.catalog.gdel", classOf[graft.catalog.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdel.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdel.db")
+    spark.sql("CREATE TABLE gdel.db.d AS SELECT id AS k, id * 10 AS v " +
+      "FROM range(0, 300)")
+    val log = new CommitLog(spark, s"$warehouse/db/d")
+    val before = log.files(log.currentVersion.get)
+    // MoR tier: position tombstones only — every data file carries by name
+    spark.sql("CALL gdel.system.delete_where('db.d', 'k < 50', 'mor')").collect()
+    val head = log.currentVersion.get
+    assert(before.forall(log.files(head).contains), "mor tier rewrote a file")
+    assert(log.dvFiles(head).nonEmpty)
+    assert(spark.sql("SELECT count(*) FROM gdel.db.d").head().getLong(0) == 250L)
+    // CoW tier from the same surface: matching files rewrite, DV count unchanged
+    spark.sql("CALL gdel.system.delete_where('db.d', 'k >= 290', 'cow')").collect()
+    val head2 = log.currentVersion.get
+    assert(log.dvFiles(head2).size == log.dvFiles(head).size,
+      "cow tier must not add tombstones")
+    assert(spark.sql("SELECT count(*) FROM gdel.db.d").head().getLong(0) == 240L)
+    // the MoR debt folds and the visible rows keep
+    spark.sql("CALL gdel.system.rewrite_deletes('db.d')").collect()
+    assert(log.dvFiles(log.currentVersion.get).isEmpty)
+    val ks = spark.sql("SELECT k FROM gdel.db.d").as[Long].collect().sorted
+    assert(ks.toSeq == (50L until 290L).toSeq)
+    // mode is validated
+    val bad = intercept[Exception] {
+      spark.sql("CALL gdel.system.delete_where('db.d', 'k = 1', 'zap')").collect()
+    }
+    assert(String.valueOf(bad.getMessage).contains("'cow' or 'mor'"), bad.getMessage)
+  }
+
   test("MoR update on a hive-partitioned table re-files partition-column SETs") {
     val root = freshRoot()
     val log = new CommitLog(spark, root)

@@ -195,6 +195,37 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(viewState(mv).keySet == Set("gNEW"))
   }
 
+  test("dim-move recompute reports rows from manifest tags — never a second source scan") {
+    val factRoot = tmp("graft_mv_1scan_f")
+    val dimRoot = tmp("graft_mv_1scan_d")
+    val factLog = new CommitLog(spark, factRoot)
+    val dimLog = new CommitLog(spark, dimRoot)
+    factLog.commit(spark.range(0, 100).select(
+      ($"id" % 10).as("fk"), ($"id" * 1.0).cast("double").as("x")), replace = true)
+    dimLog.commit(spark.range(0, 10).select(
+      $"id".as("pk"), concat(lit("g"), $"id" % 3).as("grp")), replace = true)
+    val mv = MaterializedView.create(spark, tmp("graft_mv_1scan"), factRoot,
+      Seq("grp"), Seq("x" -> "sum_x"), Seq((dimRoot, "fk", "pk")))
+    // clean-manifest dim move: the reported count must equal the
+    // manifest's commit-time row tags (metadata, not a scan)
+    dimLog.commit(spark.range(0, 10).select(
+      $"id".as("pk"), lit("gA").as("grp")), replace = true)
+    assert(mv.refresh() == (factLog.currentVersion.get, 100L))
+    // tombstoned source: exact visible rows are NOT knowable from the
+    // manifest — a metadata answer must say so (−1), while a hidden
+    // second scan would "helpfully" return the exact 99. The sentinel IS
+    // the proof the second scan is gone.
+    factLog.deleteWhereMoR($"fk" === 0L && $"x" === 0.0)
+    dimLog.commit(spark.range(0, 10).select(
+      $"id".as("pk"), lit("gB").as("grp")), replace = true)
+    val (v, n) = mv.refresh()
+    assert(v == factLog.currentVersion.get && n == -1L,
+      s"dim-move refresh over a tombstoned source must report -1 (metadata), got $n")
+    // and the recomputed view itself is still exact
+    assert(viewState(mv).keySet == Set("gB"))
+    assert(viewState(mv)("gB")._1 == 99L)
+  }
+
   test("update-in-place (merge) nets out through delete+insert change rows") {
     val (srcLog, srcRoot) = freshSource()
     val mv = MaterializedView.create(spark, tmp("graft_mv"), srcRoot,

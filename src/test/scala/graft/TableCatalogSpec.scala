@@ -323,6 +323,45 @@ class TableCatalogSpec extends AnyFunSuite {
       .collect().toSeq == Seq((1L, "a"), (2L, "b!")))
   }
 
+  test("CALL commit_all: atomic two-table write; a bounced second write aborts whole") {
+    // the reference's R18 shape (entity row + audit event per handler)
+    // from the SQL front door: both land together or neither does
+    spark.sql("CREATE TABLE g.db.xt_ent (k BIGINT, v STRING)")
+    spark.sql("CREATE TABLE g.db.xt_aud (req STRING, price DOUBLE)")
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("xt_src_ent")
+    Seq(("r1", 10.0)).toDF("req", "price").createOrReplaceTempView("xt_src_aud")
+    val rows = spark.sql("CALL g.system.commit_all('db.xt_ent,db.xt_aud', " +
+      "'xt_src_ent,xt_src_aud', 'append')").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_._1).toSet == Set("db.xt_ent", "db.xt_aud"), rows.toSeq)
+    assert(spark.sql("SELECT count(*) FROM g.db.xt_ent").head().getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM g.db.xt_aud").head().getLong(0) == 1L)
+
+    // crash seam through SQL: a CHECK constraint bounces the SECOND
+    // write AFTER the first's pending publish — the presumed-abort
+    // decision must keep the first table's content invisible
+    spark.sql("CALL g.system.add_constraint('db.xt_aud', 'price_pos', 'price > 0')")
+    spark.conf.set("spark.graft.xtxn.graceMs", "50")
+    try {
+      Seq((2L, "b")).toDF("k", "v").createOrReplaceTempView("xt_src_ent2")
+      Seq(("r2", -5.0)).toDF("req", "price").createOrReplaceTempView("xt_src_aud_bad")
+      val boom = intercept[Exception] {
+        spark.sql("CALL g.system.commit_all('db.xt_ent,db.xt_aud', " +
+          "'xt_src_ent2,xt_src_aud_bad', 'append')").collect()
+      }
+      assert(String.valueOf(boom.getMessage).contains("price_pos"), boom.getMessage)
+      assert(spark.sql("SELECT count(*) FROM g.db.xt_ent").head().getLong(0) == 1L,
+        "half-committed txn content leaked through the SQL surface")
+      assert(spark.sql("SELECT count(*) FROM g.db.xt_aud").head().getLong(0) == 1L)
+      // and the same pair commits cleanly afterwards
+      Seq(("r2", 5.0)).toDF("req", "price").createOrReplaceTempView("xt_src_aud_ok")
+      spark.sql("CALL g.system.commit_all('db.xt_ent,db.xt_aud', " +
+        "'xt_src_ent2,xt_src_aud_ok', 'append')").collect()
+      assert(spark.sql("SELECT count(*) FROM g.db.xt_ent").head().getLong(0) == 2L)
+      assert(spark.sql("SELECT count(*) FROM g.db.xt_aud").head().getLong(0) == 2L)
+    } finally spark.conf.unset("spark.graft.xtxn.graceMs")
+  }
+
   test("catalog writes and commit-log DataFrame API see one log") {
     spark.sql("CREATE TABLE g.db.shared (k BIGINT, v STRING)")
     spark.sql("INSERT INTO g.db.shared VALUES (1, 'sql')")
