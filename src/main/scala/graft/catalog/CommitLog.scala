@@ -448,14 +448,25 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           case (k, s) => k -> org.json4s.JString(s) })))
 
   /** Headers that must outlive a replace/compaction: applied-batch
-    * memory (`#txn:`), declared CHECK constraints (`#check:`), and the
-    * declared clustering spec (`#cluster:`). Everything else (partition
-    * spec, cursors, clone provenance) is re-derived or re-declared by
-    * the rewriting operation itself.
+    * memory (`#txn:`), declared CHECK constraints (`#check:`), the
+    * declared clustering spec (`#cluster:`), and the transform
+    * partition spec of record (`#ptspec:`). The ptspec carry keeps the
+    * spec of record IN THE MANIFEST across maintenance replaces
+    * (compact's tombstoned fold, optimize, fast-forward): dropping it
+    * would demote the spec back to the write-behind `_ptspec.json`
+    * sidecar, re-opening the crash window the header closes (a
+    * transform REPLACE whose sidecar write crashed leaves the OLD spec
+    * in the sidecar — a later compact must not resurrect it). A
+    * transform replace that DECLARES a new spec supersedes the carried
+    * line via `extraHeader` ([[commitTransformed]]); the `#partition:`
+    * raw-layout header is intentionally NOT carried — each replace
+    * re-declares its own physical layout. Everything else (cursors,
+    * clone provenance) is re-derived or re-declared by the rewriting
+    * operation itself.
     */
   private def replaceCarried(prev: Seq[String]): Seq[String] =
     prev.filter(l => l.startsWith("#txn:") || l.startsWith("#check:") ||
-      l.startsWith("#cluster:"))
+      l.startsWith("#cluster:") || l.startsWith("#ptspec:"))
 
   // ---- operation tags ------------------------------------------------------
 
@@ -2132,10 +2143,15 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     require(RefName.matches(name),
       s"ref name '$name' must match ${RefName.regex} (start with a letter)")
 
+  // in-flight branch-create claims (see [[createBranch]]'s two-phase
+  // publish); never listed as refs
+  private def pendingRefsDir = new Path(refsDir, ".pending")
+
   /** All named refs of this table. */
   def refs: Map[String, RefInfo] =
     if (!hfs.exists(refsDir)) Map.empty
-    else hfs.listStatus(refsDir).toSeq.flatMap(st => ref(st.getPath.getName))
+    else hfs.listStatus(refsDir).toSeq.filter(_.isFile)
+      .flatMap(st => ref(st.getPath.getName))
       .map(r => r.name -> r).toMap
 
   /** One named ref, if it exists. */
@@ -2233,36 +2249,64 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (hdr.nonEmpty)
         bl.publish(2, bl.stamped("clone", hdr ++ bl.manifestLines(1))): Unit
     } catch { case e: Throwable => dropTmp(); throw e }
-    hfs.mkdirs(refsDir)
-    if (!store.putIfAbsent(new Path(refsDir, name),
+    // Two-phase publish so a visible ref ALWAYS implies its root exists
+    // (readers never race the rename): (1) an atomic PENDING claim under
+    // `_refs/.pending/` makes the shared branch root exclusively ours,
+    // (2) the fully-built clone renames into place, (3) the real ref
+    // publishes LAST. Every step is putIfAbsent/rename — no torn writes.
+    // A crashed creator's claim ages out with its tmp dir (sweep above).
+    hfs.mkdirs(pendingRefsDir)
+    val claim = new Path(pendingRefsDir, name)
+    if (!store.putIfAbsent(claim,
         s"branch\t$v".getBytes(StandardCharsets.UTF_8))) {
       dropTmp()
       throw new IllegalArgumentException(
-        s"createBranch: ref '$name' already exists under $tableRoot")
+        s"createBranch: a create of '$name' is already in flight under " +
+          s"$tableRoot (a crashed creator's claim ages out within an hour)")
     }
-    // Holding the ref, the final root is exclusively ours. Final-root
+    // Holding the claim, the final root is exclusively ours. Final-root
     // markers land BEFORE the rename so vacuum protection never lapses
     // (the tmp markers still resolve until the swap completes); a
     // ref-less orphan dir from a crashed creator clears here, under the
-    // ref, where no live create can be inside it.
+    // claim, where no live create can be inside it.
     roots.foreach(registerCloneAt(_, root.toString))
     if (hfs.exists(root)) hfs.delete(root, true)
     if (!hfs.rename(tmp, root)) {
       roots.foreach(deregisterCloneAt(_, root.toString))
       dropTmp()
-      hfs.delete(new Path(refsDir, name), false): Unit
+      hfs.delete(claim, false): Unit
       throw new java.io.IOException(
         s"createBranch: could not move $tmp into place as $root")
     }
     roots.foreach(deregisterCloneAt(_, tmp.toString))
+    // root complete and in place: publish the ref (a tag created under
+    // the same name while we built loses us the race — roll back fully)
+    hfs.mkdirs(refsDir)
+    if (!store.putIfAbsent(new Path(refsDir, name),
+        s"branch\t$v".getBytes(StandardCharsets.UTF_8))) {
+      roots.foreach(deregisterCloneAt(_, root.toString))
+      hfs.delete(root, true): Unit
+      hfs.delete(claim, false): Unit
+      throw new IllegalArgumentException(
+        s"createBranch: ref '$name' already exists under $tableRoot")
+    }
+    hfs.delete(claim, false): Unit
     v
   }
 
-  /** Remove `.tmp-*` branch-clone dirs older than an hour (a live
-    * [[createBranch]] completes in seconds; an aged tmp is a crashed
-    * creator), retiring the clone markers they registered.
+  /** Remove `.tmp-*` branch-clone dirs and `.pending` create claims
+    * older than an hour (a live [[createBranch]] completes in seconds;
+    * an aged tmp or claim is a crashed creator), retiring the clone
+    * markers the tmp dirs registered.
     */
   private def sweepBranchTmp(): Unit = {
+    if (hfs.exists(pendingRefsDir)) {
+      val claimCutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      hfs.listStatus(pendingRefsDir).foreach { st =>
+        if (st.isFile && st.getModificationTime <= claimCutoff)
+          hfs.delete(st.getPath, false): Unit
+      }
+    }
     val dir = new Path(tableRoot, "_branches")
     if (!hfs.exists(dir)) return
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
@@ -2292,27 +2336,21 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   /** The commit log of a branch — the write handle for the audit stage
     * of write-audit-publish.
     *
-    * [[createBranch]] registers the ref (the atomic name claim) BEFORE
-    * renaming its fully-built tmp clone into the branch root, so a
-    * reader racing the create can resolve the ref a beat before the
-    * root exists — a seconds-bounded transient (the clone is already
-    * complete; only the rename is pending). Tolerate it here with a
-    * brief bounded wait instead of failing a read that is about to be
-    * valid; a root still missing after the wait is a real orphan
-    * (crashed creator) and errors loudly.
+    * [[createBranch]] publishes the ref LAST (after the fully-built
+    * clone renames into the branch root), so a visible branch ref
+    * always implies its root exists — no reader ever waits on a rename
+    * in flight. A ref over a missing root is therefore a real
+    * inconsistency (manual deletion, partial restore) and errors
+    * loudly, immediately.
     */
   def branchLog(name: String): CommitLog = {
     val r = ref(name).getOrElse(throw new IllegalArgumentException(
       s"branchLog: no ref '$name' under $tableRoot"))
     require(r.kind == "branch", s"branchLog: ref '$name' is a ${r.kind}")
     val root = branchDir(name)
-    var waited = 0L
-    while (!hfs.exists(root) && waited < 5000L) {
-      Thread.sleep(100L); waited += 100L
-    }
     if (!hfs.exists(root)) throw new IllegalStateException(
       s"branchLog: ref '$name' exists but its root $root does not — " +
-        "a crashed create left an orphan ref; drop the ref and re-create")
+        "the root was removed out-of-band; drop the ref and re-create")
     new CommitLog(spark, root.toString)
   }
 

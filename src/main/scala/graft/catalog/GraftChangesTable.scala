@@ -208,6 +208,12 @@ private[graft] final class GraftChangeFeedStream(
         st.getPath.getName.split('_') match {
           case Array(_, hi) if scala.util.Try(hi.toLong).toOption.exists(_ <= e) =>
             f.delete(st.getPath, true): Unit
+          // a crashed stager's tmp dir (lost its rename or died mid-write)
+          // ages out here rather than leaking forever; an hour bounds any
+          // live stage at this data volume
+          case parts if parts.length >= 2 && parts(1) == "tmp" &&
+              st.getModificationTime <= System.currentTimeMillis() - 60L * 60 * 1000 =>
+            f.delete(st.getPath, true): Unit
           case _ => ()
         }
       }

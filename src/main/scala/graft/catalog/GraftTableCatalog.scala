@@ -864,7 +864,12 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
             schema.fieldNames.contains(t.src) =>
           Some((t.src, t.arg.toInt, spark))
         case _ => None
-      })
+      },
+      // per-filter consumption tracking: only absorbed filters touching
+      // these columns mean the file index pruned (a fully-absorbed DATA
+      // filter must not discard exact stats)
+      partitionColNames =
+        partCols.toSet ++ log.partitionTransforms.map(_.derivedName))
   }
 
   private sealed trait WriteMode

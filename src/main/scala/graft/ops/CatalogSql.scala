@@ -405,6 +405,27 @@ object CatalogSql {
     * which is the SPJ contract this key exists to prove, now at cost
     * linear in the data instead of quadratic.
     */
+  /** Row-level twin of [[joinSpj]], NOT a timed key: executes the
+    * genuine per-nation cross-product join over the raw tables and rolls
+    * the pairs up to the identical 25-row answer — kept so the row-level
+    * join execution stays pinned in the suite (PlanSpec asserts value
+    * equality with the closed-form plan) after the timed key moved to
+    * per-side aggregates. Quadratic at scale by construction; test SF
+    * only.
+    */
+  private[graft] def joinSpjRowLevel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val c = graft.Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_acctbal").cast("decimal(18,2)").as("cb"))
+    val su = graft.Tables.supplier(s, d)
+      .select(col("s_nationkey"), col("s_acctbal").cast("decimal(18,2)").as("sb"))
+    c.join(su, col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cb") + col("sb")).cast("double").as("sum_bal"))
+      .orderBy("nk")
+  }
+
   private def joinSpj(s: SparkSession, d: String): DataFrame = {
     setupSpj(s, d)
     withIsolatedConfs(s, d, Seq(

@@ -280,6 +280,27 @@ object Joins {
     * bucket. Values are IDENTICAL to the row-level `<=>` join (same
     * oracle) at cost LINEAR in the data.
     */
+  /** Row-level twin of [[nullsafe]], NOT a timed key: executes the
+    * genuine many-to-many `<=>` join (every NULLed customer × every
+    * NULLed supplier, plus the per-nation cross products) and rolls the
+    * pairs up to the identical 2-row answer. Kept so the row-level
+    * null-safe join EXECUTION path stays pinned in the suite (PlanSpec
+    * asserts value equality with the closed-form plan) after the timed
+    * key moved to aggregate-first arithmetic — fine at test SF,
+    * quadratic at scale by construction.
+    */
+  private[graft] def nullsafeRowLevel(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_custkey"),
+      expr("nullif(c_nationkey, 3)").as("ck"))
+    val su = supplier(s, d).select(col("s_suppkey"),
+      expr("nullif(s_nationkey, 3)").as("sk"))
+    c.join(su, col("ck") <=> col("sk"))
+      .groupBy(col("ck").isNull.as("null_key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c_custkey") + col("s_suppkey")).as("key_sum"))
+      .orderBy(col("null_key"))
+  }
+
   private def nullsafe(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).select(col("c_custkey"),
       expr("nullif(c_nationkey, 3)").as("ck"))

@@ -41,7 +41,8 @@ final class GraftForwardingScanBuilder(
     batchRefusal: Option[String] = None,
     totalCols: Int = 0,
     keyedSession: Option[SparkSession] = None,
-    bucketKeyed: Option[(String, Int, SparkSession)] = None)
+    bucketKeyed: Option[(String, Int, SparkSession)] = None,
+    partitionColNames: Set[String] = Set.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters
@@ -65,11 +66,21 @@ final class GraftForwardingScanBuilder(
   // partition filters are CONSUMED by the file index (they appear in
   // neither pushedFilters nor the returned post-scan set), so a pruned
   // scan must never report whole-snapshot stats — track the consumption
-  // here rather than trusting the built scan to expose it
+  // here rather than trusting the built scan to expose it. Tracked
+  // PER-FILTER by identity: a delegate that fully absorbs a DATA filter
+  // also shortens the post-scan set, and that absorption must not
+  // discard exact stats (Spark retains pushed data predicates in the
+  // Filter node above the scan, so whole-snapshot stats stay right);
+  // only an absorbed filter touching a declared partition (or derived
+  // `_p_*` layout) column means the file index pruned.
   private var partFiltersConsumed = false
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val postScan = delegate.pushFilters(filters)
-    if (postScan.length < filters.length) partFiltersConsumed = true
+    val kept = postScan.toSet
+    val absorbed = filters.filterNot(kept)
+    if (absorbed.exists(_.references.exists(a =>
+        partitionColNames.exists(_.equalsIgnoreCase(a.name)))))
+      partFiltersConsumed = true
     postScan
   }
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters

@@ -198,4 +198,37 @@ class PartitionTransformSpec extends AnyFunSuite {
       after == 1, "equality pruning must survive the DV fold")
     assert(log.readWhere(col("k") === 42L).select("v").as[Double].head() == 42.0)
   }
+
+  test("maintenance replaces carry the #ptspec: header past a stale sidecar") {
+    // The crash window the manifest header exists to close: a transform
+    // REPLACE publishes the new spec in the manifest, then crashes before
+    // the write-behind _ptspec.json refresh — the sidecar still holds the
+    // OLD spec. Every later maintenance replace (compact's tombstoned
+    // fold here) must keep the header as the spec of record; dropping it
+    // would resurrect the stale sidecar spec and disagree with the laid-
+    // out data.
+    val root = freshRoot("pt_stale_sidecar")
+    val log = new CommitLog(spark, root)
+    log.commitTransformed(daysDf, Seq("days(ts)"), replace = false)
+    // simulate the crashed sidecar refresh: overwrite it with a spec that
+    // does NOT match the committed layout
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.catalog.LogStore.write(fs,
+      new org.apache.hadoop.fs.Path(root, "_ptspec.json"),
+      """[{"kind":"bucket","src":"k","srcType":"bigint","arg":4}]"""
+        .getBytes("UTF-8"))
+    // tombstoned fold forces compact's full partitioned rewrite — the
+    // replace path that used to drop the header
+    log.deleteWhereMoR(col("k") === 1L): Unit
+    log.compact(): Unit
+    val head = log.currentVersion.get
+    assert(log.headerOf(head, "ptspec").nonEmpty,
+      "compact's replace must carry the #ptspec: header")
+    assert(log.partitionTransforms.map(_.spec) == Seq("day(ts)"),
+      "the manifest header, not the stale sidecar, is the spec of record")
+    assert(log.files(head).forall(_.contains("_p_day_ts=")),
+      "fold must keep the day layout the header declares")
+    assert(log.read().count() == 5)
+  }
 }

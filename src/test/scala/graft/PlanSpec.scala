@@ -420,6 +420,32 @@ class PlanSpec extends AnyFunSuite {
       s"arithmetic plan diverged from the pairs join: ${fast.toSeq.diff(pairs.toSeq).take(5)}")
   }
 
+  test("q_join_nullsafe: closed-form pair arithmetic matches the row-level <=> join") {
+    // keeps a genuine many-to-many null-safe-equality join execution
+    // pinned after the timed key moved to aggregate-first arithmetic:
+    // the row-level <=> join (NULL bucket included) must produce exactly
+    // the (n_pairs, key_sum) rollup the closed form derives
+    val fast = q("q_join_nullsafe").collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2)))
+    val rows = graft.ops.Joins.nullsafeRowLevel(spark, sfDir).collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2)))
+    assert(fast.length == 2, s"expected the 2-row null/non-null rollup: ${fast.toSeq}")
+    assert(fast.toSeq == rows.toSeq,
+      s"closed form diverged from the row-level <=> join: " +
+        s"${fast.toSeq} vs ${rows.toSeq}")
+  }
+
+  test("q_join_spj: closed-form pair arithmetic matches the row-level nation join") {
+    val fast = q("q_join_spj").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val rows = graft.ops.CatalogSql.joinSpjRowLevel(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(fast.nonEmpty, "SPJ rollup returned no rows at test SF")
+    assert(fast.toSeq == rows.toSeq,
+      s"closed form diverged from the row-level join: " +
+        s"${fast.toSeq.diff(rows.toSeq).take(3)}")
+  }
+
   test("catalog tables report exact stats; a 5-way join broadcasts every small side unhinted") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft_cbo_wh").toString
     spark.conf.set("spark.sql.catalog.cbo", classOf[graft.catalog.GraftTableCatalog].getName)

@@ -218,4 +218,35 @@ class RefsSpec extends AnyFunSuite {
     assert(markers.exists(_.endsWith("_branches/audit")), markers.toString)
     assert(!markers.exists(_.contains(".tmp-")), markers.toString)
   }
+
+  test("ref publishes last: a visible branch ref always implies its root") {
+    val root = freshRoot("refs_order")
+    val log = new CommitLog(spark, root)
+    log.commit(Seq((1L, "a")).toDF("k", "s"), replace = false)
+    val fs = graft.catalog.HadoopFs.fs(spark, root)
+    // a crashed creator's claim (post-claim, pre-rename crash) blocks a
+    // fresh create of the same name...
+    val claim = new Path(root, "_refs/.pending/wap")
+    fs.mkdirs(claim.getParent)
+    LogStore.write(fs, claim, "branch\t1".getBytes("UTF-8"))
+    val err = intercept[IllegalArgumentException] { log.createBranch("wap") }
+    assert(err.getMessage.contains("in flight"), err.getMessage)
+    assert(log.ref("wap").isEmpty,
+      "an in-flight claim must never be visible as a ref")
+    // ...until it ages out (the next create's sweep clears it)
+    fs.setTimes(claim, System.currentTimeMillis() - 2L * 60 * 60 * 1000, -1)
+    log.createBranch("wap"): Unit
+    assert(log.refs("wap").kind == "branch")
+    assert(log.branchLog("wap").read().count() == 1)
+    assert(!fs.exists(claim), "a finished create must consume its claim")
+    // a ref whose root was removed out-of-band errors loudly and
+    // immediately — no bounded wait (the publish order makes a missing
+    // root a real inconsistency, never a create in flight)
+    fs.delete(new Path(root, "_branches/wap"), true)
+    val t0 = System.nanoTime()
+    val orphan = intercept[IllegalStateException] { log.branchLog("wap") }
+    assert((System.nanoTime() - t0) < 2000000000L,
+      "orphan detection must not stall on a poll loop")
+    assert(orphan.getMessage.contains("out-of-band"), orphan.getMessage)
+  }
 }
