@@ -118,6 +118,30 @@ object CommitLog {
     * checkpoint handshake): 7 days, the common lakehouse default.
     */
   val DefaultVersionRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** Render a typed cutoff into the manifest-stats comparison domain
+    * ([[ColStats.cmp]]): DATE → epoch-day (parquet INT32 days, tagged
+    * "long"), TIMESTAMP/Instant → epoch-micros (INT64 micros), numbers
+    * and strings as-is. A rendering the file's stats type cannot parse
+    * demotes that file to a conservative scan — never a wrong skip.
+    */
+  private[catalog] def statsComparable(x: Any): String = x match {
+    case d: java.sql.Date       => d.toLocalDate.toEpochDay.toString
+    case d: java.time.LocalDate => d.toEpochDay.toString
+    case t: java.sql.Timestamp =>
+      (Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L) +
+        t.getNanos / 1000).toString
+    case i: java.time.Instant =>
+      (Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000).toString
+    case other => String.valueOf(other)
+  }
+
+  private[catalog] def ttlHeader(column: String, retainMs: Long): String = {
+    import org.json4s.JsonDSL._
+    "#ttl:" + org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("col" -> column) ~ ("ms" -> retainMs)))
+  }
 }
 
 /** Versioned commit log over an immutable parquet file pool — snapshot
@@ -466,7 +490,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     */
   private def replaceCarried(prev: Seq[String]): Seq[String] =
     prev.filter(l => l.startsWith("#txn:") || l.startsWith("#check:") ||
-      l.startsWith("#cluster:") || l.startsWith("#ptspec:"))
+      l.startsWith("#cluster:") || l.startsWith("#ptspec:") ||
+      l.startsWith("#ttl:"))
 
   // ---- operation tags ------------------------------------------------------
 
@@ -3187,6 +3212,93 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       s"mergeMoR: lost the head race $maxAttempts times under $tableRoot")
   }
 
+  /** Apply one change-data set — tombstone these keys, append these
+    * rows — as merge-on-read vectors in ONE atomic, txn-guarded publish:
+    * the replication primitive a change-feed consumer needs
+    * ([[graft.stream.Replicate]]). A CDC version's emission is
+    * delete-rows + insert-rows over a keyed table (an update is its
+    * key in both sets; a CoW file rewrite re-lists survivors as
+    * delete+insert pairs that net to identity), and applying both sides
+    * in one commit makes the target transition atomic: a reader sees the
+    * source version fully applied or not at all, never a torn middle.
+    *
+    * Exactly-once: `txn` (the SOURCE commit version, stamped by the
+    * feed) is checked against the head manifest inside the race loop and
+    * recorded atomically with the change — a redelivered micro-batch
+    * (restart, retry storm) skips versions whose ids already landed,
+    * the same `#txn:` seam every streaming writer here uses. The id is
+    * recorded EVEN when the change set nets to nothing, so "was this
+    * version applied" never depends on whether it happened to be empty.
+    *
+    * Write cost is O(rows changed) — the tombstone probe is
+    * [[deleteKeysMoR]]'s footer-stats-bounded semi-join, the appended
+    * rows are ordinary pool files with CHECK constraints and
+    * hidden-partition transforms applied — never O(table). The read debt
+    * folds through [[rewriteDeletes]] / [[compact]] like every MoR
+    * commit. Reference grounding: the R2 guarded upsert
+    * (lambda_function.py:33-44) applied continuously downstream of the
+    * processed-changes feed (cft/sourceSystem.yaml:29-63).
+    */
+  def applyChangesMoR(deleteKeys0: DataFrame, inserts0: DataFrame,
+      keyCol: String, txn: Option[String] = None,
+      maxAttempts: Int = 5): Long = {
+    val inserts = applyTransforms(inserts0)
+    var validatedCs: Map[String, String] = null
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed version under $tableRoot"))
+      val lines = manifestLines(v)
+      txn.foreach { id => if (lines.contains(s"#txn:$id")) return v }
+      val partCols = partitionColsOf(lines)
+      val cols = readVersion(v).columns.toSeq
+      require(inserts.columns.toSet == cols.toSet,
+        s"applyChangesMoR: inserts schema ${inserts.columns.toSeq} != " +
+          s"table schema $cols")
+      val curCs = checkOf(lines)
+      if (curCs != validatedCs) { // only the incoming rows can newly violate
+        enforceConstraints(inserts, curCs, "applyChangesMoR"); validatedCs = curCs
+      }
+      val keys = deleteKeys0.select(keyCol).distinct()
+      val names = files(v)
+      val dvStaged: Seq[String] =
+        if (names.isEmpty) Seq.empty
+        else {
+          val bounds = keys.agg(org.apache.spark.sql.functions.min(keyCol),
+            org.apache.spark.sql.functions.max(keyCol)).head()
+          val stats = fileStats(v)
+          val candidates =
+            if (bounds.isNullAt(0)) Seq.empty[String]
+            else names.filter { n =>
+              stats.get(n).flatMap(_.get(keyCol))
+                .forall(_.overlaps(bounds.get(0), bounds.get(1)))
+            }
+          if (candidates.isEmpty) Seq.empty
+          else {
+            val visible = dvFrame(v).fold(withPos(candidates))(d =>
+              withPos(candidates).join(d, DvKeys, "left_anti"))
+            stageToPool(visible.join(keys, Seq(keyCol), "semi")
+              .select(DvKeys.map(col): _*), "applyChangesMoR")
+          }
+        }
+      val applied = inserts.select(cols.map(col): _*)
+      val dataStaged =
+        if (partCols.isEmpty) stageToPool(applied, "applyChangesMoR")
+        else stagePartitioned(applied, partCols, "applyChangesMoR")
+      // an empty change set without a txn id is a true no-op; WITH one,
+      // the id must still land (skip-on-redelivery has no other memory)
+      if (dvStaged.isEmpty && dataStaged.isEmpty && txn.isEmpty) return v
+      beforePublish(attempt, v + 1)
+      if (publish(v + 1, stamped("cdc_apply",
+        lines ++ txn.map(id => s"#txn:$id").toSeq ++
+          dataStaged ++ dvStaged.map("-" + _)))) return v + 1
+      racePause(attempt, v + 1)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"applyChangesMoR: lost the head race $maxAttempts times under $tableRoot")
+  }
+
   /** Fold tombstones into the data: rewrite ONLY the data files that
     * carry at least one tombstone (their visible rows survive), carry
     * every untouched file by name, and drop all deletion-vector lines —
@@ -3233,6 +3345,159 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     }
     throw new java.io.IOException(
       s"rewriteDeletes: lost the head race $maxAttempts times under $tableRoot")
+  }
+
+  /** Expire every row with `column` strictly below `cutoff` — the
+    * data-lifecycle (TTL / retention) maintenance op, priced by what the
+    * manifest already knows instead of what a DELETE would scan:
+    *
+    *  - a file whose footer max is below the cutoff DROPS from the
+    *    manifest with ZERO data I/O — on a time-ordered 100 TB table
+    *    (ingest is append-mostly, so files are naturally time-clustered,
+    *    and `setClustering`/`optimizeBy` on the time column tighten the
+    *    rest) retention becomes a metadata edit, not a table scan;
+    *  - a file entirely at-or-above the cutoff carries by name, unread;
+    *  - only STRADDLERS (footer range crosses the cutoff, or no recorded
+    *    bound — all-NULL column, foreign import) rewrite their surviving
+    *    visible rows, CoW-style, under the declared partition layout.
+    *
+    * One atomic publish covers drops + rewrites: readers see pre- or
+    * post-retention, never a torn middle. SQL DELETE semantics for the
+    * boundary: a NULL `column` never expires. Deletion vectors are
+    * honored on the straddler rewrite (tombstoned rows do not revive);
+    * tombstone keys naming dropped files go stale harmlessly — the same
+    * tolerance [[rewriteDeletes]] documents. Type discipline at the
+    * stats tier: the cutoff compares under each FILE's recorded stats
+    * type, and an incomparable rendering demotes the file to straddler
+    * (conservative scan) rather than guessing. Dropped versions stay
+    * time-travelable until [[vacuum]], like every commit.
+    *
+    * Returns (filesDropped, filesRewritten); (0, 0) = nothing to expire,
+    * no commit published.
+    */
+  def expireBefore(column: String, cutoff: Any,
+      maxAttempts: Int = 5): (Int, Int) = {
+    import org.apache.spark.sql.functions.coalesce
+    val cut = CommitLog.statsComparable(cutoff)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = currentVersion.getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed version under $tableRoot"))
+      val lines = manifestLines(v)
+      val partCols = partitionColsOf(lines)
+      val partTypes = partTypesOf(lines)
+      val names = files(v)
+      val stats = fileStats(v)
+      def cmpSafe(tpe: String, edge: String): Option[Int] =
+        scala.util.Try(ColStats.cmp(tpe, edge, cut)).toOption
+      val dead = names.filter { n =>
+        stats.get(n).flatMap(_.get(column))
+          .exists(s => cmpSafe(s.tpe, s.max).exists(_ < 0))
+      }.toSet
+      val live = names.filter { n =>
+        !dead(n) && stats.get(n).flatMap(_.get(column))
+          .exists(s => cmpSafe(s.tpe, s.min).exists(_ >= 0))
+      }.toSet
+      val straddle = names.filterNot(n => dead(n) || live(n))
+      if (dead.isEmpty && straddle.isEmpty) return (0, 0)
+      val keptLines = lines.filterNot { l =>
+        !l.startsWith("#") && !l.startsWith("-") && {
+          val n = l.split('\t').head; dead(n) || straddle.contains(n)
+        }
+      }
+      val survivorLines =
+        if (straddle.isEmpty) Seq.empty
+        else {
+          val dv = dvFrame(v)
+          val cols = readVersion(v).columns.toSeq
+          val survivors = readFiles(straddle.sorted, dv, partTypes)
+            // NULL retention column survives (SQL DELETE semantics)
+            .filter(!coalesce(col(column) < lit(cutoff), lit(false)))
+            .select(cols.map(col): _*)
+          if (partCols.isEmpty) stageToPool(survivors, "expire")
+          else stagePartitioned(survivors, partCols, "expire")
+        }
+      beforePublish(attempt, v + 1)
+      if (publish(v + 1, stamped("expire", keptLines ++ survivorLines)))
+        return (dead.size, straddle.size)
+      racePause(attempt, v + 1)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"expireBefore: lost the head race $maxAttempts times under $tableRoot")
+  }
+
+  /** Declare a standing TTL retention policy (`#ttl:` header, carried
+    * through replaces/compaction like `#cluster:`): rows whose `column`
+    * falls more than `retainMs` behind enforcement time are expirable by
+    * [[enforceTtl]]. A policy is table METADATA — declared once, honored
+    * by maintenance — matching the reference's per-asset retention
+    * posture (asset registries carry lifecycle config; the engine, not a
+    * human, applies it). `retainMs <= 0` clears the policy.
+    */
+  def setTtl(column: String, retainMs: Long): Long = {
+    var attempt = 0
+    while (attempt < 50) {
+      val vOpt = currentVersion
+      val prev = vOpt.map(manifestLines).getOrElse(Seq.empty)
+      if (retainMs > 0 && dataNamesOf(prev).nonEmpty) {
+        val have = readVersion(vOpt.get).columns.toSet
+        require(have.contains(column),
+          s"setTtl: unknown column $column (have: ${have.toSeq.sorted})")
+      }
+      val v = vOpt.getOrElse(0L)
+      hfs.mkdirs(commitsDir)
+      val lines = prev.filterNot(_.startsWith("#ttl:"))
+      val manifest =
+        if (retainMs <= 0) lines
+        else CommitLog.ttlHeader(column, retainMs) +: lines
+      beforePublish(attempt, v + 1)
+      if (publish(v + 1, stamped("set_ttl", manifest))) return v + 1
+      racePause(attempt, v + 1)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"setTtl: lost the version race 50 times under $tableRoot")
+  }
+
+  /** The TTL policy in force at the head: (column, retainMs). */
+  def ttlPolicy: Option[(String, Long)] =
+    currentVersion.map(manifestLines).getOrElse(Seq.empty)
+      .find(_.startsWith("#ttl:")).flatMap { l =>
+        org.json4s.jackson.JsonMethods.parse(l.stripPrefix("#ttl:")) match {
+          case org.json4s.JObject(fields) =>
+            val m = fields.toMap
+            for {
+              c <- m.get("col").collect { case org.json4s.JString(s) => s }
+              ms <- m.get("ms").collect { case org.json4s.JInt(n) => n.toLong }
+            } yield (c, ms)
+          case _ => None
+        }
+      }
+
+  /** Enforce the declared TTL policy as of `nowMs` (caller-supplied —
+    * maintenance stays deterministic and testable; a scheduler passes
+    * wall clock). The typed cutoff derives from the retention column's
+    * schema type: DATE expires by calendar day, TIMESTAMP by instant,
+    * integral columns are read as epoch millis. No policy = no-op.
+    */
+  def enforceTtl(nowMs: Long): (Int, Int) = ttlPolicy match {
+    case None => (0, 0)
+    case Some((c, ms)) =>
+      val v = currentVersion.getOrElse(return (0, 0))
+      if (files(v).isEmpty) return (0, 0)
+      import org.apache.spark.sql.types._
+      val cutoff: Any = readVersion(v).schema(c).dataType match {
+        case DateType => java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(Math.floorDiv(nowMs - ms, 86400000L)))
+        case TimestampType | TimestampNTZType =>
+          new java.sql.Timestamp(nowMs - ms)
+        case LongType | IntegerType => nowMs - ms
+        case other => throw new IllegalArgumentException(
+          s"enforceTtl: unsupported retention column type $other for $c " +
+            "(DATE, TIMESTAMP, or epoch-millis integral)")
+      }
+      expireBefore(c, cutoff)
   }
 
   /** Range-cluster the head snapshot on `column` (the 1-D OPTIMIZE /

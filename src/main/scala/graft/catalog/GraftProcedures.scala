@@ -35,7 +35,8 @@ private[catalog] object GraftProcedures {
       "build_ann_index",
       "drop_index", "add_constraint", "drop_constraint", "set_clustering",
       "create_tag", "create_branch", "drop_ref", "fast_forward", "refs",
-      "set_partition_transforms")
+      "set_partition_transforms", "set_ttl", "enforce_ttl", "expire_before",
+      "apply_changes")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -72,6 +73,10 @@ private[catalog] object GraftProcedures {
     case "fast_forward"    => new FastForward(cat)
     case "refs"            => new Refs(cat)
     case "set_partition_transforms" => new SetPartitionTransforms(cat)
+    case "set_ttl"         => new SetTtl(cat)
+    case "enforce_ttl"     => new EnforceTtl(cat)
+    case "expire_before"   => new ExpireBefore(cat)
+    case "apply_changes"   => new ApplyChanges(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
   }
@@ -163,6 +168,96 @@ private[catalog] object GraftProcedures {
       val v = log.setClustering(cols)
       result(new StructType().add("version", LongType)
         .add("clustered_by", StringType), v, cols.mkString(","))
+    }
+  }
+
+  private final class SetTtl(cat: GraftTableCatalog)
+    extends Proc("set_ttl", Seq(in("table", StringType),
+      in("column", StringType), in("retain_ms", LongType))) {
+    override def description(): String =
+      "declare a TTL retention policy: rows whose column falls retain_ms " +
+        "behind enforcement time expire (enforce_ttl applies it; " +
+        "retain_ms <= 0 clears)"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession,
+        cat.rootOf(input.getUTF8String(0).toString))
+      val v = log.setTtl(input.getUTF8String(1).toString, input.getLong(2))
+      result(new StructType().add("version", LongType), v)
+    }
+  }
+
+  private final class EnforceTtl(cat: GraftTableCatalog)
+    extends Proc("enforce_ttl", Seq(in("table", StringType),
+      in("as_of_ms", LongType))) {
+    override def description(): String =
+      "apply the declared TTL policy as of the given epoch-millis: fully-" +
+        "expired files drop metadata-only, boundary files rewrite survivors"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession,
+        cat.rootOf(input.getUTF8String(0).toString))
+      val (dropped, rewritten) = log.enforceTtl(input.getLong(1))
+      result(new StructType().add("files_dropped", IntegerType)
+        .add("files_rewritten", IntegerType), dropped, rewritten)
+    }
+  }
+
+  /** Cutoff literal parsing for [[ExpireBefore]]: typed by the HEAD
+    * schema's retention column so the stats-tier comparison and the
+    * row-level predicate agree (`2000-07-01` on a DATE column is a
+    * date, on a STRING column a string).
+    */
+  private final class ExpireBefore(cat: GraftTableCatalog)
+    extends Proc("expire_before", Seq(in("table", StringType),
+      in("column", StringType), in("cutoff", StringType))) {
+    override def description(): String =
+      "expire rows with column below the cutoff: fully-expired files drop " +
+        "metadata-only (zero data I/O), boundary files rewrite survivors"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession,
+        cat.rootOf(input.getUTF8String(0).toString))
+      val column = input.getUTF8String(1).toString
+      val raw = input.getUTF8String(2).toString
+      import org.apache.spark.sql.types._
+      val cutoff: Any = log.read().schema(column).dataType match {
+        case DateType                       => java.sql.Date.valueOf(raw)
+        case TimestampType | TimestampNTZType =>
+          java.sql.Timestamp.valueOf(raw.replace('T', ' '))
+        case LongType | IntegerType         => raw.trim.toLong
+        case DoubleType | FloatType         => raw.trim.toDouble
+        case _                              => raw
+      }
+      val (dropped, rewritten) = log.expireBefore(column, cutoff)
+      result(new StructType().add("files_dropped", IntegerType)
+        .add("files_rewritten", IntegerType), dropped, rewritten)
+    }
+  }
+
+  /** `CALL graft.system.apply_changes('db.src', 'db.replica', 'k',
+    * '/cp/replica')` — drain the source's streaming change feed into the
+    * target ([[graft.stream.Replicate.run]]): one atomic
+    * merge-on-read apply per source version, txn-keyed by source version
+    * for exactly-once across restarts of the same checkpoint. The SQL
+    * surface of the CDC replication topology.
+    */
+  private final class ApplyChanges(cat: GraftTableCatalog)
+    extends Proc("apply_changes", Seq(in("source", StringType),
+      in("target", StringType), in("key_col", StringType),
+      in("checkpoint", StringType))) {
+    override def description(): String =
+      "drain the source table's change feed into the target: atomic MoR " +
+        "apply per source version, exactly-once via the checkpoint"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = input.getUTF8String(0).toString
+      // the target may not exist yet — the first drained version
+      // bootstraps it (standard initial-load-then-tail replication)
+      val tgtRoot = cat.rootForCreate(input.getUTF8String(1).toString)
+      // the feed reads through the SESSION catalog: qualify the source
+      // with this catalog's name so CALL works from any current catalog
+      val qualified = if (src.contains(".")) s"${cat.name()}.$src" else src
+      graft.stream.Replicate.run(cat.sparkSession, qualified, tgtRoot,
+        input.getUTF8String(2).toString, input.getUTF8String(3).toString)
+      val v = new CommitLog(cat.sparkSession, tgtRoot).currentVersion.getOrElse(0L)
+      result(new StructType().add("target_version", LongType), v)
     }
   }
 

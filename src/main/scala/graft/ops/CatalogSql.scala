@@ -1280,6 +1280,124 @@ object CatalogSql {
       sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
   }
 
+  /** TTL retention as an oracle key
+    * ([[graft.catalog.CommitLog.setTtl]]/[[graft.catalog.CommitLog.enforceTtl]],
+    * round 13): orders lands range-clustered on its (date-cast) order
+    * day, a standing `retain 184 days` policy is declared, and one
+    * deterministic enforcement (as-of 2001-01-01 → cutoff 2000-07-01)
+    * must drop every fully-expired file METADATA-ONLY — the key requires
+    * ≥1 dropped file and ≤1 rewritten straddler, pinning that retention
+    * is a manifest edit, not a table scan — then the surviving rollup
+    * must equal DuckDB's filter recompute. The 100 TB shape: ingest is
+    * time-clustered, so TTL touches O(1) boundary files while the
+    * expired terabytes drop as manifest lines; tombstoned rows stay
+    * dead (DV-honored) and dropped versions remain time-travelable
+    * until vacuum.
+    */
+  private def ttlExpire(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_ttl"
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_day"), col("o_totalprice"))
+    // fresh clustered base each run — the expiry below must apply
+    // exactly once; clustering pins the time-ordered layout the
+    // metadata-drop design measures (fan-out pinned so the layout is
+    // multi-file at every SF)
+    if (log.clusteringColumns != Seq("o_day")) {
+      if (log.clusteringColumns.nonEmpty) log.setClustering(Seq.empty): Unit
+      log.setClustering(Seq("o_day")): Unit
+    }
+    s.conf.set("spark.graft.clusteredWrite.partitions", "8")
+    try log.commit(src, replace = true)
+    finally s.conf.unset("spark.graft.clusteredWrite.partitions")
+    log.setTtl("o_day", 184L * 86400000L)
+    val asOf = java.sql.Timestamp.valueOf("2001-01-01 00:00:00").getTime
+    val (dropped, rewritten) = log.enforceTtl(asOf) // cutoff = 2000-07-01
+    require(dropped >= 1,
+      s"q_ttl_expire: no file dropped metadata-only (dropped=$dropped, " +
+        s"rewritten=$rewritten) — clustering or stats tier broken")
+    require(rewritten <= 1,
+      s"q_ttl_expire: $rewritten straddlers rewritten — disjoint " +
+        "clustered ranges must cross the cutoff at most once")
+    log.read().agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      countDistinct(col("o_day")).as("n_days"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
+  /** Streaming CDC replication as an oracle key
+    * ([[graft.stream.Replicate]], round 13): a SOURCE commit-log table
+    * lives through the full mutation vocabulary — initial load, append,
+    * CoW DELETE, merge-on-read UPDATE — and its `.changes` feed is
+    * drained into an empty TARGET table by
+    * [[graft.stream.Replicate.run]]: one atomic
+    * [[graft.catalog.CommitLog.applyChangesMoR]] per source version
+    * (tombstone the version's delete keys + append its inserts in ONE
+    * publish), txn-keyed by source version for exactly-once. The rollup
+    * over the TARGET must equal DuckDB's closed-form recompute of the
+    * source's final state — if any version is skipped, double-applied,
+    * or torn, the hash mismatches. The source build is untimed setup
+    * (layout, not query work); the timed region is the feed drain +
+    * apply. Reference: the processed-changes consumer topology
+    * (cft/sourceSystem.yaml:29-63) with R2's guarded upsert as the apply.
+    */
+  private def streamCdcApply(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ensureCdcSource(s, d)
+    val tgtRoot = warehouseFor(d) + "_mut/cdc_tgt"
+    val p = new org.apache.hadoop.fs.Path(tgtRoot)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true) // fresh target each run: the drain applies exactly once
+    val cp = java.nio.file.Files.createTempDirectory("graft_cdc_cp").toString
+    graft.stream.Replicate.run(s, "graft.tpch.cdc_src", tgtRoot,
+      "o_orderkey", cp)
+    new graft.catalog.CommitLog(s, tgtRoot).read().agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      sum(col("o_custkey")).as("sum_cust"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
+  /** The CDC source table: v1 initial load (`%3 != 0` keys), v2 append
+    * (the `%3 == 0` keys), v3 CoW DELETE (`%7 == 0`), v4 MoR UPDATE
+    * (+10000 where `%5 == 0`) — every commit kind the change feed must
+    * express. Freshness-guarded so Verify and standalone runs rebuild
+    * only when stale; the bench invokes it untimed via `setups`.
+    */
+  private def ensureCdcSource(s: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    ensureCatalog(s, d)
+    val root = warehouseFor(d) + "/tpch/cdc_src"
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val fresh = try {
+      log.currentVersion.contains(4L) &&
+        log.read().count() == src.filter(col("o_orderkey") % 7 =!= 0).count()
+    } catch { case _: Exception => false }
+    if (!fresh) {
+      s.sql("DROP TABLE IF EXISTS graft.tpch.cdc_src")
+      SqlSurface.registerViews(s, d, Seq("orders"))
+      s.sql(
+        """CREATE TABLE graft.tpch.cdc_src AS
+          |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |WHERE o_orderkey % 3 <> 0""".stripMargin)           // v1 load
+      log.commit(src.filter(col("o_orderkey") % 3 === 0),
+        replace = false)                                       // v2 append
+      log.deleteWhere(col("o_orderkey") % 7 === 0)             // v3 CoW delete
+      log.updateWhereMoR(col("o_orderkey") % 5 === 0,
+        Seq("o_totalprice" -> (col("o_totalprice") + 10000.0))): Unit // v4 MoR
+    }
+  }
+
+  private def setupCdcApply(s: SparkSession, d: String): Unit =
+    ensureCdcSource(s, d)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_part_transform" -> partTransform _,
     "q_branch_wap" -> branchWap _,
@@ -1313,6 +1431,8 @@ object CatalogSql {
     "q_cdf_feed" -> cdfFeed _,
     "q_rename_mapping" -> renameMapping _,
     "q_rename_merge" -> renameMerge _,
+    "q_ttl_expire" -> ttlExpire _,
+    "stream_cdc_apply" -> streamCdcApply _,
   )
 
   /** Untimed bench fixtures: the SPJ keys' partitioned/bucketed CTAS
@@ -1324,6 +1444,7 @@ object CatalogSql {
     "q_join_spj_bucket" -> setupSpjBucket _,
     "q_mv_join" -> setupMvJoin _,
     "q_mv_star" -> setupMvStar _,
+    "stream_cdc_apply" -> setupCdcApply _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1544,5 +1665,22 @@ object CatalogSql {
         |FROM customer
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "q_ttl_expire" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key,
+        |       count(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '2000-07-01'""".stripMargin,
+    "stream_cdc_apply" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key,
+        |       CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |       CAST(sum(CAST(CASE WHEN o_orderkey % 5 = 0
+        |                          THEN o_totalprice + 10000.0
+        |                          ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0""".stripMargin,
   )
 }

@@ -1,0 +1,84 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.catalog.CommitLog
+
+/** Continuous CDC replication: consume a commit-log table's streaming
+  * change feed (`<table>.changes` — [[graft.catalog.GraftChangesTable]])
+  * and apply it onto a TARGET commit-log table keyed by `keyCol`, so the
+  * target tracks the source through arbitrary mutation commits — appends,
+  * CoW deletes/updates, merge-on-read vectors, compactions — not just
+  * inserts. This is the reference's downstream-consumer topology closed
+  * end-to-end (cft/sourceSystem.yaml:29-63: processed changes feed
+  * consumers; lambda_function.py:33-44: the guarded upsert, run as a
+  * stream): change feed out of one table, exactly-once upsert into the
+  * next.
+  *
+  * Semantics and scale:
+  *  - each micro-batch groups its rows by `_commit_version` and applies
+  *    versions IN ORDER, one atomic [[CommitLog.applyChangesMoR]] per
+  *    source version: tombstone the version's `delete`-tagged keys +
+  *    append its `insert`-tagged rows in ONE publish. A key in both sets
+  *    (an update, or a CoW file rewrite re-listing survivors) nets
+  *    correctly because tombstones bind to the target's PRE-apply
+  *    visible rows while inserts append fresh copies.
+  *  - exactly-once: the txn id is derived from the SOURCE VERSION (not
+  *    the micro-batch id), so redelivery is idempotent even if a restart
+  *    re-plans different version ranges into different batches; a crash
+  *    mid-batch resumes at the first unapplied version.
+  *  - cost per version is O(rows changed): the tombstone probe is
+  *    footer-stats-bounded, the append is batch-sized, and the target's
+  *    read debt folds through rewriteDeletes/compact on the target's own
+  *    maintenance schedule — at 100 TB the replica pays for the CHANGE
+  *    stream, never for table scans.
+  */
+object Replicate {
+
+  /** Apply one change-feed micro-batch (possibly spanning several source
+    * versions) onto `target`. Factored out of [[run]] so specs can drive
+    * redelivery/crash seams directly. `txnScope` namespaces the txn ids
+    * (use the source table identity — two feeds into one target must not
+    * collide).
+    */
+  def applyChangeBatch(target: CommitLog, keyCol: String, batch: DataFrame,
+      txnScope: String): Unit = {
+    import graft.catalog.GraftChangesTable.{ChangeType, CommitVersion}
+    val dataCols = batch.columns.filterNot(c =>
+      c == ChangeType || c == CommitVersion).toSeq
+    // bounded: one row per source version in this batch's offset range
+    val versions = batch.select(CommitVersion).distinct()
+      .collect().map(_.getLong(0)).sorted
+    for (v <- versions) {
+      val sub = batch.filter(col(CommitVersion) === v)
+      val dels = sub.filter(col(ChangeType) === "delete").select(keyCol)
+      val ins = sub.filter(col(ChangeType) === "insert")
+        .select(dataCols.map(col): _*)
+      val txn = Some(s"cdc-$txnScope-$v")
+      if (!target.exists) target.commit(ins, replace = false, txn): Unit
+      else target.applyChangesMoR(dels, ins, keyCol, txn): Unit
+    }
+  }
+
+  /** Drain `srcTable`'s change feed into the commit-log table at
+    * `targetRoot` (Trigger.AvailableNow — one catch-up run; schedule it,
+    * or swap the trigger, for continuous tailing). `srcTable` is the
+    * catalog identifier WITHOUT the `.changes` suffix. Returns after the
+    * feed is drained; restarts resume from `checkpoint` exactly-once.
+    */
+  def run(s: SparkSession, srcTable: String, targetRoot: String,
+      keyCol: String, checkpoint: String): Unit = {
+    val target = new CommitLog(s, targetRoot)
+    val q = s.readStream.table(srcTable + ".changes")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        applyChangeBatch(target, keyCol, b, srcTable)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

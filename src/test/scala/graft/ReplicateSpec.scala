@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.CommitLog
+import graft.stream.Replicate
+
+/** CDC replication: the streaming change feed drained into a target
+  * commit-log table tracks the source through appends, CoW deletes,
+  * and merge-on-read updates — one atomic applyChangesMoR per source
+  * version, txn-keyed by source version so redelivery (restart, crash
+  * mid-batch, replayed micro-batch) is exactly-once.
+  */
+class ReplicateSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_repl_wh").toString
+
+  spark.conf.set("spark.sql.catalog.grpl",
+    classOf[graft.catalog.GraftTableCatalog].getName)
+  spark.conf.set("spark.sql.catalog.grpl.warehouse", warehouse)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS grpl.db")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def snapshot(log: CommitLog): Set[(Long, String)] =
+    log.read().select("k", "v").as[(Long, String)].collect().toSet
+
+  test("target tracks source through append, CoW delete, MoR update; restarts are exactly-once") {
+    spark.sql("CREATE TABLE grpl.db.src (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO grpl.db.src VALUES (1, 'a'), (2, 'b'), (3, 'c')") // v1
+    val srcLog = new CommitLog(spark, s"$warehouse/db/src")
+    val (tgt, cp) = (tmp("graft_repl_tgt"), tmp("graft_repl_cp"))
+
+    Replicate.run(spark, "grpl.db.src", tgt, "k", cp)
+    val tgtLog = new CommitLog(spark, tgt)
+    assert(snapshot(tgtLog) == snapshot(srcLog))
+
+    // consumer offline: every non-append commit kind lands
+    spark.sql("INSERT INTO grpl.db.src VALUES (4, 'd')")             // v2 append
+    spark.sql("DELETE FROM grpl.db.src WHERE k = 1")                 // v3 CoW delete
+    srcLog.updateWhereMoR(col("k") === 2L, Seq("v" -> lit("B")))     // v4 MoR update
+
+    Replicate.run(spark, "grpl.db.src", tgt, "k", cp)
+    assert(snapshot(tgtLog) == Set((2L, "B"), (3L, "c"), (4L, "d")))
+    assert(snapshot(tgtLog) == snapshot(srcLog))
+
+    // idle restart: nothing re-applies (no new target version)
+    val vBefore = tgtLog.currentVersion
+    Replicate.run(spark, "grpl.db.src", tgt, "k", cp)
+    assert(tgtLog.currentVersion == vBefore,
+      "idle restart must not publish new target versions")
+  }
+
+  test("redelivered batch skips via per-source-version txns; crash mid-batch resumes") {
+    spark.sql("CREATE TABLE grpl.db.src2 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO grpl.db.src2 VALUES (1, 'a'), (2, 'b')")
+    val srcLog = new CommitLog(spark, s"$warehouse/db/src2")
+    spark.sql("DELETE FROM grpl.db.src2 WHERE k = 1")   // v2
+
+    // build the change batches by hand from the batch plane — the same
+    // per-version rows the feed stages (`_commit_version`-stamped) — so
+    // the spec drives the apply seam directly
+    def feedRows(v: Long) = srcLog.changesBetween(v - 1L, v)
+      .withColumn("_commit_version", lit(v))
+    val tgt = new CommitLog(spark, tmp("graft_repl_tgt2"))
+
+    // "crash mid-batch": version 1 applied alone (as if the batch died
+    // after its first version), then the FULL 1..2 batch redelivers
+    Replicate.applyChangeBatch(tgt, "k", feedRows(1L), "s2")
+    assert(snapshot(tgt) == Set((1L, "a"), (2L, "b")))
+    val vAfterV1 = tgt.currentVersion
+
+    Replicate.applyChangeBatch(tgt, "k",
+      feedRows(1L).unionByName(feedRows(2L)), "s2")
+    assert(snapshot(tgt) == Set((2L, "b")), "v2 must apply exactly once")
+    // v1 skipped wholesale (txn cdc-s2-1 already landed): exactly one
+    // new target version for v2
+    assert(tgt.currentVersion == vAfterV1.map(_ + 1))
+
+    // full redelivery of everything: a no-op
+    val vFinal = tgt.currentVersion
+    Replicate.applyChangeBatch(tgt, "k",
+      feedRows(1L).unionByName(feedRows(2L)), "s2")
+    assert(tgt.currentVersion == vFinal && snapshot(tgt) == Set((2L, "b")))
+  }
+
+  test("an update whose key sits in both delete and insert sets nets correctly") {
+    val tgt = new CommitLog(spark, tmp("graft_repl_tgt3"))
+    tgt.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), replace = false)
+    // synthetic CDC version 7: update k=2 (delete+insert), insert k=3
+    val batch = Seq(
+      (2L, "b", "delete", 7L),
+      (2L, "B", "insert", 7L),
+      (3L, "c", "insert", 7L)
+    ).toDF("k", "v", "_change_type", "_commit_version")
+    Replicate.applyChangeBatch(tgt, "k", batch, "syn")
+    assert(snapshot(tgt) == Set((1L, "a"), (2L, "B"), (3L, "c")))
+    // redelivery skips
+    val v = tgt.currentVersion
+    Replicate.applyChangeBatch(tgt, "k", batch, "syn")
+    assert(tgt.currentVersion == v)
+  }
+
+  test("SQL surface: CALL apply_changes replicates and is restart-idempotent") {
+    spark.sql("CREATE TABLE grpl.db.src3 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO grpl.db.src3 VALUES (1, 'x'), (2, 'y')")
+    spark.sql("DELETE FROM grpl.db.src3 WHERE k = 2")
+    val cp = tmp("graft_repl_cp3")
+    val r = spark.sql(
+      s"CALL grpl.system.apply_changes('db.src3', 'db.rep3', 'k', '$cp')")
+      .collect().head
+    assert(r.getLong(0) >= 1L)
+    assert(spark.table("grpl.db.rep3").as[(Long, String)].collect().toSet ==
+      Set((1L, "x")))
+    val again = spark.sql(
+      s"CALL grpl.system.apply_changes('db.src3', 'db.rep3', 'k', '$cp')")
+      .collect().head
+    assert(again.getLong(0) == r.getLong(0), "idle re-CALL must not advance the target")
+  }
+}
