@@ -12,6 +12,10 @@ object Smoke {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // standard micros timestamps on every parquet WRITE: INT96 (the
+      // Spark default) records no usable footer stats, which blinds the
+      // manifest stats tier (readWhere/expireBefore pruning) on ts columns
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

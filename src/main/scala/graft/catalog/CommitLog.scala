@@ -2735,9 +2735,15 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * Concurrency: optimistic — the merge is computed against a head
     * snapshot and published at head+1; if another writer lands first, the
     * whole merge recomputes against the new head (lost work is bounded by
-    * the touched-file rewrite). Updates must carry the table's schema.
+    * the touched-file rewrite). Updates must carry the table's schema;
+    * with `evolve = true` the batch may ALSO carry new columns — the
+    * table schema widens in the same commit (existing rows read the new
+    * columns as NULL through the pool's mergeSchema read; untouched
+    * files are never rewritten for a schema change). The upstream-
+    * added-a-field case a long-lived CDC pipeline hits first.
     */
-  def merge(updates0: DataFrame, keyCol: String, maxAttempts: Int = 5): Long = {
+  def merge(updates0: DataFrame, keyCol: String, maxAttempts: Int = 5,
+      evolve: Boolean = false): Long = {
     // hidden-partition transforms: derive the layout columns for the
     // incoming rows — callers hand SOURCE columns only, never `_p_*`
     val updates = applyTransforms(updates0)
@@ -2752,8 +2758,15 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val partCols = partitionColsOf(lines)
       val partTypes = partTypesOf(lines)
       val cols = readVersion(v).columns.toSeq
-      require(updates.columns.toSet == cols.toSet,
+      val newCols = if (evolve) updates.columns.filterNot(cols.contains).toSeq
+        else Seq.empty
+      if (evolve) {
+        val missing = cols.filterNot(updates.columns.contains)
+        require(missing.isEmpty, "merge(evolve): updates must still carry " +
+          s"every existing column (missing $missing); evolution ADDS columns")
+      } else require(updates.columns.toSet == cols.toSet,
         s"merge: updates schema ${updates.columns.toSeq} != table schema $cols")
+      val outCols = cols ++ newCols
       val curCs = checkOf(lines)
       if (curCs != validatedCs) { // only the incoming rows can newly violate
         enforceConstraints(updates, curCs, "merge"); validatedCs = curCs
@@ -2762,13 +2775,15 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val touched = findTouched(lines, fileStats(v), keys, keyCol, partTypes = partTypes)
       val keptLines = lines.filterNot(l => touched(l.split('\t').head))
       val merged =
-        if (touched.isEmpty) updates.select(cols.map(col): _*)
+        if (touched.isEmpty) updates.select(outCols.map(col): _*)
         // tombstones apply BEFORE the key anti-join: a MoR-deleted row
-        // must not resurrect through the rewrite
+        // must not resurrect through the rewrite; under evolution the
+        // survivors pad the new columns with NULL (allowMissingColumns)
         else readFiles(touched.toSeq.sorted, dvFrame(v), partTypes)
           .join(keys, Seq(keyCol), "left_anti")
           .select(cols.map(col): _*)
-          .unionByName(updates.select(cols.map(col): _*))
+          .unionByName(updates.select(outCols.map(col): _*),
+            allowMissingColumns = true)
       // pool the rewrite, then publish at exactly v+1: losing the race
       // means the snapshot we merged against is stale, so recompute (the
       // orphaned pool files age out under vacuum's in-flight guard).
@@ -3154,7 +3169,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * casing. An empty batch returns the current version without
     * committing. Same optimistic head+1 publish as [[merge]].
     */
-  def mergeMoR(updates0: DataFrame, keyCol: String, maxAttempts: Int = 5): Long = {
+  def mergeMoR(updates0: DataFrame, keyCol: String, maxAttempts: Int = 5,
+      evolve: Boolean = false): Long = {
     val updates = applyTransforms(updates0)
     require(updates.select(keyCol).distinct().count() == updates.count(),
       s"mergeMoR: duplicate keys in the updates batch")
@@ -3167,8 +3183,18 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val partCols = partitionColsOf(lines)
       val partTypes = partTypesOf(lines)
       val cols = readVersion(v).columns.toSeq
-      require(updates.columns.toSet == cols.toSet,
+      // schema evolution mirrors [[merge]]: with evolve=true the batch
+      // may add new columns — appended rows carry them, existing files
+      // stay untouched and read the new columns as NULL (mergeSchema)
+      val newCols = if (evolve) updates.columns.filterNot(cols.contains).toSeq
+        else Seq.empty
+      if (evolve) {
+        val missing = cols.filterNot(updates.columns.contains)
+        require(missing.isEmpty, "mergeMoR(evolve): updates must still " +
+          s"carry every existing column (missing $missing); evolution ADDS columns")
+      } else require(updates.columns.toSet == cols.toSet,
         s"mergeMoR: updates schema ${updates.columns.toSeq} != table schema $cols")
+      val outCols = cols ++ newCols
       val curCs = checkOf(lines)
       if (curCs != validatedCs) { // only the incoming rows can newly violate
         enforceConstraints(updates, curCs, "mergeMoR"); validatedCs = curCs
@@ -3197,7 +3223,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
               .select(DvKeys.map(col): _*), "mergeMoR")
           }
         }
-      val applied = updates.select(cols.map(col): _*)
+      val applied = updates.select(outCols.map(col): _*)
       val dataStaged =
         if (partCols.isEmpty) stageToPool(applied, "mergeMoR")
         else stagePartitioned(applied, partCols, "mergeMoR")

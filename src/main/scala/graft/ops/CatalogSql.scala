@@ -961,13 +961,24 @@ object CatalogSql {
     * oracle hash-match catches. The 100 TB shape: a sync is O(changed
     * bytes + one manifest), never O(table).
     */
-  private def replicaParity(s: SparkSession, d: String): DataFrame = {
+  private def ensureRepSrcBase(s: SparkSession, d: String): Unit = {
     ensureCatalog(s, d)
-    SqlSurface.registerViews(s, d, Seq("orders"))
-    s.sql("DROP TABLE IF EXISTS graft.tpch.orders_rep_src")
+    val root = warehouseFor(d) + "/tpch/orders_rep_src"
+    val log = new graft.catalog.CommitLog(s, root)
+    withBase(log, root) {
+      SqlSurface.registerViews(s, d, Seq("orders"))
+      s.sql("DROP TABLE IF EXISTS graft.tpch.orders_rep_src")
+      s.sql("CREATE TABLE graft.tpch.orders_rep_src AS " +
+        "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders")
+      log.currentVersion.get
+    }
+  }
+
+  private def replicaParity(s: SparkSession, d: String): DataFrame = {
+    // pristine source via untimed build + metadata-only reset; the
+    // timed region = bootstrap sync + mutations + incremental sync
+    ensureRepSrcBase(s, d)
     s.sql("DROP TABLE IF EXISTS graft.tpch.orders_replica")
-    s.sql("CREATE TABLE graft.tpch.orders_rep_src AS " +
-      "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders")
     s.sql("CALL graft.system.replicate('tpch.orders_rep_src', 'tpch.orders_replica')")
     s.sql("INSERT INTO graft.tpch.orders_rep_src " +
       "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders " +
@@ -1015,6 +1026,34 @@ object CatalogSql {
       .limit(10)
   }
 
+  /** Untimed-base discipline for mutation keys (the `setups` pattern
+    * extended to mutations): the pristine base is built ONCE per JVM —
+    * the bench invokes the builder in its untimed setups pass, Verify
+    * and standalone runs build inline on first use — and every timed
+    * run RESETS to it with a metadata-only [[graft.catalog.CommitLog.restore]]
+    * (one manifest write re-referencing the base's pool files by name),
+    * so the timed region measures the MUTATION, never the fixture
+    * write. The mutation still applies exactly once per run against
+    * byte-identical base content: the restored version carries the
+    * base's files, stats, and headers unchanged.
+    */
+  private val mutBase =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def withBase(log: graft.catalog.CommitLog, cacheKey: String)
+      (build: => Long): Unit = {
+    val v: Long = mutBase.computeIfAbsent(cacheKey, _ => build)
+    if (!log.currentVersion.contains(v)) log.restore(v): Unit
+  }
+
+  private def ensureUpdBase(s: SparkSession, d: String): Unit = {
+    val log = new graft.catalog.CommitLog(s, warehouseFor(d) + "_mut/orders_upd")
+    withBase(log, warehouseFor(d) + "_mut/orders_upd") {
+      log.commit(graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .repartition(8), replace = true)
+    }
+  }
+
   /** Predicate copy-on-write UPDATE as an oracle key
     * ([[graft.catalog.CommitLog.updateWhere]], round 10 — the engine
     * behind the audit log's O(files touched) status correction): orders
@@ -1030,10 +1069,9 @@ object CatalogSql {
     import org.apache.spark.sql.functions._
     val root = warehouseFor(d) + "_mut/orders_upd"
     val log = new graft.catalog.CommitLog(s, root)
-    val src = graft.Tables.orders(s, d)
-      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
-    // fresh base each run — the mutation below must apply exactly once
-    log.commit(src.repartition(8), replace = true)
+    // pristine base via untimed build + metadata-only reset — the
+    // mutation below still applies exactly once per run
+    ensureUpdBase(s, d)
     log.updateWhere(
       col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0,
       Seq("o_orderpriority" -> lit("9-UPDATED")))
@@ -1057,14 +1095,23 @@ object CatalogSql {
     * 128 MB file rewrite per touched row; maintenance converts the read
     * debt back into clean scans.
     */
+  private def ensureUpdMorBase(s: SparkSession, d: String): Unit = {
+    val root = warehouseFor(d) + "_mut/orders_updmor"
+    val log = new graft.catalog.CommitLog(s, root)
+    withBase(log, root) {
+      log.commit(graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .repartition(8), replace = true)
+    }
+  }
+
   private def updateWhereMor(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val root = warehouseFor(d) + "_mut/orders_updmor"
     val log = new graft.catalog.CommitLog(s, root)
-    val src = graft.Tables.orders(s, d)
-      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
-    // fresh base each run — the mutation below must apply exactly once
-    log.commit(src.repartition(8), replace = true)
+    // pristine base via untimed build + metadata-only reset — the
+    // mutation below still applies exactly once per run
+    ensureUpdMorBase(s, d)
     log.updateWhereMoR(
       col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0,
       Seq("o_orderpriority" -> lit("9-UPDATED")))
@@ -1094,14 +1141,26 @@ object CatalogSql {
     * small pool files per batch instead of a 128 MB rewrite per touched
     * file; maintenance converts the read debt back into clean scans.
     */
+  private def ensureMergeMorBase(s: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_mergemor"
+    val log = new graft.catalog.CommitLog(s, root)
+    withBase(log, root) {
+      log.commit(graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 3 =!= 0).repartition(8), replace = true)
+    }
+  }
+
   private def mergeMor(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val root = warehouseFor(d) + "_mut/orders_mergemor"
     val log = new graft.catalog.CommitLog(s, root)
     val src = graft.Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    // fresh base each run — the upsert below must apply exactly once
-    log.commit(src.filter(col("o_orderkey") % 3 =!= 0).repartition(8), replace = true)
+    // pristine base via untimed build + metadata-only reset — the
+    // upsert below still applies exactly once per run
+    ensureMergeMorBase(s, d)
     log.mergeMoR(
       src.filter(col("o_orderkey") % 2 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 10000.0),
@@ -1132,16 +1191,32 @@ object CatalogSql {
     * shape: validation is O(incoming batch) against a header the
     * manifest already carries — the table is never rescanned.
     */
+  private def ensureCheckBase(s: SparkSession, d: String): Unit = {
+    val root = warehouseFor(d) + "_mut/orders_check"
+    val log = new graft.catalog.CommitLog(s, root)
+    withBase(log, root) {
+      val v0 = log.commit(graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(8), replace = true)
+      // declare the gate ON the base: the proving head-scan is fixture,
+      // the gate's enforcement (bounce + admit below) is what's timed;
+      // restore reverts to this version, #check header included. A
+      // persisted fixture's replace CARRIES the prior header
+      // (replaceCarried), so only declare when absent.
+      if (!log.checkConstraints.contains("price_pos"))
+        log.addConstraint("price_pos", "o_totalprice > 0")
+      else v0
+    }
+  }
+
   private def checkConstraintGate(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val root = warehouseFor(d) + "_mut/orders_check"
     val log = new graft.catalog.CommitLog(s, root)
     val src = graft.Tables.orders(s, d)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    // fresh base each run (the replace carries a prior run's #check header)
-    log.commit(src.repartition(8), replace = true)
-    if (!log.checkConstraints.contains("price_pos"))
-      log.addConstraint("price_pos", "o_totalprice > 0"): Unit
+    // pristine constrained base via untimed build + metadata-only reset
+    ensureCheckBase(s, d)
     val poisoned = src.filter(col("o_orderkey") % 3 === 0)
       .withColumn("o_totalprice", -col("o_totalprice"))
     val rejected =
@@ -1251,17 +1326,37 @@ object CatalogSql {
     * total, the 100 TB contract — skipped files are never opened) and
     * (b) return exactly what DuckDB computes over the raw table.
     */
+  // raw-table row counts, once per (dataset, table) per JVM: freshness
+  // probes must not bill a source scan to the timed region
+  private val rawCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def rawCount(s: SparkSession, d: String, name: String): Long =
+    rawCounts.computeIfAbsent(d + "#" + name,
+      _ => graft.Tables.loaders(name)(s, d).count())
+
+  private def ensurePtx(s: SparkSession, d: String): Unit = {
+    val root = warehouseFor(d) + "_tt/orders_ptx"
+    val log = new graft.catalog.CommitLog(s, root)
+    // manifest-tag row count, not a recount: the snapshot has no DVs,
+    // so the _n tags are exact and the probe is metadata-only
+    val fresh = try {
+      log.partitionTransforms.nonEmpty &&
+        log.snapshotStats(log.currentVersion.get)._2
+          .contains(rawCount(s, d, "orders"))
+    } catch { case _: Exception => false }
+    if (!fresh)
+      log.commitTransformed(graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+        Seq("months(o_orderdate)"), replace = true): Unit
+  }
+
   private def partTransform(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val root = warehouseFor(d) + "_tt/orders_ptx"
     val log = new graft.catalog.CommitLog(s, root)
     val src = graft.Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-    val fresh =
-      try log.partitionTransforms.nonEmpty && log.read().count() == src.count()
-      catch { case _: Exception => false }
-    if (!fresh)
-      log.commitTransformed(src, Seq("months(o_orderdate)"), replace = true): Unit
+    ensurePtx(s, d)
     // literals cast to the COLUMN's own type (TIMESTAMP vs TIMESTAMP_NTZ
     // varies with testdata regens): comparing same-typed sides keeps the
     // analyzer from wrapping the ATTRIBUTE in a cast, which would turn
@@ -1294,24 +1389,34 @@ object CatalogSql {
     * dead (DV-honored) and dropped versions remain time-travelable
     * until vacuum.
     */
+  private def ensureTtlBase(s: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_ttl"
+    val log = new graft.catalog.CommitLog(s, root)
+    withBase(log, root) {
+      // clustering pins the time-ordered layout the metadata-drop design
+      // measures (fan-out pinned so the layout is multi-file at every SF)
+      if (log.clusteringColumns != Seq("o_day")) {
+        if (log.clusteringColumns.nonEmpty) log.setClustering(Seq.empty): Unit
+        log.setClustering(Seq("o_day")): Unit
+      }
+      s.conf.set("spark.graft.clusteredWrite.partitions", "8")
+      try log.commit(graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_day"), col("o_totalprice")),
+        replace = true)
+      finally s.conf.unset("spark.graft.clusteredWrite.partitions")
+    }
+  }
+
   private def ttlExpire(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val root = warehouseFor(d) + "_mut/orders_ttl"
     val log = new graft.catalog.CommitLog(s, root)
-    val src = graft.Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_custkey"),
-        col("o_orderdate").cast("date").as("o_day"), col("o_totalprice"))
-    // fresh clustered base each run — the expiry below must apply
-    // exactly once; clustering pins the time-ordered layout the
-    // metadata-drop design measures (fan-out pinned so the layout is
-    // multi-file at every SF)
-    if (log.clusteringColumns != Seq("o_day")) {
-      if (log.clusteringColumns.nonEmpty) log.setClustering(Seq.empty): Unit
-      log.setClustering(Seq("o_day")): Unit
-    }
-    s.conf.set("spark.graft.clusteredWrite.partitions", "8")
-    try log.commit(src, replace = true)
-    finally s.conf.unset("spark.graft.clusteredWrite.partitions")
+    // pristine clustered base via untimed build + metadata-only reset —
+    // the expiry below still applies exactly once per run (the restore
+    // also reverts a prior run's #ttl: header and dropped files)
+    ensureTtlBase(s, d)
     log.setTtl("o_day", 184L * 86400000L)
     val asOf = java.sql.Timestamp.valueOf("2001-01-01 00:00:00").getTime
     val (dropped, rewritten) = log.enforceTtl(asOf) // cutoff = 2000-07-01
@@ -1363,12 +1468,67 @@ object CatalogSql {
       sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
   }
 
+  /** Schema-evolving MERGE as an oracle key
+    * ([[graft.catalog.CommitLog.merge]] with `evolve = true`, round 13):
+    * orders lands with `%3 != 0` keys, then an upsert batch of every
+    * even key arrives carrying a NEW column (`o_flag`) the table has
+    * never seen — the upstream-added-a-field case every long-lived CDC
+    * pipeline hits. The merge widens the schema IN the same commit:
+    * appended/rewritten rows carry the column, untouched files are
+    * never rewritten for the schema change (carried by name), and
+    * existing rows read it as NULL through the pool's mergeSchema read.
+    * The flag-grouped rollup must equal DuckDB's closed-form recompute
+    * — a NULL-defaulted old row landing in the wrong group, or a
+    * dropped/duplicated upsert row, hash-mismatches.
+    */
+  private def ensureMergeEvoBase(s: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_mergeevo"
+    val log = new graft.catalog.CommitLog(s, root)
+    withBase(log, root) {
+      log.commit(graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 3 =!= 0).repartition(8), replace = true)
+    }
+  }
+
+  private def mergeEvolve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_mergeevo"
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    // pristine base via untimed build + metadata-only reset — the
+    // evolving upsert below still applies exactly once per run. The
+    // restore also REVERTS the widened schema of a previous run (the
+    // restored manifest references only pre-evolution files).
+    ensureMergeEvoBase(s, d)
+    val batch = src.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10000.0)
+      .withColumn("o_flag",
+        when(col("o_orderkey") % 4 === 0, lit("E")).otherwise(lit("O")))
+    log.merge(batch, "o_orderkey", evolve = true)
+    log.read()
+      .groupBy(coalesce(col("o_flag"), lit("-")).as("flag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("flag")
+  }
+
   /** The CDC source table: v1 initial load (`%3 != 0` keys), v2 append
     * (the `%3 == 0` keys), v3 CoW DELETE (`%7 == 0`), v4 MoR UPDATE
     * (+10000 where `%5 == 0`) — every commit kind the change feed must
     * express. Freshness-guarded so Verify and standalone runs rebuild
     * only when stale; the bench invokes it untimed via `setups`.
     */
+  // v1 initial-load row count per dataset, computed once per JVM (see
+  // the freshness probe below)
+  private val cdcExpectedV1 =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def ensureCdcSource(s: SparkSession, d: String): Unit = {
     import org.apache.spark.sql.functions._
     ensureCatalog(s, d)
@@ -1376,9 +1536,17 @@ object CatalogSql {
     val log = new graft.catalog.CommitLog(s, root)
     val src = graft.Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_totalprice")
+    // freshness probe without billing a scan to the timed region: v4
+    // must be the MoR update (a partial build can't fake the op tag)
+    // and v1's manifest row tag must equal the definition's initial-load
+    // count (guards a stale fixture from an older key definition; the
+    // one orders scan that computes it is cached per JVM and paid by
+    // the bench's untimed setups pass, zero DV anti-join recounts here)
+    val expectedV1: Long = cdcExpectedV1.computeIfAbsent(d,
+      _ => src.filter(col("o_orderkey") % 3 =!= 0).count())
     val fresh = try {
-      log.currentVersion.contains(4L) &&
-        log.read().count() == src.filter(col("o_orderkey") % 7 =!= 0).count()
+      log.currentVersion.contains(4L) && log.operation(4L) == "update_mor" &&
+        log.snapshotStats(1L)._2.contains(expectedV1)
     } catch { case _: Exception => false }
     if (!fresh) {
       s.sql("DROP TABLE IF EXISTS graft.tpch.cdc_src")
@@ -1433,6 +1601,7 @@ object CatalogSql {
     "q_rename_merge" -> renameMerge _,
     "q_ttl_expire" -> ttlExpire _,
     "stream_cdc_apply" -> streamCdcApply _,
+    "q_merge_evolve" -> mergeEvolve _,
   )
 
   /** Untimed bench fixtures: the SPJ keys' partitioned/bucketed CTAS
@@ -1445,6 +1614,17 @@ object CatalogSql {
     "q_mv_join" -> setupMvJoin _,
     "q_mv_star" -> setupMvStar _,
     "stream_cdc_apply" -> setupCdcApply _,
+    // mutation keys: pristine-base builds are fixture (withBase — the
+    // timed run resets via metadata-only restore and measures only the
+    // mutation cycle)
+    "q_update_where" -> ensureUpdBase _,
+    "q_update_mor" -> ensureUpdMorBase _,
+    "q_merge_mor" -> ensureMergeMorBase _,
+    "q_merge_evolve" -> ensureMergeEvoBase _,
+    "q_check_constraint" -> ensureCheckBase _,
+    "q_ttl_expire" -> ensureTtlBase _,
+    "q_part_transform" -> ensurePtx _,
+    "q_replica_parity" -> ensureRepSrcBase _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1682,5 +1862,19 @@ object CatalogSql {
         |         AS sum_price
         |FROM orders
         |WHERE o_orderkey % 7 <> 0""".stripMargin,
+    "q_merge_evolve" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0
+        |            THEN CASE WHEN o_orderkey % 4 = 0 THEN 'E' ELSE 'O' END
+        |            ELSE '-' END AS flag,
+        |       count(*) AS n_rows, min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key,
+        |       CAST(sum(CAST(CASE WHEN o_orderkey % 2 = 0
+        |                          THEN o_totalprice + 10000.0
+        |                          ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.CommitLog
+
+/** Schema-evolving MERGE (both tiers): a batch carrying NEW columns
+  * widens the table schema in the same commit — untouched files are
+  * never rewritten for the schema change, existing rows read the new
+  * columns as NULL, and the contract stays strict (evolution only ADDS
+  * columns; a batch missing an existing column still bounces).
+  */
+class MergeEvolveSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft_evo").toString
+
+  /** Two single-file appends with disjoint key ranges. */
+  private def seeded(root: String): CommitLog = {
+    val log = new CommitLog(spark, root)
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).toDF("k").withColumn("v", col("k") * 10L).coalesce(1)
+    log.commit(batch(1, 100), replace = false)
+    log.commit(batch(101, 200), replace = false)
+    log
+  }
+
+  test("CoW merge(evolve): new column lands, old rows read NULL, untouched file carries") {
+    val log = seeded(freshRoot())
+    val before = log.files(2L)
+    // batch touches only the FIRST file's range and adds column `tag`
+    val batch = Seq((50L, 555L, "x"), (201L, 2010L, "y"))
+      .toDF("k", "v", "tag").coalesce(1)
+    log.merge(batch, "k", evolve = true)
+    val after = log.files(3L)
+    assert(after.contains(before(1)),
+      "file untouched by keys must carry by name through the evolution")
+    assert(!after.contains(before(0)), "touched file must be rewritten")
+    val out = log.read()
+    assert(out.columns.toSet == Set("k", "v", "tag"))
+    val rows = out.select("k", "v", "tag").as[(Long, Long, Option[String])]
+      .collect().map { case (k, v, t) => k -> ((v, t)) }.toMap
+    assert(rows(50L) == ((555L, Some("x"))), "matched key must update")
+    assert(rows(201L) == ((2010L, Some("y"))), "new key must insert")
+    assert(rows(51L) == ((510L, None)), "old row must read new column as NULL")
+    assert(rows(150L) == ((1500L, None)), "carried-file row must read NULL too")
+    assert(out.count() == 201)
+  }
+
+  test("MoR mergeMoR(evolve): zero rewrites, NULL-padded reads, fold keeps values") {
+    val log = seeded(freshRoot())
+    val before = log.files(2L)
+    val batch = Seq((150L, 666L, "z")).toDF("k", "v", "tag").coalesce(1)
+    log.mergeMoR(batch, "k", evolve = true)
+    // both data files carry by name — merge vectors rewrite nothing
+    assert(log.files(3L).toSet.intersect(before.toSet) == before.toSet)
+    def snap() = log.read().select("k", "v", "tag")
+      .as[(Long, Long, Option[String])].collect().toSet
+    val mor = snap()
+    assert(mor.contains((150L, 666L, Some("z"))))
+    assert(mor.contains((1L, 10L, None)))
+    assert(mor.size == 200)
+    // folding the tombstones must not change the visible rows
+    log.rewriteDeletes()
+    assert(snap() == mor, "rewriteDeletes changed visible rows under evolution")
+  }
+
+  test("contract: evolve=false rejects new columns; evolve=true rejects missing ones") {
+    val log = seeded(freshRoot())
+    val extra = Seq((1L, 1L, "x")).toDF("k", "v", "tag")
+    val e1 = intercept[IllegalArgumentException](log.merge(extra, "k"))
+    assert(e1.getMessage.contains("schema"), e1.getMessage)
+    val missing = Seq((1L, "x")).toDF("k", "tag")
+    val e2 = intercept[IllegalArgumentException](
+      log.merge(missing, "k", evolve = true))
+    assert(e2.getMessage.contains("missing"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      log.mergeMoR(missing, "k", evolve = true))
+    assert(e3.getMessage.contains("missing"), e3.getMessage)
+  }
+
+  test("partitioned table: evolution keeps the c=v layout") {
+    val root = freshRoot()
+    val log = new CommitLog(spark, root)
+    val base = Seq((1L, "A", 10L), (2L, "B", 20L), (3L, "A", 30L))
+      .toDF("k", "p", "v")
+    log.commitPartitioned(base, Seq("p"), replace = true)
+    val batch = Seq((2L, "B", 22L, "n"), (4L, "A", 40L, "m"))
+      .toDF("k", "p", "v", "note")
+    log.merge(batch, "k", evolve = true)
+    val v = log.currentVersion.get
+    assert(log.partitionColumns(v) == Seq("p"), "partition header must survive")
+    assert(log.files(v).forall(_.contains("p=")),
+      s"evolved files must stay under c=v subdirs: ${log.files(v)}")
+    val rows = log.read().select("k", "v", "note")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(rows == Set((1L, 10L, None), (2L, 22L, Some("n")),
+      (3L, 30L, None), (4L, 40L, Some("m"))))
+  }
+}
