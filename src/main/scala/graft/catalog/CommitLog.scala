@@ -3424,11 +3424,14 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         !dead(n) && stats.get(n).flatMap(_.get(column))
           .exists(s => cmpSafe(s.tpe, s.min).exists(_ >= 0))
       }.toSet
+      // Set lookups: the manifest filter below is O(lines), not
+      // O(lines × straddlers) — at 100 TB the manifest is the file list
       val straddle = names.filterNot(n => dead(n) || live(n))
+      val straddleSet = straddle.toSet
       if (dead.isEmpty && straddle.isEmpty) return (0, 0)
       val keptLines = lines.filterNot { l =>
         !l.startsWith("#") && !l.startsWith("-") && {
-          val n = l.split('\t').head; dead(n) || straddle.contains(n)
+          val n = l.split('\t').head; dead(n) || straddleSet(n)
         }
       }
       val survivorLines =

@@ -43,23 +43,29 @@ object Replicate {
     * (use the source table identity — two feeds into one target must not
     * collide).
     */
-  def applyChangeBatch(target: CommitLog, keyCol: String, batch: DataFrame,
+  def applyChangeBatch(target: CommitLog, keyCol: String, batch0: DataFrame,
       txnScope: String): Unit = {
     import graft.catalog.GraftChangesTable.{ChangeType, CommitVersion}
-    val dataCols = batch.columns.filterNot(c =>
-      c == ChangeType || c == CommitVersion).toSeq
-    // bounded: one row per source version in this batch's offset range
-    val versions = batch.select(CommitVersion).distinct()
-      .collect().map(_.getLong(0)).sorted
-    for (v <- versions) {
-      val sub = batch.filter(col(CommitVersion) === v)
-      val dels = sub.filter(col(ChangeType) === "delete").select(keyCol)
-      val ins = sub.filter(col(ChangeType) === "insert")
-        .select(dataCols.map(col): _*)
-      val txn = Some(s"cdc-$txnScope-$v")
-      if (!target.exists) target.commit(ins, replace = false, txn): Unit
-      else target.applyChangesMoR(dels, ins, keyCol, txn): Unit
-    }
+    // the batch is re-read per version (version list + deletes +
+    // inserts); cache it so a multi-version catch-up batch scans the
+    // staged change files once, not 3 × |versions| times
+    val batch = batch0.persist()
+    try {
+      val dataCols = batch.columns.filterNot(c =>
+        c == ChangeType || c == CommitVersion).toSeq
+      // bounded: one row per source version in this batch's offset range
+      val versions = batch.select(CommitVersion).distinct()
+        .collect().map(_.getLong(0)).sorted
+      for (v <- versions) {
+        val sub = batch.filter(col(CommitVersion) === v)
+        val dels = sub.filter(col(ChangeType) === "delete").select(keyCol)
+        val ins = sub.filter(col(ChangeType) === "insert")
+          .select(dataCols.map(col): _*)
+        val txn = Some(s"cdc-$txnScope-$v")
+        if (!target.exists) target.commit(ins, replace = false, txn): Unit
+        else target.applyChangesMoR(dels, ins, keyCol, txn): Unit
+      }
+    } finally batch.unpersist(): Unit
   }
 
   /** Drain `srcTable`'s change feed into the commit-log table at
