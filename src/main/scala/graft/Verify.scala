@@ -1,9 +1,36 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Session-wide TIMESTAMP_MICROS (needed for commit-log footer stats)
+    * serializes session-local TimestampType with isAdjustedToUTC=true, which
+    * DuckDB reads as TIMESTAMP WITH TIME ZONE while the oracle computes plain
+    * TIMESTAMP — the round-13 11-key schema break. The session is pinned UTC,
+    * so casting TimestampType→TimestampNTZType at the dump edge is a pure
+    * schema relabel: identical micros values, isAdjustedToUTC=false. */
+  private def dropTz(dt: DataType): DataType = dt match {
+    case TimestampType        => TimestampNTZType
+    case ArrayType(e, n)      => ArrayType(dropTz(e), n)
+    case MapType(k, v, n)     => MapType(dropTz(k), dropTz(v), n)
+    case StructType(fields)   =>
+      StructType(fields.map(f => f.copy(dataType = dropTz(f.dataType))))
+    case other                => other
+  }
+  /** Dev escape hatch: SPARK_GRAFT_RAW_DUMP=1 skips the tz relabel, to
+    * reproduce the driver-side failure mode when auditing check.py. */
+  private val rawDump = sys.env.get("SPARK_GRAFT_RAW_DUMP").contains("1")
+  def tzStableDump(df: DataFrame): DataFrame = {
+    if (rawDump) return df
+    val cols = df.schema.fields.map { f =>
+      val t = dropTz(f.dataType)
+      if (t == f.dataType) org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.col(f.name).cast(t).as(f.name)
+    }
+    if (cols.isEmpty) df else df.select(cols.toSeq: _*)
+  }
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing args = dump only these keys (dev loop); the
@@ -27,7 +54,7 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try tzStableDump(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         // A key that crashes before the oracle must still surface in the

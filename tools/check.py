@@ -43,10 +43,14 @@ def type_class(v):
         return "float"
     if isinstance(v, decimal.Decimal):
         return "decimal"
-    if isinstance(v, (datetime.datetime, pd.Timestamp, np.datetime64,
-                      datetime.date)):
-        # one temporal class: spark DATE loads as datetime.date objects,
-        # duckdb DATE as datetime64 — round-1 driver accepted that pairing
+    if isinstance(v, (datetime.datetime, pd.Timestamp)):
+        # tz-aware vs naive is a DISTINCT class: the driver's schema_match
+        # fails a TIMESTAMPTZ-vs-TIMESTAMP pairing (round-13's 11-key break
+        # shipped because the old check stripped tz before comparing)
+        return "timestamptz" if v.tzinfo is not None else "temporal"
+    if isinstance(v, (np.datetime64, datetime.date)):
+        # spark DATE loads as datetime.date objects, duckdb DATE as
+        # datetime64 — round-1 driver accepted that pairing
         return "temporal"
     if isinstance(v, (str, bytes)):
         return "str"
@@ -71,12 +75,11 @@ def cell_equal(a, b):
     if ta != tb:
         return False
     if ta == "temporal":
-        ta_, tb_ = pd.Timestamp(a), pd.Timestamp(b)
-        if ta_.tzinfo is not None:
-            ta_ = ta_.tz_localize(None)
-        if tb_.tzinfo is not None:
-            tb_ = tb_.tz_localize(None)
-        return ta_ == tb_
+        # both naive (type_class routed any tz-aware value to "timestamptz",
+        # so a tz mismatch already failed the ta != tb gate above)
+        return pd.Timestamp(a) == pd.Timestamp(b)
+    if ta == "timestamptz":
+        return pd.Timestamp(a).tz_convert("UTC") == pd.Timestamp(b).tz_convert("UTC")
     if ta == "float":
         # exact binary compare — the driver hashes, no tolerance
         return float(a) == float(b)
@@ -87,6 +90,29 @@ def cell_equal(a, b):
         # which would wrongly equate 1.10 and 1.1)
         return a == b and a.as_tuple().exponent == b.as_tuple().exponent
     return a == b
+
+
+def col_class(series):
+    """Type class of a whole column — the local mirror of the driver's
+    schema_match. Pandas-level dtype first (catches tz-aware datetime64
+    columns even when every cell compares equal after normalization);
+    object columns fall back to the first non-null cell's type_class."""
+    dt = series.dtype
+    if isinstance(dt, pd.DatetimeTZDtype):
+        return "timestamptz"
+    kind = getattr(dt, "kind", None)
+    if kind == "M":
+        return "temporal"
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    for v in series:
+        if not is_null(v):
+            return type_class(v)
+    return "empty"  # all-null column carries no type evidence
 
 
 def array_col(df):
@@ -181,6 +207,17 @@ def main():
             d_df = sort_frame(d_df)
         except Exception as e:
             print(f"SORT-ERR {name}: sort crashed: {e}")
+            n_bad += 1
+            continue
+        dbad = None
+        for c in s_df.columns:
+            sc, dc = col_class(s_df[c]), col_class(d_df[c])
+            if sc != dc and "empty" not in (sc, dc):
+                dbad = (c, sc, dc)
+                break
+        if dbad:
+            c, sc, dc = dbad
+            print(f"DTYPE    {name}: col {c}: spark={sc} duck={dc}")
             n_bad += 1
             continue
         bad = None
