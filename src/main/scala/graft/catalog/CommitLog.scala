@@ -471,6 +471,53 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         org.json4s.JObject(cs.toList.sortBy(_._1).map {
           case (k, s) => k -> org.json4s.JString(s) })))
 
+  // ---- evolved schema of record ---------------------------------------------
+
+  /** Schema of record after a schema-evolving commit (`#schema:` header:
+    * compact Spark schema JSON), written by merge / mergeMoR /
+    * applyChangesMoR with `evolve = true`. Manifest-carried so it
+    * composes with the whole temporal plane for free: RESTORE to a
+    * pre-evolution version reverts the schema with the data, time travel
+    * and branches pin it, shallow clones and replicas receive it with
+    * the manifest, and replaces/compactions carry it
+    * ([[replaceCarried]]). Absent on tables that never evolved — the
+    * overwhelmingly common case pays zero read overhead. Consumers:
+    * [[graft.catalog.GraftTable.schema]] widens the declared sidecar
+    * schema with these columns so the SQL surface (INSERT, MERGE, the
+    * `.changes` feed's pinned schema) sees the evolution a library-level
+    * evolve performed.
+    */
+  def evolvedSchemaAt(v: Long): Option[org.apache.spark.sql.types.StructType] =
+    schemaOf(manifestLines(v))
+
+  def evolvedSchema: Option[org.apache.spark.sql.types.StructType] =
+    currentVersion.flatMap(evolvedSchemaAt)
+
+  private def schemaOf(lines: Seq[String]): Option[org.apache.spark.sql.types.StructType] =
+    lines.find(_.startsWith("#schema:")).map(l =>
+      org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("#schema:"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Replace any prior `#schema:` header with the post-evolution schema:
+    * the pre-evolution columns in their existing order (from the current
+    * schema of record, falling back to the data schema for headerless
+    * tables) plus the batch's new columns with the batch's types.
+    */
+  private def evolveHeader(lines: Seq[String], curDataSchema: => org.apache.spark.sql.types.StructType,
+      newCols: Seq[String], batch: DataFrame): Seq[String] = {
+    if (newCols.isEmpty) lines
+    else {
+      val cur = schemaOf(lines).getOrElse(curDataSchema)
+      val add = newCols.filterNot(cur.fieldNames.contains)
+      if (add.isEmpty) lines
+      else {
+        val widened = org.apache.spark.sql.types.StructType(
+          cur.fields ++ add.map(n => batch.schema(n)))
+        lines.filterNot(_.startsWith("#schema:")) :+ ("#schema:" + widened.json)
+      }
+    }
+  }
+
   /** Headers that must outlive a replace/compaction: applied-batch
     * memory (`#txn:`), declared CHECK constraints (`#check:`), the
     * declared clustering spec (`#cluster:`), and the transform
@@ -491,7 +538,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   private def replaceCarried(prev: Seq[String]): Seq[String] =
     prev.filter(l => l.startsWith("#txn:") || l.startsWith("#check:") ||
       l.startsWith("#cluster:") || l.startsWith("#ptspec:") ||
-      l.startsWith("#ttl:"))
+      l.startsWith("#ttl:") || l.startsWith("#schema:"))
 
   // ---- operation tags ------------------------------------------------------
 
@@ -2508,8 +2555,35 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       writeHeadHint(v)   // best-effort; stale-low is self-healing
       maintainBloomIndexes(v, lines)
       maintainAnnIndexes(v, lines)
+      autoEnforceTtl(lines)
     }
     won
+  }
+
+  // reentrancy guard: the enforcement's own publish must not recurse
+  private val ttlEnforcing: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** Best-effort publish-time TTL enforcement (opt-in:
+    * `spark.graft.ttl.autoEnforce=true`): a table carrying a standing
+    * `#ttl:` policy expires its aged rows as commits land — the declared
+    * "engine applies retention" posture with no scheduler in the loop
+    * (reference grounding: asset registries carry lifecycle config the
+    * platform, not an operator, applies). Same contract as the index
+    * hooks above: the triggering commit already stands, enforcement is
+    * usually a metadata-only manifest edit (stats-tier whole-file drops),
+    * and ANY failure degrades to the manual `CALL enforce_ttl` path —
+    * never a failed commit, never a wrong answer.
+    */
+  private def autoEnforceTtl(lines: Seq[String]): Unit = {
+    if (ttlEnforcing.get()) return
+    try {
+      if (spark.conf.get("spark.graft.ttl.autoEnforce", "false") != "true") return
+      if (!lines.exists(_.startsWith("#ttl:"))) return
+      ttlEnforcing.set(true)
+      try enforceTtl(System.currentTimeMillis()): Unit
+      finally ttlEnforcing.set(false)
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Pool files among `lines` that CONTAIN at least one of `keys`:
@@ -2795,7 +2869,9 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         if (partCols.isEmpty) stageToPool(merged, "merge")
         else stagePartitioned(merged, partCols, "merge")
       beforePublish(attempt, v + 1)
-      if (publish(v + 1, stamped("merge", keptLines ++ newLines))) return v + 1
+      if (publish(v + 1, stamped("merge",
+        evolveHeader(keptLines, readVersion(v).schema, newCols, updates) ++
+          newLines))) return v + 1
       racePause(attempt, v + 1)
       attempt += 1
     }
@@ -3230,7 +3306,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (dvStaged.isEmpty && dataStaged.isEmpty) return v
       beforePublish(attempt, v + 1)
       if (publish(v + 1, stamped("merge_mor",
-        lines ++ dataStaged ++ dvStaged.map("-" + _)))) return v + 1
+        evolveHeader(lines, readVersion(v).schema, newCols, updates) ++
+          dataStaged ++ dvStaged.map("-" + _)))) return v + 1
       racePause(attempt, v + 1)
       attempt += 1
     }
@@ -3267,7 +3344,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     */
   def applyChangesMoR(deleteKeys0: DataFrame, inserts0: DataFrame,
       keyCol: String, txn: Option[String] = None,
-      maxAttempts: Int = 5): Long = {
+      maxAttempts: Int = 5, evolve: Boolean = false): Long = {
     val inserts = applyTransforms(inserts0)
     var validatedCs: Map[String, String] = null
     var attempt = 0
@@ -3278,9 +3355,20 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       txn.foreach { id => if (lines.contains(s"#txn:$id")) return v }
       val partCols = partitionColsOf(lines)
       val cols = readVersion(v).columns.toSeq
-      require(inserts.columns.toSet == cols.toSet,
+      // schema evolution mirrors [[mergeMoR]]: with evolve=true the batch
+      // may add new columns — a CDC replica must track its source through
+      // the source's own evolving merges ([[graft.stream.Replicate]])
+      val newCols = if (evolve) inserts.columns.filterNot(cols.contains).toSeq
+        else Seq.empty
+      if (evolve) {
+        val missing = cols.filterNot(inserts.columns.contains)
+        require(missing.isEmpty, "applyChangesMoR(evolve): inserts must " +
+          s"still carry every existing column (missing $missing); " +
+          "evolution ADDS columns")
+      } else require(inserts.columns.toSet == cols.toSet,
         s"applyChangesMoR: inserts schema ${inserts.columns.toSeq} != " +
           s"table schema $cols")
+      val outCols = cols ++ newCols
       val curCs = checkOf(lines)
       if (curCs != validatedCs) { // only the incoming rows can newly violate
         enforceConstraints(inserts, curCs, "applyChangesMoR"); validatedCs = curCs
@@ -3307,7 +3395,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
               .select(DvKeys.map(col): _*), "applyChangesMoR")
           }
         }
-      val applied = inserts.select(cols.map(col): _*)
+      val applied = inserts.select(outCols.map(col): _*)
       val dataStaged =
         if (partCols.isEmpty) stageToPool(applied, "applyChangesMoR")
         else stagePartitioned(applied, partCols, "applyChangesMoR")
@@ -3316,7 +3404,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (dvStaged.isEmpty && dataStaged.isEmpty && txn.isEmpty) return v
       beforePublish(attempt, v + 1)
       if (publish(v + 1, stamped("cdc_apply",
-        lines ++ txn.map(id => s"#txn:$id").toSeq ++
+        evolveHeader(lines, readVersion(v).schema, newCols, inserts) ++
+          txn.map(id => s"#txn:$id").toSeq ++
           dataStaged ++ dvStaged.map("-" + _)))) return v + 1
       racePause(attempt, v + 1)
       attempt += 1

@@ -154,13 +154,41 @@ private[graft] final class GraftChangeFeedStream(
   /** Stage the range's rows once (atomic rename claims the dir; a racing
     * planner for the same range loses the rename and reuses the winner's
     * byte-identical files), then return the staged parquet paths.
+    *
+    * Schema evolution: the stream's schema is pinned at query start (a
+    * DSv2 source cannot widen its output mid-query), so a version whose
+    * changes carry columns BEYOND the pinned schema — the source evolved
+    * after this stream started — fails LOUDLY with a restart instruction
+    * instead of silently dropping the new column (the non-append-tail
+    * precedent, [[GraftMicroBatchStream]]). On restart the schema re-pins
+    * from the evolved table; versions that PRE-date the evolution then
+    * read the new columns as NULL, exactly like the table's own scans.
     */
   private def stagedFiles(s: Long, e: Long): Seq[String] = {
     val f = fs
     val dir = new Path(stageRoot, s"${s}_$e")
     if (!f.exists(dir)) {
-      val rows = (s + 1 to e).map(changesAt).reduce(_.unionByName(_))
-        .select(schema.fieldNames.map(n => col(s"`$n`")): _*)
+      val pinned = schema.fieldNames.toSet
+      val perVersion = (s + 1 to e).map { v =>
+        val df = changesAt(v)
+        val extra = df.columns.filterNot(pinned)
+        if (extra.nonEmpty) throw new IllegalStateException(
+          s"change feed $tableName: version $v carries columns " +
+            s"${extra.mkString(", ")} not in this stream's schema — the " +
+            "source table's schema evolved after the stream started. " +
+            "Restart the stream (same checkpoint) to pick up the widened " +
+            "schema; earlier versions will read the new columns as NULL.")
+        df
+      }
+      val unioned = perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
+      // align to the pinned schema: a version that pre-dates an evolution
+      // (possible after the restart above re-pins wider) null-fills the
+      // columns it never had
+      val present = unioned.columns.toSet
+      val rows = unioned.select(schema.fields.map { fd =>
+        if (present(fd.name)) col(s"`${fd.name}`")
+        else lit(null).cast(fd.dataType).as(fd.name)
+      }.toSeq: _*)
       val tmp = new Path(stageRoot,
         s"_tmp_${s}_${e}_${java.util.UUID.randomUUID().toString.take(8)}")
       rows.write.mode("overwrite").parquet(tmp.toString)

@@ -421,7 +421,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val root = tableRoot(ident)
-    var schema = declaredSchema(root).getOrElse(loadTable(ident).schema())
+    // the EFFECTIVE schema (declared sidecar widened by any `#schema:`
+    // library evolution) — an evolved column must be ALTER-able (rename,
+    // drop, retype) like any declared one; sidecar metadata is preserved
+    // because the widened schema starts from the sidecar fields
+    var schema = loadTable(ident).schema()
     val partCols = declaredPartitioning(root).toSet
     // a hidden-partition transform records its SOURCE column by name in
     // `_ptspec.json`: renaming or dropping it would orphan the layout
@@ -740,21 +744,51 @@ private[graft] class GraftTable(spark: SparkSession, tableName: String, root: St
     log.readVersion(pinned.orElse(log.currentVersion).getOrElse(
       throw new IllegalStateException(s"$tableName has no committed data")))
 
-  override lazy val schema: StructType = declared.getOrElse {
-    pinned.orElse(log.currentVersion)
-      .map(v => log.readVersion(v).schema)
-      .filter(_.nonEmpty)
-      .getOrElse(throw new IllegalStateException(
-        s"$tableName has neither a declared schema nor committed data"))
+  /** Declared schema widened with any columns a library-level schema
+    * evolution added (`#schema:` manifest header — merge/mergeMoR/
+    * applyChangesMoR with evolve=true): the SQL surface must see the
+    * evolved columns or INSERT/MERGE/the `.changes` feed bounce them.
+    * The header binds to the version this handle reads, so time travel
+    * to a pre-evolution snapshot serves the narrow schema. Renamed
+    * columns are matched by their PHYSICAL name (the header records
+    * physical names) so a rename is never double-reported as new.
+    */
+  override lazy val schema: StructType = {
+    val evolved = pinned.orElse(log.currentVersion).flatMap(log.evolvedSchemaAt)
+    declared match {
+      case Some(d) =>
+        // dropped physicals must not resurrect from a stale header: an
+        // evolved column later removed via ALTER DROP lands in the
+        // dropped registry, which wins over the manifest's record
+        lazy val droppedPhys =
+          ColumnMapping.readMeta(HadoopFs.fs(spark, root), new Path(root))._1
+        val known = d.fieldNames.toSet ++ ColumnMapping.renames(d).values
+        val extra = evolved.map(_.fields.filterNot(f =>
+            known(f.name) || droppedPhys(f.name)))
+          .getOrElse(Array.empty[org.apache.spark.sql.types.StructField])
+        if (extra.isEmpty) d else StructType(d.fields ++ extra)
+      case None => evolved.getOrElse {
+        pinned.orElse(log.currentVersion)
+          .map(v => log.readVersion(v).schema)
+          .filter(_.nonEmpty)
+          .getOrElse(throw new IllegalStateException(
+            s"$tableName has neither a declared schema nor committed data"))
+      }
+    }
   }
 
   override def capabilities(): util.Set[TableCapability] =
     // BATCH_WRITE is advertised for path-based DataFrameWriter.save()
     // eligibility; execution still dispatches on the Write object being
-    // a V1Write, so every batch write runs the commit-log V1 path
+    // a V1Write, so every batch write runs the commit-log V1 path.
+    // AUTOMATIC_SCHEMA_EVOLUTION opts into the analyzer's
+    // `MERGE WITH SCHEMA EVOLUTION` rewrite (ResolveMergeIntoSchemaEvolution):
+    // source-only columns become alterTable AddColumn changes before the
+    // row-level rewrite, so a SQL-only user reaches the evolution the
+    // library's merge/mergeMoR(evolve = true) perform.
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.STREAMING_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.AUTOMATIC_SCHEMA_EVOLUTION,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] =

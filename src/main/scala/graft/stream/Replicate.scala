@@ -41,7 +41,12 @@ object Replicate {
     * versions) onto `target`. Factored out of [[run]] so specs can drive
     * redelivery/crash seams directly. `txnScope` namespaces the txn ids
     * (use the source table identity — two feeds into one target must not
-    * collide).
+    * collide). Schema evolution passes through: a source
+    * `merge(evolve = true)` widens the feed (after the stream re-pins its
+    * schema — the feed fails loudly mid-query, see
+    * [[graft.catalog.GraftChangesTable]]), and each version applies with
+    * `evolve = true` so the target widens in step with the source instead
+    * of bouncing the new column.
     */
   def applyChangeBatch(target: CommitLog, keyCol: String, batch0: DataFrame,
       txnScope: String): Unit = {
@@ -63,7 +68,7 @@ object Replicate {
           .select(dataCols.map(col): _*)
         val txn = Some(s"cdc-$txnScope-$v")
         if (!target.exists) target.commit(ins, replace = false, txn): Unit
-        else target.applyChangesMoR(dels, ins, keyCol, txn): Unit
+        else target.applyChangesMoR(dels, ins, keyCol, txn, evolve = true): Unit
       }
     } finally batch.unpersist(): Unit
   }

@@ -106,6 +106,57 @@ class ReplicateSpec extends AnyFunSuite {
     assert(tgt.currentVersion == v)
   }
 
+  test("source merge(evolve=true) mid-stream: replica tracks the widened schema across a restart") {
+    spark.sql("CREATE TABLE grpl.db.src4 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO grpl.db.src4 VALUES (1, 'a'), (2, 'b')")   // v1
+    val srcLog = new CommitLog(spark, s"$warehouse/db/src4")
+    val (tgt, cp) = (tmp("graft_repl_tgt4"), tmp("graft_repl_cp4"))
+    Replicate.run(spark, "grpl.db.src4", tgt, "k", cp)
+    val tgtLog = new CommitLog(spark, tgt)
+    assert(snapshot(tgtLog) == snapshot(srcLog))
+
+    // the first schema event every long-lived CDC pipeline hits: the
+    // source widens mid-pipeline (update k=2 + insert k=3, new column w)
+    srcLog.mergeMoR(Seq((2L, "B", 7.5), (3L, "c", 1.25)).toDF("k", "v", "w"),
+      "k", evolve = true): Unit                                        // v2
+
+    // a RESTART re-pins the feed schema from the evolved table; the
+    // replica widens in step (applyChangesMoR evolve passes through)
+    Replicate.run(spark, "grpl.db.src4", tgt, "k", cp)
+    def full(log: CommitLog) = log.read().select("k", "v", "w")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(full(tgtLog) == Set((1L, "a", None),
+      (2L, "B", Some(7.5)), (3L, "c", Some(1.25))))
+    assert(full(tgtLog) == full(srcLog))
+
+    // post-evolve commits keep flowing through the same checkpoint
+    spark.sql("INSERT INTO grpl.db.src4 VALUES (4, 'd', 0.5)")        // v3
+    Replicate.run(spark, "grpl.db.src4", tgt, "k", cp)
+    assert(full(tgtLog) == full(srcLog))
+  }
+
+  test("a live feed pinned before the evolve refuses the widened version loudly") {
+    spark.sql("CREATE TABLE grpl.db.src5 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO grpl.db.src5 VALUES (1, 'a')")             // v1
+    val srcLog = new CommitLog(spark, s"$warehouse/db/src5")
+    // analysis pins the feed schema NOW (pre-evolve)...
+    val feed = spark.readStream.table("grpl.db.src5.changes")
+    // ...then the source widens before the query runs
+    srcLog.mergeMoR(Seq((2L, "b", 1.5)).toDF("k", "v", "w"),
+      "k", evolve = true): Unit                                        // v2
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = feed.writeStream.format("noop")
+        .option("checkpointLocation", tmp("graft_repl_cp5"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val msgs = chain(ex).mkString(" | ")
+    assert(msgs.contains("schema evolved after the stream started"),
+      s"expected the loud evolve refusal, got: $msgs")
+  }
+
   test("SQL surface: CALL apply_changes replicates and is restart-idempotent") {
     spark.sql("CREATE TABLE grpl.db.src3 (k BIGINT, v STRING)")
     spark.sql("INSERT INTO grpl.db.src3 VALUES (1, 'x'), (2, 'y')")

@@ -315,6 +315,42 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM g.db.mrg VERSION AS OF 1").count() == 3L)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the table from SQL on both tiers") {
+    // CoW tier: the analyzer's AUTOMATIC_SCHEMA_EVOLUTION path turns the
+    // source-only column into alterTable AddColumn before the row-level
+    // rewrite — a SQL-only user reaches merge(evolve = true)
+    spark.sql("CREATE TABLE g.db.mevo (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.mevo VALUES (1, 'a'), (2, 'b')")
+    Seq((2L, "B", 7.5), (3L, "c", 1.25)).toDF("k", "v", "w")
+      .createOrReplaceTempView("mevo_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO g.db.mevo t USING mevo_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT k, v, w FROM g.db.mevo ORDER BY k")
+      .as[(Long, String, Option[Double])].collect().toSeq ==
+      Seq((1L, "a", None), (2L, "B", Some(7.5)), (3L, "c", Some(1.25))))
+
+    // MoR tier: CALL merge_mor with evolve lands the same widening as a
+    // tombstone+append commit (no file rewrite)
+    spark.sql("CREATE TABLE g.db.mevo2 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.mevo2 VALUES (1, 'a'), (2, 'b')")
+    val log2 = new CommitLog(spark, s"$warehouse/db/mevo2")
+    log2.mergeMoR(Seq((2L, "B", 0.5)).toDF("k", "v", "w"), "k", evolve = true)
+    // the SQL surface sees the library evolution (#schema: manifest header)
+    assert(spark.sql("SELECT k, v, w FROM g.db.mevo2 ORDER BY k")
+      .as[(Long, String, Option[Double])].collect().toSeq ==
+      Seq((1L, "a", None), (2L, "B", Some(0.5))))
+    // and time travel to the pre-evolution version serves the narrow schema
+    assert(spark.sql("SELECT * FROM g.db.mevo2 VERSION AS OF 1").columns.toSeq ==
+      Seq("k", "v"))
+
+    // an evolved column is ALTER-able like a declared one, and once
+    // dropped it must NOT resurrect from the stale #schema: header
+    spark.sql("ALTER TABLE g.db.mevo2 DROP COLUMN w")
+    assert(spark.table("g.db.mevo2").columns.toSeq == Seq("k", "v"))
+  }
+
   test("SQL UPDATE rewrites matching rows in place") {
     spark.sql("CREATE TABLE g.db.upd (k BIGINT, v STRING)")
     spark.sql("INSERT INTO g.db.upd VALUES (1, 'a'), (2, 'b')")
