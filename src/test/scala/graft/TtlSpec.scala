@@ -108,6 +108,39 @@ class TtlSpec extends AnyFunSuite {
     assert(log.currentVersion.contains(3L))
   }
 
+  test("auto-enforce: a commit past the cutoff triggers the drop; failure degrades safely") {
+    val root = freshRoot()
+    val log = new CommitLog(spark, root)
+    val now = System.currentTimeMillis()
+    // ancient rows: the epoch-ms retention column sits far past any
+    // wall-clock cutoff, so the standing policy can expire them whole
+    log.commit((1L to 100L).toDF("k").coalesce(1), replace = false)
+    log.setTtl("k", 86400000L)   // retain 1 day
+    spark.conf.set("spark.graft.ttl.autoEnforce", "true")
+    try {
+      // the commit triggers publish-time enforcement: the ancient file
+      // drops in the hook's follow-up commit, no operator in the loop
+      val live = now + 10L * 86400000L
+      log.commit(Seq(live).toDF("k").coalesce(1), replace = false)
+      assert(log.read().select("k").as[Long].collect().toSeq == Seq(live))
+      assert(log.operation(log.currentVersion.get) == "expire",
+        "enforcement must land as its own expire commit after the append")
+
+      // failure degrades safely: a policy on a STRING column makes
+      // enforceTtl throw (unsupported type) — the hook must swallow it
+      // and the triggering commit must stand
+      val root2 = freshRoot()
+      val log2 = new CommitLog(spark, root2)
+      log2.commit(Seq(("x", 1L)).toDF("s", "k").coalesce(1), replace = false)
+      log2.setTtl("s", 1L)
+      log2.commit(Seq(("y", 2L)).toDF("s", "k").coalesce(1), replace = false)
+      assert(log2.read().count() == 2, "commit must stand when the hook fails")
+      intercept[IllegalArgumentException] {   // the manual path still reports
+        log2.enforceTtl(System.currentTimeMillis())
+      }
+    } finally spark.conf.unset("spark.graft.ttl.autoEnforce")
+  }
+
   test("SQL surface: CALL set_ttl / enforce_ttl / expire_before") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft_ttl_wh").toString
     spark.conf.set("spark.sql.catalog.gttl",
