@@ -518,6 +518,40 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     }
   }
 
+  /** Align an incoming batch's EXISTING columns to the table's recorded
+    * types: a narrower-but-losslessly-castable column (an int batch into
+    * a long table) upcasts silently; anything else fails LOUDLY. Without
+    * this, the name-only schema gate lets a type-drifted batch through,
+    * union coercion rewrites the touched files at the coerced type while
+    * carried files keep the old one — and the next mergeSchema read of
+    * the mixed pool CRASHES (int32 and int64 footers cannot merge): a
+    * silently-corrupted-table class of bug. A batch that truly needs a
+    * WIDER type goes through ALTER COLUMN TYPE first (the `_widen`
+    * plane, q_type_widen) — widening is a table decision, never a merge
+    * side effect. Evolution columns (absent from the table) keep the
+    * batch's type.
+    */
+  private def alignTypes(updates: DataFrame,
+      tableSchema: org.apache.spark.sql.types.StructType, op: String): DataFrame = {
+    val byName = tableSchema.map(f => f.name -> f.dataType).toMap
+    var changed = false
+    val aligned = updates.schema.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(t) if t != f.dataType =>
+          if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f.dataType, t)) {
+            changed = true
+            col(s"`${f.name}`").cast(t).as(f.name)
+          } else throw new IllegalArgumentException(
+            s"$op: column ${f.name} arrives as ${f.dataType.sql} but the " +
+              s"table records ${t.sql}; widen the table first (ALTER TABLE " +
+              "... ALTER COLUMN ... TYPE) — a merge must not change an " +
+              "existing column's type as a side effect")
+        case _ => col(s"`${f.name}`")
+      }
+    }
+    if (changed) updates.select(aligned.toSeq: _*) else updates
+  }
+
   /** Headers that must outlive a replace/compaction: applied-batch
     * memory (`#txn:`), declared CHECK constraints (`#check:`), the
     * declared clustering spec (`#cluster:`), and the transform
@@ -2556,8 +2590,52 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       maintainBloomIndexes(v, lines)
       maintainAnnIndexes(v, lines)
       autoEnforceTtl(lines)
+      autoCompact(lines)
     }
     won
+  }
+
+  private val compacting: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** Best-effort publish-time small-file compaction (opt-in:
+    * `spark.graft.autoCompact.minSmallFiles=N`; unset/0 disables): once
+    * a commit leaves >= N data files below
+    * `spark.graft.autoCompact.targetBytes` (default 128 MB) in the new
+    * manifest, run the incremental [[compact]] — the lakehouse
+    * auto-compaction posture, closing the maintenance loop the TTL and
+    * index hooks already cover so a streaming writer's small files fold
+    * without a scheduler. The small-file census reads the manifest's
+    * commit-time `_b` byte tags — ZERO filesystem calls on the hook's
+    * fast path. Conservative by construction: a snapshot carrying
+    * merge-on-read tombstones is skipped (its debt folds through
+    * [[rewriteDeletes]] on the owner's schedule — the hook must never
+    * escalate a cheap append into a full-table rewrite), failures
+    * degrade to the manual `compact()` path, and the reentrancy guard
+    * keeps the compaction's own publish from recursing.
+    */
+  private def autoCompact(lines: Seq[String]): Unit = {
+    if (compacting.get()) return
+    try {
+      val minSmall =
+        spark.conf.get("spark.graft.autoCompact.minSmallFiles", "0").toInt
+      if (minSmall <= 0) return
+      if (dvNamesOf(lines).nonEmpty) return
+      val target = spark.conf.get("spark.graft.autoCompact.targetBytes",
+        String.valueOf(128L * 1024 * 1024)).toLong
+      val small = lines.count { l =>
+        if (l.startsWith("#") || l.startsWith("-")) false
+        else {
+          val p = l.split('\t')
+          !isAbsoluteName(p.head) && p.length > 1 &&
+            lineMeta(p(1))._2.exists(_ < target)
+        }
+      }
+      if (small < minSmall) return
+      compacting.set(true)
+      try compact(target): Unit
+      finally compacting.set(false)
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   // reentrancy guard: the enforcement's own publish must not recurse
@@ -2831,7 +2909,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val lines = manifestLines(v)
       val partCols = partitionColsOf(lines)
       val partTypes = partTypesOf(lines)
-      val cols = readVersion(v).columns.toSeq
+      val curSchema = readVersion(v).schema
+      val cols = curSchema.fieldNames.toSeq
       val newCols = if (evolve) updates.columns.filterNot(cols.contains).toSeq
         else Seq.empty
       if (evolve) {
@@ -2840,23 +2919,24 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           s"every existing column (missing $missing); evolution ADDS columns")
       } else require(updates.columns.toSet == cols.toSet,
         s"merge: updates schema ${updates.columns.toSeq} != table schema $cols")
+      val upd = alignTypes(updates, curSchema, "merge")
       val outCols = cols ++ newCols
       val curCs = checkOf(lines)
       if (curCs != validatedCs) { // only the incoming rows can newly violate
-        enforceConstraints(updates, curCs, "merge"); validatedCs = curCs
+        enforceConstraints(upd, curCs, "merge"); validatedCs = curCs
       }
-      val keys = updates.select(keyCol).distinct()
+      val keys = upd.select(keyCol).distinct()
       val touched = findTouched(lines, fileStats(v), keys, keyCol, partTypes = partTypes)
       val keptLines = lines.filterNot(l => touched(l.split('\t').head))
       val merged =
-        if (touched.isEmpty) updates.select(outCols.map(col): _*)
+        if (touched.isEmpty) upd.select(outCols.map(col): _*)
         // tombstones apply BEFORE the key anti-join: a MoR-deleted row
         // must not resurrect through the rewrite; under evolution the
         // survivors pad the new columns with NULL (allowMissingColumns)
         else readFiles(touched.toSeq.sorted, dvFrame(v), partTypes)
           .join(keys, Seq(keyCol), "left_anti")
           .select(cols.map(col): _*)
-          .unionByName(updates.select(outCols.map(col): _*),
+          .unionByName(upd.select(outCols.map(col): _*),
             allowMissingColumns = true)
       // pool the rewrite, then publish at exactly v+1: losing the race
       // means the snapshot we merged against is stale, so recompute (the
@@ -2870,7 +2950,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         else stagePartitioned(merged, partCols, "merge")
       beforePublish(attempt, v + 1)
       if (publish(v + 1, stamped("merge",
-        evolveHeader(keptLines, readVersion(v).schema, newCols, updates) ++
+        evolveHeader(keptLines, curSchema, newCols, upd) ++
           newLines))) return v + 1
       racePause(attempt, v + 1)
       attempt += 1
@@ -3258,7 +3338,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val lines = manifestLines(v)
       val partCols = partitionColsOf(lines)
       val partTypes = partTypesOf(lines)
-      val cols = readVersion(v).columns.toSeq
+      val curSchema = readVersion(v).schema
+      val cols = curSchema.fieldNames.toSeq
       // schema evolution mirrors [[merge]]: with evolve=true the batch
       // may add new columns — appended rows carry them, existing files
       // stay untouched and read the new columns as NULL (mergeSchema)
@@ -3270,12 +3351,13 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           s"carry every existing column (missing $missing); evolution ADDS columns")
       } else require(updates.columns.toSet == cols.toSet,
         s"mergeMoR: updates schema ${updates.columns.toSeq} != table schema $cols")
+      val upd = alignTypes(updates, curSchema, "mergeMoR")
       val outCols = cols ++ newCols
       val curCs = checkOf(lines)
       if (curCs != validatedCs) { // only the incoming rows can newly violate
-        enforceConstraints(updates, curCs, "mergeMoR"); validatedCs = curCs
+        enforceConstraints(upd, curCs, "mergeMoR"); validatedCs = curCs
       }
-      val keys = updates.select(keyCol).distinct()
+      val keys = upd.select(keyCol).distinct()
       val names = files(v)
       // tombstone the old positions of matched keys — footer stats bound
       // the probe to the overlapping files before any row I/O
@@ -3299,14 +3381,14 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
               .select(DvKeys.map(col): _*), "mergeMoR")
           }
         }
-      val applied = updates.select(outCols.map(col): _*)
+      val applied = upd.select(outCols.map(col): _*)
       val dataStaged =
         if (partCols.isEmpty) stageToPool(applied, "mergeMoR")
         else stagePartitioned(applied, partCols, "mergeMoR")
       if (dvStaged.isEmpty && dataStaged.isEmpty) return v
       beforePublish(attempt, v + 1)
       if (publish(v + 1, stamped("merge_mor",
-        evolveHeader(lines, readVersion(v).schema, newCols, updates) ++
+        evolveHeader(lines, curSchema, newCols, upd) ++
           dataStaged ++ dvStaged.map("-" + _)))) return v + 1
       racePause(attempt, v + 1)
       attempt += 1
@@ -3354,7 +3436,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val lines = manifestLines(v)
       txn.foreach { id => if (lines.contains(s"#txn:$id")) return v }
       val partCols = partitionColsOf(lines)
-      val cols = readVersion(v).columns.toSeq
+      val curSchema = readVersion(v).schema
+      val cols = curSchema.fieldNames.toSeq
       // schema evolution mirrors [[mergeMoR]]: with evolve=true the batch
       // may add new columns — a CDC replica must track its source through
       // the source's own evolving merges ([[graft.stream.Replicate]])
@@ -3368,10 +3451,11 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       } else require(inserts.columns.toSet == cols.toSet,
         s"applyChangesMoR: inserts schema ${inserts.columns.toSeq} != " +
           s"table schema $cols")
+      val ins = alignTypes(inserts, curSchema, "applyChangesMoR")
       val outCols = cols ++ newCols
       val curCs = checkOf(lines)
       if (curCs != validatedCs) { // only the incoming rows can newly violate
-        enforceConstraints(inserts, curCs, "applyChangesMoR"); validatedCs = curCs
+        enforceConstraints(ins, curCs, "applyChangesMoR"); validatedCs = curCs
       }
       val keys = deleteKeys0.select(keyCol).distinct()
       val names = files(v)
@@ -3395,7 +3479,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
               .select(DvKeys.map(col): _*), "applyChangesMoR")
           }
         }
-      val applied = inserts.select(outCols.map(col): _*)
+      val applied = ins.select(outCols.map(col): _*)
       val dataStaged =
         if (partCols.isEmpty) stageToPool(applied, "applyChangesMoR")
         else stagePartitioned(applied, partCols, "applyChangesMoR")
@@ -3404,7 +3488,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (dvStaged.isEmpty && dataStaged.isEmpty && txn.isEmpty) return v
       beforePublish(attempt, v + 1)
       if (publish(v + 1, stamped("cdc_apply",
-        evolveHeader(lines, readVersion(v).schema, newCols, inserts) ++
+        evolveHeader(lines, curSchema, newCols, ins) ++
           txn.map(id => s"#txn:$id").toSeq ++
           dataStaged ++ dvStaged.map("-" + _)))) return v + 1
       racePause(attempt, v + 1)

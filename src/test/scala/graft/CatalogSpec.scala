@@ -237,6 +237,34 @@ class CatalogSpec extends AnyFunSuite {
     assert(log.currentVersion.get == head, "no-op compact must not commit a version")
   }
 
+  test("commit log: auto-compact folds small files at the threshold; MoR debt skipped") {
+    val root = freshRoot() + "/t"
+    val log = new graft.catalog.CommitLog(spark, root)
+    spark.conf.set("spark.graft.autoCompact.minSmallFiles", "4")
+    try {
+      // three small commits: below the threshold, nothing folds
+      for (i <- 1L to 3L) log.commit(Seq(i).toDF("k").coalesce(1), replace = false)
+      assert(log.currentFileCount == 3)
+      // the fourth crosses N=4: the hook bin-packs in its own commit
+      log.commit(Seq(4L).toDF("k").coalesce(1), replace = false)
+      assert(log.currentFileCount == 1,
+        s"auto-compact should fold 4 small files, have ${log.currentFileCount}")
+      assert(log.operation(log.currentVersion.get) == "compact")
+      assert(log.read().as[Long].collect().sorted.toSeq == (1L to 4L))
+
+      // a tombstoned snapshot is skipped (never escalate an append into
+      // a full rewrite); the manual fold stays the owner's call
+      for (i <- 5L to 7L) log.commit(Seq(i).toDF("k").coalesce(1), replace = false)
+      log.deleteKeysMoR(Seq(5L).toDF("k"), "k")
+      val vBefore = log.currentVersion.get
+      log.commit(Seq(8L).toDF("k").coalesce(1), replace = false)
+      assert(log.currentVersion.contains(vBefore + 1),
+        "MoR snapshot must not auto-compact")
+      assert(log.read().as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L))
+    } finally spark.conf.unset("spark.graft.autoCompact.minSmallFiles")
+  }
+
   test("commit log: losing the version race retries with the same pooled names") {
     val root = freshRoot() + "/t"
     val log = new graft.catalog.CommitLog(spark, root)

@@ -82,6 +82,33 @@ class MergeEvolveSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("missing"), e3.getMessage)
   }
 
+  test("type drift: lossless upcast aligns silently; lossy drift fails loudly") {
+    // narrower batch into a LONG table: int values upcast to the
+    // table's type — the pool never mixes int32 and int64 footers
+    val log = seeded(freshRoot())
+    val narrow = Seq((50, 5555), (201, 2010)).toDF("k", "v").coalesce(1)
+    log.merge(narrow, "k")
+    assert(log.read().schema("v").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "merged pool must keep the table's LONG type")
+    assert(log.read().filter(col("k") === 50L).select("v")
+      .as[Long].head() == 5555L)
+
+    // a WIDER batch type must not change the table type as a side
+    // effect: DOUBLE into a LONG column bounces with the ALTER hint
+    // on every tier (the mixed-footer pool it would create is
+    // unreadable under mergeSchema)
+    val wide = Seq((60L, 1.5)).toDF("k", "v").coalesce(1)
+    val e1 = intercept[IllegalArgumentException] { log.merge(wide, "k") }
+    assert(e1.getMessage.contains("ALTER TABLE"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] { log.mergeMoR(wide, "k") }
+    assert(e2.getMessage.contains("ALTER TABLE"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      log.applyChangesMoR(Seq(60L).toDF("k"), wide, "k")
+    }
+    assert(e3.getMessage.contains("ALTER TABLE"), e3.getMessage)
+  }
+
   test("partitioned table: evolution keeps the c=v layout") {
     val root = freshRoot()
     val log = new CommitLog(spark, root)
