@@ -82,6 +82,22 @@ class MergeEvolveSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("missing"), e3.getMessage)
   }
 
+  test("#schema: header rides the temporal plane — RESTORE reverts the evolution") {
+    val log = seeded(freshRoot())
+    assert(log.evolvedSchema.isEmpty, "un-evolved table carries no header")
+    log.mergeMoR(Seq((50L, 555L, "x")).toDF("k", "v", "tag"), "k", evolve = true)
+    assert(log.evolvedSchema.exists(_.fieldNames.toSeq == Seq("k", "v", "tag")))
+    // compaction folds the MoR debt but must carry the schema of record
+    log.compact()
+    assert(log.evolvedSchema.exists(_.fieldNames.contains("tag")),
+      "#schema: header lost through compact")
+    // RESTORE to the pre-evolution version REVERTS the schema with the
+    // data (the restored manifest carries no header)
+    log.restore(2L)
+    assert(log.evolvedSchema.isEmpty, "restore must revert the evolution")
+    assert(log.read().columns.toSeq == Seq("k", "v"))
+  }
+
   test("type drift: lossless upcast aligns silently; lossy drift fails loudly") {
     // narrower batch into a LONG table: int values upcast to the
     // table's type — the pool never mixes int32 and int64 footers

@@ -224,7 +224,21 @@ def main():
         cols = list(s_df.columns)
         try:
             for ci, c in enumerate(cols):
-                sv, dv = s_df[c].tolist(), d_df[c].tolist()
+                # vectorized fast path: identical primitive dtypes compare
+                # as arrays (exact binary equality, null masks must match)
+                # — the 1.5M-row sf10 keys would take minutes per column
+                # in the cell loop; falls through to it only on object
+                # columns (str/decimal/date) or a detected mismatch (to
+                # locate and report the first bad cell)
+                sd, dd = s_df[c], d_df[c]
+                if (sd.dtype == dd.dtype and sd.dtype != object
+                        and getattr(sd.dtype, "kind", "O") in "Mifub"):
+                    sn, dn = sd.isna().values, dd.isna().values
+                    if (sn == dn).all():
+                        svv, dvv = sd.values[~sn], dd.values[~dn]
+                        if len(svv) == 0 or (svv == dvv).all():
+                            continue
+                sv, dv = sd.tolist(), dd.tolist()
                 for r in range(len(sv)):
                     if not cell_equal(sv[r], dv[r]):
                         bad = (r, c, sv[r], type_class(sv[r]), dv[r], type_class(dv[r]))
