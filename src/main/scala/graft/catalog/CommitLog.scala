@@ -511,8 +511,12 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val add = newCols.filterNot(cur.fieldNames.contains)
       if (add.isEmpty) lines
       else {
+        // a widened column is NULLABLE by definition regardless of the
+        // batch's own nullability: every pre-evolution row reads it as
+        // NULL (recording non-null would NPE writers that NULL-fill old
+        // versions against the evolved schema — e.g. the change feed)
         val widened = org.apache.spark.sql.types.StructType(
-          cur.fields ++ add.map(n => batch.schema(n)))
+          cur.fields ++ add.map(n => batch.schema(n).copy(nullable = true)))
         lines.filterNot(_.startsWith("#schema:")) :+ ("#schema:" + widened.json)
       }
     }

@@ -79,7 +79,10 @@ private[graft] object GraftChangesTable {
   val CommitVersion = "_commit_version"
 
   def cdfSchema(base: StructType): StructType =
-    base.add(ChangeType, StringType).add(CommitVersion, LongType)
+    // all-nullable: the feed NULL-fills columns a pre-evolution version
+    // never had, so no data column may claim non-null through the feed
+    StructType(base.fields.map(_.copy(nullable = true)))
+      .add(ChangeType, StringType).add(CommitVersion, LongType)
 }
 
 /** Micro-batch stream behind [[GraftChangesTable]]. Offset bookkeeping

@@ -1468,6 +1468,118 @@ object CatalogSql {
       sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
   }
 
+  /** CDC replication THROUGH a mid-pipeline schema evolution as an
+    * ORACLE key (round 14): the source lives v1 initial load + v2 append
+    * (narrow schema), then v3 widens it with an evolving merge-on-read
+    * MERGE (new `o_flag` column, price bump on even keys) and v4 CoW-
+    * deletes `%7 == 0`. The replica drains in TWO runs over ONE
+    * checkpoint: drain #1 (Trigger.Once + maxCommitsPerTrigger=2) stops
+    * at the pre-evolution state — the key REQUIRES every replica
+    * `o_flag` NULL there (the feed, pinned to the evolved schema,
+    * NULL-fills the pre-evolution versions; no evolution row has
+    * applied) — and drain #2 resumes across the restart seam and
+    * applies the evolution with `applyChangesMoR(evolve = true)` so the
+    * replica tracks its source through the schema event. The flag-grouped rollup of
+    * the REPLICA must equal DuckDB's closed-form recompute of the full
+    * mutation sequence — the round-13 CDC key composed with the schema
+    * event every long-lived pipeline eventually hits.
+    */
+  private val cdcEvoExpectedV1 =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def ensureCdcEvoSource(s: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    ensureCatalog(s, d)
+    val root = warehouseFor(d) + "/tpch/cdc_evo_src"
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val expectedV1: Long = cdcEvoExpectedV1.computeIfAbsent(d,
+      _ => src.filter(col("o_orderkey") % 3 =!= 0).count())
+    val fresh = try {
+      log.currentVersion.contains(4L) && log.operation(3L) == "merge_mor" &&
+        log.operation(4L) == "delete" &&
+        log.snapshotStats(1L)._2.contains(expectedV1)
+    } catch { case _: Exception => false }
+    if (!fresh) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      log.commit(src.filter(col("o_orderkey") % 3 =!= 0)
+        .repartition(8), replace = true)                        // v1 load
+      log.commit(src.filter(col("o_orderkey") % 3 === 0),
+        replace = false)                                        // v2 append
+      log.mergeMoR(src.filter(col("o_orderkey") % 2 === 0)     // v3 evolve
+        .withColumn("o_totalprice", col("o_totalprice") + 10000.0)
+        .withColumn("o_flag",
+          when(col("o_orderkey") % 4 === 0, lit("E")).otherwise(lit("O"))),
+        "o_orderkey", evolve = true)
+      log.deleteWhere(col("o_orderkey") % 7 === 0): Unit        // v4 CoW delete
+    }
+  }
+
+  private def cdcEvolve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ensureCdcEvoSource(s, d)
+    val tgtRoot = warehouseFor(d) + "_mut/cdc_evo_tgt"
+    val p = new org.apache.hadoop.fs.Path(tgtRoot)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val cp = java.nio.file.Files.createTempDirectory("graft_cdcevo_cp").toString
+    // drain #1: a bounded prefix — the replica parks at the
+    // PRE-evolution state between the two runs
+    graft.stream.Replicate.run(s, "graft.tpch.cdc_evo_src", tgtRoot,
+      "o_orderkey", cp, options = Map("maxCommitsPerTrigger" -> "2"),
+      trigger = org.apache.spark.sql.streaming.Trigger.Once())
+    val tgt = new graft.catalog.CommitLog(s, tgtRoot)
+    require(tgt.read().filter(col("o_flag").isNotNull).limit(1).count() == 0L,
+      "drain #1 must stop before the evolution (found applied o_flag rows)")
+    // drain #2: same checkpoint — the schema evolution crosses the
+    // restart seam and the replica widens in step
+    graft.stream.Replicate.run(s, "graft.tpch.cdc_evo_src", tgtRoot,
+      "o_orderkey", cp)
+    tgt.read()
+      .groupBy(coalesce(col("o_flag"), lit("-")).as("flag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("flag")
+  }
+
+  /** Publish-time AUTO-COMPACTION as an ORACLE key (round 14): with
+    * `spark.graft.autoCompact.minSmallFiles=4`, four single-file appends
+    * land and the fourth publish triggers the hook — the key REQUIRES
+    * the pool folded to ONE file with a `compact` op tag before
+    * answering (pinning that the ENGINE, not an operator, folded the
+    * small files), then rolls the table up against DuckDB's recompute
+    * over the raw slice. The census reads manifest byte tags, so the
+    * hook's fast path costs zero filesystem calls on every other commit.
+    */
+  private def compactAuto(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_autocompact"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val log = new graft.catalog.CommitLog(s, root)
+    val src = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    s.conf.set("spark.graft.autoCompact.minSmallFiles", "4")
+    try {
+      for (i <- 0 until 4)
+        log.commit(src.filter(col("o_orderkey") % 50 === i).coalesce(1),
+          replace = false)
+    } finally s.conf.unset("spark.graft.autoCompact.minSmallFiles")
+    require(log.currentFileCount == 1 &&
+      log.operation(log.currentVersion.get) == "compact",
+      s"auto-compact must fold the 4 small commits " +
+        s"(files=${log.currentFileCount}, op=${log.operation(log.currentVersion.get)})")
+    log.read().agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
   /** Schema-evolving MERGE as an oracle key
     * ([[graft.catalog.CommitLog.merge]] with `evolve = true`, round 13):
     * orders lands with `%3 != 0` keys, then an upsert batch of every
@@ -1602,6 +1714,8 @@ object CatalogSql {
     "q_ttl_expire" -> ttlExpire _,
     "stream_cdc_apply" -> streamCdcApply _,
     "q_merge_evolve" -> mergeEvolve _,
+    "q_cdc_evolve" -> cdcEvolve _,
+    "q_compact_auto" -> compactAuto _,
   )
 
   /** Untimed bench fixtures: the SPJ keys' partitioned/bucketed CTAS
@@ -1614,6 +1728,7 @@ object CatalogSql {
     "q_mv_join" -> setupMvJoin _,
     "q_mv_star" -> setupMvStar _,
     "stream_cdc_apply" -> setupCdcApply _,
+    "q_cdc_evolve" -> ((s: SparkSession, d: String) => ensureCdcEvoSource(s, d)),
     // mutation keys: pristine-base builds are fixture (withBase — the
     // timed run resets via metadata-only restore and measures only the
     // mutation cycle)
@@ -1862,6 +1977,25 @@ object CatalogSql {
         |         AS sum_price
         |FROM orders
         |WHERE o_orderkey % 7 <> 0""".stripMargin,
+    "q_cdc_evolve" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0
+        |            THEN CASE WHEN o_orderkey % 4 = 0 THEN 'E' ELSE 'O' END
+        |            ELSE '-' END AS flag,
+        |       count(*) AS n_rows, min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key,
+        |       CAST(sum(CAST(CASE WHEN o_orderkey % 2 = 0
+        |                          THEN o_totalprice + 10000.0
+        |                          ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_compact_auto" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 50 < 4""".stripMargin,
     "q_merge_evolve" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0
         |            THEN CASE WHEN o_orderkey % 4 = 0 THEN 'E' ELSE 'O' END

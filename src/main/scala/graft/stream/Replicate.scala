@@ -78,17 +78,23 @@ object Replicate {
     * or swap the trigger, for continuous tailing). `srcTable` is the
     * catalog identifier WITHOUT the `.changes` suffix. Returns after the
     * feed is drained; restarts resume from `checkpoint` exactly-once.
+    * `options` pass to the feed scan (`maxCommitsPerTrigger` bounds each
+    * micro-batch's version window); with `Trigger.Once` + a commit cap,
+    * one call replicates a bounded version prefix — the controlled-stop
+    * seam the mid-pipeline-evolution proof drives.
     */
   def run(s: SparkSession, srcTable: String, targetRoot: String,
-      keyCol: String, checkpoint: String): Unit = {
+      keyCol: String, checkpoint: String,
+      options: Map[String, String] = Map.empty,
+      trigger: Trigger = Trigger.AvailableNow()): Unit = {
     val target = new CommitLog(s, targetRoot)
-    val q = s.readStream.table(srcTable + ".changes")
+    val q = s.readStream.options(options).table(srcTable + ".changes")
       .writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
         applyChangeBatch(target, keyCol, b, srcTable)
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
     q.awaitTermination()
   }
