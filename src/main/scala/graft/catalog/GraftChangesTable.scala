@@ -52,7 +52,8 @@ private[graft] final class GraftChangesTable(
     spark: SparkSession,
     tableName: String,
     root: String,
-    baseSchema: StructType)
+    baseSchema: StructType,
+    renames: Map[String, String] = Map.empty)
   extends Table with SupportsRead {
 
   override def name(): String = tableName
@@ -69,7 +70,7 @@ private[graft] final class GraftChangesTable(
             "declared, so this is defensive); point-in-time batch diffs " +
             "are served by CommitLog.changesBetween")
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftChangeFeedStream(spark, tableName, root, schema, options)
+          new GraftChangeFeedStream(spark, tableName, root, schema, options, renames)
       }
     }
 }
@@ -96,7 +97,8 @@ private[graft] final class GraftChangeFeedStream(
     tableName: String,
     root: String,
     schema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    renames: Map[String, String] = Map.empty)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val log = new CommitLog(spark, root)
@@ -149,7 +151,13 @@ private[graft] final class GraftChangeFeedStream(
         log.readVersion(v)
           .withColumn(GraftChangesTable.ChangeType, lit("insert"))
       else log.changesBetween(v - 1, v)
-    tagged.withColumn(GraftChangesTable.CommitVersion, lit(v))
+    // renamed tables: the pool carries PHYSICAL names; the feed's
+    // contract (like every table read) is LOGICAL names
+    val relabeled = renames.foldLeft(tagged) { case (df, (logical, physical)) =>
+      if (df.columns.contains(physical)) df.withColumnRenamed(physical, logical)
+      else df
+    }
+    relabeled.withColumn(GraftChangesTable.CommitVersion, lit(v))
   }
 
   private def fs = HadoopFs.fs(spark, root)

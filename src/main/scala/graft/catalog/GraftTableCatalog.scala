@@ -250,10 +250,15 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       val parent = Identifier.of(Array(ns(0)), ns(1))
       if (!tableExists(parent)) None
       // `<t>.changes` — the streaming change feed (readStream.table),
-      // not a manifest-sized local view like the other suffixes
-      else if (kind == "changes")
+      // not a manifest-sized local view like the other suffixes. The
+      // feed surfaces LOGICAL names: the rename mapping travels so the
+      // per-version staging can relabel the pool's physical columns.
+      else if (kind == "changes") {
+        val declared = declaredSchema(tableRoot(parent))
         Some(new GraftChangesTable(spark, s"${fullName(parent)}.changes",
-          tableRoot(parent).toString, loadTable(parent).schema()))
+          tableRoot(parent).toString, loadTable(parent).schema(),
+          declared.map(ColumnMapping.renames).getOrElse(Map.empty)))
+      }
       else
         Some(new GraftMetadataTable(spark,
           s"${fullName(parent)}.$kind", tableRoot(parent).toString, kind))

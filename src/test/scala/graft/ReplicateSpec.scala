@@ -157,6 +157,26 @@ class ReplicateSpec extends AnyFunSuite {
       s"expected the loud evolve refusal, got: $msgs")
   }
 
+  test("a renamed source streams its changes under logical names") {
+    spark.sql("CREATE TABLE grpl.db.src6 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO grpl.db.src6 VALUES (1, 'a')")          // v1
+    // metadata-only rename: the pool keeps physical `v`; the feed's
+    // contract — like every table read — is LOGICAL names
+    spark.sql("ALTER TABLE grpl.db.src6 RENAME COLUMN v TO label")
+    spark.sql("INSERT INTO grpl.db.src6 VALUES (2, 'b')")          // v2
+    val out = tmp("graft_repl_out6")
+    val q = spark.readStream.table("grpl.db.src6.changes")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmp("graft_repl_cp6"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out)
+    assert(rows.columns.contains("label") && !rows.columns.contains("v"),
+      s"feed must relabel physical to logical, got ${rows.columns.toSeq}")
+    assert(rows.filter("_change_type = 'insert'").select("k", "label")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("SQL surface: CALL apply_changes replicates and is restart-idempotent") {
     spark.sql("CREATE TABLE grpl.db.src3 (k BIGINT, v STRING)")
     spark.sql("INSERT INTO grpl.db.src3 VALUES (1, 'x'), (2, 'y')")
