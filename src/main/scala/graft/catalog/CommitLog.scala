@@ -2602,6 +2602,22 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   private val compacting: ThreadLocal[java.lang.Boolean] =
     ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 
+  /** Maintenance knob resolution: the SESSION conf wins (operator
+    * override), else the table's own TBLPROPERTIES sidecar — the
+    * declared-once-on-the-table posture: a retention or compaction
+    * policy set via `ALTER TABLE ... SET TBLPROPERTIES` is honored by
+    * EVERY writer session, not just the one that remembered to set a
+    * conf. Props are read once per CommitLog handle (a knob changed
+    * mid-handle applies from the next handle — maintenance hooks are
+    * best-effort by contract).
+    */
+  private lazy val tableProps: Map[String, String] =
+    try GraftTableCatalog.readProps(spark, tableRoot)
+    catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  private def maintenanceConf(key: String, default: String): String =
+    spark.conf.getOption(key).orElse(tableProps.get(key)).getOrElse(default)
+
   /** Best-effort publish-time small-file compaction (opt-in:
     * `spark.graft.autoCompact.minSmallFiles=N`; unset/0 disables): once
     * a commit leaves >= N data files below
@@ -2622,10 +2638,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     if (compacting.get()) return
     try {
       val minSmall =
-        spark.conf.get("spark.graft.autoCompact.minSmallFiles", "0").toInt
+        maintenanceConf("spark.graft.autoCompact.minSmallFiles", "0").toInt
       if (minSmall <= 0) return
       if (dvNamesOf(lines).nonEmpty) return
-      val target = spark.conf.get("spark.graft.autoCompact.targetBytes",
+      val target = maintenanceConf("spark.graft.autoCompact.targetBytes",
         String.valueOf(128L * 1024 * 1024)).toLong
       val small = lines.count { l =>
         if (l.startsWith("#") || l.startsWith("-")) false
@@ -2660,7 +2676,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   private def autoEnforceTtl(lines: Seq[String]): Unit = {
     if (ttlEnforcing.get()) return
     try {
-      if (spark.conf.get("spark.graft.ttl.autoEnforce", "false") != "true") return
+      if (maintenanceConf("spark.graft.ttl.autoEnforce", "false") != "true") return
       if (!lines.exists(_.startsWith("#ttl:"))) return
       ttlEnforcing.set(true)
       try enforceTtl(System.currentTimeMillis()): Unit

@@ -149,6 +149,22 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(d.get("qty").contains("units ordered"), d.toString)
   }
 
+  test("TBLPROPERTIES-declared auto-compact folds with no session conf") {
+    warehouse
+    import spark.implicits._
+    // the declared-on-the-table posture: ANY writer session honors the
+    // maintenance policy, not just one that remembered a session conf
+    spark.sql("CREATE TABLE gdl.db.ac (k BIGINT) TBLPROPERTIES " +
+      "('spark.graft.autoCompact.minSmallFiles' = '3')")
+    for (i <- 1 to 3) spark.sql(s"INSERT INTO gdl.db.ac VALUES ($i)")
+    val log = new CommitLog(spark, s"$warehouse/db/ac")
+    assert(log.currentFileCount == 1,
+      s"3 declared-threshold inserts must fold, files=${log.currentFileCount}")
+    assert(log.operation(log.currentVersion.get) == "compact")
+    assert(spark.table("gdl.db.ac").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("TBLPROPERTIES: create captures, SHOW reads, SET/UNSET mutate") {
     warehouse
     spark.sql("CREATE TABLE gdl.db.p (k BIGINT) " +
