@@ -1752,10 +1752,21 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     absLines.iterator.flatMap(l => dataRootOf(l.split('\t').head))
       .map(r => r.stripSuffix("/data")).toSet[String]
       .foreach(registerCloneAt(_, tableRoot))
-    // provenance header (inert to every reader — only #partition/#txn
-    // carry semantics): names the branch point for forensics
+    // declarative table metadata FORKS with the data: CHECK constraints,
+    // clustering, TTL policy, the evolved schema of record, and the
+    // transform spec all describe the snapshot being cloned — dropping
+    // them would hand back a clone that accepts rows the source refuses,
+    // loses a library-evolved column from its schema, or exposes a
+    // transform layout's hidden `_p_*` columns. `#txn:` memory is NOT
+    // carried: the clone is a new table; streams writing to it start
+    // their own exactly-once ledger.
+    val metaCarried = src.manifestLines(v).filter(l =>
+      l.startsWith("#check:") || l.startsWith("#cluster:") ||
+        l.startsWith("#ttl:") || l.startsWith("#schema:") ||
+        l.startsWith("#ptspec:"))
+    // provenance header (inert to every reader): names the branch point
     if (!publish(1, stamped("clone",
-        s"#clone:$srcRoot@$v" +: absLines))) throw new java.io.IOException(
+        s"#clone:$srcRoot@$v" +: (metaCarried ++ absLines)))) throw new java.io.IOException(
       s"cloneFrom: lost the v1 race under $tableRoot")
     // a concurrent source vacuum may have dropped a time-travel target
     // version while this clone was in flight (the head always survives

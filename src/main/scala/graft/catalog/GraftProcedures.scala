@@ -36,7 +36,7 @@ private[catalog] object GraftProcedures {
       "drop_index", "add_constraint", "drop_constraint", "set_clustering",
       "create_tag", "create_branch", "drop_ref", "fast_forward", "refs",
       "set_partition_transforms", "set_ttl", "enforce_ttl", "expire_before",
-      "apply_changes")
+      "apply_changes", "merge_mor")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -77,6 +77,7 @@ private[catalog] object GraftProcedures {
     case "enforce_ttl"     => new EnforceTtl(cat)
     case "expire_before"   => new ExpireBefore(cat)
     case "apply_changes"   => new ApplyChanges(cat)
+    case "merge_mor"       => new MergeMor(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
   }
@@ -832,6 +833,35 @@ private[catalog] object GraftProcedures {
         case other => throw new IllegalArgumentException(
           s"delete_where: mode is 'cow' or 'mor', got '$other'")
       }
+      result(new StructType().add("version", LongType), v)
+    }
+  }
+
+  private final class MergeMor(cat: GraftTableCatalog)
+    extends Proc("merge_mor", Seq(in("table", StringType),
+      in("source", StringType), in("key_col", StringType),
+      in("mode", StringType))) {
+    override def description(): String =
+      "merge-on-read MERGE: tombstone every visible matched key and " +
+        "append the whole batch in ONE atomic publish — O(rows in " +
+        "batch) bytes, zero file rewrites (the CDC-upsert tier; SQL " +
+        "MERGE INTO is the copy-on-write tier). source is any " +
+        "session-readable table or view; mode='evolve' lets the batch " +
+        "add new columns (MERGE WITH SCHEMA EVOLUTION's MoR twin), " +
+        "mode='strict' bounces them"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val log = new CommitLog(cat.sparkSession,
+        cat.rootOf(input.getUTF8String(0).toString))
+      val src = cat.sparkSession.table(input.getUTF8String(1).toString)
+      val evolve = input.getUTF8String(3).toString
+          .toLowerCase(java.util.Locale.ROOT) match {
+        case "evolve" => true
+        case "strict" => false
+        case other => throw new IllegalArgumentException(
+          s"merge_mor: mode is 'strict' or 'evolve', got '$other'")
+      }
+      val v = log.mergeMoR(src, input.getUTF8String(2).toString,
+        evolve = evolve)
       result(new StructType().add("version", LongType), v)
     }
   }

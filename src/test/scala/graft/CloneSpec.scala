@@ -177,6 +177,33 @@ class CloneSpec extends AnyFunSuite {
     }.getMessage.contains("already has commits"))
   }
 
+  test("clone forks declarative metadata: evolved schema, constraints, TTL") {
+    val srcRoot = tmp("graft_clone_meta") + "/src"
+    val src = new CommitLog(spark, srcRoot)
+    src.commit(sample(1, 10), replace = false)
+    src.mergeMoR(Seq((11L, "v11", 1.5)).toDF("k", "v", "w"), "k", evolve = true)
+    src.rewriteDeletes()   // clone refuses tombstoned sources
+    src.addConstraint("k_pos", "k > 0")
+    src.setTtl("k", 123456L)
+
+    val dstRoot = tmp("graft_clone_meta") + "/dst"
+    val dst = new CommitLog(spark, dstRoot)
+    dst.cloneFrom(srcRoot)
+    assert(dst.evolvedSchema.exists(_.fieldNames.contains("w")),
+      "clone must fork the evolved schema of record")
+    assert(dst.checkConstraints == Map("k_pos" -> "k > 0"),
+      "clone must fork CHECK constraints")
+    assert(dst.ttlPolicy.contains(("k", 123456L)),
+      "clone must fork the TTL policy")
+    // forked metadata ENFORCES on the clone: a violating insert bounces
+    intercept[Exception] {
+      dst.commit(Seq((-1L, "bad", 0.0)).toDF("k", "v", "w"), replace = false)
+    }
+    // and streams into the clone start their OWN txn ledger (#txn: not carried)
+    assert(!java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$dstRoot/_commits/00000001.manifest")).contains("#txn:"))
+  }
+
   test("CALL graft.system.clone through the catalog, sidecars ride along") {
     val warehouse = tmp("graft_clone_wh")
     spark.conf.set("spark.sql.catalog.gc", classOf[graft.catalog.GraftTableCatalog].getName)

@@ -349,6 +349,21 @@ class TableCatalogSpec extends AnyFunSuite {
     // dropped it must NOT resurrect from the stale #schema: header
     spark.sql("ALTER TABLE g.db.mevo2 DROP COLUMN w")
     assert(spark.table("g.db.mevo2").columns.toSeq == Seq("k", "v"))
+
+    // CALL merge_mor: the MoR tier's SQL front door — evolve mode
+    // widens, strict mode bounces a new column
+    spark.sql("CREATE TABLE g.db.mevo3 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.mevo3 VALUES (1, 'a'), (2, 'b')")
+    Seq((2L, "B", 9.5), (3L, "c", 0.25)).toDF("k", "v", "w")
+      .createOrReplaceTempView("mevo3_src")
+    val bounced = intercept[Exception] {
+      spark.sql("CALL g.system.merge_mor('db.mevo3', 'mevo3_src', 'k', 'strict')")
+    }
+    assert(bounced.getMessage.contains("mergeMoR"), bounced.getMessage)
+    spark.sql("CALL g.system.merge_mor('db.mevo3', 'mevo3_src', 'k', 'evolve')")
+    assert(spark.sql("SELECT k, v, w FROM g.db.mevo3 ORDER BY k")
+      .as[(Long, String, Option[Double])].collect().toSeq ==
+      Seq((1L, "a", None), (2L, "B", Some(9.5)), (3L, "c", Some(0.25))))
   }
 
   test("SQL UPDATE rewrites matching rows in place") {
