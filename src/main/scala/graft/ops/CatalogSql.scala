@@ -1469,20 +1469,25 @@ object CatalogSql {
   }
 
   /** CDC replication THROUGH a mid-pipeline schema evolution as an
-    * ORACLE key (round 14): the source lives v1 initial load + v2 append
-    * (narrow schema), then v3 widens it with an evolving merge-on-read
-    * MERGE (new `o_flag` column, price bump on even keys) and v4 CoW-
-    * deletes `%7 == 0`. The replica drains in TWO runs over ONE
-    * checkpoint: drain #1 (Trigger.Once + maxCommitsPerTrigger=2) stops
-    * at the pre-evolution state — the key REQUIRES every replica
-    * `o_flag` NULL there (the feed, pinned to the evolved schema,
-    * NULL-fills the pre-evolution versions; no evolution row has
-    * applied) — and drain #2 resumes across the restart seam and
+    * ORACLE key (round 14): the source lives v1 initial load (range-
+    * clustered on the key, so the later mutations' footprints prune by
+    * footer stats), then v2 widens it with an evolving merge-on-read
+    * MERGE (new `o_flag` column + price bump on the `< 30000` key
+    * range) and v3 CoW-deletes the odd `< 15000` keys. The replica
+    * drains in TWO runs over ONE checkpoint: drain #1 (Trigger.Once +
+    * maxCommitsPerTrigger=1) stops at the pre-evolution state — the key
+    * REQUIRES every replica `o_flag` NULL there (the feed, pinned to
+    * the evolved schema, NULL-fills the pre-evolution version; no
+    * evolution row has applied) — and drain #2 resumes across the
+    * restart seam and
     * applies the evolution with `applyChangesMoR(evolve = true)` so the
     * replica tracks its source through the schema event. The flag-grouped rollup of
     * the REPLICA must equal DuckDB's closed-form recompute of the full
     * mutation sequence — the round-13 CDC key composed with the schema
-    * event every long-lived pipeline eventually hits.
+    * event every long-lived pipeline eventually hits. Scale shape: the
+    * mutations are key-range-bounded, so the clustered source rewrites
+    * O(range) files and the feed carries O(changed rows) per version —
+    * only the initial load is O(table), as any replication bootstrap is.
     */
   private val cdcEvoExpectedV1 =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -1495,25 +1500,24 @@ object CatalogSql {
     val src = graft.Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val expectedV1: Long = cdcEvoExpectedV1.computeIfAbsent(d,
-      _ => src.filter(col("o_orderkey") % 3 =!= 0).count())
+      _ => src.count())
     val fresh = try {
-      log.currentVersion.contains(4L) && log.operation(3L) == "merge_mor" &&
-        log.operation(4L) == "delete" &&
+      log.currentVersion.contains(3L) && log.operation(2L) == "merge_mor" &&
+        log.operation(3L) == "delete" &&
         log.snapshotStats(1L)._2.contains(expectedV1)
     } catch { case _: Exception => false }
     if (!fresh) {
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      log.commit(src.filter(col("o_orderkey") % 3 =!= 0)
-        .repartition(8), replace = true)                        // v1 load
-      log.commit(src.filter(col("o_orderkey") % 3 === 0),
-        replace = false)                                        // v2 append
-      log.mergeMoR(src.filter(col("o_orderkey") % 2 === 0)     // v3 evolve
+      log.commit(src.repartitionByRange(8, col("o_orderkey"))   // v1 load,
+        .sortWithinPartitions("o_orderkey"), replace = true)    // clustered
+      log.mergeMoR(src.filter(col("o_orderkey") < 30000)        // v2 evolve
         .withColumn("o_totalprice", col("o_totalprice") + 10000.0)
         .withColumn("o_flag",
           when(col("o_orderkey") % 4 === 0, lit("E")).otherwise(lit("O"))),
         "o_orderkey", evolve = true)
-      log.deleteWhere(col("o_orderkey") % 7 === 0): Unit        // v4 CoW delete
+      log.deleteWhere(                                          // v3 CoW delete
+        col("o_orderkey") < 15000 && col("o_orderkey") % 2 === 1): Unit
     }
   }
 
@@ -1527,7 +1531,7 @@ object CatalogSql {
     // drain #1: a bounded prefix — the replica parks at the
     // PRE-evolution state between the two runs
     graft.stream.Replicate.run(s, "graft.tpch.cdc_evo_src", tgtRoot,
-      "o_orderkey", cp, options = Map("maxCommitsPerTrigger" -> "2"),
+      "o_orderkey", cp, options = Map("maxCommitsPerTrigger" -> "1"),
       trigger = org.apache.spark.sql.streaming.Trigger.Once())
     val tgt = new graft.catalog.CommitLog(s, tgtRoot)
     require(tgt.read().filter(col("o_flag").isNotNull).limit(1).count() == 0L,
@@ -1978,17 +1982,17 @@ object CatalogSql {
         |FROM orders
         |WHERE o_orderkey % 7 <> 0""".stripMargin,
     "q_cdc_evolve" ->
-      """SELECT CASE WHEN o_orderkey % 2 = 0
+      """SELECT CASE WHEN o_orderkey < 30000
         |            THEN CASE WHEN o_orderkey % 4 = 0 THEN 'E' ELSE 'O' END
         |            ELSE '-' END AS flag,
         |       count(*) AS n_rows, min(o_orderkey) AS min_key,
         |       max(o_orderkey) AS max_key,
-        |       CAST(sum(CAST(CASE WHEN o_orderkey % 2 = 0
+        |       CAST(sum(CAST(CASE WHEN o_orderkey < 30000
         |                          THEN o_totalprice + 10000.0
         |                          ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
         |         AS sum_price
         |FROM orders
-        |WHERE o_orderkey % 7 <> 0
+        |WHERE NOT (o_orderkey < 15000 AND o_orderkey % 2 = 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_compact_auto" ->
       """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
