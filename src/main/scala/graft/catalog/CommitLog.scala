@@ -4067,7 +4067,28 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         }
       }
     }
-    (drop.length, dead.length + tmpDead + idxDead)
+    // abandoned change-feed staging (`_cdf/<from>_<to>/`): a live
+    // consumer prunes its ranges at progress-commit; a checkpoint that
+    // died mid-read leaves ranges nothing will claim. They are content-
+    // addressed and recomputed identically on demand, so aging them out
+    // under the same in-flight guard is purely reclamation — a slow
+    // consumer that somehow lost a staged range just re-derives it.
+    var cdfDead = 0
+    val cdfBase = new Path(tableRoot, "_cdf")
+    if (hfs.exists(cdfBase)) hfs.listStatus(cdfBase).foreach { rangeDir =>
+      def newest(p: Path): Long = {
+        val st = hfs.getFileStatus(p)
+        if (st.isFile) st.getModificationTime
+        else (st.getModificationTime +:
+          hfs.listStatus(p).map(c => newest(c.getPath)).toSeq).max
+      }
+      if (newest(rangeDir.getPath) <= cutoff) {
+        val it = hfs.listFiles(rangeDir.getPath, true); var n = 0
+        while (it.hasNext) { it.next(); n += 1 }
+        if (hfs.delete(rangeDir.getPath, true)) cdfDead += n
+      }
+    }
+    (drop.length, dead.length + tmpDead + idxDead + cdfDead)
   }
 
   // ---- ANALYZE (optimizer statistics) ------------------------------------

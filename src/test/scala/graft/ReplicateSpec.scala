@@ -177,6 +177,39 @@ class ReplicateSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
   }
 
+  test("TTL expiry on the source flows through the feed as deletes") {
+    import org.apache.spark.sql.functions.col
+    val srcRoot = s"$warehouse/db/src7"
+    val srcLog = new CommitLog(spark, srcRoot)
+    val live = System.currentTimeMillis() + 30L * 86400000L
+    srcLog.commit((1L to 10L).map(i => (i, s"old$i")).toDF("k", "v")
+      .coalesce(1), replace = false)                              // v1 ancient
+    srcLog.commit(Seq((live, "x"), (live + 1L, "y")).toDF("k", "v")
+      .coalesce(1), replace = false)                              // v2 live
+    srcLog.setTtl("k", 86400000L)                                 // v3 policy
+    srcLog.enforceTtl(System.currentTimeMillis())                 // v4 expire
+    val (tgt, cp) = (tmp("graft_repl_tgt7"), tmp("graft_repl_cp7"))
+    Replicate.run(spark, "grpl.db.src7", tgt, "k", cp)
+    // the metadata-only expiry nets as row deletes through the feed:
+    // the replica holds exactly the source's surviving rows
+    assert(snapshot(new CommitLog(spark, tgt)) == snapshot(srcLog))
+    assert(snapshot(srcLog) == Set((live, "x"), (live + 1L, "y")))
+  }
+
+  test("vacuum reclaims abandoned change-feed staging (re-derivable by design)") {
+    val srcRoot = s"$warehouse/db/src8"
+    val srcLog = new CommitLog(spark, srcRoot)
+    srcLog.commit(Seq((1L, "a")).toDF("k", "v"), replace = false)
+    // an abandoned consumer's staged range: content-addressed, nothing
+    // will claim it — vacuum's in-flight age guard reclaims it whole
+    val staged = new java.io.File(s"$srcRoot/_cdf/0_1")
+    assert(staged.mkdirs())
+    java.nio.file.Files.writeString(staged.toPath.resolve("part-0.parquet"), "x")
+    val (_, files) = srcLog.vacuum(keepVersions = 10,
+      minFileAgeMs = 0, minVersionAgeMs = 0)
+    assert(files >= 1 && !staged.exists(), "aged staging must be reclaimed")
+  }
+
   test("SQL surface: CALL apply_changes replicates and is restart-idempotent") {
     spark.sql("CREATE TABLE grpl.db.src3 (k BIGINT, v STRING)")
     spark.sql("INSERT INTO grpl.db.src3 VALUES (1, 'x'), (2, 'y')")

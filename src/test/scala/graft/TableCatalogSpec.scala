@@ -366,6 +366,21 @@ class TableCatalogSpec extends AnyFunSuite {
       Seq((1L, "a", None), (2L, "B", Some(9.5)), (3L, "c", Some(0.25))))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION composes with a renamed (column-mapped) table") {
+    spark.sql("CREATE TABLE g.db.mevoren (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO g.db.mevoren VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE g.db.mevoren RENAME COLUMN v TO label")
+    Seq((2L, "B", 4.5), (3L, "c", 0.75)).toDF("k", "label", "w")
+      .createOrReplaceTempView("mevoren_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO g.db.mevoren t USING mevoren_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT k, label, w FROM g.db.mevoren ORDER BY k")
+      .as[(Long, String, Option[Double])].collect().toSeq ==
+      Seq((1L, "a", None), (2L, "B", Some(4.5)), (3L, "c", Some(0.75))))
+  }
+
   test("SQL UPDATE rewrites matching rows in place") {
     spark.sql("CREATE TABLE g.db.upd (k BIGINT, v STRING)")
     spark.sql("INSERT INTO g.db.upd VALUES (1, 'a'), (2, 'b')")
