@@ -185,6 +185,23 @@ class DeltaInteropSpec extends AnyFunSuite {
     s"""{"add":{"path":"$path","partitionValues":{},"size":1,""" +
       s""""modificationTime":1,"dataChange":true,"deletionVector":$dvJson}}"""
 
+  test("a library-evolved table exports with the widened schema (old rows NULL)") {
+    val commitRoot = freshDir() + "/tevo"
+    val log = new CommitLog(spark, commitRoot)
+    log.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1),
+      replace = false)
+    log.mergeMoR(Seq((2L, "B", 7.5)).toDF("k", "v", "w"), "k", evolve = true)
+    log.rewriteDeletes()  // fold so the flat byte-copy path exports
+    val dest = freshDir() + "/delta_evo"
+    DeltaInterop.exportDelta(spark, commitRoot, dest)
+    // Delta semantics: pre-evolution files simply lack the column and
+    // read it as NULL — byte-copy plus the widened metaData schema
+    val back = DeltaInterop.readDelta(spark, dest)
+    assert(back.columns.toSeq.sorted == Seq("k", "v", "w"))
+    assert(back.select("k", "v", "w").as[(Long, String, Option[Double])]
+      .collect().toSet == Set((1L, "a", None), (2L, "B", Some(7.5))))
+  }
+
   test("deletion vectors: u/i storage decode, masked reads, native-tombstone import") {
     import org.apache.spark.sql.types._
     val table = freshDir()

@@ -45,6 +45,25 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(meta.contains("\"main\""))
   }
 
+  test("a library-evolved table exports with the widened schema in metadata") {
+    val root = tmp("graft_ice_evo")
+    val log = new CommitLog(spark, root)
+    log.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1),
+      replace = false)
+    log.mergeMoR(Seq((2L, "B", 7.5)).toDF("k", "v", "w"), "k", evolve = true)
+    log.rewriteDeletes()
+    val dest = tmp("graft_ice_evo_dst")
+    IcebergInterop.exportIceberg(spark, root, dest)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dest/metadata/v1.metadata.json")))
+    assert(meta.contains("\"w\""), "evolved column must be in the exported schema")
+    val listed = IcebergInterop.readFileList(spark, dest)
+    // spec semantics: a file missing a schema column reads it as NULL
+    assert(spark.read.option("mergeSchema", "true").parquet(listed: _*)
+      .select("k", "v", "w").as[(Long, String, Option[Double])]
+      .collect().toSet == Set((1L, "a", None), (2L, "B", Some(7.5))))
+  }
+
   test("merge-on-read tombstones export as v2 position deletes: no rewrite, no leak") {
     import org.apache.spark.sql.functions.col
     val root = tmp("graft_ice_mor")
