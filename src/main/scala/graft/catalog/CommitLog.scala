@@ -2689,8 +2689,15 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     try {
       if (maintenanceConf("spark.graft.ttl.autoEnforce", "false") != "true") return
       if (!lines.exists(_.startsWith("#ttl:"))) return
+      // deterministic-maintenance escape hatch: `spark.graft.ttl.asOfMs`
+      // pins the enforcement clock (tests, replayed pipelines, frozen
+      // benchmarks); production leaves it unset = wall clock
+      val asOf = maintenanceConf("spark.graft.ttl.asOfMs", "").trim match {
+        case "" => System.currentTimeMillis()
+        case s  => s.toLong
+      }
       ttlEnforcing.set(true)
-      try enforceTtl(System.currentTimeMillis()): Unit
+      try enforceTtl(asOf): Unit
       finally ttlEnforcing.set(false)
     } catch { case scala.util.control.NonFatal(_) => () }
   }

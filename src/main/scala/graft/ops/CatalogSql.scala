@@ -1584,6 +1584,66 @@ object CatalogSql {
       sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
   }
 
+  /** Publish-time AUTO-TTL as an ORACLE key (round 14, the retention
+    * half of the auto-maintenance pair beside [[compactAuto]]): a table
+    * declares `retain 184 days` on its order date (`#ttl:` header) and
+    * opts into `spark.graft.ttl.autoEnforce`; the key then appends a
+    * LIVE batch (the 1998 tail of orders) to a table holding the full
+    * history — and the APPEND ITSELF expires the aged files, no
+    * `enforce_ttl` call anywhere. The key REQUIRES the head to be the
+    * hook's own `expire` commit before answering, then the rollup of
+    * what survived must equal DuckDB's date-filter recompute. The
+    * enforcement-time anchor is the data's own max order date (the
+    * deterministic-maintenance contract: same inputs, same drop, every
+    * SF). Scale shape: the table lands range-clustered on the
+    * retention column, so the hook's expiry is the stats-tier
+    * metadata-only file drop with at most one straddler rewrite.
+    */
+  private def ensureTtlAutoBase(s: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_ttlauto"
+    val log = new graft.catalog.CommitLog(s, root)
+    withBase(log, root) {
+      // history wholly BELOW the retention cutoff, range-clustered on
+      // the retention column so the hook's expiry is stats-tier drops
+      log.commit(graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .filter(col("o_orderdate") < to_timestamp(lit("2000-07-01")))
+        .repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate"), replace = true)
+      log.setTtl("o_orderdate", 184L * 86400000L)
+    }
+  }
+
+  private def ttlAuto(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_ttlauto"
+    val log = new graft.catalog.CommitLog(s, root)
+    ensureTtlAutoBase(s, d)
+    val live = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-07-01")))
+    // pinned enforcement clock (the deterministic-maintenance contract:
+    // same inputs, same drop, every SF): as-of 2001-01-01 with the
+    // declared 184-day retention → cutoff 2000-07-01
+    s.conf.set("spark.graft.ttl.asOfMs",
+      java.sql.Timestamp.valueOf("2001-01-01 00:00:00").getTime.toString)
+    s.conf.set("spark.graft.ttl.autoEnforce", "true")
+    try log.commit(live.coalesce(4), replace = false)
+    finally {
+      s.conf.unset("spark.graft.ttl.autoEnforce")
+      s.conf.unset("spark.graft.ttl.asOfMs")
+    }
+    require(log.operation(log.currentVersion.get) == "expire",
+      s"the append itself must trigger retention " +
+        s"(head op=${log.operation(log.currentVersion.get)})")
+    log.read().agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
   /** Schema-evolving MERGE as an oracle key
     * ([[graft.catalog.CommitLog.merge]] with `evolve = true`, round 13):
     * orders lands with `%3 != 0` keys, then an upsert batch of every
@@ -1720,6 +1780,7 @@ object CatalogSql {
     "q_merge_evolve" -> mergeEvolve _,
     "q_cdc_evolve" -> cdcEvolve _,
     "q_compact_auto" -> compactAuto _,
+    "q_ttl_auto" -> ttlAuto _,
   )
 
   /** Untimed bench fixtures: the SPJ keys' partitioned/bucketed CTAS
@@ -1742,6 +1803,7 @@ object CatalogSql {
     "q_merge_evolve" -> ensureMergeEvoBase _,
     "q_check_constraint" -> ensureCheckBase _,
     "q_ttl_expire" -> ensureTtlBase _,
+    "q_ttl_auto" -> ensureTtlAutoBase _,
     "q_part_transform" -> ensurePtx _,
     "q_replica_parity" -> ensureRepSrcBase _,
   )
@@ -1971,6 +2033,12 @@ object CatalogSql {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE) >= DATE '2000-07-01'""".stripMargin,
+    "q_ttl_auto" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-07-01'""".stripMargin,
     "stream_cdc_apply" ->
       """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
         |       max(o_orderkey) AS max_key,
