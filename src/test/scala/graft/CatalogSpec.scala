@@ -141,6 +141,13 @@ class CatalogSpec extends AnyFunSuite {
     assert(replica.dvFiles(4L).nonEmpty, "tombstone file must ride the manifest")
     assert(replica.read().as[Long].collect().sorted.toSeq ==
       ((0L until 310L).filterNot(k => k == 5L || k == 7L)))
+    // a schema-evolving merge replicates with its #schema: header — the
+    // manifest copies verbatim, so the replica's schema of record
+    // widens with the data
+    primary.mergeMoR(Seq((7000L, 1.5)).toDF("k", "w"), "k", evolve = true)
+    assert(replica.replicateFrom(primary).contains(5L))
+    assert(replica.evolvedSchema.exists(_.fieldNames.toSeq == Seq("k", "w")),
+      "replicated manifest must carry the evolved schema of record")
   }
 
   test("compact narrows many small files to few, preserving every row") {
