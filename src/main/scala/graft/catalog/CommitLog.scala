@@ -327,7 +327,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val v = currentVersion.getOrElse(0L) + 1
       val prev = currentVersion.map(manifestLines).getOrElse(Seq.empty)
       if (!replace) requireUnpartitioned("publishPending(append)", v, prev)
-      val carried = if (replace) replaceCarried(prev) else prev
+      val carried =
+        if (replace) replaceCarriedData(prev, Some(df.schema)) else prev
       beforePublish(attempt, v)
       if (publish(v, stamped("xtxn",
         s"#xtxn:$id\t$decisionUri" +: (carried ++ newLines)))) return v
@@ -577,6 +578,37 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     prev.filter(l => l.startsWith("#txn:") || l.startsWith("#check:") ||
       l.startsWith("#cluster:") || l.startsWith("#ptspec:") ||
       l.startsWith("#ttl:") || l.startsWith("#schema:"))
+
+  /** [[replaceCarried]] for replaces that REDEFINE the table's content
+    * outright (INSERT OVERWRITE / `commit(replace=true)` / a replace
+    * import / a Complete-mode streaming epoch): the evolved `#schema:`
+    * header of record survives only while the replacement batch still
+    * matches its name→type map — Delta's `overwriteSchema` posture. A
+    * replacement with a different column set makes the DATA the schema
+    * of record again; carrying the stale header would resurrect dropped
+    * evolved columns as phantom NULLs and hide the replacement's
+    * genuinely new columns at plan time. Maintenance replaces (compact's
+    * fold, optimize, fast-forward, the row-level-op CoW rewrite) preserve
+    * shape by construction — their rewrites emit the evolved schema — and
+    * keep carrying unconditionally via [[replaceCarried]]. `newSchema` is
+    * by-name and consulted ONLY when an evolved header exists, so
+    * file-based callers pay a footer read only on the rare evolved-table
+    * replace; `None` (schema unknowable — e.g. truncate-to-empty) carries
+    * conservatively.
+    */
+  private def replaceCarriedData(prev: Seq[String],
+      newSchema: => Option[org.apache.spark.sql.types.StructType]): Seq[String] = {
+    val base = replaceCarried(prev)
+    schemaOf(base) match {
+      case Some(rec) =>
+        val sameShape = newSchema.forall { ns =>
+          rec.fields.map(f => f.name -> f.dataType).toMap ==
+            ns.fields.map(f => f.name -> f.dataType).toMap
+        }
+        if (sameShape) base else base.filterNot(_.startsWith("#schema:"))
+      case None => base
+    }
+  }
 
   // ---- operation tags ------------------------------------------------------
 
@@ -1088,7 +1120,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (curCs != validatedCs) { // constraint DDL won a race: re-validate
         enforceConstraints(df, curCs, "commit"); validatedCs = curCs
       }
-      val carried0 = if (replace) replaceCarried(prev) else prev
+      val carried0 =
+        if (replace) replaceCarriedData(prev, Some(df.schema)) else prev
       val carried = header.fold(carried0) { case (k, _) =>
         carried0.filterNot(_.startsWith(s"#$k:"))
       }
@@ -1447,7 +1480,9 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         enforceConstraintsOnPaths(pooledPaths, curCs, "commitPooledFiles")
         validatedCs = curCs
       }
-      val carried = if (replace) replaceCarried(prev) else prev
+      val carried = if (replace) replaceCarriedData(prev,
+        pooledPaths.headOption.map(p => spark.read.parquet(p.toString).schema))
+      else prev
       beforePublish(attempt, v)
       if (publish(v, stamped(if (replace) "replace" else "append",
         carried ++ txn.map(id => s"#txn:$id").toSeq ++ newLines))) return v
@@ -1557,7 +1592,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (curCs != validatedCs) { // constraint DDL won a race: re-validate
         validate(curCs); validatedCs = curCs
       }
-      val carried = if (replace) replaceCarried(prev) else prev
+      val carried = if (replace) replaceCarriedData(prev,
+        pooled.headOption.map { case (_, name, _) =>
+          spark.read.parquet(new Path(dataDir, name).toString).schema })
+      else prev
       beforePublish(attempt, v)
       if (publish(v, stamped("import",
         carried ++ dataLines ++ tombLines))) return v
@@ -2605,6 +2643,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       maintainBloomIndexes(v, lines)
       maintainAnnIndexes(v, lines)
       autoEnforceTtl(lines)
+      autoRewriteDeletes(lines)
       autoCompact(lines)
     }
     won
@@ -2625,6 +2664,27 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   private lazy val tableProps: Map[String, String] =
     try GraftTableCatalog.readProps(spark, tableRoot)
     catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Declare (merge into) this table's `TBLPROPERTIES` sidecar
+    * (`_props.json` — the same file the V2 catalog's `ALTER TABLE ...
+    * SET TBLPROPERTIES` writes), for tables addressed by root rather
+    * than by catalog identifier. The table-scoped way to declare
+    * maintenance policies ([[maintenanceConf]]): a knob set here is
+    * honored by EVERY writer session and never leaks into other tables'
+    * commits the way a session conf does. Props are read once per
+    * CommitLog handle — set them before the handle's first
+    * maintenance-triggering publish, or use a fresh handle.
+    */
+  def setProperties(props: Map[String, String]): Unit = {
+    val merged = (try GraftTableCatalog.readProps(spark, tableRoot)
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }) ++ props
+    LogStore.write(hfs, new Path(tableRoot, "_props.json"),
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JObject(merged.toList.sortBy(_._1).map {
+            case (k, v) => k -> org.json4s.JString(v)
+          }))).getBytes(StandardCharsets.UTF_8))
+  }
 
   private def maintenanceConf(key: String, default: String): String =
     spark.conf.getOption(key).orElse(tableProps.get(key)).getOrElse(default)
@@ -2666,6 +2726,56 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       compacting.set(true)
       try compact(target): Unit
       finally compacting.set(false)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  // reentrancy guard: the fold's own publish must not recurse
+  private val deleteFolding: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** Best-effort publish-time tombstone fold (opt-in:
+    * `spark.graft.rewriteDeletes.maxDebtRatio=R`, session conf or
+    * TBLPROPERTIES; unset/0 disables): once a commit leaves
+    * deletion-vector rows >= R × the live data rows, run
+    * [[rewriteDeletes]] — closing the one maintenance plane the
+    * auto-compact / auto-TTL / index hooks did not yet cover. Without
+    * it the standing-CDC-replica steady state degrades monotonically:
+    * [[applyChangesMoR]] appends (file,pos) tombstones every drained
+    * version and folding was manual-only (`CALL
+    * graft.system.rewrite_deletes`), so a replica drained every few
+    * minutes accumulates unbounded anti-join read debt until an
+    * operator remembers. The debt census reads the manifest's
+    * commit-time `_n` row tags on the `-`-prefixed DV lines vs the data
+    * lines — ZERO filesystem calls on the fast path. Same contract as
+    * the sibling hooks: the triggering commit already stands, ANY
+    * failure degrades to the (still-correct) merge-on-read scan plus
+    * the manual fold path, and the reentrancy guard keeps the fold's
+    * own publish from recursing. Composes with [[autoCompact]]: that
+    * hook deliberately skips tombstoned snapshots, but the FOLD's
+    * publish carries no DV lines, so its small-file census runs — a
+    * replica past both thresholds folds and compacts in one publish
+    * cascade.
+    */
+  private def autoRewriteDeletes(lines: Seq[String]): Unit = {
+    if (deleteFolding.get()) return
+    try {
+      val ratio = maintenanceConf(
+        "spark.graft.rewriteDeletes.maxDebtRatio", "0").toDouble
+      if (ratio <= 0) return
+      def rowsOf(l: String): Long = {
+        val p = l.split('\t')
+        if (p.length > 1) lineMeta(p(1))._1.getOrElse(0L) else 0L
+      }
+      val debt = lines.filter(_.startsWith("-"))
+        .map(l => rowsOf(l.stripPrefix("-"))).sum
+      if (debt == 0L) return
+      val data = lines
+        .filterNot(l => l.startsWith("#") || l.startsWith("-"))
+        .map(rowsOf).sum
+      if (debt.toDouble < ratio * math.max(data, 1L).toDouble) return
+      deleteFolding.set(true)
+      try rewriteDeletes(): Unit
+      finally deleteFolding.set(false)
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 

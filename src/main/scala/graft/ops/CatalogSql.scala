@@ -122,13 +122,15 @@ object CatalogSql {
     }
     val sink = s"graft_tail_${java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)}" +
       s"_${java.util.UUID.randomUUID.toString.take(8)}"
-    val q = s.readStream.table("graft.tpch.events_tail")
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_tail_cp").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_tail_cp")
+    try {
+      val q = s.readStream.table("graft.tpch.events_tail")
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", cpDir.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(cpDir.toFile): Unit
     s.table(sink).agg(
       count(lit(1)).as("n_rows"),
       min(col("event_id")).as("min_id"),
@@ -1457,9 +1459,10 @@ object CatalogSql {
     val p = new org.apache.hadoop.fs.Path(tgtRoot)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true) // fresh target each run: the drain applies exactly once
-    val cp = java.nio.file.Files.createTempDirectory("graft_cdc_cp").toString
-    graft.stream.Replicate.run(s, "graft.tpch.cdc_src", tgtRoot,
-      "o_orderkey", cp)
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_cdc_cp")
+    try graft.stream.Replicate.run(s, "graft.tpch.cdc_src", tgtRoot,
+      "o_orderkey", cpDir.toString)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(cpDir.toFile): Unit
     new graft.catalog.CommitLog(s, tgtRoot).read().agg(
       count(lit(1)).as("n_rows"),
       min(col("o_orderkey")).as("min_key"),
@@ -1527,19 +1530,26 @@ object CatalogSql {
     val tgtRoot = warehouseFor(d) + "_mut/cdc_evo_tgt"
     val p = new org.apache.hadoop.fs.Path(tgtRoot)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    val cp = java.nio.file.Files.createTempDirectory("graft_cdcevo_cp").toString
-    // drain #1: a bounded prefix — the replica parks at the
-    // PRE-evolution state between the two runs
-    graft.stream.Replicate.run(s, "graft.tpch.cdc_evo_src", tgtRoot,
-      "o_orderkey", cp, options = Map("maxCommitsPerTrigger" -> "1"),
-      trigger = org.apache.spark.sql.streaming.Trigger.Once())
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_cdcevo_cp")
+    val cp = cpDir.toString
     val tgt = new graft.catalog.CommitLog(s, tgtRoot)
-    require(tgt.read().filter(col("o_flag").isNotNull).limit(1).count() == 0L,
-      "drain #1 must stop before the evolution (found applied o_flag rows)")
-    // drain #2: same checkpoint — the schema evolution crosses the
-    // restart seam and the replica widens in step
-    graft.stream.Replicate.run(s, "graft.tpch.cdc_evo_src", tgtRoot,
-      "o_orderkey", cp)
+    try {
+      // drain #1: a bounded prefix — the replica parks at the
+      // PRE-evolution state between the two runs
+      graft.stream.Replicate.run(s, "graft.tpch.cdc_evo_src", tgtRoot,
+        "o_orderkey", cp, options = Map("maxCommitsPerTrigger" -> "1"),
+        trigger = org.apache.spark.sql.streaming.Trigger.Once())
+      require(tgt.read().filter(col("o_flag").isNotNull).limit(1).count() == 0L,
+        "drain #1 must stop before the evolution (found applied o_flag rows)")
+      // drain #2: same checkpoint — the schema evolution crosses the
+      // restart seam and the replica widens in step
+      graft.stream.Replicate.run(s, "graft.tpch.cdc_evo_src", tgtRoot,
+        "o_orderkey", cp)
+    } finally {
+      // the checkpoint is per-run scratch (the target rebuilds fresh
+      // each run): reclaim it instead of leaking a temp dir per run
+      org.apache.commons.io.FileUtils.deleteQuietly(cpDir.toFile): Unit
+    }
     tgt.read()
       .groupBy(coalesce(col("o_flag"), lit("-")).as("flag"))
       .agg(
@@ -1567,12 +1577,12 @@ object CatalogSql {
     val log = new graft.catalog.CommitLog(s, root)
     val src = graft.Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_totalprice")
-    s.conf.set("spark.graft.autoCompact.minSmallFiles", "4")
-    try {
-      for (i <- 0 until 4)
-        log.commit(src.filter(col("o_orderkey") % 50 === i).coalesce(1),
-          replace = false)
-    } finally s.conf.unset("spark.graft.autoCompact.minSmallFiles")
+    // TABLE-scoped policy (TBLPROPERTIES sidecar), not a session conf:
+    // a concurrent key's commits must never see this table's knobs
+    log.setProperties(Map("spark.graft.autoCompact.minSmallFiles" -> "4"))
+    for (i <- 0 until 4)
+      log.commit(src.filter(col("o_orderkey") % 50 === i).coalesce(1),
+        replace = false)
     require(log.currentFileCount == 1 &&
       log.operation(log.currentVersion.get) == "compact",
       s"auto-compact must fold the 4 small commits " +
@@ -1625,15 +1635,13 @@ object CatalogSql {
       .filter(col("o_orderdate") >= to_timestamp(lit("2000-07-01")))
     // pinned enforcement clock (the deterministic-maintenance contract:
     // same inputs, same drop, every SF): as-of 2001-01-01 with the
-    // declared 184-day retention → cutoff 2000-07-01
-    s.conf.set("spark.graft.ttl.asOfMs",
-      java.sql.Timestamp.valueOf("2001-01-01 00:00:00").getTime.toString)
-    s.conf.set("spark.graft.ttl.autoEnforce", "true")
-    try log.commit(live.coalesce(4), replace = false)
-    finally {
-      s.conf.unset("spark.graft.ttl.autoEnforce")
-      s.conf.unset("spark.graft.ttl.asOfMs")
-    }
+    // declared 184-day retention → cutoff 2000-07-01. TABLE-scoped via
+    // TBLPROPERTIES so the policy never leaks into other tables' commits
+    log.setProperties(Map(
+      "spark.graft.ttl.autoEnforce" -> "true",
+      "spark.graft.ttl.asOfMs" ->
+        java.sql.Timestamp.valueOf("2001-01-01 00:00:00").getTime.toString))
+    log.commit(live.coalesce(4), replace = false): Unit
     require(log.operation(log.currentVersion.get) == "expire",
       s"the append itself must trigger retention " +
         s"(head op=${log.operation(log.currentVersion.get)})")

@@ -32,24 +32,34 @@ import graft.catalog.CommitLog
   *  - cost per version is O(rows changed): the tombstone probe is
   *    footer-stats-bounded, the append is batch-sized, and the target's
   *    read debt folds through rewriteDeletes/compact on the target's own
-  *    maintenance schedule — at 100 TB the replica pays for the CHANGE
-  *    stream, never for table scans.
+  *    maintenance schedule (or automatically past a declared
+  *    `spark.graft.rewriteDeletes.maxDebtRatio`) — at 100 TB the replica
+  *    pays for the CHANGE stream, never for table scans.
   */
 object Replicate {
 
   /** Apply one change-feed micro-batch (possibly spanning several source
     * versions) onto `target`. Factored out of [[run]] so specs can drive
     * redelivery/crash seams directly. `txnScope` namespaces the txn ids
-    * (use the source table identity — two feeds into one target must not
-    * collide). Schema evolution passes through: a source
-    * `merge(evolve = true)` widens the feed (after the stream re-pins its
-    * schema — the feed fails loudly mid-query, see
-    * [[graft.catalog.GraftChangesTable]]), and each version applies with
-    * `evolve = true` so the target widens in step with the source instead
-    * of bouncing the new column.
+    * — use the SOURCE TABLE identity, unique per feed: two feeds fanning
+    * into one target with distinct scopes interleave exactly-once, while
+    * a scope collision makes the second feed's same-numbered source
+    * version dedup as "already applied" (the txn guard's documented
+    * failure mode for a mis-scoped fan-in — silent skip, never a double
+    * apply or a torn batch).
+    *
+    * Schema evolution is the replica's choice: with `evolve = true` (the
+    * tracking default) a source `merge(evolve = true)` widens the feed
+    * (after the stream re-pins its schema — the feed fails loudly
+    * mid-query, see [[graft.catalog.GraftChangesTable]]) and each
+    * version applies with `evolve = true`, so the target widens in step.
+    * With `evolve = false` the replica is STRICT: an unexpected extra
+    * column — from the feed or a caller-assembled batch on this surface
+    * — bounces loudly instead of silently widening the replica's schema
+    * of record.
     */
   def applyChangeBatch(target: CommitLog, keyCol: String, batch0: DataFrame,
-      txnScope: String): Unit = {
+      txnScope: String, evolve: Boolean = true): Unit = {
     import graft.catalog.GraftChangesTable.{ChangeType, CommitVersion}
     // the batch is re-read per version (version list + deletes +
     // inserts); cache it so a multi-version catch-up batch scans the
@@ -68,10 +78,18 @@ object Replicate {
           .select(dataCols.map(col): _*)
         val txn = Some(s"cdc-$txnScope-$v")
         if (!target.exists) target.commit(ins, replace = false, txn): Unit
-        else target.applyChangesMoR(dels, ins, keyCol, txn, evolve = true): Unit
+        else target.applyChangesMoR(dels, ins, keyCol, txn, evolve = evolve): Unit
       }
     } finally batch.unpersist(): Unit
   }
+
+  /** The feed's loud schema-evolution refusal, wherever Structured
+    * Streaming buried it in the failure's cause chain.
+    */
+  private def isFeedEvolution(t: Throwable): Boolean =
+    t != null && (Option(t.getMessage)
+      .exists(_.contains("schema evolved after the stream started")) ||
+      isFeedEvolution(t.getCause))
 
   /** Drain `srcTable`'s change feed into the commit-log table at
     * `targetRoot` (Trigger.AvailableNow — one catch-up run; schedule it,
@@ -82,20 +100,43 @@ object Replicate {
     * micro-batch's version window); with `Trigger.Once` + a commit cap,
     * one call replicates a bounded version prefix — the controlled-stop
     * seam the mid-pipeline-evolution proof drives.
+    *
+    * A mid-drain SOURCE SCHEMA EVOLUTION — the first schema event every
+    * long-lived pipeline hits — is absorbed IN THIS CALL when
+    * `evolve = true`: the feed's pinned schema refuses the widened
+    * version loudly, and `run` restarts the drain from the same
+    * checkpoint (the restart re-pins the widened schema; already-applied
+    * versions dedup by txn), bounded by `maxSchemaRestarts` so a
+    * poisoned feed still fails loudly instead of spinning. A STRICT
+    * replica (`evolve = false`) does NOT auto-restart: the refusal
+    * propagates — bouncing schema drift is exactly what strict mode is
+    * for.
     */
   def run(s: SparkSession, srcTable: String, targetRoot: String,
       keyCol: String, checkpoint: String,
       options: Map[String, String] = Map.empty,
-      trigger: Trigger = Trigger.AvailableNow()): Unit = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      evolve: Boolean = true,
+      maxSchemaRestarts: Int = 3): Unit = {
     val target = new CommitLog(s, targetRoot)
-    val q = s.readStream.options(options).table(srcTable + ".changes")
-      .writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        applyChangeBatch(target, keyCol, b, srcTable)
+    var restarts = 0
+    while (true) {
+      try {
+        val q = s.readStream.options(options).table(srcTable + ".changes")
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            applyChangeBatch(target, keyCol, b, srcTable, evolve)
+          }
+          .option("checkpointLocation", checkpoint)
+          .trigger(trigger)
+          .start()
+        q.awaitTermination()
+        return
+      } catch {
+        case e: Throwable if evolve && isFeedEvolution(e) &&
+            restarts < maxSchemaRestarts =>
+          restarts += 1   // re-pin the widened schema and resume the drain
       }
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .start()
-    q.awaitTermination()
+    }
   }
 }

@@ -99,6 +99,70 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(log.rewriteDeletes() == ((0, 0)))
   }
 
+  test("auto rewriteDeletes folds tombstone debt past the declared ratio") {
+    val log = seeded(freshRoot())
+    spark.conf.set("spark.graft.rewriteDeletes.maxDebtRatio", "0.1")
+    try {
+      // 10 tombstones on 300 live rows = 3.3% debt: below the ratio, the
+      // MoR snapshot stands untouched (never escalate a cheap delete)
+      val v1 = log.deleteWhereMoR(col("k") <= 10)
+      assert(log.currentVersion.contains(v1), "below-ratio debt must not fold")
+      assert(log.dvFiles(v1).nonEmpty)
+      // 40 more crosses 10%: the hook folds in its own publish cascade
+      log.deleteWhereMoR(col("k") <= 50)
+      val head = log.currentVersion.get
+      assert(log.dvFiles(head).isEmpty,
+        s"debt past the ratio must auto-fold; still carries ${log.dvFiles(head)}")
+      assert(log.operation(head) == "rewrite_deletes")
+      assert(keys(log) == (51L to 300L))
+    } finally spark.conf.unset("spark.graft.rewriteDeletes.maxDebtRatio")
+  }
+
+  test("auto rewriteDeletes failure degrades to the merge-on-read scan") {
+    val root = freshRoot()
+    // a log whose fold always dies — the hook must swallow it: the
+    // triggering commit stands and the DV-applied read stays correct
+    val log = new CommitLog(spark, root) {
+      override def rewriteDeletes(maxAttempts: Int): (Int, Int) =
+        throw new RuntimeException("fold outage (spec-injected)")
+    }
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).toDF("k").withColumn("v", col("k") * 10L).coalesce(1)
+    log.commit(batch(1, 100), replace = false)
+    spark.conf.set("spark.graft.rewriteDeletes.maxDebtRatio", "0.05")
+    try {
+      val v = log.deleteWhereMoR(col("k") <= 50)   // 50% debt >> 5%
+      assert(log.currentVersion.contains(v), "fold failure must not block the commit")
+      assert(log.dvFiles(v).nonEmpty, "failed fold degrades to tombstoned read")
+      assert(keys(log) == (51L to 100L))
+      // the manual path still folds once the outage clears
+      assert(new CommitLog(spark, root).rewriteDeletes() == ((1, 1)))
+    } finally spark.conf.unset("spark.graft.rewriteDeletes.maxDebtRatio")
+  }
+
+  test("auto fold composes with auto-compact: fold publish re-arms the " +
+      "small-file census its DV lines were suppressing") {
+    val log = seeded(freshRoot())   // three ~100-row single-file commits
+    spark.conf.set("spark.graft.rewriteDeletes.maxDebtRatio", "0.1")
+    spark.conf.set("spark.graft.autoCompact.minSmallFiles", "2")
+    try {
+      // the delete's own publish skips auto-compact (DV lines present),
+      // then crosses the debt ratio: fold fires, and the FOLD's dv-free
+      // publish runs the small-file census — one cascade, clean result
+      log.deleteWhereMoR(col("k") <= 150)
+      val head = log.currentVersion.get
+      assert(log.dvFiles(head).isEmpty)
+      assert(log.operation(head) == "compact",
+        s"fold publish should cascade into compact, got '${log.operation(head)}'")
+      assert(log.currentFileCount == 1,
+        s"expected one compacted file, have ${log.currentFileCount}")
+      assert(keys(log) == (151L to 300L))
+    } finally {
+      spark.conf.unset("spark.graft.rewriteDeletes.maxDebtRatio")
+      spark.conf.unset("spark.graft.autoCompact.minSmallFiles")
+    }
+  }
+
   test("compact folds tombstones and drops the DV lines") {
     val log = seeded(freshRoot())
     log.deleteWhereMoR(col("k") % 2 === 0)

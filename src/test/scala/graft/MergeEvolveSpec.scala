@@ -143,4 +143,29 @@ class MergeEvolveSpec extends AnyFunSuite {
     assert(rows == Set((1L, 10L, None), (2L, 22L, Some("n")),
       (3L, 30L, None), (4L, 40L, Some("m"))))
   }
+
+  test("replace of an evolved table: a shape-changing overwrite makes the " +
+      "data the schema of record again (overwriteSchema posture)") {
+    val log = seeded(freshRoot())
+    log.merge(Seq((50L, 555L, "x")).toDF("k", "v", "tag"), "k", evolve = true)
+    assert(log.evolvedSchema.exists(_.fieldNames.toSeq == Seq("k", "v", "tag")))
+
+    // shape-PRESERVING replace (same name→type map): the header carries —
+    // the replacement still speaks the evolved shape
+    log.commit(Seq((1L, 11L, "a")).toDF("k", "v", "tag"), replace = true)
+    assert(log.evolvedSchema.exists(_.fieldNames.toSeq == Seq("k", "v", "tag")),
+      "shape-preserving replace must keep the evolved header")
+
+    // shape-CHANGING replace: drops `tag`, adds `score` — the stale header
+    // must NOT resurrect `tag` as a phantom NULL nor hide `score`
+    log.commit(Seq((1L, 11L, 0.5)).toDF("k", "v", "score"), replace = true)
+    assert(log.evolvedSchema.isEmpty,
+      "shape-changing replace must drop the stale evolved header")
+    assert(log.read().columns.toSeq == Seq("k", "v", "score"))
+
+    // ...and the temporal plane still works: RESTORE to the evolved
+    // version brings the header back with the data
+    log.restore(3L)
+    assert(log.evolvedSchema.exists(_.fieldNames.contains("tag")))
+  }
 }

@@ -157,6 +157,148 @@ class ReplicateSpec extends AnyFunSuite {
       s"expected the loud evolve refusal, got: $msgs")
   }
 
+  test("ONE run() absorbs a mid-drain source schema evolution (re-pin + resume)") {
+    spark.sql("CREATE TABLE grpl.db.src9 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO grpl.db.src9 VALUES (1, 'a'), (2, 'b')")   // v1
+    val srcLog = new CommitLog(spark, s"$warehouse/db/src9")
+    val (tgt, cp) = (tmp("graft_repl_tgt9"), tmp("graft_repl_cp9"))
+    val tgtLog = new CommitLog(spark, tgt)
+
+    // a CONTINUOUS drain (the long-lived-pipeline shape): the feed pins
+    // its schema at query start, so the evolve below is guaranteed
+    // mid-stream — the seam that used to take the replication job down
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val runner = new Thread(() =>
+      try Replicate.run(spark, "grpl.db.src9", tgt, "k", cp,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      catch { case t: Throwable => failure.set(t) })
+    runner.setDaemon(true)
+    runner.start()
+    def await(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 120000L
+      while (!cond) {
+        if (failure.get() != null) throw failure.get()
+        assert(System.currentTimeMillis() < deadline, s"timed out: $what")
+        Thread.sleep(200L)
+      }
+    }
+    try {
+      await("v1 replicated")(tgtLog.exists && snapshot(tgtLog) == snapshot(srcLog))
+      // schema pinned pre-evolve by construction; now widen the source
+      srcLog.mergeMoR(Seq((2L, "B", 7.5), (3L, "c", 1.25)).toDF("k", "v", "w"),
+        "k", evolve = true): Unit                                      // v2
+      // the pinned feed refuses v2 loudly; run() must catch, restart
+      // from the same checkpoint (re-pinning the widened schema), and
+      // apply it — all inside the ONE call still running on `runner`
+      def wide(log: CommitLog) = log.read().select("k", "v", "w")
+        .as[(Long, String, Option[Double])].collect().toSet
+      await("evolution absorbed")(
+        tgtLog.read().columns.contains("w") && wide(tgtLog) == wide(srcLog))
+      assert(wide(tgtLog) == Set((1L, "a", None),
+        (2L, "B", Some(7.5)), (3L, "c", Some(1.25))))
+      // and the re-pinned drain keeps flowing in the same call
+      spark.sql("INSERT INTO grpl.db.src9 VALUES (4, 'd', 0.5)")      // v3
+      await("post-evolve commit flows")(wide(tgtLog) == wide(srcLog))
+      assert(failure.get() == null,
+        s"run() must survive the evolution, threw ${failure.get()}")
+    } finally {
+      spark.streams.active.foreach(_.stop())  // stopped query → run returns
+      runner.join(30000L)
+    }
+  }
+
+  test("strict replica (evolve=false): schema drift bounces instead of widening") {
+    val tgt = new CommitLog(spark, tmp("graft_repl_tgt10"))
+    tgt.commit(Seq((1L, "a")).toDF("k", "v"), replace = false)
+    // a caller-assembled batch smuggling an extra column onto the
+    // spec-facing surface: strict mode must refuse, tracking mode widens
+    val drifted = Seq((2L, "b", 9.9, "insert", 2L))
+      .toDF("k", "v", "w", "_change_type", "_commit_version")
+    val ex = intercept[IllegalArgumentException] {
+      Replicate.applyChangeBatch(tgt, "k", drifted, "strict", evolve = false)
+    }
+    assert(ex.getMessage.contains("inserts schema"),
+      s"strict bounce should name the schema mismatch: ${ex.getMessage}")
+    assert(tgt.read().columns.toSeq == Seq("k", "v"),
+      "a bounced batch must not widen the replica's schema of record")
+    // the tracking default absorbs the same batch
+    Replicate.applyChangeBatch(tgt, "k", drifted, "strict2")
+    assert(tgt.read().columns.contains("w"))
+  }
+
+  test("two-feed fan-in: distinct scopes interleave exactly-once; a scope " +
+      "collision dedups instead of double-applying") {
+    spark.sql("CREATE TABLE grpl.db.fanA (k BIGINT, v STRING)")
+    spark.sql("CREATE TABLE grpl.db.fanB (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO grpl.db.fanA VALUES (1, 'a1')")            // A v1
+    spark.sql("INSERT INTO grpl.db.fanB VALUES (100, 'b1')")          // B v1
+    val (tgt, cpA, cpB) =
+      (tmp("graft_fan_tgt"), tmp("graft_fan_cpA"), tmp("graft_fan_cpB"))
+    val tgtLog = new CommitLog(spark, tgt)
+
+    // interleaved drains: A, B, then more commits on both, then B, A
+    Replicate.run(spark, "grpl.db.fanA", tgt, "k", cpA)
+    Replicate.run(spark, "grpl.db.fanB", tgt, "k", cpB)
+    assert(snapshot(tgtLog) == Set((1L, "a1"), (100L, "b1")))
+    spark.sql("INSERT INTO grpl.db.fanA VALUES (2, 'a2')")            // A v2
+    spark.sql("DELETE FROM grpl.db.fanB WHERE k = 100")               // B v2
+    spark.sql("INSERT INTO grpl.db.fanB VALUES (101, 'b2')")          // B v3
+    Replicate.run(spark, "grpl.db.fanB", tgt, "k", cpB)
+    Replicate.run(spark, "grpl.db.fanA", tgt, "k", cpA)
+    assert(snapshot(tgtLog) == Set((1L, "a1"), (2L, "a2"), (101L, "b2")))
+
+    // restart both: exactly-once (no new target versions on redelivery)
+    val vBefore = tgtLog.currentVersion
+    Replicate.run(spark, "grpl.db.fanA", tgt, "k", cpA)
+    Replicate.run(spark, "grpl.db.fanB", tgt, "k", cpB)
+    assert(tgtLog.currentVersion == vBefore,
+      "idle fan-in restarts must not publish")
+
+    // the txn guard under a DELIBERATE scope collision: a third feed
+    // reusing A's scope presents its own version 1 — the guard dedups
+    // it as already-applied (never a double apply, never a torn batch);
+    // unique-scope discipline is what makes fan-in safe
+    val collide = Seq((999L, "x", "insert", 1L))
+      .toDF("k", "v", "_change_type", "_commit_version")
+    Replicate.applyChangeBatch(tgtLog, "k", collide, "grpl.db.fanA")
+    assert(tgtLog.currentVersion == vBefore,
+      "a colliding scope+version must dedup, not apply")
+    assert(!snapshot(tgtLog).contains((999L, "x")))
+  }
+
+  test("replica auto-fold: N drains past the debt ratio fold without an operator") {
+    val tgt = new CommitLog(spark, tmp("graft_repl_tgt11"))
+    tgt.commit((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1), replace = false)
+    spark.conf.set("spark.graft.rewriteDeletes.maxDebtRatio", "0.25")
+    try {
+      // each synthetic CDC version updates 10 keys (delete+insert):
+      // manifest-tag debt climbs ~10 tombstones per drain against
+      // 100+10N data rows, crossing 25% at the fourth drain
+      def drain(v: Long): Unit = {
+        val batch = (1L to 10L).flatMap(k => Seq(
+          (k, s"v$k", "delete", v), (k, s"u$v-$k", "insert", v)))
+          .toDF("k", "v", "_change_type", "_commit_version")
+        Replicate.applyChangeBatch(tgt, "k", batch, "fold")
+      }
+      (1L to 3L).foreach(drain)
+      assert(tgt.dvFiles(tgt.currentVersion.get).nonEmpty,
+        "below the ratio the MoR debt stands (no premature rewrite)")
+      drain(4L)   // 40 tombstones / 140 data rows = 28.6% >= 25%: folds
+      val folded = tgt.currentVersion.get
+      assert(tgt.dvFiles(folded).isEmpty,
+        s"the 4th drain must auto-fold; carries ${tgt.dvFiles(folded)}")
+      assert(tgt.history().exists(_.operation == "rewrite_deletes"),
+        "the fold must be the hook's own rewrite_deletes publish")
+      // post-fold drains accumulate fresh (sub-ratio) debt as usual
+      drain(5L)
+      val got = snapshot(tgt)
+      val want = ((1L to 10L).map(k => (k, s"u5-$k")) ++
+        (11L to 100L).map(k => (k, s"v$k"))).toSet
+      assert(got == want, "auto-fold must not change visible values")
+    } finally spark.conf.unset("spark.graft.rewriteDeletes.maxDebtRatio")
+  }
+
   test("a renamed source streams its changes under logical names") {
     spark.sql("CREATE TABLE grpl.db.src6 (k BIGINT, v STRING)")
     spark.sql("INSERT INTO grpl.db.src6 VALUES (1, 'a')")          // v1
