@@ -2645,6 +2645,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       autoEnforceTtl(lines)
       autoRewriteDeletes(lines)
       autoCompact(lines)
+      autoVacuum()
     }
     won
   }
@@ -2726,6 +2727,46 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       compacting.set(true)
       try compact(target): Unit
       finally compacting.set(false)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  // reentrancy guard: maintenance triggered from a vacuum-adjacent
+  // publish must not re-enter the sweep
+  private val vacuumRunning: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** Best-effort publish-time vacuum (opt-in:
+    * `spark.graft.vacuum.retentionMs=N`, session conf or TBLPROPERTIES;
+    * unset/0 disables): versions older than the declared retention drop
+    * — and their unreferenced pool files, `_tmp` staging orphans,
+    * superseded index builds, and consumer-released `_cdf` staging
+    * reclaim — as commits land, the last maintenance plane that still
+    * required an operator's cron. The fast path is ONE metadata probe
+    * (the oldest retained manifest's mtime); the full sweep runs only
+    * when the window has actually released a version. `keepVersions` is
+    * derived so every version younger than the horizon is retained:
+    * the policy reclaims only what the declared window has released,
+    * and every guard [[vacuum]] itself enforces — tag pins, the clone
+    * registry, the in-flight file-age floor, the young-version refusal
+    * — stays in force (a refusal, like any hook failure, degrades
+    * silently to the manual `vacuum()` path).
+    */
+  private def autoVacuum(): Unit = {
+    if (vacuumRunning.get()) return
+    try {
+      val retention =
+        maintenanceConf("spark.graft.vacuum.retentionMs", "0").toLong
+      if (retention <= 0) return
+      val versions = committedVersions.sorted
+      if (versions.length <= 1) return
+      val horizon = System.currentTimeMillis() - retention
+      if (commitTime(versions.head) > horizon) return  // oldest still young
+      val droppable = versions.dropRight(1).count(commitTime(_) <= horizon)
+      if (droppable == 0) return
+      vacuumRunning.set(true)
+      try vacuum(keepVersions = versions.length - droppable,
+        minVersionAgeMs = retention): Unit
+      finally vacuumRunning.set(false)
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
@@ -4188,10 +4229,20 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     // consumer prunes its ranges at progress-commit; a checkpoint that
     // died mid-read leaves ranges nothing will claim. They are content-
     // addressed and recomputed identically on demand, so aging them out
-    // under the same in-flight guard is purely reclamation — a slow
-    // consumer that somehow lost a staged range just re-derives it.
+    // is purely reclamation — BUT age alone cannot distinguish an
+    // abandoned range from one a live SLOW consumer's planned
+    // micro-batch still holds paths into (deleting that one fails its
+    // task with FileNotFoundException, and the re-derive only happens
+    // after a stream restart). The guard is the same consumer handshake
+    // minVersionAgeMs already encodes: a range whose hi version is
+    // still RETAINED could legally serve a lagging consumer, so it
+    // survives; once its versions drop from the log no consumer can
+    // read it anyway (its restart fails on the vacuumed version first).
+    // minVersionAgeMs = 0 is the operator's existing "no consumer can
+    // lag" escape hatch and forces aged ranges out regardless.
     var cdfDead = 0
     val cdfBase = new Path(tableRoot, "_cdf")
+    val oldestRetained = keep.headOption.getOrElse(Long.MaxValue)
     if (hfs.exists(cdfBase)) hfs.listStatus(cdfBase).foreach { rangeDir =>
       def newest(p: Path): Long = {
         val st = hfs.getFileStatus(p)
@@ -4199,7 +4250,10 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         else (st.getModificationTime +:
           hfs.listStatus(p).map(c => newest(c.getPath)).toSeq).max
       }
-      if (newest(rangeDir.getPath) <= cutoff) {
+      val hi = scala.util.Try(
+        rangeDir.getPath.getName.split('_').last.toLong).toOption
+      val consumerSafe = minVersionAgeMs <= 0 || hi.exists(_ < oldestRetained)
+      if (consumerSafe && newest(rangeDir.getPath) <= cutoff) {
         val it = hfs.listFiles(rangeDir.getPath, true); var n = 0
         while (it.hasNext) { it.next(); n += 1 }
         if (hfs.delete(rangeDir.getPath, true)) cdfDead += n

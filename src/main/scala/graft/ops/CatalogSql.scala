@@ -1613,6 +1613,12 @@ object CatalogSql {
     import org.apache.spark.sql.functions._
     val root = warehouseFor(d) + "_mut/orders_ttlauto"
     val log = new graft.catalog.CommitLog(s, root)
+    // park the standing policy while the pristine base builds/restores:
+    // the fixture's whole point is that the TIMED append is the commit
+    // that expires — a standing autoEnforce would (correctly!) fire on
+    // the base build's own publish and leave the append nothing to do.
+    // Must precede the handle's first publish (tableProps reads once).
+    log.setProperties(Map("spark.graft.ttl.autoEnforce" -> "false"))
     withBase(log, root) {
       // history wholly BELOW the retention cutoff, range-clustered on
       // the retention column so the hook's expiry is stats-tier drops
@@ -1645,6 +1651,54 @@ object CatalogSql {
     require(log.operation(log.currentVersion.get) == "expire",
       s"the append itself must trigger retention " +
         s"(head op=${log.operation(log.currentVersion.get)})")
+    log.read().agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
+  /** Publish-time AUTO-FOLD of merge-on-read tombstone debt as an
+    * ORACLE key (round 15, closing the auto-maintenance triad beside
+    * [[compactAuto]] and [[ttlAuto]]): the table declares
+    * `spark.graft.rewriteDeletes.maxDebtRatio=0.2` via TBLPROPERTIES,
+    * then three successive MoR updates (each tombstoning ~10% of the
+    * base and appending bumped copies) land — the THIRD update's own
+    * publish crosses the ratio and the hook folds the debt with
+    * `rewriteDeletes`, no operator anywhere. The key REQUIRES the head
+    * to be the hook's `rewrite_deletes` commit with ZERO deletion-vector
+    * lines before answering, then the rollup of the folded table must
+    * equal DuckDB's closed-form recompute of the three bumps. This is
+    * the standing-CDC-replica steady state made self-maintaining: debt
+    * accrues O(rows changed) per drain and folds at a declared bound
+    * instead of growing until someone remembers `CALL rewrite_deletes`.
+    * The debt census reads the manifest's `_n` row tags — zero
+    * filesystem calls on every below-ratio publish. Scale shape: the
+    * base lands range-clustered on the key, so each update's tombstone
+    * probe AND the fold's touched-file discovery prune by footer stats.
+    */
+  private def foldAuto(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = warehouseFor(d) + "_mut/orders_foldauto"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val log = new graft.catalog.CommitLog(s, root)
+    log.setProperties(Map("spark.graft.rewriteDeletes.maxDebtRatio" -> "0.2"))
+    log.commit(graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .filter(col("o_orderkey") % 3 === 0)
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey"), replace = true)
+    // ~10% debt per update: the first two stand as MoR vectors
+    // (below the declared ratio), the third folds from the commit path
+    for ((residue, bump) <- Seq((0, 1000.0), (3, 2000.0), (6, 3000.0)))
+      log.updateWhereMoR(col("o_orderkey") % 10 === residue,
+        Seq("o_totalprice" -> (col("o_totalprice") + bump)))
+    val head = log.currentVersion.get
+    require(log.operation(head) == "rewrite_deletes" &&
+      log.dvFiles(head).isEmpty,
+      s"the third update must auto-fold the debt " +
+        s"(op=${log.operation(head)}, dvs=${log.dvFiles(head).size})")
     log.read().agg(
       count(lit(1)).as("n_rows"),
       min(col("o_orderkey")).as("min_key"),
@@ -1789,6 +1843,7 @@ object CatalogSql {
     "q_cdc_evolve" -> cdcEvolve _,
     "q_compact_auto" -> compactAuto _,
     "q_ttl_auto" -> ttlAuto _,
+    "q_fold_auto" -> foldAuto _,
   )
 
   /** Untimed bench fixtures: the SPJ keys' partitioned/bucketed CTAS
@@ -2076,6 +2131,17 @@ object CatalogSql {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE o_orderkey % 50 < 4""".stripMargin,
+    "q_fold_auto" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key,
+        |       CAST(sum(CAST(o_totalprice +
+        |                     CASE WHEN o_orderkey % 10 = 0 THEN 1000.0
+        |                          WHEN o_orderkey % 10 = 3 THEN 2000.0
+        |                          WHEN o_orderkey % 10 = 6 THEN 3000.0
+        |                          ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0""".stripMargin,
     "q_merge_evolve" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0
         |            THEN CASE WHEN o_orderkey % 4 = 0 THEN 'E' ELSE 'O' END

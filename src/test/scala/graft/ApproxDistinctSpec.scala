@@ -64,4 +64,13 @@ class ApproxDistinctSpec extends AnyFunSuite {
   test("approx_count_distinct within ±5% of exact at sf0.1") {
     check("/root/testdata/sf0.1")
   }
+
+  test("approx_count_distinct within ±5% of exact at sf10 (100× bench scale)") {
+    // gated like the sf10 tooling: runs only where the scale-proof data
+    // has been generated (tools/run_main.sh graft.GenScale ... 100)
+    val sf10 = "target/testdata-sf10"
+    assume(new java.io.File(s"$sf10/events.parquet").exists(),
+      s"$sf10 not generated on this box")
+    check(sf10)
+  }
 }

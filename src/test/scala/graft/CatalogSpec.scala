@@ -334,6 +334,51 @@ class CatalogSpec extends AnyFunSuite {
     assert(log.read().as[Long].collect().toSeq == Seq(9L))
   }
 
+  test("commit log: a declared retention policy vacuums from the commit path") {
+    val root = freshRoot() + "/t"
+    val log = new graft.catalog.CommitLog(spark, root)
+    // declared ON THE TABLE (TBLPROPERTIES) — honored by every writer
+    // session, scoped to this table only
+    log.setProperties(Map("spark.graft.vacuum.retentionMs" -> "3600000"))
+    log.commit(Seq(1L).toDF("k").coalesce(1), replace = false)   // v1
+    log.commit(Seq(2L).toDF("k").coalesce(1), replace = true)    // v2 orphans v1
+    log.commit(Seq(3L).toDF("k").coalesce(1), replace = true)    // v3
+    assert(log.history().map(_.version).sorted == Seq(1L, 2L, 3L),
+      "young versions: the window has released nothing")
+    // a tag is a durable promise: pin v2 before it ages out
+    log.createTag("keepme", Some(2L))
+    // age v1+v2 (and every pool file) past the 1 h window
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 2L * 3600000L
+    for (v <- Seq("00000001", "00000002"))
+      fs.setTimes(new org.apache.hadoop.fs.Path(
+        s"$root/_commits/$v.manifest"), old, -1)
+    val dataIt = fs.listFiles(new org.apache.hadoop.fs.Path(s"$root/data"), true)
+    while (dataIt.hasNext) fs.setTimes(dataIt.next().getPath, old, -1)
+    // the next publish sweeps: v1 drops with its orphaned pool file,
+    // the PINNED v2 survives its age, young v3 is retained by policy
+    log.commit(Seq(4L).toDF("k").coalesce(1), replace = true)    // v4
+    assert(log.history().map(_.version).sorted == Seq(2L, 3L, 4L),
+      s"auto-vacuum must drop exactly the released v1, " +
+        s"kept ${log.history().map(_.version).sorted}")
+    assert(log.read().as[Long].collect().toSeq == Seq(4L))
+    assert(log.readVersion(2L).as[Long].collect().toSeq == Seq(2L),
+      "the tag-pinned snapshot must stay readable through the hook")
+    // v1's orphaned pool file is gone from disk (aged + unreferenced)
+    val liveNames = (log.files(2L) ++ log.files(3L) ++ log.files(4L)).toSet
+    val leftover = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$root/data"), true)
+      var names = List.empty[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        names = p.getName :: names
+      }
+      names.filterNot(n => liveNames.exists(_.endsWith(n)))
+    }
+    assert(leftover.isEmpty, s"aged orphans must be reclaimed: $leftover")
+  }
+
   test("asset catalog: reader mid-compact keeps its consistent snapshot") {
     val cat = new AssetCatalog(spark, freshRoot())
     for (i <- 0L to 11L)

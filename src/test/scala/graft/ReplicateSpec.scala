@@ -352,6 +352,25 @@ class ReplicateSpec extends AnyFunSuite {
     assert(files >= 1 && !staged.exists(), "aged staging must be reclaimed")
   }
 
+  test("_cdf staging inside the consumer retention window survives vacuum") {
+    val srcRoot = s"$warehouse/db/src12"
+    val srcLog = new CommitLog(spark, srcRoot)
+    srcLog.commit(Seq((1L, "a")).toDF("k", "v"), replace = false)   // v1
+    // an AGED staged range whose hi version (1) is still retained: a
+    // lagging consumer's planned micro-batch may hold paths into it —
+    // a guarded vacuum (consumer floor in force) must leave it alone
+    val staged = new java.io.File(s"$srcRoot/_cdf/0_1")
+    assert(staged.mkdirs())
+    java.nio.file.Files.writeString(staged.toPath.resolve("part-0.parquet"), "x")
+    srcLog.vacuum(keepVersions = 10, minFileAgeMs = 0, minVersionAgeMs = 3600000L)
+    assert(staged.exists(),
+      "a range serving retained versions must survive the guarded sweep")
+    // the operator's existing "no consumer can lag" escape still forces
+    val (_, files) = srcLog.vacuum(keepVersions = 10,
+      minFileAgeMs = 0, minVersionAgeMs = 0)
+    assert(files >= 1 && !staged.exists())
+  }
+
   test("SQL surface: CALL apply_changes replicates and is restart-idempotent") {
     spark.sql("CREATE TABLE grpl.db.src3 (k BIGINT, v STRING)")
     spark.sql("INSERT INTO grpl.db.src3 VALUES (1, 'x'), (2, 'y')")
