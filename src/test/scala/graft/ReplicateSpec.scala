@@ -166,7 +166,10 @@ class ReplicateSpec extends AnyFunSuite {
 
     // a CONTINUOUS drain (the long-lived-pipeline shape): the feed pins
     // its schema at query start, so the evolve below is guaranteed
-    // mid-stream — the seam that used to take the replication job down
+    // mid-stream — the seam that used to take the replication job down.
+    // Suites share one SparkSession concurrently: remember the queries
+    // already running so the cleanup below stops ONLY this test's drain.
+    val preExisting = spark.streams.active.map(_.id).toSet
     val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val runner = new Thread(() =>
       try Replicate.run(spark, "grpl.db.src9", tgt, "k", cp,
@@ -202,7 +205,8 @@ class ReplicateSpec extends AnyFunSuite {
       assert(failure.get() == null,
         s"run() must survive the evolution, threw ${failure.get()}")
     } finally {
-      spark.streams.active.foreach(_.stop())  // stopped query → run returns
+      // stopped query → run's awaitTermination returns → runner exits
+      spark.streams.active.filterNot(q => preExisting(q.id)).foreach(_.stop())
       runner.join(30000L)
     }
   }

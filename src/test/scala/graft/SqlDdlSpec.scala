@@ -165,6 +165,48 @@ class SqlDdlSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L))
   }
 
+  test("TBLPROPERTIES-declared fold ratio: MoR debt folds with no session conf") {
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE TABLE gdl.db.fr (k BIGINT, v STRING) TBLPROPERTIES " +
+      "('spark.graft.rewriteDeletes.maxDebtRatio' = '0.2')")
+    spark.sql("INSERT INTO gdl.db.fr SELECT id, CONCAT('v', id) FROM range(1, 101)")
+    val log = new CommitLog(spark, s"$warehouse/db/fr")
+    // 30 tombstones / ~130 tagged rows crosses the declared 20%: the
+    // MoR delete's own publish folds — no conf, no CALL, any session
+    log.updateWhereMoR(org.apache.spark.sql.functions.col("k") <= 30,
+      Seq("v" -> org.apache.spark.sql.functions.lit("upd")))
+    val head = log.currentVersion.get
+    assert(log.dvFiles(head).isEmpty,
+      s"declared ratio must fold from the commit path, dvs=${log.dvFiles(head)}")
+    assert(log.operation(head) == "rewrite_deletes")
+    assert(spark.table("gdl.db.fr").where("v = 'upd'").count() == 30)
+  }
+
+  test("TBLPROPERTIES-declared vacuum retention reclaims released versions") {
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE TABLE gdl.db.vr (k BIGINT) TBLPROPERTIES " +
+      "('spark.graft.vacuum.retentionMs' = '3600000')")
+    spark.sql("INSERT INTO gdl.db.vr VALUES (1)")                     // v1
+    spark.sql("INSERT OVERWRITE gdl.db.vr VALUES (2)")                // v2
+    val root = s"$warehouse/db/vr"
+    val log = new CommitLog(spark, root)
+    assert(log.history().map(_.version).sorted == Seq(1L, 2L),
+      "inside the window nothing drops")
+    // age v1 past the declared hour, then the next commit sweeps it
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(
+      s"$root/_commits/00000001.manifest"),
+      System.currentTimeMillis() - 2L * 3600000L, -1)
+    spark.sql("INSERT INTO gdl.db.vr VALUES (3)")                     // v3
+    assert(new CommitLog(spark, root).history().map(_.version).sorted ==
+      Seq(2L, 3L), "the released v1 must reclaim from the commit path")
+    assert(spark.table("gdl.db.vr").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L))
+  }
+
   test("TBLPROPERTIES: create captures, SHOW reads, SET/UNSET mutate") {
     warehouse
     spark.sql("CREATE TABLE gdl.db.p (k BIGINT) " +
