@@ -503,12 +503,23 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * the pre-evolution columns in their existing order (from the current
     * schema of record, falling back to the data schema for headerless
     * tables) plus the batch's new columns with the batch's types.
+    *
+    * The header records the USER-level schema: a transform table's data
+    * files store the derived `_p_*` layout columns, so the headerless
+    * fall-back schema must shed them — a header that recorded a hidden
+    * column would EXPOSE it through `GraftTable.schema` (the SQL
+    * surface appends evolved-header extras to the declared sidecar) and
+    * through the change feed's pinned schema, breaking the
+    * hidden-partition contract every other read surface keeps.
     */
   private def evolveHeader(lines: Seq[String], curDataSchema: => org.apache.spark.sql.types.StructType,
       newCols: Seq[String], batch: DataFrame): Seq[String] = {
     if (newCols.isEmpty) lines
     else {
-      val cur = schemaOf(lines).getOrElse(curDataSchema)
+      val hidden = transformsFor(lines).map(_.derivedName).toSet
+      val cur0 = schemaOf(lines).getOrElse(curDataSchema)
+      val cur = org.apache.spark.sql.types.StructType(
+        cur0.fields.filterNot(f => hidden(f.name)))
       val add = newCols.filterNot(cur.fieldNames.contains)
       if (add.isEmpty) lines
       else {
@@ -601,10 +612,15 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     val base = replaceCarried(prev)
     schemaOf(base) match {
       case Some(rec) =>
-        val sameShape = newSchema.forall { ns =>
-          rec.fields.map(f => f.name -> f.dataType).toMap ==
-            ns.fields.map(f => f.name -> f.dataType).toMap
-        }
+        // compare USER-level shapes: on a transform table both the
+        // batch AND the recorded schema (widened from a data schema
+        // that stores the layout) can carry hidden `_p_*` columns —
+        // excluded on both sides, or every same-shape transform
+        // overwrite would spuriously drop the header
+        def userShape(s: org.apache.spark.sql.types.StructType) =
+          s.fields.filterNot(_.name.startsWith("_p_"))
+            .map(f => f.name -> f.dataType).toMap
+        val sameShape = newSchema.forall(ns => userShape(rec) == userShape(ns))
         if (sameShape) base else base.filterNot(_.startsWith("#schema:"))
       case None => base
     }
@@ -1410,8 +1426,12 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (curCs != validatedCs) {
         enforceConstraints(df, curCs, "commitPartitioned"); validatedCs = curCs
       }
+      // shape-aware carry: a partitioned INSERT OVERWRITE that changes
+      // the column set drops the stale evolved `#schema:` header like
+      // the flat path; the RLO restage and other shape-preserving
+      // replaces match the recorded map and keep it
       val carried0 =
-        if (replace) replaceCarried(prev)
+        if (replace) replaceCarriedData(prev, Some(df.schema))
         else prev.filterNot(_.startsWith("#partition:"))
       // an extra header (e.g. #ptspec:) supersedes its prior same-key
       // line — it rides the SAME atomic publish as the data it describes

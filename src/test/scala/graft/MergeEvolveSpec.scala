@@ -168,4 +168,53 @@ class MergeEvolveSpec extends AnyFunSuite {
     log.restore(3L)
     assert(log.evolvedSchema.exists(_.fieldNames.contains("tag")))
   }
+
+  test("partitioned replace mirrors the flat overwriteSchema semantics") {
+    val root = freshRoot()
+    val log = new CommitLog(spark, root)
+    val base = Seq((1L, "A", 10L), (2L, "B", 20L)).toDF("k", "p", "v")
+    log.commitPartitioned(base, Seq("p"), replace = true)
+    log.merge(Seq((2L, "B", 22L, "n")).toDF("k", "p", "v", "note"),
+      "k", evolve = true)
+    assert(log.evolvedSchema.exists(_.fieldNames.contains("note")))
+    // shape-preserving partitioned replace: header carries
+    log.commitPartitioned(
+      Seq((3L, "A", 30L, "m")).toDF("k", "p", "v", "note"),
+      Seq("p"), replace = true)
+    assert(log.evolvedSchema.exists(_.fieldNames.contains("note")),
+      "same-shape partitioned replace must keep the evolved header")
+    // shape-changing partitioned replace: data becomes the truth
+    log.commitPartitioned(
+      Seq((4L, "B", 40L, 0.5)).toDF("k", "p", "v", "score"),
+      Seq("p"), replace = true)
+    assert(log.evolvedSchema.isEmpty,
+      "shape-changing partitioned replace must drop the stale header")
+    assert(log.read().columns.sorted.toSeq == Seq("k", "p", "score", "v"))
+  }
+
+  test("transform replace: the hidden _p_ layout columns never count as drift") {
+    val root = freshRoot()
+    val log = new CommitLog(spark, root)
+    val base = (1L to 50L).map(k => (k, k * 10L)).toDF("k", "v")
+    log.commitTransformed(base, Seq("bucket(4, k)"), replace = true)
+    log.merge(Seq((7L, 77L, "x")).toDF("k", "v", "tag"), "k", evolve = true)
+    // the header records the USER schema only: a hidden `_p_*` column in
+    // it would leak through GraftTable.schema to the SQL surface and the
+    // change feed's pinned schema
+    assert(log.evolvedSchema.exists(_.fieldNames.toSeq == Seq("k", "v", "tag")),
+      s"header must be user-level, got ${log.evolvedSchema.map(_.fieldNames.toSeq)}")
+    // a same-user-shape transform overwrite stages the derived `_p_*`
+    // column alongside the data — it must NOT read as schema drift
+    log.commitTransformed(
+      Seq((9L, 99L, "y")).toDF("k", "v", "tag"),
+      Seq("bucket(4, k)"), replace = true)
+    assert(log.evolvedSchema.exists(_.fieldNames.contains("tag")),
+      "hidden layout columns must not drop the evolved header")
+    // and a genuinely different user shape still drops it
+    log.commitTransformed(
+      Seq((10L, 0.5)).toDF("k", "score"),
+      Seq("bucket(4, k)"), replace = true)
+    assert(log.evolvedSchema.isEmpty,
+      "real drift through the transform path must drop the header")
+  }
 }
