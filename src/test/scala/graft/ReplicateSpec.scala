@@ -230,6 +230,39 @@ class ReplicateSpec extends AnyFunSuite {
     assert(tgt.read().columns.contains("w"))
   }
 
+  test("strict replica through run(): a drained evolution bounces loudly, " +
+      "no auto-restart") {
+    spark.sql("CREATE TABLE grpl.db.src13 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO grpl.db.src13 VALUES (1, 'a')")            // v1
+    val srcLog = new CommitLog(spark, s"$warehouse/db/src13")
+    val (tgt, cp) = (tmp("graft_repl_tgt13"), tmp("graft_repl_cp13"))
+    // bootstrap the replica at the narrow shape (v1 only)
+    Replicate.run(spark, "grpl.db.src13", tgt, "k", cp,
+      options = Map("maxCommitsPerTrigger" -> "1"),
+      trigger = org.apache.spark.sql.streaming.Trigger.Once(),
+      evolve = false)
+    val tgtLog = new CommitLog(spark, tgt)
+    assert(snapshot(tgtLog) == Set((1L, "a")))
+    // the source widens; the next STRICT drain must refuse the widened
+    // version instead of silently absorbing it into the replica
+    srcLog.mergeMoR(Seq((2L, "b", 1.5)).toDF("k", "v", "w"),
+      "k", evolve = true): Unit                                        // v2
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Replicate.run(spark, "grpl.db.src13", tgt, "k", cp, evolve = false)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).mkString(" | ").contains("inserts schema"),
+      s"strict drain must bounce on the schema contract: ${chain(ex)}")
+    assert(tgtLog.read().columns.toSeq == Seq("k", "v") &&
+      snapshot(tgtLog) == Set((1L, "a")),
+      "a bounced strict drain must leave the replica untouched")
+    // flipping to tracking mode absorbs the same feed from the same
+    // checkpoint — strictness is the caller's choice, not a dead end
+    Replicate.run(spark, "grpl.db.src13", tgt, "k", cp)
+    assert(tgtLog.read().columns.contains("w"))
+  }
+
   test("two-feed fan-in: distinct scopes interleave exactly-once; a scope " +
       "collision dedups instead of double-applying") {
     spark.sql("CREATE TABLE grpl.db.fanA (k BIGINT, v STRING)")
