@@ -142,6 +142,25 @@ object CommitLog {
       org.json4s.jackson.JsonMethods.render(
         ("col" -> column) ~ ("ms" -> retainMs)))
   }
+
+  /** Per-table-root monitors serializing sidecar read-merge-write cycles
+    * ([[CommitLog.setProperties]]) within this JVM, so concurrent
+    * property merges on one table never lose each other's keys. (Cross-
+    * process writers are covered by the temp-file + atomic-rename
+    * publish — a reader can never observe a torn sidecar — and last-
+    * writer-wins on the merged map, the same posture as TBLPROPERTIES
+    * DDL everywhere.)
+    */
+  private[catalog] val sidecarLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Monitor for a table root's sidecar writes, keyed by the root's
+    * normalized URI path so the CommitLog and catalog-DDL surfaces
+    * contend on the same lock.
+    */
+  private[catalog] def sidecarLock(root: String): Object =
+    sidecarLocks.computeIfAbsent(
+      new org.apache.hadoop.fs.Path(root).toUri.getPath, _ => new Object)
 }
 
 /** Versioned commit log over an immutable parquet file pool — snapshot
@@ -614,11 +633,16 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       case Some(rec) =>
         // compare USER-level shapes: on a transform table both the
         // batch AND the recorded schema (widened from a data schema
-        // that stores the layout) can carry hidden `_p_*` columns —
+        // that stores the layout) can carry hidden layout columns —
         // excluded on both sides, or every same-shape transform
-        // overwrite would spuriously drop the header
+        // overwrite would spuriously drop the header. The hidden set is
+        // the table's ACTUAL derived-column names (same source as
+        // evolveHeader), never a name-prefix heuristic: a genuine user
+        // column that happens to be named `_p_*` must stay visible to
+        // drift detection.
+        val hidden = transformsFor(prev).map(_.derivedName).toSet
         def userShape(s: org.apache.spark.sql.types.StructType) =
-          s.fields.filterNot(_.name.startsWith("_p_"))
+          s.fields.filterNot(f => hidden(f.name))
             .map(f => f.name -> f.dataType).toMap
         val sameShape = newSchema.forall(ns => userShape(rec) == userShape(ns))
         if (sameShape) base else base.filterNot(_.startsWith("#schema:"))
@@ -2696,16 +2720,22 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * CommitLog handle — set them before the handle's first
     * maintenance-triggering publish, or use a fresh handle.
     */
-  def setProperties(props: Map[String, String]): Unit = {
-    val merged = (try GraftTableCatalog.readProps(spark, tableRoot)
-      catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }) ++ props
-    LogStore.write(hfs, new Path(tableRoot, "_props.json"),
-      org.json4s.jackson.JsonMethods.compact(
-        org.json4s.jackson.JsonMethods.render(
-          org.json4s.JObject(merged.toList.sortBy(_._1).map {
-            case (k, v) => k -> org.json4s.JString(v)
-          }))).getBytes(StandardCharsets.UTF_8))
-  }
+  def setProperties(props: Map[String, String]): Unit =
+    // the read-merge-write cycle serializes per table root within this
+    // JVM (concurrent merges must not lose each other's keys) and the
+    // publish is temp-file + atomic rename (a racing reader must never
+    // parse a torn sidecar and silently latch empty props for its
+    // handle's lifetime)
+    CommitLog.sidecarLock(tableRoot).synchronized {
+      val merged = (try GraftTableCatalog.readProps(spark, tableRoot)
+        catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }) ++ props
+      LogStore.writeAtomic(hfs, new Path(tableRoot, "_props.json"),
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(
+            org.json4s.JObject(merged.toList.sortBy(_._1).map {
+              case (k, v) => k -> org.json4s.JString(v)
+            }))).getBytes(StandardCharsets.UTF_8))
+    }
 
   private def maintenanceConf(key: String, default: String): String =
     spark.conf.getOption(key).orElse(tableProps.get(key)).getOrElse(default)
@@ -2781,7 +2811,16 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       if (versions.length <= 1) return
       val horizon = System.currentTimeMillis() - retention
       if (commitTime(versions.head) > horizon) return  // oldest still young
-      val droppable = versions.dropRight(1).count(commitTime(_) <= horizon)
+      // mirror vacuum's own pin set: a tag-pinned version past the
+      // horizon is NOT droppable, so it must not keep the hook from
+      // short-circuiting — otherwise every publish after the pin pays a
+      // full sweep (recursive listing + live-set build) that reclaims
+      // nothing
+      val pinned = refs.valuesIterator.collect {
+        case r if r.kind == "tag" => r.version
+      }.toSet
+      val droppable = versions.dropRight(1)
+        .count(v => !pinned(v) && commitTime(v) <= horizon)
       if (droppable == 0) return
       vacuumRunning.set(true)
       try vacuum(keepVersions = versions.length - droppable,
@@ -2833,7 +2872,12 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       val data = lines
         .filterNot(l => l.startsWith("#") || l.startsWith("-"))
         .map(rowsOf).sum
-      if (debt.toDouble < ratio * math.max(data, 1L).toDouble) return
+      // the declared ratio is debt vs LIVE rows: stored rows still count
+      // their already-tombstoned copies, so dividing by `data` would
+      // understate the ratio (debt/(live+debt)) exactly when debt is
+      // heaviest and the fold matters most
+      val live = math.max(data - debt, 1L)
+      if (debt.toDouble < ratio * live.toDouble) return
       deleteFolding.set(true)
       try rewriteDeletes(): Unit
       finally deleteFolding.set(false)

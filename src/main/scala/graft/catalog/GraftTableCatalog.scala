@@ -218,7 +218,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     * the schema/column-mapping sidecars.
     */
   private[catalog] def writeProps(root: Path, props: Map[String, String]): Unit =
-    LogStore.write(fs, new Path(root, "_props.json"),
+    LogStore.writeAtomic(fs, new Path(root, "_props.json"),
       org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.render(
           org.json4s.JObject(props.toList.sortBy(_._1).map {
@@ -592,12 +592,16 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
             .putString("comment", uc.newComment()).build())
         })
       case sp: TableChange.SetProperty =>
-        writeProps(root,
-          GraftTableCatalog.readProps(spark, root.toString) +
-            (sp.property() -> sp.value()))
+        CommitLog.sidecarLock(root.toString).synchronized {
+          writeProps(root,
+            GraftTableCatalog.readProps(spark, root.toString) +
+              (sp.property() -> sp.value()))
+        }
       case rp: TableChange.RemoveProperty =>
-        writeProps(root,
-          GraftTableCatalog.readProps(spark, root.toString) - rp.property())
+        CommitLog.sidecarLock(root.toString).synchronized {
+          writeProps(root,
+            GraftTableCatalog.readProps(spark, root.toString) - rp.property())
+        }
       case ac: TableChange.AddConstraint =>
         ac.constraint() match {
           case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>

@@ -75,6 +75,33 @@ private[graft] object LogStore {
     try out.write(content) finally out.close()
   }
 
+  /** Atomically REPLACE `p` with `content`: write a temp sibling, then
+    * rename over the destination (FileContext OVERWRITE — atomic on
+    * POSIX and HDFS; object-store deployments get the same no-torn-read
+    * contract from their rename emulation because the temp file is
+    * complete before the swap starts). Readers observe either the old
+    * or the new COMPLETE content, never a truncated prefix — the
+    * contract mutable sidecars need (`_props.json` and friends), where
+    * [[write]]'s create(overwrite=true) opens a truncate-then-fill
+    * window in which a racing reader parses invalid JSON.
+    */
+  def writeAtomic(fs: FileSystem, p: Path, content: Array[Byte]): Unit = {
+    val tmp = new Path(p.getParent,
+      "." + p.getName + ".tmp-" + java.util.UUID.randomUUID())
+    write(fs, tmp, content)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, fs.getConf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case t: Throwable =>
+        try fs.delete(tmp, false) catch {
+          case scala.util.control.NonFatal(_) => ()
+        }
+        throw t
+    }
+  }
+
   def lines(content: Seq[String]): Array[Byte] =
     (content.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
 }

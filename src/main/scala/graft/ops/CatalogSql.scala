@@ -1661,10 +1661,10 @@ object CatalogSql {
   /** Publish-time AUTO-FOLD of merge-on-read tombstone debt as an
     * ORACLE key (round 15, closing the auto-maintenance triad beside
     * [[compactAuto]] and [[ttlAuto]]): the table declares
-    * `spark.graft.rewriteDeletes.maxDebtRatio=0.2` via TBLPROPERTIES,
+    * `spark.graft.rewriteDeletes.maxDebtRatio=0.25` via TBLPROPERTIES,
     * then three successive MoR updates (each tombstoning ~10% of the
-    * base and appending bumped copies) land — the THIRD update's own
-    * publish crosses the ratio and the hook folds the debt with
+    * LIVE base and appending bumped copies) land — the THIRD update's
+    * own publish crosses the ratio and the hook folds the debt with
     * `rewriteDeletes`, no operator anywhere. The key REQUIRES the head
     * to be the hook's `rewrite_deletes` commit with ZERO deletion-vector
     * lines before answering, then the rollup of the folded table must
@@ -1683,7 +1683,7 @@ object CatalogSql {
     val p = new org.apache.hadoop.fs.Path(root)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val log = new graft.catalog.CommitLog(s, root)
-    log.setProperties(Map("spark.graft.rewriteDeletes.maxDebtRatio" -> "0.2"))
+    log.setProperties(Map("spark.graft.rewriteDeletes.maxDebtRatio" -> "0.25"))
     log.commit(graft.Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .filter(col("o_orderkey") % 3 === 0)

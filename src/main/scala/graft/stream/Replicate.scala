@@ -119,7 +119,14 @@ object Replicate {
       evolve: Boolean = true,
       maxSchemaRestarts: Int = 3): Unit = {
     val target = new CommitLog(s, targetRoot)
+    // `restarts` bounds CONSECUTIVE unproductive restarts, not lifetime
+    // evolutions: a long-lived continuous drain legitimately absorbs one
+    // evolution per source widening, so the counter resets whenever the
+    // drain made progress (the target advanced) since the last restart —
+    // only a genuinely poisoned feed, restarting without ever committing
+    // a batch, exhausts the bound and fails loudly.
     var restarts = 0
+    var seenVersion = target.currentVersion.getOrElse(0L)
     while (true) {
       try {
         val q = s.readStream.options(options).table(srcTable + ".changes")
@@ -133,9 +140,12 @@ object Replicate {
         q.awaitTermination()
         return
       } catch {
-        case e: Throwable if evolve && isFeedEvolution(e) &&
-            restarts < maxSchemaRestarts =>
+        case e: Throwable if evolve && isFeedEvolution(e) =>
+          val now = target.currentVersion.getOrElse(0L)
+          if (now > seenVersion) restarts = 0
+          seenVersion = now
           restarts += 1   // re-pin the widened schema and resume the drain
+          if (restarts > maxSchemaRestarts) throw e
       }
     }
   }

@@ -310,27 +310,27 @@ class ReplicateSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.rewriteDeletes.maxDebtRatio", "0.25")
     try {
       // each synthetic CDC version updates 10 keys (delete+insert):
-      // manifest-tag debt climbs ~10 tombstones per drain against
-      // 100+10N data rows, crossing 25% at the fourth drain
+      // manifest-tag debt climbs ~10 tombstones per drain against the
+      // 100 LIVE rows, crossing 25% at the third drain
       def drain(v: Long): Unit = {
         val batch = (1L to 10L).flatMap(k => Seq(
           (k, s"v$k", "delete", v), (k, s"u$v-$k", "insert", v)))
           .toDF("k", "v", "_change_type", "_commit_version")
         Replicate.applyChangeBatch(tgt, "k", batch, "fold")
       }
-      (1L to 3L).foreach(drain)
+      (1L to 2L).foreach(drain)
       assert(tgt.dvFiles(tgt.currentVersion.get).nonEmpty,
         "below the ratio the MoR debt stands (no premature rewrite)")
-      drain(4L)   // 40 tombstones / 140 data rows = 28.6% >= 25%: folds
+      drain(3L)   // 30 tombstones / 100 live rows = 30% >= 25%: folds
       val folded = tgt.currentVersion.get
       assert(tgt.dvFiles(folded).isEmpty,
-        s"the 4th drain must auto-fold; carries ${tgt.dvFiles(folded)}")
+        s"the 3rd drain must auto-fold; carries ${tgt.dvFiles(folded)}")
       assert(tgt.history().exists(_.operation == "rewrite_deletes"),
         "the fold must be the hook's own rewrite_deletes publish")
       // post-fold drains accumulate fresh (sub-ratio) debt as usual
-      drain(5L)
+      drain(4L)
       val got = snapshot(tgt)
-      val want = ((1L to 10L).map(k => (k, s"u5-$k")) ++
+      val want = ((1L to 10L).map(k => (k, s"u4-$k")) ++
         (11L to 100L).map(k => (k, s"v$k"))).toSet
       assert(got == want, "auto-fold must not change visible values")
     } finally spark.conf.unset("spark.graft.rewriteDeletes.maxDebtRatio")
