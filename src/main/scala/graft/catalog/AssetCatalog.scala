@@ -211,6 +211,21 @@ class AssetCatalog(spark: SparkSession, root: String) {
       minVersionAgeMs: Long = CommitLog.DefaultVersionRetentionMs): (Int, Int) =
     log(table).vacuum(keepVersions, minFileAgeMs, minVersionAgeMs)
 
+  /** Catalog-level maintenance sweep — the cold-table companion to the
+    * publish-time hooks ([[CommitLog.maintain]]): walk every registry
+    * table under `root` and apply each one's DECLARED policies (TTL,
+    * tombstone fold, compaction, vacuum). Tables without declared
+    * policies are untouched; a failing table contributes an empty entry
+    * and the walk continues (the maintenance contract is always
+    * best-effort — correctness never depends on it). Returns table →
+    * planes fired.
+    */
+  def maintainAll(): Map[String, Seq[String]] =
+    listTables.map { t =>
+      t -> (try log(t).maintain()
+      catch { case scala.util.control.NonFatal(_) => Seq.empty[String] })
+    }.toMap
+
   /** Replica parity: primary and secondary hold exactly the same multiset
     * of rows (exceptAll empty both directions — catches missing AND extra).
     */

@@ -210,6 +210,15 @@ object CommitLog {
   */
 class CommitLog(spark: SparkSession, tableRoot: String) {
 
+  /** This table's root path, exactly as constructed — the address
+    * sibling tables derive from (e.g. the strict replica's `__dlq`
+    * dead-letter twin, [[graft.stream.Replicate.replayDlq]]). Named
+    * with the `table` prefix deliberately: a bare `root` member would
+    * silently shadow caller-scope vals inside `new CommitLog(...) {}`
+    * refinements (the spec seam pattern).
+    */
+  def tableRootPath: String = tableRoot
+
   private val hfs: FileSystem = HadoopFs.fs(spark, tableRoot)
   private val dataDir = new Path(tableRoot, "data")
   private val commitsDir = new Path(tableRoot, "_commits")
@@ -317,6 +326,14 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         else manifestLines(v - 1)
     }
   }
+
+  /** Pin-time decision resolution ([[CrossTableTxn.pinGroup]]): reading
+    * a version's effective lines forces any pending cross-table
+    * decision to resolve (committed content observed, or grace-wait
+    * then forced abort) — after this call the version's content is
+    * immutable, which is what makes a pinned group a stable snapshot.
+    */
+  private[catalog] def resolveDecision(v: Long): Unit = manifestLines(v): Unit
 
   private def rawManifestLines(v: Long): Seq[String] = {
     onMetaAccess("open")
@@ -589,7 +606,9 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
 
   /** Headers that must outlive a replace/compaction: applied-batch
     * memory (`#txn:`), declared CHECK constraints (`#check:`), the
-    * declared clustering spec (`#cluster:`), and the transform
+    * declared clustering spec (`#cluster:`), the failover generation
+    * (`#gen:` — losing it would make a once-promoted table's next
+    * publish bounce off its own old fence), and the transform
     * partition spec of record (`#ptspec:`). The ptspec carry keeps the
     * spec of record IN THE MANIFEST across maintenance replaces
     * (compact's tombstoned fold, optimize, fast-forward): dropping it
@@ -607,7 +626,8 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
   private def replaceCarried(prev: Seq[String]): Seq[String] =
     prev.filter(l => l.startsWith("#txn:") || l.startsWith("#check:") ||
       l.startsWith("#cluster:") || l.startsWith("#ptspec:") ||
-      l.startsWith("#ttl:") || l.startsWith("#schema:"))
+      l.startsWith("#ttl:") || l.startsWith("#schema:") ||
+      l.startsWith("#gen:"))
 
   /** [[replaceCarried]] for replaces that REDEFINE the table's content
     * outright (INSERT OVERWRITE / `commit(replace=true)` / a replace
@@ -1675,6 +1695,18 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     val cursor = currentVersion.flatMap(v => headerOf(v, "repsrc")).map(_.toLong)
     if (cursor.contains(head)) return None
     val lines = src.manifestLines(head)
+    // a FENCED source is a superseded primary: its lineage forked from
+    // the promoted table's the moment the fence landed, so syncing from
+    // it would propagate exactly the split-brain the fence exists to
+    // stop. A source AT the fenced generation is fine — that's a
+    // resynced replica legitimately serving a cascade.
+    src.fenceEpoch.foreach { e =>
+      require(genOf(lines) >= e,
+        s"replicateFrom: the replication source is FENCED at epoch $e " +
+          s"(its head carries generation ${genOf(lines)}) — a promoted " +
+          "replica superseded it during failover; sync from the promoted " +
+          "table instead")
+    }
     def isAbs(n: String) = n.startsWith("/") || n.contains("://")
     hfs.mkdirs(dataDir)
     hfs.mkdirs(commitsDir)
@@ -1716,6 +1748,144 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     }
     throw new java.io.IOException(
       s"replicateFrom: lost the version race 50 times under $tableRoot")
+  }
+
+  // ---- replica promotion & generation fencing ------------------------------
+
+  private val fenceFile = new Path(tableRoot, "_fence.json")
+
+  /** Failover generation carried by a manifest (`#gen:` header): bumped
+    * by every [[promote]], 0 for tables that never took part in a
+    * failover. The generation is the fencing token — see [[fenceEpoch]].
+    */
+  private def genOf(lines: Seq[String]): Long =
+    lines.find(_.startsWith("#gen:"))
+      .map(_.stripPrefix("#gen:").trim.toLong).getOrElse(0L)
+
+  /** Head failover generation; 0 for never-promoted tables. */
+  def generation: Long =
+    currentVersion.map(v => genOf(manifestLines(v))).getOrElse(0L)
+
+  /** The fence epoch stamped at this root (`_fence.json`), if any: a
+    * durable mark that a REPLICA of this table was promoted at that
+    * generation, superseding this root as the writable copy. Every
+    * publish whose manifest generation does not clear the fence is
+    * refused loudly (see [[promote]] for the full failover story).
+    * Written atomically and read fresh per publish; an unreadable fence
+    * fails LOUD — it is a safety device, never best-effort on the read
+    * side.
+    */
+  def fenceEpoch: Option[Long] =
+    if (!hfs.exists(fenceFile)) None
+    else {
+      val in = hfs.open(fenceFile)
+      val body = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      org.json4s.jackson.JsonMethods.parse(body) \ "epoch" match {
+        case org.json4s.JInt(e)  => Some(e.toLong)
+        case org.json4s.JLong(e) => Some(e)
+        case _ => throw new IllegalStateException(
+          s"fenceEpoch: unparseable _fence.json under $tableRoot: $body")
+      }
+    }
+
+  /** Stamp (or raise) the fence at this root — called by the PROMOTED
+    * side against its old primary, or by an operator when the lost
+    * region rejoins. Monotone: a lower epoch never overwrites a higher
+    * one (replayed promotions are idempotent).
+    */
+  private[graft] def writeFence(epoch: Long, by: String): Unit = {
+    if (fenceEpoch.exists(_ >= epoch)) return
+    import org.json4s.JsonDSL._
+    LogStore.writeAtomic(hfs, fenceFile,
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          ("epoch" -> epoch) ~ ("by" -> by)))
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The publish-time fence gate: a manifest clears the fence only when
+    * its generation proves it descends from (or IS) the promoted
+    * lineage — a `replicate` sync at-or-above the fence epoch (reverse
+    * resync from the promoted table), or any publish STRICTLY above it
+    * (a new promotion of this root). Everything else — in particular an
+    * ordinary commit from a rejoined stale primary, or a direct write
+    * to a resynced replica — bounces loudly instead of forking history.
+    */
+  private def enforceFence(lines: Seq[String]): Unit =
+    fenceEpoch.foreach { e =>
+      val g = genOf(lines)
+      val ok = if (opOf(lines).contains("replicate")) g >= e else g > e
+      if (!ok) throw new IllegalStateException(
+        s"publish: table under $tableRoot is FENCED at epoch $e (this " +
+          s"manifest carries generation $g) — a replica was promoted and " +
+          "owns the write path now. Writes here would fork a lineage the " +
+          "promoted table never sees. Write to the promoted table; or " +
+          "re-register this root as a replica (replicateFrom the promoted " +
+          "table clears the fence at its generation); or promote THIS root " +
+          "to take ownership back.")
+    }
+
+  /** PROMOTE this replica to a writable primary — the failover the
+    * dual-region posture exists for (the reference declares a primary
+    * and a secondary region, config/globalConfig.json:4-5; promotion is
+    * what makes the secondary matter when the primary region is lost):
+    *
+    *  1. drop the `#repsrc:` cursor — the table stops being a sync
+    *     target and every mutation surface accepts writes;
+    *  2. bump the GENERATION (`#gen:` header, monotone across
+    *     failovers) — the fencing token all later publishes carry;
+    *  3. best-effort FENCE the old primary's root (`_fence.json` at the
+    *     new generation): from the moment the fence is visible, the
+    *     stale primary refuses commits AND refuses to serve as a
+    *     replication source, so split-brain writes are impossible. The
+    *     fence write is best-effort BY DESIGN — the old region being
+    *     unreachable is WHY we are failing over; promotion must never
+    *     depend on it. `fenced=false` in the result tells the operator
+    *     to stamp the fence when the region rejoins
+    *     ([[writeFence]] via `CALL graft.system.promote_replica` on
+    *     rejoin is idempotent).
+    *
+    * Reverse resync when the region returns: re-register the old
+    * primary as a replica — `replicateFrom(promoted)` clears its fence
+    * check (the synced manifest carries the promoted generation) and
+    * reaches parity incrementally; promoting IT back bumps the
+    * generation again and fences the other side — generations only ever
+    * grow, so every root always knows which lineage is current.
+    *
+    * Returns (promotedVersion, generation, oldPrimaryFenced).
+    */
+  def promote(fenceOldPrimary: Option[CommitLog] = None): (Long, Long, Boolean) = {
+    var attempt = 0
+    while (attempt < 50) {
+      val head = currentVersion.getOrElse(throw new IllegalStateException(
+        s"promote: no committed version under $tableRoot"))
+      val lines = manifestLines(head)
+      require(lines.exists(_.startsWith("#repsrc:")),
+        s"promote: table under $tableRoot carries no #repsrc cursor — it " +
+          "is not a replica (already writable); promotion is a " +
+          "replica-only operation")
+      val newGen = math.max(genOf(lines), fenceEpoch.getOrElse(0L)) + 1
+      val base = lines.filterNot(l =>
+        l.startsWith("#repsrc:") || l.startsWith("#gen:"))
+      beforePublish(attempt, head + 1)
+      if (publish(head + 1, stamped("promote", s"#gen:$newGen" +: base))) {
+        val fenced = fenceOldPrimary match {
+          case None => false
+          case Some(old) =>
+            try { old.writeFence(newGen, tableRoot); true }
+            catch { case scala.util.control.NonFatal(_) => false }
+        }
+        return (head + 1, newGen, fenced)
+      }
+      racePause(attempt, head + 1)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"promote: lost the version race 50 times under $tableRoot")
   }
 
   /** The copy-on-write mutators stage FLAT pool files; on a partitioned
@@ -2680,6 +2850,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * rename (object stores) given a conditional-put [[LogStore]].
     */
   private def publish(v: Long, lines: Seq[String]): Boolean = {
+    enforceFence(lines)   // a fenced stale primary must bounce, not fork
     hfs.mkdirs(commitsDir)
     val won = store.putIfAbsent(manifestPath(v), LogStore.lines(lines))
     if (won) {
@@ -2756,13 +2927,13 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * degrade to the manual `compact()` path, and the reentrancy guard
     * keeps the compaction's own publish from recursing.
     */
-  private def autoCompact(lines: Seq[String]): Unit = {
-    if (compacting.get()) return
+  private def autoCompact(lines: Seq[String]): Boolean = {
+    if (compacting.get()) return false
     try {
       val minSmall =
         maintenanceConf("spark.graft.autoCompact.minSmallFiles", "0").toInt
-      if (minSmall <= 0) return
-      if (dvNamesOf(lines).nonEmpty) return
+      if (minSmall <= 0) return false
+      if (dvNamesOf(lines).nonEmpty) return false
       val target = maintenanceConf("spark.graft.autoCompact.targetBytes",
         String.valueOf(128L * 1024 * 1024)).toLong
       val small = lines.count { l =>
@@ -2773,11 +2944,11 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
             lineMeta(p(1))._2.exists(_ < target)
         }
       }
-      if (small < minSmall) return
+      if (small < minSmall) return false
       compacting.set(true)
-      try compact(target): Unit
+      try { val (b, a) = compact(target); a < b }
       finally compacting.set(false)
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch { case scala.util.control.NonFatal(_) => false }
   }
 
   // reentrancy guard: maintenance triggered from a vacuum-adjacent
@@ -2801,16 +2972,16 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * — stays in force (a refusal, like any hook failure, degrades
     * silently to the manual `vacuum()` path).
     */
-  private def autoVacuum(): Unit = {
-    if (vacuumRunning.get()) return
+  private def autoVacuum(): Boolean = {
+    if (vacuumRunning.get()) return false
     try {
       val retention =
         maintenanceConf("spark.graft.vacuum.retentionMs", "0").toLong
-      if (retention <= 0) return
+      if (retention <= 0) return false
       val versions = committedVersions.sorted
-      if (versions.length <= 1) return
+      if (versions.length <= 1) return false
       val horizon = System.currentTimeMillis() - retention
-      if (commitTime(versions.head) > horizon) return  // oldest still young
+      if (commitTime(versions.head) > horizon) return false // oldest still young
       // mirror vacuum's own pin set: a tag-pinned version past the
       // horizon is NOT droppable, so it must not keep the hook from
       // short-circuiting — otherwise every publish after the pin pays a
@@ -2821,12 +2992,14 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       }.toSet
       val droppable = versions.dropRight(1)
         .count(v => !pinned(v) && commitTime(v) <= horizon)
-      if (droppable == 0) return
+      if (droppable == 0) return false
       vacuumRunning.set(true)
-      try vacuum(keepVersions = versions.length - droppable,
-        minVersionAgeMs = retention): Unit
-      finally vacuumRunning.set(false)
-    } catch { case scala.util.control.NonFatal(_) => () }
+      try {
+        val (m, f) = vacuum(keepVersions = versions.length - droppable,
+          minVersionAgeMs = retention)
+        m + f > 0
+      } finally vacuumRunning.set(false)
+    } catch { case scala.util.control.NonFatal(_) => false }
   }
 
   // reentrancy guard: the fold's own publish must not recurse
@@ -2856,19 +3029,19 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * replica past both thresholds folds and compacts in one publish
     * cascade.
     */
-  private def autoRewriteDeletes(lines: Seq[String]): Unit = {
-    if (deleteFolding.get()) return
+  private def autoRewriteDeletes(lines: Seq[String]): Boolean = {
+    if (deleteFolding.get()) return false
     try {
       val ratio = maintenanceConf(
         "spark.graft.rewriteDeletes.maxDebtRatio", "0").toDouble
-      if (ratio <= 0) return
+      if (ratio <= 0) return false
       def rowsOf(l: String): Long = {
         val p = l.split('\t')
         if (p.length > 1) lineMeta(p(1))._1.getOrElse(0L) else 0L
       }
       val debt = lines.filter(_.startsWith("-"))
         .map(l => rowsOf(l.stripPrefix("-"))).sum
-      if (debt == 0L) return
+      if (debt == 0L) return false
       val data = lines
         .filterNot(l => l.startsWith("#") || l.startsWith("-"))
         .map(rowsOf).sum
@@ -2877,11 +3050,11 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
       // understate the ratio (debt/(live+debt)) exactly when debt is
       // heaviest and the fold matters most
       val live = math.max(data - debt, 1L)
-      if (debt.toDouble < ratio * live.toDouble) return
+      if (debt.toDouble < ratio * live.toDouble) return false
       deleteFolding.set(true)
-      try rewriteDeletes(): Unit
+      try { rewriteDeletes(): Unit; true }
       finally deleteFolding.set(false)
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch { case scala.util.control.NonFatal(_) => false }
   }
 
   // reentrancy guard: the enforcement's own publish must not recurse
@@ -2899,11 +3072,12 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * and ANY failure degrades to the manual `CALL enforce_ttl` path —
     * never a failed commit, never a wrong answer.
     */
-  private def autoEnforceTtl(lines: Seq[String]): Unit = {
-    if (ttlEnforcing.get()) return
+  private def autoEnforceTtl(lines: Seq[String]): Boolean = {
+    if (ttlEnforcing.get()) return false
     try {
-      if (maintenanceConf("spark.graft.ttl.autoEnforce", "false") != "true") return
-      if (!lines.exists(_.startsWith("#ttl:"))) return
+      if (maintenanceConf("spark.graft.ttl.autoEnforce", "false") != "true")
+        return false
+      if (!lines.exists(_.startsWith("#ttl:"))) return false
       // deterministic-maintenance escape hatch: `spark.graft.ttl.asOfMs`
       // pins the enforcement clock (tests, replayed pipelines, frozen
       // benchmarks); production leaves it unset = wall clock
@@ -2912,9 +3086,36 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         case s  => s.toLong
       }
       ttlEnforcing.set(true)
-      try enforceTtl(asOf): Unit
+      try { val (d, r) = enforceTtl(asOf); d + r > 0 }
       finally ttlEnforcing.set(false)
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  /** Apply every maintenance policy this table DECLARES (session conf
+    * or TBLPROPERTIES) against the CURRENT head — the cold-table
+    * companion to the publish-time hooks. Every hook fires only on the
+    * commit path, so a table that stops receiving writes right after a
+    * heavy MoR/CDC burst keeps its tombstone debt, small files, and
+    * expired-TTL rows forever; one `maintain()` call (or `CALL
+    * graft.system.maintain_all(ns)` walking a whole namespace) services
+    * that debt under the exact same opt-in knobs, reentrancy guards,
+    * zero-FS-call censuses, and degrade-to-manual contracts the hooks
+    * use — a table with no declared policy is NEVER touched. The order
+    * mirrors the publish cascade (TTL can create tombstones and small
+    * files; the fold's rewrite feeds the small-file census; vacuum
+    * last reclaims what the others superseded), re-reading the head
+    * between planes because each one may publish. Returns the planes
+    * that acted.
+    */
+  def maintain(): Seq[String] = {
+    if (currentVersion.isEmpty) return Seq.empty
+    val acted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def headLines = currentVersion.map(manifestLines).getOrElse(Seq.empty)
+    if (autoEnforceTtl(headLines)) acted += "ttl"
+    if (autoRewriteDeletes(headLines)) acted += "rewrite_deletes"
+    if (autoCompact(headLines)) acted += "compact"
+    if (autoVacuum()) acted += "vacuum"
+    acted.toSeq
   }
 
   /** Pool files among `lines` that CONTAIN at least one of `keys`:

@@ -117,6 +117,52 @@ object CrossTableTxn {
     }
   }
 
+  /** Pin the heads of N tables as ONE consistent snapshot group: the
+    * returned versions can never straddle a concurrent [[commitAll]] —
+    * a transaction is either fully visible in the group (every table's
+    * pinned head includes its side) or fully invisible. This is the
+    * READ-side companion the write-side protocol needs: `commitAll`
+    * makes the two writes atomically durable, but a reader resolving
+    * table heads one by one can interleave with it; pinning first
+    * closes that window.
+    *
+    * Protocol: resolve-and-read every head, then read again; return
+    * only when the vector is STABLE across two passes. Why that
+    * suffices: a head version advances the moment a transaction's
+    * pending manifest publishes, and ALL of a transaction's publishes
+    * precede its single decision. A transaction fully published before
+    * the first pass is resolved during the pin (committed content, or
+    * grace-wait then forced abort — the documented reader-forcing
+    * protocol); one whose publishes span the passes moves some head
+    * between reads and the pin retries; one entirely after the second
+    * pass touches nothing pinned. Decisions are immutable once made,
+    * so pinned content cannot change after return.
+    *
+    * Read each table with `readVersion(pinned(i))` (or SQL
+    * `VERSION AS OF`) for a cross-table-consistent view regardless of
+    * later commits. Cost: two metadata reads per table per pass —
+    * no data I/O, no locks, concurrent writers never block.
+    */
+  def pinGroup(logs: Seq[CommitLog], maxAttempts: Int = 50): Seq[Long] = {
+    require(logs.nonEmpty, "pinGroup: no tables")
+    def pass(): Seq[Long] = logs.map { l =>
+      val v = l.currentVersion.getOrElse(0L)
+      if (v > 0) l.resolveDecision(v)
+      v
+    }
+    var prev = pass()
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = pass()
+      if (cur == prev) return cur
+      prev = cur
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"pinGroup: head set failed to stabilize after $maxAttempts passes " +
+        "(sustained concurrent commit traffic); retry the pin")
+  }
+
   /** Resolve a pending manifest's decision: true = committed content is
     * visible, false = the version is a no-op. Grace-waits for an
     * in-flight coordinator, then forces abort (first decision wins).

@@ -36,7 +36,8 @@ private[catalog] object GraftProcedures {
       "drop_index", "add_constraint", "drop_constraint", "set_clustering",
       "create_tag", "create_branch", "drop_ref", "fast_forward", "refs",
       "set_partition_transforms", "set_ttl", "enforce_ttl", "expire_before",
-      "apply_changes", "merge_mor")
+      "apply_changes", "merge_mor", "promote_replica", "maintain_all",
+      "snapshot_group")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -78,6 +79,9 @@ private[catalog] object GraftProcedures {
     case "expire_before"   => new ExpireBefore(cat)
     case "apply_changes"   => new ApplyChanges(cat)
     case "merge_mor"       => new MergeMor(cat)
+    case "promote_replica" => new PromoteReplica(cat)
+    case "maintain_all"    => new MaintainAll(cat)
+    case "snapshot_group"  => new SnapshotGroup(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
   }
@@ -1029,6 +1033,116 @@ private[catalog] object GraftProcedures {
       val v = DeltaInterop.importDelta(cat.sparkSession,
         input.getUTF8String(0).toString, root)
       result(new StructType().add("version", LongType), v)
+    }
+  }
+
+  /** `CALL graft.system.promote_replica('db.replica', 'db.old_primary')`
+    * — region failover ([[CommitLog.promote]]): make the replica the
+    * writable primary (drop its `#repsrc` cursor, bump the failover
+    * generation) and best-effort FENCE the old primary so a rejoining
+    * stale region bounces both writes and replication serves. Pass ''
+    * for old_primary when the lost region is unreachable; re-CALL with
+    * it once the region rejoins — on an already-promoted table the call
+    * is an idempotent fence-stamp at the current generation, never a
+    * second promotion. Reverse resync = `CALL replicate('db.promoted',
+    * 'db.old_primary')` (the synced manifest carries the promoted
+    * generation, clearing the fence check), after which parity holds
+    * and a later failback promotes the old side at generation + 1.
+    * Returns (version, generation, old_primary_fenced).
+    */
+  private final class PromoteReplica(cat: GraftTableCatalog)
+    extends Proc("promote_replica", Seq(in("table", StringType),
+      in("old_primary", StringType))) {
+    override def description(): String =
+      "failover: promote a replica to the writable primary (drops the " +
+        "sync cursor, bumps the generation fence) and fence the stale " +
+        "primary so its writes and syncs bounce; '' skips fencing"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = cat.rootOf(input.getUTF8String(0).toString)
+      val log = new CommitLog(cat.sparkSession, root)
+      val oldName = input.getUTF8String(1).toString.trim
+      val old = if (oldName.isEmpty) None
+        else Some(new CommitLog(cat.sparkSession, cat.rootOf(oldName)))
+      val schema = new StructType().add("version", LongType)
+        .add("generation", LongType).add("old_primary_fenced", BooleanType)
+      val isReplica = log.currentVersion
+        .exists(v => log.headerOf(v, "repsrc").isDefined)
+      if (isReplica) {
+        val (v, gen, fenced) = log.promote(old)
+        result(schema, v, gen, fenced)
+      } else {
+        // already promoted: idempotent late fence-stamp for a region
+        // that was unreachable at failover time
+        val gen = log.generation
+        require(gen > 0,
+          s"promote_replica: table is neither a replica nor ever " +
+            "promoted (generation 0) — nothing to promote or fence")
+        val fenced = old.exists { o =>
+          try { o.writeFence(gen, root); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        }
+        result(schema, log.currentVersion.getOrElse(-1L), gen, fenced)
+      }
+    }
+  }
+
+  /** `CALL graft.system.maintain_all('db')` — walk every table in the
+    * namespace and apply each one's DECLARED maintenance policies
+    * (TTL, tombstone-fold, compaction, vacuum — [[CommitLog.maintain]]).
+    * The publish-time hooks only fire on the commit path, so a COLD
+    * table keeps its debt forever; this is the one standing call (cron
+    * it, or run it after bursts) that closes that gap with no
+    * per-table operator knowledge: tables without declared policies
+    * are untouched, and a failure on one table is recorded in its row
+    * while the walk continues. Returns one row per table:
+    * (table, planes_fired, error).
+    */
+  private final class MaintainAll(cat: GraftTableCatalog)
+    extends Proc("maintain_all", Seq(in("namespace", StringType))) {
+    override def description(): String =
+      "apply every table's declared TBLPROPERTIES maintenance policies " +
+        "(ttl/fold/compact/vacuum) across a namespace — services cold " +
+        "tables the publish-time hooks never see; per-table failures " +
+        "don't stop the walk"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ns = input.getUTF8String(0).toString
+        .split('.').filter(_.nonEmpty)
+      val rows = cat.listTables(ns).toSeq.sortBy(_.name()).map { id =>
+        val q = (id.namespace() :+ id.name()).mkString(".")
+        try {
+          val planes = new CommitLog(cat.sparkSession, cat.rootOf(q)).maintain()
+          Seq[Any](q, planes.mkString(","), "")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Seq[Any](q, "", s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+      resultRows(new StructType().add("table", StringType)
+        .add("planes_fired", StringType).add("error", StringType), rows)
+    }
+  }
+
+  /** `CALL graft.system.snapshot_group('db.a,db.b')` — pin the heads of
+    * N tables as one consistent group ([[CrossTableTxn.pinGroup]]): the
+    * returned versions never straddle a concurrent `commit_all`, so a
+    * reader joining the tables at these versions (time travel /
+    * `VERSION AS OF`) can never see half a transaction. Returns one row
+    * per table: (table, version).
+    */
+  private final class SnapshotGroup(cat: GraftTableCatalog)
+    extends Proc("snapshot_group", Seq(in("tables", StringType))) {
+    override def description(): String =
+      "pin N tables' heads as one consistent snapshot group (never " +
+        "splits a concurrent commit_all); read them with VERSION AS OF"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val names = input.getUTF8String(0).toString
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      require(names.nonEmpty, "snapshot_group: no tables given")
+      val logs = names.map(n => new CommitLog(cat.sparkSession, cat.rootOf(n)))
+      val pinned = CrossTableTxn.pinGroup(logs)
+      resultRows(new StructType().add("table", StringType)
+        .add("version", LongType),
+        names.zip(pinned).map { case (n, v) => Seq[Any](n, v) })
     }
   }
 }

@@ -77,10 +77,67 @@ object Replicate {
         val ins = sub.filter(col(ChangeType) === "insert")
           .select(dataCols.map(col): _*)
         val txn = Some(s"cdc-$txnScope-$v")
-        if (!target.exists) target.commit(ins, replace = false, txn): Unit
-        else target.applyChangesMoR(dels, ins, keyCol, txn, evolve = evolve): Unit
+        try {
+          if (!target.exists) target.commit(ins, replace = false, txn): Unit
+          else target.applyChangesMoR(dels, ins, keyCol, txn, evolve = evolve): Unit
+        } catch {
+          case e: IllegalArgumentException if !evolve && Option(e.getMessage)
+              .exists(_.contains("applyChangesMoR: inserts schema")) =>
+            // STRICT-mode bounce: dead-letter the refused version —
+            // rows, version, scope, reason — before propagating, so the
+            // operator inspects and replays ([[replayDlq]]) instead of
+            // re-draining blind. Keyed by (scope, version) like the
+            // apply itself, so a restarted drain re-bouncing the same
+            // version never duplicates the capture; capture failures
+            // must not mask the bounce.
+            try {
+              val dlq = new CommitLog(sub.sparkSession, target.tableRootPath + "__dlq")
+              dlq.commit(
+                sub.withColumn("_dlq_scope",
+                  org.apache.spark.sql.functions.lit(txnScope))
+                  .withColumn("_dlq_reason",
+                    org.apache.spark.sql.functions.lit(
+                      Option(e.getMessage).getOrElse("schema refusal"))),
+                replace = false, Some(s"dlq-$txnScope-$v")): Unit
+            } catch { case scala.util.control.NonFatal(_) => () }
+            throw e
+        }
       }
     } finally batch.unpersist(): Unit
+  }
+
+  /** Replay a STRICT replica's dead-letter queue (`<targetRoot>__dlq`,
+    * populated by [[applyChangeBatch]]'s bounce capture) after the
+    * operator resolved the drift — widened the target, or chose to
+    * absorb (`evolve = true`, the default here: replay is an explicit
+    * operator decision, the strict gate already did its job). Captured
+    * versions re-apply IN ORDER per scope through the same txn-guarded
+    * path as the live drain, so versions that somehow landed since
+    * dedup instead of double-applying; on full success the queue
+    * truncates to empty (a replace commit — the captures stay in DLQ
+    * history until vacuum). Returns the number of (scope, version)
+    * entries replayed.
+    */
+  def replayDlq(s: SparkSession, targetRoot: String, keyCol: String,
+      evolve: Boolean = true): Long = {
+    import graft.catalog.GraftChangesTable.CommitVersion
+    val dlq = new CommitLog(s, targetRoot + "__dlq")
+    if (!dlq.exists) return 0L
+    val rows = dlq.read()
+    // a replayed (truncated-to-empty) queue reads back schemaless
+    if (!rows.columns.contains("_dlq_scope")) return 0L
+    val entries = rows.select("_dlq_scope", CommitVersion).distinct().count()
+    if (entries == 0L) return 0L
+    val target = new CommitLog(s, targetRoot)
+    val scopes = rows.select("_dlq_scope").distinct()
+      .collect().map(_.getString(0)).sorted
+    for (sc <- scopes) {
+      val scoped = rows.filter(col("_dlq_scope") === sc)
+        .drop("_dlq_scope", "_dlq_reason")
+      applyChangeBatch(target, keyCol, scoped, sc, evolve)
+    }
+    dlq.commit(rows.limit(0), replace = true): Unit
+    entries
   }
 
   /** The feed's loud schema-evolution refusal, wherever Structured

@@ -908,4 +908,72 @@ class CatalogSpec extends AnyFunSuite {
     assert((fileA & afterFiles).isEmpty,
       "the touched file must have been replaced by the CoW rewrite")
   }
+
+  test("maintain_all: one sweep services a cold table's declared debt, " +
+      "skips undeclared tables, and a failing table doesn't stop the walk") {
+    import graft.catalog.CommitLog
+    val root = freshRoot()
+
+    // `boom` sorts FIRST — its injected failure must not stop the walk
+    val boom = new CommitLog(spark, s"$root/boom")
+    boom.commit((1L to 5L).toDF("k"), replace = false)
+
+    // `debts` accumulates every debt class COLD: expired-TTL rows, MoR
+    // tombstones, small files, aged versions — built on a handle whose
+    // props latched EMPTY (policies declared only afterwards), so no
+    // publish-time hook ever fires during the build
+    val dRoot = s"$root/debts"
+    val d = new CommitLog(spark, dRoot)
+    d.commit((1L to 50L).map(k => (k, 1000L)).toDF("k", "ev")
+      .coalesce(1), replace = false)                  // v1: ancient rows
+    d.commit((51L to 100L).map(k => (k, 999999L)).toDF("k", "ev")
+      .coalesce(1), replace = false)                  // v2: fresh rows
+    d.setTtl("ev", 10000L)                            // v3: policy header
+    d.deleteWhereMoR(col("k").between(51L, 60L))      // v4: tombstone debt
+    assert(d.dvFiles(d.currentVersion.get).nonEmpty && d.currentFileCount == 2)
+
+    // `plain` declares nothing — the sweep must not touch it
+    val p = new CommitLog(spark, s"$root/plain")
+    p.commit((1L to 3L).toDF("k"), replace = false)
+    val plainBefore = p.currentVersion
+
+    // the policies land as TBLPROPERTIES with NO commit — the table is
+    // cold from here on; only a sweep can service it
+    d.setProperties(Map(
+      "spark.graft.ttl.autoEnforce" -> "true",
+      "spark.graft.ttl.asOfMs" -> "1000000",          // expires ev <= 990000
+      "spark.graft.rewriteDeletes.maxDebtRatio" -> "0.05",
+      "spark.graft.autoCompact.minSmallFiles" -> "2",
+      "spark.graft.vacuum.retentionMs" -> "1"))
+    Thread.sleep(50)   // age every version past the 1 ms retention
+
+    val sweeper = new graft.catalog.AssetCatalog(spark, root) {
+      override protected def newLog(table: String): CommitLog =
+        if (table == "boom") new CommitLog(spark, s"$root/boom") {
+          override def maintain(): Seq[String] =
+            throw new RuntimeException("maintenance outage (spec-injected)")
+        } else super.newLog(table)
+    }
+    val fired = sweeper.maintainAll()
+
+    assert(fired("boom").isEmpty, "a failing table reports empty, not a crash")
+    assert(fired("plain").isEmpty && p.currentVersion == plainBefore,
+      "an undeclared table is untouched")
+    assert(fired("debts").nonEmpty, s"the cold table must be serviced: $fired")
+
+    val after = new CommitLog(spark, dRoot)
+    val head = after.currentVersion.get
+    assert(after.dvFiles(head).isEmpty, "tombstone debt folded")
+    assert(after.currentFileCount == 1, "small files compacted")
+    assert(after.read().select("k").as[Long].collect().toSet ==
+      (61L to 100L).toSet,
+      "expired rows gone (TTL), tombstoned rows gone (fold), rest intact")
+    assert(after.history().length < head.toInt,
+      "aged versions vacuumed under the declared retention")
+
+    // a second sweep is idempotent: nothing left to service
+    val again = new graft.catalog.AssetCatalog(spark, root).maintainAll()
+    assert(again("debts").forall(p => p == "vacuum") ,
+      s"re-sweep must find no data debt: $again")
+  }
 }

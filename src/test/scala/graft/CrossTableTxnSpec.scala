@@ -88,6 +88,59 @@ class CrossTableTxnSpec extends AnyFunSuite {
     assert(logB.read().as[Long].collect().toSeq == Seq(20L))
   }
 
+  test("snapshot-group pin: a commitAll racing the pin is fully visible " +
+      "or fully invisible, and later commits never move the pinned read") {
+    val root = freshRoot()
+    val a = new CommitLog(spark, s"$root/a")
+    a.commit(Seq(1L).toDF("k"), replace = false)
+    val b = new CommitLog(spark, s"$root/b")
+    b.commit(Seq(10L).toDF("k"), replace = false)
+    // the torn-read interleave a naive reader suffers: resolve A's head,
+    // then a whole commitAll lands on BOTH tables before B's head is
+    // resolved — without the group pin that reader sees the txn's B-side
+    // and not its A-side
+    @volatile var injected = false
+    val aSpy = new CommitLog(spark, s"$root/a") {
+      override def currentVersion: Option[Long] = {
+        val v = super.currentVersion
+        if (!injected) {
+          injected = true
+          CrossTableTxn.commitAll(spark, s"$root/_xtxn", Seq(
+            (new CommitLog(spark, s"$root/a"), Seq(2L).toDF("k"), false),
+            (new CommitLog(spark, s"$root/b"), Seq(20L).toDF("k"), false))): Unit
+        }
+        v
+      }
+    }
+    val pinned = CrossTableTxn.pinGroup(Seq(aSpy, b))
+    assert(injected)
+    val va = a.readVersion(pinned(0)).as[Long].collect().toSet
+    val vb = b.readVersion(pinned(1)).as[Long].collect().toSet
+    assert((va.contains(2L), vb.contains(20L)) match {
+      case (true, true) | (false, false) => true
+      case _ => false
+    }, s"the pin straddled the transaction: a=$va b=$vb")
+    // with this ordering (the txn fully lands between the passes) the
+    // stabilized pin must include it — the retry absorbed the race
+    assert(va == Set(1L, 2L) && vb == Set(10L, 20L))
+    // later commits never move the pinned read (snapshot isolation
+    // ACROSS the group, not just per table)
+    a.commit(Seq(3L).toDF("k"), replace = false)
+    assert(a.readVersion(pinned(0)).as[Long].collect().toSet == va)
+    // plain single-table reads are unaffected by the pinning machinery
+    assert(a.read().as[Long].collect().toSet == va + 3L)
+  }
+
+  test("snapshot-group pin with no concurrent traffic returns the heads") {
+    val root = freshRoot()
+    val a = new CommitLog(spark, s"$root/a")
+    a.commit(Seq(1L).toDF("k"), replace = false)
+    val b = new CommitLog(spark, s"$root/b")
+    b.commit(Seq(10L).toDF("k"), replace = false)
+    b.commit(Seq(11L).toDF("k"), replace = false)
+    assert(CrossTableTxn.pinGroup(Seq(a, b)) == Seq(1L, 2L))
+  }
+
   test("a reader force-aborts a stalled txn; the same tables commit cleanly after") {
     val root = freshRoot()
     spark.conf.set("spark.graft.xtxn.graceMs", "30")

@@ -336,6 +336,151 @@ class ReplicateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.rewriteDeletes.maxDebtRatio")
   }
 
+  test("failover: promote makes the replica writable, fences the stale " +
+      "primary, reverse resync reaches parity, failback re-fences") {
+    spark.sql("CREATE TABLE grpl.db.srcP (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO grpl.db.srcP VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val primary = new CommitLog(spark, s"$warehouse/db/srcP")
+    val replica = new CommitLog(spark, tmp("graft_promo_replica"))
+    replica.replicateFrom(primary)
+    assert(snapshot(replica) == snapshot(primary))
+
+    // region loss mid-cadence: the primary takes one more write the
+    // replica never saw (RPO > 0 — failover promotes the SYNCED prefix)
+    spark.sql("INSERT INTO grpl.db.srcP VALUES (99, 'lost-tail')")
+    val (pv, gen, fenced) = replica.promote(Some(primary))
+    assert(gen == 1L && fenced, "first promotion is generation 1, fence placed")
+    assert(replica.headerOf(pv, "repsrc").isEmpty, "the sync cursor drops")
+    assert(replica.generation == 1L)
+    assert(!snapshot(replica).contains((99L, "lost-tail")))
+
+    // writes land on the promoted table
+    replica.commit(Seq((4L, "d")).toDF("k", "v"), replace = false)
+    assert(snapshot(replica).contains((4L, "d")))
+
+    // the fenced stale primary bounces writes ...
+    val eW = intercept[IllegalStateException] {
+      primary.commit(Seq((100L, "stale")).toDF("k", "v"), replace = false)
+    }
+    assert(eW.getMessage.contains("FENCED"), s"loud fence wanted: ${eW.getMessage}")
+    // ... and bounces serving as a replication source
+    val third = new CommitLog(spark, tmp("graft_promo_third"))
+    val eS = intercept[IllegalArgumentException] { third.replicateFrom(primary) }
+    assert(eS.getMessage.contains("FENCED"))
+
+    // reverse resync: the rejoined old primary re-registers as a replica
+    // of the promoted table — allowed through its own fence because the
+    // synced manifest carries the promoted generation
+    assert(primary.replicateFrom(replica).nonEmpty)
+    assert(snapshot(primary) == snapshot(replica),
+      "reverse resync reaches parity (the lost tail is superseded)")
+    assert(primary.generation == 1L)
+
+    // a resynced replica still refuses DIRECT writes — it tracks the
+    // promoted side until itself promoted
+    val eR = intercept[IllegalStateException] {
+      primary.commit(Seq((101L, "z")).toDF("k", "v"), replace = false)
+    }
+    assert(eR.getMessage.contains("FENCED"))
+
+    // incremental sync cadence continues against the promoted side
+    replica.commit(Seq((5L, "e")).toDF("k", "v"), replace = false)
+    primary.replicateFrom(replica)
+    assert(snapshot(primary) == snapshot(replica))
+
+    // FAILBACK: promote the old primary back — generation bumps past
+    // both its own fence and the head generation; the other side fences
+    val (_, gen2, fenced2) = primary.promote(Some(replica))
+    assert(gen2 == 2L && fenced2)
+    primary.commit(Seq((6L, "f")).toDF("k", "v"), replace = false)
+    val eB = intercept[IllegalStateException] {
+      replica.commit(Seq((7L, "g")).toDF("k", "v"), replace = false)
+    }
+    assert(eB.getMessage.contains("FENCED"))
+    replica.replicateFrom(primary)
+    assert(snapshot(replica) == snapshot(primary))
+
+    // promoting a non-replica refuses: promotion is a failover op, not
+    // a generic version bump
+    val eN = intercept[IllegalArgumentException] { primary.promote(None) }
+    assert(eN.getMessage.contains("not a replica"))
+  }
+
+  test("SQL surface: CALL promote_replica fails over, late fence-stamp " +
+      "is idempotent, parity holds against the promoted side") {
+    spark.sql("CREATE TABLE grpl.db.srcQ (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO grpl.db.srcQ VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL grpl.system.replicate('db.srcQ', 'db.repQ')")
+    // the lost region is unreachable at failover time: '' skips fencing
+    val r1 = spark.sql(
+      "CALL grpl.system.promote_replica('db.repQ', '')").collect()(0)
+    assert(r1.getLong(1) == 1L && !r1.getBoolean(2))
+    spark.sql("INSERT INTO grpl.db.repQ VALUES (3, 'c')")   // writable now
+    // the region rejoins: re-CALL stamps the fence at the current
+    // generation without a second promotion
+    val r2 = spark.sql(
+      "CALL grpl.system.promote_replica('db.repQ', 'db.srcQ')").collect()(0)
+    assert(r2.getLong(1) == 1L && r2.getBoolean(2),
+      "late fence-stamp at the same generation, no re-promotion")
+    val eW = intercept[Exception] {
+      spark.sql("INSERT INTO grpl.db.srcQ VALUES (9, 'stale')")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(eW).mkString(" | ").contains("FENCED"))
+    // reverse resync via the same SQL plane, then parity (the
+    // q_replica_parity contract against the promoted side)
+    spark.sql("CALL grpl.system.replicate('db.repQ', 'db.srcQ')")
+    val prim = new CommitLog(spark, s"$warehouse/db/srcQ")
+    val prom = new CommitLog(spark, s"$warehouse/db/repQ")
+    assert(prim.read().exceptAll(prom.read()).isEmpty &&
+      prom.read().exceptAll(prim.read()).isEmpty)
+  }
+
+  test("strict replica dead-letters a bounced batch; replay after the " +
+      "operator's decision reaches parity") {
+    spark.sql("CREATE TABLE grpl.db.srcD (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO grpl.db.srcD VALUES (1, 'a')")              // v1
+    val srcLog = new CommitLog(spark, s"$warehouse/db/srcD")
+    val (tgt, cp) = (tmp("graft_dlq_tgt"), tmp("graft_dlq_cp"))
+    Replicate.run(spark, "grpl.db.srcD", tgt, "k", cp,
+      options = Map("maxCommitsPerTrigger" -> "1"),
+      trigger = org.apache.spark.sql.streaming.Trigger.Once(),
+      evolve = false)
+    val tgtLog = new CommitLog(spark, tgt)
+    assert(snapshot(tgtLog) == Set((1L, "a")))
+    // the source widens; the strict drain bounces — and the refused
+    // version lands in the dead-letter table with its version range
+    srcLog.mergeMoR(Seq((2L, "b", 1.5)).toDF("k", "v", "w"),
+      "k", evolve = true): Unit                                        // v2
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Replicate.run(spark, "grpl.db.srcD", tgt, "k", cp, evolve = false)
+    }
+    val dlq = new CommitLog(spark, tgt + "__dlq")
+    assert(dlq.exists, "the bounced batch must be captured")
+    val captured = dlq.read()
+    assert(captured.columns.contains("w") &&
+      captured.columns.contains("_dlq_reason"))
+    assert(captured.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(2L),
+      "the capture carries the refused source version range")
+    assert(snapshot(tgtLog) == Set((1L, "a")), "the replica stays untouched")
+    // re-bouncing the same version must not duplicate the capture
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Replicate.run(spark, "grpl.db.srcD", tgt, "k", cp, evolve = false)
+    }
+    assert(dlq.read().count() == captured.count(),
+      "redelivered bounces dedup in the DLQ")
+    // operator decision: absorb the widening — replay reaches parity
+    assert(Replicate.replayDlq(spark, tgt, "k") == 1L)
+    assert(tgtLog.read().columns.contains("w"))
+    assert(tgtLog.read().select("k", "v").as[(Long, String)].collect().toSet ==
+      snapshot(srcLog))
+    assert(dlq.read().count() == 0L, "a replayed queue truncates to empty")
+    // replaying an empty queue is a no-op
+    assert(Replicate.replayDlq(spark, tgt, "k") == 0L)
+  }
+
   test("a renamed source streams its changes under logical names") {
     spark.sql("CREATE TABLE grpl.db.src6 (k BIGINT, v STRING)")
     spark.sql("INSERT INTO grpl.db.src6 VALUES (1, 'a')")          // v1

@@ -230,4 +230,50 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(t.properties().get("location") != null)
     assert(t.properties().get("tier") == "silver")
   }
+
+  test("CALL maintain_all services a cold table's declared policies across a namespace") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdl.mnt")
+    // `hot` declares a fold ratio via DDL, accumulates MoR debt under a
+    // handle that latched empty props, then goes COLD
+    spark.sql("CREATE TABLE gdl.mnt.debt (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdl.mnt.debt SELECT id, CONCAT('v', id) FROM range(1, 101)")
+    val log = new CommitLog(spark, s"$warehouse/mnt/debt")
+    log.updateWhereMoR(org.apache.spark.sql.functions.col("k") <= 30,
+      Seq("v" -> org.apache.spark.sql.functions.lit("upd")))
+    assert(log.dvFiles(log.currentVersion.get).nonEmpty, "debt accrued cold")
+    // the policy lands AFTER the debt, with no further commits
+    spark.sql("ALTER TABLE gdl.mnt.debt SET TBLPROPERTIES " +
+      "('spark.graft.rewriteDeletes.maxDebtRatio' = '0.1')")
+    // `plain` declares nothing
+    spark.sql("CREATE TABLE gdl.mnt.plain (k BIGINT)")
+    spark.sql("INSERT INTO gdl.mnt.plain VALUES (1)")
+    val rows = spark.sql("CALL gdl.system.maintain_all('mnt')").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows("mnt.debt")._1.contains("rewrite_deletes") &&
+      rows("mnt.debt")._2.isEmpty, s"cold debt must fold: $rows")
+    assert(rows("mnt.plain")._1.isEmpty, "undeclared tables untouched")
+    val after = new CommitLog(spark, s"$warehouse/mnt/debt")
+    assert(after.dvFiles(after.currentVersion.get).isEmpty)
+    assert(spark.table("gdl.mnt.debt").where("v = 'upd'").count() == 30)
+  }
+
+  test("CALL snapshot_group pins consistent heads readable via VERSION AS OF") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdl.sg")
+    spark.sql("CREATE TABLE gdl.sg.x (k BIGINT)")
+    spark.sql("INSERT INTO gdl.sg.x VALUES (1)")
+    spark.sql("CREATE TABLE gdl.sg.y (k BIGINT)")
+    spark.sql("INSERT INTO gdl.sg.y VALUES (10)")
+    spark.sql("INSERT INTO gdl.sg.y VALUES (11)")
+    val pins = spark.sql("CALL gdl.system.snapshot_group('sg.x,sg.y')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pins == Map("sg.x" -> 1L, "sg.y" -> 2L))
+    // later commits never move the pinned read
+    spark.sql("INSERT INTO gdl.sg.x VALUES (2)")
+    val pinnedX = spark.sql(
+      s"SELECT k FROM gdl.sg.x VERSION AS OF ${pins("sg.x")}")
+      .collect().map(_.getLong(0)).toSet
+    assert(pinnedX == Set(1L), s"pinned read moved: $pinnedX")
+  }
 }
