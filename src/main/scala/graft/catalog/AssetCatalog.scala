@@ -211,6 +211,38 @@ class AssetCatalog(spark: SparkSession, root: String) {
       minVersionAgeMs: Long = CommitLog.DefaultVersionRetentionMs): (Int, Int) =
     log(table).vacuum(keepVersions, minFileAgeMs, minVersionAgeMs)
 
+  /** Region failover for the WHOLE registry: promote every replica
+    * table under `secondaryRoot` ([[CommitLog.promote]] — cursor
+    * dropped, generation bumped) and best-effort fence the
+    * corresponding primary under this catalog's root, so a rejoining
+    * primary region bounces writes and syncs on every table at once.
+    * Walks the SECONDARY side's table listing — the primary region
+    * being unreachable is exactly the scenario this exists for (the
+    * fence stamp then reports false; re-run [[CommitLog.promote]]'s
+    * late-stamp path per table, or simply re-register the primaries as
+    * replicas, when the region rejoins). A table that fails to promote
+    * (e.g. not a replica) is recorded and the walk continues. Returns
+    * table → (promotedVersion, generation, primaryFenced), failures as
+    * (-1, -1, false).
+    */
+  def promoteSecondary(secondaryRoot: String): Map[String, (Long, Long, Boolean)] = {
+    val sfs = HadoopFs.fs(spark, secondaryRoot)
+    val tables =
+      if (!sfs.exists(new Path(secondaryRoot))) Seq.empty[String]
+      else sfs.listStatus(new Path(secondaryRoot)).filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(t => sfs.exists(new Path(s"$secondaryRoot/$t", "_commits")))
+        .toSeq.sorted
+    tables.map { t =>
+      t -> (try {
+        val replica = new CommitLog(spark, s"$secondaryRoot/$t")
+        replica.promote(Some(log(t)))
+      } catch {
+        case scala.util.control.NonFatal(_) => (-1L, -1L, false)
+      })
+    }.toMap
+  }
+
   /** Catalog-level maintenance sweep — the cold-table companion to the
     * publish-time hooks ([[CommitLog.maintain]]): walk every registry
     * table under `root` and apply each one's DECLARED policies (TTL,

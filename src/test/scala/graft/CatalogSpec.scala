@@ -909,6 +909,46 @@ class CatalogSpec extends AnyFunSuite {
       "the touched file must have been replaced by the CoW rewrite")
   }
 
+  test("registry failover: promoteSecondary makes every replica writable " +
+      "and fences the primaries; reverse resync reaches parity") {
+    import graft.catalog.TargetSystem
+    val root = freshRoot()
+    val cat = new AssetCatalog(spark, root)
+    seed(cat)
+    cat.create("target_system", "tgt_sys_id", Seq(
+      TargetSystem(201L, "lake", "us-east-1", ts("2026-01-03 00:00:00"),
+        "active")).toDS())
+    val sec = freshRoot()
+    cat.replicate(sec)
+
+    // region loss: one call promotes the whole secondary registry
+    val res = cat.promoteSecondary(sec)
+    assert(res.keySet == Set("source_system", "target_system"))
+    assert(res.values.forall { case (v, g, fenced) =>
+      v > 0 && g == 1L && fenced }, s"whole-registry promote: $res")
+
+    // writes land on the promoted registry
+    val secCat = new AssetCatalog(spark, sec)
+    secCat.create("source_system", "src_sys_id", Seq(
+      SourceSystem(103L, "mes", "us-east-1", ts("2026-01-04 00:00:00"),
+        "active")).toDS())
+    assert(secCat.readTable("source_system").count() == 3)
+
+    // every fenced primary bounces writes
+    val e = intercept[IllegalStateException] {
+      cat.create("source_system", "src_sys_id", Seq(
+        SourceSystem(104L, "stale", "us-east-2", ts("2026-01-05 00:00:00"),
+          "x")).toDS())
+    }
+    assert(e.getMessage.contains("FENCED"))
+
+    // reverse resync: the rejoined region re-registers as the replica
+    // of the promoted registry and reaches parity
+    secCat.replicate(root)
+    assert(secCat.replicaParity(root, "source_system"))
+    assert(secCat.replicaParity(root, "target_system"))
+  }
+
   test("maintain_all: one sweep services a cold table's declared debt, " +
       "skips undeclared tables, and a failing table doesn't stop the walk") {
     import graft.catalog.CommitLog
