@@ -406,6 +406,66 @@ class ReplicateSpec extends AnyFunSuite {
     assert(eN.getMessage.contains("not a replica"))
   }
 
+  test("promote racing an in-flight sync: the promotion retries onto the " +
+      "sync's head and the lineage stays single") {
+    spark.sql("CREATE TABLE grpl.db.srcR (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO grpl.db.srcR VALUES (1, 'a')")
+    val primaryRoot = s"$warehouse/db/srcR"
+    val primary = new CommitLog(spark, primaryRoot)
+    val replicaRoot = tmp("graft_promo_race")
+    new CommitLog(spark, replicaRoot).replicateFrom(primary)
+    // the primary advances; a sync of that version races the promotion
+    spark.sql("INSERT INTO grpl.db.srcR VALUES (2, 'b')")
+    @volatile var injected = false
+    val spy = new CommitLog(spark, replicaRoot) {
+      override protected def beforePublish(attempt: Int, v: Long): Unit =
+        if (!injected) {
+          injected = true
+          new CommitLog(spark, replicaRoot)
+            .replicateFrom(new CommitLog(spark, primaryRoot)): Unit
+        }
+    }
+    val (pv, gen, fenced) = spy.promote(Some(primary))
+    assert(injected && gen == 1L && fenced)
+    // the lost race retried onto the SYNC'S head: the promoted snapshot
+    // carries the freshly-synced row, the cursor is gone, and there is
+    // exactly one promote commit in the history
+    val promoted = new CommitLog(spark, replicaRoot)
+    assert(promoted.headerOf(pv, "repsrc").isEmpty)
+    assert(snapshot(promoted) == Set((1L, "a"), (2L, "b")),
+      "the promotion must land on top of the racing sync, not before it")
+    assert(promoted.history().count(_.operation == "promote") == 1)
+    // and the fence stands: the primary bounces, the promoted side writes
+    intercept[IllegalStateException] {
+      primary.commit(Seq((9L, "stale")).toDF("k", "v"), replace = false)
+    }
+    promoted.commit(Seq((3L, "c")).toDF("k", "v"), replace = false)
+    assert(snapshot(promoted).contains((3L, "c")))
+  }
+
+  test("maintenance never mutates a fenced table: declared policies " +
+      "degrade to no-ops, the debt stays for the promoted lineage") {
+    spark.sql("CREATE TABLE grpl.db.srcM (k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO grpl.db.srcM SELECT id, concat('v', id) FROM range(1, 101)")
+    val primary = new CommitLog(spark, s"$warehouse/db/srcM")
+    primary.updateWhereMoR(col("k") <= 50L, Seq("v" -> lit("upd"))): Unit
+    val replica = new CommitLog(spark, tmp("graft_fence_mnt"))
+    replica.replicateFrom(primary)
+    replica.promote(Some(primary)): Unit
+    // the fenced primary declares an aggressive fold policy — a fresh
+    // handle would fire it on the spot were the table not fenced
+    primary.setProperties(
+      Map("spark.graft.rewriteDeletes.maxDebtRatio" -> "0.01"))
+    val fenced = new CommitLog(spark, s"$warehouse/db/srcM")
+    val before = fenced.currentVersion
+    assert(fenced.maintain().isEmpty,
+      "maintenance must not act on a fenced table")
+    assert(fenced.currentVersion == before)
+    assert(fenced.dvFiles(before.get).nonEmpty,
+      "the debt stands — only the promoted lineage may fold it")
+  }
+
   test("SQL surface: CALL promote_replica fails over, late fence-stamp " +
       "is idempotent, parity holds against the promoted side") {
     spark.sql("CREATE TABLE grpl.db.srcQ (k BIGINT, v STRING)")
