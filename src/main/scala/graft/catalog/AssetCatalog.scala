@@ -236,7 +236,15 @@ class AssetCatalog(spark: SparkSession, root: String) {
     tables.map { t =>
       t -> (try {
         val replica = new CommitLog(spark, s"$secondaryRoot/$t")
-        replica.promote(Some(log(t)))
+        // the fence target is built SEPARATELY from the promotion: an
+        // unreachable primary region (the very scenario this call
+        // exists for) must cost only the fence stamp (fenced = false),
+        // never the promotion itself
+        val fenceTarget =
+          try Some(log(t))
+          catch { case scala.util.control.NonFatal(_) => None }
+        val (v, g, fenced) = replica.promote(fenceTarget)
+        (v, g, fenced && fenceTarget.nonEmpty)
       } catch {
         case scala.util.control.NonFatal(_) => (-1L, -1L, false)
       })

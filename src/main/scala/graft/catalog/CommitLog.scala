@@ -1856,6 +1856,17 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     * generation again and fences the other side — generations only ever
     * grow, so every root always knows which lineage is current.
     *
+    * DOCUMENTED LIMIT — the fence arbitrates PRIMARY-vs-REPLICA, not
+    * replica-vs-replica: concurrently promoting TWO replicas of one
+    * lost primary yields two writable generation-1 lineages, because
+    * with the primary region gone there is no shared coordination
+    * point to arbitrate through (the classic multi-region consensus
+    * gap; no table format solves it storage-side). The runbook
+    * discipline is one promotion target per failover; a losing replica
+    * is retired by fencing it explicitly ([[writeFence]] at the
+    * winner's generation) or re-registering it as a replica of the
+    * winner.
+    *
     * Returns (promotedVersion, generation, oldPrimaryFenced).
     */
   def promote(fenceOldPrimary: Option[CommitLog] = None): (Long, Long, Boolean) = {

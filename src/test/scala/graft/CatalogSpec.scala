@@ -949,6 +949,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(secCat.replicaParity(root, "target_system"))
   }
 
+  test("promoteSecondary with the primary region unreachable: every " +
+      "promotion still lands, only the fence stamp is deferred") {
+    val root = freshRoot()
+    val cat = new AssetCatalog(spark, root)
+    seed(cat)
+    val sec = freshRoot()
+    cat.replicate(sec)
+    // the primary region is GONE: a catalog addressed at an
+    // unresolvable filesystem cannot even build the fence target —
+    // the promotion must not depend on it
+    val lost = new AssetCatalog(spark, "unreachable-scheme://lost-region/reg")
+    val res = lost.promoteSecondary(sec)
+    assert(res.keySet == Set("source_system"))
+    assert(res("source_system")._1 > 0 && res("source_system")._2 == 1L,
+      s"promotion must survive a dead primary region: $res")
+    assert(!res("source_system")._3, "the fence stamp is deferred, not faked")
+    // the promoted registry is writable
+    new AssetCatalog(spark, sec).create("source_system", "src_sys_id", Seq(
+      SourceSystem(103L, "mes", "us-east-1", ts("2026-01-04 00:00:00"),
+        "active")).toDS())
+  }
+
   test("maintain_all: one sweep services a cold table's declared debt, " +
       "skips undeclared tables, and a failing table doesn't stop the walk") {
     import graft.catalog.CommitLog
