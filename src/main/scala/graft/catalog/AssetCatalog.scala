@@ -156,6 +156,11 @@ class AssetCatalog(spark: SparkSession, root: String) {
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(t => hfs.exists(new Path(path(t), "_commits")))
+      // `<table>__dlq` twins are a strict replica's dead-letter inbox
+      // ([[graft.stream.Replicate]]), not registry tables: walking them
+      // would vacuum/compact a DLQ's capture history independently of
+      // its parent and record spurious failover rows
+      .filterNot(_.endsWith("__dlq"))
       .toSeq.sorted
   }
 
@@ -232,6 +237,7 @@ class AssetCatalog(spark: SparkSession, root: String) {
       else sfs.listStatus(new Path(secondaryRoot)).filter(_.isDirectory)
         .map(_.getPath.getName)
         .filter(t => sfs.exists(new Path(s"$secondaryRoot/$t", "_commits")))
+        .filterNot(_.endsWith("__dlq"))   // DLQ twins are not tables
         .toSeq.sorted
     tables.map { t =>
       t -> (try {

@@ -219,6 +219,16 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     */
   def tableRootPath: String = tableRoot
 
+  /** The root as a fully-qualified URI (scheme + absolute path): the
+    * canonical identity used wherever two handles to ONE table must
+    * converge regardless of how each was addressed — sidecar lock keys,
+    * replication-source provenance (`#reproot:`), streaming-offset
+    * lineage. A relative root and its absolute spelling qualify to the
+    * same string, so they share one monitor and one lineage id.
+    */
+  private[graft] lazy val tableQualifiedRoot: String =
+    hfs.makeQualified(new Path(tableRoot)).toString
+
   private val hfs: FileSystem = HadoopFs.fs(spark, tableRoot)
   private val dataDir = new Path(tableRoot, "data")
   private val commitsDir = new Path(tableRoot, "_commits")
@@ -1730,18 +1740,27 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
         if (tomb) "-" + rebuilt else rebuilt
       }
     }
-    val base = outLines.filterNot(_.startsWith("#repsrc:"))
+    val base = outLines.filterNot(l => l.startsWith("#repsrc:") ||
+      l.startsWith("#repmap:") || l.startsWith("#reproot:"))
     // a transform-partitioned source's layout declaration rides along —
     // without it the replica would EXPOSE the hidden `_p_*` columns and
     // lose its transform pruning
     if (src.hfs.exists(src.ptspecFile))
       org.apache.hadoop.fs.FileUtil.copy(src.hfs, src.ptspecFile, hfs,
         ptspecFile, false, hfs.getConf): Unit
+    // beside the cursor, record WHICH source versions this sync folds
+    // (`#repmap:<lo>-<hi>`) and the source's canonical identity
+    // (`#reproot:`): the translation table a failed-over streaming
+    // consumer re-anchors its primary-version checkpoint through
+    // ([[translateSourceOffset]])
+    val syncHeaders = Seq(s"#repsrc:$head",
+      s"#repmap:${cursor.getOrElse(0L) + 1}-$head",
+      s"#reproot:${src.tableQualifiedRoot}")
     var attempt = 0
     while (attempt < 50) {
       val v = currentVersion.getOrElse(0L) + 1
       beforePublish(attempt, v)
-      if (publish(v, stamped("replicate", s"#repsrc:$head" +: base)))
+      if (publish(v, stamped("replicate", syncHeaders ++ base)))
         return Some(v)
       racePause(attempt, v)
       attempt += 1
@@ -1880,8 +1899,12 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
           "is not a replica (already writable); promotion is a " +
           "replica-only operation")
       val newGen = math.max(genOf(lines), fenceEpoch.getOrElse(0L)) + 1
+      // the promote commit sheds the sync bookkeeping (#repsrc cursor,
+      // #repmap window, #reproot provenance) — the HISTORY manifests
+      // keep every sync's repmap, which is what offset translation walks
       val base = lines.filterNot(l =>
-        l.startsWith("#repsrc:") || l.startsWith("#gen:"))
+        l.startsWith("#repsrc:") || l.startsWith("#gen:") ||
+          l.startsWith("#repmap:") || l.startsWith("#reproot:"))
       beforePublish(attempt, head + 1)
       if (publish(head + 1, stamped("promote", s"#gen:$newGen" +: base))) {
         val fenced = fenceOldPrimary match {
@@ -1897,6 +1920,83 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     }
     throw new java.io.IOException(
       s"promote: lost the version race 50 times under $tableRoot")
+  }
+
+  /** Re-anchor a streaming checkpoint across a failover: map an offset
+    * recorded against this table's REPLICATION SOURCE (`srcRoot`,
+    * checkpointed source version `srcVersion`) onto THIS table's own
+    * version numbering. Each [[replicateFrom]] sync commit records the
+    * source-version window it folds (`#repmap:<lo>-<hi>`) and the
+    * source's canonical identity (`#reproot:`); a checkpoint sitting
+    * exactly on a sync boundary (`srcVersion == hi` of some sync, or 0)
+    * translates EXACTLY — the local sync version's file set is
+    * byte-equivalent to the source's at that version, so the consumer
+    * resumes with no duplicates and no gaps. Anything else fails LOUDLY
+    * with the operator instruction, never silently re-reads:
+    *  - a checkpoint INSIDE a fold window (the sync coalesced versions
+    *    `lo..hi` into one local commit) cannot resume exactly;
+    *  - a checkpoint AHEAD of the last synced version names data the
+    *    replica never received (the failover's RPO window);
+    *  - a root this table never synced from is not translatable at all.
+    *
+    * Cost: one manifest read per local version, once per stream restart
+    * — O(local commits), no data I/O. (Consumers reach this through
+    * [[GraftVersionOffset]]: offsets self-describe their root, so simply
+    * re-pointing a `readStream.table` / `.changes` query at the promoted
+    * table with the SAME checkpoint triggers the translation.)
+    */
+  private[graft] def translateSourceOffset(srcRoot: String, srcVersion: Long): Long = {
+    if (srcVersion <= 0L) return 0L
+    def norm(s: String): String = {
+      val p = new Path(s)
+      val q = if (p.toUri.getScheme == null) hfs.makeQualified(p) else p
+      q.toString.stripSuffix("/")
+    }
+    val want = norm(srcRoot)
+    val head = currentVersion.getOrElse(0L)
+    var maxHi = 0L
+    var sawSource = false
+    var fold: Option[(Long, Long, Long)] = None
+    var v = 1L
+    while (v <= head) {
+      headerOf(v, "repmap").foreach { m =>
+        val fromWant = headerOf(v, "reproot").forall(r => norm(r.trim) == want)
+        if (fromWant) m.trim.split('-') match {
+          case Array(loS, hiS) =>
+            val (lo, hi) = (loS.toLong, hiS.toLong)
+            sawSource = true
+            if (hi > maxHi) maxHi = hi
+            if (srcVersion == hi) return v
+            if (srcVersion >= lo && srcVersion < hi && fold.isEmpty)
+              fold = Some((v, lo, hi))
+          case _ => ()
+        }
+      }
+      v += 1
+    }
+    fold match {
+      case Some((lv, lo, hi)) => throw new IllegalStateException(
+        s"translateSourceOffset: the checkpoint sits at source version " +
+          s"$srcVersion of $want, INSIDE the window $lo-$hi that this " +
+          s"table's sync commit $lv folded into one local version — the " +
+          "replica cannot resume exactly there. Restart the consumer with " +
+          "a fresh checkpoint to re-load from this table's current " +
+          "snapshot (rows emitted before the failover will re-emit), or " +
+          s"rewind the checkpoint to the sync boundary $hi's upstream " +
+          "offset if the sink is idempotent.")
+      case None if !sawSource => throw new IllegalStateException(
+        s"translateSourceOffset: table under $tableRoot carries no " +
+          s"replication sync from $want — this checkpoint belongs to a " +
+          "different lineage. Point the consumer at a replica of that " +
+          "table, or restart with a fresh checkpoint.")
+      case None => throw new IllegalStateException(
+        s"translateSourceOffset: the checkpoint sits at source version " +
+          s"$srcVersion of $want, AHEAD of the last version this table " +
+          s"synced ($maxHi) — the failover lost that window (RPO > 0). " +
+          "Restart the consumer with a fresh checkpoint to re-load from " +
+          "this table's current snapshot, and reconcile the sink for the " +
+          s"un-replicated source versions ${maxHi + 1}-$srcVersion.")
+    }
   }
 
   /** The copy-on-write mutators stage FLAT pool files; on a partitioned
@@ -2908,7 +3008,7 @@ class CommitLog(spark: SparkSession, tableRoot: String) {
     // publish is temp-file + atomic rename (a racing reader must never
     // parse a torn sidecar and silently latch empty props for its
     // handle's lifetime)
-    CommitLog.sidecarLock(tableRoot).synchronized {
+    CommitLog.sidecarLock(tableQualifiedRoot).synchronized {
       val merged = (try GraftTableCatalog.readProps(spark, tableRoot)
         catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }) ++ props
       LogStore.writeAtomic(hfs, new Path(tableRoot, "_props.json"),

@@ -146,8 +146,16 @@ object CrossTableTxn {
   def pinGroup(logs: Seq[CommitLog], maxAttempts: Int = 50): Seq[Long] = {
     require(logs.nonEmpty, "pinGroup: no tables")
     def pass(): Seq[Long] = logs.map { l =>
-      val v = l.currentVersion.getOrElse(0L)
-      if (v > 0) l.resolveDecision(v)
+      // fail FAST on an empty member: pinning version 0 would hand the
+      // caller a version `VERSION AS OF 0` cannot read — the pinned-set
+      // contract ("read each table at its pinned version") must hold
+      // for every row the pin returns
+      val v = l.currentVersion.getOrElse(throw new IllegalStateException(
+        s"pinGroup: table under ${l.tableRootPath} has no committed " +
+          "version — an empty member is not pinnable (version 0 is not " +
+          "readable via VERSION AS OF). Commit an initial batch (an " +
+          "empty one is fine) or drop the table from the group."))
+      l.resolveDecision(v)
       v
     }
     var prev = pass()

@@ -102,6 +102,7 @@ private[graft] final class GraftChangeFeedStream(
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val log = new CommitLog(spark, root)
+  private val ownRoot = log.tableQualifiedRoot
   private val stageRoot = new Path(root, "_cdf")
 
   private val maxCommitsPerTrigger: Option[Long] =
@@ -122,24 +123,25 @@ private[graft] final class GraftChangeFeedStream(
     val head0 = log.currentVersion.getOrElse(0L)
     val head = availableNowCap.fold(head0)(math.min(head0, _))
     val s = versionOf(start)
-    GraftVersionOffset(maxCommitsPerTrigger.fold(head)(n => math.min(head, s + n)))
+    GraftVersionOffset(maxCommitsPerTrigger.fold(head)(n => math.min(head, s + n)), ownRoot)
   }
 
   override def reportLatestOffset(): Offset =
-    GraftVersionOffset(log.currentVersion.getOrElse(0L))
+    GraftVersionOffset(log.currentVersion.getOrElse(0L), ownRoot)
 
-  override def initialOffset(): Offset = GraftVersionOffset(0L)
+  override def initialOffset(): Offset = GraftVersionOffset(0L, ownRoot)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is the admission-controlled path")
 
   override def deserializeOffset(json: String): Offset =
-    GraftVersionOffset(json.trim.toLong)
+    GraftVersionOffset.parse(json, log)
 
   private def versionOf(o: Offset): Long = o match {
-    case GraftVersionOffset(v) => v
-    case other => other.json.trim.toLong
+    case GraftVersionOffset(v, _) => v
+    // checkpointed SerializedOffset: same parse (incl. translation) path
+    case other => GraftVersionOffset.parse(other.json, log).v
   }
 
   /** The tagged rows version `v` changed: the full snapshot as inserts

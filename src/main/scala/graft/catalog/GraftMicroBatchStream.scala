@@ -9,11 +9,51 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Stream offset = commit-log version. Offsets compare by json, so the
-  * plain decimal rendering doubles as the checkpoint format.
+/** Stream offset = commit-log version, SELF-DESCRIBING: the json carries
+  * the canonical root the offset was recorded against, so a checkpoint
+  * re-pointed at a different table (the failover re-anchor — a consumer
+  * of a lost primary resumed against its promoted replica) is DETECTED
+  * and translated through [[CommitLog.translateSourceOffset]] instead of
+  * silently misreading primary version numbers as local ones. Offsets
+  * compare by json (the streaming Offset contract), so the rendering is
+  * deterministic; plain-decimal legacy checkpoints still parse as local
+  * versions of the table being read.
   */
-private[graft] case class GraftVersionOffset(v: Long) extends Offset {
-  override def json: String = v.toString
+private[graft] case class GraftVersionOffset(v: Long, root: String) extends Offset {
+  override def json: String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(("v" -> v) ~ ("root" -> root)))
+  }
+}
+
+private[graft] object GraftVersionOffset {
+  /** Parse a checkpointed offset. Plain decimal (legacy checkpoints) =
+    * a version of the table being read. The object form carries its
+    * root: a mismatch with `log`'s own root means the checkpoint was
+    * recorded against this table's REPLICATION SOURCE — the failover
+    * re-point — and the version translates (exactly, or fails loudly)
+    * onto the local numbering.
+    */
+  def parse(json: String, log: CommitLog): GraftVersionOffset = {
+    val t = json.trim
+    val own = log.tableQualifiedRoot
+    if (!t.startsWith("{")) GraftVersionOffset(t.toLong, own)
+    else {
+      val j = org.json4s.jackson.JsonMethods.parse(t)
+      val v = j \ "v" match {
+        case org.json4s.JInt(x)  => x.toLong
+        case org.json4s.JLong(x) => x
+        case _ => throw new IllegalStateException(
+          s"GraftVersionOffset: unparseable checkpoint offset: $t")
+      }
+      j \ "root" match {
+        case org.json4s.JString(r) if r != own =>
+          GraftVersionOffset(log.translateSourceOffset(r, v), own)
+        case _ => GraftVersionOffset(v, own)
+      }
+    }
+  }
 }
 
 /** Micro-batch source tailing a [[CommitLog]] table: each micro-batch is
@@ -56,6 +96,7 @@ private[graft] final class GraftMicroBatchStream(
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val log = new CommitLog(spark, root)
+  private val ownRoot = log.tableQualifiedRoot
   private val dataDir = new Path(root, "data")
   private val ignoreChanges =
     Option(options.get("ignorechanges")).exists(_.toBoolean)
@@ -88,11 +129,11 @@ private[graft] final class GraftMicroBatchStream(
     val head0 = log.currentVersion.getOrElse(0L)
     val head = availableNowCap.fold(head0)(math.min(head0, _))
     val s = versionOf(start)
-    GraftVersionOffset(maxCommitsPerTrigger.fold(head)(n => math.min(head, s + n)))
+    GraftVersionOffset(maxCommitsPerTrigger.fold(head)(n => math.min(head, s + n)), ownRoot)
   }
 
   override def reportLatestOffset(): Offset =
-    GraftVersionOffset(log.currentVersion.getOrElse(0L))
+    GraftVersionOffset(log.currentVersion.getOrElse(0L), ownRoot)
 
   /** Spark's parquet V2 scan over an explicit file list: the partition
     * planning and the vectorized reader factory both come from here —
@@ -104,21 +145,22 @@ private[graft] final class GraftMicroBatchStream(
     ParquetTable(s"$tableName-stream", spark, options, paths, Some(schema),
       classOf[ParquetFileFormat]).newScanBuilder(options).build().toBatch
 
-  override def initialOffset(): Offset = GraftVersionOffset(0L)
+  override def initialOffset(): Offset = GraftVersionOffset(0L, ownRoot)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is the admission-controlled path")
 
   override def deserializeOffset(json: String): Offset =
-    GraftVersionOffset(json.trim.toLong)
+    GraftVersionOffset.parse(json, log)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   private def versionOf(o: Offset): Long = o match {
-    case GraftVersionOffset(v) => v
-    case other => other.json.trim.toLong   // checkpointed SerializedOffset
+    case GraftVersionOffset(v, _) => v
+    // checkpointed SerializedOffset: same parse (incl. translation) path
+    case other => GraftVersionOffset.parse(other.json, log).v
   }
 
   private def manifestOf(v: Long): (Set[String], Set[String]) =

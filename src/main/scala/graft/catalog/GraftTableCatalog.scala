@@ -189,6 +189,12 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
     fs.listStatus(nsPath(ns1(ns)))
       .filter(s => s.isDirectory && isTable(s.getPath))
+      // `<table>__dlq` twins (a strict replica's dead-letter inbox,
+      // [[graft.stream.Replicate]]) are internal sidecars, not tables:
+      // listing them would hand them to maintenance sweeps and failover
+      // walks as independent tables. Still loadable BY NAME for
+      // inspection/replay.
+      .filterNot(_.getPath.getName.endsWith("__dlq"))
       .map(s => Identifier.of(ns, s.getPath.getName))
   }
 
@@ -592,13 +598,13 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
             .putString("comment", uc.newComment()).build())
         })
       case sp: TableChange.SetProperty =>
-        CommitLog.sidecarLock(root.toString).synchronized {
+        CommitLog.sidecarLock(fs.makeQualified(root).toString).synchronized {
           writeProps(root,
             GraftTableCatalog.readProps(spark, root.toString) +
               (sp.property() -> sp.value()))
         }
       case rp: TableChange.RemoveProperty =>
-        CommitLog.sidecarLock(root.toString).synchronized {
+        CommitLog.sidecarLock(fs.makeQualified(root).toString).synchronized {
           writeProps(root,
             GraftTableCatalog.readProps(spark, root.toString) - rp.property())
         }

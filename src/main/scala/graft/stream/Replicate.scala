@@ -99,7 +99,18 @@ object Replicate {
                     org.apache.spark.sql.functions.lit(
                       Option(e.getMessage).getOrElse("schema refusal"))),
                 replace = false, Some(s"dlq-$txnScope-$v")): Unit
-            } catch { case scala.util.control.NonFatal(_) => () }
+            } catch { case scala.util.control.NonFatal(ce) =>
+              // the capture failing means the bounced rows are NOT
+              // preserved — say so LOUDLY before propagating the bounce
+              // (a silent swallow here would lose exactly the drifted
+              // rows the DLQ exists to keep)
+              Console.err.println(
+                s"[graft] DLQ capture FAILED for scope $txnScope " +
+                  s"version $v under ${target.tableRootPath}__dlq: " +
+                  s"${ce.getMessage}. The bounced rows were NOT " +
+                  "dead-lettered; resolve the refusal and re-drain from " +
+                  "the checkpoint (the source version is still unapplied).")
+            }
             throw e
         }
       }
@@ -113,13 +124,27 @@ object Replicate {
     * operator decision, the strict gate already did its job). Captured
     * versions re-apply IN ORDER per scope through the same txn-guarded
     * path as the live drain, so versions that somehow landed since
-    * dedup instead of double-applying; on full success the queue
-    * truncates to empty (a replace commit — the captures stay in DLQ
-    * history until vacuum). Returns the number of (scope, version)
-    * entries replayed.
+    * dedup instead of double-applying; on full success the REPLAYED
+    * entries are deleted SELECTIVELY (a MoR delete keyed on
+    * (scope, version) — the captures stay in DLQ history until vacuum).
+    * A capture dead-lettered by a still-running drain between this
+    * call's read and its truncate does not match the delete predicate
+    * and survives for the next replay — a blind truncate would wipe it
+    * while its `dlq-` txn id lived on in the carried headers, making the
+    * drain's re-bounce dedup as already-captured and losing the entry
+    * permanently. Returns the number of (scope, version) entries
+    * replayed.
     */
   def replayDlq(s: SparkSession, targetRoot: String, keyCol: String,
-      evolve: Boolean = true): Long = {
+      evolve: Boolean = true): Long =
+    replayDlqSeam(s, targetRoot, keyCol, evolve)(())
+
+  /** [[replayDlq]] with a post-read seam so specs can land a CONCURRENT
+    * capture between the replay's read and its selective truncate — the
+    * lost-capture race the keyed truncate exists to close.
+    */
+  private[graft] def replayDlqSeam(s: SparkSession, targetRoot: String,
+      keyCol: String, evolve: Boolean = true)(afterRead: => Unit): Long = {
     import graft.catalog.GraftChangesTable.CommitVersion
     val dlq = new CommitLog(s, targetRoot + "__dlq")
     if (!dlq.exists) return 0L
@@ -128,6 +153,7 @@ object Replicate {
     if (!rows.columns.contains("_dlq_scope")) return 0L
     val entries = rows.select("_dlq_scope", CommitVersion).distinct().count()
     if (entries == 0L) return 0L
+    afterRead
     val target = new CommitLog(s, targetRoot)
     val scopes = rows.select("_dlq_scope").distinct()
       .collect().map(_.getString(0)).sorted
@@ -136,7 +162,13 @@ object Replicate {
         .drop("_dlq_scope", "_dlq_reason")
       applyChangeBatch(target, keyCol, scoped, sc, evolve)
     }
-    dlq.commit(rows.limit(0), replace = true): Unit
+    // `rows` pinned its file list when it was read, so these are exactly
+    // the replayed entries even if a drain captured more since
+    val replayedKeys = rows.select("_dlq_scope", CommitVersion).distinct()
+      .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").toSeq
+    dlq.deleteWhereMoR(
+      org.apache.spark.sql.functions.concat_ws(":",
+        col("_dlq_scope"), col(CommitVersion)).isin(replayedKeys: _*)): Unit
     entries
   }
 
@@ -168,13 +200,28 @@ object Replicate {
     * replica (`evolve = false`) does NOT auto-restart: the refusal
     * propagates — bouncing schema drift is exactly what strict mode is
     * for.
+    *
+    * FAILOVER RE-POINT — pass a fresh `scope`: when the drain's source
+    * is lost and the query is re-pointed at a PROMOTED REPLICA (same
+    * checkpoint — the offsets translate through
+    * [[graft.catalog.CommitLog.translateSourceOffset]]), the feed's
+    * `_commit_version` numbers switch to the replica's OWN numbering,
+    * which restarts low (one local version per sync). Under the default
+    * scope (= `srcTable`, unchanged if the promoted table kept the
+    * name) those low version numbers collide with already-applied
+    * PRIMARY version numbers, and the txn guard dedups the NEW versions
+    * as already-applied — a silent gap. Pass `scope =
+    * Some(<promoted table's root or any fresh id>)` on the re-point so
+    * the promoted lineage's versions apply under their own txn
+    * namespace.
     */
   def run(s: SparkSession, srcTable: String, targetRoot: String,
       keyCol: String, checkpoint: String,
       options: Map[String, String] = Map.empty,
       trigger: Trigger = Trigger.AvailableNow(),
       evolve: Boolean = true,
-      maxSchemaRestarts: Int = 3): Unit = {
+      maxSchemaRestarts: Int = 3,
+      scope: Option[String] = None): Unit = {
     val target = new CommitLog(s, targetRoot)
     // `restarts` bounds CONSECUTIVE unproductive restarts, not lifetime
     // evolutions: a long-lived continuous drain legitimately absorbs one
@@ -189,7 +236,7 @@ object Replicate {
         val q = s.readStream.options(options).table(srcTable + ".changes")
           .writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
-            applyChangeBatch(target, keyCol, b, srcTable, evolve)
+            applyChangeBatch(target, keyCol, b, scope.getOrElse(srcTable), evolve)
           }
           .option("checkpointLocation", checkpoint)
           .trigger(trigger)

@@ -262,10 +262,13 @@ class CommitLogStreamSpec extends AnyFunSuite {
     val (out, cp) = (tmp("graft_sink"), tmp("graft_cp"))
     runOnce("gs.db.snap", out, cp)   // three commits, ONE initial load
     assert(spark.read.parquet(out).as[Long].collect().toSet == Set(1L, 2L, 3L))
-    // the committed offset is the commit version, human-auditable
+    // the committed offset is the commit version plus the root it was
+    // recorded against (the failover re-anchor identity) — both
+    // human-auditable in the checkpoint
     val offsets = new java.io.File(s"$cp/offsets").listFiles().map(f =>
       new String(java.nio.file.Files.readAllBytes(f.toPath)))
-    assert(offsets.exists(_.linesIterator.toSeq.lastOption.exists(_.trim == "3")),
+    val last = offsets.flatMap(_.linesIterator.toSeq.lastOption.map(_.trim))
+    assert(last.exists(l => l.contains("\"v\":3") && l.contains("/db/snap")),
       offsets.mkString("\n---\n"))
   }
 }

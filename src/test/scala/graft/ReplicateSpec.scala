@@ -541,6 +541,52 @@ class ReplicateSpec extends AnyFunSuite {
     assert(Replicate.replayDlq(spark, tgt, "k") == 0L)
   }
 
+  test("a capture landing DURING replay survives the truncate (selective " +
+      "delete, not a blind replace)") {
+    spark.sql("CREATE TABLE grpl.db.srcE (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO grpl.db.srcE VALUES (1, 'a')")              // v1
+    val srcLog = new CommitLog(spark, s"$warehouse/db/srcE")
+    val (tgt, cp) = (tmp("graft_dlqrc_tgt"), tmp("graft_dlqrc_cp"))
+    Replicate.run(spark, "grpl.db.srcE", tgt, "k", cp,
+      options = Map("maxCommitsPerTrigger" -> "1"),
+      trigger = org.apache.spark.sql.streaming.Trigger.Once(),
+      evolve = false)
+    srcLog.mergeMoR(Seq((2L, "b", 1.5)).toDF("k", "v", "w"),
+      "k", evolve = true): Unit                                        // v2
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Replicate.run(spark, "grpl.db.srcE", tgt, "k", cp, evolve = false)
+    }
+    val dlq = new CommitLog(spark, tgt + "__dlq")
+    assert(dlq.read().select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+
+    // replay entry v2; BETWEEN the replay's read and its truncate a
+    // still-running drain dead-letters version 3 (same capture shape +
+    // dlq txn id the real bounce path writes). A blind replace-truncate
+    // would wipe it while its txn id lived on in the carried headers —
+    // the drain's re-bounce would then dedup as already-captured and
+    // the entry would be lost forever.
+    val replayed = Replicate.replayDlqSeam(spark, tgt, "k") {
+      val late = Seq((9L, "z", 2.5, "insert", 3L, "grpl.db.srcE", "drift"))
+        .toDF("k", "v", "w", "_change_type", "_commit_version",
+          "_dlq_scope", "_dlq_reason")
+      dlq.commit(late, replace = false, Some("dlq-grpl.db.srcE-3")): Unit
+    }
+    assert(replayed == 1L)
+    val tgtLog = new CommitLog(spark, tgt)
+    assert(tgtLog.read().select("k", "v").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")), "the read entry replayed onto the target")
+    val left = dlq.read()
+    assert(left.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(3L),
+      "the concurrent capture must SURVIVE the truncate")
+    // and it is still actionable: the next replay absorbs it
+    assert(Replicate.replayDlq(spark, tgt, "k") == 1L)
+    assert(tgtLog.read().select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 9L))
+    assert(dlq.read().count() == 0L)
+  }
+
   test("a renamed source streams its changes under logical names") {
     spark.sql("CREATE TABLE grpl.db.src6 (k BIGINT, v STRING)")
     spark.sql("INSERT INTO grpl.db.src6 VALUES (1, 'a')")          // v1
