@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Table-maintenance plane as SQL `CALL` procedures (`graft.system.*`) —
@@ -37,7 +37,7 @@ private[catalog] object GraftProcedures {
       "create_tag", "create_branch", "drop_ref", "fast_forward", "refs",
       "set_partition_transforms", "set_ttl", "enforce_ttl", "expire_before",
       "apply_changes", "merge_mor", "promote_replica", "maintain_all",
-      "snapshot_group")
+      "snapshot_group", "query_history")
 
   def apply(cat: GraftTableCatalog, name: String): UnboundProcedure = name match {
     case "optimize"        => new Optimize(cat)
@@ -82,6 +82,7 @@ private[catalog] object GraftProcedures {
     case "promote_replica" => new PromoteReplica(cat)
     case "maintain_all"    => new MaintainAll(cat)
     case "snapshot_group"  => new SnapshotGroup(cat)
+    case "query_history"   => new QueryHistory(cat)
     case other => throw new IllegalArgumentException(
       s"no such procedure: graft.system.$other (have: ${names.mkString(", ")})")
   }
@@ -1143,6 +1144,43 @@ private[catalog] object GraftProcedures {
       resultRows(new StructType().add("table", StringType)
         .add("version", LongType),
         names.zip(pinned).map { case (n, v) => Seq[Any](n, v) })
+    }
+  }
+
+  /** `CALL graft.system.query_history('db.qaudit', n)` — the latest `n`
+    * READ-audit events from a [[QueryAudit]] table: (key, run, wall_ms,
+    * rows, plan_fingerprint, status, ts) — reads audited like writes,
+    * completing R18 (the reference audits `read_source` exactly as the
+    * write handlers, lambda_function.py:86). The table is an ordinary
+    * commit-log table, so unbounded history stays on the SQL surface
+    * (`SELECT ... FROM <table>`); this call is the bounded operator
+    * view, newest first.
+    */
+  private final class QueryHistory(cat: GraftTableCatalog)
+    extends Proc("query_history", Seq(in("table", StringType),
+      in("limit", IntegerType))) {
+    override def description(): String =
+      "latest n query-audit events (key, run, wall_ms, rows, " +
+        "plan_fingerprint, status, ts) from a QueryAudit table — the " +
+        "read-path completion of the R18 audit surface"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val root = cat.rootOf(input.getUTF8String(0).toString)
+      val n = input.getInt(1)
+      require(n > 0, s"query_history: limit must be positive, got $n")
+      val ev = new QueryAudit(cat.sparkSession, root).events
+      val rows = ev.orderBy(org.apache.spark.sql.functions.col("ts").desc,
+          org.apache.spark.sql.functions.col("key"))
+        .limit(n)
+        .select("key", "run", "wall_ms", "rows", "plan_fingerprint",
+          "status", "ts")
+        .collect()
+        .map(r => Seq[Any](r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getString(5),
+          r.getTimestamp(6).getTime * 1000L))
+      resultRows(new StructType().add("key", StringType)
+        .add("run", StringType).add("wall_ms", LongType)
+        .add("rows", LongType).add("plan_fingerprint", StringType)
+        .add("status", StringType).add("ts", TimestampType), rows.toSeq)
     }
   }
 }
