@@ -181,9 +181,29 @@ object VectorKernels {
     }
   }
 
+  /** graft_vec_project(vec, k) — k must be an integer literal (it
+    * parameterizes the kernel, not per-row data).
+    */
+  private def vecProjectBuilder(c: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    c match {
+      case Seq(vec, Literal(k: Int, IntegerType)) =>
+        ProjectKernel.FloatVecProject(vec, k)
+      case _ => throw new IllegalArgumentException(
+        "graft_vec_project requires (array<float> vec, int literal k)")
+    }
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_vec_dot" -> arity2("graft_vec_dot")(FloatVecDot(_, _)),
     "graft_vec_cosine" -> arity2("graft_vec_cosine")(FloatVecCosine(_, _)),
+    "graft_vec_project" -> (vecProjectBuilder _),
+    "graft_bigram_top" -> { c =>
+      if (c.length != 1) throw new IllegalArgumentException(
+        s"graft_bigram_top requires exactly 1 argument, got ${c.length}")
+      BigramKernel.BigramTop(c.head)
+    },
     "graft_bottomk_md5" -> (bottomKBuilder _),
     "graft_simhash32" -> (simhashBuilder _),
     "graft_hash_bucket" -> { c =>

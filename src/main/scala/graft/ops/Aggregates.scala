@@ -104,12 +104,22 @@ object Aggregates {
         col("c_mktsegment").asc_nulls_first)
   }
 
-  /** CUBE over order priority × status. */
+  /** CUBE over order priority × status. Pre-aggregated: CUBE's Expand
+    * replicates every input row 4× into the grouping exchange, so the
+    * cube runs over the |priority×status|-row base aggregate instead of
+    * the fact table — count/sum are associative (decimal partials stay
+    * exact), a data-null grouping value is still its own group at both
+    * levels, and grouping_id depends only on the grouping columns, so
+    * values are identical (oracle-pinned) while the Expand touches ~15
+    * rows at any scale.
+    */
   private def aggCube(s: SparkSession, d: String): DataFrame =
     orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n0"), sum(dec("o_totalprice")).as("rev0"))
       .cube(col("o_orderpriority"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"),
-        sum(dec("o_totalprice")).cast("double").as("revenue"),
+      .agg(sum(col("n0")).as("n"),
+        sum(col("rev0")).cast("double").as("revenue"),
         grouping_id().as("gid"))
       .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
@@ -219,16 +229,24 @@ object Aggregates {
     * casts before the stack keep the sums engine-exact.
     */
   private def aggUnpivot(s: SparkSession, d: String): DataFrame =
+    // aggregate-then-unpivot: stacking first generates 3× the fact rows
+    // into the metric aggregation, but sum/count distribute over the
+    // melt — one narrow pass computes the three decimal sums (map-side
+    // partials, exact), and the stack melts the single aggregate row.
+    // Values identical (oracle-pinned): per-metric n = count(*) because
+    // stack emits every metric for every row, and each sum skips nulls
+    // exactly as the per-metric sum did.
     lineitem(s, d)
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2))).as("s_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2))).as("s_price"),
+        sum(col("l_discount").cast(DecimalType(12, 2))).as("s_disc"))
       .select(expr(
         """stack(3,
-          |  'qty',   CAST(l_quantity      AS DECIMAL(12,2)),
-          |  'price', CAST(l_extendedprice AS DECIMAL(12,2)),
-          |  'disc',  CAST(l_discount      AS DECIMAL(12,2))) AS (metric, val)"""
-          .stripMargin))
-      .groupBy(col("metric"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("val")).cast("double").as("sum_val"))
+          |  'qty',   n, s_qty,
+          |  'price', n, s_price,
+          |  'disc',  n, s_disc) AS (metric, n, sum_dec)""".stripMargin))
+      .select(col("metric"), col("n"), col("sum_dec").cast("double").as("sum_val"))
       .orderBy(col("metric"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -124,19 +124,27 @@ object CatalogSql {
       s"_${java.util.UUID.randomUUID.toString.take(8)}"
     val cpDir = java.nio.file.Files.createTempDirectory("graft_tail_cp")
     try {
+      // aggregate IN the stream (complete-mode global aggregate): the
+      // memory sink holds ONE summary row instead of the whole drained
+      // table on the driver — same tail-then-summarize values, but the
+      // rows stay distributed (guide §5: the driver does no data work)
       val q = s.readStream.table("graft.tpch.events_tail")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          sum(col("user_id")).as("sum_user"),
+          sum(col("value").cast("decimal(12,2)")).as("sum_val_dec"))
         .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
         .option("checkpointLocation", cpDir.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally org.apache.commons.io.FileUtils.deleteQuietly(cpDir.toFile): Unit
-    s.table(sink).agg(
-      count(lit(1)).as("n_rows"),
-      min(col("event_id")).as("min_id"),
-      max(col("event_id")).as("max_id"),
-      sum(col("user_id")).as("sum_user"),
-      sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_val"))
+    s.table(sink).select(
+      col("n_rows"), col("min_id"), col("max_id"), col("sum_user"),
+      col("sum_val_dec").cast("double").as("sum_val"))
   }
 
   /** Deterministic two-commit table for the time-travel/CDF keys:

@@ -19,33 +19,52 @@ object Joins {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
-  /** Inner join: revenue per customer. */
+  /** Inner join: revenue per customer. Orders pre-aggregate by the join
+    * key BEFORE the join (guide: aggregate before you shuffle) — the join
+    * and downstream see |customers| rows instead of |orders|, and the
+    * aggregation exchange carries partial (key, decimal, count) rows.
+    * Identical values: c_custkey is the customer key, so grouping the
+    * joined rows by (c_custkey, c_name) == grouping orders by o_custkey;
+    * inner semantics drop unmatched keys on either side in both forms.
+    */
   private def inner(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d); val c = customer(s, d)
-    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
-      .groupBy(c("c_custkey"), c("c_name"))
-      .agg(sum(dec(o("o_totalprice"))).cast("double").as("revenue"),
-        count(lit(1)).as("n_orders"))
+    o.groupBy(col("o_custkey"))
+      .agg(sum(dec(o("o_totalprice"))).as("rev0"), count(lit(1)).as("n_orders"))
+      .join(c, col("o_custkey") === c("c_custkey"), "inner")
+      .select(c("c_custkey"), c("c_name"),
+        col("rev0").cast("double").as("revenue"), col("n_orders"))
       .orderBy("c_custkey")
   }
 
-  /** Left outer: every customer, order count (0 when none). */
+  /** Left outer: every customer, order count (0 when none). Same
+    * pre-aggregation as [[inner]]: orders collapse to per-key partials
+    * before the join; an unmatched customer's nulls coalesce to the same
+    * 0-count/0.0-revenue the outer-join aggregate produced.
+    */
   private def left(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d); val o = orders(s, d)
-    c.join(o, c("c_custkey") === o("o_custkey"), "left")
-      .groupBy(c("c_custkey"), c("c_name"))
-      .agg(count(o("o_orderkey")).as("n_orders"),
-        coalesce(sum(dec(o("o_totalprice"))).cast("double"), lit(0.0)).as("revenue"))
+    val oa = o.groupBy(col("o_custkey"))
+      .agg(count(o("o_orderkey")).as("n0"), sum(dec(o("o_totalprice"))).as("rev0"))
+    c.join(oa, c("c_custkey") === col("o_custkey"), "left")
+      .select(c("c_custkey"), c("c_name"),
+        coalesce(col("n0"), lit(0L)).as("n_orders"),
+        coalesce(col("rev0").cast("double"), lit(0.0)).as("revenue"))
       .orderBy("c_custkey")
   }
 
-  /** Right outer: mirror of left (orders on the left side). */
+  /** Right outer: mirror of left (orders on the left side). Same
+    * pre-aggregation: the per-key orders partials sit on the LEFT of the
+    * right-outer join, preserving every customer row.
+    */
   private def right(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d); val c = customer(s, d)
-    o.join(c, o("o_custkey") === c("c_custkey"), "right")
-      .groupBy(c("c_custkey"), c("c_name"))
-      .agg(count(o("o_orderkey")).as("n_orders"),
-        coalesce(sum(dec(o("o_totalprice"))).cast("double"), lit(0.0)).as("revenue"))
+    o.groupBy(col("o_custkey"))
+      .agg(count(o("o_orderkey")).as("n0"), sum(dec(o("o_totalprice"))).as("rev0"))
+      .join(c, col("o_custkey") === c("c_custkey"), "right")
+      .select(c("c_custkey"), c("c_name"),
+        coalesce(col("n0"), lit(0L)).as("n_orders"),
+        coalesce(col("rev0").cast("double"), lit(0.0)).as("revenue"))
       .orderBy("c_custkey")
   }
 

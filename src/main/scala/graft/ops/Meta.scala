@@ -105,7 +105,50 @@ object Meta {
     * leaves unset surface as empty strings, exactly as VTL renders an
     * absent `$context.identity.*`). Narrow projection — scales as a map.
     */
-  private def envelopeJson(s: SparkSession, d: String): DataFrame =
+  private def envelopeJson(s: SparkSession, d: String): DataFrame = {
+    val eid = col("event_id")
+    val uid = col("user_id").cast("string")
+    // JSON string escape exactly as to_json/Jackson renders these values:
+    // backslash and double-quote escaped; fixture identifiers carry no
+    // control characters (EnvelopeParitySpec pins byte-identity to the
+    // to_json form on real data)
+    val etEsc = replace(replace(col("event_type"), lit("\\"), lit("\\\\")),
+      lit("\""), lit("\\\""))
+    // the envelope is ~700 bytes of mostly literal text per row; building
+    // it with one concat of pre-escaped pieces replaces the per-row
+    // Jackson struct serialization (the sf10 profile's #1 CPU sink), and
+    // computing it AFTER the sort keeps the range exchange carrying three
+    // narrow source columns instead of the rendered string (guide §2.3:
+    // project the heavy column above the exchange)
+    events(s, d).select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+      .select(col("event_id"), concat(
+        lit("{\"body-json\":\""), etEsc,
+        lit("\",\"params\":{\"querystring\":{\"tasktype\":\""), etEsc,
+        lit("\",\"user\":\""), uid,
+        lit("\"},\"path\":{\"srcSysId\":\""), (eid % 100).cast("string"),
+        lit("\"},\"header\":{\"Content-Type\":\"application/json\"," +
+          "\"User-Agent\":\"graft/1.0\"}}," +
+          "\"stage-variables\":{\"env\":\"prod\",\"region\":\"us-east-2\"}," +
+          "\"context\":{\"account-id\":\"123456789012\",\"api-id\":\"api-"),
+        (eid % 10).cast("string"),
+        lit("\",\"api-key\":\"\",\"authorizer-principal-id\":\""), uid,
+        lit("\",\"caller\":\"caller-"), uid,
+        lit("\",\"cognito-authentication-provider\":\"\"," +
+          "\"cognito-authentication-type\":\"\",\"cognito-identity-id\":\"\"," +
+          "\"cognito-identity-pool-id\":\"\",\"http-method\":\"POST\"," +
+          "\"stage\":\"prod\",\"source-ip\":\"10.0."), (eid % 256).cast("string"),
+        lit(".1\",\"user\":\"user-"), uid,
+        lit("\",\"user-agent\":\"graft/1.0\",\"user-arn\":\"arn:user/"), uid,
+        lit("\",\"request-id\":\"req-"), eid.cast("string"),
+        lit("\",\"resource-id\":\"rsrc-"), (eid % 100).cast("string"),
+        lit("\",\"resource-path\":\"/sourcesystem/{tasktype}\"}}")).as("envelope"))
+  }
+
+  /** The original to_json formulation — the semantics spec the concat
+    * form above must match byte-for-byte (EnvelopeParitySpec).
+    */
+  private[graft] def envelopeJsonPortable(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
       col("event_id"),
       to_json(struct(

@@ -139,10 +139,12 @@ object Privacy {
           phoneRe, "[PHONE]"))
       .select(
         col("doc_id"),
-        size(expr(s"regexp_extract_all(pii_text, '$emailRe', 0)")).as("emails_found"),
-        size(expr(s"regexp_extract_all(pii_text, '$phoneRe', 0)")).as("phones_found"),
+        // regexp_count = size(regexp_extract_all(…)) without materializing
+        // the match array per row (same scan, no per-match string allocs)
+        expr(s"regexp_count(pii_text, '$emailRe')").as("emails_found"),
+        expr(s"regexp_count(pii_text, '$phoneRe')").as("phones_found"),
         (instr(col("scrubbed"), "@") > 0).cast("int").as("residual_email"),
-        size(expr(s"regexp_extract_all(scrubbed, '$phoneRe', 0)")).as("residual_phone"))
+        expr(s"regexp_count(scrubbed, '$phoneRe')").as("residual_phone"))
       .orderBy("doc_id")
 
   /** k-anonymity audit over the quasi-identifier pair (nation, market

@@ -43,18 +43,23 @@ object Scalars {
     * lambda_function.py:7,30).
     */
   private def dateFuncs(s: SparkSession, d: String): DataFrame =
-    orders(s, d).select(
-      col("o_orderkey"),
-      year(col("o_orderdate")).as("yr"),
-      month(col("o_orderdate")).as("mo"),
-      dayofmonth(col("o_orderdate")).as("dom"),
-      date_trunc("month", col("o_orderdate")).as("month_start"),
-      datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date"))
-        .as("days_to_y2k"),
-      (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_ts"),
-      last_day(col("o_orderdate")).as("eom"),
-      (dayofweek(col("o_orderdate")) - 1).as("dow"))
+    // sort first, derive after: the 8 derived columns (two of them
+    // 8-byte timestamps) all come from o_orderdate, so the range
+    // exchange + sort carry 2 source columns instead of 9 derived ones
+    // (guide §2.3: project heavy columns above the exchange)
+    orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
       .orderBy("o_orderkey")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_to_y2k"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_ts"),
+        last_day(col("o_orderdate")).as("eom"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"))
 
   /** Math family over lineitem. */
   private def mathFuncs(s: SparkSession, d: String): DataFrame =
@@ -99,16 +104,20 @@ object Scalars {
     * is round-to-nearest, identical in both engines.
     */
   private def castDecimal(s: SparkSession, d: String): DataFrame =
-    orders(s, d).select(
-      col("o_orderkey"),
-      col("o_totalprice").cast(DecimalType(12, 2)).cast("double").as("price_dec"),
-      (col("o_totalprice").cast(DecimalType(12, 2)) * lit(2).cast(DecimalType(3, 0)))
-        .cast(DecimalType(14, 2)).cast("double")
-        .as("price_x2"),
-      expr("try_cast(CAST(o_orderkey AS STRING) AS INT)").as("key_roundtrip"),
-      expr("try_cast('99999999999999999999' AS INT)").as("overflow_null"),
-      expr("try_cast(CAST(o_custkey AS STRING) AS INT)").as("cust_int"))
+    // sort first, derive after (guide §2.3): the exchange carries the 3
+    // source columns, and the per-row string round-trips / decimal casts
+    // run once post-sort instead of riding the shuffle as 6 derived slots
+    orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy("o_orderkey")
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(12, 2)).cast("double").as("price_dec"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * lit(2).cast(DecimalType(3, 0)))
+          .cast(DecimalType(14, 2)).cast("double")
+          .as("price_x2"),
+        expr("try_cast(CAST(o_orderkey AS STRING) AS INT)").as("key_roundtrip"),
+        expr("try_cast('99999999999999999999' AS INT)").as("overflow_null"),
+        expr("try_cast(CAST(o_custkey AS STRING) AS INT)").as("cust_int"))
 
   /** Array family over embeddings (float[64] vectors). */
   private def arrayFuncs(s: SparkSession, d: String): DataFrame =

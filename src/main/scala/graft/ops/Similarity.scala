@@ -250,19 +250,29 @@ object Similarity {
     * (vec_id, j, p) keeps the oracle compare scalar. Narrow per-row map
     * — 8×64 multiply-adds per row, no shuffle at any scale.
     */
-  private def embedProject(s: SparkSession, d: String): DataFrame =
+  /** Portable HOF formulation of one projection component — the semantics
+    * spec the native kernel must match (ProjectKernelSpec asserts
+    * row-for-row equality).
+    */
+  private[graft] val embedProjectPortableE =
+    """aggregate(
+      |  zip_with(embedding, sequence(0, size(embedding)-1),
+      |    (v, i) -> CAST(v AS DOUBLE) *
+      |              CAST(((i*31 + j*17) % 2)*2 - 1 AS DOUBLE)),
+      |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin
+
+  private def embedProject(s: SparkSession, d: String): DataFrame = {
+    // all 8 components in ONE compiled pass over the vector (the portable
+    // form runs 8 interpreted HOF folds per row — see ProjectKernel); the
+    // posexplode then duplicates 8 doubles downstream, never the 64-float
+    // embedding. Values bit-identical (ProjectKernelSpec).
+    graft.functions.VectorKernels.ensureRegistered(s)
     embeddings(s, d)
-      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"),
-        col("embedding"))
-      .select(col("vec_id"), col("j"),
-        round(expr(
-          """aggregate(
-            |  zip_with(embedding, sequence(0, size(embedding)-1),
-            |    (v, i) -> CAST(v AS DOUBLE) *
-            |              CAST(((i*31 + j*17) % 2)*2 - 1 AS DOUBLE)),
-            |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin), 4)
-          .as("p"))
+      .select(col("vec_id"),
+        posexplode(expr("graft_vec_project(embedding, 8)")).as(Seq("j", "p_raw")))
+      .select(col("vec_id"), col("j"), round(col("p_raw"), 4).as("p"))
       .orderBy("vec_id", "j")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_project"     -> embedProject _,

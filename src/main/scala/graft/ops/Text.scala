@@ -93,17 +93,24 @@ object Text {
     * doc_id — high-cardinality keys, map-side combine, no skew. The
     * ratio is int/int division — correctly rounded and engine-exact.
     */
-  private def qualityRepetition(s: SparkSession, d: String): DataFrame =
+  private def qualityRepetition(s: SparkSession, d: String): DataFrame = {
+    // the statistic never crosses document boundaries, so the scale-correct
+    // shape is a narrow per-row map, not explode + two corpus-wide
+    // aggregation exchanges: the native BigramKernel counts a row's
+    // bigrams in one compiled pass (n_bigrams = size-1 is the explode's
+    // row count; values pinned identical by BigramKernelSpec), leaving the
+    // final ORDER BY as the only exchange at any scale.
+    graft.functions.VectorKernels.ensureRegistered(s)
     documents(s, d)
       .select(col("doc_id"), expr(toksE).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(TextExprs.bigramsE)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_count"))
+      .select(col("doc_id"),
+        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        expr("graft_bigram_top(toks)").as("top_count"))
       .select(col("doc_id"), col("n_bigrams"), col("top_count"),
         round(col("top_count").cast("double") / col("n_bigrams"), 4).as("top_frac"))
       .orderBy(col("doc_id"))
+  }
 
   /** Token counting per source: whitespace tokens and a BPE-ish regex
     * tokenization (letter runs / digit runs / single punctuation).

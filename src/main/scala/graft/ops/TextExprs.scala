@@ -4,7 +4,7 @@ package graft.ops
   * Dedup (its LSH scale path) — one definition so the two formulations
   * provably tokenize identically, plus the matching DuckDB comprehension.
   */
-private[ops] object TextExprs {
+private[graft] object TextExprs {
   /** Whitespace tokens — identical regex on the Spark and DuckDB side. */
   val toksE = "regexp_extract_all(text, '[^ ]+', 0)"
 
