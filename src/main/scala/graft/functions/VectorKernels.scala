@@ -195,10 +195,40 @@ object VectorKernels {
     }
   }
 
+  /** graft_count_in(toks, 'w1,w2,…') — the word set must be a string
+    * literal (it parameterizes the kernel, not per-row data).
+    */
+  private def countInBuilder(c: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    c match {
+      case Seq(toks, Literal(words: org.apache.spark.unsafe.types.UTF8String, _: StringType)) =>
+        CountInKernel.CountIn(toks, words.toString.split(',').toSeq)
+      case _ => throw new IllegalArgumentException(
+        "graft_count_in requires (array<string> toks, string literal words)")
+    }
+  }
+
+  /** graft_window_md5(text, w, stride) — w/stride must be integer
+    * literals (they parameterize the kernel, not per-row data).
+    */
+  private def windowMd5Builder(c: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    c match {
+      case Seq(text, Literal(w: Int, IntegerType), Literal(st: Int, IntegerType)) =>
+        WindowMd5Kernel.WindowMd5(text, w, st)
+      case _ => throw new IllegalArgumentException(
+        "graft_window_md5 requires (text, int literal w, int literal stride)")
+    }
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_vec_dot" -> arity2("graft_vec_dot")(FloatVecDot(_, _)),
     "graft_vec_cosine" -> arity2("graft_vec_cosine")(FloatVecCosine(_, _)),
     "graft_vec_project" -> (vecProjectBuilder _),
+    "graft_count_in" -> (countInBuilder _),
+    "graft_window_md5" -> (windowMd5Builder _),
     "graft_bigram_top" -> { c =>
       if (c.length != 1) throw new IllegalArgumentException(
         s"graft_bigram_top requires exactly 1 argument, got ${c.length}")

@@ -228,11 +228,15 @@ object Dedup {
     * production shape, not a bounded semantics demo.
     */
   private def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    // window hashing through the native WindowMd5Kernel: one compiled
+    // pass per doc (char offsets indexed once, digest reused) instead of
+    // an interpreted transform running substring-copy + md5 + hex per
+    // window; hashes pinned identical by OptimizedRewriteSpec
+    graft.functions.VectorKernels.ensureRegistered(s)
     val windows = documents(s, d)
       .filter(length(col("text")) >= 40)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text) - 39, 20), " +
-          "i -> md5(substring(text, i, 40)))")).as("h"))
+      .select(col("doc_id"),
+        explode(expr("graft_window_md5(text, 40, 20)")).as("h"))
     Caching.withCached(windows) { sh =>
       val rep = sh.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))

@@ -237,12 +237,20 @@ object Joins {
     val l = lineitem(s, d); val su = supplier(s, d); val n = nation(s, d)
     val rev = (l("l_extendedprice").cast(DecimalType(12, 2)) *
       (lit(1).cast(DecimalType(3, 2)) - l("l_discount").cast(DecimalType(4, 2))))
-    l.join(su, l("l_suppkey") === su("s_suppkey"))
+    // lineitem pre-aggregates by the join key before the join (guide:
+    // aggregate before you shuffle): the supplier join sees |suppliers|
+    // partial rows, not |lineitem| — values identical because s_suppkey
+    // is the supplier key (per-nation sums of per-supplier sums are the
+    // same exact decimals; each joined partial row IS one distinct
+    // supplier, so countDistinct is unchanged).
+    l.groupBy(col("l_suppkey"))
+      .agg(sum(rev).as("rev0"), count(lit(1)).as("n0"))
+      .join(su, col("l_suppkey") === su("s_suppkey"))
       .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
       .groupBy(n("n_name"))
-      .agg(sum(rev).cast("double").as("supp_revenue"),
+      .agg(sum(col("rev0")).cast("double").as("supp_revenue"),
         countDistinct(su("s_suppkey")).as("n_suppliers"),
-        count(lit(1)).as("n_items"))
+        sum(col("n0")).as("n_items"))
       .orderBy("n_name")
   }
 

@@ -24,20 +24,23 @@ object Scalars {
     * lambda_function.py:133-135).
     */
   private def strFuncs(s: SparkSession, d: String): DataFrame =
-    part(s, d).select(
-      col("p_partkey"),
-      concat(col("p_brand"), lit(":"), col("p_name")).as("branded"),
-      upper(col("p_name")).as("uname"),
-      lower(col("p_type")).as("ltype"),
-      substring(col("p_name"), 1, 3).as("pre3"),
-      length(col("p_name")).as("len"),
-      trim(lit("  pad  ")).as("trimmed"),
-      regexp_replace(col("p_name"), " ", "_").as("snake"),
-      lpad(col("p_brand"), 10, "*").as("padded"),
-      expr("try_element_at(split(p_name, ' '), 2)").as("word2"),
-      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
-      col("p_name").like("%wid%").as("has_wid"))
+    // sort first, derive after (guide §2.3): the exchange carries the 4
+    // source columns instead of the 12 derived strings
+    part(s, d).select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
       .orderBy("p_partkey")
+      .select(
+        col("p_partkey"),
+        concat(col("p_brand"), lit(":"), col("p_name")).as("branded"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_type")).as("ltype"),
+        substring(col("p_name"), 1, 3).as("pre3"),
+        length(col("p_name")).as("len"),
+        trim(lit("  pad  ")).as("trimmed"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        lpad(col("p_brand"), 10, "*").as("padded"),
+        expr("try_element_at(split(p_name, ' '), 2)").as("word2"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        col("p_name").like("%wid%").as("has_wid"))
 
   /** Date/time family over orders (reference timestamps:
     * lambda_function.py:7,30).

@@ -29,6 +29,13 @@ object Text {
   private val stopEs = "('el','la','de','y')"
   private val stopFr = "('le','les','et','en')"
 
+  // the same sets as graft_count_in kernel literals — derived from the
+  // SQL IN-lists above so the two formulations cannot drift (compiled
+  // marker scan instead of one interpreted HOF filter per language per
+  // row; counts pinned identical by OptimizedRewriteSpec)
+  private def csv(set: String) = set.replaceAll("[(')]", "")
+  private def stopCount(set: String) = s"graft_count_in(toks, '${csv(set)}')"
+
   /** Per-language corpus stats: doc count, avg chars, avg whitespace
     * tokens.
     */
@@ -46,13 +53,14 @@ object Text {
     * (en>de>es>fr) for determinism; report confusion counts vs the
     * labeled `lang`.
     */
-  private def langId(s: SparkSession, d: String): DataFrame =
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
     documents(s, d)
       .withColumn("toks", expr(toksE))
-      .withColumn("s_en", size(expr(s"filter(toks, t -> t IN $stopEn)")))
-      .withColumn("s_de", size(expr(s"filter(toks, t -> t IN $stopDe)")))
-      .withColumn("s_es", size(expr(s"filter(toks, t -> t IN $stopEs)")))
-      .withColumn("s_fr", size(expr(s"filter(toks, t -> t IN $stopFr)")))
+      .withColumn("s_en", expr(stopCount(stopEn)))
+      .withColumn("s_de", expr(stopCount(stopDe)))
+      .withColumn("s_es", expr(stopCount(stopEs)))
+      .withColumn("s_fr", expr(stopCount(stopFr)))
       .withColumn("predicted",
         expr("""CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
                |     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
@@ -60,18 +68,21 @@ object Text {
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))
+  }
 
   /** Quality scoring: length, punctuation-density, and stopword-ratio
     * signals combined into a [0,1] score, histogrammed by decile bucket.
     * Decimal-cast before the avg keeps the cross-engine hash stable
     * (SURVEY §7.3.3).
     */
-  private def qualityScore(s: SparkSession, d: String): DataFrame =
+  private def qualityScore(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
     documents(s, d)
       .withColumn("toks", expr(toksE))
       .withColumn("n_tok", size(col("toks")))
-      .withColumn("punct", size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)")))
-      .withColumn("stop", size(expr(s"filter(toks, t -> t IN $stopEn)")))
+      // regexp_count = size(regexp_extract_all(…)) without the match array
+      .withColumn("punct", expr("regexp_count(text, '[^A-Za-z0-9 ]')"))
+      .withColumn("stop", expr(stopCount(stopEn)))
       .withColumn("quality", round(
         expr("""0.4 * least(CAST(n_tok AS DOUBLE)/200.0, 1.0)
                | + 0.3 * (1.0 - least(CAST(punct AS DOUBLE)/greatest(length(text), 1)*5.0, 1.0))
@@ -82,6 +93,7 @@ object Text {
         round(sum(col("quality").cast(DecimalType(8, 4))).cast("double") / count(lit(1)), 4)
           .as("avg_quality"))
       .orderBy(col("bucket"))
+  }
 
   /** Repetition quality signal (the Gopher-rules shape): per doc, the
     * fraction of word bigrams taken by the single most frequent bigram —
@@ -117,9 +129,11 @@ object Text {
     */
   private def tokenCount(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("ws_tok", size(expr(toksE)))
+      // regexp_count = size(regexp_extract_all(…)) without materializing
+      // the token arrays — two counting scans, zero per-token allocation
+      .withColumn("ws_tok", expr("regexp_count(text, '[^ ]+')"))
       .withColumn("bpe_tok",
-        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")))
+        expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -87,6 +87,56 @@ class OptimizedRewriteSpec extends AnyFunSuite {
     assert(df.filter(col("top") =!= col("expected")).count() === 0)
   }
 
+  test("graft_count_in equals size(filter(t IN set)) for every stop set") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val sets = Seq(
+      "('the','a','and','of')"   -> "the,a,and,of",
+      "('der','die','das','und')" -> "der,die,das,und",
+      "('el','la','de','y')"      -> "el,la,de,y",
+      "('le','les','et','en')"    -> "le,les,et,en")
+    val base = Tables.documents(spark, sfDir)
+      .select(expr(graft.ops.TextExprs.toksE).as("toks"))
+    sets.foreach { case (inList, csvList) =>
+      val diff = base.select(
+        expr(s"graft_count_in(toks, '$csvList')").as("k"),
+        size(expr(s"filter(toks, t -> t IN $inList)")).as("p"))
+        .filter(col("k") =!= col("p"))
+      assert(diff.isEmpty, s"mismatch for $inList")
+    }
+  }
+
+  test("graft_window_md5 equals the portable transform on every document") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val base = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 40)
+    val kernel = base.select(col("doc_id"),
+      explode(expr("graft_window_md5(text, 40, 20)")).as("h"))
+    val portable = base.select(col("doc_id"),
+      explode(expr("transform(sequence(1, length(text) - 39, 20), " +
+        "i -> md5(substring(text, i, 40)))")).as("h"))
+    assertSameRows(kernel, portable)
+  }
+
+  test("graft_window_md5 handles multi-byte chars and stride tails like the transform") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    import spark.implicits._
+    // 45 chars with multi-byte umlauts: windows at 1 and 21 only; plus a
+    // text of exactly w chars (one window) and one just under (none —
+    // callers filter those, the kernel returns empty)
+    val texts = Seq(
+      "ä" * 45,
+      ("abcdefghij" * 4) + "klmno",
+      "x" * 40,
+      "y" * 39)
+    val df = texts.toDF("text")
+    val kernel = df.filter(length(col("text")) >= 40).select(col("text"),
+      explode(expr("graft_window_md5(text, 40, 20)")).as("h"))
+    val portable = df.filter(length(col("text")) >= 40).select(col("text"),
+      explode(expr("transform(sequence(1, length(text) - 39, 20), " +
+        "i -> md5(substring(text, i, 40)))")).as("h"))
+    assertSameRows(kernel, portable)
+  }
+
   test("concat-built envelope is byte-identical to the to_json form") {
     val concatForm = graft.ops.Meta.queries("meta_envelope_json")(spark, sfDir)
     val jsonForm = graft.ops.Meta.envelopeJsonPortable(spark, sfDir)
