@@ -209,6 +209,20 @@ object VectorKernels {
     }
   }
 
+  /** graft_re_count(str, 'pattern') — the pattern must be a string
+    * literal (it parameterizes the kernel, not per-row data).
+    */
+  private def reCountBuilder(c: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    c match {
+      case Seq(str, Literal(p: org.apache.spark.unsafe.types.UTF8String, _: StringType)) =>
+        RegexCountKernel.RegexCount(str, p.toString)
+      case _ => throw new IllegalArgumentException(
+        "graft_re_count requires (string str, string literal pattern)")
+    }
+  }
+
   /** graft_window_md5(text, w, stride) — w/stride must be integer
     * literals (they parameterize the kernel, not per-row data).
     */
@@ -228,6 +242,7 @@ object VectorKernels {
     "graft_vec_cosine" -> arity2("graft_vec_cosine")(FloatVecCosine(_, _)),
     "graft_vec_project" -> (vecProjectBuilder _),
     "graft_count_in" -> (countInBuilder _),
+    "graft_re_count" -> (reCountBuilder _),
     "graft_window_md5" -> (windowMd5Builder _),
     "graft_bigram_top" -> { c =>
       if (c.length != 1) throw new IllegalArgumentException(

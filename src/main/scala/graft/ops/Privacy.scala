@@ -124,7 +124,8 @@ object Privacy {
     * audit IS the point of the query). Narrow per-row regex maps, all
     * codegen'd built-ins: embarrassingly parallel at 100 TB.
     */
-  private def piiScrub(s: SparkSession, d: String): DataFrame =
+  private def piiScrub(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
     documents(s, d)
       .withColumn("pii_text", concat(
         col("text"),
@@ -139,13 +140,16 @@ object Privacy {
           phoneRe, "[PHONE]"))
       .select(
         col("doc_id"),
-        // regexp_count = size(regexp_extract_all(…)) without materializing
-        // the match array per row (same scan, no per-match string allocs)
-        expr(s"regexp_count(pii_text, '$emailRe')").as("emails_found"),
-        expr(s"regexp_count(pii_text, '$phoneRe')").as("phones_found"),
+        // graft_re_count: same java.util.regex scan as
+        // size(regexp_extract_all(…)) with ZERO per-match allocation
+        // (Spark's own regexp_count is a RuntimeReplaceable for the
+        // array-materializing form); counts parity-pinned by spec
+        expr(s"graft_re_count(pii_text, '$emailRe')").as("emails_found"),
+        expr(s"graft_re_count(pii_text, '$phoneRe')").as("phones_found"),
         (instr(col("scrubbed"), "@") > 0).cast("int").as("residual_email"),
-        expr(s"regexp_count(scrubbed, '$phoneRe')").as("residual_phone"))
+        expr(s"graft_re_count(scrubbed, '$phoneRe')").as("residual_phone"))
       .orderBy("doc_id")
+  }
 
   /** k-anonymity audit over the quasi-identifier pair (nation, market
     * segment): groups smaller than k=50 are re-identification risks a

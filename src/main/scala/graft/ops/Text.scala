@@ -80,8 +80,9 @@ object Text {
     documents(s, d)
       .withColumn("toks", expr(toksE))
       .withColumn("n_tok", size(col("toks")))
-      // regexp_count = size(regexp_extract_all(…)) without the match array
-      .withColumn("punct", expr("regexp_count(text, '[^A-Za-z0-9 ]')"))
+      // graft_re_count: counting scan with zero per-match allocation
+      // (Spark's regexp_count still materializes the match array)
+      .withColumn("punct", expr("graft_re_count(text, '[^A-Za-z0-9 ]')"))
       .withColumn("stop", expr(stopCount(stopEn)))
       .withColumn("quality", round(
         expr("""0.4 * least(CAST(n_tok AS DOUBLE)/200.0, 1.0)
@@ -127,19 +128,22 @@ object Text {
   /** Token counting per source: whitespace tokens and a BPE-ish regex
     * tokenization (letter runs / digit runs / single punctuation).
     */
-  private def tokenCount(s: SparkSession, d: String): DataFrame =
+  private def tokenCount(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
     documents(s, d)
-      // regexp_count = size(regexp_extract_all(…)) without materializing
-      // the token arrays — two counting scans, zero per-token allocation
-      .withColumn("ws_tok", expr("regexp_count(text, '[^ ]+')"))
+      // graft_re_count: two counting scans, zero per-token allocation
+      // (size(regexp_extract_all(…)) — and Spark's regexp_count, which
+      // merely wraps it — materialize every token as a string first)
+      .withColumn("ws_tok", expr("graft_re_count(text, '[^ ]+')"))
       .withColumn("bpe_tok",
-        expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')"))
+        expr("graft_re_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("ws_tok")).as("sum_ws_tokens"),
         sum(col("bpe_tok")).as("sum_bpe_tokens"))
       .orderBy(col("source"))
+  }
 
   /** Document fingerprinting: bottom-4 sketch of md5(5-gram shingle) —
     * a deterministic, mergeable content signature (the bottom-k sketch is

@@ -105,6 +105,19 @@ class OptimizedRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_re_count equals size(regexp_extract_all) on every document") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val pats = Seq("[^ ]+", "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]", "[^A-Za-z0-9 ]",
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "[+]1-555-[0-9]{4}")
+    pats.foreach { p =>
+      val diff = Tables.documents(spark, sfDir).select(
+        expr(s"graft_re_count(text, '$p')").as("k"),
+        size(expr(s"regexp_extract_all(text, '$p', 0)")).as("o"))
+        .filter(col("k") =!= col("o"))
+      assert(diff.isEmpty, s"mismatch for pattern $p")
+    }
+  }
+
   test("graft_window_md5 equals the portable transform on every document") {
     graft.functions.VectorKernels.ensureRegistered(spark)
     val base = Tables.documents(spark, sfDir)
