@@ -49,9 +49,20 @@ object GenScale {
     /** Single-file output, like the driver's layout (`{dst}/{t}.parquet`
       * is a FILE — the oracle's read_parquet() is not a directory glob).
       */
-    def writeOne(df: DataFrame, name: String): Unit = {
+    def writeOne(df: DataFrame, name: String,
+        blockBytes: Long = 4L * 1024 * 1024): Unit = {
       val stage = s"$dst/_stage_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      // parquet.block.size bounds the row-group buffer: the default 128 MB
+      // left small-but-100x tables (documents: 150 MB raw -> 12 MB snappy)
+      // as ONE row group, and a parquet scan parallelizes at row-group
+      // granularity — every corpus-scan key ran as a single task at sf10,
+      // understating real 100 TB scan parallelism by the core count.
+      // Per-table sizes target >= ~30 groups per file so the scale
+      // fixture exercises the same multi-task scan shape a real layout
+      // has. Values are byte-identical; only the layout changes.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", blockBytes)
+        .parquet(stage)
       val dir = new java.io.File(stage)
       val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
       val out = new java.io.File(s"$dst/$name.parquet")
@@ -81,7 +92,7 @@ object GenScale {
 
     writeOne(rep(tbl("customer"))
       .withColumn("c_custkey", col("c_custkey") + col("_copy") * C)
-      .drop("_copy"), "customer")
+      .drop("_copy"), "customer", blockBytes = 2L * 1024 * 1024)
 
     writeOne(rep(tbl("supplier"))
       .withColumn("s_suppkey", col("s_suppkey") + col("_copy") * S)
@@ -89,7 +100,7 @@ object GenScale {
 
     writeOne(rep(tbl("part"))
       .withColumn("p_partkey", col("p_partkey") + col("_copy") * P)
-      .drop("_copy"), "part")
+      .drop("_copy"), "part", blockBytes = 2L * 1024 * 1024)
 
     writeOne(rep(tbl("orders"))
       .withColumn("o_orderkey", col("o_orderkey") + col("_copy") * O)
@@ -112,13 +123,13 @@ object GenScale {
       .withColumn("text", when(col("_copy") === 0L, col("text"))
         .otherwise(concat(col("text"), lit(" v"), col("_copy"))))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .drop("_copy"), "documents")
+      .drop("_copy"), "documents", blockBytes = 512L * 1024)
 
     writeOne(rep(tbl("embeddings"))
       .withColumn("vec_id", col("vec_id") + col("_copy") * V)
       .withColumn("embedding", transform(col("embedding"),
         x => (x + col("_copy").cast("float") * lit(0.001f)).cast("float")))
-      .drop("_copy"), "embeddings")
+      .drop("_copy"), "embeddings", blockBytes = 1024L * 1024)
 
     spark.stop()
   }
