@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics: bigram identity equals the portable concat's — tokens are
   * whitespace-split (`[^ ]+`), so `a+' '+b` is injective on (a, b) and
-  * pair identity == concat-string identity. BigramKernelSpec pins the
+  * pair identity == concat-string identity. OptimizedRewriteSpec pins the
   * kernel against the portable explode+aggregate pipeline row-for-row.
   */
 object BigramKernel {

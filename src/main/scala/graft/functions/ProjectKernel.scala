@@ -31,7 +31,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * null element, or the empty array whose `sequence(0, -1)` zip pads with
   * null) still emits k rows with a null projection — this kernel returns
   * a non-null array of k null entries for those inputs, so `posexplode`
-  * preserves exactly the same k rows. ProjectKernelSpec pins row-for-row
+  * preserves exactly the same k rows. OptimizedRewriteSpec pins row-for-row
   * equality against the portable form.
   */
 object ProjectKernel {

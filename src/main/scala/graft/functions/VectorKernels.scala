@@ -223,6 +223,24 @@ object VectorKernels {
     }
   }
 
+  /** graft_pii_scrub(str, p1, tok1, p2, tok2) — patterns and tokens must
+    * be string literals (they parameterize the kernel, not per-row data).
+    */
+  private def scrubBuilder(c: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    c match {
+      case Seq(str,
+          Literal(p1: org.apache.spark.unsafe.types.UTF8String, _: StringType),
+          Literal(t1: org.apache.spark.unsafe.types.UTF8String, _: StringType),
+          Literal(p2: org.apache.spark.unsafe.types.UTF8String, _: StringType),
+          Literal(t2: org.apache.spark.unsafe.types.UTF8String, _: StringType)) =>
+        ScrubKernel.ScrubTwo(str, p1.toString, t1.toString, p2.toString, t2.toString)
+      case _ => throw new IllegalArgumentException(
+        "graft_pii_scrub requires (string str, string literal p1, tok1, p2, tok2)")
+    }
+  }
+
   /** graft_window_md5(text, w, stride) — w/stride must be integer
     * literals (they parameterize the kernel, not per-row data).
     */
@@ -241,8 +259,19 @@ object VectorKernels {
     "graft_vec_dot" -> arity2("graft_vec_dot")(FloatVecDot(_, _)),
     "graft_vec_cosine" -> arity2("graft_vec_cosine")(FloatVecCosine(_, _)),
     "graft_vec_project" -> (vecProjectBuilder _),
+    "graft_vec_quant_stats" -> { c =>
+      if (c.length != 1) throw new IllegalArgumentException(
+        s"graft_vec_quant_stats requires exactly 1 argument, got ${c.length}")
+      QuantKernel.VecQuantStats(c.head)
+    },
     "graft_count_in" -> (countInBuilder _),
     "graft_re_count" -> (reCountBuilder _),
+    "graft_pii_scrub" -> (scrubBuilder _),
+    "graft_json_escape" -> { c =>
+      if (c.length != 1) throw new IllegalArgumentException(
+        s"graft_json_escape requires exactly 1 argument, got ${c.length}")
+      JsonEscapeKernel.JsonEscape(c.head)
+    },
     "graft_window_md5" -> (windowMd5Builder _),
     "graft_bigram_top" -> { c =>
       if (c.length != 1) throw new IllegalArgumentException(

@@ -142,7 +142,22 @@ object CatalogSql {
         .start()
       q.awaitTermination()
     } finally org.apache.commons.io.FileUtils.deleteQuietly(cpDir.toFile): Unit
-    s.table(sink).select(
+    // round-17 ADVICE #2: a complete-mode aggregate emits NO row for an
+    // empty stream, while the old drain-then-aggregate always returned one
+    // summary row (count 0, null min/max/sums). Re-supply that row on the
+    // empty edge so the rewrite is value-identical there too (the fixture
+    // feed is never empty; this is a semantics guard, not a bench path).
+    val agged = s.table(sink)
+    val one =
+      if (agged.isEmpty)
+        s.range(1).select(
+          lit(0L).as("n_rows"),
+          lit(null).cast("bigint").as("min_id"),
+          lit(null).cast("bigint").as("max_id"),
+          lit(null).cast("bigint").as("sum_user"),
+          lit(null).cast("decimal(22,2)").as("sum_val_dec"))
+      else agged
+    one.select(
       col("n_rows"), col("min_id"), col("max_id"), col("sum_user"),
       col("sum_val_dec").cast("double").as("sum_val"))
   }

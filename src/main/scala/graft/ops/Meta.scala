@@ -106,14 +106,20 @@ object Meta {
     * absent `$context.identity.*`). Narrow projection — scales as a map.
     */
   private def envelopeJson(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
     val eid = col("event_id")
     val uid = col("user_id").cast("string")
-    // JSON string escape exactly as to_json/Jackson renders these values:
-    // backslash and double-quote escaped; fixture identifiers carry no
-    // control characters (EnvelopeParitySpec pins byte-identity to the
-    // to_json form on real data)
-    val etEsc = replace(replace(col("event_type"), lit("\\"), lit("\\\\")),
-      lit("\""), lit("\\\""))
+    // JSON string escape exactly as to_json/Jackson renders these values —
+    // graft_json_escape is Jackson-COMPLETE (quote, backslash, and all
+    // control chars U+0000–001F incl. the \uXXXX generic form), so the
+    // byte-parity with the to_json form (OptimizedRewriteSpec, corpus +
+    // adversarial control-char strings) no longer rests on a "fixtures
+    // carry no control characters" precondition (round-17 ADVICE #1).
+    // One compiled pass instead of two replace() scans. Remaining
+    // documented precondition: event_type/user_id non-null (to_json OMITS
+    // null fields, concat nulls the row — fixtures and the events loader
+    // guarantee non-null identifiers).
+    val etEsc = expr("graft_json_escape(event_type)")
     // the envelope is ~700 bytes of mostly literal text per row; building
     // it with one concat of pre-escaped pieces replaces the per-row
     // Jackson struct serialization (the sf10 profile's #1 CPU sink), and
@@ -146,7 +152,7 @@ object Meta {
   }
 
   /** The original to_json formulation — the semantics spec the concat
-    * form above must match byte-for-byte (EnvelopeParitySpec).
+    * form above must match byte-for-byte (OptimizedRewriteSpec).
     */
   private[graft] def envelopeJsonPortable(s: SparkSession, d: String): DataFrame =
     events(s, d).select(

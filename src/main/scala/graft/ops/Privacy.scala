@@ -112,8 +112,8 @@ object Privacy {
 
   // no backslashes: the same literal parses identically as a Scala string,
   // a Spark SQL string, and a DuckDB string ([.] and [+] replace \. and \+)
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
-  private val phoneRe = "[+]1-555-[0-9]{4}"
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private[graft] val phoneRe = "[+]1-555-[0-9]{4}"
 
   /** PII scrubbing over the documents corpus: the curation step that
     * removes contact identifiers before text enters a training mix. The
@@ -135,19 +135,22 @@ object Privacy {
             lit("@mail.example.org"))).otherwise(lit("")),
         lit(" or call +1-555-"),
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
-      .withColumn("scrubbed",
-        regexp_replace(regexp_replace(col("pii_text"), emailRe, "[EMAIL]"),
-          phoneRe, "[PHONE]"))
+      // graft_pii_scrub fuses the two regexp_replace passes and the two
+      // original-text audit counters into ONE combined scan + one output
+      // string build (the two-pass form re-scanned pii_text five times
+      // and built two intermediate strings). Byte/count equivalence to
+      // the two-pass + graft_re_count form is argued in ScrubKernel's
+      // scaladoc for this pattern pair and pinned by OptimizedRewriteSpec
+      // (corpus + adversarial email/phone overlap strings).
+      .withColumn("sc",
+        expr(s"graft_pii_scrub(pii_text, '$emailRe', '[EMAIL]', '$phoneRe', '[PHONE]')"))
       .select(
         col("doc_id"),
-        // graft_re_count: same java.util.regex scan as
-        // size(regexp_extract_all(…)) with ZERO per-match allocation
-        // (Spark's own regexp_count is a RuntimeReplaceable for the
-        // array-materializing form); counts parity-pinned by spec
-        expr(s"graft_re_count(pii_text, '$emailRe')").as("emails_found"),
-        expr(s"graft_re_count(pii_text, '$phoneRe')").as("phones_found"),
-        (instr(col("scrubbed"), "@") > 0).cast("int").as("residual_email"),
-        expr(s"graft_re_count(scrubbed, '$phoneRe')").as("residual_phone"))
+        col("sc.n1").as("emails_found"),
+        col("sc.n2").as("phones_found"),
+        (instr(col("sc.scrubbed"), "@") > 0).cast("int").as("residual_email"),
+        // the residual audit's POINT is scanning the scrubbed output
+        expr(s"graft_re_count(sc.scrubbed, '$phoneRe')").as("residual_phone"))
       .orderBy("doc_id")
   }
 

@@ -176,15 +176,24 @@ object Similarity {
       .orderBy(col("bucket"))
   }
 
-  private def embedQuantize(s: SparkSession, d: String): DataFrame =
-    withQuantized(embeddings(s, d), "q")
+  private def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    // graft_vec_quant_stats fuses the five interpreted HOF passes the
+    // portable form ran per row (abs-transform + array_max, quantizing
+    // transform, aggregate fold, array_min, array_max) into one compiled
+    // kernel; round(mx, 6) stays outside so `scale` runs through Spark's
+    // own Round. Values pinned by OptimizedRewriteSpec (corpus +
+    // degenerate vectors); q_ann_lsh keeps the withQuantized map.
+    graft.functions.VectorKernels.ensureRegistered(s)
+    embeddings(s, d)
+      .withColumn("sc", expr("graft_vec_quant_stats(embedding)"))
       .select(
         col("vec_id"),
-        round(col("mx"), 6).as("scale"),
-        expr("aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + v)").as("q_sum"),
-        expr("array_min(q)").cast("long").as("q_min"),
-        expr("array_max(q)").cast("long").as("q_max"))
+        round(col("sc.mx"), 6).as("scale"),
+        col("sc.q_sum").as("q_sum"),
+        col("sc.q_min").as("q_min"),
+        col("sc.q_max").as("q_max"))
       .orderBy(col("vec_id"))
+  }
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -251,7 +260,7 @@ object Similarity {
     * — 8×64 multiply-adds per row, no shuffle at any scale.
     */
   /** Portable HOF formulation of one projection component — the semantics
-    * spec the native kernel must match (ProjectKernelSpec asserts
+    * spec the native kernel must match (OptimizedRewriteSpec asserts
     * row-for-row equality).
     */
   private[graft] val embedProjectPortableE =
@@ -265,7 +274,7 @@ object Similarity {
     // all 8 components in ONE compiled pass over the vector (the portable
     // form runs 8 interpreted HOF folds per row — see ProjectKernel); the
     // posexplode then duplicates 8 doubles downstream, never the 64-float
-    // embedding. Values bit-identical (ProjectKernelSpec).
+    // embedding. Values bit-identical (OptimizedRewriteSpec).
     graft.functions.VectorKernels.ensureRegistered(s)
     embeddings(s, d)
       .select(col("vec_id"),

@@ -24,17 +24,30 @@ object Text {
 
   import TextExprs.{toksE, shinglesE, shinglesSql}
 
-  private val stopEn = "('the','a','and','of')"
-  private val stopDe = "('der','die','das','und')"
-  private val stopEs = "('el','la','de','y')"
-  private val stopFr = "('le','les','et','en')"
+  // ONE word list per language; the SQL IN-list (oracle mirrors) and the
+  // graft_count_in kernel CSV are both RENDERED from it, so the two
+  // formulations cannot drift (round-17 ADVICE #3: the old regex-strip
+  // of the SQL literal would silently corrupt a word containing an
+  // apostrophe, a paren, or a comma)
+  private val stopWordsEn = Seq("the", "a", "and", "of")
+  private val stopWordsDe = Seq("der", "die", "das", "und")
+  private val stopWordsEs = Seq("el", "la", "de", "y")
+  private val stopWordsFr = Seq("le", "les", "et", "en")
 
-  // the same sets as graft_count_in kernel literals — derived from the
-  // SQL IN-lists above so the two formulations cannot drift (compiled
-  // marker scan instead of one interpreted HOF filter per language per
-  // row; counts pinned identical by OptimizedRewriteSpec)
-  private def csv(set: String) = set.replaceAll("[(')]", "")
-  private def stopCount(set: String) = s"graft_count_in(toks, '${csv(set)}')"
+  private def inList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+  private val stopEn = inList(stopWordsEn)
+  private val stopDe = inList(stopWordsDe)
+  private val stopEs = inList(stopWordsEs)
+  private val stopFr = inList(stopWordsFr)
+
+  private def stopCount(words: Seq[String]) = {
+    // the kernel CSV has no escaping: refuse words its comma-split (or the
+    // single-quoted SQL rendering) would corrupt, instead of diverging
+    require(words.forall(w => !w.contains(",") && !w.contains("'")),
+      s"stop words must be comma- and quote-free for the kernel CSV: $words")
+    s"graft_count_in(toks, '${words.mkString(",")}')"
+  }
 
   /** Per-language corpus stats: doc count, avg chars, avg whitespace
     * tokens.
@@ -57,10 +70,10 @@ object Text {
     graft.functions.VectorKernels.ensureRegistered(s)
     documents(s, d)
       .withColumn("toks", expr(toksE))
-      .withColumn("s_en", expr(stopCount(stopEn)))
-      .withColumn("s_de", expr(stopCount(stopDe)))
-      .withColumn("s_es", expr(stopCount(stopEs)))
-      .withColumn("s_fr", expr(stopCount(stopFr)))
+      .withColumn("s_en", expr(stopCount(stopWordsEn)))
+      .withColumn("s_de", expr(stopCount(stopWordsDe)))
+      .withColumn("s_es", expr(stopCount(stopWordsEs)))
+      .withColumn("s_fr", expr(stopCount(stopWordsFr)))
       .withColumn("predicted",
         expr("""CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
                |     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
@@ -83,7 +96,7 @@ object Text {
       // graft_re_count: counting scan with zero per-match allocation
       // (Spark's regexp_count still materializes the match array)
       .withColumn("punct", expr("graft_re_count(text, '[^A-Za-z0-9 ]')"))
-      .withColumn("stop", expr(stopCount(stopEn)))
+      .withColumn("stop", expr(stopCount(stopWordsEn)))
       .withColumn("quality", round(
         expr("""0.4 * least(CAST(n_tok AS DOUBLE)/200.0, 1.0)
                | + 0.3 * (1.0 - least(CAST(punct AS DOUBLE)/greatest(length(text), 1)*5.0, 1.0))
@@ -111,7 +124,7 @@ object Text {
     // shape is a narrow per-row map, not explode + two corpus-wide
     // aggregation exchanges: the native BigramKernel counts a row's
     // bigrams in one compiled pass (n_bigrams = size-1 is the explode's
-    // row count; values pinned identical by BigramKernelSpec), leaving the
+    // row count; values pinned identical by OptimizedRewriteSpec), leaving the
     // final ORDER BY as the only exchange at any scale.
     graft.functions.VectorKernels.ensureRegistered(s)
     documents(s, d)

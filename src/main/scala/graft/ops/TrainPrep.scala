@@ -144,16 +144,25 @@ object TrainPrep {
     // so the corpus pipeline runs once was tried and MEASURED WORSE at
     // sf10 (uncached double-compute 157 s vs cached 99/274/391 s across
     // three passes — the corpus-sized deserialized block set thrashes
-    // memory exactly as guide §5 warns). The double tokenize+explode is
-    // the cheaper side of the trade; the 100 TB answer stays the layout
-    // note above (hash the ngram, bucket the train side).
+    // memory exactly as guide §5 warns). The doc_id filters push below
+    // the explode to the scan, so each branch tokenizes only its own
+    // split — the "double pass" is two cheap scans, not double tokenize.
+    //
+    // Round-18 (guide §2.3, the scale note above made real): the join
+    // key is the 16-byte md5 DIGEST of the n-gram, not the ~30-byte
+    // string — the distinct and join exchanges carry fixed-width binary
+    // (cheaper to hash, compare, and ship). Counts are identical unless
+    // two distinct n-grams in the corpus md5-collide (probability
+    // ~n²/2¹²⁹: ~10⁻²⁰ at 10⁹ distinct n-grams); the oracle still joins
+    // on strings and hash-matches at every driver SF.
     val g = documents(s, d)
       .select(col("doc_id"), expr(toksE).as("toks"))
       .filter(size(col("toks")) >= 5)
       .select(col("doc_id"), explode(expr(ngramsE)).as("ng"))
-    val train = g.filter(col("doc_id") % 10 =!= 0).select(col("ng")).distinct()
+      .select(col("doc_id"), unhex(md5(col("ng"))).as("h"))
+    val train = g.filter(col("doc_id") % 10 =!= 0).select(col("h")).distinct()
     g.filter(col("doc_id") % 10 === 0)
-      .join(train, Seq("ng"))
+      .join(train, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))
       .orderBy(col("doc_id"))

@@ -212,19 +212,32 @@ object Stateful {
     }
   }
 
-  /** Run a streaming DF to completion into a memory sink, return it.
-    * The run is scoped to a narrower shuffle: stateful operators build
-    * their state stores per shuffle partition (a stream-stream join
-    * builds FOUR per partition, and the RocksDB-backed keys pay a
-    * native store open per partition per batch), and at declared-query
-    * volume the store setup dominates the wall clock — 4 partitions
-    * halves that fixed cost vs 8 with identical results. On a cluster
-    * the same knob sizes state parallelism to the keyspace, independent
-    * of the batch-side default; values are partition-count-invariant
-    * either way.
+  /** Scale-adaptive state-store partition count: one state partition per
+    * ~8 MB of landing-dir input, clamped to [4, cores]. Stateful
+    * operators build their state stores per shuffle partition (a
+    * stream-stream join builds FOUR per partition, and the RocksDB-backed
+    * keys pay a native store open per partition per batch), so at the
+    * driver's bench SF (~6 MB events file) the floor of 4 keeps the
+    * store-setup fixed cost low — identical to the prior fixed value, so
+    * the driver bench stays comparable. At 100x the same rule spreads the
+    * state work across cores instead of serializing 20 M rows through 4
+    * stores (round-17 left this a constant; the 100x probe measured the
+    * dedup key state-bound at 289 s). Partition count never changes
+    * values — state is hash-partitioned by key either way.
     */
-  private def runToMemory(s: SparkSession, df: DataFrame, mode: OutputMode)
-      : DataFrame = withShufflePartitions(s, 4) {
+  private def statePartitions(s: SparkSession, dir: String): Int = {
+    val bytes = Option(new java.io.File(dir).listFiles())
+      .map(_.filter(_.isFile).map(_.length()).sum).getOrElse(0L)
+    val cores = s.sparkContext.defaultParallelism
+    math.max(4, math.min(cores, (bytes / (8L << 20)).toInt))
+  }
+
+  /** Run a streaming DF to completion into a memory sink, return it.
+    * The run is scoped to its own shuffle width (see statePartitions);
+    * values are partition-count-invariant either way.
+    */
+  private def runToMemory(s: SparkSession, df: DataFrame, mode: OutputMode,
+      parts: Int = 4): DataFrame = withShufflePartitions(s, parts) {
     val name = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
@@ -236,9 +249,10 @@ object Stateful {
     * for bounded input the final updates equal the batch aggregation.
     */
   private def watermarkLate(s: SparkSession, d: String): DataFrame = {
+    val dir = landingDir(d, 1)
     val out = runToMemory(s,
-      tumblingWithWatermark(eventStream(s, landingDir(d, 1), None)),
-      OutputMode.Update)
+      tumblingWithWatermark(eventStream(s, dir, None)),
+      OutputMode.Update, statePartitions(s, dir))
     // update mode may emit a window several times (once per batch that
     // touched it); the last emission per key is the final value — with a
     // single source file there is exactly one batch, hence one emission
@@ -250,15 +264,51 @@ object Stateful {
   /** Cross-batch streaming dedup: the landing dir holds the events file
     * TWICE; batch 2's duplicates are eliminated by state (or dropped as
     * late) so exactly one copy survives.
+    *
+    * Round-18: per-batch partial aggregation in foreachBatch (guide §5,
+    * the same fix class as stream_table_tail's in-stream aggregate — a
+    * global unwindowed aggregate cannot legally chain after dedup in a
+    * streaming plan, so the batch hook is where the reduction lives).
+    * The old memory sink drained EVERY deduped event row to the driver
+    * and aggregated afterwards; now each micro-batch reduces to one
+    * (count, min, max, decimal-sum) partial — count/min/max/decimal-sum
+    * merge exactly, so the summary is value-identical while the driver
+    * holds one row per batch.
     */
   private def dedupState(s: SparkSession, d: String): DataFrame = {
-    val deduped = dedupWithinWatermark(
-      eventStream(s, landingDir(d, 2), Some(1)))
-    runToMemory(s, deduped, OutputMode.Append)
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("event_id")).as("min_id"),
-        max(col("event_id")).as("max_id"),
-        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_val"))
+    import s.implicits._
+    val dir = landingDir(d, 2)
+    val deduped = dedupWithinWatermark(eventStream(s, dir, Some(1)))
+    val partials = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Option[Long], Option[Long], Option[java.math.BigDecimal])]()
+    withShufflePartitions(s, statePartitions(s, dir)) {
+      val q = deduped.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val r = batch.agg(
+            count(lit(1)).as("n"),
+            min(col("event_id")).as("lo"),
+            max(col("event_id")).as("hi"),
+            sum(col("value").cast(DecimalType(12, 2))).as("sdec")).head()
+          partials.add((r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getDecimal(3))))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    import scala.jdk.CollectionConverters._
+    val ps = partials.asScala.toSeq
+    val sd = ps.flatMap(_._4)
+    // merged exactly like the single global aggregate: counts add, mins/
+    // maxes fold, the exact decimal partials add, ONE final cast to double
+    Seq((ps.map(_._1).sum,
+        ps.flatMap(_._2).minOption,
+        ps.flatMap(_._3).maxOption,
+        (if (sd.isEmpty) None else Some(sd.reduce(_.add(_)))).map(_.doubleValue)))
+      .toDF("n_rows", "min_id", "max_id", "sum_val")
   }
 
   /** Stream ⋈ static customer dimension, aggregated per segment. */
@@ -266,12 +316,13 @@ object Stateful {
     val dim = s.read.parquet(s"$d/customer.parquet")
       .filter(col("c_custkey") < 150)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val joined = joinStatic(eventStream(s, landingDir(d, 1), None),
+    val dir = landingDir(d, 1)
+    val joined = joinStatic(eventStream(s, dir, None),
       dim, "user_id", "c_custkey")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_val"))
-    runToMemory(s, joined, OutputMode.Complete)
+    runToMemory(s, joined, OutputMode.Complete, statePartitions(s, dir))
       .orderBy("c_mktsegment")
   }
 
@@ -280,9 +331,11 @@ object Stateful {
     */
   private def statefulCount(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val src = eventStream(s, landingDir(d, 2), Some(1))
+    val dir = landingDir(d, 2)
+    val src = eventStream(s, dir, Some(1))
       .select(col("user_id"), col("event_id")).as[UserEvent]
-    val out = runToMemory(s, runningCountPerUser(src).toDF(), OutputMode.Update)
+    val out = runToMemory(s, runningCountPerUser(src).toDF(), OutputMode.Update,
+      statePartitions(s, dir))
     // update mode emits one row per (user, batch); the running count is
     // monotone, so max = final
     out.groupBy("user_id").agg(max(col("n")).as("n_events"))
@@ -302,9 +355,11 @@ object Stateful {
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val src = eventStream(s, landingDir(d, 2), Some(1))
+      val dir = landingDir(d, 2)
+      val src = eventStream(s, dir, Some(1))
         .select(col("user_id"), col("value")).as[UserValue]
-      val out = runToMemory(s, runningMinMaxPerUser(src).toDF(), OutputMode.Update)
+      val out = runToMemory(s, runningMinMaxPerUser(src).toDF(), OutputMode.Update,
+        statePartitions(s, dir))
       out.groupBy("user_id")
         .agg(min(col("lo")).as("min_val"), max(col("hi")).as("max_val"))
         .orderBy("user_id")
@@ -331,11 +386,13 @@ object Stateful {
     try {
       // every event type flows through: a user with no funnel events at
       // all must still surface as stage 0, exactly like the batch query
-      val src = eventStream(s, landingDir(d, 2), Some(1))
+      val dir = landingDir(d, 2)
+      val src = eventStream(s, dir, Some(1))
         .select(col("user_id"), col("event_type"),
           unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
         .as[StageEvent]
-      val out = runToMemory(s, funnelMinsPerUser(src).toDF(), OutputMode.Update)
+      val out = runToMemory(s, funnelMinsPerUser(src).toDF(), OutputMode.Update,
+        statePartitions(s, dir))
       val none = Long.MaxValue
       out.groupBy("user_id")
         .agg(min(col("t_view")).as("v"), min(col("t_click")).as("c"),
@@ -377,7 +434,7 @@ object Stateful {
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
-    runToMemory(s, joined, OutputMode.Append)
+    runToMemory(s, joined, OutputMode.Append, statePartitions(s, src))
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("p_value").cast(DecimalType(12, 2))).cast("double")

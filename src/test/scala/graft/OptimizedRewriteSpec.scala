@@ -155,4 +155,139 @@ class OptimizedRewriteSpec extends AnyFunSuite {
     val jsonForm = graft.ops.Meta.envelopeJsonPortable(spark, sfDir)
     assertSameRows(concatForm, jsonForm)
   }
+
+  test("envelope parity holds for control-char and unicode event types") {
+    // round-17 ADVICE #1: the old two-replace escape matched to_json only
+    // because fixtures carry no control chars. Pin the hardened escape on
+    // a synthetic events table full of them.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_env_adv")
+    val evil = Seq(
+      "plain", "with \"quotes\"", "back\\slash", "tab\there", "new\nline",
+      "cr\rreturn", "bell\u0007", "nul\u0000nul", "esc\u001B[0m",
+      "form\ffeed", "backsp\bace", "unit\u001Fsep", "\u0001\u0002\u0003",
+      "mixé üñíçødé ✓", "quote\"and\\and\ncombo")
+    evil.zipWithIndex
+      .map { case (et, i) => (i.toLong, (1700000000000000L + i), i.toLong * 7, et,
+        1.5 * i, s"""{"k":$i}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(dir.resolve("events.parquet").toString)
+    try {
+      val concatForm = graft.ops.Meta.queries("meta_envelope_json")(spark, dir.toString)
+      val jsonForm = graft.ops.Meta.envelopeJsonPortable(spark, dir.toString)
+      assertSameRows(concatForm, jsonForm)
+      assert(concatForm.count() === evil.length.toLong)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit
+  }
+
+  /** The fused quant-stats struct vs the five-HOF chain it replaced in
+    * q_embed_quantize — on a given array<float> column named `embedding`.
+    */
+  private def assertQuantParity(df: DataFrame): Unit = {
+    val kernel = df.withColumn("sc", expr("graft_vec_quant_stats(embedding)"))
+      .select(col("embedding"),
+        round(col("sc.mx"), 6).as("scale"), col("sc.q_sum").as("q_sum"),
+        col("sc.q_min").as("q_min"), col("sc.q_max").as("q_max"))
+    val portable = df
+      .withColumn("mx",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("mxs", expr("CASE WHEN mx = 0.0 THEN 1.0 ELSE mx END"))
+      .withColumn("q",
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / mxs * 127) AS BIGINT))"))
+      .select(col("embedding"),
+        round(col("mx"), 6).as("scale"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + v)").as("q_sum"),
+        expr("array_min(q)").cast("long").as("q_min"),
+        expr("array_max(q)").cast("long").as("q_max"))
+    assertSameRows(kernel.drop("embedding"), portable.drop("embedding"))
+  }
+
+  test("graft_vec_quant_stats equals the five-HOF chain on every embedding") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    assertQuantParity(Tables.embeddings(spark, sfDir).select(col("embedding")))
+  }
+
+  test("graft_vec_quant_stats equals the five-HOF chain on degenerate vectors") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    import spark.implicits._
+    val rows = Seq(
+      Some(Seq(Some(1.5f), Some(-2.5f), Some(0.25f))),
+      Some(Seq(Some(0.0f), Some(0.0f))),             // all-zero: mxs guard
+      Some(Seq(Some(-0.0f))),                        // negative zero
+      Some(Seq.empty[Option[Float]]),                // empty array
+      Some(Seq(Some(1.0f), None, Some(2.0f))),       // null element
+      Some(Seq(None)),                               // all-null
+      None)                                          // null vector
+      .toDF("embedding")
+      .select(col("embedding").cast("array<float>"))
+    assertQuantParity(rows)
+    // null vector stays null through the kernel
+    val n = Seq[Option[Seq[Float]]](None).toDF("embedding")
+      .select(col("embedding").cast("array<float>"))
+      .select(expr("graft_vec_quant_stats(embedding)").as("sc"))
+    assert(n.filter(col("sc").isNull).count() === 1)
+  }
+
+  /** The fused scrub struct vs the two-pass regexp_replace + audit-count
+    * formulation it replaced in q_pii_scrub — on a given text column.
+    */
+  private def assertScrubParity(df: DataFrame): Unit = {
+    import graft.ops.Privacy.{emailRe, phoneRe}
+    val kernel = df.withColumn("sc",
+        expr(s"graft_pii_scrub(t, '$emailRe', '[EMAIL]', '$phoneRe', '[PHONE]')"))
+      .select(col("t"), col("sc.scrubbed").as("scrubbed"),
+        col("sc.n1").as("n1"), col("sc.n2").as("n2"))
+    val portable = df.select(
+      col("t"),
+      regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]").as("scrubbed"),
+      expr(s"graft_re_count(t, '$emailRe')").as("n1"),
+      expr(s"graft_re_count(t, '$phoneRe')").as("n2"))
+    assertSameRows(kernel, portable)
+  }
+
+  test("graft_pii_scrub equals the two-pass replace + counts on the pii corpus") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    val pii = Tables.documents(spark, sfDir)
+      .withColumn("t", concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"),
+            lit("@mail.example.org"))).otherwise(lit("")),
+        lit(" or call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .select(col("t"))
+    assertScrubParity(pii)
+  }
+
+  test("graft_pii_scrub equals the two-pass form on adversarial overlap strings") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    import spark.implicits._
+    val rows = Seq(
+      "",                                          // empty
+      "no pii here at all",
+      "plain a@b.com email",
+      "plain +1-555-1234 phone",
+      "+1-555-0000@example.com",                   // phone IS the email local part
+      "x+1-555-9999@y.org tail",                   // phone embedded inside a local part
+      "a@b.comm+1-555-1234",                       // phone adjacent to a greedy TLD
+      "+1-555-1234 a@b.com +1-555-7777",           // interleaved
+      "a@b.com+1-555-1234@c.net",                  // two candidate emails sharing a phone
+      "call +1-555-12345 now",                     // 5 digits: still matches the first 4
+      "+1-555-123",                                // too short: no phone
+      "user@sub.domain.example.co.uk and +1-555-0001",
+      "@no.local.part +1-555-2222 trailing@",
+      "+1-555-3333+1-555-4444",                    // adjacent phones
+      "e1@a.io e2@b.io e3@c.io")                   // many emails
+      .toDF("t")
+    assertScrubParity(rows)
+    // null text stays null through the kernel
+    import graft.ops.Privacy.{emailRe, phoneRe}
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(expr(s"graft_pii_scrub(t, '$emailRe', '[EMAIL]', '$phoneRe', '[PHONE]')").as("sc"))
+    assert(n.filter(col("sc").isNull).count() === 1)
+  }
 }
