@@ -46,31 +46,36 @@ object GenScale {
     def rep(df: DataFrame): DataFrame =
       df.withColumn("_copy", explode(sequence(lit(0L), lit(copies - 1L))))
 
-    /** Single-file output, like the driver's layout (`{dst}/{t}.parquet`
-      * is a FILE — the oracle's read_parquet() is not a directory glob).
-      */
+    // Scale-fixture layout (round-18): the original single-file,
+    // single-row-group output serialized every scan — a parquet scan
+    // parallelizes at row-group granularity AND FileSourceScan's split
+    // size floors at openCostInBytes (4 MB), so a 12 MB documents file
+    // ran 1-3 tasks at sf10, understating real 100 TB scan parallelism
+    // by the core count. Big tables now write `files` part files (a
+    // DIRECTORY named <t>.parquet — Spark reads it unchanged; the DuckDB
+    // compare tooling globs dirs) with bounded row groups, the layout a
+    // real large table actually has. Values are byte-identical.
     def writeOne(df: DataFrame, name: String,
-        blockBytes: Long = 4L * 1024 * 1024): Unit = {
-      val stage = s"$dst/_stage_$name"
-      // parquet.block.size bounds the row-group buffer: the default 128 MB
-      // left small-but-100x tables (documents: 150 MB raw -> 12 MB snappy)
-      // as ONE row group, and a parquet scan parallelizes at row-group
-      // granularity — every corpus-scan key ran as a single task at sf10,
-      // understating real 100 TB scan parallelism by the core count.
-      // Per-table sizes target >= ~30 groups per file so the scale
-      // fixture exercises the same multi-task scan shape a real layout
-      // has. Values are byte-identical; only the layout changes.
-      df.coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", blockBytes)
-        .parquet(stage)
-      val dir = new java.io.File(stage)
-      val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+        blockBytes: Long = 4L * 1024 * 1024, files: Int = 1): Unit = {
       val out = new java.io.File(s"$dst/$name.parquet")
-      if (out.exists()) out.delete()
-      if (!part.renameTo(out))
-        throw new java.io.IOException(s"could not move $part to $out")
-      dir.listFiles().foreach(_.delete())
-      dir.delete()
+      if (files > 1) {
+        org.apache.commons.io.FileUtils.deleteQuietly(out): Unit
+        df.repartition(files).write.mode("overwrite")
+          .option("parquet.block.size", blockBytes)
+          .parquet(out.toString)
+      } else {
+        val stage = s"$dst/_stage_$name"
+        df.coalesce(1).write.mode("overwrite")
+          .option("parquet.block.size", blockBytes)
+          .parquet(stage)
+        val dir = new java.io.File(stage)
+        val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+        if (out.exists()) out.delete()
+        if (!part.renameTo(out))
+          throw new java.io.IOException(s"could not move $part to $out")
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
       println(s"[genscale] $name: ${spark.read.parquet(out.toString).count()} rows")
     }
 
@@ -92,7 +97,7 @@ object GenScale {
 
     writeOne(rep(tbl("customer"))
       .withColumn("c_custkey", col("c_custkey") + col("_copy") * C)
-      .drop("_copy"), "customer", blockBytes = 2L * 1024 * 1024)
+      .drop("_copy"), "customer", blockBytes = 2L * 1024 * 1024, files = 8)
 
     writeOne(rep(tbl("supplier"))
       .withColumn("s_suppkey", col("s_suppkey") + col("_copy") * S)
@@ -100,22 +105,26 @@ object GenScale {
 
     writeOne(rep(tbl("part"))
       .withColumn("p_partkey", col("p_partkey") + col("_copy") * P)
-      .drop("_copy"), "part", blockBytes = 2L * 1024 * 1024)
+      .drop("_copy"), "part", blockBytes = 2L * 1024 * 1024, files = 8)
 
     writeOne(rep(tbl("orders"))
       .withColumn("o_orderkey", col("o_orderkey") + col("_copy") * O)
       .withColumn("o_custkey", col("o_custkey") + col("_copy") * C)
-      .drop("_copy"), "orders")
+      .drop("_copy"), "orders", files = 32)
 
     writeOne(rep(tbl("lineitem"))
       .withColumn("l_orderkey", col("l_orderkey") + col("_copy") * O)
       .withColumn("l_partkey", col("l_partkey") + col("_copy") * P)
       .withColumn("l_suppkey", col("l_suppkey") + col("_copy") * S)
-      .drop("_copy"), "lineitem")
+      .drop("_copy"), "lineitem", files = 32)
 
     writeOne(rep(tbl("events"))
       .withColumn("event_id", col("event_id") + col("_copy") * E)
       .withColumn("user_id", col("user_id") + col("_copy") * U)
+      // events stays a single FILE: the streaming landing dirs copy it
+      // per micro-batch (one copy = one trigger), and splitting a copy
+      // across triggers would let the watermark drop late rows mid-copy —
+      // a VALUE change for the stateful stream keys, not a layout change
       .drop("_copy"), "events")
 
     writeOne(rep(tbl("documents"))
@@ -123,13 +132,13 @@ object GenScale {
       .withColumn("text", when(col("_copy") === 0L, col("text"))
         .otherwise(concat(col("text"), lit(" v"), col("_copy"))))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .drop("_copy"), "documents", blockBytes = 512L * 1024)
+      .drop("_copy"), "documents", blockBytes = 512L * 1024, files = 32)
 
     writeOne(rep(tbl("embeddings"))
       .withColumn("vec_id", col("vec_id") + col("_copy") * V)
       .withColumn("embedding", transform(col("embedding"),
         x => (x + col("_copy").cast("float") * lit(0.001f)).cast("float")))
-      .drop("_copy"), "embeddings", blockBytes = 1024L * 1024)
+      .drop("_copy"), "embeddings", blockBytes = 1024L * 1024, files = 32)
 
     spark.stop()
   }

@@ -209,6 +209,20 @@ object VectorKernels {
     }
   }
 
+  /** graft_text_quality(str, 'w1,w2,…') — the stop-word set must be a
+    * string literal (it parameterizes the kernel, not per-row data).
+    */
+  private def textQualityBuilder(c: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    c match {
+      case Seq(str, Literal(words: org.apache.spark.unsafe.types.UTF8String, _: StringType)) =>
+        TextQualityKernel.TextQuality(str, words.toString.split(',').toSeq)
+      case _ => throw new IllegalArgumentException(
+        "graft_text_quality requires (string str, string literal words)")
+    }
+  }
+
   /** graft_re_count(str, 'pattern') — the pattern must be a string
     * literal (it parameterizes the kernel, not per-row data).
     */
@@ -255,6 +269,20 @@ object VectorKernels {
     }
   }
 
+  /** graft_chunk_md5(text, w, stride) — w/stride must be integer
+    * literals (they parameterize the kernel, not per-row data).
+    */
+  private def chunkMd5Builder(c: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    c match {
+      case Seq(text, Literal(w: Int, IntegerType), Literal(st: Int, IntegerType)) =>
+        WindowMd5Kernel.ChunkMd5(text, w, st)
+      case _ => throw new IllegalArgumentException(
+        "graft_chunk_md5 requires (text, int literal w, int literal stride)")
+    }
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_vec_dot" -> arity2("graft_vec_dot")(FloatVecDot(_, _)),
     "graft_vec_cosine" -> arity2("graft_vec_cosine")(FloatVecCosine(_, _)),
@@ -267,12 +295,24 @@ object VectorKernels {
     "graft_count_in" -> (countInBuilder _),
     "graft_re_count" -> (reCountBuilder _),
     "graft_pii_scrub" -> (scrubBuilder _),
+    "graft_text_quality" -> (textQualityBuilder _),
+    "graft_token_counts" -> { c =>
+      if (c.length != 1) throw new IllegalArgumentException(
+        s"graft_token_counts requires exactly 1 argument, got ${c.length}")
+      TokenCountsKernel.TokenCounts(c.head)
+    },
+    "graft_norm_stats" -> { c =>
+      if (c.length != 2) throw new IllegalArgumentException(
+        s"graft_norm_stats requires exactly 2 arguments, got ${c.length}")
+      NormalizeKernel.NormStats(c(0), c(1))
+    },
     "graft_json_escape" -> { c =>
       if (c.length != 1) throw new IllegalArgumentException(
         s"graft_json_escape requires exactly 1 argument, got ${c.length}")
       JsonEscapeKernel.JsonEscape(c.head)
     },
     "graft_window_md5" -> (windowMd5Builder _),
+    "graft_chunk_md5" -> (chunkMd5Builder _),
     "graft_bigram_top" -> { c =>
       if (c.length != 1) throw new IllegalArgumentException(
         s"graft_bigram_top requires exactly 1 argument, got ${c.length}")

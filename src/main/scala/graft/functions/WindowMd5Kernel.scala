@@ -74,6 +74,77 @@ object WindowMd5Kernel {
     new GenericArrayData(out)
   }
 
+  /** md5 hex of every chunk starting at char 0, stride, 2·stride … < n —
+    * TAIL chunks shorter than w INCLUDED (the q_doc_chunk layout, where
+    * the portable form explodes `sequence(1, length(text), stride)` and
+    * takes `substring(text, o, w)` of each offset). One pass: char
+    * offsets indexed once, each chunk's byte range fed straight to a
+    * thread-local digest — the portable form re-scans the string from
+    * position 0 for EVERY substring call (O(n²/stride) char stepping)
+    * and did so twice per chunk (length + md5).
+    */
+  def chunkMd5(text: UTF8String, w: Int, stride: Int): ArrayData = {
+    val n = text.numChars()
+    if (n < 1) return new GenericArrayData(Array.empty[Any])
+    val bytes = text.getBytes
+    val offsets = new Array[Int](n + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < bytes.length) {
+      offsets(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offsets(n) = bytes.length
+    val digest = md5.get()
+    val scratch = new Array[Byte](16)
+    val count = (n - 1) / stride + 1
+    val out = new Array[Any](count)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + w, n)
+      digest.update(bytes, offsets(i), offsets(end) - offsets(i))
+      digest.digest(scratch, 0, 16)
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexDigits((scratch(b) >> 4) & 0xf).toByte
+        hex(2 * b + 1) = hexDigits(scratch(b) & 0xf).toByte
+        b += 1
+      }
+      out(k) = UTF8String.fromBytes(hex)
+      k += 1
+      i += stride
+    }
+    new GenericArrayData(out)
+  }
+
+  /** md5 hex of every stride-aligned chunk incl. the short tail. */
+  case class ChunkMd5(child: Expression, w: Int, stride: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case _: StringType if w >= 1 && stride >= 1 => TypeCheckResult.TypeCheckSuccess
+      case _: StringType => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires w >= 1 and stride >= 1, got w=$w stride=$stride")
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.catalogString}")
+    }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_chunk_md5"
+    override def nullable: Boolean = child.nullable
+
+    override protected def nullSafeEval(s: Any): Any =
+      chunkMd5(s.asInstanceOf[UTF8String], w, stride)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.WindowMd5Kernel.chunkMd5($c, $w, $stride)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** md5 hex of every w-char window at the given stride. */
   case class WindowMd5(child: Expression, w: Int, stride: Int)
       extends UnaryExpression {

@@ -52,14 +52,19 @@ object Text {
   /** Per-language corpus stats: doc count, avg chars, avg whitespace
     * tokens.
     */
-  private def textStats(s: SparkSession, d: String): DataFrame =
+  private def textStats(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorKernels.ensureRegistered(s)
     documents(s, d)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         round(avg(col("n_chars")), 4).as("avg_chars"),
-        round(avg(size(expr(toksE))), 4).as("avg_tokens"))
+        // round-18: size(regexp_extract_all(…)) materialized every token
+        // as a string just to count them; the byte-walk kernel counts
+        // the same [^ ]+ runs with zero allocation
+        round(avg(expr("graft_token_counts(text).ws")), 4).as("avg_tokens"))
       .orderBy(col("lang"))
+  }
 
   /** Stopword-frequency language ID heuristic: score each candidate
     * language by its marker-word hits, argmax with fixed priority
@@ -90,17 +95,18 @@ object Text {
     */
   private def qualityScore(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorKernels.ensureRegistered(s)
+    // Round-18: graft_text_quality computes all three signals in ONE byte
+    // walk — the old pipeline materialized the whitespace token ARRAY
+    // (one string allocation per token) just to size and membership-scan
+    // it, plus a second regex pass for the punctuation count. Same
+    // tokenization, same counts (pinned by OptimizedRewriteSpec).
     documents(s, d)
-      .withColumn("toks", expr(toksE))
-      .withColumn("n_tok", size(col("toks")))
-      // graft_re_count: counting scan with zero per-match allocation
-      // (Spark's regexp_count still materializes the match array)
-      .withColumn("punct", expr("graft_re_count(text, '[^A-Za-z0-9 ]')"))
-      .withColumn("stop", expr(stopCount(stopWordsEn)))
+      .withColumn("q3",
+        expr(s"graft_text_quality(text, '${stopWordsEn.mkString(",")}')"))
       .withColumn("quality", round(
-        expr("""0.4 * least(CAST(n_tok AS DOUBLE)/200.0, 1.0)
-               | + 0.3 * (1.0 - least(CAST(punct AS DOUBLE)/greatest(length(text), 1)*5.0, 1.0))
-               | + 0.3 * least(CAST(stop AS DOUBLE)/greatest(n_tok, 1)*4.0, 1.0)""".stripMargin), 4))
+        expr("""0.4 * least(CAST(q3.n_tok AS DOUBLE)/200.0, 1.0)
+               | + 0.3 * (1.0 - least(CAST(q3.punct AS DOUBLE)/greatest(length(text), 1)*5.0, 1.0))
+               | + 0.3 * least(CAST(q3.stop AS DOUBLE)/greatest(q3.n_tok, 1)*4.0, 1.0)""".stripMargin), 4))
       .groupBy(floor(col("quality") * 10).cast("int").as("bucket"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -144,12 +150,13 @@ object Text {
   private def tokenCount(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorKernels.ensureRegistered(s)
     documents(s, d)
-      // graft_re_count: two counting scans, zero per-token allocation
-      // (size(regexp_extract_all(…)) — and Spark's regexp_count, which
-      // merely wraps it — materialize every token as a string first)
-      .withColumn("ws_tok", expr("graft_re_count(text, '[^ ]+')"))
-      .withColumn("bpe_tok",
-        expr("graft_re_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')"))
+      // round-18: graft_token_counts computes BOTH tokenizations in one
+      // byte walk — the r17 form ran two java.util.regex counting scans
+      // (already allocation-free, but still two regex-engine passes);
+      // counts pinned identical by OptimizedRewriteSpec
+      .withColumn("tc", expr("graft_token_counts(text)"))
+      .withColumn("ws_tok", col("tc.ws"))
+      .withColumn("bpe_tok", col("tc.bpe"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -232,19 +239,23 @@ object Text {
     * normalized form and of the alphanumeric skeleton (the key fuzzy
     * matchers join on). Narrow per-row map, codegen'd built-ins only.
     */
-  private def textNormalize(s: SparkSession, d: String): DataFrame =
+  private def textNormalize(s: SparkSession, d: String): DataFrame = {
+    // Round-18: graft_norm_stats fuses the pad/case-noise construction,
+    // the lower + space-collapse + trim normalization, both audit
+    // lengths, and both md5s into one kernel pass — the portable form
+    // built four intermediate strings and ran two regex passes per row.
+    // Row-for-row parity pinned by OptimizedRewriteSpec (corpus +
+    // multibyte/sharp-s/space-run adversarial strings); oracle unchanged.
+    graft.functions.VectorKernels.ensureRegistered(s)
     documents(s, d)
-      .withColumn("raw", concat(lit("  "),
-        when(pmod(col("doc_id"), lit(2)) === 0, upper(col("text")))
-          .otherwise(col("text")),
-        lit("   ")))
-      .withColumn("norm", trim(regexp_replace(lower(col("raw")), "[ ]+", " ")))
+      .withColumn("st", expr("graft_norm_stats(text, doc_id % 2 = 0)"))
       .select(col("doc_id"),
-        length(col("raw")).as("n_raw"),
-        length(col("norm")).as("n_norm"),
-        md5(col("norm")).as("norm_md5"),
-        md5(regexp_replace(col("norm"), "[^a-z0-9]", "")).as("skeleton_md5"))
+        col("st.n_raw").as("n_raw"),
+        col("st.n_norm").as("n_norm"),
+        col("st.norm_md5").as("norm_md5"),
+        col("st.skeleton_md5").as("skeleton_md5"))
       .orderBy("doc_id")
+  }
 
   /** Soft (canonicalized) exact dedup: documents collapse when their
     * alphanumeric skeleton matches — lowercase, all non-alphanumerics

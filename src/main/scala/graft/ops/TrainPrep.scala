@@ -93,17 +93,27 @@ object TrainPrep {
     * offset arithmetic. Output is digests, not text, so the result of a
     * 100 TB run is fingerprint-sized.
     */
-  private def docChunk(s: SparkSession, d: String): DataFrame =
+  private def docChunk(s: SparkSession, d: String): DataFrame = {
+    // Round-18: the portable form computed substring(text, o, 100) TWICE
+    // per chunk (length + md5), and every substring call re-steps the
+    // string's chars from position 0 — O(n²/stride) per doc.
+    // graft_chunk_md5 hashes all chunks (incl. the short tail) in one
+    // pass with the char offsets indexed once; chunk_ix falls out of
+    // posexplode, and chunk_len is offset arithmetic on the pre-explode
+    // length instead of a third substring walk. Row-for-row parity
+    // pinned by OptimizedRewriteSpec; oracle unchanged.
+    graft.functions.VectorKernels.ensureRegistered(s)
     documents(s, d)
       .filter(length(col("text")) >= 1)
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(1, length(text), 80)")).as("o"))
+      .select(col("doc_id"), length(col("text")).as("n"),
+        posexplode(expr("graft_chunk_md5(text, 100, 80)")).as(Seq("p", "h")))
       .select(
         col("doc_id"),
-        expr("(o - 1) div 80").as("chunk_ix"),
-        length(expr("substring(text, o, 100)")).as("chunk_len"),
-        md5(expr("substring(text, o, 100)")).as("h"))
+        col("p").cast("long").as("chunk_ix"),
+        least(lit(100), col("n") - col("p") * 80).cast("int").as("chunk_len"),
+        col("h"))
       .orderBy(col("doc_id"), col("chunk_ix"))
+  }
 
   /** Sequence packing, concat-and-cut semantics: per source, documents
     * are laid end-to-end in doc_id order on a token tape cut into
@@ -148,21 +158,23 @@ object TrainPrep {
     // the explode to the scan, so each branch tokenizes only its own
     // split — the "double pass" is two cheap scans, not double tokenize.
     //
-    // Round-18 (guide §2.3, the scale note above made real): the join
-    // key is the 16-byte md5 DIGEST of the n-gram, not the ~30-byte
-    // string — the distinct and join exchanges carry fixed-width binary
-    // (cheaper to hash, compare, and ship). Counts are identical unless
-    // two distinct n-grams in the corpus md5-collide (probability
-    // ~n²/2¹²⁹: ~10⁻²⁰ at 10⁹ distinct n-grams); the oracle still joins
-    // on strings and hash-matches at every driver SF.
+    // Round-18: a 16-byte md5-digest join key (VERDICT's "digest-keyed
+    // equi-join" suggestion) was TRIED and measured BOTH ways: on the old
+    // single-row-group fixture (scans serialized to 3 tasks, exchanges
+    // relatively dominant) it won 29.4 -> 27.6 s; on the fixed multi-file
+    // layout (scans 32-way parallel, like a real table) it LOST
+    // 16.1 -> 22.1 s min-of-2 — the per-n-gram md5+unhex (~145 M hashes)
+    // costs more than the ~2x narrower exchange saves once the scan side
+    // parallelizes. REVERTED to the string join; at true 100 TB the
+    // digest becomes right again only when network dominates compute,
+    // which is a cluster-shape call, not a local-measurable one.
     val g = documents(s, d)
       .select(col("doc_id"), expr(toksE).as("toks"))
       .filter(size(col("toks")) >= 5)
       .select(col("doc_id"), explode(expr(ngramsE)).as("ng"))
-      .select(col("doc_id"), unhex(md5(col("ng"))).as("h"))
-    val train = g.filter(col("doc_id") % 10 =!= 0).select(col("h")).distinct()
+    val train = g.filter(col("doc_id") % 10 =!= 0).select(col("ng")).distinct()
     g.filter(col("doc_id") % 10 === 0)
-      .join(train, Seq("h"))
+      .join(train, Seq("ng"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))
       .orderBy(col("doc_id"))

@@ -182,6 +182,148 @@ class OptimizedRewriteSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit
   }
 
+  /** graft_token_counts vs the two regex counting scans it fuses, on a
+    * frame with a `text` column.
+    */
+  private def assertTokenCountsParity(df: DataFrame): Unit = {
+    val kernel = df.withColumn("tc", expr("graft_token_counts(text)"))
+      .select(col("text"), col("tc.ws").as("ws"), col("tc.bpe").as("bpe"))
+    val portable = df.select(col("text"),
+      expr("graft_re_count(text, '[^ ]+')").as("ws"),
+      expr("graft_re_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')").as("bpe"))
+    assertSameRows(kernel, portable)
+  }
+
+  test("graft_token_counts equals both regex scans on the corpus") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    assertTokenCountsParity(Tables.documents(spark, sfDir).select(col("text")))
+  }
+
+  test("graft_token_counts equals both regex scans on edge strings") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    import spark.implicits._
+    assertTokenCountsParity(Seq(
+      "", " ", "abc", "abc123", "123abc!", "a1!b2?c", "!!!", "a!!!b",
+      "mixé üñíçødé ✓ 42", "CamelCase09end.", "tab\tx", "a b  c   d",
+      "0xDEAD beef42", "...12ab..cd34...").toDF("text"))
+  }
+
+  /** graft_text_quality vs the three portable expressions it fuses, on a
+    * frame with a `text` column.
+    */
+  private def assertQualityParity(df: DataFrame): Unit = {
+    import graft.ops.TextExprs.toksE
+    val kernel = df
+      .withColumn("q3", expr("graft_text_quality(text, 'the,a,and,of')"))
+      .select(col("text"), col("q3.n_tok").as("n_tok"),
+        col("q3.punct").as("punct"), col("q3.stop").as("stop"))
+    val portable = df
+      .withColumn("toks", expr(toksE))
+      .select(col("text"), size(col("toks")).as("n_tok"),
+        expr("graft_re_count(text, '[^A-Za-z0-9 ]')").as("punct"),
+        expr("graft_count_in(toks, 'the,a,and,of')").as("stop"))
+    assertSameRows(kernel, portable)
+  }
+
+  test("graft_text_quality equals the token-array pipeline on the corpus") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    assertQualityParity(Tables.documents(spark, sfDir).select(col("text")))
+  }
+
+  test("graft_text_quality equals the token-array pipeline on edge strings") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    import spark.implicits._
+    assertQualityParity(Seq(
+      "", " ", "   ", "the", " the ", "the the the", "thee the and-of",
+      "a  b   c", "punct!.; only", "mixé üñíçødé ✓ the", "tabs\tand\nnewlines the",
+      "of", "ofa a of", "trailing the").toDF("text"))
+  }
+
+  /** graft_norm_stats vs the four-intermediate-string portable form on a
+    * (doc_id, text) frame.
+    */
+  private def assertNormParity(df: DataFrame): Unit = {
+    val kernel = df
+      .withColumn("st", expr("graft_norm_stats(text, doc_id % 2 = 0)"))
+      .select(col("doc_id"), col("st.n_raw").as("n_raw"), col("st.n_norm").as("n_norm"),
+        col("st.norm_md5").as("norm_md5"), col("st.skeleton_md5").as("skeleton_md5"))
+    val portable = df
+      .withColumn("raw", concat(lit("  "),
+        when(pmod(col("doc_id"), lit(2)) === 0, upper(col("text")))
+          .otherwise(col("text")),
+        lit("   ")))
+      .withColumn("norm", trim(regexp_replace(lower(col("raw")), "[ ]+", " ")))
+      .select(col("doc_id"),
+        length(col("raw")).as("n_raw"), length(col("norm")).as("n_norm"),
+        md5(col("norm")).as("norm_md5"),
+        md5(regexp_replace(col("norm"), "[^a-z0-9]", "")).as("skeleton_md5"))
+    assertSameRows(kernel, portable)
+  }
+
+  test("graft_norm_stats equals the portable normalize pipeline on the corpus") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    assertNormParity(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+  }
+
+  test("graft_norm_stats equals the portable pipeline on adversarial strings") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    import spark.implicits._
+    val rows = Seq(
+      "", " ", "   ", "a", " a ", "a  b   c", "  lead", "trail   ",
+      "UPPER lower MiXeD", "straße and STRASSE",      // sharp-s case round-trip
+      "éàü ÇØÅ multibyte", "İstanbul dotted I",       // case changes byte length
+      "digits 0129 and punct !?;", "tabs\tstay\ttabs",// [ ]+ is space-only
+      "x" + " " * 50 + "y")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    assertNormParity(rows.toDF("doc_id", "text"))
+  }
+
+  test("graft_chunk_md5 pipeline equals the explode + double-substring form") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    def base = Tables.documents(spark, sfDir).filter(length(col("text")) >= 1)
+    val kernel = base
+      .select(col("doc_id"), length(col("text")).as("n"),
+        posexplode(expr("graft_chunk_md5(text, 100, 80)")).as(Seq("p", "h")))
+      .select(col("doc_id"), col("p").cast("long").as("chunk_ix"),
+        least(lit(100), col("n") - col("p") * 80).cast("int").as("chunk_len"),
+        col("h"))
+    val portable = base
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text), 80)")).as("o"))
+      .select(col("doc_id"),
+        expr("(o - 1) div 80").as("chunk_ix"),
+        length(expr("substring(text, o, 100)")).as("chunk_len"),
+        md5(expr("substring(text, o, 100)")).as("h"))
+    assertSameRows(kernel, portable)
+  }
+
+  test("graft_chunk_md5 handles multibyte, exact-boundary and tiny texts") {
+    graft.functions.VectorKernels.ensureRegistered(spark)
+    import spark.implicits._
+    val texts = Seq(
+      "a",                      // single char
+      "x" * 80,                 // exactly one stride
+      "x" * 81,                 // stride + 1 → 2 chunks, 1-char tail
+      "x" * 100,                // exactly w
+      "x" * 180,                // w + stride
+      "é" * 250 + "✓" * 9,      // multibyte across chunk boundaries
+      "y" * 1000)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text").filter(length(col("text")) >= 1)
+    val kernel = df
+      .select(col("doc_id"), length(col("text")).as("n"),
+        posexplode(expr("graft_chunk_md5(text, 100, 80)")).as(Seq("p", "h")))
+      .select(col("doc_id"), col("p").cast("long").as("chunk_ix"),
+        least(lit(100), col("n") - col("p") * 80).cast("int").as("chunk_len"), col("h"))
+    val portable = df
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text), 80)")).as("o"))
+      .select(col("doc_id"), expr("(o - 1) div 80").as("chunk_ix"),
+        length(expr("substring(text, o, 100)")).as("chunk_len"),
+        md5(expr("substring(text, o, 100)")).as("h"))
+    assertSameRows(kernel, portable)
+  }
+
   /** The fused quant-stats struct vs the five-HOF chain it replaced in
     * q_embed_quantize — on a given array<float> column named `embedding`.
     */

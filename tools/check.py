@@ -154,7 +154,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet"
+            + ("/*.parquet" if os.path.isdir(f"{sf_dir}/{t}.parquet") else "")
+            + "')")
     n_ok = n_bad = 0
     result_dirs = sorted(
         os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p))
